@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central loaders for the driver-generated parquet tables
+  * (`/root/testdata/sf*`; see TESTDATA.md and SURVEY.md §1.2).
+  *
+  * Design notes (100 TB north star):
+  *  - Plain `spark.read.parquet` keeps the scan declarative so Catalyst
+  *    pushes filters/projections into the parquet reader (row-group skip +
+  *    column pruning). Never cache here — callers decide materialization.
+  *  - `events.ts` is INT64 TIMESTAMP(NANOS) which Spark 4 refuses to read;
+  *    `nanosAsLong` + µs truncation matches DuckDB's own ns→µs truncation
+  *    (verified: min(ts) identical to the microsecond in both engines).
+  *  - Timestamps are kept as TimestampNTZ everywhere so Spark parquet
+  *    output and DuckDB's naive TIMESTAMP compare bit-identically.
+  */
+object Tables {
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = rd(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = rd(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = rd(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = rd(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = rd(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = rd(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = rd(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = rd(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = rd(s, dir, "embeddings")
+
+  /** `ts` arrives as ns-since-epoch Long (see above); convert to µs
+    * TimestampNTZ exactly like DuckDB truncates when reading the same file.
+    * The conf set is idempotent and only widens readability, so it is safe
+    * under the shared driver-built session (SURVEY.md §4.3.5).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(s, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
+  /** Money columns are generated with exactly 2 decimals; casting to
+    * decimal makes sums EXACT and therefore independent of partition /
+    * merge order — the only way a distributed sum can hash-match a
+    * single-threaded DuckDB sum at any scale factor.
+    */
+  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+}

@@ -1,0 +1,264 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1–§2.4 + §2.7: scans, filters, joins, aggregations,
+  * sort/limit, set ops.
+  *
+  * Determinism contract (SURVEY.md §4.3): every query ends in a total
+  * ORDER BY; money sums go through decimal(18,2) so the distributed sum is
+  * exact and matches DuckDB's single-threaded sum bit-for-bit; every float
+  * output is a DOUBLE rounded to 6 dp on both sides.
+  *
+  * Scale notes: all dimension joins (region/nation/customer/supplier) are
+  * broadcast-able at any SF and AQE picks broadcast automatically; the
+  * fact-fact self-join (q08) carries an equi key (user_id) so it plans as
+  * a shuffled sort-merge join, never a cartesian.
+  */
+object Relational extends QueryPack {
+
+  /** Exact distributed money sum: decimal in, double out. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+  private def dec(c: Column): Column  = c.cast("decimal(18,2)")
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    "q01_scan_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // ------------------------------------------------------------------
+    "q02_scan_events_ns" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+        .limit(200)),
+
+    // ------------------------------------------------------------------
+    "q03_filter_pred" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("O", "P")
+          && col("o_totalprice").between(50000, 200000)
+          && col("o_orderpriority").like("%URGENT")
+          && col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz")
+          && col("o_custkey").isNotNull)
+        .orderBy(col("o_orderkey"))),
+
+    // ------------------------------------------------------------------
+    "q04_case_expr" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(dsum(col("c_acctbal")) / count(lit(1)), 6).as("avg_bal"))
+        .orderBy(col("bucket"))),
+
+    // ------------------------------------------------------------------
+    "q05_join_star" -> ((s, dir) => {
+      val r = Tables.region(s, dir); val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      r.join(n, n("n_regionkey") === r("r_regionkey"))
+        .join(c, c("c_nationkey") === n("n_nationkey"))
+        .join(o, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), round(dsum(col("o_totalprice")), 6).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Left outer (customer→orders, count survives as 0) UNION full outer
+    // (nation⟗supplier) — both outer flavors + null handling in one result.
+    "q06_join_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      val n = Tables.nation(s, dir);   val su = Tables.supplier(s, dir)
+      val left = c.join(o, o("o_custkey") === c("c_custkey"), "left")
+        .groupBy(c("c_custkey").as("key"))
+        .agg(count(o("o_orderkey")).as("matches"))
+        .select(lit("cust_orders").as("kind"), col("key"), col("matches"))
+      val full = n.join(su, su("s_nationkey") === n("n_nationkey"), "full")
+        .groupBy(coalesce(n("n_nationkey"), lit(-1)).as("key"))
+        .agg(count(su("s_suppkey")).as("matches"))
+        .select(lit("nation_supp").as("kind"), col("key").cast("long"), col("matches"))
+      left.unionAll(full).orderBy(col("kind"), col("key"))
+    }),
+
+    // ------------------------------------------------------------------
+    "q07_join_semi_anti" -> ((s, dir) => {
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(lit("has_orders").as("tag"), col("c_custkey"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(lit("no_orders").as("tag"), col("c_custkey"))
+      semi.unionAll(anti).orderBy(col("tag"), col("c_custkey"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Theta/range self-join: same-user event pairs ≤10 min apart. The
+    // user_id equi key keeps this a sort-merge join (scales by key),
+    // with the range predicate applied as a join residual.
+    "q08_join_theta_range" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      a.join(b, col("user_id") === col("b_user")
+          && col("b_ts") > col("a_ts")
+          && col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("a_id"), col("b_id"), col("user_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // As-of join via the single-shuffle window pattern: latest purchase
+    // at-or-before each event per user. Identical windowed SQL on the
+    // DuckDB side (ties broken by event_id → fully deterministic).
+    "q09_join_asof" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_purchase_ts",
+          last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_purchase_ts"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    "q10_join_broadcast" -> ((s, dir) => {
+      val n = Tables.nation(s, dir); val c = Tables.customer(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(dsum(col("c_acctbal")), 6).as("total_bal"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q1 shape: partial aggregation map-side, exact decimal sums.
+    "q11_agg_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 6).as("sum_base"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double"), 6).as("sum_disc"),
+          round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast("double"), 6).as("sum_charge"),
+          round(sum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ------------------------------------------------------------------
+    "q12_agg_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          countDistinct(col("l_orderkey")).as("d_orders"),
+          countDistinct(col("l_partkey")).as("d_parts"),
+          countDistinct(col("l_suppkey")).as("d_supps"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"))),
+
+    // ------------------------------------------------------------------
+    // HLL sketch: no DuckDB oracle (different sketch impls); rows-only.
+    "q13_agg_hll" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // ------------------------------------------------------------------
+    "q14_rollup_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("cnt"),
+          round(dsum(col("l_extendedprice")), 6).as("revenue"))
+        .orderBy(col("g_rf"), col("g_ls"),
+          asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // ------------------------------------------------------------------
+    // Pivot with a FIXED value list (no extra distinct-scan job, stable
+    // column order); nulls for absent cells filled to 0 to match the
+    // FILTER-count oracle.
+    "q15_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy(col("user_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Plans as TakeOrderedAndProject: no global sort, per-partition top-k
+    // then merge on the driver — the right plan at 100 TB too.
+    "q28_sort_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)),
+
+    // ------------------------------------------------------------------
+    "q29_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("k"))
+      val both = c.intersect(su).select(lit("both").as("tag"), col("k"))
+      val custOnly = c.except(su).select(lit("cust_only").as("tag"), col("k"))
+      val all = c.unionAll(su).groupBy().agg(count(lit(1)).as("k"))
+        .select(lit("union_all_cnt").as("tag"), col("k").cast("int"))
+      both.unionAll(custOnly).unionAll(all).orderBy(col("tag"), col("k"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_scan_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
+    "q02_scan_events_ns" ->
+      "SELECT event_id, ts, user_id, event_type, value FROM events ORDER BY event_id LIMIT 200",
+    "q03_filter_pred" ->
+      "SELECT * FROM orders WHERE o_orderstatus IN ('O','P') AND o_totalprice BETWEEN 50000 AND 200000 AND o_orderpriority LIKE '%URGENT' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_custkey IS NOT NULL ORDER BY o_orderkey",
+    "q04_case_expr" ->
+      "SELECT CASE WHEN c_acctbal < 0 THEN 'negative' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket, count(*) AS n, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS avg_bal FROM customer GROUP BY 1 ORDER BY bucket",
+    "q05_join_star" ->
+      "SELECT r_name, n_name, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
+    "q06_join_outer" ->
+      "SELECT * FROM (SELECT 'cust_orders' AS kind, c_custkey AS key, count(o_orderkey) AS matches FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey UNION ALL SELECT 'nation_supp' AS kind, coalesce(n_nationkey, -1) AS key, count(s_suppkey) AS matches FROM nation FULL JOIN supplier ON s_nationkey = n_nationkey GROUP BY coalesce(n_nationkey, -1)) ORDER BY kind, key",
+    "q07_join_semi_anti" ->
+      "SELECT * FROM (SELECT 'has_orders' AS tag, c_custkey FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) UNION ALL SELECT 'no_orders' AS tag, c_custkey FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) ORDER BY tag, c_custkey",
+    "q08_join_theta_range" ->
+      "SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id FROM events a JOIN events b ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE ORDER BY a_id, b_id",
+    "q09_join_asof" ->
+      "SELECT event_id, user_id, ts, last_purchase_ts FROM (SELECT event_id, user_id, ts, last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts FROM events) ORDER BY event_id",
+    "q10_join_broadcast" ->
+      "SELECT n_name, count(*) AS n_cust, round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_bal FROM nation JOIN customer ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q11_agg_pricing" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_disc, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 6) AS sum_charge, "
+        + "round(sum(l_quantity)/count(*), 6) AS avg_qty, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*), 6) AS avg_price, "
+        + "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01' "
+        + "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q12_agg_distinct" ->
+      "SELECT count(DISTINCT l_orderkey) AS d_orders, count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps, count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status FROM lineitem",
+    // q13_agg_hll intentionally has no oracle (sketch impls differ).
+    "q14_rollup_cube" ->
+      "SELECT l_returnflag, l_linestatus, CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls, count(*) AS cnt, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    "q15_pivot" ->
+      "SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'signup') AS signup, count(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY user_id ORDER BY user_id",
+    "q28_sort_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "q29_setops" ->
+      "SELECT * FROM (SELECT 'both' AS tag, k FROM ((SELECT c_nationkey AS k FROM customer) INTERSECT (SELECT s_nationkey FROM supplier)) UNION ALL SELECT 'cust_only' AS tag, k FROM ((SELECT c_nationkey AS k FROM customer) EXCEPT (SELECT s_nationkey FROM supplier)) UNION ALL SELECT 'union_all_cnt' AS tag, CAST(count(*) AS INT) AS k FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)) ORDER BY tag, k",
+  )
+}

@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.5: the statistics/correlation surface — the reference's
+  * core domain (CorrelationAPI computes pairwise correlation and
+  * correlation matrices over tabular observations; re-expressed here as
+  * single-pass distributed aggregates).
+  *
+  * Numeric parity notes (SURVEY.md §4.3):
+  *  - corr/covar/stddev are O(1)-magnitude or small-magnitude outputs →
+  *    6 dp rounding absorbs partition-order float noise on both engines.
+  *  - Skew/kurtosis (q20) avoid engine formula differences (Spark =
+  *    population, DuckDB = bias-corrected sample) by computing raw power
+  *    sums — EXACT integer-valued doubles for l_quantity — then the same
+  *    central-moment algebra on both sides; sqrt-based (no pow) so the
+  *    double arithmetic is bit-identical.
+  *  - Grouped corr (q18) uses try_divide / NULLIF so a zero-variance
+  *    group yields NULL on both engines instead of ANSI DIVIDE_BY_ZERO.
+  */
+object Stats extends QueryPack {
+
+  private def c6(c: Column): Column = round(c, 6)
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Flagship: Pearson correlation of two measures (also SparkEntry.entry).
+    "q16_corr_pair" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(c6(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"))),
+
+    // ------------------------------------------------------------------
+    // Full pairwise Pearson matrix over the lineitem numerics in ONE
+    // aggregation pass (single scan, partial+final agg — no per-pair jobs).
+    "q17_corr_matrix" -> ((s, dir) => {
+      val cols = Seq("l_quantity" -> "q", "l_extendedprice" -> "e",
+        "l_discount" -> "d", "l_tax" -> "t")
+      val aggs = for {
+        ((ci, ni), i) <- cols.zipWithIndex
+        (cj, nj) <- cols.drop(i + 1)
+      } yield c6(corr(col(ci), col(cj))).as(s"corr_${ni}_${nj}")
+      Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // ------------------------------------------------------------------
+    // Per-group correlation with a zero-variance guard (NULL, not throw).
+    "q18_corr_grouped" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          expr("round(try_divide(covar_samp(l_quantity, l_extendedprice), stddev_samp(l_quantity) * stddev_samp(l_extendedprice)), 6)").as("corr_qp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // ------------------------------------------------------------------
+    "q19_covar_stddev" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          c6(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_s_qd"),
+          c6(covar_pop(col("l_quantity"), col("l_discount"))).as("covar_p_qd"),
+          c6(stddev_samp(col("l_quantity"))).as("stddev_s_q"),
+          c6(stddev_pop(col("l_quantity"))).as("stddev_p_q"),
+          c6(var_samp(col("l_quantity"))).as("var_s_q"),
+          c6(var_pop(col("l_quantity"))).as("var_p_q"),
+          c6(stddev_samp(col("l_discount"))).as("stddev_s_d"),
+          c6(var_samp(col("l_discount"))).as("var_s_d"))),
+
+    // ------------------------------------------------------------------
+    // Skewness + excess kurtosis from exact raw power sums (see header).
+    "q20_skew_kurt" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          (sum(col("l_quantity")) / count(lit(1))).as("mu"),
+          (sum(col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e2"),
+          (sum(col("l_quantity") * col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e3"),
+          (sum(col("l_quantity") * col("l_quantity") * col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e4"))
+        .selectExpr(
+          "round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew_qty",
+          "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_qty")),
+
+    // ------------------------------------------------------------------
+    // Exact quantiles with linear interpolation (NOT approx_percentile —
+    // sketch outputs can never hash-match another engine).
+    "q21_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_quantity, 0.25), 6)").as("p25_qty"),
+          expr("round(percentile(l_quantity, 0.5), 6)").as("p50_qty"),
+          expr("round(percentile(l_quantity, 0.75), 6)").as("p75_qty"),
+          expr("round(median(l_quantity), 6)").as("med_qty"),
+          expr("round(percentile(l_extendedprice, 0.5), 6)").as("med_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // ------------------------------------------------------------------
+    // Spearman = Pearson over average ranks (min-rank + (ties-1)/2).
+    // NOTE scale: the unpartitioned rank window is the correctness
+    // formulation; at 100 TB rank assignment would be a range-partitioned
+    // global sort (df.sort + per-partition offsets), same semantics.
+    "q22_spearman" -> ((s, dir) => {
+      val wq = Window.orderBy(col("l_quantity"))
+      val wp = Window.orderBy(col("l_extendedprice"))
+      Tables.lineitem(s, dir)
+        .select(col("l_quantity"), col("l_extendedprice"))
+        .withColumn("rq", rank().over(wq) + (count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - 1) / 2.0)
+        .withColumn("rp", rank().over(wp) + (count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - 1) / 2.0)
+        .agg(c6(corr(col("rq"), col("rp"))).as("spearman_qty_price"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Time-series lag-k autocorrelation of daily event-value sums —
+    // the reference's raison d'être (sensor series correlation).
+    "q23_autocorr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .withColumn("v7", lag(col("v"), 7).over(w))
+        .agg(c6(corr(col("v"), col("v1"))).as("ac_lag1"),
+          c6(corr(col("v"), col("v7"))).as("ac_lag7"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Fixed-width histogram (deterministic bins; histogram_numeric's
+    // adaptive bins can never match another engine).
+    "q24_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q16_corr_pair" ->
+      "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem",
+    "q17_corr_matrix" ->
+      ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_q_e, round(corr(l_quantity, l_discount), 6) AS corr_q_d, "
+        + "round(corr(l_quantity, l_tax), 6) AS corr_q_t, round(corr(l_extendedprice, l_discount), 6) AS corr_e_d, "
+        + "round(corr(l_extendedprice, l_tax), 6) AS corr_e_t, round(corr(l_discount, l_tax), 6) AS corr_d_t FROM lineitem"),
+    "q18_corr_grouped" ->
+      "SELECT l_returnflag, l_linestatus, round(covar_samp(l_quantity, l_extendedprice) / nullif(stddev_samp(l_quantity) * stddev_samp(l_extendedprice), 0), 6) AS corr_qp, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q19_covar_stddev" ->
+      ("SELECT round(covar_samp(l_quantity, l_discount), 6) AS covar_s_qd, round(covar_pop(l_quantity, l_discount), 6) AS covar_p_qd, "
+        + "round(stddev_samp(l_quantity), 6) AS stddev_s_q, round(stddev_pop(l_quantity), 6) AS stddev_p_q, "
+        + "round(var_samp(l_quantity), 6) AS var_s_q, round(var_pop(l_quantity), 6) AS var_p_q, "
+        + "round(stddev_samp(l_discount), 6) AS stddev_s_d, round(var_samp(l_discount), 6) AS var_s_d FROM lineitem"),
+    "q20_skew_kurt" ->
+      ("SELECT round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew_qty, "
+        + "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_qty "
+        + "FROM (SELECT sum(l_quantity)/count(*) AS mu, sum(l_quantity*l_quantity)/count(*) AS e2, "
+        + "sum(l_quantity*l_quantity*l_quantity)/count(*) AS e3, sum(l_quantity*l_quantity*l_quantity*l_quantity)/count(*) AS e4 FROM lineitem)"),
+    "q21_percentiles" ->
+      ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "
+        + "round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty, round(median(l_quantity), 6) AS med_qty, "
+        + "round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q22_spearman" ->
+      ("SELECT round(corr(rq, rp), 6) AS spearman_qty_price FROM (SELECT "
+        + "rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq, "
+        + "rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp FROM lineitem)"),
+    "q23_autocorr" ->
+      ("SELECT round(corr(v, v1), 6) AS ac_lag1, round(corr(v, v7), 6) AS ac_lag7 FROM ("
+        + "SELECT v, lag(v, 1) OVER (ORDER BY day) AS v1, lag(v, 7) OVER (ORDER BY day) AS v7 FROM ("
+        + "SELECT date_trunc('day', ts) AS day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1))"),
+    "q24_histogram" ->
+      "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders GROUP BY 1 ORDER BY bucket",
+  )
+}
