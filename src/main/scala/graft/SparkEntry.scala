@@ -19,9 +19,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q16_corr_pair")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each fn is wrapped to first pin the one session conf the data
+    * requires (`nanosAsLong`, for the ns-timestamp events parquet) so
+    * every query sees identical session state regardless of the order
+    * the driver runs them in. Key uniqueness across packs is asserted —
+    * a duplicate key would silently shadow a query and could pair the
+    * wrong oracle SQL with it.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size,
+      s"duplicate query key across packs: ${all.groupBy(_._1).filter(_._2.size > 1).keys.mkString(",")}")
+    all.map { case (k, fn) =>
+      k -> ((s: SparkSession, dir: String) => {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        fn(s, dir)
+      })
+    }.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

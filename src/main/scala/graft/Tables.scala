@@ -41,11 +41,4 @@ object Tables {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
 
-  /** Money columns are generated with exactly 2 decimals; casting to
-    * decimal makes sums EXACT and therefore independent of partition /
-    * merge order — the only way a distributed sum can hash-match a
-    * single-threaded DuckDB sum at any scale factor.
-    */
-  def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast("decimal(18,2)")
 }

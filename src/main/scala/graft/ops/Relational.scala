@@ -98,14 +98,25 @@ object Relational extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
-    // Theta/range self-join: same-user event pairs ≤10 min apart. The
-    // user_id equi key keeps this a sort-merge join (scales by key),
-    // with the range predicate applied as a join residual.
+    // Theta/range self-join: same-user event pairs ≤10 min apart.
+    // Scale design (the standard distributed range-join rewrite): joining
+    // on user_id alone pairs EVERY two events of a user before the time
+    // residual filters them — O(events_per_user²), 17.7 s at sf0.1 and
+    // quadratic blow-up beyond. Instead each row gets a 10-minute time
+    // bucket; the probe side fans out to (bucket, bucket+1), the join key
+    // becomes (user_id, bucket) — any qualifying pair lands in exactly
+    // one of the two probe buckets, so results are identical while the
+    // join only ever pairs events ≤20 min apart. Bounded per key ⇒ holds
+    // at 100 TB.
     "q08_join_theta_range" -> ((s, dir) => {
       val e = Tables.events(s, dir)
-      val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
-      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+        .withColumn("bkt", expr("unix_micros(cast(ts as timestamp)) div 600000000"))
+      val a = e.select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"),
+          explode(array(col("bkt"), col("bkt") + 1)).as("probe_bkt"))
+      val b = e.select(col("event_id").as("b_id"), col("user_id").as("b_user"),
+        col("ts").as("b_ts"), col("bkt").as("b_bkt"))
       a.join(b, col("user_id") === col("b_user")
+          && col("probe_bkt") === col("b_bkt")
           && col("b_ts") > col("a_ts")
           && col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
         .select(col("a_id"), col("b_id"), col("user_id"))

@@ -25,6 +25,35 @@ object Stats extends QueryPack {
 
   private def c6(c: Column): Column = round(c, 6)
 
+  /** Average (tie-adjusted) rank per distinct value of `v`, the
+    * scale-valid way: group to distinct-value counts, range-partition by
+    * value, then turn per-partition prefix sums into global ranks using
+    * per-partition totals collected to the driver (#partitions rows — a
+    * constant, not data-sized). avg-rank(v) = (#rows < v) + (ties+1)/2,
+    * identical to SQL `rank() + (count(*) over (partition by v) - 1)/2`.
+    */
+  private def avgRanks(s: SparkSession, df: org.apache.spark.sql.DataFrame,
+                       v: String, out: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val counts = df.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+      .select(col(v).cast("double").as("val"), col("cnt"))
+      .repartitionByRange(col("val"))
+      .sortWithinPartitions("val")
+      .as[(Double, Long)]
+    val rdd = counts.rdd
+    val totals = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single(i -> it.map(_._2).sum))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)   // rows in partitions before i
+    val bc = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var less = bc.value(i)
+      it.map { case (value, cnt) =>
+        val r = less + (cnt + 1) / 2.0; less += cnt; (value, r)
+      }
+    }.toDF(v, out)
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // Flagship: Pearson correlation of two measures (also SparkEntry.entry).
@@ -70,16 +99,24 @@ object Stats extends QueryPack {
 
     // ------------------------------------------------------------------
     // Skewness + excess kurtosis from exact raw power sums (see header).
-    "q20_skew_kurt" -> ((s, dir) =>
+    // l_quantity is integral (verified against the generator output), so
+    // summing q^k as DECIMAL(38,0) is EXACT at any row count — no 2^53
+    // double-precision cliff, no partition-order sensitivity. The moment
+    // algebra then runs on doubles identically on both engines.
+    "q20_skew_kurt" -> ((s, dir) => {
+      def p(k: Int) = {
+        val prod = (1 to k).map(_ => col("l_quantity")).reduce(_ * _)
+        sum(prod.cast("decimal(38,0)")).as(s"s$k")
+      }
       Tables.lineitem(s, dir)
-        .agg(
-          (sum(col("l_quantity")) / count(lit(1))).as("mu"),
-          (sum(col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e2"),
-          (sum(col("l_quantity") * col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e3"),
-          (sum(col("l_quantity") * col("l_quantity") * col("l_quantity") * col("l_quantity")) / count(lit(1))).as("e4"))
+        .agg(count(lit(1)).as("n"), p(1), p(2), p(3), p(4))
+        .selectExpr(
+          "cast(s1 as double)/n AS mu", "cast(s2 as double)/n AS e2",
+          "cast(s3 as double)/n AS e3", "cast(s4 as double)/n AS e4")
         .selectExpr(
           "round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew_qty",
-          "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_qty")),
+          "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_qty")
+    }),
 
     // ------------------------------------------------------------------
     // Exact quantiles with linear interpolation (NOT approx_percentile —
@@ -96,17 +133,18 @@ object Stats extends QueryPack {
         .orderBy(col("l_returnflag"))),
 
     // ------------------------------------------------------------------
-    // Spearman = Pearson over average ranks (min-rank + (ties-1)/2).
-    // NOTE scale: the unpartitioned rank window is the correctness
-    // formulation; at 100 TB rank assignment would be a range-partitioned
-    // global sort (df.sort + per-partition offsets), same semantics.
+    // Spearman = Pearson over average ranks (min-rank + (ties-1)/2),
+    // computed scale-valid: ranks are assigned over the DISTINCT-value
+    // count table (one shuffle), range-partitioned by value, with global
+    // rank offsets derived from a tiny per-partition-total collect (one
+    // row per partition — bounded by the partition count, never by data
+    // size). No unpartitioned window anywhere, so the plan holds at
+    // 100 TB: two groupBy shuffles + two shuffle joins back to the fact.
     "q22_spearman" -> ((s, dir) => {
-      val wq = Window.orderBy(col("l_quantity"))
-      val wp = Window.orderBy(col("l_extendedprice"))
-      Tables.lineitem(s, dir)
-        .select(col("l_quantity"), col("l_extendedprice"))
-        .withColumn("rq", rank().over(wq) + (count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - 1) / 2.0)
-        .withColumn("rp", rank().over(wp) + (count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - 1) / 2.0)
+      val li = Tables.lineitem(s, dir).select(col("l_quantity"), col("l_extendedprice"))
+      val rq = avgRanks(s, li, "l_quantity", "rq")
+      val rp = avgRanks(s, li, "l_extendedprice", "rp")
+      li.join(rq, "l_quantity").join(rp, "l_extendedprice")
         .agg(c6(corr(col("rq"), col("rp"))).as("spearman_qty_price"))
     }),
 
@@ -154,8 +192,9 @@ object Stats extends QueryPack {
     "q20_skew_kurt" ->
       ("SELECT round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew_qty, "
         + "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_qty "
-        + "FROM (SELECT sum(l_quantity)/count(*) AS mu, sum(l_quantity*l_quantity)/count(*) AS e2, "
-        + "sum(l_quantity*l_quantity*l_quantity)/count(*) AS e3, sum(l_quantity*l_quantity*l_quantity*l_quantity)/count(*) AS e4 FROM lineitem)"),
+        + "FROM (SELECT CAST(s1 AS DOUBLE)/n AS mu, CAST(s2 AS DOUBLE)/n AS e2, CAST(s3 AS DOUBLE)/n AS e3, CAST(s4 AS DOUBLE)/n AS e4 "
+        + "FROM (SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(38,0))) AS s1, sum(CAST(l_quantity*l_quantity AS DECIMAL(38,0))) AS s2, "
+        + "sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,0))) AS s3, sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,0))) AS s4 FROM lineitem))"),
     "q21_percentiles" ->
       ("SELECT l_returnflag, round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty, round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty, "
         + "round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty, round(median(l_quantity), 6) AS med_qty, "
