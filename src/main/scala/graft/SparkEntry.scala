@@ -11,6 +11,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     ops.Relational,
     ops.Stats,
+    ops.Windows,
+    ops.Scalars,
+    ops.Text,
   )
 
   /** Flagship query (Pearson correlation — the reference's core op) on

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.8: the scalar-function tour — string, date, math, array
+  * (incl. higher-order functions), explode/unnest, and JSON extraction.
+  *
+  * Numeric parity: transcendentals (ln/exp/sqrt/pow) are libm-dependent
+  * and may differ by 1 ULP between JVM and DuckDB, so they only appear
+  * AVERAGED over many rows (per-row 1e-16 relative noise sums far below
+  * the 6-dp round); all per-row outputs are exact ops (floor/ceil/abs/
+  * integer arithmetic). Rounding-mode traps (Spark HALF_UP vs DuckDB
+  * half-away on `round(x, 0)`) are avoided entirely.
+  *
+  * Scale notes: everything here is a narrow projection or a partial-agg
+  * groupBy — filters sit directly on scan columns so they push into the
+  * parquet reader, and the HOF lambdas run inside whole-stage codegen
+  * (no UDF SerDe boundary).
+  */
+object Scalars extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    "q30_string_fns" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 4).as("sub"),
+          concat(col("p_type"), lit("_"), col("p_brand")).as("cat"),
+          regexp_replace(col("p_name"), lit(" "), lit("-")).as("rep"),
+          regexp_extract(col("p_name"), "(\\w+)$", 1).as("last_word"),
+          levenshtein(col("p_name"), lit("cold widget")).as("lev"),
+          trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+          length(col("p_name")).as("len"))
+        .orderBy(col("p_partkey"))),
+
+    // ------------------------------------------------------------------
+    // Date/time kitchen sink per order (filter pushed to the scan).
+    // ISO day-of-week: Spark weekday() is 0=Mon..6=Sun; DuckDB isodow is
+    // 1=Mon..7=Sun — reconciled as weekday()+1.
+    "q31_date_fns" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderkey") <= 300)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          quarter(col("o_orderdate")).as("q"),
+          (weekday(col("o_orderdate")) + 1).as("dow_iso"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"))
+        .orderBy(col("o_orderkey"))),
+
+    // ------------------------------------------------------------------
+    "q32_math_fns" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          round(avg(log(col("l_extendedprice"))), 6).as("avg_ln_price"),
+          round(avg(sqrt(col("l_quantity"))), 6).as("avg_sqrt_qty"),
+          round(avg(exp(col("l_discount"))), 6).as("avg_exp_disc"),
+          round(avg(pow(col("l_quantity"), 1.5)), 6).as("avg_pow_qty"),
+          sum(floor(col("l_extendedprice")).cast("bigint")).as("sum_floor"),
+          sum(ceil(col("l_extendedprice")).cast("bigint")).as("sum_ceil"),
+          sum(abs(col("l_quantity") - 25).cast("bigint")).as("sum_absdev"),
+          sum(col("l_orderkey") % 7).as("sum_mod7"))),
+
+    // ------------------------------------------------------------------
+    // Array ops + higher-order functions over the embedding vectors.
+    // The fold inside `aggregate` runs sequentially per row, so the
+    // double accumulation order is identical to DuckDB's list_sum over
+    // the same list — bit-stable across engines.
+    "q33_array_fns" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          round(sqrt(expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")), 6).as("l2"),
+          size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+          round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 6))").as("head3"))
+        .orderBy(col("vec_id"))),
+
+    // ------------------------------------------------------------------
+    // explode/unnest (UDTF shape): global top-50 tokens. Tokenize →
+    // explode → count is one shuffle with map-side partial aggregation.
+    "q34_explode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(50)),
+
+    // ------------------------------------------------------------------
+    "q35_json_fns" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          round(sum(col("k")) / count(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q30_string_fns" ->
+      ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, substring(p_name, 1, 4) AS sub, "
+        + "p_type || '_' || p_brand AS cat, regexp_replace(p_name, ' ', '-', 'g') AS rep, "
+        + "regexp_extract(p_name, '(\\w+)$', 1) AS last_word, levenshtein(p_name, 'cold widget') AS lev, "
+        + "trim('  ' || p_name || '  ') AS trimmed, length(p_name) AS len FROM part ORDER BY p_partkey"),
+    "q31_date_fns" ->
+      ("SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, year(o_orderdate) AS y, month(o_orderdate) AS m, "
+        + "dayofmonth(o_orderdate) AS d, quarter(o_orderdate) AS q, isodow(o_orderdate) AS dow_iso, "
+        + "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since, o_orderdate + INTERVAL 30 DAY AS plus30 "
+        + "FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey"),
+    "q32_math_fns" ->
+      ("SELECT round(avg(ln(l_extendedprice)), 6) AS avg_ln_price, round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty, "
+        + "round(avg(exp(l_discount)), 6) AS avg_exp_disc, round(avg(pow(l_quantity, 1.5)), 6) AS avg_pow_qty, "
+        + "sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sum_floor, sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS sum_ceil, "
+        + "sum(CAST(abs(l_quantity - 25) AS BIGINT)) AS sum_absdev, sum(l_orderkey % 7) AS sum_mod7 FROM lineitem"),
+    "q33_array_fns" ->
+      ("SELECT vec_id, len(embedding) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS e1, "
+        + "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2, "
+        + "len(list_filter(embedding, x -> x > 0)) AS n_pos, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, "
+        + "list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3 FROM embeddings ORDER BY vec_id"),
+    "q34_explode" ->
+      ("SELECT tok, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+        + "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50"),
+    "q35_json_fns" ->
+      ("SELECT event_type, count(*) AS cnt, sum(k) AS sum_k, round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k, "
+        + "min(k) AS min_k, max(k) AS max_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) "
+        + "GROUP BY event_type ORDER BY event_type"),
+  )
+}

@@ -1,0 +1,235 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9: text analysis, deduplication, and similarity search —
+  * the LLM-training-data-pipeline operators (BASELINE.json north star).
+  *
+  * Scale design notes:
+  *  - Tokenize→explode→count pipelines are single-shuffle with map-side
+  *    partial aggregation; all lambdas are codegen'd HOFs (no UDFs).
+  *  - Near-dup candidate generation (q40) uses 5-word shingles as the
+  *    blocking key — the standard candidate-filter contraction: only
+  *    documents sharing a full shingle ever meet in the join, so pair
+  *    count is bounded by shingle collision rate, not |docs|² (verified:
+  *    37 candidate pairs from 5k docs at sf0.01).
+  *  - Vector similarity (q41/q42) computes dot/norm per row via
+  *    sequential in-row folds (deterministic accumulation order, matching
+  *    DuckDB's list_sum over the same list), ranks on the ROUNDED
+  *    similarity so both engines agree at ties, and bounds work by a
+  *    fixed probe set (brute force is the oracle-able baseline; the
+  *    LSH-bucketed scale path is Extensions.q55).
+  *  - String sim-join (q43) contracts to DISTINCT names first (64 names
+  *    regardless of SF) — the distinct-value contraction makes the
+  *    quadratic levenshtein step O(names²), independent of table size.
+  */
+object Text extends QueryPack {
+
+  /** doc_id → exploded non-empty tokens (position retained). */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Top-10 terms per language (count desc, term asc) — partitioned
+    // window over pre-aggregated (lang, tok) counts, never over raw rows.
+    "q36_wordcount" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("tok"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ------------------------------------------------------------------
+    // tf-idf: tf = term count in doc; idf = ln((N+1)/(df+1)); top-5
+    // terms per doc by rounded score. All relational — two shuffles
+    // (doc-term counts, df counts) + a broadcast-able df join.
+    "q37_tfidf" -> ((s, dir) => {
+      val tf = tokens(s, dir).groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Word bigrams via a positional HOF (no self-join): global top-50.
+    // NB: Spark `sequence(1, n)` with n<1 yields a DESCENDING sequence
+    // (not empty like DuckDB's range) — short docs are filtered out
+    // before the positional transform on both engines.
+    "q38_ngrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("bigram"))
+        .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(50)),
+
+    // ------------------------------------------------------------------
+    // Exact dedup: keep the lowest doc_id per identical text; report how
+    // many copies it stood for. row_number (not dropDuplicates) so the
+    // survivor choice is deterministic on both engines.
+    "q39_dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("copies", count(lit(1)).over(Window.partitionBy(col("text"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Near-dup pairs: candidate pairs share ≥1 5-word shingle (blocking
+    // key), then exact Jaccard over each pair's full shingle SETS; keep
+    // jaccard ≥ 0.01 (candidates are already rare — see header).
+    "q40_dedup_near" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"))
+          .as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.01)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Brute-force cosine top-5 per probe vector (probes = vec_id < 3).
+    // Probe side broadcasts; ranking is on the ROUNDED similarity with
+    // vec_id tiebreak so cross-engine order is identical.
+    "q41_cosine_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val sim = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("dot", expr("aggregate(zip_with(embedding, p_emb, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (a, v) -> a + v)"))
+        .withColumn("n1", expr("sqrt(aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
+        .withColumn("n2", expr("sqrt(aggregate(p_emb, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
+        .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 6))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      sim.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Nearest-centroid classification: per-label mean vector (exploded →
+    // one shuffle, partial-agg), coords ROUNDED before distances so the
+    // distributed avg's partition-order noise can't leak into ranking;
+    // argmin via window; output = confusion counts.
+    "q42_centroid_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+        .select(col("label").as("clabel"), col("cvec"))
+      val dist = e.crossJoin(broadcast(cent))
+        .withColumn("d2", round(expr(
+          "aggregate(zip_with(embedding, cvec, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (a, v) -> a + v)"), 6))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("label"), col("clabel").as("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
+    // ------------------------------------------------------------------
+    // String-similarity self-join with the distinct-value contraction:
+    // levenshtein ≤ 3 over DISTINCT part names (64 at any SF), then the
+    // pair weight = how many part rows each name stands for.
+    "q43_simjoin_string" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      val a = names.select(col("p_name").as("name_a"), col("n_parts").as("cnt_a"))
+      val b = names.select(col("p_name").as("name_b"), col("n_parts").as("cnt_b"))
+      a.crossJoin(b)
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= 3)
+        .select(col("name_a"), col("name_b"), col("lev"), col("cnt_a"), col("cnt_b"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q36_wordcount" ->
+      ("SELECT * FROM (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn FROM ("
+        + "SELECT lang, tok, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> '' GROUP BY lang, tok)) "
+        + "WHERE rn <= 10 ORDER BY lang, rn"),
+    "q37_tfidf" ->
+      ("WITH tf AS (SELECT doc_id, tok, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> '' GROUP BY doc_id, tok), "
+        + "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), n AS (SELECT count(*) AS n FROM documents) "
+        + "SELECT doc_id, rn, tok, tf, df, score FROM (SELECT tf.doc_id, tf.tok, tf.tf, df.df, round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score, "
+        + "row_number() OVER (PARTITION BY tf.doc_id ORDER BY round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) DESC, tf.tok) AS rn "
+        + "FROM tf JOIN df USING (tok) CROSS JOIN n) WHERE rn <= 5 ORDER BY doc_id, rn"),
+    "q38_ngrams" ->
+      ("SELECT bigram, count(*) AS cnt FROM (SELECT unnest(list_transform(range(1, len(string_split(text, ' '))), i -> "
+        + "string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bigram FROM documents) "
+        + "WHERE NOT (bigram LIKE ' %' OR bigram LIKE '% ') GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50"),
+    "q39_dedup_exact" ->
+      ("SELECT doc_id, lang, source, copies FROM (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn, "
+        + "count(*) OVER (PARTITION BY text) AS copies FROM documents) WHERE rn = 1 ORDER BY doc_id"),
+    "q40_dedup_near" ->
+      ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+        + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+        + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        + "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        + "SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard "
+        + "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01 ORDER BY doc_a, doc_b"),
+    "q41_cosine_topk" ->
+      ("WITH probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 3), "
+        + "sim AS (SELECT probe_id, vec_id, round(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos "
+        + "FROM embeddings CROSS JOIN probes WHERE vec_id <> probe_id) "
+        + "SELECT probe_id, rn, vec_id, cos FROM (SELECT probe_id, vec_id, cos, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM sim) "
+        + "WHERE rn <= 5 ORDER BY probe_id, rn"),
+    "q42_centroid_knn" ->
+      ("WITH expl AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
+        + "cent AS (SELECT label AS clabel, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY label, pos) GROUP BY label), "
+        + "dist AS (SELECT e.vec_id, e.label, c.clabel, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 FROM embeddings e CROSS JOIN cent c) "
+        + "SELECT label, pred, count(*) AS cnt FROM (SELECT vec_id, label, clabel AS pred, row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn FROM dist) "
+        + "WHERE rn = 1 GROUP BY label, pred ORDER BY label, pred"),
+    "q43_simjoin_string" ->
+      ("WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name) "
+        + "SELECT a.p_name AS name_a, b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS lev, a.n_parts AS cnt_a, b.n_parts AS cnt_b "
+        + "FROM names a JOIN names b ON a.p_name < b.p_name WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY name_a, name_b"),
+  )
+}
