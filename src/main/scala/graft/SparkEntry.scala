@@ -14,6 +14,9 @@ object SparkEntry {
     ops.Windows,
     ops.Scalars,
     ops.Text,
+    ops.TimeWin,
+    ops.Udaf,
+    streaming.Streaming,
   )
 
   /** Flagship query (Pearson correlation — the reference's core op) on
