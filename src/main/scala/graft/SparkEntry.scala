@@ -16,6 +16,7 @@ object SparkEntry {
     ops.Text,
     ops.TimeWin,
     ops.Udaf,
+    ops.Extensions,
     streaming.Streaming,
   )
 

@@ -1,0 +1,306 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline operators beyond SURVEY.md §2 — the
+  * BASELINE.json north-star extensions: scalable dedup (MinHash-LSH,
+  * SimHash, fingerprinting), LSH-bucketed ANN, text analysis (language
+  * ID, quality scoring, token counting), and multimodal binary-column
+  * plumbing.
+  *
+  * Engine-parity design: every hash these operators need is derived
+  * from `md5` (bit-identical lowercase hex in Spark and DuckDB; Spark's
+  * `hash`/`xxhash64` seeds differ from every other engine) and every
+  * vector dot product that crosses a distributed aggregation is
+  * quantized to exact BIGINT arithmetic (floor(x*1e6)) so partial-agg
+  * merge order cannot flip a sign bit. That makes even the sketching
+  * operators (q49/q50/q55) hash-matchable against DuckDB.
+  *
+  * Scale notes:
+  *  - MinHash-LSH (q49) is THE 100 TB dedup path: candidate pairs come
+  *    from equality joins on band keys (shuffle by band), never from a
+  *    doc×doc comparison; exact Jaccard is then computed only for
+  *    candidates.
+  *  - SimHash (q50) is one explode + two partial-agg groupBys; state per
+  *    doc is 16 counters.
+  *  - ANN (q55): the plane table is O(bits×dim) and broadcast; vectors
+  *    shuffle once keyed by (vec, plane); probe lookup is an equality
+  *    join on the bucket id.
+  *  - Language ID / quality / token stats are per-row projections with
+  *    codegen'd HOF lambdas — embarrassingly parallel.
+  */
+object Extensions extends QueryPack {
+
+  /** doc_id → DISTINCT non-empty tokens. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // MinHash(16) + LSH(4 bands × 4 rows): near-dup candidates from
+    // band-key equality, then exact Jaccard on token sets — candidates
+    // only. Hash h_i(tok) = md5(i || '|' || tok); signature = min hex.
+    "q49_minhash_lsh" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val sig = t
+        .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("i"), col("tok"))
+        .withColumn("h", md5(concat(col("i").cast("string"), lit("|"), col("tok")).cast("binary")))
+        .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+      val bands = sig
+        .groupBy(col("doc_id"), expr("i div 4").as("b"))
+        .agg(expr("array_join(transform(sort_array(collect_list(struct(i, mh))), x -> x.mh), ',')").as("bandkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bandkey") === col("y.bandkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_bands"))
+      val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      val inter = cand.join(t.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_bands")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_bands"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ------------------------------------------------------------------
+    // 16-bit SimHash from md5 hex digits: bit j of token hash is bit
+    // (3 - j%4) of hex digit (j div 4); sign of the ±1 vote sum per bit
+    // position gives the signature. Docs sharing a signature = dup set.
+    "q50_simhash" -> ((s, dir) => {
+      val votes = toks(s, dir)
+        .withColumn("h", md5(col("tok").cast("binary")))
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
+        .withColumn("hexv", expr("position(substr(h, 1 + j div 4, 1), '0123456789abcdef') - 1"))
+        .withColumn("vote", expr("CASE WHEN (shiftright(hexv, 3 - j % 4) & 1) = 1 THEN 1 ELSE -1 END"))
+      votes.groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("vote")).as("sgn"))
+        .withColumn("bit", expr("CASE WHEN sgn >= 0 THEN 1 ELSE 0 END"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(cast(bit as bigint), j)")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Language ID by stopword-hit heuristic; deterministic tie-break
+    // preference en > de > es > fr > zh. Output = confusion counts
+    // against the labeled lang.
+    "q51_langid" -> ((s, dir) => {
+      val lists = Map(
+        "en" -> stopEn,
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+        "es" -> Seq("el", "los", "y", "es", "una", "que", "por", "con"),
+        "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "sur"),
+        "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
+      val hits = lists.toSeq.sortBy(_._1).map { case (l, ws) =>
+        expr(s"size(filter(w, x -> x IN (${inList(ws)})))").as(s"c_$l")
+      }
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .select(col("doc_id") +: col("lang") +: hits: _*)
+        .withColumn("pred", expr(
+          "CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+          "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+          "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+          "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: length / uniqueness / stopword-ratio composite.
+    "q52_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("w"),
+          length(col("text")).as("n_chars_m"))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_tok"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          expr(s"size(filter(w, x -> x IN (${inList(stopEn)})))").as("n_stop"),
+          col("n_chars_m"))
+        .withColumn("uniq_ratio", round(col("n_uniq") / col("n_tok"), 6))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tok"), 6))
+        .withColumn("score", round(
+          least(col("n_tok") / 100.0, lit(1.0)) * 0.3
+            + col("uniq_ratio") * 0.4 + col("stop_ratio") * 0.3, 6))
+        .withColumn("bucket", expr(
+          "CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens, regex (BPE-ish word/number
+    // pieces) tokens, char counts.
+    "q53_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("ws_toks"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("re_toks"),
+          length(col("text")).as("chars"),
+          length(regexp_replace(col("text"), " ", "")).as("chars_nospace"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Document fingerprint: md5 over the sorted distinct token set —
+    // canonical-form dedup clustering (order/duplication insensitive).
+    "q54_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(expr(
+          "cast(array_join(array_sort(array_distinct(filter(split(text, ' '), x -> x <> ''))), ' ') as binary)"))
+          .as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("fp"))),
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN: 8 deterministic hyperplanes with integer
+    // weights derived from md5 hex digits; vectors quantized to BIGINT
+    // so the bucket bit = sign(exact integer dot). Output: each probe's
+    // bucket + candidate-set size (the vectors a bucketed search would
+    // scan instead of all N — the IVF-style contraction).
+    "q55_ann_lsh" -> ((s, dir) => {
+      val planes = s.range(0, 8).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w2", expr(
+          "2 * (position(substr(md5(cast(concat(cast(j as string), '_', cast(d as string)) as binary)), 1, 1), '0123456789abcdef') - 1) - 15"))
+      val expl = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          expr("cast(floor(cast(x as double) * 1000000) as bigint)").as("xq"))
+      val buckets = expl.join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("xq") * col("w2")).as("dot"))
+        .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+      val probes = buckets.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("bucket"))
+      probes.join(buckets, "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("bucket"))
+        .agg(count(lit(1)).as("n_candidates"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Multimodal binary-column plumbing: media as an opaque BLOB with
+    // typed metadata alongside; byte-level ops (length, content hash,
+    // header inspection, stride sampling) all all run on the binary
+    // payload. The payload here is the utf-8 text bytes (no media libs
+    // in-container); at 100 TB this column is image/audio bytes and the
+    // pipeline shape is identical.
+    "q56_multimodal" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("content_hash"),
+          substring(hex(col("payload")), 1, 16).as("head_hex"),
+          expr("array_join(transform(sequence(0, 3), k -> substr(hex(payload), 1 + k * 64, 2)), ',')").as("stride_sample"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Multimodal decode stage: the per-batch decoder pattern (Spark's
+    // Scala equivalent of mapInPandas) — partitions stream through a
+    // "decoder" that turns opaque bytes into typed features. The real
+    // image/audio codec is STUBBED with a deterministic byte-statistics
+    // fake (no media libs in-container); the Spark-side plumbing —
+    // binary column in, typed feature row out, per-partition batching,
+    // no driver involvement — is the real 100 TB shape. No SQL oracle
+    // (imperative stage) → rows-only check; covered by ExtensionsSpec.
+    "q57_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          var sum = 0L; var i = 0; var nDistinct = 0
+          val seen = new Array[Boolean](256)
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            sum += b
+            if (!seen(b)) { seen(b) = true; nDistinct += 1 }
+            i += 1
+          }
+          // stub "decode": fake frame dims derived from byte stats
+          (id, bytes.length, nDistinct, sum % 997, 16 + sum % 64, 16 + nDistinct % 64)
+        })
+        .toDF("doc_id", "n_bytes", "n_distinct_bytes", "checksum", "fake_w", "fake_h")
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q49_minhash_lsh" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || tok)) AS mh FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i), "
+        + "bands AS (SELECT doc_id, i // 4 AS b, string_agg(mh, ',' ORDER BY i) AS bandkey FROM sig GROUP BY doc_id, i // 4), "
+        + "cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_bands FROM bands x JOIN bands y ON x.b = y.b AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        + "sizes AS (SELECT doc_id, count(*) AS n_tok FROM t GROUP BY doc_id), "
+        + "inter AS (SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS inter FROM cand c JOIN t ta ON ta.doc_id = c.doc_a JOIN t tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok GROUP BY 1, 2, 3) "
+        + "SELECT i.doc_a, i.doc_b, i.n_bands, round(CAST(i.inter AS DOUBLE) / (sa.n_tok + sb.n_tok - i.inter), 6) AS jaccard "
+        + "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b ORDER BY doc_a, doc_b"),
+    "q50_simhash" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "votes AS (SELECT doc_id, j, CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1) >> (3 - j % 4)) & 1) = 1 THEN 1 ELSE -1 END AS vote "
+        + "FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j)), "
+        + "bits AS (SELECT doc_id, j, CASE WHEN sum(vote) >= 0 THEN 1 ELSE 0 END AS bit FROM votes GROUP BY doc_id, j) "
+        + "SELECT doc_id, sum(CAST(bit AS BIGINT) << j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"),
+    "q51_langid" ->
+      ("SELECT lang, pred, count(*) AS cnt FROM (SELECT lang, CASE "
+        + "WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
+        + "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' "
+        + "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred FROM ("
+        + "SELECT lang, len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein'))) AS c_de, "
+        + "len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS c_en, "
+        + "len(list_filter(w, x -> x IN ('el', 'los', 'y', 'es', 'una', 'que', 'por', 'con'))) AS c_es, "
+        + "len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'une', 'dans', 'pour', 'sur'))) AS c_fr, "
+        + "len(list_filter(w, x -> x IN ('的', '是', '不', '了', '在', '我', '有', '和'))) AS c_zh "
+        + "FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))) GROUP BY lang, pred ORDER BY lang, pred"),
+    "q52_quality_score" ->
+      ("SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, uniq_ratio, stop_ratio, score, "
+        + "CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket FROM ("
+        + "SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, uniq_ratio, stop_ratio, "
+        + "round(least(n_tok / 100.0, 1.0) * 0.3 + uniq_ratio * 0.4 + stop_ratio * 0.3, 6) AS score FROM ("
+        + "SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio, round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio FROM ("
+        + "SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_uniq, "
+        + "len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS n_stop, length(text) AS n_chars_m "
+        + "FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)))) ORDER BY doc_id"),
+    "q53_token_count" ->
+      ("SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_toks, "
+        + "len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_toks, length(text) AS chars, "
+        + "length(replace(text, ' ', '')) AS chars_nospace FROM documents ORDER BY doc_id"),
+    "q54_fingerprint" ->
+      ("SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc FROM (SELECT doc_id, "
+        + "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
+        + "FROM documents) GROUP BY fp ORDER BY fp"),
+    "q55_ann_lsh" ->
+      ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
+        + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
+        + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
+        + "dots AS (SELECT e.vec_id, p.j, sum(e.xq * p.w2) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
+        + "buckets AS (SELECT vec_id, sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS bucket FROM dots GROUP BY vec_id), "
+        + "probes AS (SELECT vec_id AS probe_id, bucket FROM buckets WHERE vec_id < 3) "
+        + "SELECT p.probe_id, p.bucket, count(*) AS n_candidates FROM probes p JOIN buckets b ON b.bucket = p.bucket AND b.vec_id <> p.probe_id "
+        + "GROUP BY 1, 2 ORDER BY probe_id"),
+    "q56_multimodal" ->
+      ("SELECT doc_id, lang, n_chars, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash, "
+        + "substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex, "
+        + "array_to_string(list_transform(range(0, 4), k -> substr(hex(CAST(text AS BLOB)), 1 + k * 64, 2)), ',') AS stride_sample "
+        + "FROM documents ORDER BY doc_id"),
+  )
+}
