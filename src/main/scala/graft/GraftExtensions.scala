@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.{GraftFunctions, SparkSessionExtensions}
+
+/** SparkSessionExtensions entry point: inject graft's native functions
+  * at session build time — usable as
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` on a
+  * cluster, or `.withExtensions(new GraftExtensions)` in embedded use
+  * (Verify/Bench do the latter).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((GraftFunctions.cosineIdent,
+      GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+}

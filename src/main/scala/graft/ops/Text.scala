@@ -102,6 +102,9 @@ object Text extends QueryPack {
     // key), then exact Jaccard over each pair's full shingle SETS; keep
     // jaccard ≥ 0.01 (candidates are already rare — see header).
     "q40_dedup_near" -> ((s, dir) => {
+      // Shingle sets via explode + hash-agg distinct (measured FASTER
+      // than in-row array_distinct, whose pairwise compares are O(n²)
+      // per row over ~60-element string arrays).
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 5)
@@ -134,18 +137,20 @@ object Text extends QueryPack {
 
     // ------------------------------------------------------------------
     // Brute-force cosine top-5 per probe vector (probes = vec_id < 3).
-    // Probe side broadcasts; ranking is on the ROUNDED similarity with
-    // vec_id tiebreak so cross-engine order is identical.
+    // Probe side broadcasts; similarity is the native codegen'd
+    // cosine_sim expression (graft.functions.CosineSimilarity — one
+    // fused loop, no HOF intermediates, same left-to-right double
+    // accumulation as DuckDB's list arithmetic); ranking is on the
+    // ROUNDED similarity with vec_id tiebreak so cross-engine order is
+    // identical.
     "q41_cosine_topk" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // idempotent; no-op under GraftExtensions
       val e = Tables.embeddings(s, dir)
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       val sim = e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
-        .withColumn("dot", expr("aggregate(zip_with(embedding, p_emb, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (a, v) -> a + v)"))
-        .withColumn("n1", expr("sqrt(aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
-        .withColumn("n2", expr("sqrt(aggregate(p_emb, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"))
-        .withColumn("cos", round(col("dot") / (col("n1") * col("n2")), 6))
+        .withColumn("cos", round(expr("cosine_sim(embedding, p_emb)"), 6))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
       sim.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)

@@ -1,0 +1,35 @@
+package org.apache.spark.sql
+
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration bridge for graft's native Catalyst expressions.
+  *
+  * Lives in the org.apache.spark.sql package purely to reach the
+  * session-internal FunctionRegistry (`private[sql]`) — the standard
+  * pattern for Spark extension libraries when the session is built by a
+  * host harness. When the application owns session construction, the
+  * idiomatic route is `GraftExtensions` via `.withExtensions` /
+  * `spark.sql.extensions` (see graft.GraftExtensions), which Verify and
+  * Bench both use; `register` covers externally-built sessions and is
+  * idempotent.
+  */
+object GraftFunctions {
+
+  val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other =>
+      throw new IllegalArgumentException(s"cosine_sim expects 2 args, got ${other.size}")
+  }
+
+  val cosineInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, "cosine_sim")
+
+  val cosineIdent: FunctionIdentifier = FunctionIdentifier("cosine_sim")
+
+  def register(spark: SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+}
