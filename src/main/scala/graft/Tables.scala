@@ -41,4 +41,16 @@ object Tables {
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
 
+  /** SURVEY.md §2.1 (formats): csv/json ingestion with an explicit
+    * schema — inference is a full extra pass over the data and yields
+    * driver-version-dependent types, so it is never used. Roundtrips
+    * exercised in SourcesSpec (driver testdata itself is parquet).
+    */
+  def readCsv(s: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.option("header", "true").schema(schema).csv(path)
+
+  def readJson(s: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
 }
