@@ -17,6 +17,7 @@ object SparkEntry {
     ops.TimeWin,
     ops.Udaf,
     ops.Extensions,
+    ops.Pipeline,
     streaming.Streaming,
   )
 

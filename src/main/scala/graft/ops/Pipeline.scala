@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline mechanics beyond analysis/dedup: the
+  * reshaping operators an LLM data pipeline runs after filtering —
+  * deterministic dataset splitting, text normalization, and greedy
+  * sequence packing. All per-row or single-shuffle; all oracle-backed
+  * (hash splits use the md5→BIGINT parity recipe, packing is exact
+  * integer window arithmetic).
+  */
+object Pipeline extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Deterministic 80/10/10 train/val/test split: bucket = 60-bit
+    // md5(doc_id) mod 100. Hash-based (never random()) so the split is
+    // stable across runs, engines, and repartitioning — the only
+    // correct way to split at 100 TB.
+    "q58_sample_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("b", expr(
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 100"))
+        .withColumn("split", expr(
+          "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))),
+
+    // ------------------------------------------------------------------
+    // Normalization pass: lowercase, digits → <num>, collapse runs of
+    // whitespace, trim; emit the canonical hash + length per doc.
+    "q59_text_clean" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("cleaned", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[0-9]+", "<num>"), " +", " ")))
+        .select(col("doc_id"),
+          md5(col("cleaned").cast("binary")).as("clean_hash"),
+          length(col("cleaned")).as("clean_len"),
+          (length(col("text")) - length(col("cleaned"))).as("removed"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Greedy sequence packing: per source, docs in doc_id order are
+    // packed into 512-token chunks by starting offset (running token
+    // count). One partitioned window — packing state never leaves its
+    // source partition, so the operator scales with source count.
+    "q60_seq_pack" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("n_tok"))
+        .selectExpr("doc_id", "source", "n_tok",
+          "sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+        .withColumn("chunk", expr("(cum - n_tok) div 512"))
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("chunk"))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q58_sample_split" ->
+      ("SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM ("
+        + "SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+        + "SELECT lang, n_chars, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b FROM documents)) "
+        + "GROUP BY lang, split ORDER BY lang, split"),
+    "q59_text_clean" ->
+      ("SELECT doc_id, md5(cleaned) AS clean_hash, length(cleaned) AS clean_len, length(text) - length(cleaned) AS removed FROM ("
+        + "SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS cleaned "
+        + "FROM documents) ORDER BY doc_id"),
+    "q60_seq_pack" ->
+      ("SELECT source, chunk, count(*) AS n_docs, sum(n_tok) AS sum_tok, min(doc_id) AS first_doc FROM ("
+        + "SELECT doc_id, source, n_tok, (cum - n_tok) // 512 AS chunk FROM ("
+        + "SELECT doc_id, source, n_tok, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ("
+        + "SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM documents))) "
+        + "GROUP BY source, chunk ORDER BY source, chunk"),
+  )
+}
