@@ -18,6 +18,7 @@ object SparkEntry {
     ops.Udaf,
     ops.Extensions,
     ops.Pipeline,
+    ops.Vectors,
     streaming.Streaming,
   )
 

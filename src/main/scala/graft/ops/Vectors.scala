@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search scale paths beyond the brute-force baseline
+  * (q41) and the LSH bucketing (q55): an IVF-style coarse-quantizer
+  * search and LSH-bucketed embedding near-dup pairs — the two shapes a
+  * 100 TB vector pipeline actually runs (search a cell, not the
+  * corpus; compare within buckets, never all-pairs).
+  *
+  * Determinism: centroid coords and every distance/similarity are
+  * rounded to 6 dp before any ranking or thresholding, and all in-row
+  * folds accumulate left-to-right in double — identical in DuckDB's
+  * list arithmetic (same recipe that oracle-matches q41/q42/q55).
+  */
+object Vectors extends QueryPack {
+
+  private val sqdist =
+    "aggregate(zip_with(%s, %s, (x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), cast(0 as double), (a, v) -> a + v)"
+
+  /** Per-label mean vectors, coords rounded — the IVF codebook (k=10). */
+  private def centroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+
+  /** Every vector assigned to its nearest centroid (coarse cell). */
+  private def assigned(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("clabel"))
+    Tables.embeddings(s, dir)
+      .crossJoin(broadcast(centroids(s, dir)))
+      .withColumn("cd2", round(expr(sqdist.format("embedding", "cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cell"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // IVF search, nprobe=1: probe → nearest codebook cell → exact top-3
+    // within that cell only. The scan is |cell| vectors instead of N —
+    // the inverted-file contraction (codebook here = the 10 label
+    // centroids; at 100 TB it would be k-means trained, same plumbing).
+    "q61_ann_ivf" -> ((s, dir) => {
+      val a = assigned(s, dir)
+      val probes = a.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("cell"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("vec_id"))
+      a.join(probes, "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", round(expr(sqdist.format("embedding", "p_emb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("probe_id"), col("rn"), col("vec_id"), col("label"), col("d2"))
+        .orderBy(col("probe_id"), col("rn"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup: candidate pairs come from q55's LSH
+    // buckets (group-then-expand, never all-pairs), exact cosine via
+    // the native codegen'd cosine_sim expression, keep cos ≥ 0.4.
+    "q62_dedup_embed" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val p = 1000000007L
+      val planes = s.range(0, 8).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w2", expr(
+          "2 * (position(substr(md5(cast(concat(cast(j as string), '_', cast(d as string)) as binary)), 1, 1), '0123456789abcdef') - 1) - 15"))
+      val buckets = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          expr("cast(floor(cast(x as double) * 1000000) as bigint)").as("xq"))
+        .join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("xq") * col("w2")).as("dot"))
+        .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+      val pairs = buckets.groupBy(col("bucket"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), x -> struct(a AS vec_a, x AS vec_b))))")).as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      val e = Tables.embeddings(s, dir)
+      pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("label").as("label_a")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("label").as("label_b")), "vec_b")
+        .withColumn("cos", round(expr("cosine_sim(ea, eb)"), 6))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+  )
+
+  private val centSql =
+    ("expl AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
+      + "cent AS (SELECT label AS clabel, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY label, pos) GROUP BY label), "
+      + "adist AS (SELECT e.vec_id, e.label, e.embedding, c.clabel, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+      + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS cd2 FROM embeddings e CROSS JOIN cent c), "
+      + "assigned AS (SELECT vec_id, label, embedding, clabel AS cell FROM (SELECT vec_id, label, embedding, clabel, "
+      + "row_number() OVER (PARTITION BY vec_id ORDER BY cd2, clabel) AS rn FROM adist) WHERE rn = 1)")
+
+  def oracles: Map[String, String] = Map(
+    "q61_ann_ivf" ->
+      (s"WITH $centSql, "
+        + "probes AS (SELECT vec_id AS probe_id, embedding AS p_emb, cell FROM assigned WHERE vec_id < 3), "
+        + "cand AS (SELECT p.probe_id, a.vec_id, a.label, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> "
+        + "(CAST(a.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)) * (CAST(a.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id) "
+        + "SELECT probe_id, rn, vec_id, label, d2 FROM (SELECT probe_id, vec_id, label, d2, "
+        + "row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM cand) WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "q62_dedup_embed" ->
+      ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
+        + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
+        + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
+        + "dots AS (SELECT e.vec_id, p.j, sum(e.xq * p.w2) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
+        + "buckets AS (SELECT vec_id, sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS bucket FROM dots GROUP BY vec_id), "
+        + "grp AS (SELECT bucket, list_sort(list(vec_id)) AS ds FROM buckets GROUP BY bucket HAVING count(*) > 1), "
+        + "pairs AS (SELECT a AS vec_a, x AS vec_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS x)) "
+        + "SELECT p.vec_a, p.vec_b, ea.label AS label_a, eb.label AS label_b, "
+        + "round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos "
+        + "FROM pairs p JOIN embeddings ea ON ea.vec_id = p.vec_a JOIN embeddings eb ON eb.vec_id = p.vec_b "
+        + "WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4 "
+        + "ORDER BY vec_a, vec_b"),
+  )
+}
