@@ -152,9 +152,15 @@ object Extensions extends QueryPack {
           col("n_chars_m"))
         .withColumn("uniq_ratio", round(col("n_uniq") / col("n_tok"), 6))
         .withColumn("stop_ratio", round(col("n_stop") / col("n_tok"), 6))
+        // score uses the RAW ratios, not the rounded ones: rounded
+        // inputs × one-decimal weights put the exact score on a 1e-7
+        // grid, where 6-dp rounding hits GENUINE .5 ties that the two
+        // engines' round implementations break differently (observed
+        // once in 50k docs at sf0.1); raw ratios make ties ~1-ULP rare.
         .withColumn("score", round(
           least(col("n_tok") / 100.0, lit(1.0)) * 0.3
-            + col("uniq_ratio") * 0.4 + col("stop_ratio") * 0.3, 6))
+            + (col("n_uniq") / col("n_tok")) * 0.4
+            + (col("n_stop") / col("n_tok")) * 0.3, 6))
         .withColumn("bucket", expr(
           "CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END"))
         .orderBy(col("doc_id"))),
@@ -302,7 +308,7 @@ object Extensions extends QueryPack {
       ("SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, uniq_ratio, stop_ratio, score, "
         + "CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket FROM ("
         + "SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, uniq_ratio, stop_ratio, "
-        + "round(least(n_tok / 100.0, 1.0) * 0.3 + uniq_ratio * 0.4 + stop_ratio * 0.3, 6) AS score FROM ("
+        + "round(least(n_tok / 100.0, 1.0) * 0.3 + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.4 + (CAST(n_stop AS DOUBLE) / n_tok) * 0.3, 6) AS score FROM ("
         + "SELECT doc_id, n_tok, n_uniq, n_stop, n_chars_m, round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS uniq_ratio, round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio FROM ("
         + "SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS n_uniq, "
         + "len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS n_stop, length(text) AS n_chars_m "
