@@ -164,6 +164,20 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Sketch-based quantiles (Greenwald-Khanna): the 100 TB path when
+    // exact percentile's full sort-per-group is too expensive — one
+    // pass, mergeable state, rank error ≤ 1/accuracy. No oracle
+    // (DuckDB's approx sketch differs, like q13's HLL) → rows-only;
+    // ApproxQuantileSpec asserts the rank-error bound against exact.
+    "q63_approx_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("approx_q"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ------------------------------------------------------------------
     // Fixed-width histogram (deterministic bins; histogram_numeric's
     // adaptive bins can never match another engine).
     "q24_histogram" -> ((s, dir) =>
