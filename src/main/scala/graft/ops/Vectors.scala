@@ -98,6 +98,38 @@ object Vectors extends QueryPack {
         .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     }),
+    // ------------------------------------------------------------------
+    // k-means codebook training, 2 Lloyd iterations (k=10, init = the
+    // label centroids): assign → recompute, centroids ROUNDED each
+    // iteration so the distributed avg's partition-order noise can
+    // never flip an argmin; inertia summed as exact decimal over
+    // 6-dp-rounded distances. Per iteration: one broadcast of k
+    // centroids + one shuffle — the training loop a real IVF index
+    // build runs, expressed declaratively (q61 is the search side).
+    "q65_kmeans_train" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      def assign(cent: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        e.crossJoin(broadcast(cent))
+          .withColumn("d2", round(expr(sqdist.format("embedding", "cvec")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
+      }
+      def recompute(assigned: DataFrame): DataFrame =
+        assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+      val cent0 = centroids(s, dir).select(col("clabel").as("cid"), col("cvec"))
+      val a2 = assign(recompute(assign(cent0)))
+      a2.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6).as("inertia"))
+        .orderBy(col("cid"))
+    }),
   )
 
   private val centSql =
@@ -133,5 +165,26 @@ object Vectors extends QueryPack {
         + "WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / "
         + "(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4 "
         + "ORDER BY vec_a, vec_b"),
+    "q65_kmeans_train" -> {
+      def distSql(centTbl: String, dTbl: String, aTbl: String) =
+        (s"$dTbl AS (SELECT e.vec_id, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+          + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 "
+          + s"FROM embeddings e CROSS JOIN $centTbl c), "
+          + s"$aTbl AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, "
+          + s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM $dTbl) WHERE rn = 1)")
+      def centSql2(aTbl: String, cTbl: String) =
+        (s"$cTbl AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM ("
+          + "SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM ("
+          + "SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x "
+          + s"FROM $aTbl a JOIN embeddings e ON e.vec_id = a.vec_id) "
+          + "GROUP BY cid, pos) GROUP BY cid)")
+      ("WITH expl AS (SELECT label AS cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
+        + "cent0 AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY cid, pos) GROUP BY cid), "
+        + distSql("cent0", "d1", "a1") + ", "
+        + centSql2("a1", "cent1") + ", "
+        + distSql("cent1", "d2t", "a2") + " "
+        + "SELECT cid, count(*) AS n_vecs, round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia "
+        + "FROM a2 GROUP BY cid ORDER BY cid")
+    },
   )
 }
