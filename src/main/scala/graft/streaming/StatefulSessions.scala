@@ -27,16 +27,14 @@ object StatefulSessions {
 
   val gapUs: Long = 30L * 60 * 1000000
 
-  /** Batch iterators carry no ordering guarantee → sort within the
-    * batch; cross-batch ordering is the file source's responsibility
-    * (event-time-ordered arrivals; late data would need the
-    * watermarked q47-style pipeline instead).
+  /** The core fold, shared by the flatMapGroupsWithState and
+    * transformWithState frontends: consume one batch of a user's
+    * events, emit sessions closed by an observed gap, return the
+    * still-open session state.
     */
-  def sessionize(user: Long, evs: Iterator[Ev],
-                 state: GroupState[SessState]): Iterator[Sess] = {
-    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+  def fold(user: Long, st0: SessState, sorted: Seq[Ev]): (SessState, List[Sess]) = {
     var out = List.empty[Sess]
-    var st = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
+    var st = st0
     for (e <- sorted) {
       if (st.n == 0L) {
         st = SessState(e.ts_us, e.ts_us, 1L, st.emitted)
@@ -47,7 +45,19 @@ object StatefulSessions {
         st = st.copy(last = e.ts_us, n = st.n + 1)
       }
     }
+    (st, out.reverse)
+  }
+
+  /** Batch iterators carry no ordering guarantee → sort within the
+    * batch; cross-batch ordering is the file source's responsibility
+    * (event-time-ordered arrivals; late data would need the
+    * watermarked q47-style pipeline instead).
+    */
+  def sessionize(user: Long, evs: Iterator[Ev],
+                 state: GroupState[SessState]): Iterator[Sess] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts_us, e.event_id))
+    val (st, out) = fold(user, state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L)), sorted)
     state.update(st)
-    out.reverse.iterator
+    out.iterator
   }
 }

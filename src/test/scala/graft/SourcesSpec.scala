@@ -30,6 +30,12 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
     canon(back) shouldBe canon(orders)
   }
 
+  test("orc roundtrip preserves rows") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    orders.write.mode("overwrite").orc(s"$tmp/orders_orc")
+    canon(spark.read.orc(s"$tmp/orders_orc")) shouldBe canon(orders)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val orders = spark.read.parquet(s"$sf/orders.parquet")
     orders.withColumn("status", col("o_orderstatus"))

@@ -59,5 +59,29 @@ class StatefulSessionSpec extends AnyFunSuite with Matchers with SharedSpark {
     val unemitted = batch.keySet.diff(streamed.keySet)
     // exactly the final open session per user is withheld
     unemitted shouldBe lastPerUser.map { case (u, s) => (u, s) }.toSet
+
+    // --- same pipeline on the transformWithState successor API ------
+    // (requires the RocksDB state store provider)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.catalog.dropTempView("tws_sess")
+      val q2 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*/")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState(new graft.streaming.TwsSessionizer,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .writeStream.format("memory").queryName("tws_sess")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      val tws = spark.table("tws_sess").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_id")) ->
+          (r.getAs[Long]("n_events"), r.getAs[Long]("dur_us"))).toMap
+      tws shouldBe streamed // both stateful APIs emit identical sessions
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 }
