@@ -191,6 +191,20 @@ object Extensions extends QueryPack {
         .orderBy(col("fp"))),
 
     // ------------------------------------------------------------------
+    // Polynomial (Rabin-Karp) rolling hash over the character stream:
+    // h = fold (a·131 + codepoint) mod p, seed 7 — the classic
+    // content-defined fingerprint, plus the same hash over the first
+    // 64 chars (the "window" a rolling dedup would slide). Exact
+    // BIGINT arithmetic, sequential in-row fold → engine-identical.
+    "q66_rolling_hash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          expr("aggregate(split(text, ''), cast(7 as bigint), (a, c) -> (a * 131 + ascii(c)) % 1000000007)").as("rhash"),
+          expr("aggregate(split(substr(text, 1, 64), ''), cast(7 as bigint), (a, c) -> (a * 131 + ascii(c)) % 1000000007)").as("rhash64"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
     // LSH-bucketed ANN: 8 deterministic hyperplanes with integer
     // weights derived from md5 hex digits; vectors quantized to BIGINT
     // so the bucket bit = sign(exact integer dot). Output: each probe's
@@ -321,6 +335,11 @@ object Extensions extends QueryPack {
       ("SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc FROM (SELECT doc_id, "
         + "md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp "
         + "FROM documents) GROUP BY fp ORDER BY fp"),
+    "q66_rolling_hash" ->
+      ("SELECT doc_id, "
+        + "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(text, ''), c -> unicode(c)::BIGINT)), (a, b) -> (a * 131 + b) % 1000000007) AS rhash, "
+        + "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(substr(text, 1, 64), ''), c -> unicode(c)::BIGINT)), (a, b) -> (a * 131 + b) % 1000000007) AS rhash64 "
+        + "FROM documents ORDER BY doc_id"),
     "q55_ann_lsh" ->
       ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
         + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
