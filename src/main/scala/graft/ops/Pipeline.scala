@@ -57,9 +57,47 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"), col("chunk"))),
+    // ------------------------------------------------------------------
+    // Deterministic stratified sampling: fixed n per stratum, selection
+    // ordered by a per-row md5 (never rand()) so the sample is stable
+    // across runs/engines/partitionings — the reproducible-subset
+    // primitive every training-data pipeline needs.
+    "q68_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("h", md5(concat(lit("strat|"), col("doc_id").cast("string")).cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ------------------------------------------------------------------
+    // The q05 star join run through Skew.saltedJoin (8-way salt on the
+    // orders→customer edge): identical oracle as a plain join — proof
+    // under the hash gate that salting is semantics-preserving.
+    "q67_skew_salted_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir); val n = Tables.nation(s, dir)
+      val c = Tables.customer(s, dir); val o = Tables.orders(s, dir)
+      val dims = r.join(n, n("n_regionkey") === r("r_regionkey"))
+        .join(c, c("c_nationkey") === n("n_nationkey"))
+        .select(col("r_name"), col("n_name"), col("c_custkey").as("o_custkey"))
+      Skew.saltedJoin(o, dims, "o_custkey", col("o_orderkey"), 8)
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q68_stratified_sample" ->
+      ("SELECT lang, rn, doc_id, source FROM (SELECT lang, doc_id, source, "
+        + "row_number() OVER (PARTITION BY lang ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+        + "FROM documents) WHERE rn <= 20 ORDER BY lang, rn"),
+    "q67_skew_salted_join" ->
+      "SELECT r_name, n_name, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "q58_sample_split" ->
       ("SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM ("
         + "SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
