@@ -49,6 +49,10 @@ object Streaming extends QueryPack {
         .parquet(in.toString)
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ets", "10 minutes")
+        // watermark-bounded dedup state: an event_id reappearing within
+        // the watermark window is dropped; state for ids older than the
+        // watermark is evicted (exactly-once-per-id at bounded memory)
+        .dropDuplicatesWithinWatermark("event_id")
         .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("sum_v"))
