@@ -164,6 +164,58 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Partial correlation pcorr(x,y|z) — the correlation of quantity
+    // and price CONTROLLING for discount — from the same single-pass
+    // corr matrix: (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)). The
+    // reference's "relate two variables net of a third" analysis.
+    "q69_partial_corr" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(
+          corr(col("l_quantity"), col("l_extendedprice")).as("rxy"),
+          corr(col("l_quantity"), col("l_discount")).as("rxz"),
+          corr(col("l_extendedprice"), col("l_discount")).as("ryz"))
+        .selectExpr(
+          "round(rxy, 6) AS corr_xy",
+          "round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS pcorr_xy_given_z")),
+
+    // ------------------------------------------------------------------
+    // Cross-correlation function between two event-type series (daily
+    // purchase sums vs daily click sums) at lags −2..2 — "does one
+    // sensor lead the other" — the reference's raison d'être.
+    "q70_crosscorr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .groupBy(col("day"))
+        .agg(sum(when(col("event_type") === "purchase", col("v"))).as("p"),
+          sum(when(col("event_type") === "click", col("v"))).as("c"))
+      val w = Window.orderBy(col("day"))
+      def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
+      val lags = (-2 to 2).map(k => lag(col("c"), k).over(w).as(s"c_${nm(k)}"))
+      val corrs = (-2 to 2).map(k =>
+        c6(corr(col("p"), col(s"c_${nm(k)}"))).as(s"xcorr_lag_${nm(k)}"))
+      daily.select(col("day") +: col("p") +: lags: _*)
+        .agg(corrs.head, corrs.tail: _*)
+    }),
+
+    // ------------------------------------------------------------------
+    // Rolling 14-day correlation of daily event value vs count — corr
+    // as a WINDOW aggregate over a trailing frame, with the same
+    // zero-variance guard as q18 (try_divide of windowed co-moments).
+    "q71_rolling_corr" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"),
+          count(lit(1)).cast("double").as("n"))
+        .selectExpr("day", "round(v, 6) AS day_v", "n",
+          ("round(try_divide(" +
+            "covar_samp(v, n) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), " +
+            "stddev_samp(v) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) * " +
+            "stddev_samp(n) OVER (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)), 6) AS roll_corr"))
+        .orderBy(col("day"))),
+
+    // ------------------------------------------------------------------
     // Sketch-based quantiles (Greenwald-Khanna): the 100 TB path when
     // exact percentile's full sort-per-group is too expensive — one
     // pass, mergeable state, rank error ≤ 1/accuracy. No oracle
@@ -223,5 +275,20 @@ object Stats extends QueryPack {
         + "SELECT date_trunc('day', ts) AS day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1))"),
     "q24_histogram" ->
       "SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket, count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders GROUP BY 1 ORDER BY bucket",
+    "q69_partial_corr" ->
+      ("SELECT round(rxy, 6) AS corr_xy, round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS pcorr_xy_given_z FROM ("
+        + "SELECT corr(l_quantity, l_extendedprice) AS rxy, corr(l_quantity, l_discount) AS rxz, corr(l_extendedprice, l_discount) AS ryz FROM lineitem)"),
+    "q70_crosscorr" ->
+      ("WITH byday AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v "
+        + "FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2), "
+        + "daily AS (SELECT day, sum(CASE WHEN event_type = 'purchase' THEN v END) AS p, sum(CASE WHEN event_type = 'click' THEN v END) AS c FROM byday GROUP BY day), "
+        + "lagged AS (SELECT p, lead(c, 2) OVER (ORDER BY day) AS c_m2, lead(c, 1) OVER (ORDER BY day) AS c_m1, c AS c_p0, "
+        + "lag(c, 1) OVER (ORDER BY day) AS c_p1, lag(c, 2) OVER (ORDER BY day) AS c_p2 FROM daily) "
+        + "SELECT round(corr(p, c_m2), 6) AS xcorr_lag_m2, round(corr(p, c_m1), 6) AS xcorr_lag_m1, round(corr(p, c_p0), 6) AS xcorr_lag_p0, "
+        + "round(corr(p, c_p1), 6) AS xcorr_lag_p1, round(corr(p, c_p2), 6) AS xcorr_lag_p2 FROM lagged"),
+    "q71_rolling_corr" ->
+      ("SELECT day, round(v, 6) AS day_v, n, round(covar_samp(v, n) OVER w / nullif(stddev_samp(v) OVER w * stddev_samp(n) OVER w, 0), 6) AS roll_corr FROM ("
+        + "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS n "
+        + "FROM events GROUP BY 1) WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) ORDER BY day"),
   )
 }
