@@ -216,6 +216,27 @@ object Stats extends QueryPack {
         .orderBy(col("day"))),
 
     // ------------------------------------------------------------------
+    // Correlation significance: t-statistic, Fisher z-transform, and
+    // the 95% confidence interval (normal approximation on z, tanh
+    // back) — what an analysis API reports NEXT TO r. atanh/tanh are
+    // spelled out in ln/exp form so both engines run the identical
+    // double expression.
+    "q72_corr_significance" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .agg(corr(col("l_quantity"), col("l_extendedprice")).as("r"),
+          count(lit(1)).cast("double").as("n"))
+        .selectExpr("r", "n",
+          "0.5 * ln((1 + r) / (1 - r)) AS z",
+          "1.959963985 / sqrt(n - 3) AS halfw")
+        .selectExpr(
+          "round(r, 6) AS r",
+          "cast(n as bigint) AS n",
+          "round(r * sqrt((n - 2) / (1 - r * r)), 6) AS t_stat",
+          "round(z, 6) AS fisher_z",
+          "round((exp(2 * (z - halfw)) - 1) / (exp(2 * (z - halfw)) + 1), 6) AS ci_lo",
+          "round((exp(2 * (z + halfw)) - 1) / (exp(2 * (z + halfw)) + 1), 6) AS ci_hi")),
+
+    // ------------------------------------------------------------------
     // Sketch-based quantiles (Greenwald-Khanna): the 100 TB path when
     // exact percentile's full sort-per-group is too expensive — one
     // pass, mergeable state, rank error ≤ 1/accuracy. No oracle
@@ -290,5 +311,11 @@ object Stats extends QueryPack {
       ("SELECT day, round(v, 6) AS day_v, n, round(covar_samp(v, n) OVER w / nullif(stddev_samp(v) OVER w * stddev_samp(n) OVER w, 0), 6) AS roll_corr FROM ("
         + "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS n "
         + "FROM events GROUP BY 1) WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) ORDER BY day"),
+    "q72_corr_significance" ->
+      ("SELECT round(r, 6) AS r, CAST(n AS BIGINT) AS n, round(r * sqrt((n - 2) / (1 - r * r)), 6) AS t_stat, round(z, 6) AS fisher_z, "
+        + "round((exp(2 * (z - halfw)) - 1) / (exp(2 * (z - halfw)) + 1), 6) AS ci_lo, "
+        + "round((exp(2 * (z + halfw)) - 1) / (exp(2 * (z + halfw)) + 1), 6) AS ci_hi FROM ("
+        + "SELECT r, n, 0.5 * ln((1 + r) / (1 - r)) AS z, 1.959963985 / sqrt(n - 3) AS halfw FROM ("
+        + "SELECT corr(l_quantity, l_extendedprice) AS r, CAST(count(*) AS DOUBLE) AS n FROM lineitem))"),
   )
 }
