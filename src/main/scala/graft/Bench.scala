@@ -8,6 +8,7 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC") // match Verify/Smoke/Explain
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,17 +21,23 @@ object Bench {
     // ±50% single-run jitter (I/O + GC noise) on individual queries;
     // min-of-2 measures achievable per-query cost, standard benchmark
     // practice, and keeps the reported total stable across rounds.
+    // A crashed query reports the sentinel -1.0, never its time-to-crash
+    // (folding crash latency into min-of-2 would under-report it).
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    val results = p1.map { case (k, v) =>
+      k -> (if (v < 0 || p2(k) < 0) -1.0 else math.min(v, p2(k)))
+    }
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

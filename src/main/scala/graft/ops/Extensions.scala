@@ -298,15 +298,16 @@ object Extensions extends QueryPack {
         + s"sig AS (SELECT doc_id, $sigSql FROM hashed), "
         + s"bands AS ($bandsSql), "
         + "buckets AS (SELECT b, bandkey, count(*) AS k FROM bands GROUP BY b, bandkey) "
-        + "SELECT b, count(*) AS n_buckets, sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS n_multi_buckets, "
-        + "sum(k * (k - 1) // 2) AS n_cand_pairs, max(k) AS max_bucket FROM buckets GROUP BY b ORDER BY b")
+        // CAST: DuckDB integer sum() returns HUGEINT → driver-side float64
+        + "SELECT b, count(*) AS n_buckets, CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets, "
+        + "CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_cand_pairs, max(k) AS max_bucket FROM buckets GROUP BY b ORDER BY b")
     },
     "q50_simhash" ->
       ("WITH t AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
         + "votes AS (SELECT doc_id, j, CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1) >> (3 - j % 4)) & 1) = 1 THEN 1 ELSE -1 END AS vote "
         + "FROM t CROSS JOIN (SELECT unnest(range(0, 16)) AS j)), "
         + "bits AS (SELECT doc_id, j, CASE WHEN sum(vote) >= 0 THEN 1 ELSE 0 END AS bit FROM votes GROUP BY doc_id, j) "
-        + "SELECT doc_id, sum(CAST(bit AS BIGINT) << j) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"),
+        + "SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id ORDER BY doc_id"),
     "q51_langid" ->
       ("SELECT lang, pred, count(*) AS cnt FROM (SELECT lang, CASE "
         + "WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
@@ -345,7 +346,7 @@ object Extensions extends QueryPack {
         + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
         + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
         + "dots AS (SELECT e.vec_id, p.j, sum(e.xq * p.w2) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
-        + "buckets AS (SELECT vec_id, sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS bucket FROM dots GROUP BY vec_id), "
+        + "buckets AS (SELECT vec_id, CAST(sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), "
         + "probes AS (SELECT vec_id AS probe_id, bucket FROM buckets WHERE vec_id < 3) "
         + "SELECT p.probe_id, p.bucket, count(*) AS n_candidates FROM probes p JOIN buckets b ON b.bucket = p.bucket AND b.vec_id <> p.probe_id "
         + "GROUP BY 1, 2 ORDER BY probe_id"),

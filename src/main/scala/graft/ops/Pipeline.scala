@@ -99,7 +99,7 @@ object Pipeline extends QueryPack {
     "q67_skew_salted_join" ->
       "SELECT r_name, n_name, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "q58_sample_split" ->
-      ("SELECT lang, split, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM ("
+      ("SELECT lang, split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM ("
         + "SELECT lang, n_chars, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
         + "SELECT lang, n_chars, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b FROM documents)) "
         + "GROUP BY lang, split ORDER BY lang, split"),
@@ -108,9 +108,10 @@ object Pipeline extends QueryPack {
         + "SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'), ' +', ' ', 'g')) AS cleaned "
         + "FROM documents) ORDER BY doc_id"),
     "q60_seq_pack" ->
-      ("SELECT source, chunk, count(*) AS n_docs, sum(n_tok) AS sum_tok, min(doc_id) AS first_doc FROM ("
+      ("SELECT source, chunk, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok, min(doc_id) AS first_doc FROM ("
         + "SELECT doc_id, source, n_tok, (cum - n_tok) // 512 AS chunk FROM ("
-        + "SELECT doc_id, source, n_tok, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM ("
+        // cum is cast so the derived group key `chunk` stays BIGINT, not HUGEINT
+        + "SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM ("
         + "SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM documents))) "
         + "GROUP BY source, chunk ORDER BY source, chunk"),
   )

@@ -83,7 +83,10 @@ object Scalars extends QueryPack {
           round(sqrt(expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")), 6).as("l2"),
           size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
           round(array_max(col("embedding")).cast("double"), 6).as("mx"),
-          expr("transform(slice(embedding, 1, 3), x -> round(cast(x as double), 6))").as("head3"))
+          // Rendered as a comma-joined fixed-scale string: array-typed output
+          // columns crash the driver's pandas sort (unhashable ndarray), and
+          // decimal(18,6)->string renders identically in Spark and DuckDB.
+          expr("array_join(transform(slice(embedding, 1, 3), x -> cast(cast(round(cast(x as double), 6) as decimal(18,6)) as string)), ',')").as("head3"))
         .orderBy(col("vec_id"))),
 
     // ------------------------------------------------------------------
@@ -123,18 +126,23 @@ object Scalars extends QueryPack {
     "q32_math_fns" ->
       ("SELECT round(avg(ln(l_extendedprice)), 6) AS avg_ln_price, round(avg(sqrt(l_quantity)), 6) AS avg_sqrt_qty, "
         + "round(avg(exp(l_discount)), 6) AS avg_exp_disc, round(avg(pow(l_quantity, 1.5)), 6) AS avg_pow_qty, "
-        + "sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sum_floor, sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS sum_ceil, "
-        + "sum(CAST(abs(l_quantity - 25) AS BIGINT)) AS sum_absdev, sum(l_orderkey % 7) AS sum_mod7 FROM lineitem"),
+        // DuckDB sum() over integers returns HUGEINT, which the driver's
+        // pandas bridge renders as float64 ("18606.0" vs Spark's "18606") —
+        // cast the OUTER sum back to BIGINT to pin the dtype.
+        + "CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor, "
+        + "CAST(sum(CAST(ceil(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_ceil, "
+        + "CAST(sum(CAST(abs(l_quantity - 25) AS BIGINT)) AS BIGINT) AS sum_absdev, "
+        + "CAST(sum(l_orderkey % 7) AS BIGINT) AS sum_mod7 FROM lineitem"),
     "q33_array_fns" ->
       ("SELECT vec_id, len(embedding) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS e1, "
         + "round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2, "
         + "len(list_filter(embedding, x -> x > 0)) AS n_pos, round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx, "
-        + "list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3 FROM embeddings ORDER BY vec_id"),
+        + "array_to_string(list_transform(embedding[1:3], x -> CAST(CAST(round(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS head3 FROM embeddings ORDER BY vec_id"),
     "q34_explode" ->
       ("SELECT tok, count(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
         + "WHERE tok <> '' GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50"),
     "q35_json_fns" ->
-      ("SELECT event_type, count(*) AS cnt, sum(k) AS sum_k, round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k, "
+      ("SELECT event_type, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k, round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k, "
         + "min(k) AS min_k, max(k) AS max_k FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) "
         + "GROUP BY event_type ORDER BY event_type"),
   )

@@ -242,12 +242,20 @@ object Stats extends QueryPack {
     // pass, mergeable state, rank error ≤ 1/accuracy. No oracle
     // (DuckDB's approx sketch differs, like q13's HLL) → rows-only;
     // ApproxQuantileSpec asserts the rank-error bound against exact.
+    // Emitted as 4 scalar columns (not one array column): array-typed
+    // output crashes the driver's pandas sort_values compare.
     "q63_approx_quantile" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("approx_q"),
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("aq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          expr("element_at(aq, 1)").as("p25"),
+          expr("element_at(aq, 2)").as("p50"),
+          expr("element_at(aq, 3)").as("p75"),
+          expr("element_at(aq, 4)").as("p90"),
+          col("n"))
         .orderBy(col("l_returnflag"))),
 
     // ------------------------------------------------------------------

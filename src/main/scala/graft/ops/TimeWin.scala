@@ -66,7 +66,9 @@ object TimeWin extends QueryPack {
     "q46_sessionize" ->
       ("SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS sess_start, "
         + "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us FROM ("
-        + "SELECT user_id, ts, event_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM ("
+        // CAST: DuckDB's integer window-sum returns HUGEINT → pandas float64
+        // on the driver side, breaking the byte hash vs Spark's int64.
+        + "SELECT user_id, ts, event_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM ("
         + "SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
         + "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)) "
         + "GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),

@@ -39,9 +39,12 @@ object Streaming extends QueryPack {
       s.catalog.dropTempView("q47_mem")
       // The file source monitors a DIRECTORY for arriving files; stage
       // the (read-only) events file into one, as a real ingest dir would.
+      // Per-run temp dir: a fixed shared path would ingest stale files
+      // from earlier runs (and concurrent runs at different SFs would
+      // corrupt each other's window counts).
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val in = Paths.get("/tmp/graft_stream_in")
-      Files.createDirectories(in)
+      val in = Files.createTempDirectory("graft_stream_in_")
+      in.toFile.deleteOnExit()
       Files.copy(Paths.get(s"$dir/events.parquet"),
         in.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val q = s.readStream

@@ -21,8 +21,8 @@ class ApproxQuantileSpec extends AnyFunSuite with Matchers with SharedSpark {
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
     for (row <- approx) {
       val flag = row.getString(0)
-      val got = row.getSeq[Double](1)
-      val n = row.getLong(2)
+      val got = (1 to 4).map(row.getDouble) // p25, p50, p75, p90
+      val n = row.getLong(5)
       val sorted = data(flag)
       for ((q, v) <- qs.zip(got)) {
         val rank = sorted.count(_ <= v).toDouble

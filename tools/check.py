@@ -6,12 +6,18 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 For each query in <verifyOutDir>/oracle_sql.json:
   - load the Spark result parquet from <verifyOutDir>/<name>/
   - run the oracle SQL in DuckDB over the same source parquet tables
-  - sort columns by name, sort rows by all columns, compare stringified
-    cell values exactly (the strictest plausible driver behavior).
+  - BOTH results go through the pandas `.df()` path (dtype-faithful:
+    DuckDB HUGEINT becomes float64 here, exactly as on the driver, so
+    "18606.0" vs "18606" drift is caught locally)
+  - sort columns by name, sort rows by all columns (pandas sort_values,
+    which crashes on array-typed columns exactly like the driver does),
+    compare stringified cell values BYTE-EXACTLY. No tolerance.
 
 Exit code = number of mismatching queries.
 """
-import duckdb, json, math, sys, os, glob
+import duckdb, json, sys, os, glob
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,40 +26,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(float(v))
-        return repr(v)
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return repr(f)
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
-def cell_close(a, b):
-    """True when two normalized cells are equal, or are floats within
-    5e-7 (i.e. agree at 6 dp but differ by 1 ULP after each engine's
-    round) — stricter repr-compare stays the primary path."""
-    if a == b:
-        return True
-    try:
-        return math.isclose(float(a), float(b), rel_tol=0, abs_tol=5e-7)
-    except (TypeError, ValueError):
-        return False
-
-
-def row_sets_close(xs, ys):
-    return len(xs) == len(ys) and all(
-        len(x) == len(y) and all(cell_close(a, b) for a, b in zip(x, y))
-        for x, y in zip(xs, ys))
-
-
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
-    out.sort()
-    return [cols[i] for i in order], out
+def norm_df(df):
+    """Driver-faithful normalization: columns sorted by name, rows sorted
+    by all columns (raises on unhashable/array cells, like the driver),
+    cells stringified with dtype visible (int64 "1" vs float64 "1.0")."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    rows = [tuple(norm_cell(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    rows.sort()  # stringified tiebreak for columns pandas can't total-order
+    return list(df.columns), rows
 
 
 def main():
@@ -71,24 +64,15 @@ def main():
             n_fail += 1
             continue
         try:
-            sr = con.execute(
-                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
-            s_cols = [d[0] for d in sr.description]
-            s_rows = sr.fetchall()
-            orr = con.execute(oracle[name])
-            o_cols = [d[0] for d in orr.description]
-            o_rows = orr.fetchall()
+            s_df = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df()
+            o_df = con.execute(oracle[name]).df()
+            sc, srn = norm_df(s_df)
+            oc, orn = norm_df(o_df)
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        sc, srn = norm_rows(s_cols, s_rows)
-        oc, orn = norm_rows(o_cols, o_rows)
-        near = row_sets_close(srn, orn)
-        if near and srn != orn:
-            print(f"NEAR {name}: cells differ only within 5e-7 (1-ULP after "
-                  f"round) — strict hash would flag this; tighten the query")
-            srn = orn  # treat as match for the OK/FAIL tally, reported above
         if sc != oc:
             print(f"FAIL {name}: columns differ spark={sc} oracle={oc}")
             n_fail += 1

@@ -5,6 +5,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Pin parallelism: q13/q63 sketch goldens depend on partition count, so an
+# inherited SPARK_GRAFT_CPUS would make golden check drift across hosts.
+export SPARK_GRAFT_CPUS=4
+
 sbt compile
 sbt test
 

@@ -29,8 +29,10 @@ def main():
     con = duckdb.connect()
     os.makedirs(GOLDEN, exist_ok=True)
     drift = 0
+    seen = set()
     for d in sorted(glob.glob(os.path.join(out, "q*"))):
         name = os.path.basename(d)
+        seen.add(name)
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
             continue
@@ -50,6 +52,12 @@ def main():
             else:
                 print(f"ok    {name}")
     if mode == "check":
+        # a golden CSV whose query was deleted/renamed is stale, not silent
+        for path in sorted(glob.glob(os.path.join(GOLDEN, "q*.csv"))):
+            name = os.path.basename(path)[:-4]
+            if name not in seen:
+                print(f"STALE golden {name}: no matching verify output")
+                drift += 1
         print(f"---- {drift} drifted")
         sys.exit(min(drift, 120))
 
