@@ -28,6 +28,10 @@ import org.apache.spark.sql.functions._
   */
 object Text extends QueryPack {
 
+  /** Blocking-key document-frequency cap: shingles shared by more docs
+    * than this are dropped as blocking keys (hot-bucket OOM guard). */
+  val maxShingleDf = 1000L
+
   /** doc_id → exploded non-empty tokens (position retained). */
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -116,12 +120,21 @@ object Text extends QueryPack {
       // Pair generation via group-then-expand, NOT a self-join: one
       // shuffle keyed by shingle, pairs expanded from each (rare)
       // multi-doc group — a 3M⋈3M string sort-merge join (31 s at
-      // sf0.1) becomes a single groupBy (≈4 s). Group lists are bounded
-      // by shingle collision rate (max df = 3 observed), so the expand
-      // is O(df²) per shingle, never O(docs²).
-      val inter = sh.groupBy(col("sh"))
+      // sf0.1) becomes a single groupBy (≈4 s).
+      // Hot-bucket guard: a ubiquitous shingle ("click here to" at
+      // 100 TB) would make one collect_list group arbitrarily large and
+      // OOM its task, so shingles with df outside (1, 1000] are dropped
+      // BEFORE grouping — the standard stopword-shingle filter (a
+      // shingle shared by >1000 docs carries no blocking information;
+      // observed max df on this corpus is 4, so results are unchanged).
+      // Bound proven by HotShingleSpec.
+      val keep = sh.groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1 && col("df") <= Text.maxShingleDf)
+        .select(col("sh"))
+      val inter = sh.join(keep, "sh")
+        .groupBy(col("sh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
         .select(explode(expr(
           "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
         .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -223,7 +236,7 @@ object Text extends QueryPack {
       ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
         + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
         + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
-        + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1), "
+        + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
         + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
         + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2) "
         + "SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard "

@@ -21,7 +21,9 @@ object Vectors extends QueryPack {
   private val sqdist =
     "aggregate(zip_with(%s, %s, (x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), cast(0 as double), (a, v) -> a + v)"
 
-  /** Per-label mean vectors, coords rounded — the IVF codebook (k=10). */
+  /** Per-label mean vectors, coords rounded — the k-means INIT (k=10).
+    * Labels seed the codebook deterministically; the codebook q61
+    * searches is the TRAINED one (see [[trainedCodebook]]). */
   private def centroids(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -31,29 +33,57 @@ object Vectors extends QueryPack {
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
       .select(col("label").as("clabel"), col("cvec"))
 
-  /** Every vector assigned to its nearest centroid (coarse cell). */
-  private def assigned(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cd2"), col("clabel"))
-    Tables.embeddings(s, dir)
-      .crossJoin(broadcast(centroids(s, dir)))
-      .withColumn("cd2", round(expr(sqdist.format("embedding", "cvec")), 6))
+  /** Nearest-centroid assignment of `vecs` against codebook (cid, cvec):
+    * one broadcast of k×dim + a per-vector partitioned window. */
+  private def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+    vecs.crossJoin(broadcast(cent))
+      .withColumn("d2", round(expr(sqdist.format("embedding", "cvec")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("clabel").as("cell"))
+      .drop("rn", "cvec")
+  }
+
+  /** Lloyd recompute: mean vector per assigned cell, coords rounded. */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("c"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+
+  /** The k-means-TRAINED codebook (one Lloyd iteration from the label-
+    * mean init) — what a real IVF index build produces; q61 searches
+    * these cells, so no ground-truth label leaks into the index.
+    * Cached: k×dim rows, and both the probe and corpus assignment
+    * branches of q61 consume it (uncached, each branch would re-run the
+    * two corpus-wide training scans). */
+  private def trainedCodebook(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val cent0 = centroids(s, dir).select(col("clabel").as("cid"), col("cvec"))
+    recompute(assign(e, cent0)).cache()
   }
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // IVF search, nprobe=1: probe → nearest codebook cell → exact top-3
     // within that cell only. The scan is |cell| vectors instead of N —
-    // the inverted-file contraction (codebook here = the 10 label
-    // centroids; at 100 TB it would be k-means trained, same plumbing).
+    // the inverted-file contraction. The codebook is k-means TRAINED
+    // (q65's machinery), not the label centroids: a real corpus has no
+    // labels at index-build time.
     "q61_ann_ivf" -> ((s, dir) => {
-      val a = assigned(s, dir)
-      val probes = a.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("cell"))
+      val e = Tables.embeddings(s, dir)
+      val cb = trainedCodebook(s, dir)
+      val a = assign(e, cb).select(col("vec_id"), col("label"),
+        col("embedding"), col("cid").as("cell"))
+      // probes assigned separately (3 rows × k) so the corpus-wide
+      // assignment subtree is built exactly once, not once per branch
+      val probes = assign(e.filter(col("vec_id") < 3), cb)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("cid").as("cell"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("vec_id"))
-      a.join(probes, "cell")
+      a.join(broadcast(probes), "cell")
         .filter(col("vec_id") =!= col("probe_id"))
         .withColumn("d2", round(expr(sqdist.format("embedding", "p_emb")), 6))
         .withColumn("rn", row_number().over(w))
@@ -83,9 +113,18 @@ object Vectors extends QueryPack {
         .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
         .groupBy(col("vec_id"))
         .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
-      val pairs = buckets.groupBy(col("bucket"))
+      // Hot-bucket guard (same as q40's shingle-df cap): an LSH bucket
+      // holding more vectors than the cap is a degenerate blocking key
+      // (near-duplicate embeddings of a boilerplate doc at 100 TB) —
+      // dropped BEFORE collect_list so no task ever materializes an
+      // unbounded list. Observed max bucket = 20 on this corpus.
+      val keep = buckets.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1 && col("k") <= Text.maxShingleDf)
+        .select(col("bucket"))
+      val pairs = buckets.join(keep, "bucket")
+        .groupBy(col("bucket"))
         .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
-        .filter(size(col("ds")) > 1)
         .select(explode(expr(
           "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), x -> struct(a AS vec_a, x AS vec_b))))")).as("p"))
         .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
@@ -108,23 +147,10 @@ object Vectors extends QueryPack {
     // build runs, expressed declaratively (q61 is the search side).
     "q65_kmeans_train" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      def assign(cent: DataFrame): DataFrame = {
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-        e.crossJoin(broadcast(cent))
-          .withColumn("d2", round(expr(sqdist.format("embedding", "cvec")), 6))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"), col("d2"))
-      }
-      def recompute(assigned: DataFrame): DataFrame =
-        assigned
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(round(avg(col("x").cast("double")), 6).as("c"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
-      val cent0 = centroids(s, dir).select(col("clabel").as("cid"), col("cvec"))
-      val a2 = assign(recompute(assign(cent0)))
+      // trainedCodebook = one Lloyd iteration from the label-mean init;
+      // the second assignment both scores it (inertia) and IS the
+      // assignment q61's IVF search runs against.
+      val a2 = assign(e, trainedCodebook(s, dir))
       a2.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_vecs"),
           round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6).as("inertia"))
@@ -132,17 +158,35 @@ object Vectors extends QueryPack {
     }),
   )
 
-  private val centSql =
-    ("expl AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
-      + "cent AS (SELECT label AS clabel, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY label, pos) GROUP BY label), "
-      + "adist AS (SELECT e.vec_id, e.label, e.embedding, c.clabel, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
-      + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS cd2 FROM embeddings e CROSS JOIN cent c), "
-      + "assigned AS (SELECT vec_id, label, embedding, clabel AS cell FROM (SELECT vec_id, label, embedding, clabel, "
-      + "row_number() OVER (PARTITION BY vec_id ORDER BY cd2, clabel) AS rn FROM adist) WHERE rn = 1)")
+  /** Shared oracle SQL: label-mean init → assign → recompute = the
+    * trained codebook `cent1` (mirrors [[trainedCodebook]] exactly). */
+  private def distSql(centTbl: String, dTbl: String, aTbl: String) =
+    (s"$dTbl AS (SELECT e.vec_id, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+      + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 "
+      + s"FROM embeddings e CROSS JOIN $centTbl c), "
+      + s"$aTbl AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, "
+      + s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM $dTbl) WHERE rn = 1)")
+
+  private def recomputeSql(aTbl: String, cTbl: String) =
+    (s"$cTbl AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM ("
+      + "SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM ("
+      + "SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x "
+      + s"FROM $aTbl a JOIN embeddings e ON e.vec_id = a.vec_id) "
+      + "GROUP BY cid, pos) GROUP BY cid)")
+
+  private val trainSql =
+    ("expl AS (SELECT label AS cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
+      + "cent0 AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY cid, pos) GROUP BY cid), "
+      + distSql("cent0", "d1", "a1") + ", "
+      + recomputeSql("a1", "cent1"))
 
   def oracles: Map[String, String] = Map(
     "q61_ann_ivf" ->
-      (s"WITH $centSql, "
+      (s"WITH $trainSql, "
+        + "adist AS (SELECT e.vec_id, e.label, e.embedding, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 FROM embeddings e CROSS JOIN cent1 c), "
+        + "assigned AS (SELECT vec_id, label, embedding, cid AS cell FROM (SELECT vec_id, label, embedding, cid, "
+        + "row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM adist) WHERE rn = 1), "
         + "probes AS (SELECT vec_id AS probe_id, embedding AS p_emb, cell FROM assigned WHERE vec_id < 3), "
         + "cand AS (SELECT p.probe_id, a.vec_id, a.label, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> "
         + "(CAST(a.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)) * (CAST(a.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)))), 6) AS d2 "
@@ -155,7 +199,7 @@ object Vectors extends QueryPack {
         + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
         + "dots AS (SELECT e.vec_id, p.j, sum(e.xq * p.w2) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
         + "buckets AS (SELECT vec_id, sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS bucket FROM dots GROUP BY vec_id), "
-        + "grp AS (SELECT bucket, list_sort(list(vec_id)) AS ds FROM buckets GROUP BY bucket HAVING count(*) > 1), "
+        + "grp AS (SELECT bucket, list_sort(list(vec_id)) AS ds FROM buckets GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 1000), "
         + "pairs AS (SELECT a AS vec_a, x AS vec_b FROM grp, "
         + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS x)) "
         + "SELECT p.vec_a, p.vec_b, ea.label AS label_a, eb.label AS label_b, "
@@ -165,26 +209,10 @@ object Vectors extends QueryPack {
         + "WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / "
         + "(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4 "
         + "ORDER BY vec_a, vec_b"),
-    "q65_kmeans_train" -> {
-      def distSql(centTbl: String, dTbl: String, aTbl: String) =
-        (s"$dTbl AS (SELECT e.vec_id, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
-          + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 "
-          + s"FROM embeddings e CROSS JOIN $centTbl c), "
-          + s"$aTbl AS (SELECT vec_id, cid, d2 FROM (SELECT vec_id, cid, d2, "
-          + s"row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM $dTbl) WHERE rn = 1)")
-      def centSql2(aTbl: String, cTbl: String) =
-        (s"$cTbl AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM ("
-          + "SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM ("
-          + "SELECT a.cid, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS x "
-          + s"FROM $aTbl a JOIN embeddings e ON e.vec_id = a.vec_id) "
-          + "GROUP BY cid, pos) GROUP BY cid)")
-      ("WITH expl AS (SELECT label AS cid, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings), "
-        + "cent0 AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM expl GROUP BY cid, pos) GROUP BY cid), "
-        + distSql("cent0", "d1", "a1") + ", "
-        + centSql2("a1", "cent1") + ", "
+    "q65_kmeans_train" ->
+      (s"WITH $trainSql, "
         + distSql("cent1", "d2t", "a2") + " "
         + "SELECT cid, count(*) AS n_vecs, round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia "
-        + "FROM a2 GROUP BY cid ORDER BY cid")
-    },
+        + "FROM a2 GROUP BY cid ORDER BY cid"),
   )
 }
