@@ -205,6 +205,43 @@ object Extensions extends QueryPack {
         .orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
+    // Sliding-window rolling-hash dedup (q66 is the fingerprint; THIS is
+    // the dedup operator): every 64-char window of every doc is hashed
+    // with the same Rabin-Karp polynomial, and docs sharing a window
+    // hash become candidate pairs via the q40 group-then-expand + df-cap
+    // machinery — containment = shared / min(windows), the overlap
+    // detector that catches partial copies Jaccard dilutes. The per-
+    // window fold here is O(len·64); at 100 TB the O(len) rolling
+    // update (h·131 - c_out·131^64 + c_in) would live in a custom
+    // codegen Expression — the surrounding plan (explode → df-capped
+    // group → expand) is already the scale shape.
+    "q73_rolling_dedup" -> ((s, dir) => {
+      val p = 1000000007L
+      val wh = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, length(text) - 63), i -> aggregate(split(substr(text, i, 64), ''), cast(7 as bigint), (a, c) -> (a * 131 + ascii(c)) % $p))")).as("wh"))
+        .distinct()
+      val sizes = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
+      val keep = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1 && col("df") <= Text.maxShingleDf)
+        .select(col("wh"))
+      val shared = wh.join(keep, "wh")
+        .groupBy(col("wh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_w").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_w").as("nb")), "doc_b")
+        .withColumn("containment", round(col("n_shared") / least(col("na"), col("nb")), 6))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("na"), col("nb"), col("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // ------------------------------------------------------------------
     // LSH-bucketed ANN: 8 deterministic hyperplanes with integer
     // weights derived from md5 hex digits; vectors quantized to BIGINT
     // so the bucket bit = sign(exact integer dot). Output: each probe's
@@ -341,6 +378,18 @@ object Extensions extends QueryPack {
         + "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(text, ''), c -> unicode(c)::BIGINT)), (a, b) -> (a * 131 + b) % 1000000007) AS rhash, "
         + "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(substr(text, 1, 64), ''), c -> unicode(c)::BIGINT)), (a, b) -> (a * 131 + b) % 1000000007) AS rhash64 "
         + "FROM documents ORDER BY doc_id"),
+    "q73_rolling_dedup" ->
+      ("WITH wh AS (SELECT DISTINCT doc_id, wh FROM (SELECT doc_id, unnest(list_transform(range(1, length(text) - 62), i -> "
+        + "list_reduce(list_prepend(7::BIGINT, list_transform(string_split_regex(substr(text, i, 64), ''), c -> unicode(c)::BIGINT)), (a, b) -> (a * 131 + b) % 1000000007))) AS wh "
+        + "FROM documents WHERE length(text) >= 64)), "
+        + "sizes AS (SELECT doc_id, count(*) AS n_w FROM wh GROUP BY doc_id), "
+        + "grp AS (SELECT wh, list_sort(list(doc_id)) AS ds FROM wh GROUP BY wh HAVING count(*) > 1 AND count(*) <= 1000), "
+        + "pairs AS (SELECT a AS doc_a, b AS doc_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)), "
+        + "shared AS (SELECT doc_a, doc_b, count(*) AS n_shared FROM pairs GROUP BY 1, 2) "
+        + "SELECT doc_a, doc_b, n_shared, sa.n_w AS na, sb.n_w AS nb, "
+        + "round(CAST(n_shared AS DOUBLE) / least(sa.n_w, sb.n_w), 6) AS containment "
+        + "FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b ORDER BY doc_a, doc_b"),
     "q55_ann_lsh" ->
       ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
         + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "

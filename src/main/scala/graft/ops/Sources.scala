@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.1: the csv/json format surface as a DRIVER-VISIBLE
+  * oracle-gated query (the loaders themselves live in Tables and are
+  * unit-tested in SourcesSpec; this pack proves the full read path —
+  * explicit schema, header handling, type round-trip — produces
+  * byte-identical analytics to the parquet originals).
+  *
+  * Scale notes: csv/json are splittable line formats, so the staged
+  * reads parallelize per file-split exactly like the parquet scans;
+  * schemas are always EXPLICIT (inference is a full extra pass and
+  * yields driver-version-dependent types).
+  */
+object Sources extends QueryPack {
+
+  private val ordersSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Stage orders→csv and customer→json in a per-run temp dir, read
+    // both back through the explicit-schema loaders, then join+aggregate
+    // FROM THE STAGED FORMATS. The oracle runs the same aggregation on
+    // the parquet originals, so any loss in the csv/json round-trip
+    // (type, precision, header, timestamp format) breaks the hash.
+    "q74_sources" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_sources_")
+      stage.toFile.deleteOnExit()
+      Tables.orders(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(s"$stage/orders_csv")
+      Tables.customer(s, dir).write.mode("overwrite").json(s"$stage/customer_json")
+      val o = Tables.readCsv(s, s"$stage/orders_csv", ordersSchema)
+      val c = Tables.readJson(s, s"$stage/customer_json", customerSchema)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("revenue"),
+          min(col("o_orderdate")).as("first_order"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q74_sources" ->
+      ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, "
+        + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue, "
+        + "min(o_orderdate) AS first_order FROM orders JOIN customer ON o_custkey = c_custkey "
+        + "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
+  )
+}

@@ -203,9 +203,18 @@ object Text extends QueryPack {
     "q43_simjoin_string" -> ((s, dir) => {
       val names = Tables.part(s, dir)
         .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      // Length-blocking key: levenshtein ≤ 3 implies |len(a)-len(b)| ≤ 3,
+      // so the left side explodes into its 7 admissible partner lengths
+      // and the pair search becomes a HASH join on length — on a corpus
+      // with millions of distinct names this stays O(n·bucket), where the
+      // old bare crossJoin reverted to O(n²). Lossless: no qualifying
+      // pair can sit outside its length band.
       val a = names.select(col("p_name").as("name_a"), col("n_parts").as("cnt_a"))
-      val b = names.select(col("p_name").as("name_b"), col("n_parts").as("cnt_b"))
-      a.crossJoin(b)
+        .withColumn("len_b",
+          explode(expr("sequence(length(name_a) - 3, length(name_a) + 3)")))
+      val b = names.select(col("p_name").as("name_b"), col("n_parts").as("cnt_b"),
+        length(col("p_name")).as("len_b"))
+      a.join(b, "len_b")
         .filter(col("name_a") < col("name_b"))
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
         .filter(col("lev") <= 3)
