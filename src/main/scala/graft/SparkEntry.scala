@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Pipeline,
     ops.Vectors,
     ops.Sources,
+    ops.Curation,
     streaming.Streaming,
   )
 

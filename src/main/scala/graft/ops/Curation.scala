@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators a training-data pipeline runs between dedup
+  * and packing: benchmark decontamination, repetition-based quality
+  * metrics (the Gopher-style filters), and PII scrubbing.
+  *
+  * Scale notes: q75 is the canonical broadcast-contraction — the
+  * benchmark n-gram set is tiny relative to the corpus, so the overlap
+  * test is a broadcast hash join against it, never a corpus shuffle by
+  * n-gram alone; q76 is two partial-agg shuffles keyed by doc; q77 is a
+  * pure per-row projection (embarrassingly parallel).
+  */
+object Curation extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Benchmark decontamination: docs in the "eval set" (deterministic
+    // doc_id % 101 == 7 membership here; a real pipeline loads its eval
+    // suites) contribute their distinct 8-gram set; every OTHER doc
+    // containing any eval 8-gram is flagged with its hit count — the
+    // n-gram-overlap decontamination step every LLM training corpus
+    // runs against its benchmarks. The eval n-gram side is small by
+    // construction → broadcast join, corpus side never self-shuffles.
+    "q75_decontaminate" -> ((s, dir) => {
+      val ng = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")).as("ng"))
+        .distinct()
+      val bench = ng.filter(col("doc_id") % 101 === 7)
+        .select(col("doc_id").as("bench_id"), col("ng"))
+      val corpus = ng.filter(col("doc_id") % 101 =!= 7)
+      corpus.join(broadcast(bench), "ng")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Repetition metrics (Gopher-style quality filters): per doc, the
+    // most-frequent-bigram fraction and the fraction of bigrams that
+    // are duplicates — the signals that kill boilerplate/spam docs.
+    // explode → (doc, bigram) partial-agg count → per-doc aggregate;
+    // both shuffles are keyed by doc, state per doc is its distinct
+    // bigram counts.
+    "q76_repetition" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bg"))
+      bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          max(col("c")).as("top_c"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bg"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_c"),
+          round(col("top_c") / col("n_bigrams"), 6).as("top_frac"),
+          round(col("dup_bg") / col("n_bigrams"), 6).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // PII scrub, proven by inject-then-scrub: deterministic synthetic
+    // PII (an email for doc_id%10==3, a phone for doc_id%10==6 — the
+    // corpus itself contains none) is appended, then the scrubber
+    // redacts by regex and reports match counts, the redacted text's
+    // md5, and a leftover count that the oracle pins to zero. Pure
+    // per-row regexp projection — the shape PII removal has at 100 TB.
+    "q77_pii_scrub" -> ((s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, dir)
+        .withColumn("dirty", expr(
+          "concat(text, CASE WHEN doc_id % 10 = 3 THEN concat(' contact user', cast(doc_id as string), '@example.com now') " +
+            "WHEN doc_id % 10 = 6 THEN concat(' call 555-', lpad(cast(doc_id % 1000 as string), 3, '0'), '-4567 now') ELSE '' END)"))
+        .withColumn("scrubbed", regexp_replace(
+          regexp_replace(col("dirty"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("dirty"), lit(phoneRe), lit(0))).as("n_phones"),
+          (size(regexp_extract_all(col("scrubbed"), lit(emailRe), lit(0)))
+            + size(regexp_extract_all(col("scrubbed"), lit(phoneRe), lit(0)))).as("n_leftover"),
+          md5(col("scrubbed").cast("binary")).as("scrub_hash"),
+          (length(col("dirty")) - length(col("scrubbed"))).as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q75_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "ng AS (SELECT DISTINCT doc_id, ng FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "array_to_string(w[i:i+7], ' '))) AS ng FROM toks WHERE len(w) >= 8)), "
+        + "bench AS (SELECT doc_id AS bench_id, ng FROM ng WHERE doc_id % 101 = 7), "
+        + "corpus AS (SELECT doc_id, ng FROM ng WHERE doc_id % 101 <> 7) "
+        + "SELECT c.doc_id, count(*) AS n_hits, count(DISTINCT b.bench_id) AS n_bench_docs "
+        + "FROM corpus c JOIN bench b USING (ng) GROUP BY c.doc_id ORDER BY c.doc_id"),
+    "q76_repetition" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg "
+        + "FROM toks WHERE len(w) >= 2), "
+        + "bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2) "
+        + "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c, "
+        + "round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_frac, "
+        + "round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6) AS dup_frac "
+        + "FROM bgc GROUP BY doc_id ORDER BY doc_id"),
+    "q77_pii_scrub" ->
+      ("WITH dirty AS (SELECT doc_id, text || CASE WHEN doc_id % 10 = 3 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' "
+        + "WHEN doc_id % 10 = 6 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567 now' ELSE '' END AS dirty FROM documents), "
+        + "scrub AS (SELECT doc_id, dirty, regexp_replace(regexp_replace(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), '555-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed FROM dirty) "
+        + "SELECT doc_id, len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, "
+        + "len(regexp_extract_all(dirty, '555-[0-9]{3}-[0-9]{4}')) AS n_phones, "
+        + "len(regexp_extract_all(scrubbed, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) + len(regexp_extract_all(scrubbed, '555-[0-9]{3}-[0-9]{4}')) AS n_leftover, "
+        + "md5(scrubbed) AS scrub_hash, length(dirty) - length(scrubbed) AS len_delta "
+        + "FROM scrub ORDER BY doc_id"),
+  )
+}
