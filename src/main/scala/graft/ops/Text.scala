@@ -38,7 +38,7 @@ object Text extends QueryPack {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .filter(col("tok") =!= "")
 
-  def queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = Map[String, Q](
     // ------------------------------------------------------------------
     // Top-10 terms per language (count desc, term asc) — partitioned
     // window over pre-aggregated (lang, tok) counts, never over raw rows.
@@ -105,7 +105,47 @@ object Text extends QueryPack {
     // Near-dup pairs: candidate pairs share ≥1 5-word shingle (blocking
     // key), then exact Jaccard over each pair's full shingle SETS; keep
     // jaccard ≥ 0.01 (candidates are already rare — see header).
-    "q40_dedup_near" -> ((s, dir) => {
+    "q40_dedup_near" -> ((s, dir) =>
+      nearDupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ------------------------------------------------------------------
+    // Dedup-cluster consolidation: q40's near-dup PAIRS are only half
+    // the dedup story — transitive groups must collapse to one survivor.
+    // Connected components by min-label propagation over the pair
+    // graph: 5 deterministic iterations (cluster diameters here are
+    // tiny; a 100 TB run iterates to fixpoint the same way — this IS
+    // large-scale CC, the GraphX/Pregel shape in plain DataFrames).
+    // Each iteration localCheckpoints: iterative plans otherwise grow
+    // exponentially deep lineage, the standard Spark iterative-algo
+    // practice.
+    "q80_dedup_clusters" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v").localCheckpoint()
+      var labels = edges.select(col("u").as("doc")).distinct()
+        .withColumn("lbl", col("doc"))
+      for (_ <- 1 to 5) {
+        labels = labels
+          .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
+            .select(col("u").as("doc"), col("lbl")))
+          .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint()
+      }
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"),
+          max(col("doc")).as("max_doc"))
+        .select(col("lbl").as("cluster"), col("n_docs"), col("min_doc"), col("max_doc"))
+        .orderBy(col("cluster"))
+    }),
+  ) ++ moreQueries
+
+  /** q40's near-dup pair pipeline (shared with q80's clustering):
+    * 5-word-shingle blocking key → df-capped group-then-expand →
+    * exact Jaccard per candidate pair, keep ≥ 0.01. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
       // Shingle sets via explode + hash-agg distinct (measured FASTER
       // than in-row array_distinct, whose pairwise compares are O(n²)
       // per row over ~60-element string arrays).
@@ -144,10 +184,9 @@ object Text extends QueryPack {
         .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
         .withColumn("jaccard", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
         .filter(col("jaccard") >= 0.01)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"), col("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+  }
 
+  private def moreQueries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // Brute-force cosine top-5 per probe vector (probes = vec_id < 3).
     // Probe side broadcasts; similarity is the native codegen'd
@@ -251,6 +290,25 @@ object Text extends QueryPack {
         + "SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard "
         + "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
         + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01 ORDER BY doc_a, doc_b"),
+    "q80_dedup_clusters" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+          + "l0 AS (SELECT DISTINCT u AS doc, u AS lbl FROM edges)")
+      val iters = (0 until 5).map(i =>
+        s"l${i + 1} AS (SELECT doc, min(lbl) AS lbl FROM (SELECT doc, lbl FROM l$i "
+          + s"UNION ALL SELECT e.u AS doc, l.lbl FROM edges e JOIN l$i l ON l.doc = e.v) GROUP BY doc)").mkString(", ")
+      (s"WITH $pairCtes, $iters "
+        + "SELECT lbl AS cluster, count(*) AS n_docs, min(doc) AS min_doc, max(doc) AS max_doc "
+        + "FROM l5 GROUP BY lbl ORDER BY cluster")
+    },
     "q41_cosine_topk" ->
       ("WITH probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 3), "
         + "sim AS (SELECT probe_id, vec_id, round(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))) / "

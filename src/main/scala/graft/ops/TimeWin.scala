@@ -53,6 +53,48 @@ object TimeWin extends QueryPack {
           min(col("ts")).as("sess_start"),
           (unix_micros(max(col("ts")).cast("timestamp")) - unix_micros(min(col("ts")).cast("timestamp"))).as("dur_us"))
         .orderBy(col("user_id"), col("sess_id"))),
+
+    // ------------------------------------------------------------------
+    // Ordered-event funnel with a 24 h conversion window per step: first
+    // view → first click within 24 h of it → first purchase within 24 h
+    // of THAT. Three per-user partial-agg mins chained by user-keyed
+    // joins — no window over raw events, no per-user state beyond one
+    // timestamp per step, so the funnel scales with user count.
+    "q78_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Daily cohort retention: users grouped by first-active day, then
+    // per (cohort, day-offset) the distinct active users and the
+    // retention rate vs cohort size. Classic engagement matrix — one
+    // user-keyed agg, one join back, one distinct, one final agg.
+    "q79_retention" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val firstd = e.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      val cSize = firstd.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+      e.join(firstd, "user_id")
+        .select(col("user_id"), col("cohort"),
+          datediff(date_trunc("day", col("ts")).cast("date"), col("cohort").cast("date")).as("d"))
+        .distinct()
+        .groupBy(col("cohort"), col("d")).agg(count(lit(1)).as("n_users"))
+        .join(broadcast(cSize), "cohort")
+        .select(col("cohort"), col("d"), col("n_users"), col("cohort_size"),
+          round(col("n_users") / col("cohort_size"), 6).as("rate"))
+        .orderBy(col("cohort"), col("d"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -72,5 +114,21 @@ object TimeWin extends QueryPack {
         + "SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
         + "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)) "
         + "GROUP BY user_id, sess_id ORDER BY user_id, sess_id"),
+    "q78_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id), "
+        + "s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id) "
+        + "WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id), "
+        + "s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id) "
+        + "WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id) "
+        + "SELECT s1.user_id, t1, t2, t3 FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id "
+        + "LEFT JOIN s3 ON s1.user_id = s3.user_id ORDER BY s1.user_id"),
+    "q79_retention" ->
+      ("WITH firstd AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS cohort FROM events GROUP BY user_id), "
+        + "csize AS (SELECT cohort, count(*) AS cohort_size FROM firstd GROUP BY cohort), "
+        + "act AS (SELECT DISTINCT e.user_id, f.cohort, date_diff('day', CAST(f.cohort AS DATE), CAST(date_trunc('day', e.ts) AS DATE)) AS d "
+        + "FROM events e JOIN firstd f USING (user_id)), "
+        + "agg AS (SELECT cohort, d, count(*) AS n_users FROM act GROUP BY cohort, d) "
+        + "SELECT a.cohort, a.d, a.n_users, c.cohort_size, round(CAST(a.n_users AS DOUBLE) / c.cohort_size, 6) AS rate "
+        + "FROM agg a JOIN csize c USING (cohort) ORDER BY a.cohort, a.d"),
   )
 }
