@@ -89,6 +89,31 @@ object Pipeline extends QueryPack {
           round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
     }),
+
+    // ------------------------------------------------------------------
+    // The fact⋈fact join through bucketed tables (q67's sibling: same
+    // prove-the-technique-under-the-oracle pattern). Both sides are
+    // written bucketBy(8).sortBy on the join key into a per-run
+    // warehouse, and the join consumes the bucket layout — at 100 TB
+    // this is the co-located join that removes the shuffle entirely
+    // (the no-Exchange plan property is asserted in BucketingSpec; the
+    // oracle here proves the layout is semantics-preserving).
+    "q82_bucketed_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_bkt82_").toString
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt82 LOCATION '$wh'")
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt82.orders_b")
+      Tables.lineitem(s, dir).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt82.lineitem_b")
+      s.table("graft_bkt82.lineitem_b")
+        .join(s.table("graft_bkt82.orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"), col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6).as("rev"))
+        .orderBy(col("o_orderstatus"), col("l_returnflag"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -96,6 +121,11 @@ object Pipeline extends QueryPack {
       ("SELECT lang, rn, doc_id, source FROM (SELECT lang, doc_id, source, "
         + "row_number() OVER (PARTITION BY lang ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "
         + "FROM documents) WHERE rn <= 20 ORDER BY lang, rn"),
+    "q82_bucketed_join" ->
+      ("SELECT o_orderstatus, l_returnflag, count(*) AS n, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS rev "
+        + "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        + "GROUP BY o_orderstatus, l_returnflag ORDER BY o_orderstatus, l_returnflag"),
     "q67_skew_salted_join" ->
       "SELECT r_name, n_name, count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey GROUP BY r_name, n_name ORDER BY r_name, n_name",
     "q58_sample_split" ->

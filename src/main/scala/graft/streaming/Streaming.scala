@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -69,7 +69,60 @@ object Streaming extends QueryPack {
       q.awaitTermination()
       s.table("q47_mem").orderBy(col("w_start"), col("event_type"))
     }),
+
+    // ------------------------------------------------------------------
+    // Stateful streaming sessionization — flatMapGroupsWithState with
+    // per-user session state stitched ACROSS microbatches: events are
+    // staged as 3 event-time-ordered files consumed one per microbatch
+    // (maxFilesPerTrigger=1), so sessions spanning a file boundary must
+    // survive in the state store. Emitted = every session CLOSED by an
+    // observed >30-min gap; each user's trailing open session stays in
+    // state. That set is exactly SQL-expressible (all batch q46
+    // sessions minus each user's last), so unlike q47 this streaming
+    // query has a full DuckDB hash oracle.
+    "q81_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StatefulSessions.{Ev, Sess, SessState}
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      s.catalog.dropTempView("q81_mem")
+      val in = java.nio.file.Files.createTempDirectory("graft_q81_").toString
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
+      // fixed event-time split boundaries (data spans 2024-01): each
+      // tranche becomes one microbatch, deterministically
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*/")
+        .as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, Sess](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+          graft.streaming.StatefulSessions.sessionize)
+        .writeStream.format("memory").queryName("q81_mem")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q81_mem").orderBy(col("user_id"), col("sess_id"))
+    }),
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "q81_stream_sessionize" ->
+      ("WITH sess AS (SELECT user_id, sess_id, count(*) AS n_events, "
+        + "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us FROM ("
+        + "SELECT user_id, ts, event_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM ("
+        + "SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+        + "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)) "
+        + "GROUP BY user_id, sess_id) "
+        + "SELECT user_id, sess_id, n_events, dur_us FROM ("
+        + "SELECT user_id, sess_id, n_events, dur_us, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM sess) "
+        + "WHERE sess_id < mx ORDER BY user_id, sess_id"),
+  )
 }
