@@ -32,6 +32,8 @@ object Curation extends QueryPack {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")).as("ng"))
         .distinct()
+        // bench + corpus branches both consume the n-gram set
+        .localCheckpoint()
       val bench = ng.filter(col("doc_id") % 101 === 7)
         .select(col("doc_id").as("bench_id"), col("ng"))
       val corpus = ng.filter(col("doc_id") % 101 =!= 7)

@@ -228,9 +228,46 @@ object Relational extends QueryPack {
         .select(lit("union_all_cnt").as("tag"), col("k").cast("int"))
       both.unionAll(custOnly).unionAll(all).orderBy(col("tag"), col("k"))
     }),
+
+    // ------------------------------------------------------------------
+    // The SQL-string entry point (spark.sql over a registered view) with
+    // the canonical warehouse query: TPC-H Q1 pricing summary. Same
+    // Catalyst plan as the DataFrame form — this declares the textual
+    // SQL surface itself as driver-visible. Determinism: every sum runs
+    // over exact decimals (2/4/6-dp casts make the per-row products
+    // exact), averages derive from those sums, 6-dp rounds on output.
+    "q83_sql_tpch_q1" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+          round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price,
+          round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge,
+          round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+          round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+          round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= CAST('1998-09-02' AS TIMESTAMP_NTZ)
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q83_sql_tpch_q1" ->
+      ("SELECT l_returnflag, l_linestatus, "
+        + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price, "
+        + "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price, "
+        + "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_charge, "
+        + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price, "
+        + "round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc, "
+        + "count(*) AS count_order FROM lineitem "
+        + "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        + "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100",
     "q02_scan_events_ns" ->

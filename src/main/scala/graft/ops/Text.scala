@@ -156,6 +156,11 @@ object Text extends QueryPack {
           "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))"))
           .as("sh"))
         .distinct()
+        // materialized once: four plan branches consume the shingle set
+        // (sizes ×2, df-filter, pair grouping) and would otherwise each
+        // replay the tokenize+explode+distinct subtree (4 scans in the
+        // un-checkpointed plan)
+        .localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       // Pair generation via group-then-expand, NOT a self-join: one
       // shuffle keyed by shingle, pairs expanded from each (rare)

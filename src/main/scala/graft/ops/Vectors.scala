@@ -113,6 +113,9 @@ object Vectors extends QueryPack {
         .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
         .groupBy(col("vec_id"))
         .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+        // df-filter + pair join both consume the bucket table; without
+        // this the explode+plane-join+two-agg subtree runs per branch
+        .localCheckpoint()
       // Hot-bucket guard (same as q40's shingle-df cap): an LSH bucket
       // holding more vectors than the cap is a degenerate blocking key
       // (near-duplicate embeddings of a boilerplate doc at 100 TB) —
