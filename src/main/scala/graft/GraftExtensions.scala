@@ -9,7 +9,10 @@ import org.apache.spark.sql.{GraftFunctions, SparkSessionExtensions}
   * (Verify/Bench do the latter).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.cosineIdent,
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((GraftFunctions.sqDistIdent,
+      GraftFunctions.sqDistInfo, GraftFunctions.sqDistBuilder))
+  }
 }

@@ -221,6 +221,7 @@ object Text extends QueryPack {
     // distributed avg's partition-order noise can't leak into ranking;
     // argmin via window; output = confusion counts.
     "q42_centroid_knn" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
       val cent = e
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -230,8 +231,7 @@ object Text extends QueryPack {
         .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
         .select(col("label").as("clabel"), col("cvec"))
       val dist = e.crossJoin(broadcast(cent))
-        .withColumn("d2", round(expr(
-          "aggregate(zip_with(embedding, cvec, (x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), cast(0 as double), (a, v) -> a + v)"), 6))
+        .withColumn("d2", round(expr("sq_dist(embedding, cvec)"), 6))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("clabel"))
       dist.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

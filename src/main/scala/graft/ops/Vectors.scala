@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Vectors extends QueryPack {
 
-  private val sqdist =
-    "aggregate(zip_with(%s, %s, (x, c) -> (cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double))), cast(0 as double), (a, v) -> a + v)"
+  // native codegen'd expression (graft.functions.SquaredDistance): same
+  // left-to-right double accumulation as the aggregate(zip_with(..)) HOF
+  // fold it replaced, but fused and whole-stage-codegen'd (HOFs run
+  // interpreted and allocate a zipped array per row)
+  private val sqdist = "sq_dist(%s, %s)"
 
   /** Per-label mean vectors, coords rounded — the k-means INIT (k=10).
     * Labels seed the codebook deterministically; the codebook q61
@@ -73,6 +76,7 @@ object Vectors extends QueryPack {
     // (q65's machinery), not the label centroids: a real corpus has no
     // labels at index-build time.
     "q61_ann_ivf" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // idempotent; no-op under GraftExtensions
       val e = Tables.embeddings(s, dir)
       val cb = trainedCodebook(s, dir)
       val a = assign(e, cb).select(col("vec_id"), col("label"),
@@ -149,6 +153,7 @@ object Vectors extends QueryPack {
     // centroids + one shuffle — the training loop a real IVF index
     // build runs, expressed declaratively (q61 is the search side).
     "q65_kmeans_train" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
       // trainedCodebook = one Lloyd iteration from the label-mean init;
       // the second assignment both scores it (inertia) and IS the

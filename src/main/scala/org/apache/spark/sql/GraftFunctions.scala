@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SquaredDistance}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -28,8 +28,21 @@ object GraftFunctions {
 
   val cosineIdent: FunctionIdentifier = FunctionIdentifier("cosine_sim")
 
-  def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+  val sqDistBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SquaredDistance(a, b)
+    case other =>
+      throw new IllegalArgumentException(s"sq_dist expects 2 args, got ${other.size}")
+  }
+
+  val sqDistInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SquaredDistance].getName, "sq_dist")
+
+  val sqDistIdent: FunctionIdentifier = FunctionIdentifier("sq_dist")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-      .createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+    reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
+  }
 }
