@@ -95,9 +95,39 @@ object Curation extends QueryPack {
           (length(col("dirty")) - length(col("scrubbed"))).as("len_delta"))
         .orderBy(col("doc_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // Domain-mixture reweighting: the "data mixing" step that turns a
+    // raw crawl into a training mixture. Actual share = this source's
+    // chars / total; target share comes from a deterministic integer
+    // weight (1e6 div (1+source_idx) — exact BIGINT, so the total is
+    // order-independent, unlike a float weight sum); sampling factor =
+    // target/actual is what an upstream sampler would apply per source.
+    // One partial-agg groupBy + a broadcast of the 1-row totals.
+    "q84_domain_mix" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .withColumn("w", expr("1000000 div (1 + cast(substr(source, 4, 10) as int))"))
+      val tot = per.agg(sum(col("chars")).as("tot_chars"), sum(col("w")).as("tot_w"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("chars"),
+          round(col("chars") / col("tot_chars"), 6).as("actual_share"),
+          round(col("w") / col("tot_w"), 6).as("target_share"),
+          round((col("w") / col("tot_w")) / (col("chars") / col("tot_chars")), 6).as("factor"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q84_domain_mix" ->
+      ("WITH per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
+        + "1000000 // (1 + CAST(substr(source, 4, 10) AS INT)) AS w FROM documents GROUP BY source), "
+        + "tot AS (SELECT CAST(sum(chars) AS BIGINT) AS tot_chars, CAST(sum(w) AS BIGINT) AS tot_w FROM per) "
+        + "SELECT source, n_docs, chars, round(CAST(chars AS DOUBLE) / tot_chars, 6) AS actual_share, "
+        + "round(CAST(w AS DOUBLE) / tot_w, 6) AS target_share, "
+        + "round((CAST(w AS DOUBLE) / tot_w) / (CAST(chars AS DOUBLE) / tot_chars), 6) AS factor "
+        + "FROM per CROSS JOIN tot ORDER BY source"),
     "q75_decontaminate" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "ng AS (SELECT DISTINCT doc_id, ng FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
