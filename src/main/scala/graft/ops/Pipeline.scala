@@ -74,6 +74,30 @@ object Pipeline extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // CDC changelog compaction: events replayed as a per-user changelog
+    // (version order = ts, event_id); the compacted state is the LATEST
+    // version per key, and a key whose latest op is a tombstone (the
+    // 'error' type here) is dropped entirely — the upsert/delete
+    // semantics every ingestion pipeline materializes. One partitioned
+    // window keyed by user, so compaction state never leaves its key
+    // partition and the operator scales with key count, not log length.
+    "q85_cdc_compact" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_versions",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("n_versions"), col("ts").as("last_ts"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // The q05 star join run through Skew.saltedJoin (8-way salt on the
     // orders→customer edge): identical oracle as a plain join — proof
     // under the hash gate that salting is semantics-preserving.
@@ -117,6 +141,12 @@ object Pipeline extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q85_cdc_compact" ->
+      ("WITH ranked AS (SELECT user_id, ts, event_type, value, event_id, "
+        + "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, "
+        + "count(*) OVER (PARTITION BY user_id) AS n_versions FROM events) "
+        + "SELECT user_id, n_versions, ts AS last_ts, event_type AS last_type, value AS last_value "
+        + "FROM ranked WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id"),
     "q68_stratified_sample" ->
       ("SELECT lang, rn, doc_id, source FROM (SELECT lang, doc_id, source, "
         + "row_number() OVER (PARTITION BY lang ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn "

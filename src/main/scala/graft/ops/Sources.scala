@@ -54,9 +54,33 @@ object Sources extends QueryPack {
           min(col("o_orderdate")).as("first_order"))
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
     }),
+    // ------------------------------------------------------------------
+    // The partitioned-parquet SINK surface: documents written
+    // hive-partitioned by lang (the layout a 100 TB corpus store uses so
+    // language slices are directory-prunable), read back, and aggregated
+    // from a 2-lang slice. The lang filter must become PartitionFilters
+    // on the read (asserted in SourcesSpec) — only those directories are
+    // scanned. Oracle runs the same slice on the parquet originals, so
+    // any loss in the partitioned round-trip breaks the hash.
+    "q88_sink_partitioned" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_sink88_")
+      stage.toFile.deleteOnExit()
+      Tables.documents(s, dir).write.mode("overwrite")
+        .partitionBy("lang").parquet(s"$stage/docs_by_lang")
+      s.read.parquet(s"$stage/docs_by_lang")
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("source"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q88_sink_partitioned" ->
+      ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        + "min(doc_id) AS first_doc FROM documents WHERE lang IN ('en', 'de') "
+        + "GROUP BY lang, source ORDER BY lang, source"),
     "q74_sources" ->
       ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, "
         + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue, "

@@ -259,6 +259,31 @@ object Stats extends QueryPack {
         .orderBy(col("l_returnflag"))),
 
     // ------------------------------------------------------------------
+    // Winsorization: per-group p05/p95 exact-percentile clamp — the
+    // outlier-robustness pass a feature/statistics pipeline runs before
+    // averaging heavy-tailed columns. The bounds table is 3 rows →
+    // broadcast join back to the fact; clipped sums accumulate in
+    // DECIMAL(18,6) (bounds are 6-dp-rounded) so partial-agg merge
+    // order cannot perturb the result.
+    "q86_winsorize" -> ((s, dir) => {
+      val b = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("round(percentile(l_extendedprice, 0.05), 6)").as("lo"),
+          expr("round(percentile(l_extendedprice, 0.95), 6)").as("hi"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(b), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1).otherwise(0)).as("n_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1).otherwise(0)).as("n_hi"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 6).as("avg_raw"),
+          round(sum(least(greatest(col("l_extendedprice"), col("lo")), col("hi"))
+            .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("avg_wins"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ------------------------------------------------------------------
     // Fixed-width histogram (deterministic bins; histogram_numeric's
     // adaptive bins can never match another engine).
     "q24_histogram" -> ((s, dir) =>
@@ -271,6 +296,15 @@ object Stats extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q86_winsorize" ->
+      ("WITH b AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 6) AS lo, "
+        + "round(quantile_cont(l_extendedprice, 0.95), 6) AS hi FROM lineitem GROUP BY 1) "
+        + "SELECT l.l_returnflag, count(*) AS n, "
+        + "CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, "
+        + "CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_raw, "
+        + "round(CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_wins "
+        + "FROM lineitem l JOIN b USING (l_returnflag) GROUP BY 1 ORDER BY 1"),
     "q16_corr_pair" ->
       "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem",
     "q17_corr_matrix" ->

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object TimeWin extends QueryPack {
 
+  /** EWMA weights (1-α)^k for α=0.3, k=0..9, as EXACT decimal literal
+    * strings: both engines parse the same decimal text to the same
+    * nearest double, so the weighted sum is bit-identical (pow() libm
+    * implementations are NOT guaranteed to agree across engines). */
+  private val ewmaW: Seq[String] = {
+    val seven = BigDecimal(7); val ten = BigDecimal(10)
+    (0 until 10).map(k => ((seven pow k) / (ten pow k)).bigDecimal.toPlainString)
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // 1-hour tumbling counts/sums per event_type.
@@ -53,6 +62,55 @@ object TimeWin extends QueryPack {
           min(col("ts")).as("sess_start"),
           (unix_micros(max(col("ts")).cast("timestamp")) - unix_micros(min(col("ts")).cast("timestamp"))).as("dur_us"))
         .orderBy(col("user_id"), col("sess_id"))),
+
+    // ------------------------------------------------------------------
+    // Trailing EWMA (α=0.3, 10-term horizon) over exact daily sums per
+    // event type — the smoothing pass monitoring/forecasting runs on
+    // its series. The weighted sum is an explicit left-to-right fold of
+    // 10 lag() terms with literal decimal weights (see [[ewmaW]]), so
+    // both engines execute the identical IEEE op sequence; edges
+    // renormalize by the weight mass actually present. One partitioned
+    // window over post-agg daily rows — bounded per type, never raw data.
+    "q87_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val numer = ewmaW.zipWithIndex.map { case (wk, k) =>
+        when(lag(col("v"), k).over(w).isNotNull,
+          lit(wk.toDouble) * lag(col("v"), k).over(w)).otherwise(lit(0d))
+      }.reduce(_ + _)
+      val denom = ewmaW.zipWithIndex.map { case (wk, k) =>
+        when(lag(col("v"), k).over(w).isNotNull, lit(wk.toDouble))
+          .otherwise(lit(0d))
+      }.reduce(_ + _)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .withColumn("ewma", round(numer / denom, 6))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ------------------------------------------------------------------
+    // SCD-2 / temporal-table build: each user's event stream becomes
+    // versioned validity intervals [valid_from, valid_to) via lead(),
+    // with an is_current flag on the open interval — the point-in-time-
+    // join layout a feature store materializes. One partitioned window
+    // keyed by user; versioning state never leaves its key partition.
+    "q91_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"), col("event_id"))
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("version"), col("ts").as("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"),
+          col("event_type"), col("value"),
+          round(when(col("valid_to").isNull, lit(0d))
+            .otherwise((unix_micros(col("valid_to").cast("timestamp"))
+              - unix_micros(col("ts").cast("timestamp"))) / lit(1000000.0)), 6).as("dur_sec"))
+        .orderBy(col("user_id"), col("version"))
+    }),
 
     // ------------------------------------------------------------------
     // Ordered-event funnel with a 24 h conversion window per step: first
@@ -98,6 +156,26 @@ object TimeWin extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q87_ewma" -> {
+      val numer = ewmaW.zipWithIndex.map { case (wk, k) =>
+        s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN $wk * lag(v, $k) OVER w ELSE 0 END"
+      }.mkString(" + ")
+      val denom = ewmaW.zipWithIndex.map { case (wk, k) =>
+        s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN $wk ELSE 0 END"
+      }.mkString(" + ")
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1, 2) "
+        + s"SELECT event_type, day, v, round(($numer) / ($denom), 6) AS ewma "
+        + "FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day) ORDER BY event_type, day")
+    },
+    "q91_scd2" ->
+      ("WITH v AS (SELECT user_id, ts, event_type, value, event_id, "
+        + "row_number() OVER w AS version, lead(ts) OVER w AS valid_to "
+        + "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        + "SELECT user_id, version, ts AS valid_from, valid_to, "
+        + "CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current, event_type, value, "
+        + "round(CASE WHEN valid_to IS NULL THEN 0 ELSE CAST(date_diff('microsecond', ts, valid_to) AS BIGINT) / 1000000.0 END, 6) AS dur_sec "
+        + "FROM v ORDER BY user_id, version"),
     "q44_window_tumble" ->
       ("SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start, event_type, count(*) AS cnt, "
         + "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_v FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"),
