@@ -145,6 +145,39 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
     // ------------------------------------------------------------------
+    // Product quantization (the IVF-PQ compression path): the 64-dim
+    // vector is split into 4×16-dim sub-blocks, each with its OWN
+    // trained sub-codebook (label-mean init → one Lloyd iteration —
+    // q65's training loop per block); every vector is encoded as 4
+    // code ids (64 floats → 4 small ints, the ~64× compression a
+    // billion-vector index needs) plus its total quantization error.
+    // Each block is a broadcast of k=10 sub-centroids + one partitioned
+    // window; blocks are independent so the 4 pipelines parallelize.
+    "q89_pq_encode" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val encoded = (0 until 4).map { b =>
+        val sub = e.select(col("vec_id"), col("label"),
+          slice(col("embedding"), b * 16 + 1, 16).as("embedding"))
+          .localCheckpoint() // init + 2 assigns + recompute all consume it
+        val init = sub
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+          .groupBy(col("label"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
+          .select(col("label").as("cid"), col("cvec"))
+        val trained = recompute(assign(sub, init)).cache()
+        assign(sub, trained)
+          .select(col("vec_id"), col("cid").as(s"c$b"), col("d2").as(s"err$b"))
+      }
+      encoded.reduce(_.join(_, "vec_id"))
+        .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          round(col("err0") + col("err1") + col("err2") + col("err3"), 6).as("err"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // k-means codebook training, 2 Lloyd iterations (k=10, init = the
     // label centroids): assign → recompute, centroids ROUNDED each
     // iteration so the distributed avg's partition-order noise can
@@ -188,7 +221,31 @@ object Vectors extends QueryPack {
       + distSql("cent0", "d1", "a1") + ", "
       + recomputeSql("a1", "cent1"))
 
+  /** q89 oracle, one block: slice → label-mean init → assign → recompute
+    * → encode (mirrors the Spark per-block pipeline; same idiom as
+    * [[trainSql]] but parameterized by the sub-vector slice). */
+  private def pqBlockSql(b: Int): String = {
+    val lo = b * 16 + 1; val hi = b * 16 + 16
+    def dist(cent: String, out: String) =
+      (s"$out AS (SELECT s.vec_id, c.cid, round(list_sum(list_transform(range(1, len(s.sv) + 1), i -> "
+        + "(CAST(s.sv[i] AS DOUBLE) - c.cvec[i]) * (CAST(s.sv[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2 "
+        + s"FROM sub$b s CROSS JOIN $cent c)")
+    (s"sub$b AS (SELECT vec_id, label, embedding[$lo:$hi] AS sv FROM embeddings), "
+      + s"e$b AS (SELECT label AS cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS x FROM sub$b), "
+      + s"ci$b AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM e$b GROUP BY cid, pos) GROUP BY cid), "
+      + dist(s"ci$b", s"di$b") + ", "
+      + s"ai$b AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM di$b) WHERE rn = 1), "
+      + s"ex$b AS (SELECT a.cid, generate_subscripts(s.sv, 1) AS pos, unnest(s.sv) AS x FROM ai$b a JOIN sub$b s USING (vec_id)), "
+      + s"ct$b AS (SELECT cid, list(round(c, 6) ORDER BY pos) AS cvec FROM (SELECT cid, pos, avg(CAST(x AS DOUBLE)) AS c FROM ex$b GROUP BY cid, pos) GROUP BY cid), "
+      + dist(s"ct$b", s"dt$b") + ", "
+      + s"at$b AS (SELECT vec_id, cid AS c$b, d2 AS err$b FROM (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM dt$b) WHERE rn = 1)")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q89_pq_encode" ->
+      ("WITH " + (0 until 4).map(pqBlockSql).mkString(", ")
+        + " SELECT a.vec_id, c0, c1, c2, c3, round(err0 + err1 + err2 + err3, 6) AS err "
+        + "FROM at0 a JOIN at1 USING (vec_id) JOIN at2 USING (vec_id) JOIN at3 USING (vec_id) ORDER BY vec_id"),
     "q61_ann_ivf" ->
       (s"WITH $trainSql, "
         + "adist AS (SELECT e.vec_id, e.label, e.embedding, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "

@@ -111,9 +111,64 @@ object Streaming extends QueryPack {
       q.awaitTermination()
       s.table("q81_mem").orderBy(col("user_id"), col("sess_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // STREAM-STREAM interval join with a full hash oracle: views ⋈
+    // clicks (same user, click within 30 min after the view) as two
+    // watermarked streams over 3 event-time-ordered microbatches, so
+    // boundary matches must come from join STATE carried across
+    // batches. Because the tranches are time-split and the 1 h
+    // watermark exceeds the 30 min join window, state eviction can
+    // never drop a legitimate match — the streaming inner join emits
+    // exactly the batch join, which is the DuckDB oracle.
+    "q90_stream_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q90_mem")
+      val in = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
+          col("value").as("c_value"))
+        .withWatermark("cts", "1 hour")
+      val q = views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+        .writeStream.format("memory").queryName("q90_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q90_mem")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"), min(col("view_id")).as("first_view"),
+          round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q90_stream_join" ->
+      ("SELECT v.user_id, count(*) AS n_pairs, min(v.event_id) AS first_view, "
+        + "round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
+        + "FROM events v JOIN events c ON v.user_id = c.user_id "
+        + "AND v.event_type = 'view' AND c.event_type = 'click' "
+        + "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE "
+        + "GROUP BY 1 ORDER BY 1"),
     "q81_stream_sessionize" ->
       ("WITH sess AS (SELECT user_id, sess_id, count(*) AS n_events, "
         + "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us FROM ("

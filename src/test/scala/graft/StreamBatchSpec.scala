@@ -31,4 +31,29 @@ class StreamBatchSpec extends AnyFunSuite with Matchers with SharedSpark {
       emittedAfter shouldBe 0
     }
   }
+
+  test("q90 stream-stream join emits exactly the batch interval join") {
+    import org.apache.spark.sql.functions._
+    val stream = SparkEntry.queries("q90_stream_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("first_view"), r.getAs[Double]("click_value"))).toMap
+    val e = Tables.events(spark, sf)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("view_id"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value").as("c_value"))
+    val batch = v.join(c, col("user_id") === col("c_user")
+        && col("cts") > col("vts")
+        && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("view_id")).as("first_view"),
+        round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("first_view"), r.getAs[Double]("click_value"))).toMap
+    stream.size should be > 0
+    // inner stream-stream join under AvailableNow = the batch join, no
+    // more (state never evicts a live match) and no less (all emitted)
+    stream shouldBe batch
+  }
 }
