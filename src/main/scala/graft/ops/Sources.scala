@@ -74,9 +74,33 @@ object Sources extends QueryPack {
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("lang"), col("source"))
     }),
+    // ------------------------------------------------------------------
+    // The ORC format surface as a declared round-trip: lineitem staged
+    // to ORC (columnar like parquet — splittable, predicate-pushdown-
+    // capable), read back, aggregated; oracle runs the same agg on the
+    // parquet originals, so type/precision/timestamp loss in the ORC
+    // round-trip breaks the hash.
+    "q94_orc_roundtrip" -> ((s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_orc94_")
+      stage.toFile.deleteOnExit()
+      Tables.lineitem(s, dir).write.mode("overwrite").orc(s"$stage/lineitem_orc")
+      s.read.orc(s"$stage/lineitem_orc")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6).as("sum_price"),
+          min(col("l_shipdate")).as("first_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q94_orc_roundtrip" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_price, "
+        + "min(l_shipdate) AS first_ship FROM lineitem "
+        + "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q88_sink_partitioned" ->
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         + "min(doc_id) AS first_doc FROM documents WHERE lang IN ('en', 'de') "

@@ -284,6 +284,30 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Robust anomaly detection (median/MAD, the monitoring-pipeline
+    // outlier flag): per event type, days whose daily sum deviates from
+    // the median by > 2.5 robust z (MAD × 1.4826). Median and MAD are
+    // exact percentiles over post-agg daily rows (bounded per type);
+    // both 1-row-per-type tables broadcast back.
+    "q93_anomaly_mad" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+      val mad = daily.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(abs(v - med), 0.5)"), 6).as("mad"))
+      daily.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .withColumn("rz", round(abs(col("v") - col("med"))
+          / (lit(1.4826) * col("mad")), 6))
+        .filter(abs(col("v") - col("med")) / (lit(1.4826) * col("mad")) > 2.5)
+        .select(col("event_type"), col("day"), col("v"), col("med"),
+          col("mad"), col("rz"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ------------------------------------------------------------------
     // Fixed-width histogram (deterministic bins; histogram_numeric's
     // adaptive bins can never match another engine).
     "q24_histogram" -> ((s, dir) =>
@@ -296,6 +320,14 @@ object Stats extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q93_anomaly_mad" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "
+        + "med AS (SELECT event_type, round(median(v), 6) AS med FROM daily GROUP BY 1), "
+        + "mad AS (SELECT d.event_type, round(median(abs(v - med)), 6) AS mad FROM daily d JOIN med USING (event_type) GROUP BY 1) "
+        + "SELECT d.event_type, day, v, med, mad, round(abs(v - med) / (1.4826 * mad), 6) AS rz "
+        + "FROM daily d JOIN med USING (event_type) JOIN mad USING (event_type) "
+        + "WHERE abs(v - med) / (1.4826 * mad) > 2.5 ORDER BY event_type, day"),
     "q86_winsorize" ->
       ("WITH b AS (SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.05), 6) AS lo, "
         + "round(quantile_cont(l_extendedprice, 0.95), 6) AS hi FROM lineitem GROUP BY 1) "

@@ -265,9 +265,57 @@ object Text extends QueryPack {
         .select(col("name_a"), col("name_b"), col("lev"), col("cnt_a"), col("cnt_b"))
         .orderBy(col("name_a"), col("name_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // Bigram PMI (collocation mining): ln of observed-vs-independent
+    // bigram probability, top-50 bigrams by frequency. Unigram and
+    // bigram counting are corpus-wide partial-agg shuffles; the vocab
+    // table is bounded by vocabulary size → broadcast to the bigram
+    // side; the final rank window runs on post-agg rows bounded by
+    // vocab², never the corpus.
+    "q92_bigram_pmi" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .localCheckpoint() // unigram + bigram branches share the tokenize
+      val uc = toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val bg = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(concat(element_at(w, i), ' ', element_at(w, i + 1)) AS b, element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
+        .select(col("s.b").as("b"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+        .groupBy(col("b"), col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
+      val n = uc.agg(sum(col("c")).as("n"))
+      val m = bg.agg(sum(col("cb")).as("m"))
+      bg.join(broadcast(uc.select(col("t").as("t1"), col("c").as("c1"))), "t1")
+        .join(broadcast(uc.select(col("t").as("t2"), col("c").as("c2"))), "t2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(m))
+        .withColumn("pmi", round(log((col("cb") / col("m"))
+          / ((col("c1") / col("n")) * (col("c2") / col("n")))), 6))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cb").desc, col("b"))))
+        .filter(col("rk") <= 50)
+        .select(col("rk"), col("b"), col("cb"), col("pmi"))
+        .orderBy(col("rk"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q92_bigram_pmi" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "uni AS (SELECT unnest(w) AS t FROM toks), "
+        + "uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t), "
+        + "nuni AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uc), "
+        + "bgx AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b, "
+        + "unnest(list_transform(range(1, len(w)), i -> w[i])) AS t1, "
+        + "unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS t2 FROM toks WHERE len(w) >= 2), "
+        + "bc AS (SELECT b, t1, t2, count(*) AS cb FROM bgx GROUP BY 1, 2, 3), "
+        + "nbg AS (SELECT CAST(sum(cb) AS BIGINT) AS m FROM bc), "
+        + "scored AS (SELECT b, cb, round(ln((CAST(cb AS DOUBLE) / m) / ((CAST(u1.c AS DOUBLE) / n) * (CAST(u2.c AS DOUBLE) / n))), 6) AS pmi "
+        + "FROM bc JOIN uc u1 ON bc.t1 = u1.t JOIN uc u2 ON bc.t2 = u2.t CROSS JOIN nuni CROSS JOIN nbg) "
+        + "SELECT rk, b, cb, pmi FROM (SELECT b, cb, pmi, row_number() OVER (ORDER BY cb DESC, b) AS rk FROM scored) "
+        + "WHERE rk <= 50 ORDER BY rk"),
     "q36_wordcount" ->
       ("SELECT * FROM (SELECT lang, tok, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn FROM ("
         + "SELECT lang, tok, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> '' GROUP BY lang, tok)) "

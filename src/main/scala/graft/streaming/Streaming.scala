@@ -124,12 +124,17 @@ object Streaming extends QueryPack {
     "q90_stream_join" -> ((s, dir) => {
       s.catalog.dropTempView("q90_mem")
       val in = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      // staged SEQUENTIALLY: the file source orders arrivals by mtime,
+      // and tranche order b0<b1<b2 is load-bearing (out-of-order
+      // tranches would advance the watermark past still-live state).
+      // localCheckpoint so the 3 filter+write jobs share one events scan.
       val evs = Tables.events(s, dir)
         .select(col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
-      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
-      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+        .localCheckpoint()
       evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
       evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
       evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
@@ -146,13 +151,22 @@ object Streaming extends QueryPack {
         .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
           col("value").as("c_value"))
         .withWatermark("cts", "1 hour")
-      val q = views.join(clicks,
-          col("user_id") === col("c_user")
-            && col("cts") > col("vts")
-            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
-        .writeStream.format("memory").queryName("q90_mem")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // the join keeps 4 state stores per shuffle partition per batch;
+      // at 32 session partitions that machinery dominates wall time, so
+      // state partitioning is pinned low for this bounded-keyspace demo
+      // (restored after — the setting is per-query stage, not global)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = try {
+        val qq = views.join(clicks,
+            col("user_id") === col("c_user")
+              && col("cts") > col("vts")
+              && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+          .writeStream.format("memory").queryName("q90_mem")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        qq.awaitTermination()
+        qq
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table("q90_mem")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"), min(col("view_id")).as("first_view"),
