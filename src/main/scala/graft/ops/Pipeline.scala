@@ -98,6 +98,61 @@ object Pipeline extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Incremental aggregation via MERGEABLE STATE: two ingest tranches
+    // each produce algebraic partial state (count/decimal-sum/min/max
+    // per key); merging the two state tables — never re-touching raw
+    // rows — must equal the full recompute, which is exactly what the
+    // oracle asserts. This is the materialized-view/incremental-ETL
+    // property that makes 100 TB daily pipelines affordable: avg is
+    // deliberately DERIVED from (sum, n) at read time because it is
+    // not itself mergeable.
+    "q95_incremental_agg" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val s1 = state(e.filter(col("user_id") % 2 === 0))
+      val s2 = state(e.filter(col("user_id") % 2 === 1))
+      s1.unionAll(s2)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("svm"),
+          min(col("mn")).as("min_v"), max(col("mx")).as("max_v"))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("svm").cast("double"), 6).as("sum_v"),
+          round(col("svm").cast("double") / col("n"), 6).as("avg_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Incremental ingest dedup: the existing corpus (even doc_ids)
+    // exposes only its canonical-fingerprint index (q54's md5 over the
+    // sorted distinct token set); an incoming batch (odd doc_ids) is
+    // first deduped within itself (deterministic min-doc survivor per
+    // fingerprint), then anti-joined against the index — the "admit
+    // only genuinely new content" gate an append-only 100 TB corpus
+    // runs per batch. The index side carries fingerprints only, never
+    // text, so the anti-join shuffles hashes, not documents.
+    "q96_incremental_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(expr(
+          "cast(array_join(array_sort(array_distinct(filter(split(text, ' '), x -> x <> ''))), ' ') as binary)"))
+          .as("fp"))
+      val existing = fp.filter(col("doc_id") % 2 === 0).select(col("fp")).distinct()
+      val admitted = fp.filter(col("doc_id") % 2 === 1)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .join(existing, Seq("fp"), "left_anti")
+      admitted.select(col("doc_id"), col("lang"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // The q05 star join run through Skew.saltedJoin (8-way salt on the
     // orders→customer edge): identical oracle as a plain join — proof
     // under the hash gate that salting is semantics-preserving.
@@ -141,6 +196,20 @@ object Pipeline extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // the oracle IS the full recompute — merging partial states must equal it
+    "q95_incremental_agg" ->
+      ("SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n, "
+        + "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_v, "
+        + "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_v, "
+        + "min(value) AS min_v, max(value) AS max_v "
+        + "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q96_incremental_dedup" ->
+      ("WITH fp AS (SELECT doc_id, lang, md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp FROM documents), "
+        + "ex AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0), "
+        + "surv AS (SELECT doc_id, lang, fp FROM (SELECT doc_id, lang, fp, "
+        + "row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fp WHERE doc_id % 2 = 1) WHERE rn = 1) "
+        + "SELECT doc_id, lang, fp FROM surv s WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = s.fp) "
+        + "ORDER BY doc_id"),
     "q85_cdc_compact" ->
       ("WITH ranked AS (SELECT user_id, ts, event_type, value, event_id, "
         + "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn, "
