@@ -308,6 +308,28 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Per-type linear trend of the daily series via the SQL-standard
+    // regr_* aggregate family (slope/intercept/R²/means) — the trend
+    // analysis a sensor-correlation engine reports next to corr. One
+    // partial-agg shuffle to daily rows, then regr aggregates over
+    // bounded post-agg groups.
+    "q97_regression" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("2024-01-01").cast("date")).as("x"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(expr("cast(regr_count(y, x) as bigint)").as("n"),
+          round(expr("regr_slope(y, x)"), 6).as("slope"),
+          round(expr("regr_intercept(y, x)"), 6).as("icept"),
+          round(expr("regr_r2(y, x)"), 6).as("r2"),
+          round(expr("regr_avgx(y, x)"), 6).as("avg_x"),
+          round(expr("regr_avgy(y, x)"), 6).as("avg_y"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
     // Fixed-width histogram (deterministic bins; histogram_numeric's
     // adaptive bins can never match another engine).
     "q24_histogram" -> ((s, dir) =>
@@ -320,6 +342,13 @@ object Stats extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q97_regression" ->
+      ("WITH daily AS (SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y FROM events GROUP BY 1, 2) "
+        + "SELECT event_type, CAST(regr_count(y, x) AS BIGINT) AS n, round(regr_slope(y, x), 6) AS slope, "
+        + "round(regr_intercept(y, x), 6) AS icept, round(regr_r2(y, x), 6) AS r2, "
+        + "round(regr_avgx(y, x), 6) AS avg_x, round(regr_avgy(y, x), 6) AS avg_y "
+        + "FROM daily GROUP BY 1 ORDER BY 1"),
     "q93_anomaly_mad" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1, 2), "

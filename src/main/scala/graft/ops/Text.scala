@@ -299,9 +299,34 @@ object Text extends QueryPack {
         .select(col("rk"), col("b"), col("cb"), col("pmi"))
         .orderBy(col("rk"))
     }),
+
+    // ------------------------------------------------------------------
+    // Per-doc token (Shannon) entropy — the vocabulary-diversity
+    // quality signal (low entropy = repetitive/boilerplate text).
+    // H = ln(n) − Σ c·ln(c) / n; each c·ln(c) term is quantized to
+    // DECIMAL(18,12) BEFORE the distributed sum so partial-agg merge
+    // order cannot move the result by a ULP. Two doc-keyed shuffles.
+    "q98_entropy" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(expr("cast(c * ln(cast(c as double)) as decimal(18,12))")).as("slc"))
+        .select(col("doc_id"), col("n"), col("n_distinct"),
+          round(expr("ln(cast(n as double)) - cast(slc as double) / n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))),
   )
 
   def oracles: Map[String, String] = Map(
+    "q98_entropy" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
+        + "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), "
+        + "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct, "
+        + "sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS slc FROM tc GROUP BY doc_id) "
+        + "SELECT doc_id, n, n_distinct, round(ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE) / n, 6) AS entropy "
+        + "FROM agg ORDER BY doc_id"),
     "q92_bigram_pmi" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "uni AS (SELECT unnest(w) AS t FROM toks), "
