@@ -117,9 +117,42 @@ object Curation extends QueryPack {
           round((col("w") / col("tot_w")) / (col("chars") / col("tot_chars")), 6).as("factor"))
         .orderBy(col("source"))
     }),
+    // ------------------------------------------------------------------
+    // Keep-BEST dedup (the curation policy upgrade over keep-first):
+    // within each canonical-fingerprint cluster (q54's md5 over the
+    // sorted distinct token set) the survivor is the doc with the
+    // highest token-uniqueness quality score, doc_id as tie-break —
+    // "dedup, but keep the least boilerplate-y copy". One partitioned
+    // window keyed by fingerprint; text never shuffles twice.
+    "q100_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir)
+        .withColumn("toks", expr("filter(split(text, ' '), x -> x <> '')"))
+        .filter(size(col("toks")) > 0)
+        .withColumn("fp", md5(expr(
+          "cast(array_join(array_sort(array_distinct(toks)), ' ') as binary)")))
+        .withColumn("quality",
+          round(size(array_distinct(col("toks"))) / size(col("toks")), 6))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("fp"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .filter(col("rn") === 1)
+        .select(col("fp"), col("cluster_size"), col("doc_id").as("survivor"),
+          col("quality"))
+        .orderBy(col("fp"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q100_keep_best" ->
+      ("WITH sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
+        + "sc2 AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp, "
+        + "round(len(list_distinct(toks)) / len(toks), 6) AS quality FROM sc WHERE len(toks) > 0), "
+        + "r AS (SELECT fp, doc_id, quality, row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn, "
+        + "count(*) OVER (PARTITION BY fp) AS cluster_size FROM sc2) "
+        + "SELECT fp, CAST(cluster_size AS BIGINT) AS cluster_size, doc_id AS survivor, quality "
+        + "FROM r WHERE rn = 1 ORDER BY fp"),
     "q84_domain_mix" ->
       ("WITH per AS (SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars, "
         + "1000000 // (1 + CAST(substr(source, 4, 10) AS INT)) AS w FROM documents GROUP BY source), "

@@ -330,6 +330,42 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Bootstrap 95% CI for the daily mean, with DETERMINISTIC hash
+    // resampling (md5(b,i) mod n picks each resample element — never
+    // rand(), so the CI is reproducible across runs/engines/
+    // partitionings, same principle as the q58 split). B=200 resamples
+    // over bounded post-agg daily rows; resample means are exact
+    // decimal sums; the percentile runs over 200 rows per type.
+    "q99_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
+      val ranked = daily
+        .withColumn("idx", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val grid = ranked.select(col("event_type"), col("n")).distinct()
+        .select(col("event_type"), col("n"), explode(expr("sequence(1, 200)")).as("b"))
+        .select(col("event_type"), col("n"), col("b"), explode(expr("sequence(1, n)")).as("i"))
+        .withColumn("idx", expr(
+          "cast(conv(substr(md5(cast(concat('bs|', event_type, '|', cast(b as string), '|', cast(i as string)) as binary)), 1, 15), 16, 10) as bigint) % n + 1"))
+      val means = grid
+        .join(ranked.select(col("event_type"), col("idx"), col("vd")), Seq("event_type", "idx"))
+        .groupBy(col("event_type"), col("b"), col("n"))
+        .agg(sum(col("vd")).as("sv"))
+        .withColumn("mean_b", col("sv").cast("double") / col("n"))
+      val orig = daily.groupBy(col("event_type"))
+        .agg(round(sum(col("vd")).cast("double") / count(lit(1)), 6).as("mean_v"))
+      means.groupBy(col("event_type"), col("n"))
+        .agg(round(expr("percentile(mean_b, 0.025)"), 6).as("ci_lo"),
+          round(expr("percentile(mean_b, 0.975)"), 6).as("ci_hi"))
+        .join(broadcast(orig), "event_type")
+        .select(col("event_type"), col("n"), col("mean_v"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
     // Fixed-width histogram (deterministic bins; histogram_numeric's
     // adaptive bins can never match another engine).
     "q24_histogram" -> ((s, dir) =>
@@ -342,6 +378,16 @@ object Stats extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q99_bootstrap_ci" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(CAST(value AS DECIMAL(18,2))) AS vd FROM events GROUP BY 1, 2), "
+        + "ranked AS (SELECT event_type, vd, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx, count(*) OVER (PARTITION BY event_type) AS n FROM daily), "
+        + "tn AS (SELECT DISTINCT event_type, n FROM ranked), "
+        + "grid AS (SELECT event_type, n, b, i, CAST('0x' || substr(md5('bs|' || event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n + 1 AS idx "
+        + "FROM tn, LATERAL (SELECT unnest(range(1, 201)) AS b), LATERAL (SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i)), "
+        + "means AS (SELECT g.event_type, g.b, g.n, CAST(sum(r.vd) AS DOUBLE) / g.n AS mean_b FROM grid g JOIN ranked r ON r.event_type = g.event_type AND r.idx = g.idx GROUP BY 1, 2, 3), "
+        + "orig AS (SELECT event_type, round(CAST(sum(vd) AS DOUBLE) / count(*), 6) AS mean_v FROM daily GROUP BY 1) "
+        + "SELECT m.event_type, CAST(m.n AS BIGINT) AS n, o.mean_v, round(quantile_cont(mean_b, 0.025), 6) AS ci_lo, round(quantile_cont(mean_b, 0.975), 6) AS ci_hi "
+        + "FROM means m JOIN orig o USING (event_type) GROUP BY 1, 2, 3 ORDER BY 1"),
     "q97_regression" ->
       ("WITH daily AS (SELECT event_type, date_diff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x, "
         + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y FROM events GROUP BY 1, 2) "

@@ -293,9 +293,12 @@ object Text extends QueryPack {
         .crossJoin(broadcast(n)).crossJoin(broadcast(m))
         .withColumn("pmi", round(log((col("cb") / col("m"))
           / ((col("c1") / col("n")) * (col("c2") / col("n")))), 6))
+        // top-50 via orderBy+limit → TakeOrderedAndProject (distributed
+        // per-partition heaps + driver merge); the rank window then runs
+        // on 50 rows, never a single-task sort of the full bigram table
+        .orderBy(col("cb").desc, col("b")).limit(50)
         .withColumn("rk", row_number().over(
           Window.orderBy(col("cb").desc, col("b"))))
-        .filter(col("rk") <= 50)
         .select(col("rk"), col("b"), col("cb"), col("pmi"))
         .orderBy(col("rk"))
     }),
