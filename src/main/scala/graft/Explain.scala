@@ -17,11 +17,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tb = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, sfDir)
+    val buildS = (System.nanoTime() - tb) / 1e9
     df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
-    println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"[explain] $name rows=$n build=$buildS%.2f s count=${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -26,6 +26,19 @@ import org.apache.spark.sql.types._
   */
 object Streaming extends QueryPack {
 
+  /** Stateful streaming creates one state store per shuffle partition
+    * per stateful operator per microbatch; at the session's 32
+    * partitions that fixed machinery dominates these bounded-keyspace
+    * demos' wall time. Pin state partitioning to 8 for the streaming
+    * stage and restore after — at real scale this is the same decision
+    * of sizing `spark.sql.shuffle.partitions` to the key cardinality.
+    */
+  private def withStateParts[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as ns-long
@@ -47,7 +60,7 @@ object Streaming extends QueryPack {
       in.toFile.deleteOnExit()
       Files.copy(Paths.get(s"$dir/events.parquet"),
         in.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val q = s.readStream
+      val q = withStateParts(s)(s.readStream
         .schema(rawSchema)
         .parquet(in.toString)
         .withColumn("ets", timestamp_micros(expr("ts div 1000")))
@@ -65,7 +78,7 @@ object Streaming extends QueryPack {
         .queryName("q47_mem")
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
       s.table("q47_mem").orderBy(col("w_start"), col("event_type"))
     }),
@@ -98,7 +111,7 @@ object Streaming extends QueryPack {
       evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_id", LongType)))
-      val q = s.readStream.schema(schema)
+      val q = withStateParts(s)(s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$in/*/")
         .as[Ev]
@@ -107,7 +120,7 @@ object Streaming extends QueryPack {
           OutputMode.Update(), GroupStateTimeout.NoTimeout)(
           graft.streaming.StatefulSessions.sessionize)
         .writeStream.format("memory").queryName("q81_mem")
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
       s.table("q81_mem").orderBy(col("user_id"), col("sess_id"))
     }),
@@ -151,22 +164,14 @@ object Streaming extends QueryPack {
         .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
           col("value").as("c_value"))
         .withWatermark("cts", "1 hour")
-      // the join keeps 4 state stores per shuffle partition per batch;
-      // at 32 session partitions that machinery dominates wall time, so
-      // state partitioning is pinned low for this bounded-keyspace demo
-      // (restored after — the setting is per-query stage, not global)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = try {
-        val qq = views.join(clicks,
-            col("user_id") === col("c_user")
-              && col("cts") > col("vts")
-              && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
-          .writeStream.format("memory").queryName("q90_mem")
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        qq.awaitTermination()
-        qq
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the join keeps 4 state stores per shuffle partition per batch
+      val q = withStateParts(s)(views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+        .writeStream.format("memory").queryName("q90_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
       s.table("q90_mem")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"), min(col("view_id")).as("first_view"),
