@@ -19,6 +19,7 @@ object SparkEntry {
     ops.Extensions,
     ops.Pipeline,
     ops.Vectors,
+    ops.Analysis,
     ops.Sources,
     ops.Curation,
     streaming.Streaming,

@@ -1,0 +1,317 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 analysis pack: categorical association (chi-square), heavy
+  * hitters, Bloom-pruned joins, data profiling, calendar gap-fill,
+  * Zipf fit, Markov transitions, and blocked fuzzy matching.
+  *
+  * Scale notes (100 TB north star):
+  *  - q101/q106/q107 aggregate to tiny post-agg frames first (cells /
+  *    vocab / type-pairs), then run windows ONLY over those bounded
+  *    rows — the fact table is touched by exactly one partial-agg
+  *    shuffle each.
+  *  - q103 is the canonical fact-table reduction: a Bloom filter built
+  *    from the small key side is shipped to every scan task and prunes
+  *    the fact rows BEFORE the join shuffle; the exact join afterwards
+  *    removes the false positives, so the result is exact while the
+  *    shuffle carries ~|match| rows instead of |fact|.
+  *  - q104 profiles via unpivot-then-group (linear, one shuffle keyed
+  *    by (column, value)) rather than one multi-column COUNT DISTINCT
+  *    agg, which Catalyst plans as an Expand that multiplies the scan
+  *    by the column count.
+  *  - q108 never does a bare name×name cross join: candidate pairs
+  *    come from an equi-join on a 16-char prefix block, the standard
+  *    blocking step of fuzzy entity resolution.
+  */
+object Analysis extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Chi-square test of independence between order status and order
+    // priority, plus Cramér's V effect size. One partial-agg shuffle
+    // contracts the fact table to the |status|×|priority| contingency
+    // cells; marginals are windows over those bounded cells. Each
+    // cell's (n-e)²/e term is quantized to DECIMAL(28,12) before the
+    // distributed sum so merge order cannot move a ULP (q98's recipe).
+    "q101_chi2" -> ((s, dir) => {
+      val ct = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n"))
+      val m = ct
+        .withColumn("row_n", sum(col("n")).over(Window.partitionBy(col("st"))))
+        .withColumn("col_n", sum(col("n")).over(Window.partitionBy(col("pr"))))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+        .withColumn("e", col("row_n").cast("double") * col("col_n") / col("tot"))
+        .withColumn("dev",
+          ((col("n") - col("e")) * (col("n") - col("e")) / col("e"))
+            .cast("decimal(28,12)"))
+      m.agg(
+          count(lit(1)).as("n_cells"),
+          max(col("tot")).as("n_obs"),
+          ((countDistinct(col("st")) - 1) * (countDistinct(col("pr")) - 1)).as("dof"),
+          sum(col("dev")).cast("double").as("chi2_raw"),
+          least(countDistinct(col("st")) - 1, countDistinct(col("pr")) - 1).as("mindim"))
+        .select(
+          col("n_cells"), col("n_obs"), col("dof"),
+          round(col("chi2_raw"), 6).as("chi2"),
+          round(sqrt(col("chi2_raw") / (col("n_obs") * col("mindim"))), 6).as("cramers_v"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Heavy hitters: tokens with >2% corpus support (θ-frequent items).
+    // token-count shuffle (partial-agg) + broadcast 1-row total; the
+    // output is support-bounded (≤ 1/θ rows) by construction, so this
+    // is safe to materialize at any corpus size.
+    "q102_heavy_hitters" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tot = tc.agg(sum(col("c")).as("tot"))
+      tc.crossJoin(broadcast(tot))
+        .filter(col("c") > col("tot").cast("double") / 50)
+        .select(col("tok"), col("c"), col("tot"),
+          round(col("c").cast("double") / col("tot"), 6).as("share"))
+        .orderBy(col("c").desc, col("tok"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Bloom-pruned join: revenue of BUILDING-segment customers' line
+    // items. The key set (orders of those customers) builds a Bloom
+    // filter (~1% fpp) that prunes lineitem AT THE SCAN, before any
+    // shuffle; the exact equi-join afterwards removes false positives,
+    // so the result is identical to the plain join the oracle runs.
+    // At 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling the ~20% that can match.
+    "q103_bloom_join" -> ((s, dir) => {
+      val okeys = Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+        .localCheckpoint() // consumed twice: bloom build + exact join
+      val bf = okeys.stat.bloomFilter("o_orderkey", math.max(okeys.count(), 100L), 0.01)
+      val might = udf((k: Long) => bf.mightContain(k))
+      Tables.lineitem(s, dir)
+        .filter(might(col("l_orderkey")))       // sketch prune, no shuffle
+        .join(okeys, col("l_orderkey") === col("o_orderkey")) // exact
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev_d"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("rev_d").cast("double"), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Data profiling: per-column row/null/distinct counts + typed
+    // min/max (stringified) over orders. Distinct counts go through
+    // unpivot → (column, value) groupBy — one linear shuffle — and
+    // min/max through one narrow partial-agg pass; a single agg with
+    // six COUNT(DISTINCT) would Expand the scan ×6 instead.
+    "q104_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .withColumn("dt", col("o_orderdate").cast("date"))
+        .withColumn("tp", col("o_totalprice").cast("decimal(18,2)"))
+      val up = o.select(expr(
+        "stack(6, 'o_orderkey', cast(o_orderkey as string), " +
+          "'o_custkey', cast(o_custkey as string), " +
+          "'o_orderstatus', o_orderstatus, " +
+          "'o_orderpriority', o_orderpriority, " +
+          "'o_orderdate', cast(dt as string), " +
+          "'o_totalprice', cast(tp as string)) as (col_name, v)"))
+      val counts = up.groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          countDistinct(col("v")).as("n_distinct"))
+      val mm = o.agg(
+          min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"),
+          min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+          min(col("o_orderstatus")).as("min_st"), max(col("o_orderstatus")).as("max_st"),
+          min(col("o_orderpriority")).as("min_pr"), max(col("o_orderpriority")).as("max_pr"),
+          min(col("dt")).as("min_dt"), max(col("dt")).as("max_dt"),
+          min(col("tp")).as("min_tp"), max(col("tp")).as("max_tp"))
+        .select(expr(
+          "stack(6, 'o_orderkey', cast(min_ok as string), cast(max_ok as string), " +
+            "'o_custkey', cast(min_ck as string), cast(max_ck as string), " +
+            "'o_orderstatus', min_st, max_st, " +
+            "'o_orderpriority', min_pr, max_pr, " +
+            "'o_orderdate', cast(min_dt as string), cast(max_dt as string), " +
+            "'o_totalprice', cast(min_tp as string), cast(max_tp as string)) " +
+            "as (col_name, min_s, max_s)"))
+      counts.join(broadcast(mm), "col_name").orderBy(col("col_name"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Calendar gap-fill + trailing 7-day moving average of daily order
+    // revenue: the resample step of any time-series feed. Daily sums
+    // are exact DECIMAL; the calendar comes from sequence() over the
+    // observed bounds (1-row broadcast); the moving window divides the
+    // exact window sum by the actual window row count, so edge days
+    // are well-defined. The window is global but runs over post-agg
+    // daily rows (bounded by the date span, not the data volume).
+    "q105_gapfill" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val cal = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      cal.join(daily, Seq("day"), "left")
+        .withColumn("gap", when(col("rev").isNull, 1).otherwise(0))
+        .withColumn("rev", coalesce(col("rev"), lit(0).cast("decimal(18,2)")))
+        .withColumn("mavg7",
+          round(sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w), 6))
+        .select(col("day"), round(col("rev").cast("double"), 2).as("rev"),
+          col("gap"), col("mavg7"))
+        .orderBy(col("day"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Zipf fit of the token frequency distribution: regression of
+    // ln(freq) on ln(rank) computed from raw moment sums (n, Σx, Σy,
+    // Σxy, Σx², Σy²) — the mergeable-state form of OLS, which is how
+    // a 100 TB regression actually runs (one partial-agg pass; the
+    // closed form is applied to six scalars at the end). Ranks come
+    // from a window over the post-agg vocabulary, not the corpus.
+    "q106_zipf" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val ranked = tc.withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      val m = ranked
+        .select(log(col("r").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      m.select(
+        col("n").cast("bigint").as("n_ranks"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Markov transition matrix of user event sequences: P(next event
+    // type | current) from per-user lag pairs. The lag window is
+    // partitioned by user (distributes), pair counts are one
+    // partial-agg shuffle, and the row-normalizing marginal is a
+    // window over the |types|² post-agg rows.
+    "q107_transition" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c"))
+        .withColumn("row_tot", sum(col("c")).over(Window.partitionBy(col("prev"))))
+        .select(col("prev"), col("cur"), col("c"),
+          round(col("c").cast("double") / col("row_tot"), 6).as("p"))
+        .orderBy(col("prev"), col("cur"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Blocked fuzzy self-join: customer-name pairs at Levenshtein
+    // distance ≤ 2, candidates generated by an equi-join on the
+    // 16-char name prefix (entity-resolution blocking: each block is
+    // bounded, so the pair space is Σ|block|², never |names|²).
+    "q108_fuzzy_join" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(substring(col("c_name"), 1, 16).as("blk"),
+          col("c_name"), col("c_custkey"))
+      val a = base.select(col("blk"), col("c_name").as("na"), col("c_custkey").as("ka"))
+      val b = base.select(col("blk"), col("c_name").as("nb"), col("c_custkey").as("kb"))
+      a.join(b, "blk")
+        .filter(col("ka") < col("kb"))
+        .withColumn("d", levenshtein(col("na"), col("nb")))
+        .filter(col("d") <= 2)
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(concat(col("na"), lit("|"), col("nb"))).as("example"))
+        .orderBy(col("d"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q101_chi2" ->
+      ("WITH ct AS (SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n FROM orders GROUP BY 1, 2), "
+        + "m AS (SELECT st, pr, n, CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS row_n, "
+        + "CAST(sum(n) OVER (PARTITION BY pr) AS BIGINT) AS col_n, CAST(sum(n) OVER () AS BIGINT) AS tot FROM ct), "
+        + "d AS (SELECT st, pr, n, tot, CAST(row_n AS DOUBLE) * col_n / tot AS e FROM m), "
+        + "d2 AS (SELECT st, pr, n, tot, CAST((n - e) * (n - e) / e AS DECIMAL(28,12)) AS dev FROM d) "
+        + "SELECT count(*) AS n_cells, CAST(max(tot) AS BIGINT) AS n_obs, "
+        + "CAST((count(DISTINCT st) - 1) * (count(DISTINCT pr) - 1) AS BIGINT) AS dof, "
+        + "round(CAST(sum(dev) AS DOUBLE), 6) AS chi2, "
+        + "round(sqrt(CAST(sum(dev) AS DOUBLE) / (max(tot) * least(count(DISTINCT st) - 1, count(DISTINCT pr) - 1))), 6) AS cramers_v "
+        + "FROM d2"),
+    "q102_heavy_hitters" ->
+      ("WITH tc AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        + "c AS (SELECT tok, count(*) AS c FROM tc GROUP BY tok), "
+        + "t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c) "
+        + "SELECT tok, c, tot, round(CAST(c AS DOUBLE) / tot, 6) AS share "
+        + "FROM c CROSS JOIN t WHERE c > CAST(tot AS DOUBLE) / 50 ORDER BY c DESC, tok"),
+    "q103_bloom_join" ->
+      ("WITH ok AS (SELECT o_orderkey FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        + "WHERE c.c_mktsegment = 'BUILDING') "
+        + "SELECT l_returnflag, count(*) AS n, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue "
+        + "FROM lineitem l JOIN ok ON l.l_orderkey = ok.o_orderkey "
+        + "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q104_profile" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+        + "CAST(o_orderdate AS DATE) AS dt, CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders) "
+        + "SELECT 'o_custkey' AS col_name, count(*) AS n_rows, count(*) - count(o_custkey) AS n_null, "
+        + "count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s FROM o "
+        + "UNION ALL SELECT 'o_orderdate', count(*), count(*) - count(dt), count(DISTINCT dt), CAST(min(dt) AS VARCHAR), CAST(max(dt) AS VARCHAR) FROM o "
+        + "UNION ALL SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey), count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM o "
+        + "UNION ALL SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM o "
+        + "UNION ALL SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM o "
+        + "UNION ALL SELECT 'o_totalprice', count(*), count(*) - count(tp), count(DISTINCT tp), CAST(min(tp) AS VARCHAR), CAST(max(tp) AS VARCHAR) FROM o "
+        + "ORDER BY col_name"),
+    "q105_gapfill" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        + "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), "
+        + "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), "
+        + "cal AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b), "
+        + "f AS (SELECT cal.day, CASE WHEN daily.rev IS NULL THEN 1 ELSE 0 END AS gap, "
+        + "coalesce(daily.rev, CAST(0 AS DECIMAL(18,2))) AS rev FROM cal LEFT JOIN daily ON cal.day = daily.day) "
+        + "SELECT day, round(CAST(rev AS DOUBLE), 2) AS rev, gap, "
+        + "round(CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w, 6) AS mavg7 "
+        + "FROM f WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"),
+    "q106_zipf" ->
+      ("WITH tc AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        + "c AS (SELECT tok, count(*) AS c FROM tc GROUP BY tok), "
+        + "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM c), "
+        + "xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r), "
+        + "m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy, "
+        + "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM xy) "
+        + "SELECT CAST(n AS BIGINT) AS n_ranks, "
+        + "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+        + "round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, "
+        + "round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2 "
+        + "FROM m"),
+    "q107_transition" ->
+      ("WITH p AS (SELECT user_id, event_type AS cur, "
+        + "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        + "ct AS (SELECT prev, cur, count(*) AS c FROM p WHERE prev IS NOT NULL GROUP BY 1, 2) "
+        + "SELECT prev, cur, c, round(CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY prev) AS BIGINT), 6) AS p "
+        + "FROM ct ORDER BY prev, cur"),
+    "q108_fuzzy_join" ->
+      ("WITH b AS (SELECT substr(c_name, 1, 16) AS blk, c_name, c_custkey FROM customer) "
+        + "SELECT levenshtein(a.c_name, b2.c_name) AS d, count(*) AS n_pairs, "
+        + "min(a.c_name || '|' || b2.c_name) AS example "
+        + "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey "
+        + "WHERE levenshtein(a.c_name, b2.c_name) <= 2 GROUP BY d ORDER BY d"),
+  )
+}
