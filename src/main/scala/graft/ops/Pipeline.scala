@@ -193,9 +193,89 @@ object Pipeline extends QueryPack {
           round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6).as("rev"))
         .orderBy(col("o_orderstatus"), col("l_returnflag"))
     }),
+
+    // ------------------------------------------------------------------
+    // Pipeline observability via `observe()`: data-quality metrics
+    // (row count, exact decimal sum, predicate counters) are collected
+    // DURING the main job's single pass over the data — the
+    // CollectMetrics operator costs no extra scan, which is how a
+    // 100 TB pipeline affords per-run health metrics. The observed
+    // values are emitted as the result so the oracle can gate them
+    // against plain SQL aggregates.
+    "q113_observe" -> ((s, dir) => {
+      val obs = org.apache.spark.sql.Observation()
+      val main = Tables.lineitem(s, dir)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_hi_disc"),
+          count(when(col("l_extendedprice").isNull, 1)).as("n_null_price"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      main.count() // the one action; metrics ride along with it
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_qty").asInstanceOf[java.math.BigDecimal].doubleValue,
+        m("n_hi_disc").asInstanceOf[Long],
+        m("n_null_price").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty_raw", "n_hi_disc", "n_null_price")
+        .select(col("n_rows"), round(col("sum_qty_raw"), 2).as("sum_qty"),
+          col("n_hi_disc"), col("n_null_price"))
+    }),
+    // ------------------------------------------------------------------
+    // Snapshot reconciliation (table diff): two deterministic "versions"
+    // of orders — old drops key%97==0, new drops key%89==0 and bumps
+    // price 1% where key%7==0 — are compared by key with a canonical
+    // md5 row hash: added / removed / changed / unchanged counts plus
+    // key ranges. One key-partitioned full-outer join; row content
+    // never shuffles twice (only the 32-char hash travels). This is
+    // the drift check run after every backfill or migration.
+    "q114_reconcile" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_orderdate").cast("date").as("dt"),
+          col("o_totalprice").cast("decimal(18,2)").as("tp"))
+      val hash = (tp: org.apache.spark.sql.Column) => md5(concat_ws("|",
+        col("st"), col("dt").cast("string"), tp.cast("string")).cast("binary"))
+      val old = base.filter(col("k") % 97 =!= 0)
+        .select(col("k"), hash(col("tp")).as("h_old"))
+      val neu = base.filter(col("k") % 89 =!= 0)
+        // exact decimal 1.01 (a double literal would detour through
+        // binary float and break .xx50 rounding ties vs DuckDB's
+        // exact-decimal multiply)
+        .withColumn("tp", when(col("k") % 7 === 0,
+          (col("tp") * lit(new java.math.BigDecimal("1.01"))).cast("decimal(18,2)"))
+          .otherwise(col("tp")))
+        .select(col("k"), hash(col("tp")).as("h_new"))
+      old.join(neu, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy(col("status"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q114_reconcile" ->
+      ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_orderdate AS DATE) AS dt, "
+        + "CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders), "
+        + "old AS (SELECT k, md5(st || '|' || CAST(dt AS VARCHAR) || '|' || CAST(tp AS VARCHAR)) AS h_old FROM base WHERE k % 97 <> 0), "
+        + "neu AS (SELECT k, md5(st || '|' || CAST(dt AS VARCHAR) || '|' || CAST(tp2 AS VARCHAR)) AS h_new FROM ("
+        + "SELECT k, st, dt, CASE WHEN k % 7 = 0 THEN CAST(tp * 1.01 AS DECIMAL(18,2)) ELSE tp END AS tp2 FROM base) WHERE k % 89 <> 0) "
+        + "SELECT CASE WHEN h_old IS NULL THEN 'added' WHEN h_new IS NULL THEN 'removed' "
+        + "WHEN h_old <> h_new THEN 'changed' ELSE 'unchanged' END AS status, "
+        + "count(*) AS n, min(k) AS min_key, max(k) AS max_key "
+        + "FROM old FULL OUTER JOIN neu USING (k) GROUP BY status ORDER BY status"),
+    "q113_observe" ->
+      ("SELECT count(*) AS n_rows, "
+        + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, "
+        + "count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_hi_disc, "
+        + "count(CASE WHEN l_extendedprice IS NULL THEN 1 END) AS n_null_price "
+        + "FROM lineitem"),
     // the oracle IS the full recompute — merging partial states must equal it
     "q95_incremental_agg" ->
       ("SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n, "

@@ -253,9 +253,29 @@ object Relational extends QueryPack {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")
     }),
+
+    // ------------------------------------------------------------------
+    // Ordered list aggregation (LISTAGG/string_agg): per nation, the
+    // sorted distinct market segments as one string. collect_set is
+    // partial-agg (bounded by |segments| per group); the explicit
+    // array_sort makes the nondeterministic collection order canonical
+    // — the only way a collected-list agg can ever be oracle-stable.
+    "q109_stringagg" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          countDistinct(col("c_mktsegment")).as("n_segs"),
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"))
+        .orderBy(col("n_name"))),
   )
 
   def oracles: Map[String, String] = Map(
+    "q109_stringagg" ->
+      ("SELECT n_name, count(*) AS n_cust, count(DISTINCT c_mktsegment) AS n_segs, "
+        + "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs "
+        + "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        + "GROUP BY n_name ORDER BY n_name"),
     "q83_sql_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, "
         + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty, "

@@ -375,9 +375,111 @@ object Stats extends QueryPack {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy(col("bucket"))),
+
+    // ------------------------------------------------------------------
+    // Day-of-week seasonality profile: mean daily revenue per ISO
+    // weekday and its ratio to the overall daily mean — the seasonal
+    // decomposition step before any anomaly/trend analysis. Daily sums
+    // are exact DECIMAL; both means divide exact sums by exact counts
+    // in double; the overall mean rides along as a window over the 7
+    // post-agg weekday rows.
+    "q111_seasonality" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      daily
+        .groupBy((weekday(col("day")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("rev")).as("dow_rev"))
+        .withColumn("tot_rev", sum(col("dow_rev")).over(Window.partitionBy()))
+        .withColumn("tot_days", sum(col("n_days")).over(Window.partitionBy()))
+        .select(col("dow"), col("n_days"),
+          round(col("dow_rev").cast("double") / col("n_days"), 6).as("avg_rev"),
+          round((col("dow_rev").cast("double") / col("n_days"))
+            / (col("tot_rev").cast("double") / col("tot_days")), 6).as("ratio"))
+        .orderBy(col("dow"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Equal-frequency (decile) binning of order totals — the feature-
+    // engineering discretization step. NOT a global ntile() (single-
+    // task window): exact decile BOUNDARIES are computed once (bounded
+    // 9-value output), broadcast, and each row finds its bin by
+    // counting boundaries below it — per-row HOF, embarrassingly
+    // parallel, identical list arithmetic in DuckDB. Boundary values
+    // ride on q21's proven percentile ≡ quantile_cont parity.
+    "q115_eqfreq_bins" -> ((s, dir) => {
+      val bs = Tables.orders(s, dir)
+        .agg(expr("percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      Tables.orders(s, dir).crossJoin(broadcast(bs))
+        .withColumn("bin", expr("size(filter(bs, b -> o_totalprice > b)) + 1"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)), 6).as("avg_tp"))
+        .orderBy(col("bin"))
+    }),
+
+    // ------------------------------------------------------------------
+    // One-way ANOVA of order totals across priorities (the categorical→
+    // numeric association test completing the correlation family next
+    // to Pearson/Spearman/chi-square): F statistic and eta² effect
+    // size from per-group exact-decimal (n, Σx, Σx²) — the mergeable
+    // sufficient statistics; the closed form runs over k=5 post-agg
+    // rows with the Σ(sum²/n) term DECIMAL-quantized pre-sum.
+    "q116_anova" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr"), col("o_totalprice").cast("decimal(18,2)").as("x"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum((col("x") * col("x")).cast("decimal(28,4)")).as("q_g"))
+      g.agg(
+          count(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(col("q_g")).as("q"),
+          sum((col("s_g").cast("double") * col("s_g").cast("double") / col("n_g"))
+            .cast("decimal(38,10)")).as("t"))
+        .select(col("k"), col("n"),
+          (col("t").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n")).as("ssb"),
+          (col("q").cast("double") - col("t").cast("double")).as("ssw"),
+          (col("q").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n")).as("sst"),
+          col("k").cast("double").as("kd"), col("n").cast("double").as("nd"))
+        .select(col("k"), col("n"),
+          round(col("ssb"), 2).as("ssb"),
+          round(col("ssw"), 2).as("ssw"),
+          round((col("ssb") / (col("kd") - 1)) / (col("ssw") / (col("nd") - col("kd"))), 6).as("f_stat"),
+          round(col("ssb") / col("sst"), 6).as("eta_sq"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q115_eqfreq_bins" ->
+      ("WITH bs AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders), "
+        + "b AS (SELECT len(list_filter(bs, b -> o_totalprice > b)) + 1 AS bin, o_totalprice FROM orders CROSS JOIN bs) "
+        + "SELECT CAST(bin AS INT) AS bin, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi, "
+        + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_tp "
+        + "FROM b GROUP BY bin ORDER BY bin"),
+    "q116_anova" ->
+      ("WITH g AS (SELECT o_orderpriority AS pr, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
+        + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS q_g FROM orders GROUP BY pr), "
+        + "m AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, sum(q_g) AS q, "
+        + "sum(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g AS DECIMAL(38,10))) AS t FROM g), "
+        + "d AS (SELECT k, n, CAST(t AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb, "
+        + "CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw, "
+        + "CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS sst, "
+        + "CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd FROM m) "
+        + "SELECT k, n, round(ssb, 2) AS ssb, round(ssw, 2) AS ssw, "
+        + "round((ssb / (kd - 1)) / (ssw / (nd - kd)), 6) AS f_stat, round(ssb / sst, 6) AS eta_sq FROM d"),
+    "q111_seasonality" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        + "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), "
+        + "dw AS (SELECT isodow(day) AS dow, count(*) AS n_days, sum(rev) AS dow_rev FROM daily GROUP BY 1), "
+        + "t AS (SELECT dow, n_days, dow_rev, sum(dow_rev) OVER () AS tot_rev, "
+        + "CAST(sum(n_days) OVER () AS BIGINT) AS tot_days FROM dw) "
+        + "SELECT CAST(dow AS INT) AS dow, n_days, round(CAST(dow_rev AS DOUBLE) / n_days, 6) AS avg_rev, "
+        + "round((CAST(dow_rev AS DOUBLE) / n_days) / (CAST(tot_rev AS DOUBLE) / tot_days), 6) AS ratio "
+        + "FROM t ORDER BY dow"),
     "q99_bootstrap_ci" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(CAST(value AS DECIMAL(18,2))) AS vd FROM events GROUP BY 1, 2), "
         + "ranked AS (SELECT event_type, vd, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx, count(*) OVER (PARTITION BY event_type) AS n FROM daily), "

@@ -140,6 +140,40 @@ object Text extends QueryPack {
         .select(col("lbl").as("cluster"), col("n_docs"), col("min_doc"), col("max_doc"))
         .orderBy(col("cluster"))
     }),
+
+    // ------------------------------------------------------------------
+    // PageRank (3 iterations, damping 0.85) over the q40 near-dup pair
+    // graph — centrality of documents inside their duplicate
+    // neighborhoods (a canonical iterative DataFrame algorithm, same
+    // localCheckpoint-per-iteration shape as q80's components). Each
+    // neighbor contribution r/deg is quantized to DECIMAL(28,18)
+    // before the distributed sum so merge order cannot move a ULP; the
+    // rank update then happens once per node in double. Every node has
+    // in-edges (the graph is symmetrized), so no dangling-mass term.
+    "q112_pagerank" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v").localCheckpoint()
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val n = deg.agg(count(lit(1)).as("n"))
+      var rank = deg.crossJoin(broadcast(n))
+        .select(col("u").as("doc"), col("deg"), col("n"),
+          (lit(1.0) / col("n")).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(rank.select(col("doc").as("u"), (col("r") / col("deg")).cast("decimal(28,18)").as("c")), "u")
+          .groupBy(col("v")).agg(sum(col("c")).as("in_sum"))
+        rank = rank
+          .join(contrib, rank("doc") === contrib("v"))
+          .select(col("doc"), col("deg"), col("n"),
+            round(lit(0.15) / col("n") + lit(0.85) * col("in_sum").cast("double"), 12).as("r"))
+          .localCheckpoint()
+      }
+      rank.select(col("doc"), col("deg"), round(col("r"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("doc"))
+    }),
   ) ++ moreQueries
 
   /** q40's near-dup pair pipeline (shared with q80's clustering):
@@ -389,6 +423,29 @@ object Text extends QueryPack {
       (s"WITH $pairCtes, $iters "
         + "SELECT lbl AS cluster, count(*) AS n_docs, min(doc) AS min_doc, max(doc) AS max_doc "
         + "FROM l5 GROUP BY lbl ORDER BY cluster")
+    },
+    "q112_pagerank" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+          + "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u), "
+          + "nn AS (SELECT count(*) AS n FROM deg), "
+          + "r0 AS (SELECT u AS doc, deg, n, CAST(1 AS DOUBLE) / n AS r FROM deg CROSS JOIN nn)")
+      val iters = (0 until 3).map(i =>
+        s"c$i AS (SELECT e.v, sum(CAST(r.r / r.deg AS DECIMAL(28,18))) AS in_sum "
+          + s"FROM edges e JOIN r$i r ON r.doc = e.u GROUP BY e.v), "
+          + s"r${i + 1} AS (SELECT r.doc, r.deg, r.n, "
+          + s"round(CAST(0.15 AS DOUBLE) / r.n + CAST(0.85 AS DOUBLE) * CAST(c.in_sum AS DOUBLE), 12) AS r "
+          + s"FROM r$i r JOIN c$i c ON c.v = r.doc)").mkString(", ")
+      (s"WITH $pairCtes, $iters "
+        + "SELECT doc, deg, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, doc")
     },
     "q41_cosine_topk" ->
       ("WITH probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 3), "

@@ -153,9 +153,33 @@ object TimeWin extends QueryPack {
           round(col("n_users") / col("cohort_size"), 6).as("rate"))
         .orderBy(col("cohort"), col("d"))
     }),
+
+    // ------------------------------------------------------------------
+    // Sessionization via the BUILT-IN session_window (vs q46's manual
+    // gaps-and-islands): per-user sessions with a 30-minute gap; the
+    // operator merges windows inside the aggregation, so session state
+    // stays inside its (user, session) group. Boundary semantics
+    // (pinned by Analysis2Spec with a synthetic exactly-30-min step):
+    // sessions MERGE while gap <= 30 min — an event exactly at
+    // prev+30min still joins the session — so the oracle's new-session
+    // test is strictly `>`, matching q46's manual convention.
+    "q110_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+          col("sw.end").as("sess_end"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))),
   )
 
   def oracles: Map[String, String] = Map(
+    "q110_session_window" ->
+      ("WITH f AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+        + "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "
+        + "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        + "s AS (SELECT user_id, ts, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM f) "
+        + "SELECT user_id, min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end, "
+        + "count(*) AS n_events FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_start"),
     "q87_ewma" -> {
       val numer = ewmaW.zipWithIndex.map { case (wk, k) =>
         s"CASE WHEN lag(v, $k) OVER w IS NOT NULL THEN $wk * lag(v, $k) OVER w ELSE 0 END"
