@@ -226,19 +226,28 @@ object Analysis extends QueryPack {
     // distance ≤ 2, candidates generated by an equi-join on the
     // 16-char name prefix (entity-resolution blocking: each block is
     // bounded, so the pair space is Σ|block|², never |names|²).
+    // Because both sides of a candidate pair share the block prefix P,
+    // lev(P+s, P+t) = lev(s, t): the DP runs on the 2-char suffixes
+    // only (9× fewer cell updates than full-name lev at this layout —
+    // the prefix-stripping trick any shared-prefix blocking enables).
     "q108_fuzzy_join" -> ((s, dir) => {
       val base = Tables.customer(s, dir)
         .select(substring(col("c_name"), 1, 16).as("blk"),
-          col("c_name"), col("c_custkey"))
-      val a = base.select(col("blk"), col("c_name").as("na"), col("c_custkey").as("ka"))
-      val b = base.select(col("blk"), col("c_name").as("nb"), col("c_custkey").as("kb"))
+          substring(col("c_name"), 17, 64).as("sfx"), col("c_custkey"))
+      // the probe side repartitions by block BEFORE the expansion:
+      // customer arrives as one parquet split, and without this the
+      // ×|block| pair blow-up runs in that single task — repartition
+      // costs a |names|-row shuffle and buys block-parallel expansion
+      val a = base.select(col("blk"), col("sfx").as("sa"), col("c_custkey").as("ka"))
+        .repartition(col("blk"))
+      val b = base.select(col("blk"), col("sfx").as("sb"), col("c_custkey").as("kb"))
       a.join(b, "blk")
         .filter(col("ka") < col("kb"))
-        .withColumn("d", levenshtein(col("na"), col("nb")))
+        .withColumn("d", levenshtein(col("sa"), col("sb")))
         .filter(col("d") <= 2)
         .groupBy(col("d"))
         .agg(count(lit(1)).as("n_pairs"),
-          min(concat(col("na"), lit("|"), col("nb"))).as("example"))
+          min(concat(col("blk"), col("sa"), lit("|"), col("blk"), col("sb"))).as("example"))
         .orderBy(col("d"))
     }),
   )
