@@ -268,6 +268,45 @@ object Relational extends QueryPack {
           countDistinct(col("c_mktsegment")).as("n_segs"),
           array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"))
         .orderBy(col("n_name"))),
+
+    // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop execution):
+    // doubling chains k → 2k from seed keys 1..7, joined back to the
+    // data to count which chain nodes exist as customers. Recursion
+    // depth is bounded by the literal cap (≤17 levels); DuckDB runs
+    // the IDENTICAL statement — the textual SQL surface is the
+    // operator under test, like q83.
+    "q118_recursive_cte" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        WITH RECURSIVE chain(k, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer_v WHERE c_custkey BETWEEN 1 AND 7
+          UNION ALL
+          SELECT k * 2, root, depth + 1 FROM chain WHERE k * 2 <= 100000
+        )
+        SELECT root, count(*) AS chain_len, max(depth) AS max_depth,
+          CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_existing
+        FROM chain LEFT JOIN customer_v c ON chain.k = c.c_custkey
+        GROUP BY root ORDER BY root""")
+    }),
+
+    // ------------------------------------------------------------------
+    // Correlated LATERAL subquery (top-2 customers by balance per
+    // nation): the SQL-standard per-row subtable form; Catalyst
+    // rewrites the correlation into a join + per-group limit rather
+    // than executing the subquery per row. DuckDB runs the identical
+    // statement.
+    "q119_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_v n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_v c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -276,6 +315,19 @@ object Relational extends QueryPack {
         + "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs "
         + "FROM customer JOIN nation ON c_nationkey = n_nationkey "
         + "GROUP BY n_name ORDER BY n_name"),
+    "q118_recursive_cte" ->
+      ("WITH RECURSIVE chain(k, root, depth) AS ("
+        + "SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey BETWEEN 1 AND 7 "
+        + "UNION ALL SELECT k * 2, root, depth + 1 FROM chain WHERE k * 2 <= 100000) "
+        + "SELECT root, count(*) AS chain_len, max(depth) AS max_depth, "
+        + "CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_existing "
+        + "FROM chain LEFT JOIN customer c ON chain.k = c.c_custkey "
+        + "GROUP BY root ORDER BY root"),
+    "q119_lateral" ->
+      ("SELECT n.n_name, t.c_name, t.c_acctbal FROM nation n, "
+        + "LATERAL (SELECT c_name, c_acctbal FROM customer c WHERE c.c_nationkey = n.n_nationkey "
+        + "ORDER BY c_acctbal DESC, c_name LIMIT 2) t "
+        + "ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"),
     "q83_sql_tpch_q1" ->
       ("SELECT l_returnflag, l_linestatus, "
         + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty, "

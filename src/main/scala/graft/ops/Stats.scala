@@ -451,9 +451,55 @@ object Stats extends QueryPack {
           round((col("ssb") / (col("kd") - 1)) / (col("ssw") / (col("nd") - col("kd"))), 6).as("f_stat"),
           round(col("ssb") / col("sst"), 6).as("eta_sq"))
     }),
+    // ------------------------------------------------------------------
+    // Mutual information + normalized MI between order status and
+    // priority — the information-theoretic association measure closing
+    // the family (Pearson q16, Spearman q22, chi² q101, ANOVA q116).
+    // Same shape as q101: one partial-agg shuffle to the contingency
+    // cells, marginals as windows over those bounded cells, each
+    // p·ln(...) term DECIMAL(28,12)-quantized before the final sum.
+    "q117_mutual_info" -> ((s, dir) => {
+      val ct = Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val m = ct
+        .withColumn("nx", sum(col("nxy")).over(Window.partitionBy(col("x"))))
+        .withColumn("ny", sum(col("nxy")).over(Window.partitionBy(col("y"))))
+        .withColumn("n", sum(col("nxy")).over(Window.partitionBy()))
+        .withColumn("mi_t", ((col("nxy") / col("n"))
+          * log(col("n").cast("double") * col("nxy") / (col("nx") * col("ny"))))
+          .cast("decimal(28,12)"))
+        // entropy terms double-count across cells unless scaled by the
+        // cell's share of its marginal: Σ_cells (nxy/nx)·(nx/n)·ln(n/nx)
+        // = Σ_x (nx/n)·ln(n/nx) = H(X)
+        .withColumn("hx_t", ((col("nxy") / col("n"))
+          * log(col("n").cast("double") / col("nx"))).cast("decimal(28,12)"))
+        .withColumn("hy_t", ((col("nxy") / col("n"))
+          * log(col("n").cast("double") / col("ny"))).cast("decimal(28,12)"))
+      m.agg(count(lit(1)).as("n_cells"),
+          sum(col("mi_t")).cast("double").as("mi_raw"),
+          sum(col("hx_t")).cast("double").as("hx_raw"),
+          sum(col("hy_t")).cast("double").as("hy_raw"))
+        .select(col("n_cells"),
+          round(col("mi_raw"), 6).as("mi"),
+          round(col("hx_raw"), 6).as("h_x"),
+          round(col("hy_raw"), 6).as("h_y"),
+          round(col("mi_raw") / sqrt(col("hx_raw") * col("hy_raw")), 6).as("nmi"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q117_mutual_info" ->
+      ("WITH ct AS (SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS nxy FROM orders GROUP BY 1, 2), "
+        + "m AS (SELECT nxy, CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx, "
+        + "CAST(sum(nxy) OVER (PARTITION BY y) AS BIGINT) AS ny, CAST(sum(nxy) OVER () AS BIGINT) AS n FROM ct), "
+        + "t AS (SELECT CAST((CAST(nxy AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) * nxy / (CAST(nx AS DOUBLE) * ny)) AS DECIMAL(28,12)) AS mi_t, "
+        + "CAST((CAST(nxy AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / nx) AS DECIMAL(28,12)) AS hx_t, "
+        + "CAST((CAST(nxy AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / ny) AS DECIMAL(28,12)) AS hy_t FROM m) "
+        + "SELECT count(*) AS n_cells, round(CAST(sum(mi_t) AS DOUBLE), 6) AS mi, "
+        + "round(CAST(sum(hx_t) AS DOUBLE), 6) AS h_x, round(CAST(sum(hy_t) AS DOUBLE), 6) AS h_y, "
+        + "round(CAST(sum(mi_t) AS DOUBLE) / sqrt(CAST(sum(hx_t) AS DOUBLE) * CAST(sum(hy_t) AS DOUBLE)), 6) AS nmi "
+        + "FROM t"),
     "q115_eqfreq_bins" ->
       ("WITH bs AS (SELECT quantile_cont(o_totalprice, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM orders), "
         + "b AS (SELECT len(list_filter(bs, b -> o_totalprice > b)) + 1 AS bin, o_totalprice FROM orders CROSS JOIN bs) "

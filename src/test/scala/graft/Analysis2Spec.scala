@@ -91,6 +91,36 @@ class Analysis2Spec extends AnyFunSuite with Matchers with SharedSpark {
     (r.getAs[Double]("ssb") + r.getAs[Double]("ssw")) shouldBe sst +- sst * 1e-4
   }
 
+  test("q117 mutual information bounds: 0 <= MI <= min(H), NMI in [0,1]") {
+    val r = SparkEntry.queries("q117_mutual_info")(spark, sf).collect().head
+    val (mi, hx, hy) = (r.getAs[Double]("mi"), r.getAs[Double]("h_x"), r.getAs[Double]("h_y"))
+    mi should be >= -1e-9 // 6-dp rounding can graze zero from below
+    mi should be <= math.min(hx, hy) + 1e-9
+    r.getAs[Double]("nmi") should (be >= -1e-9 and be <= 1.0 + 1e-9)
+  }
+
+  test("q118 recursive chains have the closed-form length per root") {
+    val rows = SparkEntry.queries("q118_recursive_cte")(spark, sf).collect()
+    rows should have length 7
+    for (r <- rows) {
+      val root = r.getAs[Long]("root")
+      // k, 2k, 4k, ... <= 100000  ⇒  floor(log2(100000/root)) + 1 nodes
+      val expLen = (math.log(100000.0 / root) / math.log(2.0)).toInt + 1
+      r.getAs[Long]("chain_len") shouldBe expLen
+      r.getAs[Int]("max_depth").toLong shouldBe expLen - 1
+    }
+  }
+
+  test("q119 lateral returns exactly top-2 per nation, correctly ranked") {
+    val rows = SparkEntry.queries("q119_lateral")(spark, sf).collect()
+    val nNations = Tables.nation(spark, sf).count()
+    rows.length.toLong shouldBe 2 * nNations
+    for (Array(a, b) <- rows.grouped(2).map(_.toArray)) {
+      a.getAs[String]("n_name") shouldBe b.getAs[String]("n_name")
+      a.getAs[Double]("c_acctbal") should be >= b.getAs[Double]("c_acctbal")
+    }
+  }
+
   test("q109 segs strings are sorted and consistent with n_segs") {
     val rows = SparkEntry.queries("q109_stringagg")(spark, sf).collect()
     for (r <- rows) {
