@@ -174,6 +174,34 @@ object Text extends QueryPack {
       rank.select(col("doc"), col("deg"), round(col("r"), 6).as("rank"))
         .orderBy(col("rank").desc, col("doc"))
     }),
+
+    // ------------------------------------------------------------------
+    // Triangle count + global clustering coefficient of the near-dup
+    // graph (how clique-like the duplicate neighborhoods are). The
+    // node-iterator join: ordered edges (u<v) self-joined v→w, closed
+    // by an existence join on (u,w) — every join is an equi-join on a
+    // node key, the distributed-triangle shape (at 100 TB you'd also
+    // degree-order nodes to bound the wedge side; this corpus's
+    // components are tiny). Triads come from exact per-node degrees.
+    "q120_triangles" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")) // already u<v
+        .localCheckpoint() // wedge + closure + degree branches
+      val wedges = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.v") === col("e2.u"))
+        .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+      val tri = wedges.join(pairs,
+        wedges("a") === pairs("u") && wedges("c") === pairs("v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("u").as("d")).union(pairs.select(col("v").as("d")))
+        .groupBy(col("d")).agg(count(lit(1)).as("deg"))
+      val stats = deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("deg")) / 2).cast("bigint").as("n_edges"),
+        sum((col("deg") * (col("deg") - 1)) / 2).cast("bigint").as("n_triads"))
+      stats.crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triads"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_triads"), 6).as("clustering"))
+    }),
   ) ++ moreQueries
 
   /** q40's near-dup pair pipeline (shared with q80's clustering):
@@ -446,6 +474,26 @@ object Text extends QueryPack {
           + s"FROM r$i r JOIN c$i c ON c.v = r.doc)").mkString(", ")
       (s"WITH $pairCtes, $iters "
         + "SELECT doc, deg, round(r, 6) AS rank FROM r3 ORDER BY rank DESC, doc")
+    },
+    "q120_triangles" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a AS u, doc_b AS v FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01)")
+      (s"WITH $pairCtes, "
+        + "wedges AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM pairs e1 JOIN pairs e2 ON e1.v = e2.u), "
+        + "tri AS (SELECT count(*) AS n_triangles FROM wedges w JOIN pairs p ON w.a = p.u AND w.c = p.v), "
+        + "deg AS (SELECT d, count(*) AS deg FROM (SELECT u AS d FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY d), "
+        + "st AS (SELECT count(*) AS n_nodes, CAST(sum(deg) // 2 AS BIGINT) AS n_edges, "
+        + "CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_triads FROM deg) "
+        + "SELECT n_nodes, n_edges, n_triads, n_triangles, "
+        + "round(CAST(3 AS DOUBLE) * n_triangles / n_triads, 6) AS clustering "
+        + "FROM st CROSS JOIN tri")
     },
     "q41_cosine_topk" ->
       ("WITH probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 3), "

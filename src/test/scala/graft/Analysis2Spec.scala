@@ -121,6 +121,14 @@ class Analysis2Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("q120 triangle identities: edges from degrees, 3·tri <= triads") {
+    val r = SparkEntry.queries("q120_triangles")(spark, sf).collect().head
+    val (nodes, edges) = (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"))
+    edges should be >= nodes / 2 // every node in the pair graph has deg >= 1
+    (3L * r.getAs[Long]("n_triangles")) should be <= r.getAs[Long]("n_triads")
+    r.getAs[Double]("clustering") should (be >= 0.0 and be <= 1.0)
+  }
+
   test("q109 segs strings are sorted and consistent with n_segs") {
     val rows = SparkEntry.queries("q109_stringagg")(spark, sf).collect()
     for (r <- rows) {
