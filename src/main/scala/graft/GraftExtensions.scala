@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((GraftFunctions.sqDistIdent,
       GraftFunctions.sqDistInfo, GraftFunctions.sqDistBuilder))
+    ext.injectFunction((GraftFunctions.rollingIdent,
+      GraftFunctions.rollingInfo, GraftFunctions.rollingBuilder))
   }
 }

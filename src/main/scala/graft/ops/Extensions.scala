@@ -212,61 +212,36 @@ object Extensions extends QueryPack {
     // machinery — containment = shared / min(windows), the overlap
     // detector that catches partial copies Jaccard dilutes.
     //
-    // The window hashes are computed in O(len) per doc, not O(len·64):
-    // with prefix sums S_k = Σ c_t·131^(-t) mod p (a codegen'd running
-    // window-sum over exploded codepoints), the fold value for the 64
-    // chars ending at k is exactly 7·131^64 + 131^k·(S_k − S_(k−64))
-    // mod p — lag(S, 64) differences the window out. A per-window
-    // `aggregate` HOF fold gave identical hashes but ran interpreted
-    // (HOFs don't codegen) at 13.7 s for sf0.1's 1.17M windows; this
-    // form is pure codegen'd window+scalar arithmetic (~8× faster) AND
-    // the linear-work shape a 100 TB run needs. Docs are bounded at
-    // 8192 chars on BOTH engines (explicit, not silent: the modular
-    // power tables are plan literals; longer docs chunk upstream).
+    // Window hashes come from the native codegen'd `rolling_win_hashes`
+    // expression (functions/RollingWindowHashes.scala): one O(len)
+    // generated loop per document emitting array<bigint>, exploded to
+    // (doc, hash) rows. History of this hot path at sf0.1 (1.17M
+    // windows): per-window `aggregate` HOF fold 13.7 s (HOFs don't
+    // codegen) → prefix-sum + lag(S,64) over exploded codepoints 2.8–5 s
+    // (codegen'd, but 1.17M rows through two Window operators) → native
+    // expression ~1 s (no per-char row blow-up, no Window machinery).
+    // Docs bounded at 8192 chars on BOTH engines (explicit, not silent;
+    // longer docs chunk upstream).
     "q73_rolling_dedup" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val p = 1000000007L
-      val maxLen = 8192
-      val pBI = BigInt(p)
-      val pows = Iterator.iterate(BigInt(1))(_ * 131 % pBI)
-        .take(maxLen + 1).map(_.toLong).toArray
-      val inv131 = BigInt(131).modPow(pBI - 2, pBI)
-      val invpows = Iterator.iterate(BigInt(1))(_ * inv131 % pBI)
-        .take(maxLen + 1).map(_.toLong).toArray
-      val seed64 = (BigInt(7) * BigInt(131).modPow(64, pBI) % pBI).toLong
-      // power tables referenced as expression-tree literals (never as
-      // row columns — a named literal column would be materialized per
-      // row through the Window buffer)
-      val invAt = element_at(typedLit(invpows), (col("k") + 1).cast("int"))
-      val powAt = element_at(typedLit(pows), (col("k") + 1).cast("int"))
-      val chars = Tables.documents(s, dir)
-        .filter(length(col("text")).between(64, maxLen))
-        .select(col("doc_id"), posexplode(
-          expr("transform(split(text, ''), ch -> cast(ascii(ch) as bigint))"))
-          .as(Seq("pos", "c")))
-        .select(col("doc_id"), (col("pos") + 1).as("k"), col("c"))
-      val wsum = Window.partitionBy(col("doc_id")).orderBy(col("k"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wlag = Window.partitionBy(col("doc_id")).orderBy(col("k"))
-      val wh = chars
-        // terms stay < p, raw running sum < 8192·p — no Long overflow
-        .withColumn("term", col("c") * invAt % p)
-        .withColumn("s", sum(col("term")).over(wsum))
-        .withColumn("d", (col("s") - lag(col("s"), 64, 0L).over(wlag)) % p)
-        .filter(col("k") >= 64)
-        .select(col("doc_id"),
-          ((lit(seed64) + powAt * col("d")) % p).as("wh"))
+      org.apache.spark.sql.GraftFunctions.register(s) // idempotent; no-op under GraftExtensions
+      val wh = Tables.documents(s, dir)
+        .filter(length(col("text")).between(64, 8192))
+        .select(col("doc_id"), explode(expr("rolling_win_hashes(text)")).as("wh"))
         .distinct()
         // materialized ONCE (localCheckpoint): four plan branches
         // consume wh (sizes ×2, the df-filter, the pair join) and
         // exchange reuse does not dedupe them across branches here —
-        // without this the scan→explode→window→distinct subtree runs
-        // 4× (measured: ~6 s of the query's 7.5 s at sf0.1)
+        // without this the scan→hash→distinct subtree runs 4×
         .localCheckpoint()
       val sizes = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
       val keep = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 1 && col("df") <= Text.maxShingleDf)
         .select(col("wh"))
+      // deliberately NO broadcast hint on keep: the multi-doc hash set
+      // is not cardinality-bounded (a high-dup corpus can make it
+      // arbitrarily large), and keep arrives through a shuffle, so AQE
+      // holds its exact size and up-converts to a runtime broadcast
+      // join precisely when it is small enough
       val shared = wh.join(keep, "wh")
         .groupBy(col("wh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))

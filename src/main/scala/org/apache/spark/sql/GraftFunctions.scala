@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{CosineSimilarity, SquaredDistance}
+import graft.functions.{CosineSimilarity, RollingWindowHashes, SquaredDistance}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -39,10 +39,22 @@ object GraftFunctions {
 
   val sqDistIdent: FunctionIdentifier = FunctionIdentifier("sq_dist")
 
+  val rollingBuilder: Seq[Expression] => Expression = {
+    case Seq(a) => RollingWindowHashes(a)
+    case other =>
+      throw new IllegalArgumentException(s"rolling_win_hashes expects 1 arg, got ${other.size}")
+  }
+
+  val rollingInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[RollingWindowHashes].getName, "rolling_win_hashes")
+
+  val rollingIdent: FunctionIdentifier = FunctionIdentifier("rolling_win_hashes")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
     reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
+    reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
   }
 }
