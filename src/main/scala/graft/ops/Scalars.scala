@@ -110,9 +110,59 @@ object Scalars extends QueryPack {
           round(sum(col("k")) / count(col("k")), 6).as("avg_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
+
+    // ------------------------------------------------------------------
+    // VARIANT (Spark 4's columnar semi-structured type): props parsed
+    // ONCE into a variant column, fields then extracted with typed
+    // variant_get — at 100 TB this is the parse-once / extract-many
+    // layout that replaces per-extraction JSON re-parsing (q35's
+    // get_json_object shape). The oracle extracts the same fields from
+    // the JSON text — values must agree exactly.
+    "q121_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("parse_json(props)").as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'int')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))),
+
+    // ------------------------------------------------------------------
+    // Collation-aware grouping (Spark 4 collations): deterministic
+    // mixed-case variants of the market segment (initcap on even keys,
+    // lower on odd) regroup to the case-insensitive segments under
+    // UTF8_LCASE — grouping semantics live in the TYPE, not in a
+    // lower() rewrite. The group key's surviving representative casing
+    // is nondeterministic by definition, so the output key is
+    // canonicalized via lower(); the oracle groups by lower() directly.
+    "q122_collation" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, initcap(lower(col("c_mktsegment"))))
+            .otherwise(lower(col("c_mktsegment"))))
+        .select(expr("seg_mixed COLLATE UTF8_LCASE").as("seg_ci"),
+          col("c_acctbal"))
+        .groupBy(col("seg_ci"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("bal"))
+        .select(lower(col("seg_ci")).as("segment"), col("n"), col("bal"))
+        .orderBy(col("segment"))),
   )
 
   def oracles: Map[String, String] = Map(
+    "q121_variant" ->
+      ("SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, "
+        + "count(DISTINCT k) AS n_distinct_k "
+        + "FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events) "
+        + "GROUP BY event_type ORDER BY event_type"),
+    "q122_collation" ->
+      ("SELECT lower(seg_mixed) AS segment, count(*) AS n, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal "
+        + "FROM (SELECT CASE WHEN c_custkey % 2 = 0 THEN "
+        + "upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) "
+        + "ELSE lower(c_mktsegment) END AS seg_mixed, c_acctbal FROM customer) "
+        + "GROUP BY lower(seg_mixed) ORDER BY segment"),
     "q30_string_fns" ->
       ("SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo, substring(p_name, 1, 4) AS sub, "
         + "p_type || '_' || p_brand AS cat, regexp_replace(p_name, ' ', '-', 'g') AS rep, "
