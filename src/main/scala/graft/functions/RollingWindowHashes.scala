@@ -50,21 +50,23 @@ object RollingWindowHashes {
   final val Pow63: Long = BigInt(131).modPow(63, BigInt(P)).toLong
   final val Seed64: Long = (BigInt(7) * BigInt(131).modPow(64, BigInt(P)) % BigInt(P)).toLong
 
-  /** One pass over the UTF-16 units (== code points for the BMP text
-    * this corpus holds; DuckDB's unicode() agrees there). */
+  /** One pass over the CODE POINTS (not UTF-16 units), so supplementary-
+    * plane characters hash as one unit — matching both Spark `length()`
+    * (UTF8String.numChars counts code points) and DuckDB's per-codepoint
+    * `unicode()` fold. See RollingHashesSpec for the non-BMP parity case. */
   def compute(s: UTF8String): ArrayData = {
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     if (n < W) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](n - W + 1)
     var b = 0L
     var i = 0
-    while (i < W) { b = (b * 131 + str.charAt(i)) % P; i += 1 }
+    while (i < W) { b = (b * 131 + cps(i)) % P; i += 1 }
     out(0) = (Seed64 + b) % P
     var w = 1
     while (w <= n - W) {
-      b = ((b - str.charAt(w - 1) * Pow63) % P + P) % P
-      b = (b * 131 + str.charAt(w + W - 1)) % P
+      b = ((b - cps(w - 1).toLong * Pow63) % P + P) % P
+      b = (b * 131 + cps(w + W - 1)) % P
       out(w) = (Seed64 + b) % P
       w += 1
     }

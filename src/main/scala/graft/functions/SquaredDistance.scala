@@ -17,6 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * diffs accumulate left-to-right, exactly like the HOF fold and
   * DuckDB's sequential list_sum — swapping it into an oracle-matched
   * query changes the plan, not the bits.
+  *
+  * Null contract (matches the HOF it replaced): NULL when either input
+  * is NULL, when the arrays differ in length (zip_with would pad with
+  * null → aggregate yields null), or when any element is NULL.
   */
 case class SquaredDistance(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -42,10 +46,12 @@ case class SquaredDistance(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloatArr(left.dataType); val rf = isFloatArr(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xi - yi
@@ -62,13 +68,18 @@ case class SquaredDistance(left: Expression, right: Expression)
       val getA = if (isFloatArr(left.dataType)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (isFloatArr(right.dataType)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = ($getA) - ($getB);
-         |  $acc += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ($getA) - ($getB);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -69,6 +69,7 @@ object Analysis extends QueryPack {
       val tc = Tables.documents(s, dir)
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed twice: corpus total + filtered output
       val tot = tc.agg(sum(col("c")).as("tot"))
       tc.crossJoin(broadcast(tot))
         .filter(col("c") > col("tot").cast("double") / 50)

@@ -178,7 +178,11 @@ object Pipeline extends QueryPack {
     // (the no-Exchange plan property is asserted in BucketingSpec; the
     // oracle here proves the layout is semantics-preserving).
     "q82_bucketed_join" -> ((s, dir) => {
-      val wh = java.nio.file.Files.createTempDirectory("graft_bkt82_").toString
+      // stable per-JVM warehouse (Stage.dir) — CREATE DATABASE pins its
+      // LOCATION on first run, so a fresh temp dir per invocation would
+      // leak one orphan dir per later run (ADVICE round 3); the stable
+      // dir is reused in place and hook-deleted at exit
+      val wh = Stage.dir("bkt82")
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt82 LOCATION '$wh'")
       // the bucketed layout stores only the workload's columns — a
       // bucketed table is a join INDEX for its key, not an archive;

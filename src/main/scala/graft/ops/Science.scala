@@ -1,0 +1,434 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 pack: ranked retrieval (BM25), distribution tests (KS,
+  * Welch t, Mann–Whitney U), changepoint detection (CUSUM), ANN index
+  * QUALITY evaluation (recall@k of the LSH index vs exact top-k),
+  * rolling distinct actives, Benford digit profiling, Jensen–Shannon
+  * domain divergence, Theil–Sen robust trend, and skyline (Pareto)
+  * extraction.
+  *
+  * Scale notes (100 TB north star):
+  *  - Every statistic is computed over a CONTRACTED frame first:
+  *    KS/MWU group the raw values to per-distinct-value counts before
+  *    any window; CUSUM/Theil–Sen contract events to daily counts;
+  *    JSD/BM25 contract the corpus to (token, count) cells; Benford to
+  *    9 digit cells; skyline to one candidate per p_size. The fact
+  *    table is touched by exactly one partial-agg shuffle each — the
+  *    windows/joins after run on bounded rows.
+  *  - q126 evaluates the q55-style LSH index against exact top-k
+  *    ground truth ON A PROBE SAMPLE — the standard way to tune
+  *    (#planes, #tables) before committing a billion-vector index.
+  *  - q133's skyline never self-joins the raw table: per-size min
+  *    contraction (one shuffle) then an O(s²) dominance anti-join on
+  *    the ≤|distinct sizes| candidates, broadcast.
+  *  - Float determinism follows SURVEY §4.3: per-term quantization to
+  *    DECIMAL before distributed sums; composites computed from RAW
+  *    ratios; round(…,6) on OUTPUT columns only.
+  */
+object Science extends QueryPack {
+
+  /** Shared tokenizer — identical to Text.scala's (split on single
+    * space, drop empties); the DuckDB mirror is string_split+unnest. */
+  private def toks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed 3-term query:
+    // tf and dl contract the corpus in one tokenize+groupBy pass; df
+    // and avgdl are tiny aggregates; the per-(doc,term) score is
+    // quantized to DECIMAL(28,12) before the per-doc sum so partial-agg
+    // merge order can never move a ULP, and the top-20 ranking orders
+    // by that exact decimal. ln() and raw-ratio composites per §4.3.
+    "q123_bm25" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // consumed twice: corpus stats + per-doc norm
+      val stats = dl.agg(count(lit(1)).as("n"),
+        sum(col("dl")).as("sumdl"))
+      val tf = t.filter(col("tok").isin("spark", "join", "filter"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("term_score", expr(
+          "cast(ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+            "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (cast(sumdl as double) / n))) " +
+            "as decimal(28,12))"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("term_score")).as("score_x"), max(col("dl")).as("dl"))
+      val w = Window.orderBy(col("score_x").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("doc_id"), col("dl"),
+          round(col("score_x").cast("double"), 6).as("score"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov: D = max |ECDF_view − ECDF_click|
+    // over `value`. The raw rows contract to per-distinct-value counts
+    // first (one shuffle); the ECDF window then runs over the bounded
+    // distinct-value frame (ROWS == RANGE after the contraction).
+    // Integer cumsums + exactly-rounded IEEE divisions → the D grid is
+    // bit-identical across engines; round only on output.
+    "q124_ks_test" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("c2"))
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum1", sum(col("c1")).over(w))
+        .withColumn("cum2", sum(col("c2")).over(w))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          max(expr("abs(cast(cum1 as double) / sum(c1) over () - cast(cum2 as double) / sum(c2) over ())")).as("d_raw"))
+        .select(col("n1"), col("n2"), round(col("d_raw"), 6).as("ks_d"),
+          round(expr("sqrt(cast(n1 as double) * n2 / (n1 + n2)) * d_raw"), 6).as("ks_stat"))
+    }),
+
+    // ------------------------------------------------------------------
+    // CUSUM changepoint over the daily event counts: S_i = cum_i − i·μ
+    // computed CLOSED-FORM from the exact integer cumsum (never a
+    // running float sum, so no accumulation-order drift); the
+    // changepoint is argmax |S_i| with earliest-day tie-break. Daily
+    // contraction is the only fact-table shuffle.
+    "q125_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val wd = Window.orderBy(col("day"))
+      val cum = daily
+        .withColumn("i", row_number().over(wd))
+        .withColumn("cum", sum(col("n")).over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"))))
+        .withColumn("s_raw", expr("cast(cum as double) - (cast(i as double) * tot) / nd"))
+      cum.withColumn("rk", row_number().over(Window.orderBy(abs(col("s_raw")).desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("day").as("cp_day"), col("n").as("n_that_day"),
+          round(col("s_raw"), 6).as("cusum"), col("nd").as("n_days"), col("tot").as("n_events"))
+    }),
+
+    // ------------------------------------------------------------------
+    // ANN index QUALITY: recall@10 of a 6-plane sign-random-projection
+    // LSH table (q55's md5-weight construction, 64 buckets) against
+    // exact cosine top-10 ground truth, per probe. The exact side runs
+    // only over the 20-probe sample (broadcast), never all-pairs; the
+    // LSH side is the one-shuffle bucket build. This is the
+    // measure-then-tune step a billion-vector index deploy runs.
+    "q126_ann_recall" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val planes = s.range(0, 6).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w2", expr(
+          "2 * (position(substr(md5(cast(concat(cast(j as string), '_', cast(d as string)) as binary)), 1, 1), '0123456789abcdef') - 1) - 15"))
+      val buckets = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          expr("cast(floor(cast(x as double) * 1000000) as bigint)").as("xq"))
+        .join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("xq") * col("w2")).as("dot"))
+        .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+        .localCheckpoint() // probes + corpus side both consume it
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val wTruth = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val truth = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr("cosine_sim(embedding, p_emb)"), 6))
+        .withColumn("rn", row_number().over(wTruth))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      val cand = buckets.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("probe_id"), col("bucket"))
+        .join(buckets, "bucket")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint() // counted + intersected
+      val nCand = cand.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
+      val hits = truth.join(cand, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      truth.select(col("probe_id")).distinct()
+        .join(nCand, Seq("probe_id"), "left").join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 10.0, 6).as("recall_at_10"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Rolling 7-day distinct actives per day (DAU + trailing WAU):
+    // exact sliding DISTINCT cannot merge per-day partials, so the
+    // correct distributed plan is the interval join — the tiny day
+    // spine (≤31 rows) broadcasts against the fact table and the
+    // count-distinct shuffle is keyed by day. (The approximate path at
+    // 100 TB is per-day HLL sketches merged over the window — q13.)
+    "q127_rolling_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("eday"), col("user_id"))
+      val days = ev.select(col("eday").as("day")).distinct()
+      ev.join(broadcast(days), expr("day >= eday AND datediff(day, eday) <= 6"))
+        .groupBy(col("day"))
+        .agg(countDistinct(when(col("eday") === col("day"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau7"))
+        .orderBy(col("day"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Welch's two-sample t-test (view vs click `value`): per-group
+    // n/mean/var in ONE partial-agg pass, then the t statistic and
+    // Welch–Satterthwaite df as scalar composites of the RAW moments
+    // (round on output only, §4.3).
+    "q128_welch_ttest" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy()
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("n1"),
+          count(when(col("event_type") === "click", 1)).as("n2"),
+          avg(when(col("event_type") === "view", col("value"))).as("m1"),
+          avg(when(col("event_type") === "click", col("value"))).as("m2"),
+          var_samp(when(col("event_type") === "view", col("value"))).as("v1"),
+          var_samp(when(col("event_type") === "click", col("value"))).as("v2"))
+        .select(col("n1"), col("n2"),
+          round(col("m1"), 6).as("mean_view"), round(col("m2"), 6).as("mean_click"),
+          round(expr("(m1 - m2) / sqrt(v1 / n1 + v2 / n2)"), 6).as("t_stat"),
+          round(expr("pow(v1 / n1 + v2 / n2, 2) / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))"), 6).as("welch_df"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit profile of o_totalprice: 9-cell contraction,
+    // observed share vs Benford's log expectation, per-digit z-ish
+    // deviation — the classic fraud/corruption screen over a money
+    // column. floor→BIGINT→string avoids DuckDB's round-on-cast trap.
+    "q129_benford" -> ((s, dir) => {
+      val d = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(expr("cast(substr(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+      d.crossJoin(broadcast(d.agg(sum(col("cnt")).as("n"))))
+        .withColumn("obs", expr("cast(cnt as double) / n"))
+        .withColumn("exp", expr("ln(1.0 + 1.0 / digit) / ln(10.0)"))
+        .select(col("digit"), col("cnt"), col("n"),
+          round(col("obs"), 6).as("obs_share"),
+          round(col("exp"), 6).as("benford_share"),
+          round(expr("(obs - exp) / sqrt(exp * (1.0 - exp) / n)"), 6).as("z_dev"))
+        .orderBy(col("digit"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Mann–Whitney U (view vs click `value`): pooled average ranks via
+    // the per-distinct-value contraction — avg(row_number) within a
+    // tied-value block is invariant to intra-tie order, and the rank
+    // sums are exact (integer/half-integer) so they ride a DECIMAL sum.
+    // U and the normal-approximation z are scalar composites of exact
+    // terms.
+    "q130_mann_whitney" -> ((s, dir) => {
+      val pooled = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("value").as("v"),
+          when(col("event_type") === "view", 1).otherwise(0).as("is1"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+      val perVal = pooled.groupBy(col("v"))
+        .agg(avg(col("rn")).as("ar"), sum(col("is1")).as("c1"),
+          sum(lit(1) - col("is1")).as("c2"))
+      perVal.agg(
+          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+          sum(expr("cast(ar * c1 as decimal(28,6))")).as("r1x"))
+        .select(col("n1"), col("n2"),
+          round(col("r1x").cast("double"), 6).as("rank_sum_view"),
+          round(expr("cast(r1x as double) - cast(n1 as double) * (n1 + 1) / 2.0"), 6).as("u_stat"),
+          round(expr("(cast(r1x as double) - cast(n1 as double) * (n1 + 1) / 2.0 - cast(n1 as double) * n2 / 2.0) / sqrt(cast(n1 as double) * n2 * (n1 + n2 + 1) / 12.0)"), 6).as("z_stat"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Jensen–Shannon divergence between the src0 and src1 token
+    // distributions: one tokenize+groupBy contraction to (tok, c1, c2)
+    // cells, per-token contribution from RAW ratios quantized to
+    // DECIMAL(28,12) before the sum (zero-count sides contribute 0 —
+    // the p·ln(p/m) limit), reported in nats and bits.
+    "q131_jsd_domains" -> ((s, dir) => {
+      val c = Tables.documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(sum(when(col("source") === "src0", 1).otherwise(0)).as("c1"),
+          sum(when(col("source") === "src1", 1).otherwise(0)).as("c2"))
+      c.crossJoin(broadcast(c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+        .withColumn("term", expr(
+          "cast(0.5 * (CASE WHEN c1 > 0 THEN (cast(c1 as double) / n1) * ln((cast(c1 as double) / n1) / ((cast(c1 as double) / n1 + cast(c2 as double) / n2) / 2.0)) ELSE 0.0 END "
+            + "+ CASE WHEN c2 > 0 THEN (cast(c2 as double) / n2) * ln((cast(c2 as double) / n2) / ((cast(c1 as double) / n1 + cast(c2 as double) / n2) / 2.0)) ELSE 0.0 END) "
+            + "as decimal(28,12))"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          count(lit(1)).as("vocab"), sum(col("term")).as("jsd_x"))
+        .select(col("n1"), col("n2"), col("vocab"),
+          round(col("jsd_x").cast("double"), 6).as("jsd_nats"),
+          round(expr("cast(jsd_x as double) / ln(2.0)"), 6).as("jsd_bits"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Theil–Sen robust trend per event_type over daily counts: the
+    // fact table contracts to ≤31 daily cells per type, pairwise
+    // slopes are an O(d²) self-join on that bounded frame (broadcast,
+    // never on raw rows), and the estimator is the exact-interpolation
+    // median of slopes.
+    "q132_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type").as("et"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("i", expr("datediff(day, date'2024-01-01')"))
+        .localCheckpoint() // both sides of the pair join
+      val a = daily.select(col("et"), col("i").as("ia"), col("n").as("na"))
+      val b = daily.select(col("et").as("etb"), col("i").as("ib"), col("n").as("nb"))
+      a.join(broadcast(b), col("et") === col("etb") && col("ia") < col("ib"))
+        .withColumn("slope", expr("cast(nb - na as double) / (ib - ia)"))
+        .groupBy(col("et"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("ts_slope"))
+        .orderBy(col("et"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Skyline (Pareto frontier) of parts — maximize p_size, minimize
+    // p_retailprice: per-size min-price contraction (one shuffle, ≤
+    // |distinct sizes| candidates), O(s²) dominance anti-join on the
+    // broadcast candidate set, then re-expansion to the full part rows
+    // on the frontier. The raw table is never self-joined.
+    "q133_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val cand = p.groupBy(col("p_size").as("sz"))
+        .agg(min(col("p_retailprice")).as("bp"))
+        .localCheckpoint() // both sides of the dominance join + expansion
+      val dom = cand.select(col("sz").as("szb"), col("bp").as("bpb"))
+      val sky = cand.join(broadcast(dom),
+          col("szb") > col("sz") && col("bpb") <= col("bp"), "left_anti")
+      p.join(broadcast(sky),
+          col("p_size") === col("sz") && col("p_retailprice") === col("bp"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy(col("p_size"), col("p_partkey"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q123_bm25" ->
+      ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+        + "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl), "
+        + "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok IN ('spark', 'join', 'filter') GROUP BY doc_id, tok), "
+        + "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        + "scored AS (SELECT tf.doc_id, sum(CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) * "
+        + "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n))) AS DECIMAL(28,12))) AS score_x, max(dl.dl) AS dl "
+        + "FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY tf.doc_id) "
+        + "SELECT rank, doc_id, dl, round(CAST(score_x AS DOUBLE), 6) AS score FROM ("
+        + "SELECT doc_id, dl, score_x, row_number() OVER (ORDER BY score_x DESC, doc_id) AS rank FROM scored) "
+        + "WHERE rank <= 20 ORDER BY rank"),
+    "q124_ks_test" ->
+      ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('view', 'click') GROUP BY value), "
+        + "cums AS (SELECT c1, c2, CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
+        + "CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2 FROM g), "
+        + "agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, "
+        + "max(abs(CAST(cum1 AS DOUBLE) / (SELECT CAST(sum(c1) AS BIGINT) FROM g) - CAST(cum2 AS DOUBLE) / (SELECT CAST(sum(c2) AS BIGINT) FROM g))) AS d_raw FROM cums) "
+        + "SELECT n1, n2, round(d_raw, 6) AS ks_d, round(sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) * d_raw, 6) AS ks_stat FROM agg"),
+    "q125_changepoint" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1), "
+        + "tot AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS tot FROM daily), "
+        + "cum AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i, "
+        + "CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM daily), "
+        + "s AS (SELECT day, n, nd, tot, CAST(cum AS DOUBLE) - (CAST(i AS DOUBLE) * tot) / nd AS s_raw FROM cum CROSS JOIN tot) "
+        + "SELECT day AS cp_day, n AS n_that_day, round(s_raw, 6) AS cusum, nd AS n_days, tot AS n_events FROM ("
+        + "SELECT *, row_number() OVER (ORDER BY abs(s_raw) DESC, day) AS rk FROM s) WHERE rk = 1"),
+    "q126_ann_recall" ->
+      ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
+        + "FROM (SELECT unnest(range(0, 6)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
+        + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
+        + "dots AS (SELECT e.vec_id, p.j, CAST(sum(e.xq * p.w2) AS BIGINT) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
+        + "buckets AS (SELECT vec_id, CAST(sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS BIGINT) AS bucket FROM dots GROUP BY vec_id), "
+        + "probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 20), "
+        + "sim AS (SELECT probe_id, vec_id, round(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos "
+        + "FROM embeddings CROSS JOIN probes WHERE vec_id <> probe_id), "
+        + "truth AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn FROM sim) WHERE rn <= 10), "
+        + "cand AS (SELECT p.vec_id AS probe_id, b.vec_id FROM buckets p JOIN buckets b ON b.bucket = p.bucket AND b.vec_id <> p.vec_id WHERE p.vec_id < 20), "
+        + "nc AS (SELECT probe_id, count(*) AS n_cand FROM cand GROUP BY 1), "
+        + "hits AS (SELECT t.probe_id, count(*) AS n_hit FROM truth t WHERE EXISTS (SELECT 1 FROM cand c WHERE c.probe_id = t.probe_id AND c.vec_id = t.vec_id) GROUP BY 1) "
+        + "SELECT p.probe_id, coalesce(nc.n_cand, 0) AS n_cand, coalesce(hits.n_hit, 0) AS n_hit, "
+        + "round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 10.0, 6) AS recall_at_10 "
+        + "FROM (SELECT DISTINCT probe_id FROM truth) p LEFT JOIN nc USING (probe_id) LEFT JOIN hits ON hits.probe_id = p.probe_id ORDER BY p.probe_id"),
+    "q127_rolling_distinct" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events), "
+        + "days AS (SELECT DISTINCT eday AS day FROM ev) "
+        + "SELECT day, count(DISTINCT CASE WHEN eday = day THEN user_id END) AS dau, "
+        + "count(DISTINCT user_id) AS wau7 "
+        + "FROM ev JOIN days ON day >= eday AND date_diff('day', eday, day) <= 6 "
+        + "GROUP BY day ORDER BY day"),
+    "q128_welch_ttest" ->
+      ("WITH m AS (SELECT count(CASE WHEN event_type = 'view' THEN 1 END) AS n1, "
+        + "count(CASE WHEN event_type = 'click' THEN 1 END) AS n2, "
+        + "avg(CASE WHEN event_type = 'view' THEN value END) AS m1, "
+        + "avg(CASE WHEN event_type = 'click' THEN value END) AS m2, "
+        + "var_samp(CASE WHEN event_type = 'view' THEN value END) AS v1, "
+        + "var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2 "
+        + "FROM events WHERE event_type IN ('view', 'click')) "
+        + "SELECT n1, n2, round(m1, 6) AS mean_view, round(m2, 6) AS mean_click, "
+        + "round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat, "
+        + "round(pow(v1 / n1 + v2 / n2, 2) / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df FROM m"),
+    "q129_benford" ->
+      ("WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, count(*) AS cnt "
+        + "FROM orders WHERE o_totalprice >= 1 GROUP BY 1), "
+        + "t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM d) "
+        + "SELECT digit, cnt, n, round(CAST(cnt AS DOUBLE) / n, 6) AS obs_share, "
+        + "round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share, "
+        + "round((CAST(cnt AS DOUBLE) / n - ln(1.0 + 1.0 / digit) / ln(10.0)) / "
+        + "sqrt(ln(1.0 + 1.0 / digit) / ln(10.0) * (1.0 - ln(1.0 + 1.0 / digit) / ln(10.0)) / n), 6) AS z_dev "
+        + "FROM d CROSS JOIN t ORDER BY digit"),
+    "q130_mann_whitney" ->
+      ("WITH pooled AS (SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1, "
+        + "row_number() OVER (ORDER BY value) AS rn FROM events WHERE event_type IN ('view', 'click')), "
+        + "pv AS (SELECT v, avg(rn) AS ar, CAST(sum(is1) AS BIGINT) AS c1, CAST(sum(1 - is1) AS BIGINT) AS c2 FROM pooled GROUP BY v), "
+        + "agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, sum(CAST(ar * c1 AS DECIMAL(28,6))) AS r1x FROM pv) "
+        + "SELECT n1, n2, round(CAST(r1x AS DOUBLE), 6) AS rank_sum_view, "
+        + "round(CAST(r1x AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0, 6) AS u_stat, "
+        + "round((CAST(r1x AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0 - CAST(n1 AS DOUBLE) * n2 / 2.0) / "
+        + "sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0), 6) AS z_stat FROM agg"),
+    "q131_jsd_domains" ->
+      ("WITH c AS (SELECT tok, CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM ("
+        + "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents WHERE source IN ('src0', 'src1')) "
+        + "WHERE tok <> '' GROUP BY tok), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM c), "
+        + "terms AS (SELECT n1, n2, CAST(0.5 * (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / n1) * ln((CAST(c1 AS DOUBLE) / n1) / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2.0)) ELSE 0.0 END "
+        + "+ CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / n2) * ln((CAST(c2 AS DOUBLE) / n2) / ((CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2) / 2.0)) ELSE 0.0 END) AS DECIMAL(28,12)) AS term "
+        + "FROM c CROSS JOIN t) "
+        + "SELECT max(n1) AS n1, max(n2) AS n2, count(*) AS vocab, "
+        + "round(CAST(sum(term) AS DOUBLE), 6) AS jsd_nats, "
+        + "round(CAST(sum(term) AS DOUBLE) / ln(2.0), 6) AS jsd_bits FROM terms"),
+    "q132_theil_sen" ->
+      ("WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), "
+        + "idx AS (SELECT et, date_diff('day', DATE '2024-01-01', day) AS i, n FROM daily), "
+        + "pairs AS (SELECT a.et, CAST(b.n - a.n AS DOUBLE) / (b.i - a.i) AS slope "
+        + "FROM idx a JOIN idx b ON a.et = b.et AND a.i < b.i) "
+        + "SELECT et, count(*) AS n_pairs, round(quantile_cont(slope, 0.5), 6) AS ts_slope "
+        + "FROM pairs GROUP BY et ORDER BY et"),
+    "q133_skyline" ->
+      ("WITH cand AS (SELECT p_size AS sz, min(p_retailprice) AS bp FROM part GROUP BY 1), "
+        + "sky AS (SELECT * FROM cand a WHERE NOT EXISTS ("
+        + "SELECT 1 FROM cand b WHERE b.sz > a.sz AND b.bp <= a.bp)) "
+        + "SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p "
+        + "JOIN sky s ON p.p_size = s.sz AND p.p_retailprice = s.bp "
+        + "ORDER BY p_size, p_partkey"),
+  )
+}

@@ -40,8 +40,7 @@ object Sources extends QueryPack {
     // the parquet originals, so any loss in the csv/json round-trip
     // (type, precision, header, timestamp format) breaks the hash.
     "q74_sources" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_sources_")
-      stage.toFile.deleteOnExit()
+      val stage = Stage.dir("sources74")
       Tables.orders(s, dir).write.mode("overwrite")
         .option("header", "true").csv(s"$stage/orders_csv")
       Tables.customer(s, dir).write.mode("overwrite").json(s"$stage/customer_json")
@@ -63,8 +62,7 @@ object Sources extends QueryPack {
     // scanned. Oracle runs the same slice on the parquet originals, so
     // any loss in the partitioned round-trip breaks the hash.
     "q88_sink_partitioned" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_sink88_")
-      stage.toFile.deleteOnExit()
+      val stage = Stage.dir("sink88")
       Tables.documents(s, dir).write.mode("overwrite")
         .partitionBy("lang").parquet(s"$stage/docs_by_lang")
       s.read.parquet(s"$stage/docs_by_lang")
@@ -81,8 +79,7 @@ object Sources extends QueryPack {
     // parquet originals, so type/precision/timestamp loss in the ORC
     // round-trip breaks the hash.
     "q94_orc_roundtrip" -> ((s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_orc94_")
-      stage.toFile.deleteOnExit()
+      val stage = Stage.dir("orc94")
       Tables.lineitem(s, dir).write.mode("overwrite").orc(s"$stage/lineitem_orc")
       s.read.orc(s"$stage/lineitem_orc")
         .groupBy(col("l_returnflag"), col("l_linestatus"))

@@ -59,13 +59,16 @@ object Vectors extends QueryPack {
   /** The k-means-TRAINED codebook (one Lloyd iteration from the label-
     * mean init) — what a real IVF index build produces; q61 searches
     * these cells, so no ground-truth label leaks into the index.
-    * Cached: k×dim rows, and both the probe and corpus assignment
-    * branches of q61 consume it (uncached, each branch would re-run the
-    * two corpus-wide training scans). */
+    * Materialized via localCheckpoint (k×dim rows): both the probe and
+    * corpus assignment branches of q61 consume it (unmaterialized, each
+    * branch would re-run the two corpus-wide training scans). Unlike
+    * `cache()`, checkpoint blocks are released by the ContextCleaner
+    * when the plan is GC'd, so repeated invocations (two Bench passes,
+    * Verify, specs on one session) don't grow the cache manager. */
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val cent0 = centroids(s, dir).select(col("clabel").as("cid"), col("cvec"))
-    recompute(assign(e, cent0)).cache()
+    recompute(assign(e, cent0)).localCheckpoint()
   }
 
   def queries: Map[String, Q] = Map(
@@ -167,7 +170,7 @@ object Vectors extends QueryPack {
           .groupBy(col("label"))
           .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cvec"))
           .select(col("label").as("cid"), col("cvec"))
-        val trained = recompute(assign(sub, init)).cache()
+        val trained = recompute(assign(sub, init)).localCheckpoint()
         assign(sub, trained)
           .select(col("vec_id"), col("cid").as(s"c$b"), col("d2").as(s"err$b"))
       }

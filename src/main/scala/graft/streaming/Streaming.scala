@@ -56,8 +56,7 @@ object Streaming extends QueryPack {
       // from earlier runs (and concurrent runs at different SFs would
       // corrupt each other's window counts).
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val in = Files.createTempDirectory("graft_stream_in_")
-      in.toFile.deleteOnExit()
+      val in = graft.ops.Stage.fresh("stream_in")
       Files.copy(Paths.get(s"$dir/events.parquet"),
         in.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val q = withStateParts(s)(s.readStream
@@ -98,7 +97,7 @@ object Streaming extends QueryPack {
       import graft.streaming.StatefulSessions.{Ev, Sess, SessState}
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       s.catalog.dropTempView("q81_mem")
-      val in = java.nio.file.Files.createTempDirectory("graft_q81_").toString
+      val in = graft.ops.Stage.fresh("q81").toString
       val evs = Tables.events(s, dir)
         .select(col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
@@ -136,7 +135,7 @@ object Streaming extends QueryPack {
     // exactly the batch join, which is the DuckDB oracle.
     "q90_stream_join" -> ((s, dir) => {
       s.catalog.dropTempView("q90_mem")
-      val in = java.nio.file.Files.createTempDirectory("graft_q90_").toString
+      val in = graft.ops.Stage.fresh("q90").toString
       val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
       val b2 = 1705795200000000L // 2024-01-21 UTC, µs
       // staged SEQUENTIALLY: the file source orders arrivals by mtime,

@@ -19,10 +19,13 @@ class RollingHashesSpec extends AnyFunSuite with Matchers with SharedSpark {
     org.apache.spark.sql.GraftFunctions.register(spark)
   }
 
-  private def refFold(s: String): Seq[Long] =
-    (0 to s.length - 64).map { i =>
-      s.substring(i, i + 64).foldLeft(7L)((a, c) => (a * 131 + c) % P)
+  /** Definitional fold over CODE POINTS (what DuckDB's unicode() sees). */
+  private def refFold(s: String): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    (0 to cps.length - 64).map { i =>
+      cps.slice(i, i + 64).foldLeft(7L)((a, c) => (a * 131 + c) % P)
     }
+  }
 
   test("matches the definitional fold on synthetic strings") {
     import spark.implicits._
@@ -48,6 +51,21 @@ class RollingHashesSpec extends AnyFunSuite with Matchers with SharedSpark {
         .select(col("doc_id"), col("rhash64")), "doc_id")
     joined.filter(col("h0") =!= col("rhash64")).count() shouldBe 0L
     joined.count() should be > 0L
+  }
+
+  test("supplementary-plane chars count as ONE unit (matches length()/unicode())") {
+    import spark.implicits._
+    // 🎉 = U+1F389 (two UTF-16 units, one code point). 63 ASCII + one
+    // astral char: UTF-16-unit iteration would see 65 units → 2 windows
+    // with wrong char values; code-point iteration sees exactly 64 → 1.
+    val doc = "a" * 63 + new String(Character.toChars(0x1F389))
+    val got = Seq(doc).toDF("text")
+      .select(expr("rolling_win_hashes(text)").as("h"),
+        expr("length(text)").as("n"))
+      .collect()(0)
+    got.getInt(1) shouldBe 64 // Spark length() counts code points
+    got.getSeq[Long](0) shouldBe refFold(doc)
+    got.getSeq[Long](0).length shouldBe 1
   }
 
   test("eval path agrees with the codegen path") {

@@ -30,6 +30,29 @@ class SquaredDistanceSpec extends AnyFunSuite with Matchers with SharedSpark {
       ("(?s).*\\*\\(\\d+\\) Project \\[sq_dist.*")
   }
 
+  test("null contract: length mismatch and null elements → NULL, like the HOF") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0)),          // ragged → null
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0, 2.0)),          // ragged (other side)
+      (Seq(1.0f, 2.0f), Seq(1.0, 2.0)))                // equal dims → value
+      .toDF("a", "b")
+      .withColumn("d", expr("sq_dist(a, b)"))
+    df.collect().map(r => r.isNullAt(2)).toSeq shouldBe Seq(true, true, false)
+    // null ELEMENT → null result (zip_with/aggregate propagated it too)
+    val withNullElem = spark.sql(
+      "SELECT sq_dist(array(cast(1.0 as double), cast(null as double)), "
+        + "array(cast(1.0 as double), cast(2.0 as double))) AS d")
+    withNullElem.collect()(0).isNullAt(0) shouldBe true
+    // codegen path: force a non-literal plan over a real scan slice
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(8)
+    val ragged = e.select(col("embedding").as("a"),
+        expr("slice(embedding, 1, 32)").as("b"))
+      .withColumn("d", expr("sq_dist(a, b)"))
+    ragged.filter(col("d").isNotNull).count() shouldBe 0L
+  }
+
   test("interpreted eval: identical vectors → 0, unit offset → 1") {
     org.apache.spark.sql.GraftFunctions.register(spark)
     import spark.implicits._
