@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Pipeline,
     ops.Vectors,
     ops.Analysis,
+    ops.Science,
     ops.Sources,
     ops.Curation,
     streaming.Streaming,

@@ -87,8 +87,9 @@ object Science extends QueryPack {
       val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.withColumn("cum1", sum(col("c1")).over(w))
         .withColumn("cum2", sum(col("c2")).over(w))
-        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
-          max(expr("abs(cast(cum1 as double) / sum(c1) over () - cast(cum2 as double) / sum(c2) over ())")).as("d_raw"))
+        .crossJoin(broadcast(g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          max(expr("abs(cast(cum1 as double) / n1 - cast(cum2 as double) / n2)")).as("d_raw"))
         .select(col("n1"), col("n2"), round(col("d_raw"), 6).as("ks_d"),
           round(expr("sqrt(cast(n1 as double) * n2 / (n1 + n2)) * d_raw"), 6).as("ks_stat"))
     }),
