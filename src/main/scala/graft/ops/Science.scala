@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB north star):
   *  - Every statistic is computed over a CONTRACTED frame first:
-  *    KS/MWU group the raw values to per-distinct-value counts before
-  *    any window; CUSUM/Theil–Sen contract events to daily counts;
+  *    KS/MWU group the raw values to per-distinct-value counts, then —
+  *    because a continuous `value` keeps the contracted frame
+  *    data-sized — their cumsums/midranks ride [[cumCounts]]'
+  *    range-partitioned prefix sums, NEVER an unpartitioned global
+  *    window; CUSUM/Theil–Sen contract events to daily counts (the
+  *    post-agg frame is ≤#days, so their windows are bounded);
   *    JSD/BM25 contract the corpus to (token, count) cells; Benford to
   *    9 digit cells; skyline to one candidate per p_size. The fact
-  *    table is touched by exactly one partial-agg shuffle each — the
-  *    windows/joins after run on bounded rows.
+  *    table is touched by exactly one partial-agg shuffle each; BM25's
+  *    top-20 is TakeOrderedAndProject, not a corpus-sized rank window.
   *  - q126 evaluates the q55-style LSH index against exact top-k
   *    ground truth ON A PROBE SAMPLE — the standard way to tune
   *    (#planes, #tables) before committing a billion-vector index.
@@ -37,6 +41,47 @@ object Science extends QueryPack {
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
+
+  /** Range-partitioned two-counter prefix sums over per-distinct-value
+    * counts `(v, c1, c2)` — Stats.avgRanks' machinery (Stats.scala)
+    * generalized to two counters, replacing the unpartitioned global
+    * cumsum window that would sort a data-sized frame on ONE task.
+    * Range-partition by value, per-partition running sums, then shift
+    * each partition by the broadcast per-partition totals. The only
+    * driver-side collect is #partitions counter pairs — a constant,
+    * not data-sized. Returns one row per distinct v with the INCLUSIVE
+    * cumulative counts (cum1, cum2), the EXCLUSIVE count of rows
+    * strictly below v (`below`), and the grand totals (n1, n2) as
+    * literals (known on the driver from the same totals pass, so no
+    * second aggregate over the frame is needed).
+    */
+  private def cumCounts(s: org.apache.spark.sql.SparkSession,
+                        g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val rdd = g.select(col("v").cast("double"), col("c1").cast("long"), col("c2").cast("long"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .as[(Double, Long, Long)]
+      .rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var t1 = 0L; var t2 = 0L
+      it.foreach { t => t1 += t._2; t2 += t._3 }
+      Iterator.single((i, t1, t2))
+    }.collect().sortBy(_._1)
+    val off1 = totals.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = totals.map(_._3).scanLeft(0L)(_ + _)
+    val bc = s.sparkContext.broadcast((off1, off2))
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum1 = bc.value._1(i); var cum2 = bc.value._2(i)
+      it.map { case (v, a, b) =>
+        val below = cum1 + cum2
+        cum1 += a; cum2 += b
+        (v, a, b, below, cum1, cum2)
+      }
+    }.toDF("v", "c1", "c2", "below", "cum1", "cum2")
+      .withColumn("n1", lit(off1.last))
+      .withColumn("n2", lit(off2.last))
+  }
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
@@ -63,9 +108,15 @@ object Science extends QueryPack {
             "as decimal(28,12))"))
         .groupBy(col("doc_id"))
         .agg(sum(col("term_score")).as("score_x"), max(col("dl")).as("dl"))
-      val w = Window.orderBy(col("score_x").desc, col("doc_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
+      // top-20 via orderBy+limit → TakeOrderedAndProject (distributed
+      // per-partition heaps + driver merge of 20-row tails), NOT a
+      // global row_number window over every matching doc — that window
+      // is corpus-sized for common terms and sorts it on one task
+      // (q92's documented pattern, Text.scala). The rank window after
+      // the limit runs on exactly 20 rows.
+      val top = scored.orderBy(col("score_x").desc, col("doc_id")).limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score_x").desc, col("doc_id"))))
         .select(col("rank"), col("doc_id"), col("dl"),
           round(col("score_x").cast("double"), 6).as("score"))
         .orderBy(col("rank"))
@@ -74,20 +125,22 @@ object Science extends QueryPack {
     // ------------------------------------------------------------------
     // Two-sample Kolmogorov–Smirnov: D = max |ECDF_view − ECDF_click|
     // over `value`. The raw rows contract to per-distinct-value counts
-    // first (one shuffle); the ECDF window then runs over the bounded
-    // distinct-value frame (ROWS == RANGE after the contraction).
-    // Integer cumsums + exactly-rounded IEEE divisions → the D grid is
-    // bit-identical across engines; round only on output.
+    // first (one shuffle); the ECDF cumsums then come from cumCounts'
+    // RANGE-PARTITIONED prefix sums — `value` is a continuous double,
+    // so the "contracted" frame still scales ~linearly with data and a
+    // global unpartitioned window would sort it all on one task.
+    // NULL values are excluded EXPLICITLY on both engines (Spark sorts
+    // NULLS FIRST, DuckDB NULLS LAST — parity must not depend on the
+    // driver's data never being NULL). Integer cumsums + exactly-
+    // rounded IEEE divisions → the D grid is bit-identical across
+    // engines; round only on output.
     "q124_ks_test" -> ((s, dir) => {
       val g = Tables.events(s, dir)
-        .filter(col("event_type").isin("view", "click"))
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
         .groupBy(col("value").as("v"))
         .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
           sum(when(col("event_type") === "click", 1).otherwise(0)).as("c2"))
-      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      g.withColumn("cum1", sum(col("c1")).over(w))
-        .withColumn("cum2", sum(col("c2")).over(w))
-        .crossJoin(broadcast(g.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
+      cumCounts(s, g)
         .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
           max(expr("abs(cast(cum1 as double) / n1 - cast(cum2 as double) / n2)")).as("d_raw"))
         .select(col("n1"), col("n2"), round(col("d_raw"), 6).as("ks_d"),
@@ -104,6 +157,7 @@ object Science extends QueryPack {
       val daily = Tables.events(s, dir)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // window branch + broadcast total both consume it
       val wd = Window.orderBy(col("day"))
       val cum = daily
         .withColumn("i", row_number().over(wd))
@@ -218,6 +272,7 @@ object Science extends QueryPack {
         .filter(col("o_totalprice") >= 1)
         .select(expr("cast(substr(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)").as("digit"))
         .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // 9-cell frame: share branch + broadcast total
       d.crossJoin(broadcast(d.agg(sum(col("cnt")).as("n"))))
         .withColumn("obs", expr("cast(cnt as double) / n"))
         .withColumn("exp", expr("ln(1.0 + 1.0 / digit) / ln(10.0)"))
@@ -229,23 +284,27 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
-    // Mann–Whitney U (view vs click `value`): pooled average ranks via
-    // the per-distinct-value contraction — avg(row_number) within a
-    // tied-value block is invariant to intra-tie order, and the rank
-    // sums are exact (integer/half-integer) so they ride a DECIMAL sum.
-    // U and the normal-approximation z are scalar composites of exact
-    // terms.
+    // Mann–Whitney U (view vs click `value`): pooled midranks derived
+    // CLOSED-FORM from the per-distinct-value contraction — the avg
+    // rank of a tied block is (#rows strictly below) + (ties+1)/2, so
+    // no row-level rank assignment ever happens: the fact table is
+    // touched by ONE groupBy shuffle and the midranks ride cumCounts'
+    // range-partitioned prefix sums (never a raw-row global
+    // row_number, which would sort the pooled fact table on one task).
+    // `below` is an exact integer and (c1+c2+1)/2.0 a half-integer, so
+    // ar is exact in double and the rank sums ride a DECIMAL sum. U
+    // and the normal-approximation z are scalar composites of exact
+    // terms. NULL values excluded explicitly on both engines (same
+    // contract as q124).
     "q130_mann_whitney" -> ((s, dir) => {
-      val pooled = Tables.events(s, dir)
-        .filter(col("event_type").isin("view", "click"))
-        .select(col("value").as("v"),
-          when(col("event_type") === "view", 1).otherwise(0).as("is1"))
-        .withColumn("rn", row_number().over(Window.orderBy(col("v"))))
-      val perVal = pooled.groupBy(col("v"))
-        .agg(avg(col("rn")).as("ar"), sum(col("is1")).as("c1"),
-          sum(lit(1) - col("is1")).as("c2"))
-      perVal.agg(
-          sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("c2"))
+      cumCounts(s, g)
+        .withColumn("ar", expr("below + (c1 + c2 + 1) / 2.0"))
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
           sum(expr("cast(ar * c1 as decimal(28,6))")).as("r1x"))
         .select(col("n1"), col("n2"),
           round(col("r1x").cast("double"), 6).as("rank_sum_view"),
@@ -267,6 +326,7 @@ object Science extends QueryPack {
         .groupBy(col("tok"))
         .agg(sum(when(col("source") === "src0", 1).otherwise(0)).as("c1"),
           sum(when(col("source") === "src1", 1).otherwise(0)).as("c2"))
+        .localCheckpoint() // term branch + broadcast totals both consume it
       c.crossJoin(broadcast(c.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))))
         .withColumn("term", expr(
           "cast(0.5 * (CASE WHEN c1 > 0 THEN (cast(c1 as double) / n1) * ln((cast(c1 as double) / n1) / ((cast(c1 as double) / n1 + cast(c2 as double) / n2) / 2.0)) ELSE 0.0 END "
@@ -338,7 +398,7 @@ object Science extends QueryPack {
     "q124_ks_test" ->
       ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
         + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
-        + "FROM events WHERE event_type IN ('view', 'click') GROUP BY value), "
+        + "FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY value), "
         + "cums AS (SELECT c1, c2, CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
         + "CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2 FROM g), "
         + "agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, "
@@ -398,7 +458,7 @@ object Science extends QueryPack {
         + "FROM d CROSS JOIN t ORDER BY digit"),
     "q130_mann_whitney" ->
       ("WITH pooled AS (SELECT value AS v, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1, "
-        + "row_number() OVER (ORDER BY value) AS rn FROM events WHERE event_type IN ('view', 'click')), "
+        + "row_number() OVER (ORDER BY value) AS rn FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL), "
         + "pv AS (SELECT v, avg(rn) AS ar, CAST(sum(is1) AS BIGINT) AS c1, CAST(sum(1 - is1) AS BIGINT) AS c2 FROM pooled GROUP BY v), "
         + "agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, sum(CAST(ar * c1 AS DECIMAL(28,6))) AS r1x FROM pv) "
         + "SELECT n1, n2, round(CAST(r1x AS DOUBLE), 6) AS rank_sum_view, "

@@ -24,15 +24,34 @@ import scala.collection.concurrent.TrieMap
 object Stage {
   private val stable = TrieMap.empty[String, Path]
 
+  /** All live staging trees. ONE shutdown hook drains this registry —
+    * a hook per fresh() call (ADVICE round 4) accumulates one thread
+    * object per streaming-query run for the life of the JVM. */
+  private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private lazy val hookOnce: Unit = {
+    sys.addShutdownHook(live.forEach(p => deleteTree(p)))
+    ()
+  }
+
   /** Stable per-JVM staging dir for `key`; created lazily, hook-deleted. */
   def dir(key: String): String =
     stable.getOrElseUpdate(key, fresh(key)).toString
 
-  /** New staging dir every call; hook-deleted at JVM exit. */
+  /** New staging dir every call; hook-deleted at JVM exit unless
+    * [[release]]d eagerly by its consumer first. */
   def fresh(prefix: String): Path = {
+    hookOnce
     val p = Files.createTempDirectory(s"graft_${prefix}_")
-    sys.addShutdownHook(deleteTree(p))
+    live.add(p)
     p
+  }
+
+  /** Eagerly delete a fresh() tree whose consumer has finished (e.g. a
+    * completed streaming query whose results now live in the memory
+    * sink), instead of holding every per-run tree until JVM exit. */
+  def release(p: Path): Unit = {
+    live.remove(p)
+    deleteTree(p)
   }
 
   private def deleteTree(root: Path): Unit =

@@ -79,6 +79,9 @@ object Streaming extends QueryPack {
         .trigger(Trigger.AvailableNow())
         .start())
       q.awaitTermination()
+      // results now live in the memory sink — drop the staged ingest
+      // tree eagerly instead of holding it until JVM exit
+      graft.ops.Stage.release(in)
       s.table("q47_mem").orderBy(col("w_start"), col("event_type"))
     }),
 
@@ -97,7 +100,8 @@ object Streaming extends QueryPack {
       import graft.streaming.StatefulSessions.{Ev, Sess, SessState}
       import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
       s.catalog.dropTempView("q81_mem")
-      val in = graft.ops.Stage.fresh("q81").toString
+      val inP = graft.ops.Stage.fresh("q81")
+      val in = inP.toString
       val evs = Tables.events(s, dir)
         .select(col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
@@ -121,6 +125,7 @@ object Streaming extends QueryPack {
         .writeStream.format("memory").queryName("q81_mem")
         .outputMode("update").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
+      graft.ops.Stage.release(inP) // results live in the memory sink now
       s.table("q81_mem").orderBy(col("user_id"), col("sess_id"))
     }),
 
@@ -135,7 +140,8 @@ object Streaming extends QueryPack {
     // exactly the batch join, which is the DuckDB oracle.
     "q90_stream_join" -> ((s, dir) => {
       s.catalog.dropTempView("q90_mem")
-      val in = graft.ops.Stage.fresh("q90").toString
+      val inP = graft.ops.Stage.fresh("q90")
+      val in = inP.toString
       val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
       val b2 = 1705795200000000L // 2024-01-21 UTC, µs
       // staged SEQUENTIALLY: the file source orders arrivals by mtime,
@@ -171,6 +177,7 @@ object Streaming extends QueryPack {
         .writeStream.format("memory").queryName("q90_mem")
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
       q.awaitTermination()
+      graft.ops.Stage.release(inP) // results live in the memory sink now
       s.table("q90_mem")
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"), min(col("view_id")).as("first_view"),
