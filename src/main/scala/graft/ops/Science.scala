@@ -246,12 +246,16 @@ object Science extends QueryPack {
     // Welch–Satterthwaite df as scalar composites of the RAW moments
     // (round on output only, §4.3).
     "q128_welch_ttest" -> ((s, dir) => {
+      // n1/n2 count the VALUE (NULL-skipping), not the row: a NULL
+      // value is invisible to avg/var_samp, so counting it into n
+      // would silently misweight v/n in t and the W–S df. Same
+      // robustness contract as q124/q130's explicit NULL exclusion.
       Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click"))
         .groupBy()
         .agg(
-          count(when(col("event_type") === "view", 1)).as("n1"),
-          count(when(col("event_type") === "click", 1)).as("n2"),
+          count(when(col("event_type") === "view", col("value"))).as("n1"),
+          count(when(col("event_type") === "click", col("value"))).as("n2"),
           avg(when(col("event_type") === "view", col("value"))).as("m1"),
           avg(when(col("event_type") === "click", col("value"))).as("m2"),
           var_samp(when(col("event_type") === "view", col("value"))).as("v1"),
@@ -437,8 +441,8 @@ object Science extends QueryPack {
         + "FROM ev JOIN days ON day >= eday AND date_diff('day', eday, day) <= 6 "
         + "GROUP BY day ORDER BY day"),
     "q128_welch_ttest" ->
-      ("WITH m AS (SELECT count(CASE WHEN event_type = 'view' THEN 1 END) AS n1, "
-        + "count(CASE WHEN event_type = 'click' THEN 1 END) AS n2, "
+      ("WITH m AS (SELECT count(CASE WHEN event_type = 'view' THEN value END) AS n1, "
+        + "count(CASE WHEN event_type = 'click' THEN value END) AS n2, "
         + "avg(CASE WHEN event_type = 'view' THEN value END) AS m1, "
         + "avg(CASE WHEN event_type = 'click' THEN value END) AS m2, "
         + "var_samp(CASE WHEN event_type = 'view' THEN value END) AS v1, "
