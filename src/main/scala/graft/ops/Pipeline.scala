@@ -267,9 +267,31 @@ object Pipeline extends QueryPack {
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
         .orderBy(col("status"))
     }),
+
+    // ------------------------------------------------------------------
+    // Weight-proportional sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-Res): each doc gets key ln(u)/w with u a DETERMINISTIC
+    // md5-derived uniform (never rand() — q58's 100 TB reproducibility
+    // rule) and w = n_chars; the k largest keys are the sample. The
+    // top-k is ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    // heaps), so the corpus is scanned once and never sorted globally —
+    // the importance-sampling step of a data-mixing pipeline.
+    "q137_weighted_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("u", expr(
+          "(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as double) + 0.5) / 1152921504606846976.0"))
+        .withColumn("k", expr("ln(u) / n_chars"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_chars"), round(col("k") * 1000.0, 9).as("key_x1000"))),
   )
 
   def oracles: Map[String, String] = Map(
+    "q137_weighted_sample" ->
+      ("SELECT doc_id, n_chars, round(k * 1000.0, 9) AS key_x1000 FROM ("
+        + "SELECT doc_id, n_chars, ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5) "
+        + "/ 1152921504606846976.0) / n_chars AS k FROM documents) "
+        + "ORDER BY k DESC, doc_id LIMIT 20"),
     "q114_reconcile" ->
       ("WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, CAST(o_orderdate AS DATE) AS dt, "
         + "CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders), "

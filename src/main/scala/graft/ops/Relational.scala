@@ -307,9 +307,98 @@ object Relational extends QueryPack {
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
     }),
+
+    // ------------------------------------------------------------------
+    // UNPIVOT / melt (wide measures → long rows) through the Dataset
+    // unpivot API. The measures are exact-decimal sums cast to double
+    // (magnitudes < 2^53 cents, so the cast is exact); the unpivot
+    // itself is a per-row Expand — no shuffle beyond the agg's own.
+    "q134_unpivot" -> ((s, dir) => {
+      val agg = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("cast(sum(cast(l_quantity as decimal(18,2))) as double)").as("sum_qty"),
+          expr("cast(sum(cast(l_extendedprice as decimal(18,2))) as double)").as("sum_price"),
+          expr("cast(sum(cast(l_discount as decimal(18,2))) as double)").as("sum_disc"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")), "measure", "val")
+        .select(col("l_returnflag"), col("measure"), round(col("val"), 2).as("val"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3 shape (shipping-priority top-10) through the textual SQL
+    // surface, adapted to the driver schema (no o_shippriority column).
+    // Revenue rides per-row-exact DECIMAL(18,6) products, the top-10 is
+    // ORDER BY exact decimal + LIMIT → TakeOrderedAndProject
+    // (distributed heaps), and only the output is rounded.
+    "q138_sql_tpch_q3" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        WITH r AS (
+          SELECT l_orderkey, o_orderdate, o_orderpriority,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+          FROM customer_v JOIN orders_v ON c_custkey = o_custkey
+                          JOIN lineitem_v ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < CAST('1998-07-01' AS TIMESTAMP_NTZ)
+            AND l_shipdate > CAST('1998-07-01' AS TIMESTAMP_NTZ)
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(CAST(rev AS DOUBLE), 2) AS revenue
+        FROM r ORDER BY rev DESC, l_orderkey LIMIT 10""")
+    }),
+
+    // ------------------------------------------------------------------
+    // Explicit GROUPING SETS (beyond q14's rollup/cube): the
+    // (nation × priority), (nation), () lattice in one pass. Subtotal
+    // rows are labeled via coalesce → 'ALL' so the output needs no
+    // engine-specific grouping_id encoding. One Expand + one shuffle.
+    "q139_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+                      JOIN nation_v ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
+        ORDER BY nation, priority""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q134_unpivot" ->
+      ("WITH a AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        + "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "
+        + "CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc "
+        + "FROM lineitem GROUP BY l_returnflag) "
+        + "SELECT l_returnflag, measure, val FROM ("
+        + "SELECT l_returnflag, 'sum_qty' AS measure, round(sum_qty, 2) AS val FROM a "
+        + "UNION ALL SELECT l_returnflag, 'sum_price', round(sum_price, 2) FROM a "
+        + "UNION ALL SELECT l_returnflag, 'sum_disc', round(sum_disc, 2) FROM a) "
+        + "ORDER BY l_returnflag, measure"),
+    "q138_sql_tpch_q3" ->
+      ("WITH r AS (SELECT l_orderkey, o_orderdate, o_orderpriority, "
+        + "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev "
+        + "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey "
+        + "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < CAST('1998-07-01' AS TIMESTAMP) "
+        + "AND l_shipdate > CAST('1998-07-01' AS TIMESTAMP) "
+        + "GROUP BY l_orderkey, o_orderdate, o_orderpriority) "
+        + "SELECT l_orderkey, o_orderdate, o_orderpriority, round(CAST(rev AS DOUBLE), 2) AS revenue "
+        + "FROM r ORDER BY rev DESC, l_orderkey LIMIT 10"),
+    "q139_grouping_sets" ->
+      ("SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority, "
+        + "count(*) AS n_orders, round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total "
+        + "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+        + "GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ()) "
+        + "ORDER BY nation, priority"),
     "q109_stringagg" ->
       ("SELECT n_name, count(*) AS n_cust, count(DISTINCT c_mktsegment) AS n_segs, "
         + "string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs "

@@ -148,9 +148,37 @@ object Scalars extends QueryPack {
           round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("bal"))
         .select(lower(col("seg_ci")).as("segment"), col("n"), col("bal"))
         .orderBy(col("segment"))),
+
+    // ------------------------------------------------------------------
+    // Map-typed column surface (§2.8's map family): per-doc token→count
+    // maps built with map_from_entries over a canonically SORTED entry
+    // array (collect_list order is partition-dependent — array_sort is
+    // the only way a collected map is ever deterministic), filtered with
+    // a map_filter lambda, then exploded back to rows. The oracle is
+    // plain relational SQL — DuckDB never sees a map, which proves the
+    // map pipeline is semantics-preserving, not just dialect-mirrored.
+    "q140_map_fns" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      tc.groupBy(col("doc_id"))
+        .agg(map_from_entries(array_sort(collect_list(struct(col("tok"), col("cnt"))))).as("m"))
+        .withColumn("m2", expr("map_filter(m, (k, v) -> v >= 2)"))
+        .select(col("doc_id"), size(col("m")).as("n_distinct"),
+          explode(col("m2")).as(Seq("tok", "cnt")))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q140_map_fns" ->
+      ("WITH tc AS (SELECT doc_id, tok, count(*) AS cnt FROM ("
+        + "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) "
+        + "WHERE tok <> '' GROUP BY doc_id, tok), "
+        + "nd AS (SELECT doc_id, count(*) AS n_distinct FROM tc GROUP BY doc_id) "
+        + "SELECT tc.doc_id, n_distinct, tok, cnt FROM tc JOIN nd ON tc.doc_id = nd.doc_id "
+        + "WHERE cnt >= 2 ORDER BY tc.doc_id, tok"),
     "q121_variant" ->
       ("SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, "
         + "count(DISTINCT k) AS n_distinct_k "

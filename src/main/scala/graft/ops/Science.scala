@@ -55,8 +55,8 @@ object Science extends QueryPack {
     * literals (known on the driver from the same totals pass, so no
     * second aggregate over the frame is needed).
     */
-  private def cumCounts(s: org.apache.spark.sql.SparkSession,
-                        g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[ops] def cumCounts(s: org.apache.spark.sql.SparkSession,
+                             g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val rdd = g.select(col("v").cast("double"), col("c1").cast("long"), col("c2").cast("long"))
       .repartitionByRange(col("v"))

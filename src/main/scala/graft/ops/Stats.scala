@@ -486,9 +486,78 @@ object Stats extends QueryPack {
           round(col("hy_raw"), 6).as("h_y"),
           round(col("mi_raw") / sqrt(col("hx_raw") * col("hy_raw")), 6).as("nmi"))
     }),
+
+    // ------------------------------------------------------------------
+    // Gini coefficient of order totals — the inequality measure over a
+    // money column. G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n needs global ranks,
+    // so the values contract to per-distinct-value counts and the rank
+    // weights come CLOSED-FORM from Science.cumCounts' range-partitioned
+    // prefix sums: a tie block (v, c) starting above `below` rows
+    // contributes v·(2·c·below + c·(c+1)) to 2·Σ i·xᵢ — no row-level
+    // rank, no global window. All terms exact DECIMAL; doubles only in
+    // the final scalar composite.
+    "q135_gini" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .groupBy(col("o_totalprice").as("v"))
+        .agg(count(lit(1)).as("c1"))
+        .withColumn("c2", lit(0L))
+      Science.cumCounts(s, g)
+        .withColumn("s2_t", expr(
+          "cast(cast(v as decimal(18,2)) * (2 * c1 * below + c1 * (c1 + 1)) as decimal(38,2))"))
+        .withColumn("t_t", expr("cast(cast(v as decimal(18,2)) * c1 as decimal(38,2))"))
+        .agg(max(col("n1")).as("n"), sum(col("s2_t")).as("s2"), sum(col("t_t")).as("t"))
+        .select(col("n"),
+          round(col("t").cast("double"), 2).as("total"),
+          round(expr("cast(s2 as double) / (n * cast(t as double)) - (n + 1.0) / n"), 6).as("gini"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Kendall's τ-b between daily view and click counts — the rank
+    // correlation that completes the family (Pearson q16, Spearman q22):
+    // the fact table contracts to ≤#days daily cells (one shuffle), the
+    // O(d²) concordant/discordant pair scan is a broadcast self-join on
+    // that bounded frame, and every count is an exact integer — doubles
+    // only in the final τ-b composite.
+    "q136_kendall_tau" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("x"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("y"))
+        .localCheckpoint() // both sides of the pair join
+      val b = daily.select(col("day").as("day2"), col("x").as("x2"), col("y").as("y2"))
+      daily.join(broadcast(b), col("day") < col("day2"))
+        .select(expr("(x2 - x) * (y2 - y)").as("prod"),
+          (col("x") === col("x2")).cast("long").as("tx"),
+          (col("y") === col("y2")).cast("long").as("ty"))
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("prod") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("prod") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(col("tx")).as("n1x"), sum(col("ty")).as("n2y"))
+        .select(col("n0"), col("nc"), col("nd"),
+          round(expr("(nc - nd) / sqrt((cast(n0 as double) - n1x) * (cast(n0 as double) - n2y))"), 6).as("tau_b"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q135_gini" ->
+      ("WITH r AS (SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS i FROM orders), "
+        + "a AS (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(18,2))) AS t, "
+        + "sum(CAST(v AS DECIMAL(18,2)) * 2 * i) AS s2 FROM r) "
+        + "SELECT n, round(CAST(t AS DOUBLE), 2) AS total, "
+        + "round(CAST(s2 AS DOUBLE) / (n * CAST(t AS DOUBLE)) - (n + 1.0) / n, 6) AS gini FROM a"),
+    "q136_kendall_tau" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        + "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y "
+        + "FROM events GROUP BY 1), "
+        + "p AS (SELECT (b.x - a.x) * (b.y - a.y) AS prod, "
+        + "CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx, CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty "
+        + "FROM daily a JOIN daily b ON a.day < b.day) "
+        + "SELECT count(*) AS n0, CAST(sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc, "
+        + "CAST(sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd, "
+        + "round((sum(CASE WHEN prod > 0 THEN 1 ELSE 0 END) - sum(CASE WHEN prod < 0 THEN 1 ELSE 0 END)) "
+        + "/ sqrt((count(*) - CAST(sum(tx) AS DOUBLE)) * (count(*) - CAST(sum(ty) AS DOUBLE))), 6) AS tau_b "
+        + "FROM p"),
     "q117_mutual_info" ->
       ("WITH ct AS (SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS nxy FROM orders GROUP BY 1, 2), "
         + "m AS (SELECT nxy, CAST(sum(nxy) OVER (PARTITION BY x) AS BIGINT) AS nx, "

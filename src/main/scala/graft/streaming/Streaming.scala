@@ -184,9 +184,56 @@ object Streaming extends QueryPack {
           round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
         .orderBy(col("user_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // STREAMING DEDUP with bounded state — dropDuplicatesWithinWatermark
+    // on (user_id, event_type, day) over the same 3 event-time-ordered
+    // tranches as q81/q90. All rows of one key share one calendar day,
+    // so the 25 h delay guarantees exact dedup (duplicates are never
+    // farther apart than the watermark) while state for past days is
+    // EVICTED as the watermark advances — the 100 TB shape, vs plain
+    // dropDuplicates whose state grows forever. The output is projected
+    // to the key alone, so whichever physical row is kept first the
+    // emitted set is exactly DISTINCT(user, type, day) — the full-hash
+    // DuckDB oracle. Time-split tranches mean no row is ever late
+    // (batch N+1's events all exceed batch N's watermark), so nothing
+    // is dropped.
+    "q141_stream_dedup" -> ((s, dir) => {
+      s.catalog.dropTempView("q141_mem")
+      val inP = graft.ops.Stage.fresh("q141")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
+        .localCheckpoint() // shared by the 3 tranche writes
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType)))
+      val q = withStateParts(s)(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*/")
+        .select(col("user_id"), col("event_type"),
+          timestamp_micros(col("ts_us")).as("ets"))
+        .withColumn("day", col("ets").cast("date"))
+        .withWatermark("ets", "25 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select(col("user_id"), col("event_type"), col("day"))
+        .writeStream.format("memory").queryName("q141_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP) // results live in the memory sink now
+      s.table("q141_mem").orderBy(col("user_id"), col("event_type"), col("day"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q141_stream_dedup" ->
+      ("SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events "
+        + "ORDER BY user_id, event_type, day"),
     "q90_stream_join" ->
       ("SELECT v.user_id, count(*) AS n_pairs, min(v.event_id) AS first_view, "
         + "round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
