@@ -162,6 +162,27 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
     rows shouldBe Seq((1L, 2, "spark", 2L), (4L, 2, "b", 3L), (5L, 2, "a", 2L))
   }
 
+  test("q142 IVF-PQ search: approx ranks from codes, exact re-rank verified brute-force") {
+    val rows = SparkEntry.queries("q142_ivfpq_search")(spark, sf).collect()
+    rows.length should be > 0
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      rs.length should be <= 3
+      val ds = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("d2"))
+      ds.toSeq shouldBe ds.sorted.toSeq // exact distances ascend with rank
+    }
+    // the reported exact d2 must equal a brute-force recompute for every row
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val p = e(r.getAs[Long]("probe_id")); val v = e(r.getAs[Long]("vec_id"))
+      var acc = 0.0
+      for (i <- p.indices) { val dd = v(i) - p(i); acc += dd * dd }
+      r.getAs[Double]("d2") shouldBe
+        (BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) +- 1e-6
+    }
+  }
+
   test("q141 streaming dedup emits exactly the batch distinct key set") {
     val streamed = SparkEntry.queries("q141_stream_dedup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
