@@ -251,9 +251,39 @@ object Analysis extends QueryPack {
           min(concat(col("blk"), col("sa"), lit("|"), col("blk"), col("sb"))).as("example"))
         .orderBy(col("d"))
     }),
+
+    // ------------------------------------------------------------------
+    // Event-path mining (the Sankey/user-journey op): every 3-step
+    // event-type sequence per user in (ts, event_id) order via two
+    // user-partitioned leads — distributed windows, no session blow-up —
+    // then one pair-count shuffle over |types|³-bounded path strings and
+    // a top-10 via orderBy+limit (TakeOrderedAndProject, q92's pattern).
+    "q144_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("t1"))
+        .withColumn("t2", lead(col("t1"), 1).over(w))
+        .withColumn("t3", lead(col("t1"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+        .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("path"))))
+        .select(col("rank"), col("path"), col("n"))
+        .orderBy(col("rank"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q144_event_paths" ->
+      ("WITH seq AS (SELECT event_type AS t1, "
+        + "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2, "
+        + "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3 FROM events), "
+        + "paths AS (SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n FROM seq "
+        + "WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1), "
+        + "top AS (SELECT path, n FROM paths ORDER BY n DESC, path LIMIT 10) "
+        + "SELECT row_number() OVER (ORDER BY n DESC, path) AS rank, path, CAST(n AS BIGINT) AS n "
+        + "FROM top ORDER BY rank"),
     "q101_chi2" ->
       ("WITH ct AS (SELECT o_orderstatus AS st, o_orderpriority AS pr, count(*) AS n FROM orders GROUP BY 1, 2), "
         + "m AS (SELECT st, pr, n, CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS row_n, "

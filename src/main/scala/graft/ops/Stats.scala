@@ -536,9 +536,73 @@ object Stats extends QueryPack {
         .select(col("n0"), col("nc"), col("nd"),
           round(expr("(nc - nd) / sqrt((cast(n0 as double) - n1x) * (cast(n0 as double) - n2y))"), 6).as("tau_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // Distance correlation (Székely's dCor) between daily view and
+    // click counts — the dependence measure that sees NONLINEAR
+    // association Pearson/Spearman/Kendall miss, closing §2.5's family.
+    // The O(d²) double-centered distance matrices live on the bounded
+    // daily contraction (≤#days cells, broadcast cross join — never raw
+    // rows); pair distances are exact integers, row/grand means are
+    // exact-integer-sum ÷ n (deterministic doubles), and each centered
+    // product is DECIMAL(28,12)-quantized pre-sum so partition merge
+    // order can't move a ULP.
+    "q143_distance_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("x"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("y"))
+        .localCheckpoint() // both sides of the pair join + the count
+      val nd = daily.count() // #days: tiny, known on the driver
+      val b = daily.select(col("day").as("dj"), col("x").as("xj"), col("y").as("yj"))
+      val p = daily.select(col("day").as("di"), col("x"), col("y"))
+        .join(broadcast(b), lit(true))
+        .select(col("di"), col("dj"),
+          abs(col("x") - col("xj")).as("ax"), abs(col("y") - col("yj")).as("ay"))
+        .localCheckpoint() // row-mean agg + centered-term join consume it
+      // row means (= col means: the matrices are symmetric)
+      val rm = p.groupBy(col("di"))
+        .agg((sum(col("ax")).cast("double") / nd).as("ami"),
+          (sum(col("ay")).cast("double") / nd).as("bmi"))
+      val gm = p.agg((sum(col("ax")).cast("double") / (nd.toDouble * nd)).as("agm"),
+        (sum(col("ay")).cast("double") / (nd.toDouble * nd)).as("bgm"))
+      val cj = rm.select(col("di").as("dj"), col("ami").as("amj"), col("bmi").as("bmj"))
+      p.join(broadcast(rm), "di").join(broadcast(cj), "dj").crossJoin(broadcast(gm))
+        .withColumn("aa", col("ax") - col("ami") - col("amj") + col("agm"))
+        .withColumn("bb", col("ay") - col("bmi") - col("bmj") + col("bgm"))
+        .agg(
+          sum(expr("cast(aa * bb as decimal(28,12))")).as("sab"),
+          sum(expr("cast(aa * aa as decimal(28,12))")).as("saa"),
+          sum(expr("cast(bb * bb as decimal(28,12))")).as("sbb"))
+        .select(lit(nd).as("n_days"),
+          round(expr(s"cast(sab as double) / ${nd.toDouble * nd}"), 6).as("dcov2"),
+          round(expr(
+            s"sqrt((cast(sab as double) / ${nd.toDouble * nd}) / sqrt((cast(saa as double) / ${nd.toDouble * nd}) * (cast(sbb as double) / ${nd.toDouble * nd})))"), 6).as("dcor"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q143_distance_corr" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        + "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS y "
+        + "FROM events GROUP BY 1), "
+        + "n AS (SELECT count(*) AS nd FROM daily), "
+        + "p AS (SELECT a.day AS di, b.day AS dj, abs(a.x - b.x) AS ax, abs(a.y - b.y) AS ay "
+        + "FROM daily a CROSS JOIN daily b), "
+        + "rm AS (SELECT di, CAST(sum(ax) AS DOUBLE) / (SELECT nd FROM n) AS ami, "
+        + "CAST(sum(ay) AS DOUBLE) / (SELECT nd FROM n) AS bmi FROM p GROUP BY di), "
+        + "gm AS (SELECT CAST(sum(ax) AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n)) AS agm, "
+        + "CAST(sum(ay) AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n)) AS bgm FROM p), "
+        + "c AS (SELECT (ax - r1.ami - r2.ami + gm.agm) AS aa, (ay - r1.bmi - r2.bmi + gm.bgm) AS bb "
+        + "FROM p JOIN rm r1 ON p.di = r1.di JOIN rm r2 ON p.dj = r2.di CROSS JOIN gm), "
+        + "s AS (SELECT sum(CAST(aa * bb AS DECIMAL(28,12))) AS sab, "
+        + "sum(CAST(aa * aa AS DECIMAL(28,12))) AS saa, sum(CAST(bb * bb AS DECIMAL(28,12))) AS sbb FROM c) "
+        + "SELECT (SELECT nd FROM n) AS n_days, "
+        + "round(CAST(sab AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n)), 6) AS dcov2, "
+        + "round(sqrt((CAST(sab AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n))) / "
+        + "sqrt((CAST(saa AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n))) * "
+        + "(CAST(sbb AS DOUBLE) / ((SELECT nd FROM n) * (SELECT nd FROM n))))), 6) AS dcor FROM s"),
     "q135_gini" ->
       ("WITH r AS (SELECT o_totalprice AS v, row_number() OVER (ORDER BY o_totalprice) AS i FROM orders), "
         + "a AS (SELECT count(*) AS n, sum(CAST(v AS DECIMAL(18,2))) AS t, "

@@ -183,6 +183,33 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("q143 distance correlation matches a scalar double-centering recompute") {
+    // daily (x,y) = (2,0),(1,1),(2,2) on the fixture
+    val r = q("q143_distance_corr").collect()
+    r should have length 1
+    val xs = Array(2.0, 1.0, 2.0); val ys = Array(0.0, 1.0, 2.0); val n = 3
+    def centered(v: Array[Double]): Array[Array[Double]] = {
+      val a = Array.tabulate(n, n)((i, j) => math.abs(v(i) - v(j)))
+      val rm = a.map(_.sum / n)
+      val g = a.flatten.sum / (n * n)
+      Array.tabulate(n, n)((i, j) => a(i)(j) - rm(i) - rm(j) + g)
+    }
+    val aa = centered(xs); val bb = centered(ys)
+    def m2(p: Array[Array[Double]], q2: Array[Array[Double]]) =
+      (for (i <- 0 until n; j <- 0 until n) yield p(i)(j) * q2(i)(j)).sum / (n * n)
+    val dcov2 = m2(aa, bb)
+    val dcor = math.sqrt(dcov2 / math.sqrt(m2(aa, aa) * m2(bb, bb)))
+    r.head.getAs[Long]("n_days") shouldBe 3L
+    r.head.getAs[Double]("dcov2") shouldBe dcov2 +- 1e-6
+    r.head.getAs[Double]("dcor") shouldBe dcor +- 1e-6
+  }
+
+  test("q144 event paths: the only 3-step path on the fixture is u1's view chain") {
+    val rows = q("q144_event_paths").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("path"), r.getAs[Long]("n"))).toSeq
+    rows shouldBe Seq((1, "view>view>view", 1L))
+  }
+
   test("q141 streaming dedup emits exactly the batch distinct key set") {
     val streamed = SparkEntry.queries("q141_stream_dedup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
