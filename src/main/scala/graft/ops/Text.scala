@@ -366,6 +366,47 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Bigram-LM PERPLEXITY scoring — the heuristic quality filter real
+    // pretraining pipelines run (score every doc under a corpus-trained
+    // n-gram LM, drop the tails): add-1-smoothed bigram model
+    // P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) trained on the whole corpus in
+    // two partial-agg shuffles, then every doc's bigrams scored by a
+    // count-table equi-join (AQE broadcasts if vocab is small; at
+    // 100 TB it's a hash join keyed by bigram) and folded to
+    // ppl = exp(−Σ ln P / n). Each ln term is DECIMAL(28,12)-quantized
+    // pre-sum; counts and V are exact integers.
+    "q146_perplexity" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .localCheckpoint() // unigram, bigram, and scoring branches share it
+      val uc = toks.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // V + the count join both consume it
+      val v = uc.agg(count(lit(1)).as("v"))
+      val bc = toks.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
+        .groupBy(col("s.t1").as("t1"), col("s.t2").as("t2")).agg(count(lit(1)).as("cb"))
+      val docBg = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
+        .select(col("doc_id"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+      docBg
+        .join(bc, Seq("t1", "t2"))
+        .join(uc.select(col("t").as("t1"), col("c").as("c1")), "t1")
+        .crossJoin(broadcast(v))
+        .withColumn("nll", expr(
+          "cast(-ln((cast(cb as double) + 1.0) / (cast(c1 as double) + v)) as decimal(28,12))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nllx"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("cast(nllx as double) / n_bigrams"), 6).as("avg_nll"),
+          round(expr("exp(cast(nllx as double) / n_bigrams)"), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // Per-doc token (Shannon) entropy — the vocabulary-diversity
     // quality signal (low entropy = repetitive/boilerplate text).
     // H = ln(n) − Σ c·ln(c) / n; each c·ln(c) term is quantized to
@@ -392,6 +433,18 @@ object Text extends QueryPack {
         + "sum(CAST(c * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12))) AS slc FROM tc GROUP BY doc_id) "
         + "SELECT doc_id, n, n_distinct, round(ln(CAST(n AS DOUBLE)) - CAST(slc AS DOUBLE) / n, 6) AS entropy "
         + "FROM agg ORDER BY doc_id"),
+    "q146_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t), "
+        + "v AS (SELECT count(*) AS v FROM uc), "
+        + "db AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i])) AS t1, "
+        + "unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS t2 FROM toks WHERE len(w) >= 2), "
+        + "bc AS (SELECT t1, t2, count(*) AS cb FROM db GROUP BY 1, 2), "
+        + "scored AS (SELECT d.doc_id, CAST(-ln((CAST(bc.cb AS DOUBLE) + 1.0) / (CAST(uc.c AS DOUBLE) + (SELECT v FROM v))) AS DECIMAL(28,12)) AS nll "
+        + "FROM db d JOIN bc ON d.t1 = bc.t1 AND d.t2 = bc.t2 JOIN uc ON uc.t = d.t1) "
+        + "SELECT doc_id, count(*) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll, "
+        + "round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 6) AS ppl "
+        + "FROM scored GROUP BY doc_id ORDER BY doc_id"),
     "q92_bigram_pmi" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "uni AS (SELECT unnest(w) AS t FROM toks), "

@@ -228,6 +228,56 @@ object Streaming extends QueryPack {
       graft.ops.Stage.release(inP) // results live in the memory sink now
       s.table("q141_mem").orderBy(col("user_id"), col("event_type"), col("day"))
     }),
+
+    // ------------------------------------------------------------------
+    // q81's sessionizer on Spark 4's transformWithState — the successor
+    // stateful API (named typed ValueState from the
+    // StatefulProcessorHandle, RocksDB state store): identical fold,
+    // identical emission contract, identical full DuckDB hash oracle.
+    // Declaring BOTH APIs proves the state semantics, not one
+    // operator's implementation detail. The provider conf is scoped to
+    // this query and restored after (the default store serves every
+    // other streaming query in the session).
+    "q145_stream_sessionize_tws" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StatefulSessions.{Ev, Sess}
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      s.catalog.dropTempView("q145_mem")
+      val inP = graft.ops.Stage.fresh("q145")
+      val in = inP.toString
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType)))
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = withStateParts(s)(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$in/*/")
+          .as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState[Sess](new graft.streaming.TwsSessionizer,
+            TimeMode.None(), OutputMode.Update())
+          .writeStream.format("memory").queryName("q145_mem")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start())
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+      graft.ops.Stage.release(inP) // results live in the memory sink now
+      s.table("q145_mem").orderBy(col("user_id"), col("sess_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -241,15 +291,23 @@ object Streaming extends QueryPack {
         + "AND v.event_type = 'view' AND c.event_type = 'click' "
         + "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE "
         + "GROUP BY 1 ORDER BY 1"),
-    "q81_stream_sessionize" ->
-      ("WITH sess AS (SELECT user_id, sess_id, count(*) AS n_events, "
-        + "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us FROM ("
-        + "SELECT user_id, ts, event_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM ("
-        + "SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
-        + "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)) "
-        + "GROUP BY user_id, sess_id) "
-        + "SELECT user_id, sess_id, n_events, dur_us FROM ("
-        + "SELECT user_id, sess_id, n_events, dur_us, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM sess) "
-        + "WHERE sess_id < mx ORDER BY user_id, sess_id"),
+    "q81_stream_sessionize" -> closedSessionsSql,
+    // same emission contract, same oracle: closed sessions are an API-
+    // independent property of the event stream
+    "q145_stream_sessionize_tws" -> closedSessionsSql,
   )
+
+  /** Shared q81/q145 oracle: every gaps-and-islands session CLOSED by an
+    * observed >30-min gap (all sessions minus each user's trailing open
+    * one) — what BOTH stateful APIs emit. */
+  private val closedSessionsSql: String =
+    ("WITH sess AS (SELECT user_id, sess_id, count(*) AS n_events, "
+      + "CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS dur_us FROM ("
+      + "SELECT user_id, ts, event_id, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM ("
+      + "SELECT user_id, ts, event_id, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+      + "OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events)) "
+      + "GROUP BY user_id, sess_id) "
+      + "SELECT user_id, sess_id, n_events, dur_us FROM ("
+      + "SELECT user_id, sess_id, n_events, dur_us, max(sess_id) OVER (PARTITION BY user_id) AS mx FROM sess) "
+      + "WHERE sess_id < mx ORDER BY user_id, sess_id")
 }

@@ -210,6 +210,42 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
     rows shouldBe Seq((1, "view>view>view", 1L))
   }
 
+  test("q145 transformWithState sessionizer emits exactly q81's sessions") {
+    val tws = SparkEntry.queries("q145_stream_sessionize_tws")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_id")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("dur_us"))).toMap
+    val fmgws = SparkEntry.queries("q81_stream_sessionize")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_id")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("dur_us"))).toMap
+    tws.size should be > 0
+    tws shouldBe fmgws
+  }
+
+  test("q146 perplexity matches a scalar add-1 bigram LM recompute") {
+    // corpus = the 5 fixture docs; recompute counts + scores in plain Scala
+    val docs = Map(1L -> "spark join spark", 2L -> "filter spark x",
+      3L -> "y z", 4L -> "a b b b", 5L -> "a a b")
+    val toks = docs.view.mapValues(_.split(" ").filter(_.nonEmpty).toSeq).toMap
+    val uc = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = uc.size
+    val bigrams = toks.values.flatMap(w => w.zip(w.tail)).toSeq
+    val bc = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = q("q146_perplexity").collect()
+    rows.length shouldBe docs.count(d => toks(d._1).length >= 2)
+    rows.foreach { r =>
+      val w = toks(r.getAs[Long]("doc_id"))
+      val pairs = w.zip(w.tail)
+      val nll = pairs.map { p =>
+        val q6 = BigDecimal(-math.log((bc(p) + 1.0) / (uc(p._1).toDouble + vocab)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        q6
+      }.sum.toDouble / pairs.length
+      r.getAs[Long]("n_bigrams") shouldBe pairs.length.toLong
+      r.getAs[Double]("avg_nll") shouldBe nll +- 1e-6
+      r.getAs[Double]("ppl") shouldBe math.exp(nll) +- 1e-5
+    }
+  }
+
   test("q141 streaming dedup emits exactly the batch distinct key set") {
     val streamed = SparkEntry.queries("q141_stream_dedup")(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
