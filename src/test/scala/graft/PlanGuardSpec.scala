@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Plan-shape regression guards: the PLANS.md scale claims enforced as
+  * tests, so a refactor that silently reintroduces a single-task global
+  * window, un-pushes a filter, or turns a broadcast star join into a
+  * shuffle FAILS here instead of surfacing at 100 TB. Inspects the
+  * pre-adaptive physical plan (`queryExecution.sparkPlan`) — AQE can
+  * only improve on what is asserted.
+  */
+class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  /** Keys whose construction launches streaming jobs or sinks — planned
+    * side effects, skipped in the global sweep. */
+  private val streamingKeys = Set("q47_stream_demo", "q81_stream_sessionize",
+    "q90_stream_join", "q141_stream_dedup", "q145_stream_sessionize_tws")
+
+  /** Unpartitioned windows that ARE scale-safe because they run on
+    * provably bounded frames (post-agg cells, post-limit tails); each
+    * entry is documented at its query. Anything NOT listed here that
+    * plans an empty-partition WindowExec is a 100×-scale bug.
+    */
+  private val boundedGlobalWindowKeys = Set(
+    "q92_bigram_pmi",    // rank over the 50-row TakeOrdered tail
+    "q123_bm25",         // rank over the 20-row TakeOrdered tail
+    "q144_event_paths",  // rank over the 10-row TakeOrdered tail
+    "q125_changepoint",  // cumsum/argmax over <= #days daily cells
+    "q111_seasonality",  // <= 7 weekday cells
+    "q105_gapfill",      // calendar spine (bounded by date range)
+    "q106_zipf",         // <= vocab post-agg cells (sublinear)
+    "q115_eqfreq_bins",  // 10 decile rows
+    "q117_mutual_info",  // <= |status|x|priority| cells
+    "q24_histogram",     // 10 bins
+    "q36_wordcount",     // top-50 vocab cells
+    "q76_repetition",    // per-doc bigram shares (doc-keyed upstream)
+    "q87_ewma",          // <= #days per type
+    "q102_heavy_hitters",// <= vocab post-agg cells
+    "q23_autocorr",      // lag window over <= #days daily cells
+    "q70_crosscorr",     // lag windows over <= #days daily cells
+    "q71_rolling_corr",  // 14-row trailing frame over <= #days daily cells
+    "q101_chi2"          // grand-total window over <= |status|x|priority| cells
+  )
+
+  private def sparkPlanOf(key: String): SparkPlan =
+    SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan
+
+  test("no query plans an unpartitioned window outside the bounded-frame allowlist") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(streamingKeys)
+      .flatMap { k =>
+        val globals = sparkPlanOf(k).collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (globals.nonEmpty && !boundedGlobalWindowKeys(k)) Some(k) else None
+      }
+    withClue("unlisted global windows (scale bug or missing allowlist doc): ") {
+      offenders shouldBe empty
+    }
+  }
+
+  test("q137 weighted sample is one scan into TakeOrderedAndProject, shuffle-free") {
+    val p = sparkPlanOf("q137_weighted_sample")
+    p.collectWithSubqueries { case t: TakeOrderedAndProjectExec => t } should not be empty
+    p.toString should not include "Exchange hashpartitioning"
+  }
+
+  test("q03 predicates reach the parquet scan as pushed filters") {
+    val scans = sparkPlanOf("q03_filter_pred").collectWithSubqueries {
+      case f: FileSourceScanExec => f
+    }
+    scans should not be empty
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    pushed should include("GreaterThanOrEqual")
+    pushed should include("In(o_orderstatus")
+  }
+
+  test("q05 star join broadcasts every dimension (no sort-merge join)") {
+    sparkPlanOf("q05_join_star").collectWithSubqueries {
+      case j: SortMergeJoinExec => j
+    } shouldBe empty
+  }
+
+  test("q28 top-k plans as TakeOrderedAndProject, never a global sort+limit") {
+    sparkPlanOf("q28_sort_limit").collectWithSubqueries {
+      case t: TakeOrderedAndProjectExec => t
+    } should not be empty
+  }
+}
