@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.sqDistInfo, GraftFunctions.sqDistBuilder))
     ext.injectFunction((GraftFunctions.rollingIdent,
       GraftFunctions.rollingInfo, GraftFunctions.rollingBuilder))
+    ext.injectFunction((GraftFunctions.slidingIdent,
+      GraftFunctions.slidingInfo, GraftFunctions.slidingBuilder))
   }
 }

@@ -72,20 +72,22 @@ object Text extends QueryPack {
 
     // ------------------------------------------------------------------
     // Word bigrams via a positional HOF (no self-join): global top-50.
-    // NB: Spark `sequence(1, n)` with n<1 yields a DESCENDING sequence
-    // (not empty like DuckDB's range) — short docs are filtered out
-    // before the positional transform on both engines.
-    "q38_ngrams" -> ((s, dir) =>
+    // Bigrams via the native `sliding_gen` GENERATOR (SlidingGen.scala):
+    // windows stream straight out of GenerateExec — no index array and
+    // no transformed copy of the token array is materialized per row
+    // (the HOF form this replaced built both). Short docs emit zero
+    // windows by the generator's contract, matching DuckDB's range().
+    "q38_ngrams" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
       Tables.documents(s, dir)
         .select(split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
-          .as("bigram"))
+        .select(expr("sliding_gen(w, 2)").as(Seq("pos", "win")))
+        .select(expr("array_join(win, ' ')").as("bigram"))
         .filter(!col("bigram").startsWith(" ") && !col("bigram").endsWith(" "))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
-        .limit(50)),
+        .limit(50)
+    }),
 
     // ------------------------------------------------------------------
     // Exact dedup: keep the lowest doc_id per identical text; report how
@@ -343,10 +345,12 @@ object Text extends QueryPack {
         .localCheckpoint() // unigram + bigram branches share the tokenize
       val uc = toks.select(explode(col("w")).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val bg = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(concat(element_at(w, i), ' ', element_at(w, i + 1)) AS b, element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
-        .select(col("s.b").as("b"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+      org.apache.spark.sql.GraftFunctions.register(s)
+      // bigrams via the native sliding_gen generator (see q38's note)
+      val bg = toks
+        .select(expr("sliding_gen(w, 2)").as(Seq("pos", "win")))
+        .select(expr("array_join(win, ' ')").as("b"),
+          expr("element_at(win, 1)").as("t1"), expr("element_at(win, 2)").as("t2"))
         .groupBy(col("b"), col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
       val n = uc.agg(sum(col("c")).as("n"))
       val m = bg.agg(sum(col("cb")).as("m"))
@@ -376,6 +380,7 @@ object Text extends QueryPack {
     // ppl = exp(−Σ ln P / n). Each ln term is DECIMAL(28,12)-quantized
     // pre-sum; counts and V are exact integers.
     "q146_perplexity" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("filter(split(text, ' '), x -> x <> '')").as("w"))
@@ -384,14 +389,14 @@ object Text extends QueryPack {
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
         .localCheckpoint() // V + the count join both consume it
       val v = uc.agg(count(lit(1)).as("v"))
-      val bc = toks.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
-        .groupBy(col("s.t1").as("t1"), col("s.t2").as("t2")).agg(count(lit(1)).as("cb"))
-      val docBg = toks.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("s"))
-        .select(col("doc_id"), col("s.t1").as("t1"), col("s.t2").as("t2"))
+      // doc-keyed bigrams via the native sliding_gen generator (q38's
+      // note); counted once, consumed by both the model and the scorer
+      val docBg = toks
+        .select(col("doc_id"), expr("sliding_gen(w, 2)").as(Seq("pos", "win")))
+        .select(col("doc_id"),
+          expr("element_at(win, 1)").as("t1"), expr("element_at(win, 2)").as("t2"))
+        .localCheckpoint()
+      val bc = docBg.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
       docBg
         .join(bc, Seq("t1", "t2"))
         .join(uc.select(col("t").as("t1"), col("c").as("c1")), "t1")

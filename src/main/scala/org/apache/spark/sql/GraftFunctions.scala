@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{CosineSimilarity, RollingWindowHashes, SquaredDistance}
+import graft.functions.{CosineSimilarity, RollingWindowHashes, SlidingGen, SquaredDistance}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -50,11 +50,23 @@ object GraftFunctions {
 
   val rollingIdent: FunctionIdentifier = FunctionIdentifier("rolling_win_hashes")
 
+  val slidingBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => SlidingGen(a, b)
+    case other =>
+      throw new IllegalArgumentException(s"sliding_gen expects 2 args, got ${other.size}")
+  }
+
+  val slidingInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[SlidingGen].getName, "sliding_gen")
+
+  val slidingIdent: FunctionIdentifier = FunctionIdentifier("sliding_gen")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
     reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
     reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
+    reg.createOrReplaceTempFunction("sliding_gen", slidingBuilder, "built-in")
   }
 }
