@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Science,
     ops.Sources,
     ops.Curation,
+    ops.Behavior,
     streaming.Streaming,
   )
 

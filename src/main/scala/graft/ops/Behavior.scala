@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics: market-basket association rules, last-touch
+  * revenue attribution, and a sweep-line concurrency profile — the
+  * product-analytics trio that sits on top of the fact tables every
+  * warehouse ships (SURVEY.md §2.15).
+  *
+  * Scale notes (100 TB north star):
+  *  - q147's pair generation is a self-join co-partitioned on the order
+  *    key; pairs per order are bounded by basket size squared (TPC-H
+  *    baskets are ≤12 items), so the blow-up factor is a small constant,
+  *    never n². Item counts and the 1-row total are broadcast.
+  *  - q148 is one user-partitioned ordered window (ignore-nulls `last`
+  *    over preceding rows) — the attribution lookback never leaves the
+  *    user's partition, and the final rollup is a 4-row aggregate.
+  *  - q149 contracts sessions to per-(day, minute) boundary deltas
+  *    BEFORE any window: the running-concurrency cumsum runs on ≤1441
+  *    rows per day partition regardless of how many billion sessions a
+  *    day holds — the sweep-line shape that survives any scale.
+  */
+object Behavior extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Market-basket association rules over order baskets: for every
+    // co-occurring part pair (ante < cons), support / confidence / lift
+    // against the single-item frequencies. pair_cnt >= 2, top-50 by
+    // lift via orderBy+limit (TakeOrderedAndProject — distributed
+    // heaps, no global window). Lift is computed in one DOUBLE
+    // expression identical in both engines, then rounded.
+    "q147_assoc_rules" -> ((s, dir) => {
+      val baskets = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint() // item counts + both sides of the pair join
+      val itemCnt = baskets.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val totals = baskets.agg(countDistinct(col("okey")).as("n_orders"))
+      val pairs = baskets.as("a")
+        .join(baskets.as("b"),
+          col("a.okey") === col("b.okey") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("ante"), col("b.item").as("cons"))
+        .groupBy(col("ante"), col("cons"))
+        .agg(count(lit(1)).as("pair_cnt"))
+        .filter(col("pair_cnt") >= 2)
+      pairs
+        .join(broadcast(itemCnt.select(col("item").as("ante"), col("cnt").as("cnt_a"))), "ante")
+        .join(broadcast(itemCnt.select(col("item").as("cons"), col("cnt").as("cnt_b"))), "cons")
+        .crossJoin(broadcast(totals))
+        .select(col("ante"), col("cons"), col("pair_cnt"),
+          round(col("pair_cnt") / col("n_orders"), 6).as("support"),
+          round(col("pair_cnt") / col("cnt_a"), 6).as("confidence"),
+          round((col("pair_cnt") * col("n_orders")) / (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(50)
+    }),
+
+    // ------------------------------------------------------------------
+    // Last-touch revenue attribution: each purchase credits its value
+    // to the user's most recent click/view within a 3-day lookback,
+    // else to 'none'. The touch is found with an ignore-nulls `last`
+    // over the user-partitioned event sequence (rows preceding the
+    // purchase in (ts, event_id) order); the lookback cutoff is applied
+    // AFTER selection, matching "last touch, if fresh enough"
+    // semantics. Purchase values are quantized to DECIMAL(18,4) before
+    // the sum so merge order can never move a ULP.
+    "q148_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .filter(col("event_type").isin("purchase", "click", "view"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touched = ev
+        .withColumn("lt", last(
+          when(col("event_type").isin("click", "view"),
+            struct(col("ts").as("tts"), col("event_id").as("tid"),
+              col("event_type").as("ttype"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("touch",
+          when(col("lt").isNotNull &&
+            col("lt.tts") >= col("ts") - expr("INTERVAL 3 DAY"),
+            col("lt.ttype")).otherwise(lit("none")))
+      touched.groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,4)")).as("rev_x"))
+        .select(col("touch"), col("n_purchases"),
+          round(col("rev_x").cast("double"), 4).as("revenue"))
+        .orderBy(col("touch"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Concurrency profile (sweep-line): sessions = per-(user, day)
+    // [first, last] event minute; each contributes +1 at its start
+    // minute and -1 one minute after its end. Deltas contract to
+    // per-(day, minute) BEFORE the running sum, so the cumsum window
+    // runs on at most 1441 rows per day partition no matter the session
+    // count. Output: per day, session count, peak concurrency, and the
+    // earliest minute that reaches the peak.
+    "q149_concurrency" -> ((s, dir) => {
+      val sess = Tables.events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(date_trunc("minute", min(col("ts"))).as("smin"),
+          date_trunc("minute", max(col("ts"))).as("emin"))
+        .localCheckpoint() // boundary deltas + per-day session counts
+      val deltas = sess.select(col("day"), col("smin").as("m"), lit(1L).as("d"))
+        .unionAll(sess.select(col("day"),
+          (col("emin") + expr("INTERVAL 1 MINUTE")).as("m"), lit(-1L).as("d")))
+        .groupBy(col("day"), col("m")).agg(sum(col("d")).as("delta"))
+      val conc = deltas.withColumn("c",
+        sum(col("delta")).over(Window.partitionBy(col("day"))
+          .orderBy(col("m"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val peak = conc.withColumn("rn",
+          row_number().over(Window.partitionBy(col("day"))
+            .orderBy(col("c").desc, col("m"))))
+        .filter(col("rn") === 1)
+        .select(col("day"), col("c").as("peak_conc"), col("m").as("peak_minute"))
+      val nSess = sess.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+      nSess.join(peak, "day")
+        .select(col("day"), col("n_sessions"), col("peak_conc"), col("peak_minute"))
+        .orderBy(col("day"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q147_assoc_rules" ->
+      ("WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem), "
+        + "ic AS (SELECT item, count(*) AS cnt FROM b GROUP BY item), "
+        + "tot AS (SELECT count(DISTINCT okey) AS n_orders FROM b), "
+        + "p AS (SELECT a.item AS ante, c.item AS cons, count(*) AS pair_cnt "
+        + "FROM b a JOIN b c ON a.okey = c.okey AND a.item < c.item GROUP BY 1, 2 HAVING count(*) >= 2) "
+        + "SELECT ante, cons, pair_cnt, "
+        + "round(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support, "
+        + "round(CAST(pair_cnt AS DOUBLE) / ia.cnt, 6) AS confidence, "
+        + "round((CAST(pair_cnt AS DOUBLE) * n_orders) / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 6) AS lift "
+        + "FROM p JOIN ic ia ON p.ante = ia.item JOIN ic ib ON p.cons = ib.item CROSS JOIN tot "
+        + "ORDER BY lift DESC, ante, cons LIMIT 50"),
+    "q148_attribution" ->
+      ("WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events "
+        + "WHERE event_type IN ('purchase', 'click', 'view')), "
+        + "p AS (SELECT event_id, ts, user_id, value FROM ev WHERE event_type = 'purchase'), "
+        + "t AS (SELECT event_id, ts, user_id, event_type FROM ev WHERE event_type IN ('click', 'view')), "
+        + "lt AS (SELECT p.event_id AS pid, p.ts AS pts, p.value, t.ts AS tts, t.event_type AS ttype, "
+        + "row_number() OVER (PARTITION BY p.event_id ORDER BY t.ts DESC, t.event_id DESC) AS rn "
+        + "FROM p JOIN t ON p.user_id = t.user_id "
+        + "AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))), "
+        + "att AS (SELECT p.event_id, p.value, "
+        + "CASE WHEN lt.pid IS NOT NULL AND lt.tts >= p.ts - INTERVAL 3 DAY THEN lt.ttype ELSE 'none' END AS touch "
+        + "FROM p LEFT JOIN (SELECT * FROM lt WHERE rn = 1) lt ON p.event_id = lt.pid) "
+        + "SELECT touch, count(*) AS n_purchases, "
+        + "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+        + "FROM att GROUP BY touch ORDER BY touch"),
+    "q149_concurrency" ->
+      ("WITH sess AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        + "date_trunc('minute', min(ts)) AS smin, date_trunc('minute', max(ts)) AS emin "
+        + "FROM events GROUP BY 1, 2), "
+        + "deltas AS (SELECT day, m, CAST(sum(d) AS BIGINT) AS delta FROM ("
+        + "SELECT day, smin AS m, 1 AS d FROM sess "
+        + "UNION ALL SELECT day, emin + INTERVAL 1 MINUTE AS m, -1 AS d FROM sess) GROUP BY 1, 2), "
+        + "conc AS (SELECT day, m, CAST(sum(delta) OVER (PARTITION BY day ORDER BY m "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c FROM deltas), "
+        + "peak AS (SELECT day, c AS peak_conc, m AS peak_minute FROM ("
+        + "SELECT day, c, m, row_number() OVER (PARTITION BY day ORDER BY c DESC, m) AS rn FROM conc) WHERE rn = 1), "
+        + "ns AS (SELECT day, count(*) AS n_sessions FROM sess GROUP BY day) "
+        + "SELECT ns.day, n_sessions, peak_conc, peak_minute FROM ns JOIN peak ON ns.day = peak.day ORDER BY ns.day"),
+  )
+}
