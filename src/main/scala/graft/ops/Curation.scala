@@ -142,9 +142,120 @@ object Curation extends QueryPack {
           col("quality"))
         .orderBy(col("fp"))
     }),
+    // ------------------------------------------------------------------
+    // Gopher-style quality gates: per doc, the rule signals (word count
+    // in range, mean word length in range, >=2 distinct stopwords
+    // present, distinct-token ratio) and the combined keep flag — the
+    // heuristic filter battery every pretraining corpus passes through.
+    // Pure per-row array expressions, embarrassingly parallel; flags
+    // are INTs so both engines stringify identically.
+    "q150_gopher_rules" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("w", expr("filter(split(text, ' '), x -> x <> '')"))
+        .filter(size(col("w")) > 0)
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("mean_wlen",
+          round(length(array_join(col("w"), "")) / col("n_words"), 4))
+        .withColumn("stop_hits", size(array_intersect(
+          array_distinct(col("w")),
+          array(lit("the"), lit("a"), lit("to"), lit("of"), lit("and")))).cast("long"))
+        .withColumn("distinct_ratio",
+          round(size(array_distinct(col("w"))) / col("n_words"), 6))
+        .withColumn("r_nwords",
+          (col("n_words") >= 20 && col("n_words") <= 400).cast("int"))
+        .withColumn("r_wlen",
+          (col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0).cast("int"))
+        .withColumn("r_stop", (col("stop_hits") >= 2).cast("int"))
+        .withColumn("r_distinct", (col("distinct_ratio") > 0.3).cast("int"))
+        .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+          col("stop_hits"), col("distinct_ratio"),
+          col("r_nwords"), col("r_wlen"), col("r_stop"), col("r_distinct"),
+          (col("r_nwords") * col("r_wlen") * col("r_stop") * col("r_distinct")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Inter-document repetition (the RefinedWeb/C4 signal the per-doc
+    // q76 can't see): per doc, the fraction of its DISTINCT 8-grams
+    // that also appear in at least one other doc. The n-gram frame is
+    // built once (localCheckpoint — doc-frequency branch + join-back
+    // branch), both shuffles are keyed by n-gram hash, text never
+    // travels: n-grams are md5-hashed to 64-bit keys before any
+    // shuffle, the 100 TB trick that keeps exchange payloads tiny.
+    "q151_interdoc_dup" -> ((s, dir) => {
+      val ng = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> " +
+            "cast(conv(substr(md5(cast(concat_ws(' ', slice(w, i, 8)) as binary)), 1, 15), 16, 10) as bigint))")).as("h"))
+        .distinct()
+        .localCheckpoint() // df branch + join-back branch
+      val df = ng.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      ng.join(df, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_shared"),
+          round(col("n_shared") / col("n_ngrams"), 6).as("shared_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Feature hashing (the "hashing trick"): every token maps to one of
+    // 64 buckets via the same md5→BIGINT uniform q58 uses (never an
+    // engine-private hash — cross-engine reproducible), per-(doc,
+    // bucket) counts form the sparse feature matrix, and the emitted
+    // surface is the corpus-level bucket profile (64 rows: docs
+    // touched, total count, heaviest doc cell). Two partial-agg
+    // shuffles; the doc×bucket intermediate is the real feature map.
+    "q152_feature_hash" -> ((s, dir) => {
+      val feats = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .withColumn("bucket", expr(
+          "cast(conv(substr(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint) % 64"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      feats.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("cnt")).as("total_cnt"),
+          max(col("cnt")).as("max_cnt"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q150_gopher_rules" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "m AS (SELECT doc_id, len(w) AS n_words, "
+        + "round(CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w), 4) AS mean_wlen, "
+        + "len(list_intersect(list_distinct(w), ['the', 'a', 'to', 'of', 'and'])) AS stop_hits, "
+        + "round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS distinct_ratio "
+        + "FROM t WHERE len(w) > 0), "
+        + "f AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_wlen, CAST(stop_hits AS BIGINT) AS stop_hits, distinct_ratio, "
+        + "CASE WHEN n_words >= 20 AND n_words <= 400 THEN 1 ELSE 0 END AS r_nwords, "
+        + "CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1 ELSE 0 END AS r_wlen, "
+        + "CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop, "
+        + "CASE WHEN distinct_ratio > 0.3 THEN 1 ELSE 0 END AS r_distinct FROM m) "
+        + "SELECT doc_id, n_words, mean_wlen, stop_hits, distinct_ratio, r_nwords, r_wlen, r_stop, r_distinct, "
+        + "r_nwords * r_wlen * r_stop * r_distinct AS keep FROM f ORDER BY doc_id"),
+    "q151_interdoc_dup" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "ng AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT))) AS h FROM t WHERE len(w) >= 8)), "
+        + "df AS (SELECT h, count(*) AS ndocs FROM ng GROUP BY h) "
+        + "SELECT doc_id, count(*) AS n_ngrams, "
+        + "CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+        + "round(CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS shared_frac "
+        + "FROM ng JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id"),
+    "q152_feature_hash" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), "
+        + "f AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 64 AS bucket, count(*) AS cnt "
+        + "FROM tok GROUP BY 1, 2) "
+        + "SELECT bucket, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS total_cnt, max(cnt) AS max_cnt "
+        + "FROM f GROUP BY bucket ORDER BY bucket"),
     "q100_keep_best" ->
       ("WITH sc AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), "
         + "sc2 AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp, "

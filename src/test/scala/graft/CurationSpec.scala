@@ -48,4 +48,56 @@ class CurationSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows.map(_.getInt(3)).sum shouldBe 0 // no leftovers anywhere
     byId(3L).getInt(5) should be > 0 // redaction shortened the text
   }
+
+  test("q150 gopher rule signals and keep flag on hand-computed docs") {
+    // fail-doc: 5 words, mean_wlen (3+2+2+2+3)/5 = 2.4, stops {the, of}
+    val failDoc = "the of aa bb the"
+    // pass-doc: 20 words = "the of" + 18 distinct 4-letter words,
+    // mean_wlen 77/20 = 3.85, distinct_ratio 1.0 → every rule passes
+    val passDoc = "the of " + (1 to 18).map(i => f"w$i%03d").mkString(" ")
+    val rows = SparkEntry.queries("q150_gopher_rules")(
+      spark, stage(Seq((1L, failDoc), (2L, passDoc)))).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val f = byId(1L)
+    f.getAs[Long]("n_words") shouldBe 5L
+    f.getAs[Double]("mean_wlen") shouldBe 2.4
+    f.getAs[Long]("stop_hits") shouldBe 2L
+    f.getAs[Double]("distinct_ratio") shouldBe 0.8
+    (f.getAs[Int]("r_nwords"), f.getAs[Int]("r_wlen")) shouldBe ((0, 0))
+    f.getAs[Int]("keep") shouldBe 0
+    val p = byId(2L)
+    p.getAs[Long]("n_words") shouldBe 20L
+    p.getAs[Double]("mean_wlen") shouldBe 3.85
+    p.getAs[Int]("keep") shouldBe 1
+  }
+
+  test("q151 shared-ngram fraction counts only cross-doc 8-grams") {
+    val d1 = "w1 w2 w3 w4 w5 w6 w7 w8 tail1" // 8-grams: [w1..w8], [w2..tail1]
+    val d2 = "w1 w2 w3 w4 w5 w6 w7 w8 tail2" // shares exactly [w1..w8]
+    val rows = SparkEntry.queries("q151_interdoc_dup")(
+      spark, stage(Seq((1L, d1), (2L, d2), (3L, "too short")))).collect()
+    rows.map(_.getAs[Long]("doc_id")).toSeq shouldBe Seq(1L, 2L)
+    rows.foreach { r =>
+      r.getAs[Long]("n_ngrams") shouldBe 2L
+      r.getAs[Long]("n_shared") shouldBe 1L
+      r.getAs[Double]("shared_frac") shouldBe 0.5
+    }
+  }
+
+  test("q152 bucket profile matches an independent md5 recompute") {
+    // independent scalar recompute of the md5→bucket map
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % 64).toLong
+    }
+    val rows = SparkEntry.queries("q152_feature_hash")(
+      spark, stage(Seq((1L, "x x y"), (2L, "x")))).collect()
+    val byB = rows.map(r => r.getAs[Long]("bucket") ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_cnt"), r.getAs[Long]("max_cnt")))).toMap
+    rows.map(_.getAs[Long]("total_cnt")).sum shouldBe 4L // every token counted
+    byB(bucket("x")) shouldBe ((2L, 3L, 2L)) // x: both docs, 3 tokens, max 2 in d1
+    byB(bucket("y")) shouldBe ((1L, 1L, 1L))
+  }
 }
