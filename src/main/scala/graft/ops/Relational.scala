@@ -371,6 +371,33 @@ object Relational extends QueryPack {
         GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), ())
         ORDER BY nation, priority""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q5 shape (local-supplier volume): revenue per nation where
+    // the customer and the line's supplier share the nation, restricted
+    // to one region and one order year. Plan shape at scale: the two
+    // fact tables (orders, lineitem) hash-join on the order key; every
+    // dim (customer, supplier, nation, region) broadcasts; the
+    // region/date filters reach the scans. Revenue is quantized to
+    // DECIMAL(18,4) per row so the distributed sum is exact.
+    "q153_sql_tpch_q5" -> ((s, dir) => {
+      val jf = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      jf.groupBy(col("n_name"))
+        .agg(sum(expr("cast(l_extendedprice * (1 - l_discount) as decimal(18,4))")).as("rev_x"))
+        .select(col("n_name"), round(col("rev_x").cast("double"), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -469,5 +496,14 @@ object Relational extends QueryPack {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
     "q29_setops" ->
       "SELECT * FROM (SELECT 'both' AS tag, k FROM ((SELECT c_nationkey AS k FROM customer) INTERSECT (SELECT s_nationkey FROM supplier)) UNION ALL SELECT 'cust_only' AS tag, k FROM ((SELECT c_nationkey AS k FROM customer) EXCEPT (SELECT s_nationkey FROM supplier)) UNION ALL SELECT 'union_all_cnt' AS tag, CAST(count(*) AS INT) AS k FROM (SELECT c_nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)) ORDER BY tag, k",
+    "q153_sql_tpch_q5" ->
+      ("SELECT n_name, round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+        + "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        + "JOIN customer ON o_custkey = c_custkey "
+        + "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        + "JOIN nation ON s_nationkey = n_nationkey "
+        + "JOIN region ON n_regionkey = r_regionkey "
+        + "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        + "GROUP BY n_name ORDER BY revenue DESC, n_name"),
   )
 }

@@ -40,6 +40,29 @@ object Text extends QueryPack {
 
   def queries: Map[String, Q] = Map[String, Q](
     // ------------------------------------------------------------------
+    // BPE merge-candidate statistics (the first iteration of tokenizer
+    // training): most frequent adjacent character pairs corpus-wide.
+    // The corpus contracts to the VOCABULARY first (one partial-agg
+    // shuffle: distinct token → frequency), then pairs expand only the
+    // vocab-sized frame — the classic BPE trick that makes tokenizer
+    // training on 100 TB feasible: pair work scales with |vocab|, not
+    // corpus size. An adjacent char pair IS substr(tok, i, 2), so the
+    // expansion is a pure string slice. Top-20 via orderBy+limit.
+    "q155_bpe_pairs" -> ((s, dir) => {
+      val vocab = tokens(s, dir)
+        .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("tok")) >= 2)
+      vocab
+        .select(col("tok"), col("freq"), explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("freq")).as("total"),
+          countDistinct(col("tok")).as("n_types"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // ------------------------------------------------------------------
     // Top-10 terms per language (count desc, term asc) — partitioned
     // window over pre-aggregated (lang, tok) counts, never over raw rows.
     "q36_wordcount" -> ((s, dir) => {
@@ -431,6 +454,12 @@ object Text extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q155_bpe_pairs" ->
+      ("WITH t AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "vocab AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok HAVING length(tok) >= 2), "
+        + "pairs AS (SELECT tok, freq, unnest(list_transform(range(1, length(tok)), i -> substr(tok, i, 2))) AS pair FROM vocab) "
+        + "SELECT pair, CAST(sum(freq) AS BIGINT) AS total, count(DISTINCT tok) AS n_types "
+        + "FROM pairs GROUP BY pair ORDER BY total DESC, pair LIMIT 20"),
     "q98_entropy" ->
       ("WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t FROM documents), "
         + "tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2), "

@@ -279,6 +279,38 @@ object Vectors extends QueryPack {
           round(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6).as("inertia"))
         .orderBy(col("cid"))
     }),
+
+    // ------------------------------------------------------------------
+    // Per-dimension normalization statistics + outlier screen — the
+    // feature-scaling pass an embedding pipeline runs before training
+    // or indexing. posexplode → 64-group partial-agg (sums quantized to
+    // DECIMAL so the distributed merge is exact: float→double casts are
+    // value-preserving, so the per-row quantization is deterministic),
+    // then the 64-row stats broadcast back for the |z| > 3 count. Two
+    // scans of the vector table, zero data-sized shuffles (the exploded
+    // frame contracts straight into 64 groups map-side).
+    "q154_embed_norm" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select((col("p0") + 1).as("pos"), col("x").cast("double").as("x"))
+      val stats = ex.groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,10)")).as("sx"),
+          sum(expr("cast(x * x as decimal(38,16))")).as("sxx"))
+        .select(col("pos"), col("n"),
+          (col("sx").cast("double") / col("n")).as("mean"),
+          sqrt(col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n"))).as("std"))
+        .localCheckpoint() // stats output + outlier join both consume it
+      val outliers = ex.join(broadcast(stats), "pos")
+        .filter(abs((col("x") - col("mean")) / col("std")) > 3.0)
+        .groupBy(col("pos")).agg(count(lit(1)).as("n_out"))
+      stats.join(outliers, Seq("pos"), "left")
+        .select(col("pos"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          coalesce(col("n_out"), lit(0L)).as("n_outliers"))
+        .orderBy(col("pos"))
+    }),
   )
 
   /** Shared oracle SQL: label-mean init → assign → recompute = the
@@ -360,6 +392,16 @@ object Vectors extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q154_embed_norm" ->
+      ("WITH ex AS (SELECT generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+        + "st AS (SELECT pos, count(*) AS n, sum(CAST(x AS DECIMAL(28,10))) AS sx, sum(CAST(x * x AS DECIMAL(38,16))) AS sxx FROM ex GROUP BY pos), "
+        + "ms AS (SELECT pos, n, CAST(sx AS DOUBLE) / n AS mean, "
+        + "sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std FROM st), "
+        + "o AS (SELECT ex.pos, count(*) AS n_out FROM ex JOIN ms ON ex.pos = ms.pos "
+        + "WHERE abs((x - mean) / std) > 3.0 GROUP BY ex.pos) "
+        + "SELECT ms.pos, n, round(mean, 6) AS mean, round(std, 6) AS std, "
+        + "CAST(coalesce(n_out, 0) AS BIGINT) AS n_outliers "
+        + "FROM ms LEFT JOIN o ON ms.pos = o.pos ORDER BY ms.pos"),
     "q142_ivfpq_search" -> ivfpqSearchSql,
     "q89_pq_encode" ->
       ("WITH " + (0 until 4).map(pqBlockSql).mkString(", ")

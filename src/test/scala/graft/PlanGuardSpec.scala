@@ -90,4 +90,19 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
       case t: TakeOrderedAndProjectExec => t
     } should not be empty
   }
+
+  test("q153 TPC-H Q5: every dimension broadcasts; at most the fact-fact join sort-merges") {
+    val p = sparkPlanOf("q153_sql_tpch_q5")
+    val bhj = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bhj.size should be >= 4 // customer, supplier, nation, region
+    p.collectWithSubqueries { case j: SortMergeJoinExec => j }.size should be <= 1
+  }
+
+  test("q155 BPE pair top-20 plans as TakeOrderedAndProject over the vocab contraction") {
+    sparkPlanOf("q155_bpe_pairs").collectWithSubqueries {
+      case t: TakeOrderedAndProjectExec => t
+    } should not be empty
+  }
 }
