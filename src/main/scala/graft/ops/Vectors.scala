@@ -305,7 +305,7 @@ object Vectors extends QueryPack {
       val outliers = ex.join(broadcast(stats), "pos")
         .filter(abs((col("x") - col("mean")) / col("std")) > 3.0)
         .groupBy(col("pos")).agg(count(lit(1)).as("n_out"))
-      stats.join(outliers, Seq("pos"), "left")
+      stats.join(broadcast(outliers), Seq("pos"), "left")
         .select(col("pos"), col("n"),
           round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
           coalesce(col("n_out"), lit(0L)).as("n_outliers"))
