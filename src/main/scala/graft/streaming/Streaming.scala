@@ -278,9 +278,59 @@ object Streaming extends QueryPack {
       graft.ops.Stage.release(inP) // results live in the memory sink now
       s.table("q145_mem").orderBy(col("user_id"), col("sess_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // STREAM-STATIC enrichment join — the remaining streaming join
+    // shape after q90's stream-stream: every arriving event is enriched
+    // against a static dimension (users→nation via a deterministic
+    // user_id % 25 key) by a BROADCAST hash join inside each
+    // microbatch. Stateless: no watermark, no state store — the static
+    // side is planned once and re-broadcast per batch, which is exactly
+    // how a 1000-executor deployment enriches a firehose against a dim
+    // table. Emitted rows = batch join rows (inner join, append mode),
+    // so the aggregate over the sink has a full DuckDB hash oracle.
+    "q156_stream_enrich" -> ((s, dir) => {
+      s.catalog.dropTempView("q156_mem")
+      val inP = graft.ops.Stage.fresh("q156")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // shared by the 3 tranche writes
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val dim = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*/")
+        .withColumn("nk", col("user_id") % 25)
+        .join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("event_type"), col("value"))
+        .writeStream.format("memory").queryName("q156_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.ops.Stage.release(inP) // results live in the memory sink now
+      s.table("q156_mem")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"))
+        .orderBy(col("n_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q156_stream_enrich" ->
+      ("SELECT n_name, count(*) AS n_events, "
+        + "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "
+        + "FROM events JOIN nation ON user_id % 25 = n_nationkey "
+        + "GROUP BY n_name ORDER BY n_name"),
     "q141_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events "
         + "ORDER BY user_id, event_type, day"),

@@ -56,4 +56,24 @@ class StreamBatchSpec extends AnyFunSuite with Matchers with SharedSpark {
     // more (state never evicts a live match) and no less (all emitted)
     stream shouldBe batch
   }
+
+  test("q156 stream-static enrichment emits exactly the batch dim join") {
+    import org.apache.spark.sql.functions._
+    val stream = SparkEntry.queries("q156_stream_enrich")(spark, sf).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    val batch = Tables.events(spark, sf)
+      .withColumn("nk", col("user_id") % 25)
+      .join(Tables.nation(spark, sf), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"))
+      .collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    stream.size should be > 0
+    // stateless per-batch broadcast join: emitted rows are exactly the
+    // batch inner join regardless of tranche boundaries
+    stream shouldBe batch
+  }
 }
