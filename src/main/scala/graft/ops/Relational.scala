@@ -398,6 +398,45 @@ object Relational extends QueryPack {
         .select(col("n_name"), round(col("rev_x").cast("double"), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q6 shape (forecast revenue change): the pure
+    // filter-selectivity + single-agg query — every predicate reaches
+    // the parquet scan (date range + two numeric band predicates), the
+    // aggregate is one map-side partial + 1-row merge, zero joins and
+    // zero data-sized shuffles. The canonical "is your scan layer
+    // doing its job" probe.
+    "q157_sql_tpch_q6" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem_v
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND l_shipdate < CAST('1997-01-01' AS TIMESTAMP_NTZ)
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 25""")
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18 shape (large-volume customers): groupBy-HAVING on the
+    // fact table FIRST (the order-quantity contraction), then only the
+    // qualifying order keys join customers/orders — the
+    // aggregate-then-join ordering that keeps the join input tiny at
+    // any scale. Top-10 via orderBy+limit.
+    "q158_sql_tpch_q18" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -505,5 +544,15 @@ object Relational extends QueryPack {
         + "JOIN region ON n_regionkey = r_regionkey "
         + "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
         + "GROUP BY n_name ORDER BY revenue DESC, n_name"),
+    "q157_sql_tpch_q6" ->
+      ("SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, count(*) AS n_rows "
+        + "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        + "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25"),
+    "q158_sql_tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty "
+        + "FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) "
+        + "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(sum_qty AS DOUBLE) AS total_qty "
+        + "FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey "
+        + "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
   )
 }

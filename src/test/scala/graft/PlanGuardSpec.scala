@@ -106,4 +106,23 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
       case t: TakeOrderedAndProjectExec => t
     } should not be empty
   }
+
+  test("q157 TPC-H Q6: every predicate reaches the parquet scan; 4-column read schema") {
+    val scans = sparkPlanOf("q157_sql_tpch_q6").collectWithSubqueries {
+      case f: FileSourceScanExec => f
+    }
+    scans should not be empty
+    val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    pushed should include("GreaterThanOrEqual(l_shipdate")
+    pushed should include("LessThanOrEqual(l_discount")
+    pushed should include("LessThan(l_quantity")
+    scans.head.requiredSchema.fieldNames.toSet shouldBe
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+  }
+
+  test("q158 TPC-H Q18: top-10 via TakeOrderedAndProject after the HAVING contraction") {
+    sparkPlanOf("q158_sql_tpch_q18").collectWithSubqueries {
+      case t: TakeOrderedAndProjectExec => t
+    } should not be empty
+  }
 }
