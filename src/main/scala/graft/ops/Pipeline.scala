@@ -284,9 +284,85 @@ object Pipeline extends QueryPack {
         .orderBy(col("k").desc, col("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("n_chars"), round(col("k") * 1000.0, 9).as("key_x1000"))),
+
+    // ------------------------------------------------------------------
+    // k-fold cross-validation assignment (k=5) with the complement
+    // trick: folds come from the q58 md5 uniform (reproducible at any
+    // scale, never rand()); each fold's TRAIN side is total − fold,
+    // computed from ONE per-fold aggregate + a broadcast 1-row total —
+    // never k passes over the corpus. The balance columns are what a
+    // split-health check monitors before training.
+    "q159_kfold" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .withColumn("fold", expr(
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 5"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_val"), sum(col("n_chars")).as("val_chars"))
+      val tot = per.agg(sum(col("n_val")).as("n_tot"), sum(col("val_chars")).as("chars_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_val"),
+          (col("n_tot") - col("n_val")).as("n_train"),
+          col("val_chars"),
+          (col("chars_tot") - col("val_chars")).as("train_chars"),
+          round(col("n_val") / col("n_tot"), 6).as("val_share"))
+        .orderBy(col("fold"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Span-corruption planning (the T5/MLM preprocessing step): each
+    // (doc, pos) token is masked by a deterministic md5 coin (15%), and
+    // the per-doc mask profile — count, rate, number of contiguous
+    // masked SPANS, longest span — is computed with the gaps-and-
+    // islands idiom: island id = pos − row_number() within the doc's
+    // masked positions, a doc-partitioned window (never global). This
+    // is the plan a span-corruption data loader needs per document.
+    "q160_span_mask" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
+        .withColumn("masked", expr(
+          "cast(conv(substr(md5(cast(concat(cast(doc_id as string), ':', cast(pos as string)) as binary)), 1, 15), 16, 10) as bigint) % 100 < 15"))
+      val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      val spans = toks.filter(col("masked"))
+        .withColumn("island", col("pos") -
+          row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(count(lit(1)).as("span_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("n_masked"),
+          count(lit(1)).as("n_spans"),
+          max(col("span_len")).as("max_span"))
+      nTok.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          round(coalesce(col("n_masked"), lit(0L)) / col("n_tokens"), 4).as("mask_rate"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q159_kfold" ->
+      ("WITH per AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold, "
+        + "count(*) AS n_val, CAST(sum(n_chars) AS BIGINT) AS val_chars FROM documents GROUP BY 1), "
+        + "tot AS (SELECT CAST(sum(n_val) AS BIGINT) AS n_tot, CAST(sum(val_chars) AS BIGINT) AS chars_tot FROM per) "
+        + "SELECT fold, n_val, n_tot - n_val AS n_train, val_chars, chars_tot - val_chars AS train_chars, "
+        + "round(CAST(n_val AS DOUBLE) / n_tot, 6) AS val_share "
+        + "FROM per CROSS JOIN tot ORDER BY fold"),
+    "q160_span_mask" ->
+      ("WITH toks AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS tok FROM ("
+        + "SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents)), "
+        + "m AS (SELECT doc_id, pos, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 15 AS masked FROM toks), "
+        + "nt AS (SELECT doc_id, count(*) AS n_tokens FROM m GROUP BY doc_id), "
+        + "isl AS (SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM m WHERE masked), "
+        + "sp AS (SELECT doc_id, island, count(*) AS span_len FROM isl GROUP BY 1, 2), "
+        + "agg AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS n_masked, count(*) AS n_spans, max(span_len) AS max_span FROM sp GROUP BY doc_id) "
+        + "SELECT nt.doc_id, n_tokens, coalesce(n_masked, 0) AS n_masked, "
+        + "round(CAST(coalesce(n_masked, 0) AS DOUBLE) / n_tokens, 4) AS mask_rate, "
+        + "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans, CAST(coalesce(max_span, 0) AS BIGINT) AS max_span "
+        + "FROM nt LEFT JOIN agg ON nt.doc_id = agg.doc_id ORDER BY nt.doc_id"),
     "q137_weighted_sample" ->
       ("SELECT doc_id, n_chars, round(k * 1000.0, 9) AS key_x1000 FROM ("
         + "SELECT doc_id, n_chars, ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5) "

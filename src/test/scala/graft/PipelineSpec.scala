@@ -51,4 +51,41 @@ class PipelineSpec extends AnyFunSuite with Matchers with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     hs(1L) should not be hs(2L)
   }
+
+  test("q159 k-fold: complete partition, complement arithmetic, shares sum to 1") {
+    val rows = SparkEntry.queries("q159_kfold")(spark, sf).collect()
+    rows.map(_.getAs[Long]("fold")).toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    val nTot = rows.map(_.getAs[Long]("n_val")).sum
+    nTot shouldBe spark.read.parquet(s"$sf/documents.parquet").count()
+    rows.foreach { r =>
+      r.getAs[Long]("n_train") shouldBe nTot - r.getAs[Long]("n_val")
+    }
+    rows.map(_.getAs[Double]("val_share")).sum shouldBe 1.0 +- 1e-4
+  }
+
+  test("q160 span profile matches an independent md5 recompute of the mask") {
+    import spark.implicits._
+    // same coin as the query: md5("<doc>:<pos>") first 15 hex digits % 100 < 15
+    def masked(doc: Long, pos: Int): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$doc:$pos".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16) % 100 < 15
+    }
+    val dir = java.nio.file.Files.createTempDirectory("spanfx_").toString
+    val n = 200
+    Seq((1L, (0 until n).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("q160_span_mask")(spark, dir).collect().head
+    val mask = (0 until n).map(masked(1L, _))
+    // independent span derivation: run-length encode the mask sequence
+    val runs = mask.foldLeft(List.empty[(Boolean, Int)]) {
+      case ((b, c) :: t, m) if b == m => (b, c + 1) :: t
+      case (acc, m) => (m, 1) :: acc
+    }.filter(_._1).map(_._2)
+    r.getAs[Long]("n_tokens") shouldBe n.toLong
+    r.getAs[Long]("n_masked") shouldBe mask.count(identity).toLong
+    r.getAs[Long]("n_spans") shouldBe runs.length.toLong
+    r.getAs[Long]("max_span") shouldBe (if (runs.isEmpty) 0L else runs.max.toLong)
+  }
 }
