@@ -437,6 +437,49 @@ object Relational extends QueryPack {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem
+    // joins `part` on partkey — lineitem is filtered BEFORE the join so
+    // only the month's rows shuffle, and part (the smaller side at any
+    // scale) broadcasts under AQE. Revenue terms are quantized to
+    // DECIMAL(18,4) pre-sum; the percentage is a raw-ratio composite of
+    // the two exact decimal sums (§4.3).
+    "q163_sql_tpch_q14" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS promo_revenue_pct,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4)
+                 AS total_revenue,
+               count(*) AS n_rows
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND l_shipdate < CAST('1996-02-01' AS TIMESTAMP_NTZ)""")
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    // the classic OR-of-conjunctions that defeats naive pushdown. The
+    // join key predicate stays conjunctive (partkey equi-join, part
+    // broadcast); each disjunct mixes part-side and lineitem-side
+    // columns so Catalyst evaluates it post-join while still pruning
+    // both scans to the referenced columns only.
+    "q164_sql_tpch_q19" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+               count(*) AS n_rows
+        FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -554,5 +597,21 @@ object Relational extends QueryPack {
         + "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, CAST(sum_qty AS DOUBLE) AS total_qty "
         + "FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey "
         + "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q163_sql_tpch_q14" ->
+      ("SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' "
+        + "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) "
+        + "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+        + "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue_pct, "
+        + "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_revenue, "
+        + "count(*) AS n_rows "
+        + "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        + "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'"),
+    "q164_sql_tpch_q19" ->
+      ("SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, "
+        + "count(*) AS n_rows "
+        + "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        + "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
+        + "OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) "
+        + "OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"),
   )
 }

@@ -384,6 +384,85 @@ object Science extends QueryPack {
         .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
         .orderBy(col("p_size"), col("p_partkey"))
     }),
+
+    // ------------------------------------------------------------------
+    // Kruskal–Wallis H (k=3 groups: view/click/purchase on value) with
+    // the tie correction. Midranks ride the SAME scale path as q130:
+    // contract the fact table to per-distinct-value group counts (one
+    // partial-agg shuffle), then [[cumCounts]]' range-partitioned
+    // prefix sums supply `below` and the midrank is closed-form
+    // below + (ct+1)/2 — no raw-row rank window anywhere. Rank sums
+    // are quantized to DECIMAL(28,6) before the distributed sum; the
+    // tie term Σ(t³−t) is per-row long arithmetic summed in
+    // DECIMAL(38,0) so the total can never overflow.
+    "q161_kruskal_wallis" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("g1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("g2"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("g3"))
+        .localCheckpoint() // consumed twice: cumCounts pass + midrank join
+      val below = cumCounts(s,
+          g.select(col("v"), (col("g1") + col("g2") + col("g3")).as("c1"),
+            lit(0L).as("c2")))
+        .select(col("v"), col("below"))
+      g.join(below, "v")
+        .withColumn("ct", col("g1") + col("g2") + col("g3"))
+        .withColumn("ar", expr("below + (ct + 1) / 2.0"))
+        .agg(sum(col("g1")).as("n1"), sum(col("g2")).as("n2"), sum(col("g3")).as("n3"),
+          sum(expr("cast(ar * g1 as decimal(28,6))")).as("r1"),
+          sum(expr("cast(ar * g2 as decimal(28,6))")).as("r2"),
+          sum(expr("cast(ar * g3 as decimal(28,6))")).as("r3"),
+          sum(expr("cast(ct * ct * ct - ct as decimal(38,0))")).as("ties"))
+        .withColumn("nt", col("n1") + col("n2") + col("n3"))
+        .withColumn("h_raw", expr(
+          "12.0 / (cast(nt as double) * (nt + 1)) * " +
+            "(cast(r1 as double) * cast(r1 as double) / n1 + " +
+            "cast(r2 as double) * cast(r2 as double) / n2 + " +
+            "cast(r3 as double) * cast(r3 as double) / n3) - 3.0 * (nt + 1)"))
+        .withColumn("tie_c", expr(
+          "1.0 - cast(ties as double) / (cast(nt as double) * nt * nt - nt)"))
+        .select(col("n1"), col("n2"), col("n3"),
+          round(col("h_raw"), 6).as("h_stat"),
+          round(expr("h_raw / tie_c"), 6).as("h_adj"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Brown–Forsythe (median-based Levene) homogeneity-of-variance test
+    // across the same three groups. Group centers are exact medians
+    // ROUNDED TO 6dp on both engines (full-double interpolated
+    // percentile parity is engine-sensitive; the rounded center keeps
+    // the statistic deterministic and is statistically immaterial).
+    // Absolute deviations are quantized to DECIMAL(28,12) before the
+    // per-group sums, and the 3-row final agg re-quantizes the num/den
+    // terms so even that tiny sum is merge-order-proof.
+    "q162_levene" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase") && col("value").isNotNull)
+        .select(col("event_type").as("g"), col("value").cast("double").as("x"))
+      val med = e.groupBy(col("g")).agg(expr("round(percentile(x, 0.5), 6)").as("med"))
+      val pg = e.join(broadcast(med), "g")
+        .withColumn("z", expr("cast(abs(x - med) as decimal(28,12))"))
+        .withColumn("z2", expr("cast(abs(x - med) * abs(x - med) as decimal(28,12))"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("z")).as("sz"), sum(col("z2")).as("sz2"))
+        .localCheckpoint() // consumed twice: grand totals + per-group terms
+      val tot = pg.agg(sum(col("n")).as("nt"), sum(col("sz")).as("szt"),
+        count(lit(1)).as("k"))
+      pg.crossJoin(broadcast(tot))
+        .withColumn("zbar_g", expr("cast(sz as double) / n"))
+        .withColumn("zbar", expr("cast(szt as double) / nt"))
+        .withColumn("num_g", expr(
+          "cast(n * (zbar_g - zbar) * (zbar_g - zbar) as decimal(28,12))"))
+        .withColumn("den_g", expr(
+          "cast(cast(sz2 as double) - n * zbar_g * zbar_g as decimal(28,12))"))
+        .agg(max(col("nt")).as("n_total"), max(col("k")).as("k"),
+          sum(col("num_g")).as("num"), sum(col("den_g")).as("den"))
+        .select(col("n_total"), col("k"),
+          round(expr("(cast(n_total as double) - k) / (k - 1) * " +
+            "cast(num as double) / cast(den as double)"), 6).as("w_stat"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -495,5 +574,35 @@ object Science extends QueryPack {
         + "SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p "
         + "JOIN sky s ON p.p_size = s.sz AND p.p_retailprice = s.bp "
         + "ORDER BY p_size, p_partkey"),
+    "q161_kruskal_wallis" ->
+      ("WITH pooled AS (SELECT value AS v, event_type AS g, row_number() OVER (ORDER BY value) AS rn "
+        + "FROM events WHERE event_type IN ('view', 'click', 'purchase') AND value IS NOT NULL), "
+        + "pv AS (SELECT v, avg(rn) AS ar, count(*) AS ct, "
+        + "CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS g1, "
+        + "CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS g2, "
+        + "CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS g3 FROM pooled GROUP BY v), "
+        + "agg AS (SELECT CAST(sum(g1) AS BIGINT) AS n1, CAST(sum(g2) AS BIGINT) AS n2, CAST(sum(g3) AS BIGINT) AS n3, "
+        + "sum(CAST(ar * g1 AS DECIMAL(28,6))) AS r1, sum(CAST(ar * g2 AS DECIMAL(28,6))) AS r2, "
+        + "sum(CAST(ar * g3 AS DECIMAL(28,6))) AS r3, sum(CAST(ct * ct * ct - ct AS DECIMAL(38,0))) AS ties FROM pv), "
+        + "h AS (SELECT n1, n2, n3, "
+        + "12.0 / (CAST(n1 + n2 + n3 AS DOUBLE) * (n1 + n2 + n3 + 1)) * "
+        + "(CAST(r1 AS DOUBLE) * CAST(r1 AS DOUBLE) / n1 + CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / n2 + "
+        + "CAST(r3 AS DOUBLE) * CAST(r3 AS DOUBLE) / n3) - 3.0 * (n1 + n2 + n3 + 1) AS h_raw, "
+        + "1.0 - CAST(ties AS DOUBLE) / (CAST(n1 + n2 + n3 AS DOUBLE) * (n1 + n2 + n3) * (n1 + n2 + n3) - (n1 + n2 + n3)) AS tie_c FROM agg) "
+        + "SELECT n1, n2, n3, round(h_raw, 6) AS h_stat, round(h_raw / tie_c, 6) AS h_adj FROM h"),
+    "q162_levene" ->
+      ("WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x FROM events "
+        + "WHERE event_type IN ('view', 'click', 'purchase') AND value IS NOT NULL), "
+        + "med AS (SELECT g, round(quantile_cont(x, 0.5), 6) AS med FROM e GROUP BY g), "
+        + "pg AS (SELECT g, count(*) AS n, sum(CAST(abs(x - med) AS DECIMAL(28,12))) AS sz, "
+        + "sum(CAST(abs(x - med) * abs(x - med) AS DECIMAL(28,12))) AS sz2 FROM e JOIN med USING (g) GROUP BY g), "
+        + "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sz) AS szt, count(*) AS k FROM pg), "
+        + "terms AS (SELECT n, nt, k, CAST(sz AS DOUBLE) / n AS zbar_g, CAST(szt AS DOUBLE) / nt AS zbar, sz2 "
+        + "FROM pg CROSS JOIN tot), "
+        + "t2 AS (SELECT nt, k, CAST(n * (zbar_g - zbar) * (zbar_g - zbar) AS DECIMAL(28,12)) AS num_g, "
+        + "CAST(CAST(sz2 AS DOUBLE) - n * zbar_g * zbar_g AS DECIMAL(28,12)) AS den_g FROM terms) "
+        + "SELECT max(nt) AS n_total, max(k) AS k, "
+        + "round((CAST(max(nt) AS DOUBLE) - max(k)) / (max(k) - 1) * "
+        + "CAST(sum(num_g) AS DOUBLE) / CAST(sum(den_g) AS DOUBLE), 6) AS w_stat FROM t2"),
   )
 }

@@ -451,6 +451,75 @@ object Text extends QueryPack {
         .select(col("doc_id"), col("n"), col("n_distinct"),
           round(expr("ln(cast(n as double)) - cast(slc as double) / n"), 6).as("entropy"))
         .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------------------
+    // Tokenizer vocabulary coverage: build the top-K vocab from the
+    // corpus itself (orderBy+limit → TakeOrderedAndProject, ties broken
+    // by token so the K-boundary is deterministic), broadcast it,
+    // and profile per-doc coverage into 10 histogram buckets with the
+    // corpus OOV rate per bucket. This is the standard pre-training
+    // check "how much of my corpus does a K-entry vocab cover" — two
+    // token shuffles plus a broadcast join, no data-sized window.
+    // K=10 here because the driver corpus has only 31 token types
+    // (measured); a real run would use 32k-256k.
+    "q165_vocab_coverage" -> ((s, dir) => {
+      val t = tokens(s, dir).select(col("doc_id"), col("tok"))
+      val vocab = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+        .select(col("tok"), lit(1).as("in_v"))
+      t.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce(col("in_v"), lit(0))).as("n_inv"))
+        .withColumn("bucket",
+          expr("least(cast(floor(cast(n_inv as double) / n_tok * 10) as int), 9)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"),
+          sum(col("n_tok") - col("n_inv")).as("oov_tokens"))
+        .withColumn("oov_rate",
+          round(expr("cast(oov_tokens as double) / tokens"), 6))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Heaps'-law vocabulary growth (tokenizer sizing): 20 nested corpus
+    // prefixes defined by the q58 md5 bucket of doc_id (prefix b = all
+    // docs in buckets 0..b — deterministic, order-free, and each prefix
+    // is a superset of the last). tokens(prefix) is a cumsum of 20
+    // per-bucket totals; vocab(prefix) counts tokens whose FIRST bucket
+    // (min over one groupBy) is <= b. The ln–ln regression slope (Heaps
+    // β) and intercept (K) come from quantized decimal sums, so the
+    // whole query touches the corpus with two partial-agg shuffles and
+    // one 20-row window (bounded by construction).
+    "q166_heaps_law" -> ((s, dir) => {
+      val t = tokens(s, dir)
+        .withColumn("b", expr(
+          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 20"))
+      val tokTot = t.groupBy(col("b")).agg(count(lit(1)).as("tk"))
+      val newTypes = t.groupBy(col("tok")).agg(min(col("b")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("tv"))
+      val w = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokTot.join(newTypes, Seq("b"), "full")
+        .select(col("b"), coalesce(col("tk"), lit(0L)).as("tk"),
+          coalesce(col("tv"), lit(0L)).as("tv"))
+        .withColumn("cum_t", sum(col("tk")).over(w))
+        .withColumn("cum_v", sum(col("tv")).over(w))
+        .filter(col("cum_t") > 0 && col("cum_v") > 0)
+        .withColumn("x", expr("cast(ln(cast(cum_t as double)) as decimal(28,12))"))
+        .withColumn("y", expr("cast(ln(cast(cum_v as double)) as decimal(28,12))"))
+        .agg(count(lit(1)).as("k"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(cast(x as double) * cast(y as double) as decimal(28,12))")).as("sxy"),
+          sum(expr("cast(cast(x as double) * cast(x as double) as decimal(28,12))")).as("sxx"),
+          sum(col("tk")).as("tokens_total"), sum(col("tv")).as("vocab_total"))
+        .withColumn("slope", expr(
+          "(k * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+            "(k * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
+        .select(col("k").as("n_points"), col("tokens_total"), col("vocab_total"),
+          round(col("slope"), 6).as("heaps_beta"),
+          round(expr("exp((cast(sy as double) - slope * cast(sx as double)) / k)"), 6).as("heaps_k"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -600,5 +669,35 @@ object Text extends QueryPack {
       ("WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name) "
         + "SELECT a.p_name AS name_a, b.p_name AS name_b, levenshtein(a.p_name, b.p_name) AS lev, a.n_parts AS cnt_a, b.n_parts AS cnt_b "
         + "FROM names a JOIN names b ON a.p_name < b.p_name WHERE levenshtein(a.p_name, b.p_name) <= 3 ORDER BY name_a, name_b"),
+    "q165_vocab_coverage" ->
+      ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10)), "
+        + "pd AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inv "
+        + "FROM t LEFT JOIN vocab v USING (tok) GROUP BY doc_id), "
+        + "b AS (SELECT least(CAST(floor(CAST(n_inv AS DOUBLE) / n_tok * 10) AS INT), 9) AS bucket, n_tok, n_inv FROM pd) "
+        + "SELECT bucket, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens, "
+        + "CAST(sum(n_tok - n_inv) AS BIGINT) AS oov_tokens, "
+        + "round(CAST(sum(n_tok - n_inv) AS DOUBLE) / sum(n_tok), 6) AS oov_rate "
+        + "FROM b GROUP BY bucket ORDER BY bucket"),
+    "q166_heaps_law" ->
+      ("WITH t AS (SELECT doc_id, tok, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 20 AS b "
+        + "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "tt AS (SELECT b, count(*) AS tk FROM t GROUP BY b), "
+        + "nv AS (SELECT b, count(*) AS tv FROM (SELECT tok, min(b) AS b FROM t GROUP BY tok) GROUP BY b), "
+        + "pts AS (SELECT coalesce(tt.b, nv.b) AS b, coalesce(tk, 0) AS tk, coalesce(tv, 0) AS tv FROM tt FULL JOIN nv ON tt.b = nv.b), "
+        + "cum AS (SELECT b, tk, tv, "
+        + "CAST(sum(tk) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_t, "
+        + "CAST(sum(tv) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v FROM pts), "
+        + "xy AS (SELECT tk, tv, CAST(ln(CAST(cum_t AS DOUBLE)) AS DECIMAL(28,12)) AS x, "
+        + "CAST(ln(CAST(cum_v AS DOUBLE)) AS DECIMAL(28,12)) AS y FROM cum WHERE cum_t > 0 AND cum_v > 0), "
+        + "agg AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy, "
+        + "sum(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))) AS sxy, "
+        + "sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS sxx, "
+        + "CAST(sum(tk) AS BIGINT) AS tokens_total, CAST(sum(tv) AS BIGINT) AS vocab_total FROM xy), "
+        + "s AS (SELECT k, tokens_total, vocab_total, sx, sy, "
+        + "(k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope FROM agg) "
+        + "SELECT k AS n_points, tokens_total, vocab_total, round(slope, 6) AS heaps_beta, "
+        + "round(exp((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / k), 6) AS heaps_k FROM s"),
   )
 }

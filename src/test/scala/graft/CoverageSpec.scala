@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Formula tests for the vocabulary operators (q165 coverage histogram,
+  * q166 Heaps-law growth) on a fixture whose corpus has MORE types than
+  * the vocab size, so the top-K boundary actually cuts — the driver
+  * corpus has only 31 types and the oracle alone can't prove the
+  * boundary logic. q166 is cross-checked against an independent scalar
+  * recompute of the md5 buckets and the ln–ln regression.
+  */
+class CoverageSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  // 12 types; counts c1=4, c2..c9=3, m=2, r1=r2=1 → top-10 vocab is
+  // {c1..c9, m} and the boundary drops exactly {r1, r2}.
+  private val docs = Seq(
+    (1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 m"),
+    (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 m"),
+    (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    (4L, "r1 r2 c1")
+  )
+
+  private lazy val fx: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_covfx_").toString
+    import spark.implicits._
+    docs.map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q165 vocab coverage: the top-10 boundary and histogram by hand") {
+    // d1/d2: 10/10 in-vocab, d3: 9/9 → bucket 9; d4: 1/3 → bucket 3.
+    val rows = SparkEntry.queries("q165_vocab_coverage")(spark, fx).collect()
+    rows should have length 2
+    val b3 = rows.find(_.getAs[Int]("bucket") == 3).get
+    b3.getAs[Long]("n_docs") shouldBe 1L
+    b3.getAs[Long]("tokens") shouldBe 3L
+    b3.getAs[Long]("oov_tokens") shouldBe 2L
+    b3.getAs[Double]("oov_rate") shouldBe (2.0 / 3) +- 1e-6
+    val b9 = rows.find(_.getAs[Int]("bucket") == 9).get
+    b9.getAs[Long]("n_docs") shouldBe 3L
+    b9.getAs[Long]("tokens") shouldBe 29L
+    b9.getAs[Long]("oov_tokens") shouldBe 0L
+    b9.getAs[Double]("oov_rate") shouldBe 0.0
+  }
+
+  test("q166 heaps law matches an independent scalar recompute of buckets + regression") {
+    // Same md5 bucket as the query: first 15 hex chars of md5(doc_id
+    // string) as a base-16 long, mod 20 (q58's splitter formula).
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 20
+    }
+    val toks = docs.flatMap { case (id, text) =>
+      text.split(" ").filter(_.nonEmpty).map(t => (bucket(id), t))
+    }
+    val tk = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firstB = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val tv = firstB.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bs = (tk.keySet ++ tv.keySet).toSeq.sorted
+    var (ct, cv) = (0L, 0L)
+    val pts = bs.map { b =>
+      ct += tk.getOrElse(b, 0L); cv += tv.getOrElse(b, 0L)
+      (math.log(ct.toDouble), math.log(cv.toDouble))
+    }
+    val k = pts.size
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+
+    val r = SparkEntry.queries("q166_heaps_law")(spark, fx).collect().head
+    r.getAs[Long]("n_points") shouldBe k.toLong
+    r.getAs[Long]("tokens_total") shouldBe 32L
+    r.getAs[Long]("vocab_total") shouldBe 12L
+    r.getAs[Double]("heaps_beta") shouldBe slope +- 1e-6
+    r.getAs[Double]("heaps_k") shouldBe math.exp((sy - slope * sx) / k) +- 1e-6
+  }
+}

@@ -44,7 +44,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q23_autocorr",      // lag window over <= #days daily cells
     "q70_crosscorr",     // lag windows over <= #days daily cells
     "q71_rolling_corr",  // 14-row trailing frame over <= #days daily cells
-    "q101_chi2"          // grand-total window over <= |status|x|priority| cells
+    "q101_chi2",         // grand-total window over <= |status|x|priority| cells
+    "q166_heaps_law"     // cumsum over exactly 20 md5-bucket prefix cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -78,6 +79,21 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
     pushed should include("GreaterThanOrEqual")
     pushed should include("In(o_orderstatus")
+  }
+
+  test("q163 Q14: month filter reaches the lineitem scan; part join broadcasts") {
+    val p = sparkPlanOf("q163_sql_tpch_q14")
+    p.collectWithSubqueries { case j: SortMergeJoinExec => j } shouldBe empty
+    val pushed = p.collectWithSubqueries { case f: FileSourceScanExec => f }
+      .map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    pushed should include("GreaterThanOrEqual(l_shipdate")
+    pushed should include("LessThan(l_shipdate")
+  }
+
+  test("q164 Q19: disjunctive predicates still broadcast the part side") {
+    sparkPlanOf("q164_sql_tpch_q19").collectWithSubqueries {
+      case j: SortMergeJoinExec => j
+    } shouldBe empty
   }
 
   test("q05 star join broadcasts every dimension (no sort-merge join)") {

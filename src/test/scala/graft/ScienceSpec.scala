@@ -76,6 +76,35 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, fx)
 
+  test("q161 Kruskal–Wallis: H and tie correction match the hand-derived ranks") {
+    // pooled sorted values 1,2,2,2,3,3,4,9 (view {1,2,2,3}, click
+    // {2,3,4}, purchase {9}; NULL view row excluded). Midranks: 1→1,
+    // 2→3, 3→5.5, 4→7, 9→8, so R = (12.5, 15.5, 8), N = 8.
+    val r = q("q161_kruskal_wallis").collect()
+    r should have length 1
+    r.head.getAs[Long]("n1") shouldBe 4L
+    r.head.getAs[Long]("n2") shouldBe 3L
+    r.head.getAs[Long]("n3") shouldBe 1L
+    val h = 12.0 / (8 * 9) *
+      (12.5 * 12.5 / 4 + 15.5 * 15.5 / 3 + 8.0 * 8.0 / 1) - 3 * 9
+    // ties: value 2 (t=3) and value 3 (t=2) → Σ(t³−t) = 24 + 6 = 30
+    val c = 1.0 - 30.0 / (8.0 * 8 * 8 - 8)
+    r.head.getAs[Double]("h_stat") shouldBe h +- 1e-6
+    r.head.getAs[Double]("h_adj") shouldBe h / c +- 1e-6
+  }
+
+  test("q162 Brown–Forsythe: W = 0.5 by hand from the group medians") {
+    // medians: view {1,2,2,3}→2, click {2,3,4}→3, purchase {9}→9.
+    // |dev| sums: (2,2,0) over n=(4,3,1); z̄_g=(.5,2/3,0), z̄=.5;
+    // num = 3·(1/6)² + 1·(.5)² = 1/3, den = 1 + 2/3 + 0 = 5/3;
+    // W = ((8−3)/(3−1))·(1/3)/(5/3) = 0.5.
+    val r = q("q162_levene").collect()
+    r should have length 1
+    r.head.getAs[Long]("n_total") shouldBe 8L
+    r.head.getAs[Long]("k") shouldBe 3L
+    r.head.getAs[Double]("w_stat") shouldBe 0.5 +- 1e-6
+  }
+
   test("q124 KS: D and statistic match the hand-derived ECDF gap") {
     // views {1,2,2,3} vs clicks {2,3,4}: ECDF gap peaks at v=2 with
     // |3/4 − 1/3| = 5/12; the NULL-value view row must be excluded
