@@ -272,6 +272,56 @@ object Analysis extends QueryPack {
         .select(col("rank"), col("path"), col("n"))
         .orderBy(col("rank"))
     }),
+
+    // ------------------------------------------------------------------
+    // Multinomial naive-Bayes language classifier trained AND evaluated
+    // in pure aggregation (distributed ML as relational algebra): class
+    // priors and add-1-smoothed token log-likelihoods come from two
+    // corpus contractions; the full vocab×class grid (coalesced to the
+    // smoothing floor for unseen pairs) broadcasts back onto the
+    // per-doc term counts; per-(doc,class) scores sum DECIMAL(28,12)-
+    // quantized terms; argmax per doc is a doc-partitioned rank with a
+    // class tiebreak. Output: the actual×predicted confusion matrix.
+    // At scale every shuffle is doc- or token-keyed; the grid is
+    // |vocab|×|classes| — broadcastable whenever the vocab is.
+    "q170_naive_bayes" -> ((s, dir) => {
+      val dt = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang").as("actual"),
+          explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .groupBy(col("doc_id"), col("actual"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val cls = Tables.documents(s, dir)
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint() // consumed thrice: grid, priors, totals
+      val tc = dt.groupBy(col("actual").as("cls"), col("tok"))
+        .agg(sum(col("tf")).as("cnt"))
+        .localCheckpoint() // consumed twice: grid join + class totals
+      val vocab = tc.select(col("tok")).distinct()
+        .localCheckpoint() // consumed twice: V count + grid expansion
+      val vSize = vocab.agg(count(lit(1)).as("v"))
+      val clsTot = tc.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
+      val grid = vocab.crossJoin(cls.select(col("cls")))
+        .join(tc, Seq("cls", "tok"), "left")
+        .join(clsTot, "cls").crossJoin(broadcast(vSize))
+        .withColumn("logp", expr(
+          "ln((coalesce(cnt, 0) + 1) / cast(tot + v as double))"))
+        .select(col("cls"), col("tok"), col("logp"))
+      val nTot = cls.agg(sum(col("n_docs")).as("n_total"))
+      val scored = dt.join(broadcast(grid), "tok")
+        .groupBy(col("doc_id"), col("cls"))
+        .agg(max(col("actual")).as("actual"),
+          sum(expr("cast(tf * logp as decimal(28,12))")).as("llx"))
+        .join(broadcast(cls), "cls").crossJoin(broadcast(nTot))
+        .withColumn("score", expr(
+          "cast(llx as double) + ln(cast(n_docs as double) / n_total)"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("actual"), col("cls").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("actual"), col("predicted"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -353,5 +403,29 @@ object Analysis extends QueryPack {
         + "min(a.c_name || '|' || b2.c_name) AS example "
         + "FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey "
         + "WHERE levenshtein(a.c_name, b2.c_name) <= 2 GROUP BY d ORDER BY d"),
+    "q170_naive_bayes" ->
+      ("WITH dt AS (SELECT doc_id, actual, tok, count(*) AS tf FROM ("
+        + "SELECT doc_id, lang AS actual, unnest(string_split(text, ' ')) AS tok FROM documents) "
+        + "WHERE tok <> '' GROUP BY 1, 2, 3), "
+        + "cl AS (SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY 1), "
+        + "tc AS (SELECT actual AS cls, tok, CAST(sum(tf) AS BIGINT) AS cnt FROM dt GROUP BY 1, 2), "
+        + "vocab AS (SELECT DISTINCT tok FROM tc), "
+        + "vs AS (SELECT count(*) AS v FROM vocab), "
+        + "ct AS (SELECT cls, CAST(sum(cnt) AS BIGINT) AS tot FROM tc GROUP BY 1), "
+        + "grid AS (SELECT g.cls, g.tok, ln((coalesce(tc.cnt, 0) + 1) / CAST(ct.tot + vs.v AS DOUBLE)) AS logp "
+        + "FROM (SELECT cl.cls, vocab.tok FROM cl CROSS JOIN vocab) g "
+        + "LEFT JOIN tc ON tc.cls = g.cls AND tc.tok = g.tok "
+        + "JOIN ct ON ct.cls = g.cls CROSS JOIN vs), "
+        + "ntot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cl), "
+        + "sc AS (SELECT dt.doc_id, grid.cls, max(dt.actual) AS actual, "
+        + "sum(CAST(dt.tf * grid.logp AS DECIMAL(28,12))) AS llx "
+        + "FROM dt JOIN grid ON dt.tok = grid.tok GROUP BY 1, 2), "
+        + "sc2 AS (SELECT sc.doc_id, sc.cls, sc.actual, "
+        + "CAST(llx AS DOUBLE) + ln(CAST(cl.n_docs AS DOUBLE) / ntot.n_total) AS score "
+        + "FROM sc JOIN cl ON cl.cls = sc.cls CROSS JOIN ntot), "
+        + "pred AS (SELECT actual, cls AS predicted FROM ("
+        + "SELECT actual, cls, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2) "
+        + "WHERE rn = 1) "
+        + "SELECT actual, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

@@ -480,6 +480,34 @@ object Relational extends QueryPack {
            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
            OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q10 shape (returned-item reporting): half a year of orders
+    // filtered BEFORE the joins, returned lineitems only, top-20
+    // customers by lost revenue. Orders⋈lineitem is the one fact-fact
+    // shuffle; customer and nation broadcast; the top-20 orders on the
+    // ROUNDED revenue (both engines rank identical values) with
+    // custkey tiebreak, via orderBy+limit → TakeOrderedAndProject.
+    "q169_sql_tpch_q10" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT c_custkey, c_name, n_name,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+               count(*) AS n_items
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        JOIN nation_v ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND o_orderdate < CAST('1996-07-01' AS TIMESTAMP_NTZ)
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -613,5 +641,16 @@ object Relational extends QueryPack {
         + "WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
         + "OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30) "
         + "OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"),
+    "q169_sql_tpch_q10" ->
+      ("SELECT c_custkey, c_name, n_name, "
+        + "round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, "
+        + "count(*) AS n_items "
+        + "FROM customer JOIN orders ON c_custkey = o_custkey "
+        + "JOIN lineitem ON l_orderkey = o_orderkey "
+        + "JOIN nation ON c_nationkey = n_nationkey "
+        + "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+        + "AND l_returnflag = 'R' "
+        + "GROUP BY c_custkey, c_name, n_name "
+        + "ORDER BY revenue DESC, c_custkey LIMIT 20"),
   )
 }

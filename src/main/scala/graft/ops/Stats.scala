@@ -579,6 +579,79 @@ object Stats extends QueryPack {
           round(expr(
             s"sqrt((cast(sab as double) / ${nd.toDouble * nd}) / sqrt((cast(saa as double) / ${nd.toDouble * nd}) * (cast(sbb as double) / ${nd.toDouble * nd})))"), 6).as("dcor"))
     }),
+
+    // ------------------------------------------------------------------
+    // SAX (symbolic aggregate approximation) of the daily event-count
+    // series: z-normalize against exact integer sums (Σn, Σn² — never
+    // stddev_samp, whose fp accumulation differs per engine), PAA into
+    // 6 calendar segments, map each segment mean to the 4-letter
+    // alphabet at the Gaussian breakpoints ±0.6745/0. NO window at all:
+    // one daily contraction (≤#days rows), one broadcast 1-row stats
+    // frame, one 6-group agg — the whole query holds at any scale.
+    "q167_sax" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as date)").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // consumed twice: stats pass + segment agg
+      val st = daily.agg(count(lit(1)).as("nd"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"),
+        min(col("day")).as("mind"), max(col("day")).as("maxd"))
+      daily.crossJoin(broadcast(st))
+        .withColumn("seg", expr(
+          "cast(floor(datediff(day, mind) * 6 / (datediff(maxd, mind) + 1)) as int)"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("seg_n"),
+          max(col("nd")).as("nd"), max(col("s1")).as("s1"), max(col("s2")).as("s2"))
+        .withColumn("paa", expr(
+          "(cast(seg_n as double) / n_days - cast(s1 as double) / nd) / " +
+            "sqrt((cast(s2 as double) - cast(s1 as double) * s1 / nd) / (nd - 1))"))
+        .select(col("seg"), col("n_days"), round(col("paa"), 6).as("paa_z"),
+          expr("case when paa < -0.6745 then 'a' when paa < 0 then 'b' " +
+            "when paa < 0.6745 then 'c' else 'd' end").as("symbol"))
+        .orderBy(col("seg"))
+    }),
+
+    // ------------------------------------------------------------------
+    // RFM customer segmentation: per-customer recency/frequency/monetary
+    // from one orders contraction, quartile boundaries from ONE exact-
+    // percentile 1-row agg (rounded to 6dp on both engines — the q162
+    // convention) broadcast back as plain comparisons — never an
+    // ntile window over the customer frame, which would be a
+    // customer-count-sized single-task sort at scale. Monetary sums
+    // stay DECIMAL end-to-end.
+    "q168_rfm" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("lastd"), count(lit(1)).as("f"),
+          sum(expr("cast(o_totalprice as decimal(18,2))")).as("m"))
+      val maxd = cust.agg(max(col("lastd")).as("maxd"))
+      val withR = cust.crossJoin(broadcast(maxd))
+        .withColumn("r", expr("datediff(maxd, lastd)"))
+        .localCheckpoint() // consumed twice: boundary agg + scoring
+      val qs = withR.agg(
+        expr("round(percentile(r, 0.25), 6)").as("rq1"),
+        expr("round(percentile(r, 0.5), 6)").as("rq2"),
+        expr("round(percentile(r, 0.75), 6)").as("rq3"),
+        expr("round(percentile(f, 0.25), 6)").as("fq1"),
+        expr("round(percentile(f, 0.5), 6)").as("fq2"),
+        expr("round(percentile(f, 0.75), 6)").as("fq3"),
+        expr("round(percentile(cast(m as double), 0.25), 6)").as("mq1"),
+        expr("round(percentile(cast(m as double), 0.5), 6)").as("mq2"),
+        expr("round(percentile(cast(m as double), 0.75), 6)").as("mq3"))
+      withR.crossJoin(broadcast(qs))
+        .withColumn("r_score", expr(
+          "case when r <= rq1 then 4 when r <= rq2 then 3 when r <= rq3 then 2 else 1 end"))
+        .withColumn("f_score", expr(
+          "case when f <= fq1 then 1 when f <= fq2 then 2 when f <= fq3 then 3 else 4 end"))
+        .withColumn("m_score", expr(
+          "case when cast(m as double) <= mq1 then 1 when cast(m as double) <= mq2 then 2 " +
+            "when cast(m as double) <= mq3 then 3 else 4 end"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("m")).as("m_sum"))
+        .select(col("r_score"), col("f_score"), col("m_score"), col("n_cust"),
+          round(expr("cast(m_sum as double) / n_cust"), 4).as("avg_monetary"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -747,5 +820,34 @@ object Stats extends QueryPack {
         + "round((exp(2 * (z + halfw)) - 1) / (exp(2 * (z + halfw)) + 1), 6) AS ci_hi FROM ("
         + "SELECT r, n, 0.5 * ln((1 + r) / (1 - r)) AS z, 1.959963985 / sqrt(n - 3) AS halfw FROM ("
         + "SELECT corr(l_quantity, l_extendedprice) AS r, CAST(count(*) AS DOUBLE) AS n FROM lineitem))"),
+    "q167_sax" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1), "
+        + "st AS (SELECT count(*) AS nd, CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2, "
+        + "min(day) AS mind, max(day) AS maxd FROM daily), "
+        + "seg AS (SELECT CAST(floor(date_diff('day', mind, day) * 6 / (date_diff('day', mind, maxd) + 1)) AS INT) AS seg, "
+        + "n, nd, s1, s2 FROM daily CROSS JOIN st), "
+        + "g AS (SELECT seg, count(*) AS n_days, CAST(sum(n) AS BIGINT) AS seg_n, "
+        + "max(nd) AS nd, max(s1) AS s1, max(s2) AS s2 FROM seg GROUP BY seg), "
+        + "z AS (SELECT seg, n_days, (CAST(seg_n AS DOUBLE) / n_days - CAST(s1 AS DOUBLE) / nd) / "
+        + "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1)) AS paa FROM g) "
+        + "SELECT seg, n_days, round(paa, 6) AS paa_z, "
+        + "CASE WHEN paa < -0.6745 THEN 'a' WHEN paa < 0 THEN 'b' WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS symbol "
+        + "FROM z ORDER BY seg"),
+    "q168_rfm" ->
+      ("WITH cust AS (SELECT o_custkey, max(o_orderdate) AS lastd, count(*) AS f, "
+        + "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS m FROM orders GROUP BY 1), "
+        + "maxd AS (SELECT max(lastd) AS maxd FROM cust), "
+        + "wr AS (SELECT o_custkey, date_diff('day', lastd, maxd) AS r, f, m FROM cust CROSS JOIN maxd), "
+        + "qs AS (SELECT round(quantile_cont(r, 0.25), 6) AS rq1, round(quantile_cont(r, 0.5), 6) AS rq2, round(quantile_cont(r, 0.75), 6) AS rq3, "
+        + "round(quantile_cont(f, 0.25), 6) AS fq1, round(quantile_cont(f, 0.5), 6) AS fq2, round(quantile_cont(f, 0.75), 6) AS fq3, "
+        + "round(quantile_cont(CAST(m AS DOUBLE), 0.25), 6) AS mq1, round(quantile_cont(CAST(m AS DOUBLE), 0.5), 6) AS mq2, "
+        + "round(quantile_cont(CAST(m AS DOUBLE), 0.75), 6) AS mq3 FROM wr), "
+        + "scored AS (SELECT CASE WHEN r <= rq1 THEN 4 WHEN r <= rq2 THEN 3 WHEN r <= rq3 THEN 2 ELSE 1 END AS r_score, "
+        + "CASE WHEN f <= fq1 THEN 1 WHEN f <= fq2 THEN 2 WHEN f <= fq3 THEN 3 ELSE 4 END AS f_score, "
+        + "CASE WHEN CAST(m AS DOUBLE) <= mq1 THEN 1 WHEN CAST(m AS DOUBLE) <= mq2 THEN 2 WHEN CAST(m AS DOUBLE) <= mq3 THEN 3 ELSE 4 END AS m_score, "
+        + "m FROM wr CROSS JOIN qs) "
+        + "SELECT r_score, f_score, m_score, count(*) AS n_cust, "
+        + "round(CAST(sum(m) AS DOUBLE) / count(*), 4) AS avg_monetary "
+        + "FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
   )
 }

@@ -79,4 +79,52 @@ class CoverageSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("heaps_beta") shouldBe slope +- 1e-6
     r.getAs[Double]("heaps_k") shouldBe math.exp((sy - slope * sx) / k) +- 1e-6
   }
+
+  // two-class corpus for the naive-Bayes classifier; token sets overlap
+  // (doc 5 mixes both classes' tokens) so the argmax is non-trivial.
+  private val nbDocs = Seq(
+    (1L, "a b a", "en"), (2L, "a b", "en"), (3L, "c d c", "fr"),
+    (4L, "c d", "fr"), (5L, "a c", "en")
+  )
+
+  private lazy val nbFx: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nbfx_").toString
+    import spark.implicits._
+    nbDocs.map { case (id, text, lang) => (id, text, lang, "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q170 naive Bayes: confusion matrix matches an independent scalar recompute") {
+    val toks = nbDocs.map { case (id, text, lang) =>
+      (id, lang, text.split(" ").filter(_.nonEmpty).toSeq)
+    }
+    val langs = nbDocs.map(_._3).distinct.sorted
+    val vocab = toks.flatMap(_._3).distinct
+    val prior = langs.map(l => l -> nbDocs.count(_._3 == l)).toMap
+    val tokCnt = langs.map { l =>
+      l -> toks.filter(_._2 == l).flatMap(_._3).groupBy(identity).view.mapValues(_.size).toMap
+    }.toMap
+    val clsTot = langs.map(l => l -> tokCnt(l).values.sum).toMap
+    def logp(l: String, t: String): Double =
+      math.log((tokCnt(l).getOrElse(t, 0) + 1).toDouble / (clsTot(l) + vocab.size))
+    // the query's argmax tiebreak is score DESC then class ASC; the
+    // per-term products mimic the DECIMAL(28,12) quantization
+    val expected = toks.map { case (_, actual, ts) =>
+      val scoredL = langs.map { l =>
+        val ll = ts.groupBy(identity).map { case (t, xs) =>
+          BigDecimal(xs.size * logp(l, t)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }.sum.toDouble + math.log(prior(l).toDouble / nbDocs.size)
+        (l, ll)
+      }
+      val top = scoredL.sortBy { case (l, ll) => (-ll, l) }.head._1
+      (actual, top)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    val rows = SparkEntry.queries("q170_naive_bayes")(spark, nbFx).collect()
+    val got = rows.map(r => (r.getAs[String]("actual"), r.getAs[String]("predicted")) -> r.getAs[Long]("n_docs")).toMap
+    got shouldBe expected
+    got.values.sum shouldBe nbDocs.size.toLong
+  }
 }

@@ -96,6 +96,15 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     } shouldBe empty
   }
 
+  test("q169 Q10: order-date filter pushed, top-20 is TakeOrderedAndProject") {
+    val p = sparkPlanOf("q169_sql_tpch_q10")
+    p.collectWithSubqueries { case t: TakeOrderedAndProjectExec => t } should not be empty
+    val pushed = p.collectWithSubqueries { case f: FileSourceScanExec => f }
+      .map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    pushed should include("GreaterThanOrEqual(o_orderdate")
+    pushed should include("EqualTo(l_returnflag,R)")
+  }
+
   test("q05 star join broadcasts every dimension (no sort-merge join)") {
     sparkPlanOf("q05_join_star").collectWithSubqueries {
       case j: SortMergeJoinExec => j

@@ -105,6 +105,34 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.head.getAs[Double]("w_stat") shouldBe 0.5 +- 1e-6
   }
 
+  test("q167 SAX: segments, z-scores and symbols by hand (sd exactly 1)") {
+    // daily counts 2/3/4 over 3 days: mean 3, sample sd 1; 3 days map
+    // to segments 0/2/4 of 6; z = −1, 0, 1 → symbols a, c, d (z=0 is
+    // NOT < 0, so it falls in the [0, 0.6745) 'c' band).
+    val r = q("q167_sax").collect()
+    r.map(_.getAs[Int]("seg")).toSeq shouldBe Seq(0, 2, 4)
+    r.map(_.getAs[Long]("n_days")).toSeq shouldBe Seq(1L, 1L, 1L)
+    r.map(_.getAs[Double]("paa_z")).toSeq shouldBe Seq(-1.0, 0.0, 1.0)
+    r.map(_.getAs[String]("symbol")).toSeq shouldBe Seq("a", "c", "d")
+  }
+
+  test("q168 RFM: degenerate R/F plus a real monetary quartile split") {
+    // all orders share one date → r=0, f=2 for every customer → scores
+    // (4, 1, ·); monetary 30.4 / 22.5 / 415.2 → m-quartiles 26.45 /
+    // 30.4 / 222.8 → m_scores 2 / 1 / 4.
+    val r = q("q168_rfm").collect()
+    r should have length 3
+    r.foreach { row =>
+      row.getAs[Int]("r_score") shouldBe 4
+      row.getAs[Int]("f_score") shouldBe 1
+      row.getAs[Long]("n_cust") shouldBe 1L
+    }
+    val byM = r.map(row => row.getAs[Int]("m_score") -> row.getAs[Double]("avg_monetary")).toMap
+    byM(1) shouldBe 22.5 +- 1e-9
+    byM(2) shouldBe 30.4 +- 1e-9
+    byM(4) shouldBe 415.2 +- 1e-9
+  }
+
   test("q124 KS: D and statistic match the hand-derived ECDF gap") {
     // views {1,2,2,3} vs clicks {2,3,4}: ECDF gap peaks at v=2 with
     // |3/4 − 1/3| = 5/12; the NULL-value view row must be excluded
