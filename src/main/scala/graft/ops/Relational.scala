@@ -508,6 +508,24 @@ object Relational extends QueryPack {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20""")
     }),
+
+    // ------------------------------------------------------------------
+    // Correlated scalar subquery (the TPC-H Q2/Q17 idiom): cheapest
+    // order within each priority class, expressed as a per-row
+    // correlated min. Catalyst's RewriteCorrelatedScalarSubquery turns
+    // this into ONE aggregate-then-join (the priority-keyed min table
+    // joined back) — never a per-row re-scan; PlanGuard asserts the
+    // plan contains a single join and no nested-loop.
+    "q172_correlated_subq" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM orders_v o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice)
+                              FROM orders_v o2
+                              WHERE o2.o_orderpriority = o.o_orderpriority)
+        ORDER BY o_orderpriority, o_orderkey""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -652,5 +670,10 @@ object Relational extends QueryPack {
         + "AND l_returnflag = 'R' "
         + "GROUP BY c_custkey, c_name, n_name "
         + "ORDER BY revenue DESC, c_custkey LIMIT 20"),
+    "q172_correlated_subq" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders o "
+        + "WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2 "
+        + "WHERE o2.o_orderpriority = o.o_orderpriority) "
+        + "ORDER BY o_orderpriority, o_orderkey"),
   )
 }

@@ -520,6 +520,40 @@ object Text extends QueryPack {
           round(col("slope"), 6).as("heaps_beta"),
           round(expr("exp((cast(sy as double) - slope * cast(sx as double)) / k)"), 6).as("heaps_k"))
     }),
+
+    // ------------------------------------------------------------------
+    // Degree assortativity of the near-dup graph (q112/q120's edge set):
+    // Pearson r over the (deg u, deg v) endpoint pairs of every
+    // directed edge — positive r means duplicates cluster hub-to-hub.
+    // Degrees come from one edge groupBy; the correlation is the exact
+    // closed form over DECIMAL(38,0) integer sums (degree products are
+    // exact, so the statistic is merge-order-proof by construction);
+    // regular components (zero degree variance) yield NULL via nullif,
+    // not an engine-dependent NaN.
+    "q174_assortativity" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val edges = pairs.union(
+          pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v").localCheckpoint()
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint() // consumed thrice: node count + both endpoints
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      edges
+        .join(deg.select(col("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(expr("cast(du * dv as decimal(38,0))")).as("sxy"),
+          sum(expr("cast(du * du as decimal(38,0))")).as("sxx"),
+          sum(expr("cast(dv * dv as decimal(38,0))")).as("syy"))
+        .crossJoin(broadcast(nn))
+        .select(col("n_nodes"), col("m").as("n_edges_directed"),
+          round(expr(
+            "(m * cast(sxy as double) - cast(sx as double) * sy) / " +
+              "nullif(sqrt((m * cast(sxx as double) - cast(sx as double) * sx) * " +
+              "(m * cast(syy as double) - cast(sy as double) * sy)), 0.0)"), 6)
+            .as("assortativity"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -699,5 +733,30 @@ object Text extends QueryPack {
         + "(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope FROM agg) "
         + "SELECT k AS n_points, tokens_total, vocab_total, round(slope, 6) AS heaps_beta, "
         + "round(exp((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / k), 6) AS heaps_k FROM s"),
+    "q174_assortativity" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+          + "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)")
+      (s"WITH $pairCtes, "
+        + "nn AS (SELECT count(*) AS n_nodes FROM deg), "
+        + "agg AS (SELECT count(*) AS m, CAST(sum(a.deg) AS BIGINT) AS sx, CAST(sum(b.deg) AS BIGINT) AS sy, "
+        + "sum(CAST(a.deg * b.deg AS DECIMAL(38,0))) AS sxy, "
+        + "sum(CAST(a.deg * a.deg AS DECIMAL(38,0))) AS sxx, "
+        + "sum(CAST(b.deg * b.deg AS DECIMAL(38,0))) AS syy "
+        + "FROM edges e JOIN deg a ON a.u = e.u JOIN deg b ON b.u = e.v) "
+        + "SELECT n_nodes, m AS n_edges_directed, "
+        + "round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / "
+        + "nullif(sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * "
+        + "(m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS assortativity "
+        + "FROM agg CROSS JOIN nn")
+    },
   )
 }

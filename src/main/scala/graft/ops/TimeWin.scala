@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.10: event-time windowing semantics on `events`, batch
@@ -170,6 +171,79 @@ object TimeWin extends QueryPack {
         .select(col("user_id"), col("sw.start").as("sess_start"),
           col("sw.end").as("sess_end"), col("n_events"))
         .orderBy(col("user_id"), col("sess_start"))),
+
+    // ------------------------------------------------------------------
+    // Kaplan–Meier survival curve of user lifetimes (first→last activity
+    // days): users last seen within 3 days of the observation end are
+    // CENSORED (still alive), everyone else "churned" at their lifetime
+    // t. The product-limit estimator S(t) = Π(1 − dᵢ/nᵢ) runs as
+    // exp(Σ ln·) with DECIMAL-quantized log factors over the
+    // per-lifetime contraction (≤ observation-window days rows, so the
+    // global windows are bounded); a terminal dᵢ=nᵢ cell pins S to an
+    // exact 0 instead of feeding ln(0) into the sum.
+    "q171_survival_km" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as date)").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .localCheckpoint() // consumed twice: dmax + per-lifetime counts
+      val mx = users.agg(max(col("d1")).as("dmax"))
+      val byT = users.crossJoin(broadcast(mx))
+        .withColumn("t", expr("datediff(d1, d0)"))
+        .withColumn("censored", expr("datediff(dmax, d1) < 3"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("censored"), 0).otherwise(1)).as("d"),
+          sum(when(col("censored"), 1).otherwise(0)).as("c"))
+        .localCheckpoint() // consumed twice: total + curve
+      val tot = byT.agg(sum(col("d") + col("c")).as("n_total"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wIncl = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("lnf", expr(
+          "cast(case when d > 0 and d < n_risk then ln(1.0 - cast(d as double) / n_risk) else 0.0 end as decimal(28,12))"))
+        .withColumn("dead", expr("case when d >= n_risk then 1 else 0 end"))
+        .withColumn("anyd", max(col("dead")).over(wIncl))
+        .withColumn("cuml", sum(col("lnf")).over(wIncl).cast("double"))
+        .select(col("t"), col("n_risk"), col("d").as("deaths"),
+          col("c").as("censored_n"),
+          round(expr("case when anyd = 1 then 0.0 else exp(cuml) end"), 6).as("survival"))
+        .orderBy(col("t"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Cohort-LTV triangle: users cohort by first-activity week, revenue
+    // (purchase values) accumulates per cohort over age-in-weeks. The
+    // fact table is touched twice (first-day contraction + revenue
+    // join-back on the user key); the cumulative column is a
+    // cohort-PARTITIONED window over ≤#weeks cells. Week indices use
+    // explicit floor for the Spark-truncate/DuckDB-round cast split.
+    "q173_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as date)").as("day"),
+          when(col("event_type") === "purchase", coalesce(col("value"), lit(0.0)))
+            .otherwise(lit(0.0)).as("rev"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+        .localCheckpoint() // consumed twice: anchor min + join-back
+      val day0 = first.agg(min(col("cohort_day")).as("day0"))
+      val g = ev.join(first, "user_id").crossJoin(broadcast(day0))
+        .withColumn("cohort_week",
+          expr("cast(floor(datediff(cohort_day, day0) / 7) as int)"))
+        .withColumn("age_week",
+          expr("cast(floor(datediff(day, cohort_day) / 7) as int)"))
+        .groupBy(col("cohort_week"), col("age_week"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(expr("cast(rev as decimal(18,2))")).as("rev"))
+      val w = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      g.withColumn("cum_rev", sum(col("rev")).over(w))
+        .select(col("cohort_week"), col("age_week"), col("n_users"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(col("cum_rev").cast("double"), 2).as("cum_revenue"))
+        .orderBy(col("cohort_week"), col("age_week"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -232,5 +306,37 @@ object TimeWin extends QueryPack {
         + "agg AS (SELECT cohort, d, count(*) AS n_users FROM act GROUP BY cohort, d) "
         + "SELECT a.cohort, a.d, a.n_users, c.cohort_size, round(CAST(a.n_users AS DOUBLE) / c.cohort_size, 6) AS rate "
         + "FROM agg a JOIN csize c USING (cohort) ORDER BY a.cohort, a.d"),
+    "q171_survival_km" ->
+      ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events GROUP BY 1), "
+        + "mx AS (SELECT max(d1) AS dmax FROM u), "
+        + "byt AS (SELECT date_diff('day', d0, d1) AS t, "
+        + "CAST(sum(CASE WHEN date_diff('day', d1, dmax) < 3 THEN 0 ELSE 1 END) AS BIGINT) AS d, "
+        + "CAST(sum(CASE WHEN date_diff('day', d1, dmax) < 3 THEN 1 ELSE 0 END) AS BIGINT) AS c "
+        + "FROM u CROSS JOIN mx GROUP BY 1), "
+        + "tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM byt), "
+        + "r AS (SELECT t, d, c, n_total - coalesce(CAST(sum(d + c) OVER "
+        + "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk "
+        + "FROM byt CROSS JOIN tot), "
+        + "f AS (SELECT t, d, c, n_risk, "
+        + "CAST(CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END AS DECIMAL(28,12)) AS lnf, "
+        + "CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead FROM r), "
+        + "s AS (SELECT t, n_risk, d, c, "
+        + "CAST(sum(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cuml, "
+        + "max(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anyd FROM f) "
+        + "SELECT t, n_risk, d AS deaths, c AS censored_n, "
+        + "round(CASE WHEN anyd = 1 THEN 0.0 ELSE exp(cuml) END, 6) AS survival FROM s ORDER BY t"),
+    "q173_cohort_ltv" ->
+      ("WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        + "CASE WHEN event_type = 'purchase' THEN coalesce(value, 0.0) ELSE 0.0 END AS rev FROM events), "
+        + "fi AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1), "
+        + "d0 AS (SELECT min(cohort_day) AS day0 FROM fi), "
+        + "g AS (SELECT CAST(floor(date_diff('day', day0, cohort_day) / 7) AS INT) AS cohort_week, "
+        + "CAST(floor(date_diff('day', cohort_day, day) / 7) AS INT) AS age_week, "
+        + "count(DISTINCT ev.user_id) AS n_users, sum(CAST(rev AS DECIMAL(18,2))) AS rev "
+        + "FROM ev JOIN fi ON ev.user_id = fi.user_id CROSS JOIN d0 GROUP BY 1, 2) "
+        + "SELECT cohort_week, age_week, n_users, round(CAST(rev AS DOUBLE), 2) AS revenue, "
+        + "round(CAST(sum(rev) OVER (PARTITION BY cohort_week ORDER BY age_week "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_revenue "
+        + "FROM g ORDER BY cohort_week, age_week"),
   )
 }

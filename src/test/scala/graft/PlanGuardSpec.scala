@@ -45,7 +45,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q70_crosscorr",     // lag windows over <= #days daily cells
     "q71_rolling_corr",  // 14-row trailing frame over <= #days daily cells
     "q101_chi2",         // grand-total window over <= |status|x|priority| cells
-    "q166_heaps_law"     // cumsum over exactly 20 md5-bucket prefix cells
+    "q166_heaps_law",    // cumsum over exactly 20 md5-bucket prefix cells
+    "q171_survival_km"   // product-limit cumsums over <= #observation-days lifetime cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -103,6 +104,12 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
       .map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
     pushed should include("GreaterThanOrEqual(o_orderdate")
     pushed should include("EqualTo(l_returnflag,R)")
+  }
+
+  test("q172 correlated scalar subquery rewrites to aggregate-then-join") {
+    val p = sparkPlanOf("q172_correlated_subq").toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
   }
 
   test("q05 star join broadcasts every dimension (no sort-merge join)") {

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Formula tests for q171 (Kaplan–Meier), q173 (cohort LTV) and q174
+  * (degree assortativity) on fixtures built so the statistics are
+  * hand-derivable: an 8-day activity window with real deaths AND real
+  * censoring (the driver's 30-day corpus censors nearly everyone, so
+  * the oracle alone never exercises the death branch), and a 3-node
+  * path graph whose assortativity is exactly −1.
+  */
+class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private lazy val fx: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmfx_").toString
+    import spark.implicits._
+
+    def ns(day: Int, hour: Int): Long = {
+      val t = java.time.LocalDateTime.of(2024, 1, day, hour, 0, 0)
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    }
+    // lifetimes (d0→d1, dmax=8, censor horizon = last 3 days):
+    //   A 1→8 censored t=7 · B 1→2 death t=1 · C 1→4 death t=3
+    //   D 2→3 death t=1   · E 7→7 censored t=0 · F 1→6 censored t=5
+    // purchases: B day2 ×5.0 (cohort 0, age 0), A day8 ×7.0 (age 1)
+    Seq(
+      (1L, ns(1, 1), 1L, "view", Option(1.0), "{}"),
+      (2L, ns(8, 1), 1L, "purchase", Option(7.0), "{}"),
+      (3L, ns(1, 2), 2L, "view", Option(2.0), "{}"),
+      (4L, ns(2, 2), 2L, "purchase", Option(5.0), "{}"),
+      (5L, ns(1, 3), 3L, "view", Option(1.0), "{}"),
+      (6L, ns(4, 3), 3L, "click", Option(2.0), "{}"),
+      (7L, ns(2, 4), 4L, "view", Option(1.0), "{}"),
+      (8L, ns(3, 4), 4L, "click", Option(3.0), "{}"),
+      (9L, ns(7, 5), 5L, "view", Option(2.0), "{}"),
+      (10L, ns(1, 6), 6L, "view", Option(1.0), "{}"),
+      (11L, ns(6, 6), 6L, "click", Option(4.0), "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    // path graph via shared 5-word shingles: d1–d2 share "a b c d e",
+    // d2–d3 share "b c d e y1", d1–d3 share nothing.
+    Seq(
+      (1L, "a b c d e x1 x2", "en", "src0", 15L),
+      (2L, "a b c d e y1 y2", "en", "src0", 15L),
+      (3L, "b c d e y1 z1", "en", "src0", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q171 Kaplan–Meier: at-risk counts and product-limit steps by hand") {
+    // S: t0 1.0 (censor only) · t1 ×(1−2/5)=0.6 · t3 ×(1−1/3)=0.4 ·
+    // t5/t7 censoring leaves S at 0.4
+    val r = SparkEntry.queries("q171_survival_km")(spark, fx).collect()
+    r.map(_.getAs[Int]("t")).toSeq shouldBe Seq(0, 1, 3, 5, 7)
+    r.map(_.getAs[Long]("n_risk")).toSeq shouldBe Seq(6L, 5L, 3L, 2L, 1L)
+    r.map(_.getAs[Long]("deaths")).toSeq shouldBe Seq(0L, 2L, 1L, 0L, 0L)
+    r.map(_.getAs[Long]("censored_n")).toSeq shouldBe Seq(1L, 0L, 0L, 1L, 1L)
+    val s = r.map(_.getAs[Double]("survival")).toSeq
+    s(0) shouldBe 1.0 +- 1e-6
+    s(1) shouldBe 0.6 +- 1e-6
+    s(2) shouldBe 0.4 +- 1e-6
+    s(3) shouldBe 0.4 +- 1e-6
+    s(4) shouldBe 0.4 +- 1e-6
+  }
+
+  test("q173 cohort LTV: revenue lands in the right age cell and accumulates") {
+    // one cohort week; B's 5.0 at age 0, A's 7.0 at age 1 (day 8 is the
+    // 8th day of A's life → (8−1)/7 = 1); 6 users active at age 0.
+    val r = SparkEntry.queries("q173_cohort_ltv")(spark, fx).collect()
+    r should have length 2
+    r.map(_.getAs[Int]("cohort_week")).distinct.toSeq shouldBe Seq(0)
+    val a0 = r.find(_.getAs[Int]("age_week") == 0).get
+    a0.getAs[Long]("n_users") shouldBe 6L
+    a0.getAs[Double]("revenue") shouldBe 5.0 +- 1e-9
+    a0.getAs[Double]("cum_revenue") shouldBe 5.0 +- 1e-9
+    val a1 = r.find(_.getAs[Int]("age_week") == 1).get
+    a1.getAs[Long]("n_users") shouldBe 1L
+    a1.getAs[Double]("revenue") shouldBe 7.0 +- 1e-9
+    a1.getAs[Double]("cum_revenue") shouldBe 12.0 +- 1e-9
+  }
+
+  test("q174 assortativity of a path graph is exactly -1") {
+    val r = SparkEntry.queries("q174_assortativity")(spark, fx).collect().head
+    r.getAs[Long]("n_nodes") shouldBe 3L
+    r.getAs[Long]("n_edges_directed") shouldBe 4L
+    r.getAs[Double]("assortativity") shouldBe -1.0 +- 1e-9
+  }
+}
