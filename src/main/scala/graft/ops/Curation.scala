@@ -224,6 +224,32 @@ object Curation extends QueryPack {
           max(col("cnt")).as("max_cnt"))
         .orderBy(col("bucket"))
     }),
+
+    // ------------------------------------------------------------------
+    // Cross-source vocabulary overlap matrix: exact token-set Jaccard
+    // for every source pair — the corpus-mixing diagnostic ("are src3
+    // and src7 the same crawl?") run before weighting sources (q84).
+    // One (source, token) DISTINCT contraction, then a token-keyed
+    // self-join whose expansion is bounded by #sources² per token —
+    // never doc-count-sized. Pair counts and set sizes are exact longs.
+    "q179_source_overlap" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .distinct()
+        .localCheckpoint() // consumed thrice: sizes + both join sides
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+      val inter = st.select(col("source").as("src_a"), col("tok"))
+        .join(st.select(col("source").as("src_b"), col("tok")), "tok")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n_tok").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n_tok").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+          round(expr("cast(inter as double) / (na + nb - inter)"), 6).as("jaccard"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -298,5 +324,15 @@ object Curation extends QueryPack {
         + "len(regexp_extract_all(scrubbed, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) + len(regexp_extract_all(scrubbed, '555-[0-9]{3}-[0-9]{4}')) AS n_leftover, "
         + "md5(scrubbed) AS scrub_hash, length(dirty) - length(scrubbed) AS len_delta "
         + "FROM scrub ORDER BY doc_id"),
+    "q179_source_overlap" ->
+      ("WITH st AS (SELECT DISTINCT source, tok FROM ("
+        + "SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "sizes AS (SELECT source, count(*) AS n_tok FROM st GROUP BY source), "
+        + "inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter "
+        + "FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
+        + "SELECT src_a, src_b, inter, sa.n_tok AS na, sb.n_tok AS nb, "
+        + "round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard "
+        + "FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b "
+        + "ORDER BY src_a, src_b"),
   )
 }

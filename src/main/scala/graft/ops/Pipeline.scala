@@ -341,6 +341,31 @@ object Pipeline extends QueryPack {
           coalesce(col("max_span"), lit(0L)).as("max_span"))
         .orderBy(col("doc_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // Context-length packing planner: for each candidate context size
+    // (128/256/512 tokens) report how much of the corpus fits, how many
+    // docs truncate, and the bin-count LOWER BOUND ceil(Σmin(len,ctx)/
+    // ctx) vs the naive one-doc-per-bin count — the numbers that pick a
+    // sequence length before running the (q60) packer. One doc-length
+    // contraction × 3 exploded contexts; ceil via integer (x+c-1) div c
+    // on both engines (no float).
+    "q178_packing_eff" -> ((s, dir) => {
+      val lens = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").cast("long").as("len"))
+      lens.select(col("len"), explode(expr("array(128, 256, 512)")).as("ctx"))
+        .groupBy(col("ctx"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_tokens"),
+          sum(least(col("len"), col("ctx"))).as("kept_tokens"),
+          sum(when(col("len") > col("ctx"), 1).otherwise(0)).as("n_truncated"))
+        .withColumn("bins_lb", expr("(kept_tokens + ctx - 1) div ctx"))
+        .select(col("ctx"), col("n_docs"), col("total_tokens"), col("kept_tokens"),
+          col("n_truncated"), col("bins_lb"),
+          round(expr("cast(kept_tokens as double) / (bins_lb * ctx)"), 6).as("fill_lb"),
+          round(expr("cast(kept_tokens as double) / (n_docs * ctx)"), 6).as("fill_naive"))
+        .orderBy(col("ctx"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -431,5 +456,16 @@ object Pipeline extends QueryPack {
         + "SELECT doc_id, source, n_tok, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM ("
         + "SELECT doc_id, source, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM documents))) "
         + "GROUP BY source, chunk ORDER BY source, chunk"),
+    "q178_packing_eff" ->
+      ("WITH lens AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS len FROM documents), "
+        + "x AS (SELECT len, unnest([CAST(128 AS INT), CAST(256 AS INT), CAST(512 AS INT)]) AS ctx FROM lens), "
+        + "g AS (SELECT ctx, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_tokens, "
+        + "CAST(sum(least(len, ctx)) AS BIGINT) AS kept_tokens, "
+        + "CAST(sum(CASE WHEN len > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated FROM x GROUP BY ctx) "
+        + "SELECT ctx, n_docs, total_tokens, kept_tokens, n_truncated, "
+        + "(kept_tokens + ctx - 1) // ctx AS bins_lb, "
+        + "round(CAST(kept_tokens AS DOUBLE) / (((kept_tokens + ctx - 1) // ctx) * ctx), 6) AS fill_lb, "
+        + "round(CAST(kept_tokens AS DOUBLE) / (n_docs * ctx), 6) AS fill_naive "
+        + "FROM g ORDER BY ctx"),
   )
 }

@@ -526,6 +526,59 @@ object Relational extends QueryPack {
                               WHERE o2.o_orderpriority = o.o_orderpriority)
         ORDER BY o_orderpriority, o_orderkey""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q7 shape (volume shipping between nation groups): the
+    // nation table joins TWICE in different roles (supplier side vs
+    // customer side) — the self-joined-dimension pattern. Both nation
+    // filters prune their broadcast before the fact-fact join; revenue
+    // per (supp_nation, cust_nation, year) from exact decimal sums.
+    "q176_sql_tpch_q7" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(CAST(sum(volume) AS DOUBLE), 4) AS revenue,
+               count(*) AS n_rows
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume
+              FROM lineitem_v
+              JOIN supplier_v ON s_suppkey = l_suppkey
+              JOIN orders_v ON o_orderkey = l_orderkey
+              JOIN customer_v ON c_custkey = o_custkey
+              JOIN nation_v n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation_v n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+                AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6'))
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 shape (global sales opportunity): an UNCORRELATED
+    // scalar subquery (the positive-balance average) combined with a
+    // NOT EXISTS anti-join against recent orders — q172's correlated
+    // rewrite plus the semi-join infrastructure in one statement.
+    // The anti-join side is keyed on custkey and the average is a
+    // broadcast 1-row scalar at any scale.
+    "q177_sql_tpch_q22" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= CAST('1999-01-01' AS TIMESTAMP_NTZ))
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -675,5 +728,23 @@ object Relational extends QueryPack {
         + "WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2 "
         + "WHERE o2.o_orderpriority = o.o_orderpriority) "
         + "ORDER BY o_orderpriority, o_orderkey"),
+    "q176_sql_tpch_q7" ->
+      ("SELECT supp_nation, cust_nation, l_year, round(CAST(sum(volume) AS DOUBLE), 4) AS revenue, count(*) AS n_rows "
+        + "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year, "
+        + "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume "
+        + "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+        + "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey "
+        + "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        + "WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3') "
+        + "AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')) "
+        + "GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year"),
+    "q177_sql_tpch_q22" ->
+      ("SELECT c_mktsegment, count(*) AS n_cust, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal "
+        + "FROM customer c "
+        + "WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0) "
+        + "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        + "AND o.o_orderdate >= TIMESTAMP '1999-01-01') "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }

@@ -522,6 +522,23 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Containment-based near-dup detection (quote/subset documents):
+    // C(A→B) = |sh(A)∩sh(B)| / |sh(A)| flags a short doc embedded in a
+    // long one even when symmetric Jaccard stays low — the signal
+    // Jaccard-only dedup misses. Rides q40's blocked candidate pairs
+    // (same shingle-blocking contraction; the baked-in jaccard ≥ 0.01
+    // floor can only drop pairs where one side is >49× the other, which
+    // the 5-shingle blocks never produce on this corpus).
+    "q175_containment" -> ((s, dir) =>
+      nearDupPairs(s, dir)
+        .withColumn("cont_a_in_b", round(expr("cast(inter as double) / na"), 6))
+        .withColumn("cont_b_in_a", round(expr("cast(inter as double) / nb"), 6))
+        .filter(col("cont_a_in_b") >= 0.5 || col("cont_b_in_a") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+          col("cont_a_in_b"), col("cont_b_in_a"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ------------------------------------------------------------------
     // Degree assortativity of the near-dup graph (q112/q120's edge set):
     // Pearson r over the (deg u, deg v) endpoint pairs of every
     // directed edge — positive r means duplicates cluster hub-to-hub.
@@ -733,6 +750,21 @@ object Text extends QueryPack {
         + "(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope FROM agg) "
         + "SELECT k AS n_points, tokens_total, vocab_total, round(slope, 6) AS heaps_beta, "
         + "round(exp((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / k), 6) AS heaps_k FROM s"),
+    "q175_containment" ->
+      ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+        + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+        + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+        + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+        + "cand AS (SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb, "
+        + "round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard, "
+        + "round(CAST(inter AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b, "
+        + "round(CAST(inter AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a "
+        + "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) "
+        + "SELECT doc_a, doc_b, inter, na, nb, cont_a_in_b, cont_b_in_a FROM cand "
+        + "WHERE jaccard >= 0.01 AND (cont_a_in_b >= 0.5 OR cont_b_in_a >= 0.5) "
+        + "ORDER BY doc_a, doc_b"),
     "q174_assortativity" -> {
       val pairCtes =
         ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "

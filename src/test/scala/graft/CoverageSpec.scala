@@ -80,6 +80,21 @@ class CoverageSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("heaps_k") shouldBe math.exp((sy - slope * sx) / k) +- 1e-6
   }
 
+  test("q178 packing efficiency: closed-form fill rates on the 32-token corpus") {
+    // lens 10/10/9/3 = 32 tokens; at ctx=128 nothing truncates, the
+    // lower bound is one bin (fill 32/128) and naive is 4 bins.
+    val r = SparkEntry.queries("q178_packing_eff")(spark, fx).collect()
+    r.map(_.getAs[Int]("ctx")).toSeq shouldBe Seq(128, 256, 512)
+    val c128 = r.head
+    c128.getAs[Long]("n_docs") shouldBe 4L
+    c128.getAs[Long]("total_tokens") shouldBe 32L
+    c128.getAs[Long]("kept_tokens") shouldBe 32L
+    c128.getAs[Long]("n_truncated") shouldBe 0L
+    c128.getAs[Long]("bins_lb") shouldBe 1L
+    c128.getAs[Double]("fill_lb") shouldBe 0.25 +- 1e-9
+    c128.getAs[Double]("fill_naive") shouldBe 0.0625 +- 1e-9
+  }
+
   // two-class corpus for the naive-Bayes classifier; token sets overlap
   // (doc 5 mixes both classes' tokens) so the argmax is non-trivial.
   private val nbDocs = Seq(

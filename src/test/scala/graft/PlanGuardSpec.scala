@@ -52,13 +52,28 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
   private def sparkPlanOf(key: String): SparkPlan =
     SparkEntry.queries(key)(spark, sf).queryExecution.sparkPlan
 
+  /** Like collectWithSubqueries, but tolerant of pre-AQE scalar
+    * subqueries whose PlanExpression still wraps a LOGICAL plan (q177's
+    * average subquery) — those are skipped instead of class-cast
+    * crashing the sweep.
+    */
+  private def globalWindowsIn(p: SparkPlan): Seq[WindowExec] = {
+    val here = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    val subs = p.collect { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+      })
+      .collect { case sp: SparkPlan => globalWindowsIn(sp) }
+      .flatten
+    here ++ subs
+  }
+
   test("no query plans an unpartitioned window outside the bounded-frame allowlist") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(streamingKeys)
       .flatMap { k =>
-        val globals = sparkPlanOf(k).collectWithSubqueries {
-          case w: WindowExec if w.partitionSpec.isEmpty => w
-        }
+        val globals = globalWindowsIn(sparkPlanOf(k))
         if (globals.nonEmpty && !boundedGlobalWindowKeys(k)) Some(k) else None
       }
     withClue("unlisted global windows (scale bug or missing allowlist doc): ") {
@@ -110,6 +125,17 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     val p = sparkPlanOf("q172_correlated_subq").toString
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q177 Q22: scalar-average subquery + NOT EXISTS stays join-based") {
+    val p = sparkPlanOf("q177_sql_tpch_q22").toString
+    p should include("LeftAnti")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("q176 Q7: the twice-joined nation dimensions broadcast") {
+    sparkPlanOf("q176_sql_tpch_q7").toString should include("BroadcastHashJoin")
   }
 
   test("q05 star join broadcasts every dimension (no sort-merge join)") {

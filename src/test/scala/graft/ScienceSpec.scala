@@ -76,6 +76,17 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, fx)
 
+  test("q179 source overlap: only intersecting source pairs appear, Jaccard exact") {
+    // src0 {a,b} and src1 {a,b} are identical token sets (J=1); src2's
+    // tokens are disjoint from both, so no src2 pair row exists.
+    val r = q("q179_source_overlap").collect()
+    r should have length 1
+    r.head.getAs[String]("src_a") shouldBe "src0"
+    r.head.getAs[String]("src_b") shouldBe "src1"
+    r.head.getAs[Long]("inter") shouldBe 2L
+    r.head.getAs[Double]("jaccard") shouldBe 1.0
+  }
+
   test("q161 Kruskal–Wallis: H and tie correction match the hand-derived ranks") {
     // pooled sorted values 1,2,2,2,3,3,4,9 (view {1,2,2,3}, click
     // {2,3,4}, purchase {9}; NULL view row excluded). Midranks: 1→1,

@@ -82,6 +82,18 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     a1.getAs[Double]("cum_revenue") shouldBe 12.0 +- 1e-9
   }
 
+  test("q175 containment flags the subset pair Jaccard-only dedup ranks low") {
+    // d2 (3 shingles) ⊇-ish d3 (2 shingles, 1 shared): C(d3→d2) = 1/2
+    // hits the 0.5 gate while Jaccard is only 1/4; d1–d2 (1 of 3+3)
+    // stays below on both containments.
+    val r = SparkEntry.queries("q175_containment")(spark, fx).collect()
+    r should have length 1
+    r.head.getAs[Long]("doc_a") shouldBe 2L
+    r.head.getAs[Long]("doc_b") shouldBe 3L
+    r.head.getAs[Double]("cont_a_in_b") shouldBe (1.0 / 3) +- 1e-6
+    r.head.getAs[Double]("cont_b_in_a") shouldBe 0.5 +- 1e-6
+  }
+
   test("q174 assortativity of a path graph is exactly -1") {
     val r = SparkEntry.queries("q174_assortativity")(spark, fx).collect().head
     r.getAs[Long]("n_nodes") shouldBe 3L
