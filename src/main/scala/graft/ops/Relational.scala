@@ -579,6 +579,25 @@ object Relational extends QueryPack {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q4 shape (order-priority checking): correlated EXISTS over
+    // the fact table — the SQL-surface twin of q07's DataFrame semi
+    // join. Catalyst plans a LeftSemi on the order key; the quarter
+    // filter and returnflag both push to their scans.
+    "q183_sql_tpch_q4" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders_v o
+        WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+          AND o_orderdate < CAST('1996-04-01' AS TIMESTAMP_NTZ)
+          AND EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -746,5 +765,10 @@ object Relational extends QueryPack {
         + "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
         + "AND o.o_orderdate >= TIMESTAMP '1999-01-01') "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q183_sql_tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+        + "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' "
+        + "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
+        + "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 }

@@ -652,6 +652,68 @@ object Stats extends QueryPack {
           round(expr("cast(m_sum as double) / n_cust"), 4).as("avg_monetary"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
     }),
+
+    // ------------------------------------------------------------------
+    // Grubbs' outlier test on order totals: G = max|x−x̄|/s from exact
+    // DECIMAL(18,2) sums (one stats pass broadcast back, one deviation
+    // pass), the argmax row picked by TakeOrdered with a key tiebreak —
+    // no window, no second sort. Complements q93's robust MAD screen
+    // with the classical parametric test.
+    "q180_grubbs" -> ((s, dir) => {
+      val p = Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("cast(o_totalprice as decimal(18,2))").as("p"))
+      val st = p.agg(count(lit(1)).as("n"), sum(col("p")).as("s1"),
+        sum(expr("p * p")).as("s2"))
+      p.crossJoin(broadcast(st))
+        .withColumn("mean", expr("cast(s1 as double) / n"))
+        .withColumn("sd", expr(
+          "sqrt((cast(s2 as double) - cast(s1 as double) * cast(s1 as double) / n) / (n - 1))"))
+        .withColumn("dev", expr("abs(cast(p as double) - mean)"))
+        .orderBy(col("dev").desc, col("o_orderkey"))
+        .limit(1)
+        .select(col("n"), round(col("mean"), 6).as("mean"),
+          round(col("sd"), 6).as("sd"),
+          round(expr("dev / sd"), 6).as("g_stat"),
+          col("o_orderkey").as("outlier_key"),
+          col("p").cast("double").as("outlier_value"))
+    }),
+
+    // ------------------------------------------------------------------
+    // OLS regression diagnostics on the daily series (x = day index,
+    // y = events/day): residuals, leverage hᵢ = 1/n + (x−x̄)²/Sxx and
+    // Cook's distance Dᵢ = e²h/(p·s²(1−h)²), all closed-form from one
+    // exact-integer-sum pass broadcast onto the ≤#days contraction.
+    // Top-5 influential days by D via TakeOrdered (day tiebreak).
+    "q182_regression_diag" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as date)").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // consumed twice: sums pass + per-day diag
+      val st = daily.agg(count(lit(1)).as("n"), min(col("day")).as("mind"))
+      val d2 = daily.crossJoin(broadcast(st))
+        .withColumn("x", expr("datediff(day, mind)"))
+      val st2 = d2.agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      d2.crossJoin(broadcast(st2.withColumnRenamed("n", "n2")))
+        .withColumn("xbar", expr("cast(sx as double) / n2"))
+        .withColumn("slope", expr(
+          "(n2 * cast(sxy as double) - cast(sx as double) * sy) / (n2 * cast(sxx as double) - cast(sx as double) * sx)"))
+        .withColumn("icept", expr("(cast(sy as double) - slope * sx) / n2"))
+        .withColumn("e", expr("y - (icept + slope * x)"))
+        .withColumn("sxxc", expr("cast(sxx as double) - cast(sx as double) * sx / n2"))
+        .withColumn("h", expr("1.0 / n2 + (x - xbar) * (x - xbar) / sxxc"))
+        .withColumn("s2e", expr(
+          "(cast(syy as double) - icept * sy - slope * cast(sxy as double)) / (n2 - 2)"))
+        .withColumn("cook", expr("e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h))"))
+        .orderBy(col("cook").desc, col("day"))
+        .limit(5)
+        .select(col("day"), col("y"),
+          round(col("e"), 6).as("residual"),
+          round(col("h"), 6).as("leverage"),
+          round(col("cook"), 6).as("cooks_d"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -849,5 +911,33 @@ object Stats extends QueryPack {
         + "SELECT r_score, f_score, m_score, count(*) AS n_cust, "
         + "round(CAST(sum(m) AS DOUBLE) / count(*), 4) AS avg_monetary "
         + "FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "q180_grubbs" ->
+      ("WITH p AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders), "
+        + "st AS (SELECT count(*) AS n, sum(p) AS s1, sum(p * p) AS s2 FROM p), "
+        + "d AS (SELECT o_orderkey, p, n, CAST(s1 AS DOUBLE) / n AS mean, "
+        + "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS sd "
+        + "FROM p CROSS JOIN st), "
+        + "d2 AS (SELECT o_orderkey, p, n, mean, sd, abs(CAST(p AS DOUBLE) - mean) AS dev FROM d) "
+        + "SELECT n, round(mean, 6) AS mean, round(sd, 6) AS sd, round(dev / sd, 6) AS g_stat, "
+        + "o_orderkey AS outlier_key, CAST(p AS DOUBLE) AS outlier_value "
+        + "FROM d2 ORDER BY dev DESC, o_orderkey LIMIT 1"),
+    "q182_regression_diag" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
+        + "st AS (SELECT count(*) AS n2, min(day) AS mind FROM daily), "
+        + "d2 AS (SELECT day, y, n2, date_diff('day', mind, day) AS x FROM daily CROSS JOIN st), "
+        + "st2 AS (SELECT max(n2) AS n2, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx, "
+        + "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, "
+        + "sum(CAST(y AS DECIMAL(38,0)) * y) AS syy FROM d2), "
+        + "f AS (SELECT day, y, x, st2.n2, CAST(sx AS DOUBLE) / st2.n2 AS xbar, "
+        + "(st2.n2 * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy) / (st2.n2 * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) AS slope, "
+        + "sx, sxx, sy, sxy, syy FROM d2 CROSS JOIN st2), "
+        + "g AS (SELECT day, y, x, n2, xbar, slope, (CAST(sy AS DOUBLE) - slope * sx) / n2 AS icept, "
+        + "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n2 AS sxxc, sy, sxy, syy FROM f), "
+        + "h AS (SELECT day, y, y - (icept + slope * x) AS e, "
+        + "1.0 / n2 + (x - xbar) * (x - xbar) / sxxc AS h, "
+        + "(CAST(syy AS DOUBLE) - icept * sy - slope * CAST(sxy AS DOUBLE)) / (n2 - 2) AS s2e FROM g) "
+        + "SELECT day, y, round(e, 6) AS residual, round(h, 6) AS leverage, "
+        + "round(e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h)), 6) AS cooks_d "
+        + "FROM h ORDER BY e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h)) DESC, day LIMIT 5"),
   )
 }

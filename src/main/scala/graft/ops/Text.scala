@@ -522,6 +522,45 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Windowed co-occurrence PMI (the word2vec-style statistic): token
+    // pairs within distance ≤4 are generated IN-ROW by a nested HOF
+    // over each doc's token array (zero joins, one explode — the pair
+    // stream never materializes per doc), normalized to unordered
+    // (least/greatest, binary collation on both engines), counted by
+    // one partial-agg shuffle. PMI = ln(p(a,b)/(p(a)p(b))) from pair
+    // and unigram totals; support floor c_ab ≥ 5; top-30 by count with
+    // a lexicographic tiebreak (TakeOrdered). Vocab-sized frames
+    // broadcast here; at corpus scale stats flip those joins to
+    // token-keyed shuffles — both sides already hash on the token.
+    "q181_cooccur_pmi" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .localCheckpoint() // consumed twice: pair stream + unigrams
+      val allPairs = docs.select(explode(expr(
+          "flatten(transform(sequence(1, size(w) - 1), i -> " +
+            "transform(sequence(i + 1, least(i + 4, size(w))), j -> " +
+            "struct(least(w[i-1], w[j-1]) as ta, greatest(w[i-1], w[j-1]) as tb))))")).as("p"))
+        .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint() // consumed twice: grand total + survivors
+      val ptot = allPairs.agg(sum(col("c_ab")).as("np"))
+      val uni = docs.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint() // consumed thrice: total + both pair sides
+      val ttot = uni.agg(sum(col("cu")).as("nt"))
+      allPairs.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("tok").as("ta"), col("cu").as("ca"))), "ta")
+        .join(broadcast(uni.select(col("tok").as("tb"), col("cu").as("cb"))), "tb")
+        .crossJoin(broadcast(ptot)).crossJoin(broadcast(ttot))
+        .orderBy(col("c_ab").desc, col("ta"), col("tb"))
+        .limit(30)
+        .select(col("ta"), col("tb"), col("c_ab"), col("ca"), col("cb"),
+          round(expr("ln((cast(c_ab as double) / np) / " +
+            "((cast(ca as double) / nt) * (cast(cb as double) / nt)))"), 6).as("pmi"))
+    }),
+
+    // ------------------------------------------------------------------
     // Containment-based near-dup detection (quote/subset documents):
     // C(A→B) = |sh(A)∩sh(B)| / |sh(A)| flags a short doc embedded in a
     // long one even when symmetric Jaccard stays low — the signal
@@ -750,6 +789,20 @@ object Text extends QueryPack {
         + "(k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope FROM agg) "
         + "SELECT k AS n_points, tokens_total, vocab_total, round(slope, 6) AS heaps_beta, "
         + "round(exp((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / k), 6) AS heaps_k FROM s"),
+    "q181_cooccur_pmi" ->
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "t AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM w WHERE len(w) >= 2), "
+        + "pr AS (SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb "
+        + "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 4), "
+        + "ap AS (SELECT ta, tb, count(*) AS c_ab FROM pr GROUP BY 1, 2), "
+        + "np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM ap), "
+        + "u AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1), "
+        + "nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM u), "
+        + "j AS (SELECT ap.ta, ap.tb, ap.c_ab, ua.cu AS ca, ub.cu AS cb FROM ap "
+        + "JOIN u ua ON ua.tok = ap.ta JOIN u ub ON ub.tok = ap.tb WHERE ap.c_ab >= 5) "
+        + "SELECT ta, tb, c_ab, ca, cb, "
+        + "round(ln((CAST(c_ab AS DOUBLE) / np) / ((CAST(ca AS DOUBLE) / nt) * (CAST(cb AS DOUBLE) / nt))), 6) AS pmi "
+        + "FROM j CROSS JOIN np CROSS JOIN nt ORDER BY c_ab DESC, ta, tb LIMIT 30"),
     "q175_containment" ->
       ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
         + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "

@@ -95,6 +95,42 @@ class CoverageSpec extends AnyFunSuite with Matchers with SharedSpark {
     c128.getAs[Double]("fill_naive") shouldBe 0.0625 +- 1e-9
   }
 
+  test("q181 co-occurrence PMI matches an independent pair-generation recompute") {
+    // recompute over the REAL sf0.001 corpus (500 docs) — the tiny
+    // fixtures never reach the c_ab >= 5 support floor
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(_.getString(0).split(" ").filter(_.nonEmpty).toSeq).toSeq
+    val pairs = toks.flatMap { w =>
+      for {
+        i <- w.indices.dropRight(1)
+        j <- (i + 1) to math.min(i + 4, w.size - 1)
+      } yield {
+        val (a, b) = (w(i), w(j))
+        if (a <= b) (a, b) else (b, a)
+      }
+    }
+    val cab = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val np = pairs.size.toDouble
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = toks.flatten.size.toDouble
+    val expected = cab.filter(_._2 >= 5).toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(30)
+      .map { case ((a, b), c) =>
+        ((a, b), c, math.log((c / np) / ((uni(a) / nt) * (uni(b) / nt))))
+      }
+
+    val r = SparkEntry.queries("q181_cooccur_pmi")(spark, sf).collect()
+    r.length shouldBe expected.length
+    r.length should be > 0
+    r.zip(expected).foreach { case (row, ((a, b), c, pmi)) =>
+      row.getAs[String]("ta") shouldBe a
+      row.getAs[String]("tb") shouldBe b
+      row.getAs[Long]("c_ab") shouldBe c
+      row.getAs[Double]("pmi") shouldBe pmi +- 1e-6
+    }
+  }
+
   // two-class corpus for the naive-Bayes classifier; token sets overlap
   // (doc 5 mixes both classes' tokens) so the argmax is non-trivial.
   private val nbDocs = Seq(

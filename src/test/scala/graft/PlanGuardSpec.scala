@@ -138,6 +138,15 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     sparkPlanOf("q176_sql_tpch_q7").toString should include("BroadcastHashJoin")
   }
 
+  test("q183 Q4: correlated EXISTS plans as a semi join with pushed filters") {
+    val p = sparkPlanOf("q183_sql_tpch_q4")
+    p.toString should include("LeftSemi")
+    p.toString should not include "BroadcastNestedLoopJoin"
+    val pushed = p.collectWithSubqueries { case f: FileSourceScanExec => f }
+      .map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    pushed should include("EqualTo(l_returnflag,R)")
+  }
+
   test("q05 star join broadcasts every dimension (no sort-merge join)") {
     sparkPlanOf("q05_join_star").collectWithSubqueries {
       case j: SortMergeJoinExec => j

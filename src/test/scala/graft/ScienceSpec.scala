@@ -144,6 +144,18 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
     byM(4) shouldBe 415.2 +- 1e-9
   }
 
+  test("q180 Grubbs: the 315.2 order is the outlier with the exact G") {
+    val xs = Seq(10.5, 19.9, 22.0, 0.5, 100.0, 315.2)
+    val n = xs.size
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+    val r = q("q180_grubbs").collect().head
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Long]("outlier_key") shouldBe 6L
+    r.getAs[Double]("outlier_value") shouldBe 315.2 +- 1e-9
+    r.getAs[Double]("g_stat") shouldBe ((315.2 - mean).abs / sd) +- 1e-6
+  }
+
   test("q124 KS: D and statistic match the hand-derived ECDF gap") {
     // views {1,2,2,3} vs clicks {2,3,4}: ECDF gap peaks at v=2 with
     // |3/4 − 1/3| = 5/12; the NULL-value view row must be excluded

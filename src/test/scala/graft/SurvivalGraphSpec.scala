@@ -94,6 +94,32 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.head.getAs[Double]("cont_b_in_a") shouldBe 0.5 +- 1e-6
   }
 
+  test("q182 regression diagnostics match an independent OLS recompute") {
+    // daily counts on the fixture: x=(0,1,2,3,5,6,7), y=(4,2,1,1,1,1,1)
+    val pts = Seq((0, 4L), (1, 2L), (2, 1L), (3, 1L), (5, 1L), (6, 1L), (7, 1L))
+    val n = pts.size
+    val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+    val sxx = pts.map(p => p._1.toDouble * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2.toDouble).sum
+    val syy = pts.map(p => p._2.toDouble * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val xbar = sx / n
+    val sxxc = sxx - sx * sx / n
+    val s2e = (syy - icept * sy - slope * sxy) / (n - 2)
+    val diag = pts.map { case (x, y) =>
+      val e = y - (icept + slope * x)
+      val h = 1.0 / n + (x - xbar) * (x - xbar) / sxxc
+      (x, e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h)))
+    }.sortBy { case (x, d) => (-d, x) }.take(5)
+
+    val r = SparkEntry.queries("q182_regression_diag")(spark, fx).collect()
+    r should have length 5
+    r.map(_.getAs[Double]("cooks_d")).zip(diag.map(_._2)).foreach {
+      case (got, want) => got shouldBe want +- 1e-6
+    }
+  }
+
   test("q174 assortativity of a path graph is exactly -1") {
     val r = SparkEntry.queries("q174_assortativity")(spark, fx).collect().head
     r.getAs[Long]("n_nodes") shouldBe 3L
