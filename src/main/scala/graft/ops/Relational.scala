@@ -598,6 +598,27 @@ object Relational extends QueryPack {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")
     }),
+
+    // ------------------------------------------------------------------
+    // Join-strategy hint + FILTER-clause aggregates: SHUFFLE_HASH
+    // forces a ShuffledHashJoin where stats would pick broadcast
+    // (PlanGuard-asserted) — the knob a tuner reaches for when the
+    // "small" side is too big to broadcast but cheap to hash. The
+    // conditional aggregates use the ANSI FILTER clause (identical in
+    // DuckDB, where the hint is an inert comment).
+    "q185_join_hints" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT /*+ SHUFFLE_HASH(c) */ c_mktsegment,
+               count(*) AS n_orders,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                 FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_rev
+        FROM orders_v o JOIN customer_v c ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -770,5 +791,11 @@ object Relational extends QueryPack {
         + "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' "
         + "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R') "
         + "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q185_join_hints" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, "
+        + "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, "
+        + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_rev "
+        + "FROM orders o JOIN customer c ON o_custkey = c_custkey "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }

@@ -73,6 +73,30 @@ object Sources extends QueryPack {
         .orderBy(col("lang"), col("source"))
     }),
     // ------------------------------------------------------------------
+    // Schema evolution: two parquet generations of the same table (v1
+    // lacks the `source` column) unioned by a mergeSchema read — the
+    // standard long-lived-dataset surface. Legacy rows surface as NULL
+    // source; the agg proves column alignment AND the null back-fill.
+    // Oracle reconstructs the same split arithmetic on the base table.
+    "q184_schema_evolution" -> ((s, dir) => {
+      val stage = Stage.dir("evo184")
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$stage/v1")
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$stage/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$stage/v1", s"$stage/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1).otherwise(0)).as("n_legacy_rows"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ------------------------------------------------------------------
     // The ORC format surface as a declared round-trip: lineitem staged
     // to ORC (columnar like parquet — splittable, predicate-pushdown-
     // capable), read back, aggregated; oracle runs the same agg on the
@@ -102,6 +126,12 @@ object Sources extends QueryPack {
       ("SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         + "min(doc_id) AS first_doc FROM documents WHERE lang IN ('en', 'de') "
         + "GROUP BY lang, source ORDER BY lang, source"),
+    "q184_schema_evolution" ->
+      ("SELECT lang, count(*) AS n_docs, "
+        + "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows, "
+        + "count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END) AS n_sources, "
+        + "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        + "FROM documents GROUP BY lang ORDER BY lang"),
     "q74_sources" ->
       ("SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders, "
         + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue, "

@@ -173,6 +173,25 @@ object TimeWin extends QueryPack {
         .orderBy(col("user_id"), col("sess_start"))),
 
     // ------------------------------------------------------------------
+    // RANGE-interval window frames (the calendar-aware frame semantics
+    // ROWS frames can't express over gappy series): trailing 3-day
+    // event sum per type — a 2-day gap contributes nothing, unlike
+    // q71's ROWS frame which would span it. Runs on the per-(type,day)
+    // contraction, type-partitioned, so frames stay ≤#days at any
+    // scale. The window is authored in SQL to exercise the textual
+    // `RANGE BETWEEN INTERVAL` surface on both engines.
+    "q186_range_window" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day, count(*) AS n
+                       FROM events_v GROUP BY 1, 2)
+        SELECT et, day, n,
+               CAST(sum(n) OVER (PARTITION BY et ORDER BY day
+                 RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3day
+        FROM daily ORDER BY et, day""")
+    }),
+
+    // ------------------------------------------------------------------
     // Kaplan–Meier survival curve of user lifetimes (first→last activity
     // days): users last seen within 3 days of the observation end are
     // CENSORED (still alive), everyone else "churned" at their lifetime
@@ -306,6 +325,11 @@ object TimeWin extends QueryPack {
         + "agg AS (SELECT cohort, d, count(*) AS n_users FROM act GROUP BY cohort, d) "
         + "SELECT a.cohort, a.d, a.n_users, c.cohort_size, round(CAST(a.n_users AS DOUBLE) / c.cohort_size, 6) AS rate "
         + "FROM agg a JOIN csize c USING (cohort) ORDER BY a.cohort, a.d"),
+    "q186_range_window" ->
+      ("WITH daily AS (SELECT event_type AS et, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2) "
+        + "SELECT et, day, n, CAST(sum(n) OVER (PARTITION BY et ORDER BY day "
+        + "RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3day "
+        + "FROM daily ORDER BY et, day"),
     "q171_survival_km" ->
       ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events GROUP BY 1), "
         + "mx AS (SELECT max(d1) AS dmax FROM u), "

@@ -138,6 +138,17 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     sparkPlanOf("q176_sql_tpch_q7").toString should include("BroadcastHashJoin")
   }
 
+  test("q88 read-back prunes partitions: the lang filter is a PartitionFilter") {
+    val scans = sparkPlanOf("q88_sink_partitioned").collectWithSubqueries {
+      case f: FileSourceScanExec => f
+    }
+    scans.exists(_.partitionFilters.exists(_.toString.contains("lang"))) shouldBe true
+  }
+
+  test("q185 SHUFFLE_HASH hint forces a ShuffledHashJoin") {
+    sparkPlanOf("q185_join_hints").toString should include("ShuffledHashJoin")
+  }
+
   test("q183 Q4: correlated EXISTS plans as a semi join with pushed filters") {
     val p = sparkPlanOf("q183_sql_tpch_q4")
     p.toString should include("LeftSemi")

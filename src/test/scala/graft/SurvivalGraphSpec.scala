@@ -94,6 +94,19 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.head.getAs[Double]("cont_b_in_a") shouldBe 0.5 +- 1e-6
   }
 
+  test("q186 RANGE frame skips calendar gaps a ROWS frame would span") {
+    // views land on days 1(×4), 2, 7: the trailing-3-day sum at day 7
+    // must be 1 (days 5–7 hold nothing else), while a ROWS 2-PRECEDING
+    // frame would have dragged in day 1+2; at day 2 it's 4+1=5.
+    val r = SparkEntry.queries("q186_range_window")(spark, fx).collect()
+      .filter(_.getAs[String]("et") == "view")
+      .map(row => row.getAs[java.sql.Date]("day").toString -> row.getAs[Long]("n_3day"))
+      .toMap
+    r("2024-01-01") shouldBe 4L
+    r("2024-01-02") shouldBe 5L
+    r("2024-01-07") shouldBe 1L
+  }
+
   test("q182 regression diagnostics match an independent OLS recompute") {
     // daily counts on the fixture: x=(0,1,2,3,5,6,7), y=(4,2,1,1,1,1,1)
     val pts = Seq((0, 4L), (1, 2L), (2, 1L), (3, 1L), (5, 1L), (6, 1L), (7, 1L))
