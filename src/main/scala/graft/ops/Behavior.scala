@@ -126,6 +126,38 @@ object Behavior extends QueryPack {
         .select(col("day"), col("n_sessions"), col("peak_conc"), col("peak_minute"))
         .orderBy(col("day"))
     }),
+
+    // ------------------------------------------------------------------
+    // Time-to-convert: per user, first view → first SUBSEQUENT
+    // purchase; the latency distribution (exact percentiles rounded
+    // 6dp, the q162 convention; mean from a DECIMAL-quantized sum) is
+    // what an experimenter reads before setting attribution windows.
+    // Two user-keyed contractions + one user-keyed join; second
+    // differences are integer seconds (identical truncation semantics:
+    // unix_seconds diff ≡ DuckDB date_diff('second')).
+    "q188_time_to_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("vts"))
+        .localCheckpoint() // consumed twice: join + viewer count
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"))
+        .join(v, "user_id").filter(col("pts") >= col("vts"))
+        .groupBy(col("user_id"))
+        .agg(min(col("pts")).as("pts"), min(col("vts")).as("vts"))
+        .withColumn("delta_s", expr(
+          "unix_seconds(cast(pts as timestamp)) - unix_seconds(cast(vts as timestamp))"))
+      val a = conv.agg(count(lit(1)).as("n_converted"),
+        expr("round(percentile(delta_s, 0.25), 6)").as("p25_s"),
+        expr("round(percentile(delta_s, 0.5), 6)").as("p50_s"),
+        expr("round(percentile(delta_s, 0.75), 6)").as("p75_s"),
+        sum(expr("cast(delta_s as decimal(18,2))")).as("sum_s"))
+      val nv = v.agg(count(lit(1)).as("n_viewed"))
+      a.crossJoin(broadcast(nv))
+        .select(col("n_viewed"), col("n_converted"),
+          col("p25_s"), col("p50_s"), col("p75_s"),
+          round(expr("cast(sum_s as double) / n_converted"), 6).as("mean_s"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -169,5 +201,16 @@ object Behavior extends QueryPack {
         + "SELECT day, c, m, row_number() OVER (PARTITION BY day ORDER BY c DESC, m) AS rn FROM conc) WHERE rn = 1), "
         + "ns AS (SELECT day, count(*) AS n_sessions FROM sess GROUP BY day) "
         + "SELECT ns.day, n_sessions, peak_conc, peak_minute FROM ns JOIN peak ON ns.day = peak.day ORDER BY ns.day"),
+    "q188_time_to_convert" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1), "
+        + "pc AS (SELECT e.user_id, min(e.ts) AS pts, min(vts) AS vts FROM events e JOIN v ON e.user_id = v.user_id "
+        + "WHERE e.event_type = 'purchase' AND e.ts >= v.vts GROUP BY 1), "
+        + "d AS (SELECT date_diff('second', vts, pts) AS delta_s FROM pc), "
+        + "a AS (SELECT count(*) AS n_converted, round(quantile_cont(delta_s, 0.25), 6) AS p25_s, "
+        + "round(quantile_cont(delta_s, 0.5), 6) AS p50_s, round(quantile_cont(delta_s, 0.75), 6) AS p75_s, "
+        + "sum(CAST(delta_s AS DECIMAL(18,2))) AS sum_s FROM d), "
+        + "nv AS (SELECT count(*) AS n_viewed FROM v) "
+        + "SELECT n_viewed, n_converted, p25_s, p50_s, p75_s, "
+        + "round(CAST(sum_s AS DOUBLE) / n_converted, 6) AS mean_s FROM a CROSS JOIN nv"),
   )
 }

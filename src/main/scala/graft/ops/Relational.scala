@@ -619,6 +619,28 @@ object Relational extends QueryPack {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 shape (top supplier): a CTE referenced twice — once as
+    // the join input, once inside the scalar max subquery. The equality
+    // is on the EXACT decimal revenue (never the rounded double), so
+    // ties and the max row set are engine-independent.
+    "q187_sql_tpch_q15" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      s.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+          FROM lineitem_v
+          WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP_NTZ)
+            AND l_shipdate < CAST('1996-04-01' AS TIMESTAMP_NTZ)
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 4) AS total_revenue
+        FROM supplier_v JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -797,5 +819,13 @@ object Relational extends QueryPack {
         + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS urgent_rev "
         + "FROM orders o JOIN customer c ON o_custkey = c_custkey "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q187_sql_tpch_q15" ->
+      ("WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        + "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev "
+        + "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' "
+        + "GROUP BY l_suppkey) "
+        + "SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 4) AS total_revenue "
+        + "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
+        + "WHERE total_rev = (SELECT max(total_rev) FROM revenue) ORDER BY s_suppkey"),
   )
 }

@@ -149,6 +149,12 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     sparkPlanOf("q185_join_hints").toString should include("ShuffledHashJoin")
   }
 
+  test("q187 Q15: twice-referenced CTE + scalar max stays join-based") {
+    val p = sparkPlanOf("q187_sql_tpch_q15").toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q183 Q4: correlated EXISTS plans as a semi join with pushed filters") {
     val p = sparkPlanOf("q183_sql_tpch_q4")
     p.toString should include("LeftSemi")

@@ -107,6 +107,18 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     r("2024-01-07") shouldBe 1L
   }
 
+  test("q188 time-to-convert: the two converting users by hand") {
+    // u1 first view d1 01:00 → purchase d8 01:00 (604800 s); u2 first
+    // view d1 02:00 → purchase d2 02:00 (86400 s); 6 viewers total.
+    val r = SparkEntry.queries("q188_time_to_convert")(spark, fx).collect().head
+    r.getAs[Long]("n_viewed") shouldBe 6L
+    r.getAs[Long]("n_converted") shouldBe 2L
+    r.getAs[Double]("p25_s") shouldBe 216000.0 +- 1e-6
+    r.getAs[Double]("p50_s") shouldBe 345600.0 +- 1e-6
+    r.getAs[Double]("p75_s") shouldBe 475200.0 +- 1e-6
+    r.getAs[Double]("mean_s") shouldBe 345600.0 +- 1e-6
+  }
+
   test("q182 regression diagnostics match an independent OLS recompute") {
     // daily counts on the fixture: x=(0,1,2,3,5,6,7), y=(4,2,1,1,1,1,1)
     val pts = Seq((0, 4L), (1, 2L), (2, 1L), (3, 1L), (5, 1L), (6, 1L), (7, 1L))
