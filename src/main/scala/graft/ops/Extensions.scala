@@ -335,6 +335,42 @@ object Extensions extends QueryPack {
         .toDF("doc_id", "n_bytes", "n_distinct_bytes", "checksum", "fake_w", "fake_h")
         .orderBy(col("doc_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // MinHash estimator quality: for every q40 candidate pair (the
+    // memoized blocked graph), compare the 16-hash signature agreement
+    // rate against the EXACT shingle... token-set Jaccard — the
+    // calibration a dedup pipeline runs before trusting signatures at
+    // a threshold. Signatures are the q49 pipeline verbatim (md5-based,
+    // engine-reproducible); sigs localCheckpoint once and join both
+    // pair sides. NOTE the estimator targets TOKEN-set Jaccard while
+    // q40's exact value is 5-SHINGLE Jaccard — the abs_err column is
+    // therefore an honest end-to-end proxy gap, which is exactly what
+    // the calibration wants to expose.
+    "q190_minhash_eval" -> ((s, dir) => {
+      val p = 1000000007L
+      val sigCols = (0 until 16).map { i =>
+        expr(s"array_min(transform(hs, h -> (${2 * i + 3} * h + ${5 * i + 7}) % $p))").as(s"mh$i")
+      }
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+        .withColumn("hs", expr(
+          s"transform(toks, tk -> cast(conv(substr(md5(cast(tk as binary)), 1, 15), 16, 10) as bigint) % $p)"))
+        .select(col("doc_id") +: sigCols: _*)
+        .localCheckpoint() // joined twice: the a and b pair sides
+      val matches = (0 until 16).map(i => s"cast(mha$i = mhb$i as int)").mkString(" + ")
+      Text.nearDupPairs(s, dir)
+        .join(sig.select(col("doc_id").as("doc_a") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"mha$i")): _*), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b") +:
+          (0 until 16).map(i => col(s"mh$i").as(s"mhb$i")): _*), "doc_b")
+        .withColumn("est", expr(s"cast($matches as double) / 16.0"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          round(col("est"), 6).as("mh_est"),
+          round(expr("abs(est - jaccard)"), 6).as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -420,5 +456,28 @@ object Extensions extends QueryPack {
         + "substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex, "
         + "array_to_string(list_transform(range(0, 4), k -> substr(hex(CAST(text AS BLOB)), 1 + k * 64, 2)), ',') AS stride_sample "
         + "FROM documents ORDER BY doc_id"),
+    "q190_minhash_eval" -> {
+      val p = "1000000007"
+      val sigSql = (0 until 16).map(i =>
+        s"list_min(list_transform(hs, h -> (${2 * i + 3} * h + ${5 * i + 7}) % $p)) AS mh$i").mkString(", ")
+      val matches = (0 until 16).map(i =>
+        s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+      ("WITH sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+        + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+        + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+        + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+        + "pairs AS (SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard "
+        + "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+        + "docsets AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents), "
+        + s"hashed AS (SELECT doc_id, list_transform(toks, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % $p) AS hs FROM docsets), "
+        + s"sig AS (SELECT doc_id, $sigSql FROM hashed) "
+        + s"SELECT p.doc_a, p.doc_b, p.jaccard, round(($matches) / 16.0, 6) AS mh_est, "
+        + s"round(abs(($matches) / 16.0 - p.jaccard), 6) AS abs_err "
+        + "FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b "
+        + "ORDER BY p.doc_a, p.doc_b")
+    },
   )
 }

@@ -641,6 +641,25 @@ object Relational extends QueryPack {
         WHERE total_rev = (SELECT max(total_rev) FROM revenue)
         ORDER BY s_suppkey""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 shape (customer order distribution): count over a LEFT
+    // join — count(o_orderkey) skips the null-extended rows, so
+    // order-less customers land in the c_count=0 bucket instead of
+    // vanishing. The histogram-of-counts double aggregation.
+    "q189_sql_tpch_q13" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH c_orders AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer_v LEFT JOIN orders_v ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -827,5 +846,10 @@ object Relational extends QueryPack {
         + "SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 4) AS total_revenue "
         + "FROM supplier JOIN revenue ON s_suppkey = supplier_no "
         + "WHERE total_rev = (SELECT max(total_rev) FROM revenue) ORDER BY s_suppkey"),
+    "q189_sql_tpch_q13" ->
+      ("WITH c_orders AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        + "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) "
+        + "SELECT c_count, count(*) AS custdist FROM c_orders "
+        + "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
   )
 }

@@ -241,7 +241,7 @@ object Text extends QueryPack {
     * is semantics-free. At 100 TB this IS the materialized dedup
     * candidate table every downstream graph job reads. */
   private val pairMemo = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
     pairMemo.getOrElseUpdate((System.identityHashCode(s), dir),
       nearDupPairsUncached(s, dir).localCheckpoint())
 

@@ -63,6 +63,14 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
       "o_orderdate", "o_orderpriority")
       .coalesce(1).write.parquet(s"$dir/orders.parquet")
 
+    // customers 1-3 hold two orders each; customer 4 has none and must
+    // land in q189's c_count=0 bucket via the LEFT join
+    Seq(
+      (1L, "cust1", 0L, 10.0, "SEG_A"), (2L, "cust2", 0L, 20.0, "SEG_A"),
+      (3L, "cust3", 1L, 30.0, "SEG_B"), (4L, "cust4", 1L, 40.0, "SEG_B")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+
     // skyline of (max size, min price): only (size 3, price 9) survives
     // — (1,10) dominated by (2,9), (2,9) dominated by (3,9) via <=
     Seq(
@@ -142,6 +150,12 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
     byM(1) shouldBe 22.5 +- 1e-9
     byM(2) shouldBe 30.4 +- 1e-9
     byM(4) shouldBe 415.2 +- 1e-9
+  }
+
+  test("q189 Q13: order-less customers survive the LEFT join into the 0 bucket") {
+    val rows = SparkEntry.queries("q189_sql_tpch_q13")(spark, fx).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    rows shouldBe Map(2L -> 3L, 0L -> 1L)
   }
 
   test("q180 Grubbs: the 315.2 order is the outlier with the exact G") {

@@ -145,6 +145,32 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("q190 minhash estimates match an exact md5 signature recompute") {
+    val p = 1000000007L
+    def tokHash(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % p
+    }
+    def sig(text: String): Seq[Long] = {
+      val hs = text.split(" ").filter(_.nonEmpty).distinct.map(tokHash)
+      (0 until 16).map(i => hs.map(h => ((2 * i + 3) * h + (5 * i + 7)) % p).min)
+    }
+    val texts = Map(1L -> "a b c d e x1 x2", 2L -> "a b c d e y1 y2", 3L -> "b c d e y1 z1")
+    def est(a: Long, b: Long): Double =
+      sig(texts(a)).zip(sig(texts(b))).count { case (x, y) => x == y } / 16.0
+
+    val r = SparkEntry.queries("q190_minhash_eval")(spark, fx).collect()
+    r.map(row => (row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"))).toSet shouldBe
+      Set((1L, 2L), (2L, 3L))
+    r.foreach { row =>
+      val want = est(row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"))
+      row.getAs[Double]("mh_est") shouldBe want +- 1e-9
+      row.getAs[Double]("abs_err") shouldBe
+        (want - row.getAs[Double]("jaccard")).abs +- 1e-6
+    }
+  }
+
   test("q174 assortativity of a path graph is exactly -1") {
     val r = SparkEntry.queries("q174_assortativity")(spark, fx).collect().head
     r.getAs[Long]("n_nodes") shouldBe 3L
