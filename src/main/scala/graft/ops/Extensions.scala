@@ -339,14 +339,13 @@ object Extensions extends QueryPack {
     // ------------------------------------------------------------------
     // MinHash estimator quality: for every q40 candidate pair (the
     // memoized blocked graph), compare the 16-hash signature agreement
-    // rate against the EXACT shingle... token-set Jaccard — the
-    // calibration a dedup pipeline runs before trusting signatures at
-    // a threshold. Signatures are the q49 pipeline verbatim (md5-based,
-    // engine-reproducible); sigs localCheckpoint once and join both
-    // pair sides. NOTE the estimator targets TOKEN-set Jaccard while
-    // q40's exact value is 5-SHINGLE Jaccard — the abs_err column is
-    // therefore an honest end-to-end proxy gap, which is exactly what
-    // the calibration wants to expose.
+    // rate against the exact Jaccard — the calibration a dedup pipeline
+    // runs before trusting signatures at a threshold. Signatures are
+    // the q49 pipeline verbatim (md5-based, engine-reproducible); sigs
+    // localCheckpoint once and join both pair sides. NOTE the estimator
+    // targets TOKEN-set Jaccard while q40's exact value is 5-SHINGLE
+    // Jaccard, so abs_err reports the honest end-to-end proxy gap —
+    // exactly what the calibration wants to expose.
     "q190_minhash_eval" -> ((s, dir) => {
       val p = 1000000007L
       val sigCols = (0 until 16).map { i =>
