@@ -463,6 +463,64 @@ object Science extends QueryPack {
           round(expr("(cast(n_total as double) - k) / (k - 1) * " +
             "cast(num as double) / cast(den as double)"), 6).as("w_stat"))
     }),
+
+    // ------------------------------------------------------------------
+    // Two-proportion z-test (the A/B experiment readout): EVENTS split
+    // into arms by the q58 md5 coin (event-level randomization — the
+    // tiny driver user base saturates any user-level conversion
+    // definition), success = purchase; pooled
+    // z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)). Everything up to the final
+    // statistic is exact integer counts from one partial agg, so the
+    // double arithmetic is identical on both engines by construction.
+    "q192_prop_ztest" -> ((s, dir) => {
+      val u = Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("conv"))
+        .withColumn("arm", expr(
+          "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint) % 2"))
+      u.agg(
+          sum(when(col("arm") === 0, 1).otherwise(0)).as("n1"),
+          sum(when(col("arm") === 1, 1).otherwise(0)).as("n2"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0)).as("c1"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0)).as("c2"))
+        .withColumn("p1", expr("cast(c1 as double) / n1"))
+        .withColumn("p2", expr("cast(c2 as double) / n2"))
+        .withColumn("pp", expr("cast(c1 + c2 as double) / (n1 + n2)"))
+        .select(col("n1"), col("n2"), col("c1"), col("c2"),
+          round(col("p1"), 6).as("rate_a"),
+          round(col("p2"), 6).as("rate_b"),
+          round(expr("(p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))"), 6).as("z_stat"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Classical seasonal decomposition of the daily series: trend =
+    // centered 7-day moving average, seasonal = per-weekday mean of the
+    // detrended values, residual = remainder. Both windows run on the
+    // ≤#days daily contraction (bounded, allowlisted); the seasonal
+    // means are DECIMAL-quantized pre-sum so the 7-cell aggregation is
+    // merge-order-proof.
+    "q193_seasonal_decompose" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(expr("cast(ts as date)").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val trended = daily
+        .withColumn("n_win", count(lit(1)).over(w))
+        .withColumn("trend", expr("cast(sum(y) over (order by day rows between 3 preceding and 3 following) as double) / n_win"))
+        .filter(col("n_win") === 7) // centered MA defined only with a full window
+        .withColumn("dow", dayofweek(col("day")))
+        .withColumn("det", expr("y - trend"))
+        .localCheckpoint() // consumed twice: seasonal means + join-back
+      val seas = trended.groupBy(col("dow"))
+        .agg((sum(expr("cast(det as decimal(28,12))")).cast("double") / count(lit(1)))
+          .as("seasonal")) // cast-then-divide IN DOUBLE, matching the oracle
+      trended.join(broadcast(seas), "dow")
+        .select(col("day"), col("y"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(expr("det - seasonal"), 6).as("residual"))
+        .orderBy(col("day"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -604,5 +662,25 @@ object Science extends QueryPack {
         + "SELECT max(nt) AS n_total, max(k) AS k, "
         + "round((CAST(max(nt) AS DOUBLE) - max(k)) / (max(k) - 1) * "
         + "CAST(sum(num_g) AS DOUBLE) / CAST(sum(den_g) AS DOUBLE), 6) AS w_stat FROM t2"),
+    "q192_prop_ztest" ->
+      ("WITH a AS (SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm, "
+        + "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events), "
+        + "g AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        + "CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2 FROM a), "
+        + "h AS (SELECT n1, n2, c1, c2, CAST(c1 AS DOUBLE) / n1 AS p1, CAST(c2 AS DOUBLE) / n2 AS p2, "
+        + "CAST(c1 + c2 AS DOUBLE) / (n1 + n2) AS pp FROM g) "
+        + "SELECT n1, n2, c1, c2, round(p1, 6) AS rate_a, round(p2, 6) AS rate_b, "
+        + "round((p1 - p2) / sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2)), 6) AS z_stat FROM h"),
+    "q193_seasonal_decompose" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
+        + "t AS (SELECT day, y, count(*) OVER w AS n_win, "
+        + "CAST(sum(y) OVER w AS DOUBLE) / count(*) OVER w AS trend FROM daily "
+        + "WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+        + "d AS (SELECT day, y, trend, dayofweek(day) + 1 AS dow, y - trend AS det FROM t WHERE n_win = 7), "
+        + "s AS (SELECT dow, CAST(sum(CAST(det AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS seasonal FROM d GROUP BY dow) "
+        + "SELECT day, y, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal, "
+        + "round(det - seasonal, 6) AS residual FROM d JOIN s USING (dow) ORDER BY day"),
   )
 }

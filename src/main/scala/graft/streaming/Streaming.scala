@@ -323,9 +323,80 @@ object Streaming extends QueryPack {
           round(sum(col("value").cast("decimal(18,4)")).cast("double"), 4).as("sum_value"))
         .orderBy(col("n_name"))
     }),
+
+    // ------------------------------------------------------------------
+    // STREAM-STREAM LEFT OUTER join — the remaining join-mode surface
+    // after q90's inner: views left-join clicks in a (0, 30 min]
+    // window; a view with NO qualifying click must emit a null-extended
+    // row, which the engine can only do once the watermark has
+    // definitively passed the view's join window. A SENTINEL tranche
+    // (one far-future view + click with negative ids, staged LAST)
+    // advances both watermarks past all real data so every real
+    // unmatched view flushes before AvailableNow terminates; the
+    // sentinels themselves are filtered from the rollup. Oracle: the
+    // equivalent BATCH left join — stream ≡ batch is the whole claim.
+    "q191_stream_outer_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q191_mem")
+      val inP = graft.ops.Stage.fresh("q191")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q90)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint()
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      import s.implicits._
+      Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
+        .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
+          col("value").as("c_value"))
+        .withWatermark("cts", "1 hour")
+      val q = withStateParts(s)(views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .writeStream.format("memory").queryName("q191_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP)
+      s.table("q191_mem")
+        .filter(col("user_id") >= 0) // drop the watermark sentinels
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_value")).as("n_matched"),
+          sum(when(col("c_value").isNull, 1).otherwise(0)).as("n_unmatched"),
+          round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q191_stream_outer_join" ->
+      ("WITH v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events WHERE event_type = 'view'), "
+        + "c AS (SELECT user_id AS c_user, ts AS cts, value AS c_value FROM events WHERE event_type = 'click'), "
+        + "j AS (SELECT v.user_id, c.c_value FROM v LEFT JOIN c ON v.user_id = c.c_user "
+        + "AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE) "
+        + "SELECT user_id, count(*) AS n_rows, count(c_value) AS n_matched, "
+        + "CAST(sum(CASE WHEN c_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, "
+        + "round(CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
+        + "FROM j GROUP BY user_id ORDER BY user_id"),
     "q156_stream_enrich" ->
       ("SELECT n_name, count(*) AS n_events, "
         + "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value "

@@ -158,6 +158,27 @@ class ScienceSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows shouldBe Map(2L -> 3L, 0L -> 1L)
   }
 
+  test("q192 two-proportion z: arms and statistic match an md5 recompute") {
+    def arm(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2
+    }
+    // fixture events 1-9; event 5 is the only purchase
+    val ids = (1L to 9L)
+    val n1 = ids.count(arm(_) == 0); val n2 = 9 - n1
+    val c1 = if (arm(5L) == 0) 1 else 0; val c2 = 1 - c1
+    val (p1, p2) = (c1.toDouble / n1, c2.toDouble / n2)
+    val pp = (c1 + c2).toDouble / 9
+    val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    val r = q("q192_prop_ztest").collect().head
+    r.getAs[Long]("n1") shouldBe n1.toLong
+    r.getAs[Long]("n2") shouldBe n2.toLong
+    r.getAs[Long]("c1") shouldBe c1.toLong
+    r.getAs[Long]("c2") shouldBe c2.toLong
+    r.getAs[Double]("z_stat") shouldBe z +- 1e-6
+  }
+
   test("q180 Grubbs: the 315.2 order is the outlier with the exact G") {
     val xs = Seq(10.5, 19.9, 22.0, 0.5, 100.0, 315.2)
     val n = xs.size

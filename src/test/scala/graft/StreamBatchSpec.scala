@@ -11,6 +11,19 @@ import org.scalatest.matchers.should.Matchers
   */
 class StreamBatchSpec extends AnyFunSuite with Matchers with SharedSpark {
 
+  test("q191 outer join actually exercises the null-emission path") {
+    // the oracle proves stream ≡ batch; this pins that the OUTER part
+    // is non-trivial — some views have no qualifying click and their
+    // null-extended rows must have flushed before termination.
+    val rows = SparkEntry.queries("q191_stream_outer_join")(spark, sf).collect()
+    rows.length should be > 0
+    rows.map(_.getAs[Long]("n_unmatched")).sum should be > 0L
+    rows.foreach { r =>
+      r.getAs[Long]("n_rows") shouldBe
+        r.getAs[Long]("n_matched") + r.getAs[Long]("n_unmatched")
+    }
+  }
+
   test("q47 emitted windows match q44 batch results exactly") {
     val stream = SparkEntry.queries("q47_stream_demo")(spark, sf).collect()
       .map(r => (r.getAs[java.sql.Timestamp]("w_start"), r.getAs[String]("event_type")) ->

@@ -119,6 +119,18 @@ class SurvivalGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("mean_s") shouldBe 345600.0 +- 1e-6
   }
 
+  test("q193 seasonal decompose: the one full-window day by hand") {
+    // 7 daily cells (days 1,2,3,4,6,7,8) → only day 4 has a full ±3-row
+    // frame; trend = 11/7, det = 1 − 11/7 = −4/7, its weekday group is
+    // a singleton so seasonal = det and the residual is exactly 0.
+    val r = SparkEntry.queries("q193_seasonal_decompose")(spark, fx).collect()
+    r should have length 1
+    r.head.getAs[java.sql.Date]("day").toString shouldBe "2024-01-04"
+    r.head.getAs[Double]("trend") shouldBe (11.0 / 7) +- 1e-6
+    r.head.getAs[Double]("seasonal") shouldBe (1.0 - 11.0 / 7) +- 1e-6
+    r.head.getAs[Double]("residual") shouldBe 0.0 +- 1e-9
+  }
+
   test("q182 regression diagnostics match an independent OLS recompute") {
     // daily counts on the fixture: x=(0,1,2,3,5,6,7), y=(4,2,1,1,1,1,1)
     val pts = Seq((0, 4L), (1, 2L), (2, 1L), (3, 1L), (5, 1L), (6, 1L), (7, 1L))
