@@ -660,6 +660,103 @@ object Relational extends QueryPack {
         GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC""")
     }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED
+    // scalar AGGREGATE subquery — each lineitem compares against the
+    // 20%-of-average-quantity threshold of ITS OWN part. Catalyst
+    // decorrelates it into a per-partkey aggregate joined back
+    // (PlanGuard: no nested-loop/cartesian). The threshold is
+    // engine-independent because l_quantity is integer-valued (1..50):
+    // every per-part sum is an exact integer in IEEE double regardless
+    // of partial-agg merge order, so avg — and 0.2*avg — is bit-equal
+    // in Spark and DuckDB. Grouped by brand (the original returns one
+    // global row; the group-by gives the same shape a richer surface).
+    "q194_sql_tpch_q17" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        SELECT p_brand, count(*) AS n_small,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size < 11
+          AND l.l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem_v li
+                              WHERE li.l_partkey = p.p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand""")
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 shape (national market share): the deepest dim chain in
+    // the battery — lineitem⋈orders fact-fact, then customer→nation→
+    // region on the demand side, supplier→nation on the supply side,
+    // and part, ALL broadcast (PlanGuard: exactly one sort-merge join).
+    // Share = NATION_7's volume over total per order year; both sums
+    // DECIMAL(18,4)-exact, the ratio taken in double at the end.
+    "q195_sql_tpch_q8" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      Tables.region(s, dir).createOrReplaceTempView("region_v")
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.part(s, dir).createOrReplaceTempView("part_v")
+      s.sql("""
+        WITH all_sales AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume,
+                 ns.n_name AS supp_nation
+          FROM lineitem_v l
+          JOIN orders_v o ON o.o_orderkey = l.l_orderkey
+          JOIN customer_v c ON c.c_custkey = o.o_custkey
+          JOIN nation_v nc ON nc.n_nationkey = c.c_nationkey
+          JOIN region_v r ON r.r_regionkey = nc.n_regionkey
+          JOIN supplier_v s ON s.s_suppkey = l.l_suppkey
+          JOIN nation_v ns ON ns.n_nationkey = s.s_nationkey
+          JOIN part_v p ON p.p_partkey = l.l_partkey
+          WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY')
+        SELECT o_year,
+               round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+        FROM all_sales
+        GROUP BY o_year
+        ORDER BY o_year""")
+    }),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 shape (suppliers who kept orders waiting): BOTH
+    // correlated quantifiers in one statement — EXISTS (another
+    // supplier contributed to the order) plans LeftSemi, NOT EXISTS
+    // (…and was ALSO late) plans LeftAnti, each with a non-equi
+    // correlated term referencing the outer order date (the snapshot
+    // has no commit/receipt dates, so "late" = shipped >180 days after
+    // the order date). Top-10 by wait count with a name tiebreak.
+    "q196_sql_tpch_q21" -> ((s, dir) => {
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_v")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_v")
+      s.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM supplier_v s
+        JOIN lineitem_v l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders_v o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation_v n ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 180 DAY
+          AND n.n_name IN ('NATION_18', 'NATION_19')
+          AND EXISTS (SELECT 1 FROM lineitem_v l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_v l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 180 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -851,5 +948,42 @@ object Relational extends QueryPack {
         + "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) "
         + "SELECT c_count, count(*) AS custdist FROM c_orders "
         + "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "q194_sql_tpch_q17" ->
+      ("SELECT p_brand, count(*) AS n_small, "
+        + "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly "
+        + "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        + "WHERE p.p_size < 11 "
+        + "AND l.l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem li WHERE li.l_partkey = p.p_partkey) "
+        + "GROUP BY p_brand ORDER BY p_brand"),
+    "q195_sql_tpch_q8" ->
+      ("WITH all_sales AS (SELECT year(o.o_orderdate) AS o_year, "
+        + "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS volume, "
+        + "ns.n_name AS supp_nation "
+        + "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        + "JOIN customer c ON c.c_custkey = o.o_custkey "
+        + "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+        + "JOIN region r ON r.r_regionkey = nc.n_regionkey "
+        + "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        + "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+        + "JOIN part p ON p.p_partkey = l.l_partkey "
+        + "WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY') "
+        + "SELECT o_year, "
+        + "round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+        + "/ CAST(sum(volume) AS DOUBLE), 6) AS mkt_share "
+        + "FROM all_sales GROUP BY o_year ORDER BY o_year"),
+    "q196_sql_tpch_q21" ->
+      ("SELECT s_name, count(*) AS numwait "
+        + "FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
+        + "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+        + "JOIN nation n ON n.n_nationkey = s.s_nationkey "
+        + "WHERE o.o_orderstatus = 'F' "
+        + "AND l1.l_shipdate > o.o_orderdate + INTERVAL 180 DAY "
+        + "AND n.n_name IN ('NATION_18', 'NATION_19') "
+        + "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        + "AND l2.l_suppkey <> l1.l_suppkey) "
+        + "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        + "AND l3.l_suppkey <> l1.l_suppkey "
+        + "AND l3.l_shipdate > o.o_orderdate + INTERVAL 180 DAY) "
+        + "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"),
   )
 }

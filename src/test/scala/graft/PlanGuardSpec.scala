@@ -164,6 +164,29 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     pushed should include("EqualTo(l_returnflag,R)")
   }
 
+  test("q194 Q17: correlated scalar avg decorrelates to aggregate-then-join") {
+    val p = sparkPlanOf("q194_sql_tpch_q17").toString
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include("avg") // the decorrelated per-partkey aggregate survives as a plan node
+  }
+
+  test("q195 Q8: all six dimension joins broadcast; at most the fact-fact join sort-merges") {
+    val p = sparkPlanOf("q195_sql_tpch_q8")
+    val bhj = p.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    bhj.size should be >= 6 // customer, nation x2, region, supplier, part
+    p.collectWithSubqueries { case j: SortMergeJoinExec => j }.size should be <= 1
+  }
+
+  test("q196 Q21: EXISTS plans LeftSemi, NOT EXISTS plans LeftAnti, no nested loop") {
+    val p = sparkPlanOf("q196_sql_tpch_q21").toString
+    p should include("LeftSemi")
+    p should include("LeftAnti")
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("q05 star join broadcasts every dimension (no sort-merge join)") {
     sparkPlanOf("q05_join_star").collectWithSubqueries {
       case j: SortMergeJoinExec => j
