@@ -69,6 +69,32 @@ object Windows extends QueryPack {
           "round(cast(sum(v) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS double) / count(v) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS sma7",
           "round(cast(sum(v) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS double), 6) AS rng7")
         .orderBy(col("event_type"), col("day"))),
+
+    // ------------------------------------------------------------------
+    // Period-over-period growth (the reporting staple): monthly revenue
+    // with month-over-month and year-over-year percent change. MoM lags
+    // over the GLOBAL month sequence — unpartitioned but bounded by the
+    // ≤#months monthly contraction (PlanGuard-allowlisted); YoY lags
+    // within each calendar-month partition. Revenue is DECIMAL-exact;
+    // each pct divides two exact decimals in double at the end, so the
+    // NULL leading rows and every ratio match DuckDB bit-for-bit.
+    "q197_period_growth" -> ((s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val wSeq = Window.orderBy(col("yr"), col("mo"))
+      val wYoy = Window.partitionBy(col("mo")).orderBy(col("yr"))
+      monthly
+        .withColumn("prev_m", lag(col("rev"), 1).over(wSeq))
+        .withColumn("prev_y", lag(col("rev"), 1).over(wYoy))
+        .select(col("yr"), col("mo"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round((col("rev") - col("prev_m")).cast("double")
+            / col("prev_m").cast("double") * 100, 6).as("mom_pct"),
+          round((col("rev") - col("prev_y")).cast("double")
+            / col("prev_y").cast("double") * 100, 6).as("yoy_pct"))
+        .orderBy(col("yr"), col("mo"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -87,5 +113,14 @@ object Windows extends QueryPack {
         + "round(CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS rng7 "
         + "FROM (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(CAST(value AS DECIMAL(18,2))) AS v FROM events GROUP BY 1, 2) "
         + "ORDER BY event_type, day"),
+    "q197_period_growth" ->
+      ("WITH m AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, "
+        + "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1, 2), "
+        + "t AS (SELECT yr, mo, rev, lag(rev, 1) OVER (ORDER BY yr, mo) AS prev_m, "
+        + "lag(rev, 1) OVER (PARTITION BY mo ORDER BY yr) AS prev_y FROM m) "
+        + "SELECT yr, mo, round(CAST(rev AS DOUBLE), 2) AS revenue, "
+        + "round(CAST(rev - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE) * 100, 6) AS mom_pct, "
+        + "round(CAST(rev - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE) * 100, 6) AS yoy_pct "
+        + "FROM t ORDER BY yr, mo"),
   )
 }

@@ -46,7 +46,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q71_rolling_corr",  // 14-row trailing frame over <= #days daily cells
     "q101_chi2",         // grand-total window over <= |status|x|priority| cells
     "q166_heaps_law",    // cumsum over exactly 20 md5-bucket prefix cells
-    "q171_survival_km"   // product-limit cumsums over <= #observation-days lifetime cells
+    "q171_survival_km",  // product-limit cumsums over <= #observation-days lifetime cells
+    "q197_period_growth" // MoM lag over <= #months monthly cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =

@@ -101,6 +101,31 @@ class TpchShapeSpec extends AnyFunSuite with Matchers with SharedSpark {
       BigDecimal(200.0 / 350.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("q197 period growth: MoM crosses the year boundary, YoY matches months") {
+    // monthly revenue 2024-01: 100, 2024-02: 150, 2025-01: 110.
+    // MoM(2025-01) lags the SEQUENCE (2024-02): (110-150)/150 = -26.666667%;
+    // YoY(2025-01) lags the month partition (2024-01): +10%.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_growthfx_").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq((1L, 1L, "F", 100.0, ts("2024-01-05"), "1-URGENT"),
+        (2L, 1L, "F", 150.0, ts("2024-02-05"), "1-URGENT"),
+        (3L, 1L, "F", 110.0, ts("2025-01-05"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val r = SparkEntry.queries("q197_period_growth")(spark, dir).collect()
+    r should have length 3
+    r.map(row => (row.getAs[Int]("yr"), row.getAs[Int]("mo"))).toSeq shouldBe
+      Seq((2024, 1), (2024, 2), (2025, 1))
+    r(0).isNullAt(r(0).fieldIndex("mom_pct")) shouldBe true
+    r(0).isNullAt(r(0).fieldIndex("yoy_pct")) shouldBe true
+    r(1).getAs[Double]("mom_pct") shouldBe 50.0 +- 1e-9
+    r(1).isNullAt(r(1).fieldIndex("yoy_pct")) shouldBe true
+    r(2).getAs[Double]("mom_pct") shouldBe -26.666667 +- 1e-9
+    r(2).getAs[Double]("yoy_pct") shouldBe 10.0 +- 1e-9
+  }
+
   test("q196 Q21: only the sole-late supplier in a multi-supplier order waits") {
     // o1: supp1 late, supp2 on time → supp1 waits. o2: both late → NOT
     // EXISTS fails. o4: sole supplier → EXISTS fails. o3: status 'O'.
