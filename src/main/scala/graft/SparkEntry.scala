@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Sources,
     ops.Curation,
     ops.Behavior,
+    ops.Evaluation,
     streaming.Streaming,
   )
 

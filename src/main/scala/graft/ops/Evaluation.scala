@@ -1,0 +1,324 @@
+package graft.ops
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 model/data-evaluation pack — the readouts an ML platform
+  * runs over scored events and curated corpora: ROC AUC (rank-based,
+  * ties-correct), inter-rater agreement (Cohen's kappa + Matthews
+  * correlation), decile lift / cumulative gains, calibration
+  * (reliability bins + expected calibration error), revenue
+  * concentration (Lorenz deciles / Pareto share), lexical diversity
+  * (type-token ratio + hapax share), and population-stability drift
+  * (PSI between time periods).
+  *
+  * Scale notes (100 TB north star):
+  *  - q198's AUC needs midranks over a data-sized pooled score column —
+  *    exactly q130's problem — so it contracts to per-distinct-value
+  *    (neg, pos) counts (one partial-agg shuffle) and rides
+  *    [[Science.cumCounts]]' range-partitioned prefix sums; the
+  *    rank-sum is DECIMAL-quantized pre-sum. No rank window anywhere.
+  *  - q200/q201/q202/q204 all follow q115's broadcast-boundary shape:
+  *    ONE tiny aggregate (exact percentile boundaries / global max /
+  *    totals) broadcast back onto the fact scan, per-row bin via a
+  *    higher-order `size(filter(...))`, then one partial-agg shuffle
+  *    to ≤10 cells. The only windows are 10-row cumulative frames over
+  *    those cells (allowlisted bounded in PlanGuardSpec).
+  *  - q199/q203 are single partial-agg contractions (confusion cells /
+  *    per-source vocab) — the fact table is touched once each.
+  *  - Float determinism per SURVEY §4.3: integer counts stay integer
+  *    to the end; per-cell double terms that feed a distributed sum
+  *    are quantized to DECIMAL first (ECE/PSI terms, rank sums);
+  *    composites (ratios, z, kappa) are computed in double from exact
+  *    parts with the same expression on both engines; round(…,6) on
+  *    output only.
+  */
+object Evaluation extends QueryPack {
+
+  def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // ROC AUC of `value` as a score separating purchases (positive)
+    // from views (negative), via the rank-sum identity
+    // AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with midranks for ties — the
+    // Mann–Whitney/AUC equivalence, so ties count 1/2 exactly like the
+    // trapezoidal ROC. Scale path: per-distinct-value contraction +
+    // cumCounts prefix sums (q130's machinery); midrank is closed-form
+    // below + (c⁺+c⁻+1)/2, rank-sum quantized DECIMAL(28,6) pre-sum.
+    "q198_roc_auc" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      Science.cumCounts(s, g)
+        .withColumn("ar", expr("below + (c1 + c2 + 1) / 2.0"))
+        .agg(max(col("n2")).as("n_pos"), max(col("n1")).as("n_neg"),
+          sum(expr("cast(ar * c2 as decimal(28,6))")).as("rp"))
+        .withColumn("auc_raw", expr(
+          "(cast(rp as double) - cast(n_pos as double) * (n_pos + 1) / 2.0) / " +
+            "(cast(n_pos as double) * n_neg)"))
+        .select(col("n_pos"), col("n_neg"),
+          round(col("auc_raw"), 6).as("auc"),
+          round(expr("2.0 * auc_raw - 1.0"), 6).as("gini_idx"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Inter-rater agreement between two deterministic document labelers
+    // (rater A: n_chars >= 300; rater B: >= 55 whitespace tokens — two
+    // correlated-but-distinct length heuristics): confusion cells,
+    // observed/chance agreement, Cohen's kappa and the Matthews
+    // correlation. One partial-agg pass; every statistic is closed-form
+    // double over exact integer cells.
+    "q199_rater_agreement" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select((col("n_chars") >= 300).cast("int").as("a"),
+          (size(filter(split(col("text"), " "), t => t =!= "")) >= 55).cast("int").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("a * b")).as("n11"),
+          sum(expr("a * (1 - b)")).as("n10"),
+          sum(expr("(1 - a) * b")).as("n01"),
+          sum(expr("(1 - a) * (1 - b)")).as("n00"))
+        .withColumn("po", expr("(n11 + n00) / cast(n as double)"))
+        .withColumn("pe", expr(
+          "(cast(n11 + n10 as double) * (n11 + n01) + cast(n01 + n00 as double) * (n10 + n00)) / " +
+            "(cast(n as double) * n)"))
+        .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"),
+          round(expr("(po - pe) / (1.0 - pe)"), 6).as("kappa"),
+          round(expr(
+            "(cast(n11 as double) * n00 - cast(n10 as double) * n01) / " +
+              "sqrt(cast(n11 + n10 as double) * (n01 + n00) * (n11 + n01) * (n10 + n00))"), 6).as("mcc"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Decile lift & cumulative gains of `value` as a purchase score:
+    // exact decile boundaries + global totals in ONE 1-row aggregate
+    // broadcast back (q115's shape), per-row decile via the
+    // size(filter(...)) HOF, contraction to ≤10 cells, then the
+    // cumulative-capture window runs on those 10 rows only
+    // (allowlisted bounded). Rates/lift are double ratios of exact
+    // integer counts.
+    "q200_decile_lift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      val bs = ev.agg(
+        expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"),
+        count(lit(1)).as("n_tot"), sum(col("pos")).as("pos_tot"))
+      ev.crossJoin(broadcast(bs))
+        .withColumn("decile", expr("size(filter(bs, b -> value > b)) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          max(col("n_tot")).as("n_tot"), max(col("pos_tot")).as("pos_tot"))
+        .withColumn("cum_pos",
+          sum(col("n_pos")).over(Window.orderBy(col("decile").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile").cast("int").as("decile"), col("n"), col("n_pos"),
+          round(expr("n_pos / cast(n as double)"), 6).as("rate"),
+          round(expr("(n_pos / cast(n as double)) / (pos_tot / cast(n_tot as double))"), 6).as("lift"),
+          round(expr("cum_pos / cast(pos_tot as double)"), 6).as("cum_capture"))
+        .orderBy(col("decile").desc)
+    }),
+
+    // ------------------------------------------------------------------
+    // Calibration readout: normalize the score to p = value/max(value),
+    // 10 fixed-width reliability bins, per-bin confidence (mean p, via
+    // a DECIMAL(28,12)-quantized sum so partial-agg merge order can
+    // never move a ULP) vs empirical accuracy, and the expected
+    // calibration error ECE = Σ (n_b/N)·|acc_b − conf_b| with the ≤10
+    // per-bin terms DECIMAL-quantized before the final sum. The fact
+    // table is scanned once; both small aggregates broadcast.
+    "q201_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      val mx = ev.agg(max(col("value")).as("vmax"), count(lit(1)).as("n_tot"))
+      val bins = ev.crossJoin(broadcast(mx))
+        .withColumn("p", col("value") / col("vmax"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(expr("cast(p as decimal(28,12))")).as("sump"),
+          max(col("n_tot")).as("n_tot"))
+        .withColumn("conf", expr("cast(sump as double) / n"))
+        .withColumn("acc", expr("n_pos / cast(n as double)"))
+        .localCheckpoint() // consumed twice: per-bin rows + ECE aggregate
+      val ece = bins
+        .agg(sum(expr("cast(n / cast(n_tot as double) * abs(acc - conf) as decimal(28,12))")).as("ece_x"))
+      bins.crossJoin(broadcast(ece))
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("conf"), 6).as("conf"),
+          round(col("acc"), 6).as("acc"),
+          round(col("ece_x").cast("double"), 6).as("ece"))
+        .orderBy(col("bin"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Revenue concentration (the Lorenz/Pareto readout next to q135's
+    // Gini scalar): per-customer revenue contraction (exact
+    // DECIMAL(18,2) sums), exact decile boundaries over the customer
+    // frame broadcast back, per-decile revenue share and the
+    // cumulative share from the top decile down — "the top 20% of
+    // customers hold X% of revenue" is the cum row at decile 9. The
+    // only window is the 10-row cumulative frame (allowlisted).
+    "q202_pareto_revenue" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .localCheckpoint() // consumed twice: boundary agg + binning scan
+      val bs = cust.agg(
+        expr("percentile(cast(rev as double), array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"),
+        sum(col("rev")).as("tot"), count(lit(1)).as("n_cust"))
+      cust.crossJoin(broadcast(bs))
+        .withColumn("decile", expr("size(filter(bs, b -> cast(rev as double) > b)) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_sum"),
+          max(col("tot")).as("tot"))
+        .withColumn("cum_rev",
+          sum(col("rev_sum")).over(Window.orderBy(col("decile").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile").cast("int").as("decile"), col("n_cust"),
+          round(col("rev_sum").cast("double"), 2).as("revenue"),
+          round(expr("cast(rev_sum as double) / cast(tot as double)"), 6).as("share"),
+          round(expr("cast(cum_rev as double) / cast(tot as double)"), 6).as("cum_share_from_top"))
+        .orderBy(col("decile").desc)
+    }),
+
+    // ------------------------------------------------------------------
+    // Lexical diversity per source: type-token ratio and hapax-legomenon
+    // share — the corpus-health metrics a curation pipeline tracks per
+    // domain. Two partial-agg shuffles total: corpus → (source, token,
+    // count) cells, cells → per-source (types, tokens, hapax); ratios
+    // are double over exact integers.
+    "q203_lexical_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("types"), sum(col("c")).as("tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("types"), col("tokens"), col("hapax"),
+          round(expr("types / cast(tokens as double)"), 6).as("ttr"),
+          round(expr("hapax / cast(types as double)"), 6).as("hapax_share"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Population Stability Index between the first half of the month
+    // (reference period, days 1-15) and the second (current): decile
+    // bins fitted on the REFERENCE distribution only (the standard PSI
+    // protocol), smoothed shares (+0.5/+5 Laplace — identical constants
+    // both engines, so a bin empty in one period never divides by
+    // zero), per-bin (p1−p2)·ln(p1/p2) terms DECIMAL-quantized before
+    // the ≤10-cell sum. One fact scan + two broadcast 1-row aggs.
+    "q204_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value").as("v"),
+          (dayofmonth(col("ts").cast("date")) <= 15).cast("long").as("isa"))
+      val bs = ev.filter(col("isa") === 1)
+        .agg(expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+      val counts = ev.crossJoin(broadcast(bs))
+        .withColumn("bin", expr("size(filter(bs, b -> v > b)) + 1"))
+        .groupBy(col("bin"))
+        .agg(sum(col("isa")).as("c1"), sum(expr("1 - isa")).as("c2"))
+        .localCheckpoint() // consumed twice: totals agg + per-bin terms
+      val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("p1", expr("(c1 + 0.5) / (n1 + 5.0)"))
+        .withColumn("p2", expr("(c2 + 0.5) / (n2 + 5.0)"))
+        .withColumn("term", expr("cast((p1 - p2) * ln(p1 / p2) as decimal(28,12))"))
+        .localCheckpoint() // consumed twice: per-bin rows + PSI sum
+      val psi = terms.agg(sum(col("term")).as("psi_x"))
+      terms.crossJoin(broadcast(psi))
+        .select(col("bin").cast("int").as("bin"), col("c1"), col("c2"),
+          round(col("p1"), 6).as("p_ref"),
+          round(col("p2"), 6).as("p_cur"),
+          round(col("term").cast("double"), 6).as("psi_term"),
+          round(col("psi_x").cast("double"), 6).as("psi"))
+        .orderBy(col("bin"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q198_roc_auc" ->
+      ("WITH pooled AS (SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp, "
+        + "row_number() OVER (ORDER BY value) AS rn FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL), "
+        + "pv AS (SELECT v, avg(rn) AS ar, CAST(sum(isp) AS BIGINT) AS cpos, CAST(sum(1 - isp) AS BIGINT) AS cneg FROM pooled GROUP BY v), "
+        + "agg AS (SELECT CAST(sum(cpos) AS BIGINT) AS n_pos, CAST(sum(cneg) AS BIGINT) AS n_neg, "
+        + "sum(CAST(ar * cpos AS DECIMAL(28,6))) AS rp FROM pv), "
+        + "a AS (SELECT n_pos, n_neg, (CAST(rp AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) / "
+        + "(CAST(n_pos AS DOUBLE) * n_neg) AS auc_raw FROM agg) "
+        + "SELECT n_pos, n_neg, round(auc_raw, 6) AS auc, round(2.0 * auc_raw - 1.0, 6) AS gini_idx FROM a"),
+    "q199_rater_agreement" ->
+      ("WITH r AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, "
+        + "CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), "
+        + "m AS (SELECT count(*) AS n, CAST(sum(a * b) AS BIGINT) AS n11, CAST(sum(a * (1 - b)) AS BIGINT) AS n10, "
+        + "CAST(sum((1 - a) * b) AS BIGINT) AS n01, CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00 FROM r), "
+        + "c AS (SELECT *, (n11 + n00) / CAST(n AS DOUBLE) AS po, "
+        + "(CAST(n11 + n10 AS DOUBLE) * (n11 + n01) + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / "
+        + "(CAST(n AS DOUBLE) * n) AS pe FROM m) "
+        + "SELECT n, n11, n10, n01, n00, round(po, 6) AS po, round(pe, 6) AS pe, "
+        + "round((po - pe) / (1.0 - pe), 6) AS kappa, "
+        + "round((CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01) / "
+        + "sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00) * (n11 + n01) * (n10 + n00)), 6) AS mcc FROM c"),
+    "q200_decile_lift" ->
+      ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "bs AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs, "
+        + "count(*) AS n_tot, CAST(sum(pos) AS BIGINT) AS pos_tot FROM ev), "
+        + "d AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS decile, pos, n_tot, pos_tot FROM ev CROSS JOIN bs), "
+        + "g AS (SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos, max(n_tot) AS n_tot, max(pos_tot) AS pos_tot "
+        + "FROM d GROUP BY decile), "
+        + "c AS (SELECT *, CAST(sum(n_pos) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos FROM g) "
+        + "SELECT CAST(decile AS INT) AS decile, n, n_pos, "
+        + "round(n_pos / CAST(n AS DOUBLE), 6) AS rate, "
+        + "round((n_pos / CAST(n AS DOUBLE)) / (pos_tot / CAST(n_tot AS DOUBLE)), 6) AS lift, "
+        + "round(cum_pos / CAST(pos_tot AS DOUBLE), 6) AS cum_capture FROM c ORDER BY decile DESC"),
+    "q201_calibration" ->
+      ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "mx AS (SELECT max(value) AS vmax, count(*) AS n_tot FROM ev), "
+        + "b AS (SELECT least(CAST(floor((value / vmax) * 10) AS BIGINT), 9) AS bin, pos, value / vmax AS p, n_tot FROM ev CROSS JOIN mx), "
+        + "g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos, sum(CAST(p AS DECIMAL(28,12))) AS sump, max(n_tot) AS n_tot FROM b GROUP BY bin), "
+        + "cc AS (SELECT *, CAST(sump AS DOUBLE) / n AS conf, n_pos / CAST(n AS DOUBLE) AS acc FROM g), "
+        + "e AS (SELECT sum(CAST(n / CAST(n_tot AS DOUBLE) * abs(acc - conf) AS DECIMAL(28,12))) AS ece_x FROM cc) "
+        + "SELECT CAST(bin AS INT) AS bin, n, n_pos, round(conf, 6) AS conf, round(acc, 6) AS acc, "
+        + "round(CAST(ece_x AS DOUBLE), 6) AS ece FROM cc CROSS JOIN e ORDER BY bin"),
+    "q202_pareto_revenue" ->
+      ("WITH cust AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY o_custkey), "
+        + "bs AS (SELECT quantile_cont(CAST(rev AS DOUBLE), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs, "
+        + "sum(rev) AS tot, count(*) AS n_cust FROM cust), "
+        + "d AS (SELECT len(list_filter(bs, b -> CAST(rev AS DOUBLE) > b)) + 1 AS decile, rev, tot FROM cust CROSS JOIN bs), "
+        + "g AS (SELECT decile, count(*) AS n_cust, sum(rev) AS rev_sum, max(tot) AS tot FROM d GROUP BY decile), "
+        + "c AS (SELECT *, sum(rev_sum) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM g) "
+        + "SELECT CAST(decile AS INT) AS decile, n_cust, round(CAST(rev_sum AS DOUBLE), 2) AS revenue, "
+        + "round(CAST(rev_sum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share, "
+        + "round(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share_from_top FROM c ORDER BY decile DESC"),
+    "q203_lexical_stats" ->
+      ("WITH t AS (SELECT source, tok FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY source, tok), "
+        + "g AS (SELECT source, count(*) AS types, CAST(sum(c) AS BIGINT) AS tokens, "
+        + "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax FROM c GROUP BY source) "
+        + "SELECT source, types, tokens, hapax, round(types / CAST(tokens AS DOUBLE), 6) AS ttr, "
+        + "round(hapax / CAST(types AS DOUBLE), 6) AS hapax_share FROM g ORDER BY source"),
+    "q204_psi_drift" ->
+      ("WITH ev AS (SELECT value AS v, CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS isa "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "bs AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM ev WHERE isa = 1), "
+        + "d AS (SELECT len(list_filter(bs, b -> v > b)) + 1 AS bin, isa FROM ev CROSS JOIN bs), "
+        + "g AS (SELECT bin, CAST(sum(isa) AS BIGINT) AS c1, CAST(sum(1 - isa) AS BIGINT) AS c2 FROM d GROUP BY bin), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
+        + "terms AS (SELECT bin, c1, c2, (c1 + 0.5) / (n1 + 5.0) AS p1, (c2 + 0.5) / (n2 + 5.0) AS p2, "
+        + "CAST(((c1 + 0.5) / (n1 + 5.0) - (c2 + 0.5) / (n2 + 5.0)) * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0))) AS DECIMAL(28,12)) AS term "
+        + "FROM g CROSS JOIN t), "
+        + "p AS (SELECT sum(term) AS psi_x FROM terms) "
+        + "SELECT CAST(bin AS INT) AS bin, c1, c2, round(p1, 6) AS p_ref, round(p2, 6) AS p_cur, "
+        + "round(CAST(term AS DOUBLE), 6) AS psi_term, round(CAST(psi_x AS DOUBLE), 6) AS psi "
+        + "FROM terms CROSS JOIN p ORDER BY bin"),
+  )
+}

@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Formula-level tests for the Evaluation pack (q198–q204) on tiny
+  * hand-computed fixtures — the oracle proves engine parity, not
+  * formula correctness, so AUC/kappa/MCC/lift/ECE/Lorenz/TTR/PSI are
+  * each checked against hand-derived constants (or an independent
+  * plain-Scala recompute) over known fixture rows. The REAL
+  * `SparkEntry.queries` lambdas run against the fixture dir.
+  */
+class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private lazy val fx: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalfx_").toString
+    import spark.implicits._
+
+    def ns(day: Int, hour: Int): Long = {
+      val t = java.time.LocalDateTime.of(2024, 1, day, hour, 0, 0)
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    }
+    // AUC fixture: neg (view) values {1,2}, pos (purchase) {2,3} →
+    // pairwise wins 3 + 1 tie·½ = 3.5 of 4 → AUC 0.875. The click and
+    // the NULL-value view exercise the type/null filters; days 1/2 vs
+    // 20 split the PSI periods.
+    Seq(
+      (1L, ns(1, 1), 1L, "view", Option(1.0), "{}"),
+      (2L, ns(1, 2), 2L, "view", Option(2.0), "{}"),
+      (3L, ns(2, 1), 3L, "purchase", Option(2.0), "{}"),
+      (4L, ns(20, 1), 4L, "purchase", Option(3.0), "{}"),
+      (5L, ns(20, 2), 5L, "click", Option(2.0), "{}"),
+      (6L, ns(1, 3), 1L, "view", None: Option[Double], "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    // Rater fixture: A = n_chars >= 300, B = >= 55 tokens →
+    // n11=2 (d1,d5), n10=1 (d3), n01=1 (d4), n00=1 (d2).
+    // Token counts double as the q203 TTR corpus (hand-counted below).
+    Seq(
+      (1L, Seq.fill(60)("a").mkString(" "), "en", "s1", 400L),
+      (2L, "a b a", "en", "s1", 100L),
+      (3L, "c d", "en", "s2", 350L),
+      (4L, Seq.fill(70)("e").mkString(" "), "en", "s2", 200L),
+      (5L, Seq.fill(58)("f").mkString(" "), "en", "s2", 320L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+
+    // Pareto fixture: 10 customers, revenues 10..100 — every customer
+    // lands in their own decile; total 550.
+    (1 to 10).map { i =>
+      (i.toLong, i.toLong, "O", i * 10.0,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+
+    dir
+  }
+
+  private def run(key: String) = SparkEntry.queries(key)(spark, fx)
+
+  test("q198: AUC via rank-sum matches the pairwise-wins hand count (ties = 1/2)") {
+    val r = run("q198_roc_auc").collect()(0)
+    r.getAs[Long]("n_pos") shouldBe 2L
+    r.getAs[Long]("n_neg") shouldBe 2L
+    r.getAs[Double]("auc") shouldBe 0.875
+    r.getAs[Double]("gini_idx") shouldBe 0.75
+  }
+
+  test("q199: kappa and MCC match the hand-computed confusion matrix") {
+    val r = run("q199_rater_agreement").collect()(0)
+    (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) shouldBe ((2L, 1L, 1L, 1L))
+    r.getAs[Double]("po") shouldBe 0.6
+    r.getAs[Double]("pe") shouldBe 0.52
+    // kappa = (0.6-0.52)/0.48 = 1/6; mcc = (2·1−1·1)/√(3·2·3·2) = 1/6
+    r.getAs[Double]("kappa") shouldBe 0.166667
+    r.getAs[Double]("mcc") shouldBe 0.166667
+  }
+
+  test("q200: decile lift on values {1,2,2,2,3} — boundaries interpolated on 5 points") {
+    val rows = run("q200_decile_lift").collect()
+      .map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("lift"), r.getAs[Double]("cum_capture"))).toMap
+    // quantile_cont deciles of [1,2,2,2,3] = [1.4,1.8,2,2,2,2,2,2.2,2.6]
+    // → v=1 ⇒ decile 1, v=2 ⇒ 3, v=3 ⇒ 10; global rate 2/5
+    rows.keySet shouldBe Set(1, 3, 10)
+    rows(1) shouldBe ((1L, 0L, 0.0, 1.0))
+    rows(3)._1 shouldBe 3L
+    rows(3)._2 shouldBe 1L
+    rows(3)._3 shouldBe 0.833333 // (1/3)/(2/5)
+    rows(3)._4 shouldBe 1.0
+    rows(10) shouldBe ((1L, 1L, 2.5, 0.5))
+  }
+
+  test("q201: reliability bins and ECE match the hand computation") {
+    val rows = run("q201_calibration").collect()
+      .map(r => r.getAs[Int]("bin") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("conf"),
+          r.getAs[Double]("acc"), r.getAs[Double]("ece"))).toMap
+    // vmax=3 → p ∈ {1/3, 2/3·(×3), 1} → bins 3, 6, 9
+    rows.keySet shouldBe Set(3, 6, 9)
+    rows(3)._2 shouldBe 0.333333
+    rows(3)._3 shouldBe 0.0
+    rows(6)._1 shouldBe 3L
+    rows(6)._2 shouldBe 0.666667
+    rows(6)._3 shouldBe 0.333333
+    rows(9)._2 shouldBe 1.0
+    rows(9)._3 shouldBe 1.0
+    // ECE = (1/5)·(1/3) + (3/5)·(1/3) + (1/5)·0 = 4/15 = 0.266667
+    rows(3)._4 shouldBe 0.266667
+  }
+
+  test("q202: Lorenz deciles on revenues 10..100 — one customer per decile") {
+    val rows = run("q202_pareto_revenue").collect()
+      .map(r => r.getAs[Int]("decile") ->
+        (r.getAs[Long]("n_cust"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("share"), r.getAs[Double]("cum_share_from_top"))).toMap
+    rows.keySet shouldBe (1 to 10).toSet
+    rows.values.foreach(_._1 shouldBe 1L)
+    rows(10)._2 shouldBe 100.0
+    rows(10)._3 shouldBe (100.0 / 550).round6
+    rows(9)._4 shouldBe (190.0 / 550).round6 // top 20% hold 34.5%
+    rows(1)._4 shouldBe 1.0
+  }
+
+  test("q203: TTR and hapax share match hand counts per source") {
+    val rows = run("q203_lexical_stats").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("types"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("hapax"), r.getAs[Double]("ttr"),
+          r.getAs[Double]("hapax_share"))).toMap
+    // s1: "a"×62 + "b"×1 → 2 types / 63 tokens / 1 hapax
+    rows("s1") shouldBe ((2L, 63L, 1L, (2.0 / 63).round6, 0.5))
+    // s2: c:1 d:1 e:70 f:58 → 4 types / 130 tokens / 2 hapax
+    rows("s2") shouldBe ((4L, 130L, 2L, (4.0 / 130).round6, 0.5))
+  }
+
+  test("q204: PSI matches an independent plain-Scala recompute of the smoothed terms") {
+    val rows = run("q204_psi_drift").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+        r.getAs[Double]("psi_term"), r.getAs[Double]("psi")))
+    // Period A (days ≤15): values {1,2,2}; B: {3,2}. Deciles of A put
+    // v=1 in bin 1, v=2 in bin 5, v=3 in bin 10.
+    rows.map(r => (r._1, r._2, r._3)).toSet shouldBe
+      Set((1, 1L, 0L), (5, 2L, 1L), (10, 0L, 1L))
+    val expected = rows.map { r =>
+      val p1 = (r._2 + 0.5) / (3 + 5.0); val p2 = (r._3 + 0.5) / (2 + 5.0)
+      BigDecimal((p1 - p2) * math.log(p1 / p2))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    rows.map(_._4) should contain theSameElementsAs
+      expected.map(t => (t.toDouble).round6)
+    val psiTotal = expected.sum.toDouble.round6
+    rows.foreach(_._5 shouldBe psiTotal)
+    psiTotal should be > 0.0
+  }
+
+  private implicit class R6(val d: Double) {
+    def round6: Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}

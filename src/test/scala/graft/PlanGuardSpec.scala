@@ -47,7 +47,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q101_chi2",         // grand-total window over <= |status|x|priority| cells
     "q166_heaps_law",    // cumsum over exactly 20 md5-bucket prefix cells
     "q171_survival_km",  // product-limit cumsums over <= #observation-days lifetime cells
-    "q197_period_growth" // MoM lag over <= #months monthly cells
+    "q197_period_growth", // MoM lag over <= #months monthly cells
+    "q200_decile_lift",   // cumulative capture over 10 decile cells
+    "q202_pareto_revenue" // cumulative share over 10 decile cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
