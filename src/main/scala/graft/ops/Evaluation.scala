@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   */
 object Evaluation extends QueryPack {
 
+  /** md5-derived bigint in [0, m) — q58's deterministic-split idiom
+    * (never rand(); reproducible across runs/engines/partitionings). */
+  private def md5mod(e: String, m: Int): String =
+    s"cast(conv(substr(md5(cast($e as binary)), 1, 15), 16, 10) as bigint) % $m"
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // ROC AUC of `value` as a score separating purchases (positive)
@@ -229,8 +234,10 @@ object Evaluation extends QueryPack {
         .localCheckpoint() // consumed twice: totals agg + per-bin terms
       val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       val terms = counts.crossJoin(broadcast(tot))
-        .withColumn("p1", expr("(c1 + 0.5) / (n1 + 5.0)"))
-        .withColumn("p2", expr("(c2 + 0.5) / (n2 + 5.0)"))
+        // double literals (0.5d): decimal division's result scale is
+        // engine-specific; double division is bit-identical across both
+        .withColumn("p1", expr("(c1 + 0.5d) / (n1 + 5.0d)"))
+        .withColumn("p2", expr("(c2 + 0.5d) / (n2 + 5.0d)"))
         .withColumn("term", expr("cast((p1 - p2) * ln(p1 / p2) as decimal(28,12))"))
         .localCheckpoint() // consumed twice: per-bin rows + PSI sum
       val psi = terms.agg(sum(col("term")).as("psi_x"))
@@ -241,6 +248,173 @@ object Evaluation extends QueryPack {
           round(col("term").cast("double"), 6).as("psi_term"),
           round(col("psi_x").cast("double"), 6).as("psi"))
         .orderBy(col("bin"))
+    }),
+    // ------------------------------------------------------------------
+    // Held-out regression evaluation — the train/test protocol around
+    // q97's in-sample fit: OLS slope/intercept from exact-DECIMAL
+    // sufficient statistics over the md5-deterministic TRAIN half of
+    // lineitem, then RMSE/MAE/R² on the disjoint TEST half with the
+    // 1-row coefficient frame broadcast back. Residual powers are
+    // DECIMAL(38,6)-quantized before the distributed sums; SST comes
+    // closed-form from exact Σy/Σy² so R² is merge-order-proof.
+    "q205_regression_eval" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          (expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 2)) === 0)
+            .cast("int").as("tr"))
+      val coef = li.filter(col("tr") === 1)
+        .agg(count(lit(1)).as("n_train"),
+          sum(col("x").cast("decimal(18,2)")).as("sx"),
+          sum(col("y").cast("decimal(18,2)")).as("sy"),
+          sum(expr("cast(cast(x as decimal(18,2)) * cast(x as decimal(18,2)) as decimal(38,4))")).as("sxx"),
+          sum(expr("cast(cast(x as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("sxy"))
+        .withColumn("slope", expr(
+          "(n_train * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+            "(n_train * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
+        .withColumn("icept", expr("(cast(sy as double) - slope * cast(sx as double)) / n_train"))
+      li.filter(col("tr") === 0).crossJoin(broadcast(coef))
+        .withColumn("r", expr("y - (icept + slope * x)"))
+        .groupBy(col("n_train"), col("slope"), col("icept"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(expr("cast(r * r as decimal(38,6))")).as("sse"),
+          sum(expr("cast(abs(r) as decimal(38,6))")).as("sae"),
+          sum(col("y").cast("decimal(18,2)")).as("ty"),
+          sum(expr("cast(cast(y as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("tyy"))
+        .withColumn("sst", expr("cast(tyy as double) - cast(ty as double) * cast(ty as double) / n_test"))
+        .select(col("n_train"), col("n_test"),
+          round(col("slope"), 6).as("slope"),
+          round(col("icept"), 6).as("icept"),
+          round(expr("sqrt(cast(sse as double) / n_test)"), 6).as("rmse"),
+          round(expr("cast(sae as double) / n_test"), 6).as("mae"),
+          round(expr("1.0 - cast(sse as double) / sst"), 6).as("r2"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Paired sign-flip permutation test for the daily view-vs-click
+    // mean gap — the distribution-free significance readout that stays
+    // scale-safe: the fact table contracts to ≤#days paired daily
+    // cells (exact DECIMAL sums/counts), and the B=200 permutations
+    // are md5-deterministic sign flips over that BOUNDED frame (q99's
+    // grid idiom — never rand()), so the permutation grid is B×#days,
+    // not B×N. Per-permutation means are DECIMAL-quantized pre-sum;
+    // p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1).
+    "q206_sign_flip" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "view", col("value").cast("decimal(18,2)"))).as("s1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "click", col("value").cast("decimal(18,2)"))).as("s2"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c2"))
+        // a day missing either group has no pair — drop it BEFORE the
+        // ratio (ANSI mode turns the 0-count division into an error)
+        .filter(col("c1") > 0 && col("c2") > 0)
+        .withColumn("d", expr("cast(s1 as double) / c1 - cast(s2 as double) / c2"))
+        .localCheckpoint() // consumed twice: observed stat + flip grid
+      val obs = daily.agg(count(lit(1)).as("n_days"),
+        (sum(expr("cast(d as decimal(28,12))")).cast("double") / count(lit(1))).as("t_obs"))
+      val flips = daily.select(col("day"), col("d"),
+          explode(expr("sequence(1, 200)")).as("b"))
+        .withColumn("sign", expr(
+          s"case when ${md5mod("concat('sf|', cast(b as string), '|', cast(day as string))", 2)} = 0 then -1.0 else 1.0 end"))
+        .groupBy(col("b"))
+        .agg((sum(expr("cast(sign * d as decimal(28,12))")).cast("double") / count(lit(1))).as("t_b"))
+      flips.crossJoin(broadcast(obs))
+        .agg(max(col("n_days")).as("n_days"), max(col("t_obs")).as("t_obs_x"),
+          sum(when(expr("abs(t_b) >= abs(t_obs)"), 1L).otherwise(0L)).as("n_ge"))
+        .select(col("n_days"), round(col("t_obs_x"), 6).as("t_obs"), col("n_ge"),
+          // 1.0d: plain 1.0 parses as DECIMAL and would make the whole
+          // ratio decimal-typed (schema drift vs the double oracle)
+          round(expr("(1.0d + n_ge) / 201.0d"), 6).as("p_value"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Standardized effect size for the view-vs-click value gap: Cohen's
+    // d (pooled SD), the small-sample Hedges' g correction
+    // J = 1 − 3/(4(n1+n2)−9), and the d ± 1.96·SE normal CI. Everything
+    // derives from per-group exact-DECIMAL (n, Σx, Σx²) — the mergeable
+    // sufficient statistics (q116's recipe) — so the one fact-table
+    // pass is merge-order-proof and the composites are closed-form
+    // double with identical expressions on both engines.
+    "q207_effect_size" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n1"),
+          sum(when(col("event_type") === "view", col("value").cast("decimal(18,2)"))).as("s1"),
+          sum(when(col("event_type") === "view",
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q1"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n2"),
+          sum(when(col("event_type") === "click", col("value").cast("decimal(18,2)"))).as("s2"),
+          sum(when(col("event_type") === "click",
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q2"))
+        .withColumn("v1", expr("(cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / n1) / (n1 - 1)"))
+        .withColumn("v2", expr("(cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / n2) / (n2 - 1)"))
+        .withColumn("sp", expr("sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))"))
+        .withColumn("d", expr("(cast(s1 as double) / n1 - cast(s2 as double) / n2) / sp"))
+        .withColumn("se", expr("sqrt((n1 + n2) / (cast(n1 as double) * n2) + d * d / (2.0 * (n1 + n2)))"))
+        .select(col("n1"), col("n2"),
+          round(col("d"), 6).as("cohens_d"),
+          round(expr("(1.0d - 3.0d / (4.0d * (n1 + n2) - 9.0d)) * d"), 6).as("hedges_g"),
+          round(expr("d - 1.96 * se"), 6).as("ci_lo"),
+          round(expr("d + 1.96 * se"), 6).as("ci_hi"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Count-min sketch accuracy readout (d=4 rows × w=1024 columns,
+    // md5 hashes): the sketch cells build from the CONTRACTED
+    // (token, count) frame — vocab-sized, one extra shuffle of 4
+    // cells per distinct token — and the point estimate for the 15
+    // true heaviest tokens (TakeOrdered, broadcast) is min over the 4
+    // row cells. CM cells are pure partial-agg sums, i.e. MERGEABLE —
+    // the 100 TB path is per-partition sketches merged cell-wise, and
+    // this query reports the overcount the merge would actually incur.
+    // No SQL oracle (sketch internals) → rows-only; EvaluationSpec
+    // asserts est ≥ truth and the ε-bound.
+    "q208_countmin" -> ((s, dir) => {
+      val tc = Tables.documents(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed thrice: cells + truth top-k + total
+      val cells = tc.select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
+        .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
+        .groupBy(col("r"), col("cm_col")).agg(sum(col("c")).as("cell"))
+      val top = tc.orderBy(col("c").desc, col("tok")).limit(15)
+        .select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
+        .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
+      top.join(cells, Seq("r", "cm_col"))
+        .groupBy(col("tok"))
+        .agg(max(col("c")).as("true_c"), min(col("cell")).as("est_c"))
+        .select(col("tok"), col("true_c"), col("est_c"),
+          (col("est_c") - col("true_c")).as("overcount"))
+        .orderBy(col("true_c").desc, col("tok"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Partial autocorrelation (lags 1–3) of the daily value series via
+    // the Durbin–Levinson closed form over the lag-k autocorrelations:
+    // φ11 = r1, φ22 = (r2 − r1²)/(1 − r1²),
+    // φ33 = (r3 − φ21·r2 − φ22·r1)/(1 − φ21·r1 − φ22·r2) with
+    // φ21 = r1(1 − φ22). The ACF rides q23's machinery — lag windows
+    // over the ≤#days daily contraction (allowlisted bounded), corr()
+    // on both engines — and the recursion is pure scalar arithmetic.
+    "q209_pacf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .withColumn("v2", lag(col("v"), 2).over(w))
+        .withColumn("v3", lag(col("v"), 3).over(w))
+        .agg(corr(col("v"), col("v1")).as("r1"),
+          corr(col("v"), col("v2")).as("r2"),
+          corr(col("v"), col("v3")).as("r3"))
+        .withColumn("p2", expr("(r2 - r1 * r1) / (1.0 - r1 * r1)"))
+        .withColumn("p21", expr("r1 * (1.0 - p2)"))
+        .select(round(col("r1"), 6).as("pacf1"),
+          round(col("p2"), 6).as("pacf2"),
+          round(expr("(r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)"), 6).as("pacf3"))
     }),
   )
 
@@ -313,12 +487,69 @@ object Evaluation extends QueryPack {
         + "d AS (SELECT len(list_filter(bs, b -> v > b)) + 1 AS bin, isa FROM ev CROSS JOIN bs), "
         + "g AS (SELECT bin, CAST(sum(isa) AS BIGINT) AS c1, CAST(sum(1 - isa) AS BIGINT) AS c2 FROM d GROUP BY bin), "
         + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
-        + "terms AS (SELECT bin, c1, c2, (c1 + 0.5) / (n1 + 5.0) AS p1, (c2 + 0.5) / (n2 + 5.0) AS p2, "
-        + "CAST(((c1 + 0.5) / (n1 + 5.0) - (c2 + 0.5) / (n2 + 5.0)) * ln(((c1 + 0.5) / (n1 + 5.0)) / ((c2 + 0.5) / (n2 + 5.0))) AS DECIMAL(28,12)) AS term "
+        + "terms AS (SELECT bin, c1, c2, (c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE)) AS p1, (c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE)) AS p2, "
+        + "CAST(((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE)) - (c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE))) * ln(((c1 + CAST(0.5 AS DOUBLE)) / (n1 + CAST(5.0 AS DOUBLE))) / ((c2 + CAST(0.5 AS DOUBLE)) / (n2 + CAST(5.0 AS DOUBLE)))) AS DECIMAL(28,12)) AS term "
         + "FROM g CROSS JOIN t), "
         + "p AS (SELECT sum(term) AS psi_x FROM terms) "
         + "SELECT CAST(bin AS INT) AS bin, c1, c2, round(p1, 6) AS p_ref, round(p2, 6) AS p_cur, "
         + "round(CAST(term AS DOUBLE), 6) AS psi_term, round(CAST(psi_x AS DOUBLE), 6) AS psi "
         + "FROM terms CROSS JOIN p ORDER BY bin"),
+    "q205_regression_eval" ->
+      ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
+        + "CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS tr FROM lineitem), "
+        + "coef AS (SELECT count(*) AS n_train, sum(CAST(x AS DECIMAL(18,2))) AS sx, sum(CAST(y AS DECIMAL(18,2))) AS sy, "
+        + "sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx, "
+        + "sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy FROM li WHERE tr = 1), "
+        + "c2 AS (SELECT n_train, (n_train * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(n_train * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, sx, sy FROM coef), "
+        + "c3 AS (SELECT n_train, slope, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_train AS icept FROM c2), "
+        + "t AS (SELECT n_train, slope, icept, count(*) AS n_test, "
+        + "sum(CAST((y - (icept + slope * x)) * (y - (icept + slope * x)) AS DECIMAL(38,6))) AS sse, "
+        + "sum(CAST(abs(y - (icept + slope * x)) AS DECIMAL(38,6))) AS sae, "
+        + "sum(CAST(y AS DECIMAL(18,2))) AS ty, "
+        + "sum(CAST(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS tyy "
+        + "FROM li CROSS JOIN c3 WHERE tr = 0 GROUP BY 1, 2, 3), "
+        + "f AS (SELECT *, CAST(tyy AS DOUBLE) - CAST(ty AS DOUBLE) * CAST(ty AS DOUBLE) / n_test AS sst FROM t) "
+        + "SELECT n_train, n_test, round(slope, 6) AS slope, round(icept, 6) AS icept, "
+        + "round(sqrt(CAST(sse AS DOUBLE) / n_test), 6) AS rmse, round(CAST(sae AS DOUBLE) / n_test, 6) AS mae, "
+        + "round(1.0 - CAST(sse AS DOUBLE) / sst, 6) AS r2 FROM f"),
+    "q206_sign_flip" ->
+      ("WITH cells AS (SELECT CAST(ts AS DATE) AS day, "
+        + "sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS s1, "
+        + "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS s2, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY 1), "
+        + "daily AS (SELECT day, CAST(s1 AS DOUBLE) / c1 - CAST(s2 AS DOUBLE) / c2 AS d FROM cells WHERE c1 > 0 AND c2 > 0), "
+        + "obs AS (SELECT count(*) AS n_days, CAST(sum(CAST(d AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS t_obs FROM daily), "
+        + "grid AS (SELECT b, day, d, CASE WHEN CAST('0x' || substr(md5('sf|' || CAST(b AS VARCHAR) || '|' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN -1.0 ELSE 1.0 END AS sign "
+        + "FROM daily CROSS JOIN (SELECT unnest(range(1, 201)) AS b)), "
+        + "perms AS (SELECT b, CAST(sum(CAST(sign * d AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS t_b FROM grid GROUP BY b), "
+        + "agg AS (SELECT max(n_days) AS n_days, max(t_obs) AS t_obs_x, "
+        + "CAST(sum(CASE WHEN abs(t_b) >= abs(t_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge FROM perms CROSS JOIN obs) "
+        + "SELECT n_days, round(t_obs_x, 6) AS t_obs, n_ge, round((CAST(1.0 AS DOUBLE) + n_ge) / 201.0, 6) AS p_value FROM agg"),
+    "q207_effect_size" ->
+      ("WITH m AS (SELECT CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS s1, "
+        + "sum(CASE WHEN event_type = 'view' THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q1, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        + "sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS s2, "
+        + "sum(CASE WHEN event_type = 'click' THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q2 "
+        + "FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL), "
+        + "v AS (SELECT *, (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1, "
+        + "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2 FROM m), "
+        + "sp AS (SELECT *, sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sp FROM v), "
+        + "dd AS (SELECT *, (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / sp AS d FROM sp), "
+        + "se AS (SELECT *, sqrt((n1 + n2) / (CAST(n1 AS DOUBLE) * n2) + d * d / (2.0 * (n1 + n2))) AS se FROM dd) "
+        + "SELECT n1, n2, round(d, 6) AS cohens_d, round((1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)) * d, 6) AS hedges_g, "
+        + "round(d - 1.96 * se, 6) AS ci_lo, round(d + 1.96 * se, 6) AS ci_hi FROM se"),
+    "q209_pacf" ->
+      ("WITH daily AS (SELECT date_trunc('day', ts) AS day, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events GROUP BY 1), "
+        + "lagged AS (SELECT v, lag(v, 1) OVER (ORDER BY day) AS v1, lag(v, 2) OVER (ORDER BY day) AS v2, lag(v, 3) OVER (ORDER BY day) AS v3 FROM daily), "
+        + "r AS (SELECT corr(v, v1) AS r1, corr(v, v2) AS r2, corr(v, v3) AS r3 FROM lagged), "
+        + "p AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2 FROM r), "
+        + "p2t AS (SELECT *, r1 * (1.0 - p2) AS p21 FROM p) "
+        + "SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2, "
+        + "round((r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2), 6) AS pacf3 FROM p2t"),
   )
 }

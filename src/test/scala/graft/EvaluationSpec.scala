@@ -58,7 +58,133 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     dir
   }
 
+  /** Second fixture (q205–q209): a perfect-line lineitem for the
+    * train/test OLS, and 8 paired view/click days for the sign-flip,
+    * effect-size and PACF series — kept separate so the q198–q204
+    * hand computations above stay untouched.
+    */
+  private lazy val fx2: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalfx2_").toString
+    import spark.implicits._
+
+    def ns(day: Int, hour: Int): Long = {
+      val t = java.time.LocalDateTime.of(2024, 1, day, hour, 0, 0)
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    }
+    // one view and one click per day, view − click = +1 every day →
+    // t_obs = 1 exactly; the series a+b drives the PACF recompute.
+    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0)
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0)
+    (1 to 8).flatMap { d =>
+      Seq((d * 10L, ns(d, 1), d.toLong, "view", Option(a(d - 1)), "{}"),
+        (d * 10L + 1, ns(d, 2), d.toLong, "click", Option(b(d - 1)), "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    // y = 2x + 3 exactly on every row → any md5 split trains the true
+    // line and evaluates with zero residual.
+    (1 to 20).map { i =>
+      (i.toLong, i % 10 + 1, (i % 10 + 1).toDouble, 2.0 * (i % 10 + 1) + 3.0)
+    }.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
   private def run(key: String) = SparkEntry.queries(key)(spark, fx)
+  private def run2(key: String) = SparkEntry.queries(key)(spark, fx2)
+
+  private def md5mod(s0: String, m: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16) % m
+  }
+
+  test("q205: train/test OLS on a perfect line recovers it with zero residual") {
+    val r = run2("q205_regression_eval").collect()(0)
+    (r.getAs[Long]("n_train") + r.getAs[Long]("n_test")) shouldBe 20L
+    r.getAs[Double]("slope") shouldBe 2.0
+    r.getAs[Double]("icept") shouldBe 3.0
+    r.getAs[Double]("rmse") shouldBe 0.0
+    r.getAs[Double]("mae") shouldBe 0.0
+    r.getAs[Double]("r2") shouldBe 1.0
+  }
+
+  test("q206: sign-flip test — t_obs exact, p matches an independent md5 recompute") {
+    val r = run2("q206_sign_flip").collect()(0)
+    r.getAs[Long]("n_days") shouldBe 8L
+    r.getAs[Double]("t_obs") shouldBe 1.0
+    // recompute the 200 flip means with the same md5 signs
+    val days = (1 to 8).map(d => f"2024-01-$d%02d")
+    val nGe = (1 to 200).count { bb =>
+      val t = days.map { day =>
+        if (md5mod(s"sf|$bb|$day", 2) == 0) -1.0 else 1.0
+      }.sum / 8.0
+      math.abs(t) >= 1.0
+    }
+    r.getAs[Long]("n_ge") shouldBe nGe.toLong
+    // 1-ULP slack: Spark's Round goes through BigDecimal.decimal
+    // (shortest-repr) while the recompute rounds the exact expansion
+    r.getAs[Double]("p_value") shouldBe ((1.0 + nGe) / 201.0).round6 +- 1e-9
+  }
+
+  test("q207: Cohen's d / Hedges' g match the closed-form recompute") {
+    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0)
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0)
+    def v(x: Seq[Double]) = {
+      val m = x.sum / x.size
+      x.map(e => (e - m) * (e - m)).sum / (x.size - 1)
+    }
+    val sp = math.sqrt(((a.size - 1) * v(a) + (b.size - 1) * v(b)) / (a.size + b.size - 2))
+    val d = (a.sum / a.size - b.sum / b.size) / sp
+    val r = run2("q207_effect_size").collect()(0)
+    r.getAs[Long]("n1") shouldBe 8L
+    r.getAs[Long]("n2") shouldBe 8L
+    r.getAs[Double]("cohens_d") shouldBe d.round6
+    r.getAs[Double]("hedges_g") shouldBe ((1.0 - 3.0 / (4.0 * 16 - 9.0)) * d).round6
+    val se = math.sqrt(16.0 / 64.0 + d * d / 32.0)
+    r.getAs[Double]("ci_lo") shouldBe (d - 1.96 * se).round6
+    r.getAs[Double]("ci_hi") shouldBe (d + 1.96 * se).round6
+  }
+
+  test("q208: count-min estimates match a definitional sketch recompute and never undercount") {
+    val counts = Map("a" -> 62L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "e" -> 70L, "f" -> 58L)
+    val cells = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((tok, c) <- counts; r <- 0 to 3) {
+      val k = (r.toLong, md5mod(s"$r|$tok", 1024))
+      cells(k) = cells.getOrElse(k, 0L) + c
+    }
+    val expected = counts.map { case (tok, c) =>
+      tok -> (0 to 3).map(r => cells((r.toLong, md5mod(s"$r|$tok", 1024)))).min
+    }
+    val rows = run("q208_countmin").collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[Long]("true_c"), r.getAs[Long]("est_c"))).toMap
+    rows.keySet shouldBe counts.keySet
+    for ((tok, (tc, ec)) <- rows) {
+      tc shouldBe counts(tok)
+      ec shouldBe expected(tok)
+      ec should be >= tc // CM never undercounts
+      (ec - tc) should be <= (4L * counts.values.sum / 1024 + 1)
+    }
+  }
+
+  test("q209: PACF(1..3) matches a Durbin-Levinson recompute over the daily series") {
+    val series = Seq(3.0, 5.0, 7.0, 9.0, 7.0, 5.0, 3.0, 5.0) // a+b per day
+    def corrLag(k: Int): Double = {
+      val x = series.drop(k); val y = series.dropRight(k)
+      val (mx, my) = (x.sum / x.size, y.sum / y.size)
+      val num = x.zip(y).map { case (xi, yi) => (xi - mx) * (yi - my) }.sum
+      num / math.sqrt(x.map(e => (e - mx) * (e - mx)).sum * y.map(e => (e - my) * (e - my)).sum)
+    }
+    val (r1, r2, r3) = (corrLag(1), corrLag(2), corrLag(3))
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p2)
+    val p3 = (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+    val r = run2("q209_pacf").collect()(0)
+    r.getAs[Double]("pacf1") shouldBe r1.round6 +- 1e-6
+    r.getAs[Double]("pacf2") shouldBe p2.round6 +- 1e-6
+    r.getAs[Double]("pacf3") shouldBe p3.round6 +- 1e-6
+  }
 
   test("q198: AUC via rank-sum matches the pairwise-wins hand count (ties = 1/2)") {
     val r = run("q198_roc_auc").collect()(0)
