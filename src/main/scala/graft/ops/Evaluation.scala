@@ -416,6 +416,118 @@ object Evaluation extends QueryPack {
           round(col("p2"), 6).as("pacf2"),
           round(expr("(r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)"), 6).as("pacf3"))
     }),
+    // ------------------------------------------------------------------
+    // Classifier evaluation of q51's language-ID heuristic against the
+    // labeled lang column: per-class precision/recall/F1 from the
+    // ≤5×5 confusion contraction (one corpus shuffle — the SAME
+    // prediction frame q51 scores, via Extensions.langPred), plus
+    // micro accuracy and macro-F1 broadcast onto every row. Zero-count
+    // classes short-circuit to 0.0 before any division (ANSI-safe);
+    // the ≤5-term macro mean is DECIMAL-quantized pre-sum.
+    "q210_classifier_eval" -> ((s, dir) => {
+      val conf = Extensions.langPred(s, dir)
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // bounded cells; consumed by class + micro branches
+      val classes = conf.select(col("lang").as("cls"))
+        .union(conf.select(col("pred"))).distinct()
+      val per = classes.crossJoin(conf)
+        .groupBy(col("cls"))
+        .agg(sum(when(col("lang") === col("cls"), col("cnt")).otherwise(0L)).as("n_true"),
+          sum(when(col("pred") === col("cls"), col("cnt")).otherwise(0L)).as("n_pred"),
+          sum(when(col("lang") === col("cls") && col("pred") === col("cls"), col("cnt")).otherwise(0L)).as("tp"))
+        .withColumn("prec", expr("CASE WHEN n_pred = 0 THEN 0.0d ELSE tp / cast(n_pred as double) END"))
+        .withColumn("rec", expr("CASE WHEN n_true = 0 THEN 0.0d ELSE tp / cast(n_true as double) END"))
+        .withColumn("f1", expr(
+          "CASE WHEN prec + rec = 0.0d THEN 0.0d ELSE 2.0d * prec * rec / (prec + rec) END"))
+        .localCheckpoint() // consumed twice: per-class rows + macro agg
+      val micro = conf.agg(
+        (sum(when(col("lang") === col("pred"), col("cnt")).otherwise(0L)).cast("double") /
+          sum(col("cnt"))).as("accuracy"))
+      val macroF1 = per.agg(
+        (sum(expr("cast(f1 as decimal(28,12))")).cast("double") / count(lit(1))).as("macro_f1"))
+      per.crossJoin(broadcast(micro)).crossJoin(broadcast(macroF1))
+        .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+          // "prec": PRECISION is a type keyword in the oracle dialect
+          round(col("prec"), 6).as("prec"),
+          round(col("rec"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"),
+          round(col("accuracy"), 6).as("accuracy"),
+          round(col("macro_f1"), 6).as("macro_f1"))
+        .orderBy(col("cls"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Sample-ratio-mismatch check — the guardrail an A/B platform runs
+    // before trusting q192's readout: events md5-assigned to 10 arms
+    // (the same deterministic split idiom), chi-square
+    // goodness-of-fit against the uniform expectation with the 10
+    // (obs−exp)²/exp terms DECIMAL-quantized pre-sum, flagged at the
+    // df=9 α=0.01 critical value. One fact-table partial-agg shuffle.
+    "q211_srm_check" -> ((s, dir) => {
+      val arms = Tables.events(s, dir)
+        .withColumn("arm", expr(md5mod("cast(event_id as string)", 10)))
+        .groupBy(col("arm")).agg(count(lit(1)).as("n_obs"))
+        .localCheckpoint() // consumed twice: total agg + per-arm terms
+      val tot = arms.agg(sum(col("n_obs")).as("n"))
+      val terms = arms.crossJoin(broadcast(tot))
+        .withColumn("expected", expr("cast(n as double) / 10.0d"))
+        .withColumn("term", expr(
+          "cast((n_obs - expected) * (n_obs - expected) / expected as decimal(28,12))"))
+        .localCheckpoint() // consumed twice: per-arm rows + chi2 sum
+      val chi2 = terms.agg(sum(col("term")).as("chi2_x"))
+      terms.crossJoin(broadcast(chi2))
+        .select(col("arm").cast("int").as("arm"), col("n_obs"),
+          round(col("expected"), 6).as("expected"),
+          round(col("term").cast("double"), 6).as("chi2_term"),
+          round(col("chi2_x").cast("double"), 6).as("chi2"),
+          (col("chi2_x").cast("double") > 21.666).as("srm_flag"))
+        .orderBy(col("arm"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Benjamini–Hochberg FDR over a bounded test family: per
+    // event_type, Welch z for the first-half vs second-half monthly
+    // value gap (exact-DECIMAL sufficient statistics per half), two-
+    // sided p from the Zelen–Severo normal-CDF polynomial (identical
+    // double literals on both engines), then the BH step-up at
+    // α=0.05: rank p ascending, k* = max rank with p ≤ rank·α/m,
+    // reject ranks ≤ k*. The rank/cummax windows run on ≤5 post-agg
+    // rows (allowlisted bounded).
+    "q212_bh_fdr" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(dayofmonth(col("ts").cast("date")) <= 15, 1L).otherwise(0L)).as("n1"),
+          sum(when(dayofmonth(col("ts").cast("date")) <= 15, col("value").cast("decimal(18,2)"))).as("s1"),
+          sum(when(dayofmonth(col("ts").cast("date")) <= 15,
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q1"),
+          sum(when(dayofmonth(col("ts").cast("date")) > 15, 1L).otherwise(0L)).as("n2"),
+          sum(when(dayofmonth(col("ts").cast("date")) > 15, col("value").cast("decimal(18,2)"))).as("s2"),
+          sum(when(dayofmonth(col("ts").cast("date")) > 15,
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q2"))
+        .withColumn("v1", expr("(cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / n1) / (n1 - 1)"))
+        .withColumn("v2", expr("(cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / n2) / (n2 - 1)"))
+        .withColumn("z", expr("(cast(s1 as double) / n1 - cast(s2 as double) / n2) / sqrt(v1 / n1 + v2 / n2)"))
+        .withColumn("t", expr("1.0d / (1.0d + 0.2316419d * abs(z))"))
+        .withColumn("p", expr(
+          "2.0d * (0.3989422804014327d * exp(-(z * z) / 2.0d) * " +
+            "(0.319381530d * t - 0.356563782d * t * t + 1.781477937d * t * t * t " +
+            "- 1.821255978d * t * t * t * t + 1.330274429d * t * t * t * t * t))"))
+      val m = Window.orderBy(col("p"), col("event_type"))
+      val all = Window.orderBy(col("p"), col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("rank", row_number().over(m))
+        .withColumn("m", count(lit(1)).over(all))
+        .withColumn("crit", expr("rank * 0.05d / m"))
+        .withColumn("k_star", max(when(col("p") <= col("crit"), col("rank")).otherwise(0)).over(all))
+        .select(col("event_type"), col("n1"), col("n2"),
+          round(col("z"), 6).as("z_stat"),
+          round(col("p"), 6).as("p_value"),
+          col("rank"), round(col("crit"), 6).as("bh_crit"),
+          (col("rank") <= col("k_star")).as("rejected"))
+        .orderBy(col("rank"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -494,6 +606,62 @@ object Evaluation extends QueryPack {
         + "SELECT CAST(bin AS INT) AS bin, c1, c2, round(p1, 6) AS p_ref, round(p2, 6) AS p_cur, "
         + "round(CAST(term AS DOUBLE), 6) AS psi_term, round(CAST(psi_x AS DOUBLE), 6) AS psi "
         + "FROM terms CROSS JOIN p ORDER BY bin"),
+    "q210_classifier_eval" ->
+      ("WITH pr AS (SELECT lang, CASE "
+        + "WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' "
+        + "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' "
+        + "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END AS pred FROM ("
+        + "SELECT lang, len(list_filter(w, x -> x IN ('der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein'))) AS c_de, "
+        + "len(list_filter(w, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'it'))) AS c_en, "
+        + "len(list_filter(w, x -> x IN ('el', 'los', 'y', 'es', 'una', 'que', 'por', 'con'))) AS c_es, "
+        + "len(list_filter(w, x -> x IN ('le', 'les', 'et', 'est', 'une', 'dans', 'pour', 'sur'))) AS c_fr, "
+        + "len(list_filter(w, x -> x IN ('的', '是', '不', '了', '在', '我', '有', '和'))) AS c_zh "
+        + "FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))), "
+        + "conf AS (SELECT lang, pred, count(*) AS cnt FROM pr GROUP BY 1, 2), "
+        + "classes AS (SELECT DISTINCT lang AS cls FROM conf UNION SELECT DISTINCT pred FROM conf), "
+        + "per AS (SELECT cls, CAST(sum(CASE WHEN lang = cls THEN cnt ELSE 0 END) AS BIGINT) AS n_true, "
+        + "CAST(sum(CASE WHEN pred = cls THEN cnt ELSE 0 END) AS BIGINT) AS n_pred, "
+        + "CAST(sum(CASE WHEN lang = cls AND pred = cls THEN cnt ELSE 0 END) AS BIGINT) AS tp "
+        + "FROM classes CROSS JOIN conf GROUP BY cls), "
+        + "pc AS (SELECT *, CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE) ELSE tp / CAST(n_pred AS DOUBLE) END AS prec, "
+        + "CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) ELSE tp / CAST(n_true AS DOUBLE) END AS rec FROM per), "
+        + "pf AS (SELECT *, CASE WHEN prec + rec = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE 2.0 * prec * rec / (prec + rec) END AS f1 FROM pc), "
+        + "micro AS (SELECT CAST(sum(CASE WHEN lang = pred THEN cnt ELSE 0 END) AS DOUBLE) / sum(cnt) AS accuracy FROM conf), "
+        + "mac AS (SELECT CAST(sum(CAST(f1 AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS macro_f1 FROM pf) "
+        + "SELECT cls, n_true, n_pred, tp, round(prec, 6) AS prec, round(rec, 6) AS recall, round(f1, 6) AS f1, "
+        + "round(accuracy, 6) AS accuracy, round(macro_f1, 6) AS macro_f1 FROM pf CROSS JOIN micro CROSS JOIN mac ORDER BY cls"),
+    "q211_srm_check" ->
+      ("WITH arms AS (SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS arm, count(*) AS n_obs "
+        + "FROM events GROUP BY 1), "
+        + "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM arms), "
+        + "terms AS (SELECT arm, n_obs, CAST(n AS DOUBLE) / 10.0 AS expected, "
+        + "CAST((n_obs - CAST(n AS DOUBLE) / 10.0) * (n_obs - CAST(n AS DOUBLE) / 10.0) / (CAST(n AS DOUBLE) / 10.0) AS DECIMAL(28,12)) AS term "
+        + "FROM arms CROSS JOIN tot), "
+        + "c AS (SELECT sum(term) AS chi2_x FROM terms) "
+        + "SELECT CAST(arm AS INT) AS arm, n_obs, round(expected, 6) AS expected, round(CAST(term AS DOUBLE), 6) AS chi2_term, "
+        + "round(CAST(chi2_x AS DOUBLE), 6) AS chi2, CAST(chi2_x AS DOUBLE) > 21.666 AS srm_flag "
+        + "FROM terms CROSS JOIN c ORDER BY arm"),
+    "q212_bh_fdr" ->
+      ("WITH g AS (SELECT event_type, "
+        + "CAST(sum(CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "sum(CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s1, "
+        + "sum(CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q1, "
+        + "CAST(sum(CASE WHEN date_part('day', CAST(ts AS DATE)) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        + "sum(CASE WHEN date_part('day', CAST(ts AS DATE)) > 15 THEN CAST(value AS DECIMAL(18,2)) END) AS s2, "
+        + "sum(CASE WHEN date_part('day', CAST(ts AS DATE)) > 15 THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q2 "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "v AS (SELECT *, (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1, "
+        + "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2 FROM g), "
+        + "zz AS (SELECT *, (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / sqrt(v1 / n1 + v2 / n2) AS z FROM v), "
+        + "tt AS (SELECT *, CAST(1.0 AS DOUBLE) / (1.0 + 0.2316419 * abs(z)) AS t FROM zz), "
+        + "pp AS (SELECT *, 2.0 * (0.3989422804014327 * exp(-(z * z) / 2.0) * "
+        + "(0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t "
+        + "- 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t)) AS p FROM tt), "
+        + "r AS (SELECT *, row_number() OVER (ORDER BY p, event_type) AS rank, count(*) OVER () AS m FROM pp), "
+        + "cr AS (SELECT *, rank * CAST(0.05 AS DOUBLE) / m AS crit FROM r), "
+        + "k AS (SELECT *, max(CASE WHEN p <= crit THEN rank ELSE 0 END) OVER () AS k_star FROM cr) "
+        + "SELECT event_type, n1, n2, round(z, 6) AS z_stat, round(p, 6) AS p_value, CAST(rank AS INT) AS rank, "
+        + "round(crit, 6) AS bh_crit, rank <= k_star AS rejected FROM k ORDER BY rank"),
     "q205_regression_eval" ->
       ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
         + "CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS tr FROM lineitem), "

@@ -43,6 +43,29 @@ object Extensions extends QueryPack {
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
+  /** q51's per-document language prediction frame (doc_id, lang, pred)
+    * — shared with the q210 classifier-evaluation readout so both
+    * score the SAME deterministic heuristic. */
+  private[ops] def langPred(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val lists = Map(
+      "en" -> stopEn,
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+      "es" -> Seq("el", "los", "y", "es", "una", "que", "por", "con"),
+      "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "sur"),
+      "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
+    val hits = lists.toSeq.sortBy(_._1).map { case (l, ws) =>
+      expr(s"size(filter(w, x -> x IN (${inList(ws)})))").as(s"c_$l")
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: col("lang") +: hits: _*)
+      .withColumn("pred", expr(
+        "CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
+        "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
+        "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
+        "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END"))
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // MinHash(16) + LSH(4 bands × 4 rows) dedup machinery, reported as
@@ -116,27 +139,10 @@ object Extensions extends QueryPack {
     // Language ID by stopword-hit heuristic; deterministic tie-break
     // preference en > de > es > fr > zh. Output = confusion counts
     // against the labeled lang.
-    "q51_langid" -> ((s, dir) => {
-      val lists = Map(
-        "en" -> stopEn,
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-        "es" -> Seq("el", "los", "y", "es", "una", "que", "por", "con"),
-        "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "sur"),
-        "zh" -> Seq("的", "是", "不", "了", "在", "我", "有", "和"))
-      val hits = lists.toSeq.sortBy(_._1).map { case (l, ws) =>
-        expr(s"size(filter(w, x -> x IN (${inList(ws)})))").as(s"c_$l")
-      }
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-        .select(col("doc_id") +: col("lang") +: hits: _*)
-        .withColumn("pred", expr(
-          "CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en' " +
-          "WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de' " +
-          "WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es' " +
-          "WHEN c_fr >= c_zh THEN 'fr' ELSE 'zh' END"))
+    "q51_langid" -> ((s, dir) =>
+      langPred(s, dir)
         .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("lang"), col("pred"))
-    }),
+        .orderBy(col("lang"), col("pred"))),
 
     // ------------------------------------------------------------------
     // Quality scoring: length / uniqueness / stopword-ratio composite.

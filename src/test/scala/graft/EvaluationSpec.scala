@@ -72,14 +72,27 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
       t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
     }
     // one view and one click per day, view − click = +1 every day →
-    // t_obs = 1 exactly; the series a+b drives the PACF recompute.
-    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0)
-    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0)
-    (1 to 8).flatMap { d =>
-      Seq((d * 10L, ns(d, 1), d.toLong, "view", Option(a(d - 1)), "{}"),
-        (d * 10L + 1, ns(d, 2), d.toLong, "click", Option(b(d - 1)), "{}"))
+    // t_obs = 1 exactly; the series a+b drives the PACF recompute; the
+    // two day-20/21 pairs populate q212's second half-month.
+    val days = Seq(1, 2, 3, 4, 5, 6, 7, 8, 20, 21)
+    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0, 4.0, 3.0)
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0)
+    days.zipWithIndex.flatMap { case (d, i) =>
+      Seq((d * 10L, ns(d, 1), d.toLong, "view", Option(a(i)), "{}"),
+        (d * 10L + 1, ns(d, 2), d.toLong, "click", Option(b(i)), "{}"))
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
+
+    // q210 corpus: 3 correct predictions, d4 defaults to 'en' on zero
+    // hits (true fr), d5's French stopwords flip a true-de doc to fr.
+    Seq(
+      (1L, "the a of", "en", "s", 8L),
+      (2L, "der und ist", "de", "s", 11L),
+      (3L, "el los y", "es", "s", 8L),
+      (4L, "xyz", "fr", "s", 3L),
+      (5L, "le les", "de", "s", 6L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
 
     // y = 2x + 3 exactly on every row → any md5 split trains the true
     // line and evaluates with zero residual.
@@ -111,14 +124,14 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("q206: sign-flip test — t_obs exact, p matches an independent md5 recompute") {
     val r = run2("q206_sign_flip").collect()(0)
-    r.getAs[Long]("n_days") shouldBe 8L
+    r.getAs[Long]("n_days") shouldBe 10L
     r.getAs[Double]("t_obs") shouldBe 1.0
     // recompute the 200 flip means with the same md5 signs
-    val days = (1 to 8).map(d => f"2024-01-$d%02d")
+    val days = Seq(1, 2, 3, 4, 5, 6, 7, 8, 20, 21).map(d => f"2024-01-$d%02d")
     val nGe = (1 to 200).count { bb =>
       val t = days.map { day =>
         if (md5mod(s"sf|$bb|$day", 2) == 0) -1.0 else 1.0
-      }.sum / 8.0
+      }.sum / 10.0
       math.abs(t) >= 1.0
     }
     r.getAs[Long]("n_ge") shouldBe nGe.toLong
@@ -128,8 +141,8 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("q207: Cohen's d / Hedges' g match the closed-form recompute") {
-    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0)
-    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0)
+    val a = Seq(2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0, 3.0, 4.0, 3.0)
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0)
     def v(x: Seq[Double]) = {
       val m = x.sum / x.size
       x.map(e => (e - m) * (e - m)).sum / (x.size - 1)
@@ -137,13 +150,13 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     val sp = math.sqrt(((a.size - 1) * v(a) + (b.size - 1) * v(b)) / (a.size + b.size - 2))
     val d = (a.sum / a.size - b.sum / b.size) / sp
     val r = run2("q207_effect_size").collect()(0)
-    r.getAs[Long]("n1") shouldBe 8L
-    r.getAs[Long]("n2") shouldBe 8L
-    r.getAs[Double]("cohens_d") shouldBe d.round6
-    r.getAs[Double]("hedges_g") shouldBe ((1.0 - 3.0 / (4.0 * 16 - 9.0)) * d).round6
-    val se = math.sqrt(16.0 / 64.0 + d * d / 32.0)
-    r.getAs[Double]("ci_lo") shouldBe (d - 1.96 * se).round6
-    r.getAs[Double]("ci_hi") shouldBe (d + 1.96 * se).round6
+    r.getAs[Long]("n1") shouldBe 10L
+    r.getAs[Long]("n2") shouldBe 10L
+    r.getAs[Double]("cohens_d") shouldBe d.round6 +- 1e-6
+    r.getAs[Double]("hedges_g") shouldBe ((1.0 - 3.0 / (4.0 * 20 - 9.0)) * d).round6 +- 1e-6
+    val se = math.sqrt(20.0 / 100.0 + d * d / 40.0)
+    r.getAs[Double]("ci_lo") shouldBe (d - 1.96 * se).round6 +- 1e-6
+    r.getAs[Double]("ci_hi") shouldBe (d + 1.96 * se).round6 +- 1e-6
   }
 
   test("q208: count-min estimates match a definitional sketch recompute and never undercount") {
@@ -169,7 +182,7 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("q209: PACF(1..3) matches a Durbin-Levinson recompute over the daily series") {
-    val series = Seq(3.0, 5.0, 7.0, 9.0, 7.0, 5.0, 3.0, 5.0) // a+b per day
+    val series = Seq(3.0, 5.0, 7.0, 9.0, 7.0, 5.0, 3.0, 5.0, 7.0, 5.0) // a+b per day
     def corrLag(k: Int): Double = {
       val x = series.drop(k); val y = series.dropRight(k)
       val (mx, my) = (x.sum / x.size, y.sum / y.size)
@@ -282,6 +295,62 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     val psiTotal = expected.sum.toDouble.round6
     rows.foreach(_._5 shouldBe psiTotal)
     psiTotal should be > 0.0
+  }
+
+  test("q210: per-class P/R/F1, accuracy and macro-F1 match the hand confusion") {
+    val rows = run2("q210_classifier_eval").collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"), r.getAs[Long]("tp"),
+          r.getAs[Double]("prec"), r.getAs[Double]("recall"), r.getAs[Double]("f1"),
+          r.getAs[Double]("accuracy"), r.getAs[Double]("macro_f1"))).toMap
+    // (lang,pred): (en,en) (de,de) (es,es) (fr,en) (de,fr)
+    rows.keySet shouldBe Set("en", "de", "es", "fr")
+    rows("en") ._1 shouldBe 1L; rows("en")._2 shouldBe 2L; rows("en")._3 shouldBe 1L
+    rows("en")._4 shouldBe 0.5; rows("en")._5 shouldBe 1.0; rows("en")._6 shouldBe 0.666667
+    rows("de")._4 shouldBe 1.0; rows("de")._5 shouldBe 0.5; rows("de")._6 shouldBe 0.666667
+    rows("es")._6 shouldBe 1.0
+    rows("fr")._4 shouldBe 0.0; rows("fr")._5 shouldBe 0.0; rows("fr")._6 shouldBe 0.0
+    rows("en")._7 shouldBe 0.6 // accuracy 3/5
+    // macro = (2/3 + 2/3 + 1 + 0)/4 with DECIMAL(28,12)-quantized terms
+    rows("en")._8 shouldBe 0.583333
+  }
+
+  test("q211: SRM chi-square matches an independent md5 arm recompute") {
+    val ids = Seq(1, 2, 3, 4, 5, 6, 7, 8, 20, 21).flatMap(d => Seq(d * 10L, d * 10L + 1))
+    val obs = ids.groupBy(id => md5mod(id.toString, 10)).view.mapValues(_.size.toLong).toMap
+    val exp = ids.size / 10.0
+    val chi2 = obs.values.map { n =>
+      BigDecimal((n - exp) * (n - exp) / exp).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val rows = run2("q211_srm_check").collect()
+    rows.map(_.getAs[Long]("n_obs")).sum shouldBe 20L
+    rows.map(r => r.getAs[Int]("arm") -> r.getAs[Long]("n_obs")).toMap shouldBe
+      obs.map { case (k, v) => k.toInt -> v }
+    rows.foreach { r =>
+      r.getAs[Double]("expected") shouldBe 2.0
+      r.getAs[Double]("chi2") shouldBe chi2.round6 +- 1e-6
+    }
+  }
+
+  test("q212: BH step-up over the two-type family — ranks, criticals, rejection monotone") {
+    val rows = run2("q212_bh_fdr").collect()
+    rows should have length 2 // only view/click exist in fx2
+    val byRank = rows.sortBy(_.getAs[Int]("rank"))
+    byRank.map(_.getAs[Int]("rank")).toSeq shouldBe Seq(1, 2)
+    byRank(0).getAs[Double]("bh_crit") shouldBe 0.025
+    byRank(1).getAs[Double]("bh_crit") shouldBe 0.05
+    // p sorted ascending by construction
+    assert(byRank(0).getAs[Double]("p_value") <= byRank(1).getAs[Double]("p_value"))
+    byRank.foreach { r =>
+      val p = r.getAs[Double]("p_value")
+      p should be >= 0.0
+      p should be <= 1.0
+      r.getAs[Long]("n1") shouldBe 8L
+      r.getAs[Long]("n2") shouldBe 2L
+    }
+    // rejection is a prefix of the ranking (BH step-up property)
+    val rej = byRank.map(_.getAs[Boolean]("rejected"))
+    if (rej(1)) rej(0) shouldBe true
   }
 
   private implicit class R6(val d: Double) {

@@ -50,7 +50,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q197_period_growth", // MoM lag over <= #months monthly cells
     "q200_decile_lift",   // cumulative capture over 10 decile cells
     "q202_pareto_revenue",// cumulative share over 10 decile cells
-    "q209_pacf"           // lag windows over <= #days daily cells (q23's shape)
+    "q209_pacf",          // lag windows over <= #days daily cells (q23's shape)
+    "q212_bh_fdr"         // rank/step-up windows over <= #event-type test cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
