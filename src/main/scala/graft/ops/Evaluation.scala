@@ -528,6 +528,128 @@ object Evaluation extends QueryPack {
           (col("rank") <= col("k_star")).as("rejected"))
         .orderBy(col("rank"))
     }),
+    // ------------------------------------------------------------------
+    // Cross-segment quantile calibration map: per-event-type decile
+    // boundaries of `value` vs the global deciles, with the per-decile
+    // shift — the lookup table a platform uses to align score
+    // distributions across segments (the bounded-output artifact of
+    // quantile normalization). Two exact-percentile aggregates (one
+    // grouped, one global-broadcast), 45-row output, zero windows.
+    "q213_quantile_map" -> ((s, dir) => {
+      val qarr = "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)"
+      val grp = Tables.events(s, dir).filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(expr(s"percentile(value, $qarr)").as("gq"))
+        .select(col("event_type"), posexplode(col("gq")).as(Seq("i", "group_q")))
+      val glob = Tables.events(s, dir).filter(col("value").isNotNull)
+        .agg(expr(s"percentile(value, $qarr)").as("bq"))
+        .select(posexplode(col("bq")).as(Seq("i2", "global_q")))
+      grp.join(broadcast(glob), col("i") === col("i2"))
+        .select(col("event_type"),
+          round(expr("(i + 1) / 10.0d"), 6).as("q"),
+          round(col("group_q"), 6).as("group_q"),
+          round(col("global_q"), 6).as("global_q"),
+          round(expr("group_q - global_q"), 6).as("shift"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Jackknife inference for a NONLINEAR statistic — the coefficient
+    // of variation of the daily value totals: each leave-one-day-out
+    // replicate is CLOSED-FORM from the broadcast exact-DECIMAL totals
+    // (S1, S2, n), so no replicate rescan exists — θ_(i) =
+    // sd_{−i}/mean_{−i} per bounded daily cell, then bias-corrected
+    // estimate n·θ̂ − (n−1)·θ̄ and SE from the Σθ/Σθ² identity with
+    // DECIMAL-quantized replicate sums.
+    "q214_jackknife_cv" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      val tot = daily.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(expr("cast(x * x as decimal(38,4))")).as("s2"))
+      daily.crossJoin(broadcast(tot))
+        .withColumn("m_i", expr("(cast(s1 as double) - cast(x as double)) / (n - 1)"))
+        .withColumn("v_i", expr(
+          "(cast(s2 as double) - cast(x as double) * cast(x as double) - (n - 1) * m_i * m_i) / (n - 2)"))
+        .withColumn("cv_i", expr("sqrt(v_i) / m_i"))
+        .groupBy(col("n"), col("s1"), col("s2"))
+        .agg(sum(expr("cast(cv_i as decimal(28,12))")).as("sc"),
+          sum(expr("cast(cv_i * cv_i as decimal(28,12))")).as("sc2"))
+        .withColumn("m_full", expr("cast(s1 as double) / n"))
+        .withColumn("cv_full", expr(
+          "sqrt((cast(s2 as double) - n * m_full * m_full) / (n - 1)) / m_full"))
+        .withColumn("cv_bar", expr("cast(sc as double) / n"))
+        .select(col("n").as("n_days"),
+          round(col("cv_full"), 6).as("cv"),
+          round(expr("n * cv_full - (n - 1) * cv_bar"), 6).as("cv_bias_corrected"),
+          round(expr(
+            "sqrt((n - 1.0d) / n * (cast(sc2 as double) - n * cv_bar * cv_bar))"), 6).as("se_jack"))
+    }),
+
+    // ------------------------------------------------------------------
+    // A/B power analysis: the minimum detectable effect (80% power,
+    // two-sided α=0.05) for q192's md5 arm split at the observed base
+    // conversion rate — the pre-test readout a platform serves before
+    // an experiment launches. One partial-agg pass over exact integer
+    // counts; z constants are shared double literals.
+    "q215_power_mde" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .withColumn("arm", expr(md5mod("cast(event_id as string)", 2)))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+          sum(col("conv")).as("c"))
+        .withColumn("p", expr("cast(c as double) / (n1 + n2)"))
+        .withColumn("se", expr("sqrt(p * (1.0d - p) * (1.0d / n1 + 1.0d / n2))"))
+        .select(col("n1"), col("n2"),
+          round(col("p"), 6).as("base_rate"),
+          round(col("se"), 6).as("se"),
+          round(expr("(1.959964d + 0.841621d) * se"), 6).as("mde_abs"),
+          // zero observed conversions → relative MDE undefined (ANSI
+          // double division by zero THROWS, it does not return NaN)
+          round(expr("CASE WHEN p = 0.0d THEN NULL ELSE (1.959964d + 0.841621d) * se / p END"), 6).as("mde_rel"))
+    }),
+
+    // ------------------------------------------------------------------
+    // n-gram novelty of the validation split vs the train split — the
+    // generalization-gap readout a curation pipeline runs after q58's
+    // split: share of the val docs' distinct 8-grams absent from the
+    // train gram set (a LOW rate means the split leaks near-dups; q75
+    // measures the inverse direction against an eval set). q151's
+    // md5-hashed gram idiom: only 64-bit hashes shuffle, never text;
+    // membership is a left join on the hash with a conditional sum so
+    // zero-novelty docs still count. Per-doc ratios DECIMAL-quantized
+    // before the corpus mean.
+    "q216_ngram_novelty" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .withColumn("b", expr(md5mod("cast(doc_id as string)", 10)))
+        .select(col("doc_id"), col("b"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("b"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> " +
+            "cast(conv(substr(md5(cast(concat_ws(' ', slice(w, i, 8)) as binary)), 1, 15), 16, 10) as bigint))")).as("h"))
+        .distinct()
+        .localCheckpoint() // consumed twice: train set + val side
+      val trainSet = grams.filter(col("b") < 9).select(col("h")).distinct()
+        .withColumn("seen", lit(1))
+      grams.filter(col("b") >= 9)
+        .join(trainSet, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_nov"))
+        .agg(count(lit(1)).as("n_val_docs"),
+          sum(col("n_g")).as("n_grams"),
+          sum(col("n_nov")).as("n_novel"),
+          sum(expr("cast(cast(n_nov as double) / n_g as decimal(28,12))")).as("snov"),
+          sum(when(expr("cast(n_nov as double) / n_g < 0.5d"), 1L).otherwise(0L)).as("n_suspect"))
+        .select(col("n_val_docs"), col("n_grams"), col("n_novel"),
+          round(expr("cast(n_novel as double) / n_grams"), 6).as("novelty_rate"),
+          round(expr("cast(snov as double) / n_val_docs"), 6).as("mean_doc_novelty"),
+          col("n_suspect"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -662,6 +784,47 @@ object Evaluation extends QueryPack {
         + "k AS (SELECT *, max(CASE WHEN p <= crit THEN rank ELSE 0 END) OVER () AS k_star FROM cr) "
         + "SELECT event_type, n1, n2, round(z, 6) AS z_stat, round(p, 6) AS p_value, CAST(rank AS INT) AS rank, "
         + "round(crit, 6) AS bh_crit, rank <= k_star AS rejected FROM k ORDER BY rank"),
+    "q213_quantile_map" ->
+      ("WITH grp AS (SELECT event_type, quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS gq "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "gl AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bq FROM events WHERE value IS NOT NULL), "
+        + "idx AS (SELECT unnest(range(1, 10)) AS i) "
+        + "SELECT event_type, round(i / CAST(10.0 AS DOUBLE), 6) AS q, round(gq[i], 6) AS group_q, round(bq[i], 6) AS global_q, "
+        + "round(gq[i] - bq[i], 6) AS shift FROM grp CROSS JOIN gl CROSS JOIN idx ORDER BY event_type, q"),
+    "q214_jackknife_cv" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(CAST(value AS DECIMAL(18,2))) AS x FROM events GROUP BY 1), "
+        + "tot AS (SELECT count(*) AS n, sum(x) AS s1, sum(CAST(x * x AS DECIMAL(38,4))) AS s2 FROM daily), "
+        + "reps AS (SELECT n, s1, s2, (CAST(s1 AS DOUBLE) - CAST(x AS DOUBLE)) / (n - 1) AS m_i, "
+        + "x FROM daily CROSS JOIN tot), "
+        + "cv AS (SELECT n, s1, s2, sqrt((CAST(s2 AS DOUBLE) - CAST(x AS DOUBLE) * CAST(x AS DOUBLE) - (n - 1) * m_i * m_i) / (n - 2)) / m_i AS cv_i FROM reps), "
+        + "agg AS (SELECT n, s1, s2, sum(CAST(cv_i AS DECIMAL(28,12))) AS sc, sum(CAST(cv_i * cv_i AS DECIMAL(28,12))) AS sc2 FROM cv GROUP BY 1, 2, 3), "
+        + "f AS (SELECT n, sc, sc2, CAST(s1 AS DOUBLE) / n AS m_full, s2 FROM agg), "
+        + "f2 AS (SELECT n, sc, sc2, sqrt((CAST(s2 AS DOUBLE) - n * m_full * m_full) / (n - 1)) / m_full AS cv_full, "
+        + "CAST(sc AS DOUBLE) / n AS cv_bar FROM f) "
+        + "SELECT n AS n_days, round(cv_full, 6) AS cv, round(n * cv_full - (n - 1) * cv_bar, 6) AS cv_bias_corrected, "
+        + "round(sqrt((n - CAST(1.0 AS DOUBLE)) / n * (CAST(sc2 AS DOUBLE) - n * cv_bar * cv_bar)), 6) AS se_jack FROM f2"),
+    "q215_power_mde" ->
+      ("WITH a AS (SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm, "
+        + "CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS conv FROM events), "
+        + "g AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(conv) AS BIGINT) AS c FROM a), "
+        + "h AS (SELECT n1, n2, CAST(c AS DOUBLE) / (n1 + n2) AS p FROM g), "
+        + "i AS (SELECT n1, n2, p, sqrt(p * (CAST(1.0 AS DOUBLE) - p) * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2)) AS se FROM h) "
+        + "SELECT n1, n2, round(p, 6) AS base_rate, round(se, 6) AS se, "
+        + "round((1.959964 + 0.841621) * se, 6) AS mde_abs, "
+        + "round(CASE WHEN p = 0 THEN NULL ELSE (1.959964 + 0.841621) * se / p END, 6) AS mde_rel FROM i"),
+    "q216_ngram_novelty" ->
+      ("WITH d AS (SELECT doc_id, text, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS b FROM documents), "
+        + "t AS (SELECT doc_id, b, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM d), "
+        + "g AS (SELECT DISTINCT doc_id, b, h FROM (SELECT doc_id, b, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT))) AS h FROM t WHERE len(w) >= 8)), "
+        + "tr AS (SELECT DISTINCT h FROM g WHERE b < 9), "
+        + "v AS (SELECT doc_id, count(*) AS n_g, CAST(sum(CASE WHEN tr.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nov "
+        + "FROM (SELECT * FROM g WHERE b >= 9) gv LEFT JOIN tr ON gv.h = tr.h GROUP BY doc_id) "
+        + "SELECT count(*) AS n_val_docs, CAST(sum(n_g) AS BIGINT) AS n_grams, CAST(sum(n_nov) AS BIGINT) AS n_novel, "
+        + "round(CAST(sum(n_nov) AS DOUBLE) / sum(n_g), 6) AS novelty_rate, "
+        + "round(CAST(sum(CAST(CAST(n_nov AS DOUBLE) / n_g AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_doc_novelty, "
+        + "CAST(sum(CASE WHEN CAST(n_nov AS DOUBLE) / n_g < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect FROM v"),
     "q205_regression_eval" ->
       ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
         + "CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS tr FROM lineitem), "

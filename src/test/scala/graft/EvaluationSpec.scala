@@ -353,6 +353,87 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     if (rej(1)) rej(0) shouldBe true
   }
 
+  /** Third fixture (q216): 40 twelve-token docs with overlapping
+    * vocabulary, so the md5 90/10 split yields val docs whose 8-grams
+    * are a mix of seen and novel — the spec recomputes the whole
+    * readout definitionally in plain Scala. */
+  private lazy val fx3: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalfx3_").toString
+    import spark.implicits._
+    fx3Docs.map { case (id, text) => (id, text, "en", "s", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+  private lazy val fx3Docs: Seq[(Long, String)] =
+    (1 to 40).map(i => (i.toLong, (i until i + 12).map(n => "t" + (n % 15)).mkString(" ")))
+
+  test("q213: per-type decile map — medians and shifts by hand") {
+    val rows = run2("q213_quantile_map").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("q")) ->
+        (r.getAs[Double]("group_q"), r.getAs[Double]("global_q"), r.getAs[Double]("shift"))).toMap
+    rows should have size 18 // 2 types x 9 deciles
+    // view values [2,2,3,3,3,3,4,4,4,5] → median 3; pooled median 3
+    rows(("view", 0.5)) shouldBe ((3.0, 3.0, 0.0))
+    // click values [1,1,2,2,2,2,3,3,3,4] → median 2, shift −1
+    rows(("click", 0.5)) shouldBe ((2.0, 3.0, -1.0))
+  }
+
+  test("q214: jackknife CV replicates match the closed-form plain-Scala recompute") {
+    val xs = Seq(3.0, 5.0, 7.0, 9.0, 7.0, 5.0, 3.0, 5.0, 7.0, 5.0)
+    val n = xs.size
+    val (s1, s2) = (xs.sum, xs.map(x => x * x).sum)
+    val cvI = xs.map { x =>
+      val m = (s1 - x) / (n - 1)
+      math.sqrt((s2 - x * x - (n - 1) * m * m) / (n - 2)) / m
+    }
+    def q12(d: Double) = BigDecimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val (sc, sc2) = (cvI.map(q12).sum.toDouble, cvI.map(c => q12(c * c)).sum.toDouble)
+    val mFull = s1 / n
+    val cvFull = math.sqrt((s2 - n * mFull * mFull) / (n - 1)) / mFull
+    val cvBar = sc / n
+    val r = run2("q214_jackknife_cv").collect()(0)
+    r.getAs[Long]("n_days") shouldBe n.toLong
+    r.getAs[Double]("cv") shouldBe cvFull.round6 +- 1e-6
+    r.getAs[Double]("cv_bias_corrected") shouldBe (n * cvFull - (n - 1) * cvBar).round6 +- 1e-6
+    r.getAs[Double]("se_jack") shouldBe
+      math.sqrt((n - 1.0) / n * (sc2 - n * cvBar * cvBar)).round6 +- 1e-6
+  }
+
+  test("q215: MDE closed form on the purchase-free fixture degenerates cleanly") {
+    val r = run2("q215_power_mde").collect()(0)
+    (r.getAs[Long]("n1") + r.getAs[Long]("n2")) shouldBe 20L
+    r.getAs[Double]("base_rate") shouldBe 0.0
+    r.getAs[Double]("se") shouldBe 0.0
+    r.getAs[Double]("mde_abs") shouldBe 0.0
+    assert(r.isNullAt(r.fieldIndex("mde_rel"))) // no conversions observed
+  }
+
+  test("q216: novelty rate matches a definitional plain-Scala recompute of the split + grams") {
+    def grams(text: String): Set[Long] = {
+      val w = text.split(" ").filter(_.nonEmpty)
+      // 15 hex chars < 2^60, so no modulus is needed for set identity
+      w.sliding(8).filter(_.length == 8).map { g =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(d.substring(0, 15), 16)
+      }.toSet
+    }
+    val byDoc = fx3Docs.map { case (id, text) =>
+      (id, md5mod(id.toString, 10), grams(text))
+    }
+    val train = byDoc.filter(_._2 < 9).flatMap(_._3).toSet
+    val valDocs = byDoc.filter(_._2 >= 9).filter(_._3.nonEmpty)
+    valDocs should not be empty // fixture guarantees a populated val split
+    val nG = valDocs.map(_._3.size).sum
+    val nNov = valDocs.map(d => d._3.count(!train(_))).sum
+    val r = SparkEntry.queries("q216_ngram_novelty")(spark, fx3).collect()(0)
+    r.getAs[Long]("n_val_docs") shouldBe valDocs.size.toLong
+    r.getAs[Long]("n_grams") shouldBe nG.toLong
+    r.getAs[Long]("n_novel") shouldBe nNov.toLong
+    r.getAs[Double]("novelty_rate") shouldBe (nNov.toDouble / nG).round6 +- 1e-6
+  }
+
   private implicit class R6(val d: Double) {
     def round6: Double =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
