@@ -335,6 +335,53 @@ object Streaming extends QueryPack {
     // unmatched view flushes before AvailableNow terminates; the
     // sentinels themselves are filtered from the rollup. Oracle: the
     // equivalent BATCH left join — stream ≡ batch is the whole claim.
+    // ------------------------------------------------------------------
+    // Watermarked tumbling-window aggregation with a FULL hash oracle —
+    // the oracle-gated upgrade of q47's rows-only demo: 1-day
+    // event-time windows over 3 time-split microbatches, and a
+    // far-future sentinel tranche staged LAST (q191's idiom) advances
+    // the watermark past every real day so ALL January windows close
+    // and emit in append mode before AvailableNow terminates. The
+    // emitted set is then exactly the batch daily aggregate = the
+    // DuckDB oracle; the sentinel's own still-open window is withheld
+    // by append mode (and filtered, belt-and-braces).
+    "q217_stream_window_agg" -> ((s, dir) => {
+      s.catalog.dropTempView("q217_mem")
+      val inP = graft.ops.Stage.fresh("q217")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q90)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
+        .localCheckpoint() // shared by the 3 tranche writes + max scan
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      import s.implicits._
+      Seq(("zz_sentinel", far, 0.0)).toDF("event_type", "ts_us", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
+      val schema = StructType(Seq(StructField("event_type", StringType),
+        StructField("ts_us", LongType), StructField("value", DoubleType)))
+      val q = withStateParts(s)(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .withColumn("ets", timestamp_micros(col("ts_us")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("sum_v"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("cnt"), col("sum_v"))
+        .writeStream.format("memory").queryName("q217_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP) // results live in the memory sink now
+      s.table("q217_mem")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     "q191_stream_outer_join" -> ((s, dir) => {
       s.catalog.dropTempView("q191_mem")
       val inP = graft.ops.Stage.fresh("q191")
@@ -405,6 +452,10 @@ object Streaming extends QueryPack {
     "q141_stream_dedup" ->
       ("SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events "
         + "ORDER BY user_id, event_type, day"),
+    "q217_stream_window_agg" ->
+      ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt, "
+        + "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_v "
+        + "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
     "q90_stream_join" ->
       ("SELECT v.user_id, count(*) AS n_pairs, min(v.event_id) AS first_view, "
         + "round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
