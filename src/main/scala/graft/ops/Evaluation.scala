@@ -650,6 +650,41 @@ object Evaluation extends QueryPack {
           round(expr("cast(snov as double) / n_val_docs"), 6).as("mean_doc_novelty"),
           col("n_suspect"))
     }),
+    // ------------------------------------------------------------------
+    // CUPED variance reduction — the standard A/B pre-period
+    // adjustment: per-user pre (days 1-15) and post (16-30) value
+    // totals (one user-keyed contraction, exact DECIMAL sums, absent
+    // halves coalesced to 0), θ = cov(x,y)/var(x) from the mergeable
+    // sufficient statistics, and the achieved variance reduction
+    // 1 − var(y − θ(x−x̄))/var(y) = ρ². Zero pre-period variance
+    // short-circuits θ to 0 (no adjustment — ANSI division guard).
+    "q218_cuped" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(dayofmonth(col("ts").cast("date")) <= 15,
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)")).as("x"),
+          coalesce(sum(when(dayofmonth(col("ts").cast("date")) > 15,
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(x * y as decimal(38,4))")).as("sxy"),
+          sum(expr("cast(x * x as decimal(38,4))")).as("sxx"),
+          sum(expr("cast(y * y as decimal(38,4))")).as("syy"))
+        .withColumn("dx", expr("n * cast(sxx as double) - cast(sx as double) * cast(sx as double)"))
+        .withColumn("cv", expr("n * cast(sxy as double) - cast(sx as double) * cast(sy as double)"))
+        .withColumn("theta", expr("CASE WHEN dx = 0.0d THEN 0.0d ELSE cv / dx END"))
+        .withColumn("var_y", expr(
+          "(cast(syy as double) - cast(sy as double) * cast(sy as double) / n) / (n - 1)"))
+        .withColumn("var_adj", expr("var_y - theta * cv / (cast(n as double) * (n - 1))"))
+        .select(col("n").as("n_users"),
+          round(col("theta"), 6).as("theta"),
+          round(expr("cast(sy as double) / n"), 6).as("mean_post"),
+          round(col("var_y"), 6).as("var_post"),
+          round(col("var_adj"), 6).as("var_cuped"),
+          round(expr("CASE WHEN var_y = 0.0d THEN 0.0d ELSE 1.0d - var_adj / var_y END"), 6).as("var_reduction"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -825,6 +860,21 @@ object Evaluation extends QueryPack {
         + "round(CAST(sum(n_nov) AS DOUBLE) / sum(n_g), 6) AS novelty_rate, "
         + "round(CAST(sum(CAST(CAST(n_nov AS DOUBLE) / n_g AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_doc_novelty, "
         + "CAST(sum(CASE WHEN CAST(n_nov AS DOUBLE) / n_g < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect FROM v"),
+    "q218_cuped" ->
+      ("WITH u AS (SELECT user_id, "
+        + "coalesce(sum(CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS x, "
+        + "coalesce(sum(CASE WHEN date_part('day', CAST(ts AS DATE)) > 15 THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS y "
+        + "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+        + "m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(CAST(x * y AS DECIMAL(38,4))) AS sxy, "
+        + "sum(CAST(x * x AS DECIMAL(38,4))) AS sxx, sum(CAST(y * y AS DECIMAL(38,4))) AS syy FROM u), "
+        + "d AS (SELECT *, n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx, "
+        + "n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv FROM m), "
+        + "t AS (SELECT *, CASE WHEN dx = 0 THEN CAST(0.0 AS DOUBLE) ELSE cv / dx END AS theta, "
+        + "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1) AS var_y FROM d), "
+        + "f AS (SELECT *, var_y - theta * cv / (CAST(n AS DOUBLE) * (n - 1)) AS var_adj FROM t) "
+        + "SELECT n AS n_users, round(theta, 6) AS theta, round(CAST(sy AS DOUBLE) / n, 6) AS mean_post, "
+        + "round(var_y, 6) AS var_post, round(var_adj, 6) AS var_cuped, "
+        + "round(CASE WHEN var_y = 0 THEN CAST(0.0 AS DOUBLE) ELSE 1.0 - var_adj / var_y END, 6) AS var_reduction FROM f"),
     "q205_regression_eval" ->
       ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
         + "CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS tr FROM lineitem), "

@@ -434,6 +434,31 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("novelty_rate") shouldBe (nNov.toDouble / nG).round6 +- 1e-6
   }
 
+  test("q218: CUPED theta and variance reduction match the closed-form recompute") {
+    // per-user (pre, post): users 1-8 have x=a+b on their day, y=0;
+    // users 20/21 have x=0, y=a+b
+    val pre = Seq(3.0, 5.0, 7.0, 9.0, 7.0, 5.0, 3.0, 5.0).map((_, 0.0))
+    val post = Seq(7.0, 5.0).map((0.0, _))
+    val u = pre ++ post
+    val n = u.size
+    val (sx, sy) = (u.map(_._1).sum, u.map(_._2).sum)
+    val sxy = u.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (u.map(p => p._1 * p._1).sum, u.map(p => p._2 * p._2).sum)
+    val dx = n * sxx - sx * sx
+    val cv = n * sxy - sx * sy
+    val theta = cv / dx
+    val varY = (syy - sy * sy / n) / (n - 1)
+    val varAdj = varY - theta * cv / (n.toDouble * (n - 1))
+    val r = run2("q218_cuped").collect()(0)
+    r.getAs[Long]("n_users") shouldBe n.toLong
+    r.getAs[Double]("theta") shouldBe theta.round6 +- 1e-6
+    r.getAs[Double]("mean_post") shouldBe (sy / n).round6 +- 1e-6
+    r.getAs[Double]("var_post") shouldBe varY.round6 +- 1e-6
+    r.getAs[Double]("var_cuped") shouldBe varAdj.round6 +- 1e-6
+    r.getAs[Double]("var_reduction") shouldBe (1.0 - varAdj / varY).round6 +- 1e-6
+    r.getAs[Double]("var_reduction") should be > 0.0 // pre explains some post variance
+  }
+
   private implicit class R6(val d: Double) {
     def round6: Double =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
