@@ -18,5 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.rollingInfo, GraftFunctions.rollingBuilder))
     ext.injectFunction((GraftFunctions.slidingIdent,
       GraftFunctions.slidingInfo, GraftFunctions.slidingBuilder))
+    ext.injectFunction((GraftFunctions.md5ModIdent,
+      GraftFunctions.md5ModInfo, GraftFunctions.md5ModBuilder))
   }
 }

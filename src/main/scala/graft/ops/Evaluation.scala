@@ -37,9 +37,11 @@ import org.apache.spark.sql.functions._
 object Evaluation extends QueryPack {
 
   /** md5-derived bigint in [0, m) — q58's deterministic-split idiom
-    * (never rand(); reproducible across runs/engines/partitionings). */
-  private def md5mod(e: String, m: Int): String =
-    s"cast(conv(substr(md5(cast($e as binary)), 1, 15), 16, 10) as bigint) % $m"
+    * (never rand(); reproducible across runs/engines/partitionings),
+    * through the native codegen'd `md5_mod` expression (bit-identical
+    * to the built-in md5→substr→conv chain, asserted in Md5ModSpec;
+    * callers must `GraftFunctions.register(s)` first). */
+  private def md5mod(e: String, m: Int): String = s"md5_mod($e, ${m}L)"
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
@@ -258,6 +260,7 @@ object Evaluation extends QueryPack {
     // DECIMAL(38,6)-quantized before the distributed sums; SST comes
     // closed-form from exact Σy/Σy² so R² is merge-order-proof.
     "q205_regression_eval" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val li = Tables.lineitem(s, dir)
         .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
           (expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 2)) === 0)
@@ -299,6 +302,7 @@ object Evaluation extends QueryPack {
     // not B×N. Per-permutation means are DECIMAL-quantized pre-sum;
     // p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1).
     "q206_sign_flip" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val daily = Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
         .groupBy(col("ts").cast("date").as("day"))
@@ -372,6 +376,7 @@ object Evaluation extends QueryPack {
     // No SQL oracle (sketch internals) → rows-only; EvaluationSpec
     // asserts est ≥ truth and the ε-bound.
     "q208_countmin" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val tc = Tables.documents(s, dir)
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -464,6 +469,7 @@ object Evaluation extends QueryPack {
     // (obs−exp)²/exp terms DECIMAL-quantized pre-sum, flagged at the
     // df=9 α=0.01 critical value. One fact-table partial-agg shuffle.
     "q211_srm_check" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val arms = Tables.events(s, dir)
         .withColumn("arm", expr(md5mod("cast(event_id as string)", 10)))
         .groupBy(col("arm")).agg(count(lit(1)).as("n_obs"))
@@ -594,6 +600,7 @@ object Evaluation extends QueryPack {
     // an experiment launches. One partial-agg pass over exact integer
     // counts; z constants are shared double literals.
     "q215_power_mde" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       Tables.events(s, dir)
         .select(col("event_id"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
@@ -623,14 +630,17 @@ object Evaluation extends QueryPack {
     // zero-novelty docs still count. Per-doc ratios DECIMAL-quantized
     // before the corpus mean.
     "q216_ngram_novelty" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val grams = Tables.documents(s, dir)
         .withColumn("b", expr(md5mod("cast(doc_id as string)", 10)))
         .select(col("doc_id"), col("b"),
           expr("filter(split(text, ' '), x -> x <> '')").as("w"))
         .filter(size(col("w")) >= 8)
+        // identity modulus (2^63−1 > the 60-bit value): md5_mod yields
+        // the same full 15-hex-digit hash the conv chain produced
         .select(col("doc_id"), col("b"), explode(expr(
           "transform(sequence(1, size(w) - 7), i -> " +
-            "cast(conv(substr(md5(cast(concat_ws(' ', slice(w, i, 8)) as binary)), 1, 15), 16, 10) as bigint))")).as("h"))
+            "md5_mod(concat_ws(' ', slice(w, i, 8)), 9223372036854775807L))")).as("h"))
         .distinct()
         .localCheckpoint() // consumed twice: train set + val side
       val trainSet = grams.filter(col("b") < 9).select(col("h")).distinct()
@@ -684,6 +694,55 @@ object Evaluation extends QueryPack {
           round(col("var_y"), 6).as("var_post"),
           round(col("var_adj"), 6).as("var_cuped"),
           round(expr("CASE WHEN var_y = 0.0d THEN 0.0d ELSE 1.0d - var_adj / var_y END"), 6).as("var_reduction"))
+    }),
+    // ------------------------------------------------------------------
+    // Split-conformal prediction intervals (α=0.1) around the OLS fit:
+    // md5 three-way split (train/calibration/test), exact-DECIMAL
+    // coefficients from the train part, and the conformal radius
+    // q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest calibration |residual| —
+    // an EXACT order statistic computed scale-safely: residuals round
+    // to 6dp (tie-grouping grid, identical on both engines), contract
+    // to per-distinct-value counts, and [[Science.cumCounts]]' range-
+    // partitioned prefix sums find the smallest value whose cumulative
+    // count reaches k. No global sort, no data-sized limit. The test
+    // part then reports the empirical coverage, ≈ 0.9 by the conformal
+    // guarantee.
+    "q219_conformal" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+          expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 3)).as("part"))
+      val coef = li.filter(col("part") === 0)
+        .agg(count(lit(1)).as("n_train"),
+          sum(col("x").cast("decimal(18,2)")).as("sx"),
+          sum(col("y").cast("decimal(18,2)")).as("sy"),
+          sum(expr("cast(cast(x as decimal(18,2)) * cast(x as decimal(18,2)) as decimal(38,4))")).as("sxx"),
+          sum(expr("cast(cast(x as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("sxy"))
+        .withColumn("slope", expr(
+          "(n_train * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+            "(n_train * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
+        .withColumn("icept", expr("(cast(sy as double) - slope * cast(sx as double)) / n_train"))
+        .select(col("n_train"), col("slope"), col("icept"))
+      val scored = li.filter(col("part") =!= 0).crossJoin(broadcast(coef))
+        .withColumn("r", round(abs(expr("y - (icept + slope * x)")), 6))
+        .localCheckpoint() // calibration contraction + test coverage
+      val g = scored.filter(col("part") === 1)
+        .groupBy(col("r").as("v")).agg(count(lit(1)).as("c1"))
+        .withColumn("c2", lit(0L))
+      // conditional min so n_cal survives even when no value reaches k
+      // (n_cal < ⌈(n_cal+1)·0.9⌉ ⇒ the 90% conformal radius does not
+      // exist at this calibration size — q̂ and coverage are NULL, not 0)
+      val qhat = Science.cumCounts(s, g)
+        .agg(min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("v"))).as("qhat"),
+          max(col("n1")).as("n_cal"))
+      scored.filter(col("part") === 2).crossJoin(broadcast(qhat))
+        .groupBy(col("n_train"), col("n_cal"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          round(col("qhat"), 6).as("qhat"),
+          round(expr("CASE WHEN qhat IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),
+          round(expr("2.0d * qhat"), 6).as("interval_width"))
     }),
   )
 
@@ -875,6 +934,24 @@ object Evaluation extends QueryPack {
         + "SELECT n AS n_users, round(theta, 6) AS theta, round(CAST(sy AS DOUBLE) / n, 6) AS mean_post, "
         + "round(var_y, 6) AS var_post, round(var_adj, 6) AS var_cuped, "
         + "round(CASE WHEN var_y = 0 THEN CAST(0.0 AS DOUBLE) ELSE 1.0 - var_adj / var_y END, 6) AS var_reduction FROM f"),
+    "q219_conformal" ->
+      ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
+        + "CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 3 AS part FROM lineitem), "
+        + "coef AS (SELECT count(*) AS n_train, sum(CAST(x AS DECIMAL(18,2))) AS sx, sum(CAST(y AS DECIMAL(18,2))) AS sy, "
+        + "sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx, "
+        + "sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy FROM li WHERE part = 0), "
+        + "c2 AS (SELECT n_train, (n_train * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(n_train * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope, sx, sy FROM coef), "
+        + "c3 AS (SELECT n_train, slope, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n_train AS icept FROM c2), "
+        + "scored AS (SELECT part, n_train, round(abs(y - (icept + slope * x)), 6) AS r FROM li CROSS JOIN c3 WHERE part <> 0), "
+        + "pv AS (SELECT r AS v, count(*) AS c FROM scored WHERE part = 1 GROUP BY r), "
+        + "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1 FROM pv), "
+        + "nc AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM pv), "
+        + "qh AS (SELECT min(CASE WHEN cum1 >= ceil((n_cal + 1) * CAST(0.9 AS DOUBLE)) THEN v END) AS qhat, max(n_cal) AS n_cal FROM cum CROSS JOIN nc) "
+        + "SELECT max(n_train) AS n_train, max(n_cal) AS n_cal, count(*) AS n_test, round(max(qhat), 6) AS qhat, "
+        + "round(CASE WHEN max(qhat) IS NULL THEN NULL ELSE CAST(sum(CASE WHEN r <= qhat THEN 1 ELSE 0 END) AS BIGINT) / CAST(count(*) AS DOUBLE) END, 6) AS coverage, "
+        + "round(2.0 * max(qhat), 6) AS interval_width "
+        + "FROM scored CROSS JOIN qh WHERE part = 2"),
     "q205_regression_eval" ->
       ("WITH li AS (SELECT l_quantity AS x, l_extendedprice AS y, "
         + "CASE WHEN CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END AS tr FROM lineitem), "

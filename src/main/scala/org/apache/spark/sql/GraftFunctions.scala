@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{CosineSimilarity, RollingWindowHashes, SlidingGen, SquaredDistance}
+import graft.functions.{CosineSimilarity, Md5Mod, RollingWindowHashes, SlidingGen, SquaredDistance}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -61,6 +61,17 @@ object GraftFunctions {
 
   val slidingIdent: FunctionIdentifier = FunctionIdentifier("sliding_gen")
 
+  val md5ModBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => Md5Mod(a, b)
+    case other =>
+      throw new IllegalArgumentException(s"md5_mod expects 2 args, got ${other.size}")
+  }
+
+  val md5ModInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[Md5Mod].getName, "md5_mod")
+
+  val md5ModIdent: FunctionIdentifier = FunctionIdentifier("md5_mod")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -68,5 +79,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
     reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
     reg.createOrReplaceTempFunction("sliding_gen", slidingBuilder, "built-in")
+    reg.createOrReplaceTempFunction("md5_mod", md5ModBuilder, "built-in")
   }
 }

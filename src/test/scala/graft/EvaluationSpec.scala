@@ -95,8 +95,10 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
       .coalesce(1).write.parquet(s"$dir/documents.parquet")
 
     // y = 2x + 3 exactly on every row → any md5 split trains the true
-    // line and evaluates with zero residual.
-    (1 to 20).map { i =>
+    // line and evaluates with zero residual. 40 rows so q219's
+    // three-way split leaves ≥9 calibration rows (the minimum for a
+    // finite 90% conformal radius).
+    (1 to 40).map { i =>
       (i.toLong, i % 10 + 1, (i % 10 + 1).toDouble, 2.0 * (i % 10 + 1) + 3.0)
     }.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
@@ -114,7 +116,7 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("q205: train/test OLS on a perfect line recovers it with zero residual") {
     val r = run2("q205_regression_eval").collect()(0)
-    (r.getAs[Long]("n_train") + r.getAs[Long]("n_test")) shouldBe 20L
+    (r.getAs[Long]("n_train") + r.getAs[Long]("n_test")) shouldBe 40L
     r.getAs[Double]("slope") shouldBe 2.0
     r.getAs[Double]("icept") shouldBe 3.0
     r.getAs[Double]("rmse") shouldBe 0.0
@@ -457,6 +459,18 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("var_cuped") shouldBe varAdj.round6 +- 1e-6
     r.getAs[Double]("var_reduction") shouldBe (1.0 - varAdj / varY).round6 +- 1e-6
     r.getAs[Double]("var_reduction") should be > 0.0 // pre explains some post variance
+  }
+
+  test("q219: conformal on the perfect line — zero radius, full coverage, parts partition") {
+    val r = run2("q219_conformal").collect()(0)
+    (r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") + r.getAs[Long]("n_test")) shouldBe 40L
+    r.getAs[Long]("n_cal") should be >= 9L
+    r.getAs[Long]("n_test") should be > 0L
+    // y = 2x+3 exactly → every |residual| = 0 → q̂ = 0 and the interval
+    // still covers every test point
+    r.getAs[Double]("qhat") shouldBe 0.0
+    r.getAs[Double]("coverage") shouldBe 1.0
+    r.getAs[Double]("interval_width") shouldBe 0.0
   }
 
   private implicit class R6(val d: Double) {

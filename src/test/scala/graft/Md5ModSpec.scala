@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Bit-parity and contract tests for the native `md5_mod` expression:
+  * it must be indistinguishable from the built-in chain
+  * `cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) % m`
+  * it replaces — same values on the codegen AND interpreted paths,
+  * same NULL contract — plus a definitional recompute through
+  * java.security.MessageDigest.
+  */
+class Md5ModSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private lazy val df = {
+    import spark.implicits._
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    Seq("", "a", "abc", "hello world", "ünïcödé ✓ 的是不", "1|2|3",
+      "sf|42|2024-01-05", (1 to 100).map(_ => "x").mkString)
+      .toDF("s")
+  }
+
+  test("md5_mod matches the built-in md5→substr→conv chain for several moduli") {
+    for (m <- Seq(2L, 10L, 100L, 1024L, 1000003L)) {
+      val bad = df
+        .withColumn("native", expr(s"md5_mod(s, ${m}L)"))
+        .withColumn("chain", expr(
+          s"cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) % $m"))
+        .filter(col("native") =!= col("chain"))
+        .count()
+      withClue(s"m=$m: ") { bad shouldBe 0L }
+    }
+  }
+
+  test("md5_mod matches a definitional MessageDigest recompute (covers the eval path)") {
+    val expected = df.collect().map(_.getString(0)).map { s =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      s -> java.lang.Long.parseLong(h.substring(0, 15), 16) % 1024L
+    }.toMap
+    // interpreted path: evaluate the expression directly, no codegen
+    val e = graft.functions.Md5Mod(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(1024L))
+    assert(e.eval(null) == null) // NULL in → NULL out
+    expected.foreach { case (s, want) =>
+      val ex = graft.functions.Md5Mod(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)),
+        org.apache.spark.sql.catalyst.expressions.Literal(1024L))
+      withClue(s"s=$s (interpreted): ") { ex.eval(null) shouldBe want }
+    }
+    // codegen path through the DataFrame API agrees with the map too
+    val got = df.withColumn("h", expr("md5_mod(s, 1024L)")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+}
