@@ -50,6 +50,9 @@ object SparkEntry {
     all.map { case (k, fn) =>
       k -> ((s: SparkSession, dir: String) => {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // native functions (md5_mod & co.) available no matter who
+        // built the session; exists-guarded no-op under GraftExtensions
+        org.apache.spark.sql.GraftFunctions.register(s)
         fn(s, dir)
       })
     }.toMap

@@ -189,7 +189,7 @@ object Curation extends QueryPack {
         .filter(size(col("w")) >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(w) - 7), i -> " +
-            "cast(conv(substr(md5(cast(concat_ws(' ', slice(w, i, 8)) as binary)), 1, 15), 16, 10) as bigint))")).as("h"))
+            "md5_mod(concat_ws(' ', slice(w, i, 8)), 9223372036854775807L))")).as("h"))
         .distinct()
         .localCheckpoint() // df branch + join-back branch
       val df = ng.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
@@ -215,7 +215,7 @@ object Curation extends QueryPack {
         .select(col("doc_id"),
           explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
         .withColumn("bucket", expr(
-          "cast(conv(substr(md5(cast(tok as binary)), 1, 15), 16, 10) as bigint) % 64"))
+          "md5_mod(tok, 64L)"))
         .groupBy(col("doc_id"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
       feats.groupBy(col("bucket"))

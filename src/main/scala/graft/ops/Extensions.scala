@@ -90,7 +90,7 @@ object Extensions extends QueryPack {
       val docsets = Tables.documents(s, dir)
         .select(col("doc_id"),
           expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
-        .withColumn("hs", expr(s"transform(toks, tk -> cast(conv(substr(md5(cast(tk as binary)), 1, 15), 16, 10) as bigint) % $p)"))
+        .withColumn("hs", expr(s"transform(toks, tk -> md5_mod(tk, ${p}L))"))
         .select(col("doc_id") +: sigCols: _*)
       val bandStructs = (0 until 4).map { b =>
         val key = concat_ws(",", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)
@@ -361,7 +361,7 @@ object Extensions extends QueryPack {
         .select(col("doc_id"),
           expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
         .withColumn("hs", expr(
-          s"transform(toks, tk -> cast(conv(substr(md5(cast(tk as binary)), 1, 15), 16, 10) as bigint) % $p)"))
+          s"transform(toks, tk -> md5_mod(tk, ${p}L))"))
         .select(col("doc_id") +: sigCols: _*)
         .localCheckpoint() // joined twice: the a and b pair sides
       val matches = (0 until 16).map(i => s"cast(mha$i = mhb$i as int)").mkString(" + ")

@@ -21,7 +21,7 @@ object Pipeline extends QueryPack {
     "q58_sample_split" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("b", expr(
-          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 100"))
+          "md5_mod(cast(doc_id as string), 100L)"))
         .withColumn("split", expr(
           "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END"))
         .groupBy(col("lang"), col("split"))
@@ -279,7 +279,7 @@ object Pipeline extends QueryPack {
     "q137_weighted_sample" -> ((s, dir) =>
       Tables.documents(s, dir)
         .withColumn("u", expr(
-          "(cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as double) + 0.5) / 1152921504606846976.0"))
+          "(cast(md5_mod(cast(doc_id as string), 9223372036854775807L) as double) + 0.5) / 1152921504606846976.0"))
         .withColumn("k", expr("ln(u) / n_chars"))
         .orderBy(col("k").desc, col("doc_id"))
         .limit(20)
@@ -295,7 +295,7 @@ object Pipeline extends QueryPack {
     "q159_kfold" -> ((s, dir) => {
       val per = Tables.documents(s, dir)
         .withColumn("fold", expr(
-          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 5"))
+          "md5_mod(cast(doc_id as string), 5L)"))
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n_val"), sum(col("n_chars")).as("val_chars"))
       val tot = per.agg(sum(col("n_val")).as("n_tot"), sum(col("val_chars")).as("chars_tot"))
@@ -322,7 +322,7 @@ object Pipeline extends QueryPack {
         .select(col("doc_id"),
           posexplode(expr("filter(split(text, ' '), x -> x <> '')")).as(Seq("pos", "tok")))
         .withColumn("masked", expr(
-          "cast(conv(substr(md5(cast(concat(cast(doc_id as string), ':', cast(pos as string)) as binary)), 1, 15), 16, 10) as bigint) % 100 < 15"))
+          "md5_mod(concat(cast(doc_id as string), ':', cast(pos as string)), 100L) < 15"))
       val nTok = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
       val spans = toks.filter(col("masked"))
         .withColumn("island", col("pos") -

@@ -477,7 +477,7 @@ object Science extends QueryPack {
         .select(col("event_id"),
           when(col("event_type") === "purchase", 1).otherwise(0).as("conv"))
         .withColumn("arm", expr(
-          "cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint) % 2"))
+          "md5_mod(cast(event_id as string), 2L)"))
       u.agg(
           sum(when(col("arm") === 0, 1).otherwise(0)).as("n1"),
           sum(when(col("arm") === 1, 1).otherwise(0)).as("n2"),

@@ -349,7 +349,7 @@ object Stats extends QueryPack {
         .select(col("event_type"), col("n"), explode(expr("sequence(1, 200)")).as("b"))
         .select(col("event_type"), col("n"), col("b"), explode(expr("sequence(1, n)")).as("i"))
         .withColumn("idx", expr(
-          "cast(conv(substr(md5(cast(concat('bs|', event_type, '|', cast(b as string), '|', cast(i as string)) as binary)), 1, 15), 16, 10) as bigint) % n + 1"))
+          "md5_mod(concat('bs|', event_type, '|', cast(b as string), '|', cast(i as string)), n) + 1"))
       val means = grid
         .join(ranked.select(col("event_type"), col("idx"), col("vd")), Seq("event_type", "idx"))
         .groupBy(col("event_type"), col("b"), col("n"))

@@ -507,7 +507,7 @@ object Text extends QueryPack {
     "q166_heaps_law" -> ((s, dir) => {
       val t = tokens(s, dir)
         .withColumn("b", expr(
-          "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint) % 20"))
+          "md5_mod(cast(doc_id as string), 20L)"))
       val tokTot = t.groupBy(col("b")).agg(count(lit(1)).as("tk"))
       val newTypes = t.groupBy(col("tok")).agg(min(col("b")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("tv"))

@@ -75,10 +75,14 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
-    reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
-    reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
-    reg.createOrReplaceTempFunction("sliding_gen", slidingBuilder, "built-in")
-    reg.createOrReplaceTempFunction("md5_mod", md5ModBuilder, "built-in")
+    // exists-guard: SparkEntry's wrapper registers per query call; the
+    // replace path would WARN-spam the logs once per invocation
+    if (!reg.functionExists(FunctionIdentifier("md5_mod"))) {
+      reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+      reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
+      reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
+      reg.createOrReplaceTempFunction("sliding_gen", slidingBuilder, "built-in")
+      reg.createOrReplaceTempFunction("md5_mod", md5ModBuilder, "built-in")
+    }
   }
 }
