@@ -2,8 +2,7 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,13 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null contract: NULL in → NULL out (BinaryExpression default).
   */
 case class Md5Mod(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"md5_mod expects (string, bigint), got (${left.dataType.sql}, ${right.dataType.sql})")
+  // implicit casts: md5_mod(s, 64) with an INT literal (the natural
+  // spelling) and non-default-collation strings both coerce instead of
+  // failing analysis the way an exact-type check would. Covariant
+  // Seq[DataType] override — AbstractDataType is private[sql].
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -40,8 +40,26 @@ object Evaluation extends QueryPack {
     * (never rand(); reproducible across runs/engines/partitionings),
     * through the native codegen'd `md5_mod` expression (bit-identical
     * to the built-in md5→substr→conv chain, asserted in Md5ModSpec;
-    * callers must `GraftFunctions.register(s)` first). */
+    * registered by SparkEntry's per-query wrapper for any session). */
   private def md5mod(e: String, m: Int): String = s"md5_mod($e, ${m}L)"
+
+  /** OLS (slope, intercept) over a (x, y) training frame from
+    * exact-DECIMAL sufficient statistics — shared by q205's held-out
+    * evaluation and q219's conformal intervals so a precision or
+    * degenerate-denominator fix lands in both. Returns one row:
+    * (n_train, slope, icept). */
+  private def olsCoef(train: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    train
+      .agg(count(lit(1)).as("n_train"),
+        sum(col("x").cast("decimal(18,2)")).as("sx"),
+        sum(col("y").cast("decimal(18,2)")).as("sy"),
+        sum(expr("cast(cast(x as decimal(18,2)) * cast(x as decimal(18,2)) as decimal(38,4))")).as("sxx"),
+        sum(expr("cast(cast(x as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("sxy"))
+      .withColumn("slope", expr(
+        "(n_train * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
+          "(n_train * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
+      .withColumn("icept", expr("(cast(sy as double) - slope * cast(sx as double)) / n_train"))
+      .select(col("n_train"), col("slope"), col("icept"))
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
@@ -260,21 +278,11 @@ object Evaluation extends QueryPack {
     // DECIMAL(38,6)-quantized before the distributed sums; SST comes
     // closed-form from exact Σy/Σy² so R² is merge-order-proof.
     "q205_regression_eval" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val li = Tables.lineitem(s, dir)
         .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
           (expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 2)) === 0)
             .cast("int").as("tr"))
-      val coef = li.filter(col("tr") === 1)
-        .agg(count(lit(1)).as("n_train"),
-          sum(col("x").cast("decimal(18,2)")).as("sx"),
-          sum(col("y").cast("decimal(18,2)")).as("sy"),
-          sum(expr("cast(cast(x as decimal(18,2)) * cast(x as decimal(18,2)) as decimal(38,4))")).as("sxx"),
-          sum(expr("cast(cast(x as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("sxy"))
-        .withColumn("slope", expr(
-          "(n_train * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
-            "(n_train * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
-        .withColumn("icept", expr("(cast(sy as double) - slope * cast(sx as double)) / n_train"))
+      val coef = olsCoef(li.filter(col("tr") === 1))
       li.filter(col("tr") === 0).crossJoin(broadcast(coef))
         .withColumn("r", expr("y - (icept + slope * x)"))
         .groupBy(col("n_train"), col("slope"), col("icept"))
@@ -302,7 +310,6 @@ object Evaluation extends QueryPack {
     // not B×N. Per-permutation means are DECIMAL-quantized pre-sum;
     // p = (1 + #{|T_b| ≥ |T_obs|}) / (B + 1).
     "q206_sign_flip" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val daily = Tables.events(s, dir)
         .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
         .groupBy(col("ts").cast("date").as("day"))
@@ -376,7 +383,6 @@ object Evaluation extends QueryPack {
     // No SQL oracle (sketch internals) → rows-only; EvaluationSpec
     // asserts est ≥ truth and the ε-bound.
     "q208_countmin" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val tc = Tables.documents(s, dir)
         .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -469,7 +475,6 @@ object Evaluation extends QueryPack {
     // (obs−exp)²/exp terms DECIMAL-quantized pre-sum, flagged at the
     // df=9 α=0.01 critical value. One fact-table partial-agg shuffle.
     "q211_srm_check" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val arms = Tables.events(s, dir)
         .withColumn("arm", expr(md5mod("cast(event_id as string)", 10)))
         .groupBy(col("arm")).agg(count(lit(1)).as("n_obs"))
@@ -600,7 +605,6 @@ object Evaluation extends QueryPack {
     // an experiment launches. One partial-agg pass over exact integer
     // counts; z constants are shared double literals.
     "q215_power_mde" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       Tables.events(s, dir)
         .select(col("event_id"),
           when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
@@ -630,7 +634,6 @@ object Evaluation extends QueryPack {
     // zero-novelty docs still count. Per-doc ratios DECIMAL-quantized
     // before the corpus mean.
     "q216_ngram_novelty" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val grams = Tables.documents(s, dir)
         .withColumn("b", expr(md5mod("cast(doc_id as string)", 10)))
         .select(col("doc_id"), col("b"),
@@ -708,21 +711,10 @@ object Evaluation extends QueryPack {
     // part then reports the empirical coverage, ≈ 0.9 by the conformal
     // guarantee.
     "q219_conformal" -> ((s, dir) => {
-      org.apache.spark.sql.GraftFunctions.register(s) // md5_mod; no-op under GraftExtensions
       val li = Tables.lineitem(s, dir)
         .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
           expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 3)).as("part"))
-      val coef = li.filter(col("part") === 0)
-        .agg(count(lit(1)).as("n_train"),
-          sum(col("x").cast("decimal(18,2)")).as("sx"),
-          sum(col("y").cast("decimal(18,2)")).as("sy"),
-          sum(expr("cast(cast(x as decimal(18,2)) * cast(x as decimal(18,2)) as decimal(38,4))")).as("sxx"),
-          sum(expr("cast(cast(x as decimal(18,2)) * cast(y as decimal(18,2)) as decimal(38,4))")).as("sxy"))
-        .withColumn("slope", expr(
-          "(n_train * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / " +
-            "(n_train * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
-        .withColumn("icept", expr("(cast(sy as double) - slope * cast(sx as double)) / n_train"))
-        .select(col("n_train"), col("slope"), col("icept"))
+      val coef = olsCoef(li.filter(col("part") === 0))
       val scored = li.filter(col("part") =!= 0).crossJoin(broadcast(coef))
         .withColumn("r", round(abs(expr("y - (icept + slope * x)")), 6))
         .localCheckpoint() // calibration contraction + test coverage
@@ -735,14 +727,18 @@ object Evaluation extends QueryPack {
       val qhat = Science.cumCounts(s, g)
         .agg(min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("v"))).as("qhat"),
           max(col("n1")).as("n_cal"))
+      // GLOBAL aggregate (not a groupBy on the broadcast columns): the
+      // oracle's grand aggregate yields one row even when the md5
+      // split leaves the test part empty — a grouped agg would yield
+      // zero rows there and fail shape parity on degenerate inputs
       scored.filter(col("part") === 2).crossJoin(broadcast(qhat))
-        .groupBy(col("n_train"), col("n_cal"), col("qhat"))
-        .agg(count(lit(1)).as("n_test"),
+        .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
+          count(lit(1)).as("n_test"), max(col("qhat")).as("qhat_x"),
           sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
         .select(col("n_train"), col("n_cal"), col("n_test"),
-          round(col("qhat"), 6).as("qhat"),
-          round(expr("CASE WHEN qhat IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),
-          round(expr("2.0d * qhat"), 6).as("interval_width"))
+          round(col("qhat_x"), 6).as("qhat"),
+          round(expr("CASE WHEN qhat_x IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),
+          round(expr("2.0d * qhat_x"), 6).as("interval_width"))
     }),
   )
 

@@ -75,14 +75,17 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    // exists-guard: SparkEntry's wrapper registers per query call; the
-    // replace path would WARN-spam the logs once per invocation
-    if (!reg.functionExists(FunctionIdentifier("md5_mod"))) {
-      reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
-      reg.createOrReplaceTempFunction("sq_dist", sqDistBuilder, "built-in")
-      reg.createOrReplaceTempFunction("rolling_win_hashes", rollingBuilder, "built-in")
-      reg.createOrReplaceTempFunction("sliding_gen", slidingBuilder, "built-in")
-      reg.createOrReplaceTempFunction("md5_mod", md5ModBuilder, "built-in")
-    }
+    // per-function exists-guard: SparkEntry's wrapper registers per
+    // query call (replace would WARN-spam the logs once per invocation)
+    // and a host session may legitimately hold SOME of these already —
+    // a single-name guard would skip the rest
+    def once(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    once("cosine_sim", cosineBuilder)
+    once("sq_dist", sqDistBuilder)
+    once("rolling_win_hashes", rollingBuilder)
+    once("sliding_gen", slidingBuilder)
+    once("md5_mod", md5ModBuilder)
   }
 }

@@ -467,10 +467,32 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Long]("n_cal") should be >= 9L
     r.getAs[Long]("n_test") should be > 0L
     // y = 2x+3 exactly → every |residual| = 0 → q̂ = 0 and the interval
-    // still covers every test point
+    // still covers every test point (explicit non-null first: a NULL
+    // would also unbox to 0.0 through getAs[Double])
+    r.isNullAt(r.fieldIndex("qhat")) shouldBe false
     r.getAs[Double]("qhat") shouldBe 0.0
     r.getAs[Double]("coverage") shouldBe 1.0
     r.getAs[Double]("interval_width") shouldBe 0.0
+  }
+
+  test("q219: a calibration set below 9 rows yields NULL radius/coverage, not zero") {
+    // 12 rows → md5 %3 parts: train {4,6,11} (3), cal {3,8,9,10} (4),
+    // test {1,2,5,7,12} (5); ⌈(4+1)·0.9⌉ = 5 > 4 ⇒ no finite 90% radius
+    val dir = java.nio.file.Files.createTempDirectory("graft_evalfx4_").toString
+    locally {
+      import spark.implicits._
+      (1 to 12).map { i =>
+        (i.toLong, i % 10 + 1, (i % 10 + 1).toDouble, 2.0 * (i % 10 + 1) + 3.0)
+      }.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    }
+    val r = SparkEntry.queries("q219_conformal")(spark, dir).collect()(0)
+    r.getAs[Long]("n_train") shouldBe 3L
+    r.getAs[Long]("n_cal") shouldBe 4L
+    r.getAs[Long]("n_test") shouldBe 5L
+    r.isNullAt(r.fieldIndex("qhat")) shouldBe true
+    r.isNullAt(r.fieldIndex("coverage")) shouldBe true
+    r.isNullAt(r.fieldIndex("interval_width")) shouldBe true
   }
 
   private implicit class R6(val d: Double) {

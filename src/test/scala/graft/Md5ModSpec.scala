@@ -33,6 +33,14 @@ class Md5ModSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("md5_mod accepts an INT modulus via implicit cast (the natural spelling)") {
+    val bad = df
+      .withColumn("a", expr("md5_mod(s, 64)"))   // INT literal
+      .withColumn("b", expr("md5_mod(s, 64L)"))  // BIGINT literal
+      .filter(col("a") =!= col("b")).count()
+    bad shouldBe 0L
+  }
+
   test("md5_mod matches a definitional MessageDigest recompute (covers the eval path)") {
     val expected = df.collect().map(_.getString(0)).map { s =>
       val h = java.security.MessageDigest.getInstance("MD5")
