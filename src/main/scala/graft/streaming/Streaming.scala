@@ -382,6 +382,68 @@ object Streaming extends QueryPack {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // ------------------------------------------------------------------
+    // STREAM-STREAM FULL OUTER join — completes the join-mode matrix
+    // (inner q90, left outer q191): unmatched rows from EITHER side
+    // emit null-extended once the watermark passes their join window,
+    // so the far-future sentinel tranche (one view + one click)
+    // advances both watermarks and flushes both null paths before
+    // AvailableNow terminates. Group key is coalesce(view user, click
+    // user) since full-outer rows carry exactly one side for the
+    // unmatched cases. Oracle = the equivalent batch FULL JOIN.
+    "q220_stream_full_outer" -> ((s, dir) => {
+      s.catalog.dropTempView("q220_mem")
+      val inP = graft.ops.Stage.fresh("q220")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q90)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint()
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      import s.implicits._
+      Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
+        .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
+          col("value").as("c_value"))
+        .withWatermark("cts", "1 hour")
+      val q = withStateParts(s)(views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .writeStream.format("memory").queryName("q220_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP)
+      s.table("q220_mem")
+        .withColumn("u", coalesce(col("user_id"), col("c_user")))
+        .filter(col("u") >= 0) // drop the watermark sentinels
+        .groupBy(col("u"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("view_id").isNotNull && col("c_value").isNotNull, 1).otherwise(0)).as("n_matched"),
+          sum(when(col("c_value").isNull, 1).otherwise(0)).as("n_view_only"),
+          sum(when(col("view_id").isNull, 1).otherwise(0)).as("n_click_only"),
+          round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
+        .orderBy(col("u"))
+    }),
+
     "q191_stream_outer_join" -> ((s, dir) => {
       s.catalog.dropTempView("q191_mem")
       val inP = graft.ops.Stage.fresh("q191")
@@ -456,6 +518,17 @@ object Streaming extends QueryPack {
       ("SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt, "
         + "round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_v "
         + "FROM events GROUP BY 1, 2 ORDER BY day, event_type"),
+    "q220_stream_full_outer" ->
+      ("WITH v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events WHERE event_type = 'view'), "
+        + "c AS (SELECT user_id AS c_user, ts AS cts, value AS c_value FROM events WHERE event_type = 'click'), "
+        + "j AS (SELECT coalesce(v.user_id, c.c_user) AS u, v.view_id, c.c_value FROM v FULL JOIN c ON v.user_id = c.c_user "
+        + "AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE) "
+        + "SELECT u, count(*) AS n_rows, "
+        + "CAST(sum(CASE WHEN view_id IS NOT NULL AND c_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, "
+        + "CAST(sum(CASE WHEN c_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only, "
+        + "CAST(sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only, "
+        + "round(CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
+        + "FROM j GROUP BY u ORDER BY u"),
     "q90_stream_join" ->
       ("SELECT v.user_id, count(*) AS n_pairs, min(v.event_id) AS first_view, "
         + "round(CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "

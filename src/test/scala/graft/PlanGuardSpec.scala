@@ -19,7 +19,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     * side effects, skipped in the global sweep. */
   private val streamingKeys = Set("q47_stream_demo", "q81_stream_sessionize",
     "q90_stream_join", "q141_stream_dedup", "q145_stream_sessionize_tws",
-    "q156_stream_enrich", "q191_stream_outer_join", "q217_stream_window_agg")
+    "q156_stream_enrich", "q191_stream_outer_join", "q217_stream_window_agg",
+    "q220_stream_full_outer")
 
   /** Unpartitioned windows that ARE scale-safe because they run on
     * provably bounded frames (post-agg cells, post-limit tails); each
