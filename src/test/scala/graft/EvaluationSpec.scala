@@ -209,6 +209,41 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("gini_idx") shouldBe 0.75
   }
 
+  test("q198: AUC equals the brute-force pairwise definition on 5 seeded random datasets") {
+    // the rank-sum identity vs the DEFINITION (wins + ties/2 over all
+    // pos×neg pairs) — ties included on purpose: values draw from a
+    // small integer grid so midranks actually matter
+    val rnd = new scala.util.Random(7)
+    for (case_ <- 1 to 5) {
+      val rows = (1 to 30).map { i =>
+        val isPos = rnd.nextBoolean()
+        (i.toLong, if (isPos) "purchase" else "view", (rnd.nextInt(6) + 1).toDouble)
+      }
+      if (rows.exists(_._2 == "purchase") && rows.exists(_._2 == "view")) {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_aucprop${case_}_").toString
+        locally {
+          import spark.implicits._
+          rows.map { case (id, t, v) =>
+            (id, 1704067200000000000L + id * 1000000000L, id, t, Option(v), "{}")
+          }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.parquet(s"$dir/events.parquet")
+        }
+        val pos = rows.filter(_._2 == "purchase").map(_._3)
+        val neg = rows.filter(_._2 == "view").map(_._3)
+        val wins = (for (p <- pos; n <- neg) yield {
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+        }).sum
+        val want = (wins / (pos.size.toDouble * neg.size)).round6
+        val r = SparkEntry.queries("q198_roc_auc")(spark, dir).collect()(0)
+        withClue(s"case $case_: ") {
+          r.getAs[Long]("n_pos") shouldBe pos.size.toLong
+          r.getAs[Long]("n_neg") shouldBe neg.size.toLong
+          r.getAs[Double]("auc") shouldBe want +- 1e-6
+        }
+      }
+    }
+  }
+
   test("q199: kappa and MCC match the hand-computed confusion matrix") {
     val r = run("q199_rater_agreement").collect()(0)
     (r.getAs[Long]("n11"), r.getAs[Long]("n10"),

@@ -33,6 +33,23 @@ class Md5ModSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("md5_mod matches the chain on 200 seeded random strings (ascii + unicode + long)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pool = "abz019 |:_-\t的是ünï✓" // includes separators the split idioms use
+    val strs = (1 to 200).map { _ =>
+      val n = rnd.nextInt(40)
+      (1 to n).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    }.distinct
+    val d2 = strs.toDF("s")
+    val bad = d2
+      .withColumn("native", expr("md5_mod(s, 1000003L)"))
+      .withColumn("chain", expr(
+        "cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) % 1000003"))
+      .filter(col("native") =!= col("chain")).count()
+    bad shouldBe 0L
+  }
+
   test("md5_mod accepts an INT modulus via implicit cast (the natural spelling)") {
     val bad = df
       .withColumn("a", expr("md5_mod(s, 64)"))   // INT literal
