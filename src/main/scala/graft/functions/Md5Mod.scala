@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * this into an oracle-matched query changes the plan, not the bits
   * (asserted against the SQL chain in Md5ModSpec).
   *
-  * Null contract: NULL in → NULL out (BinaryExpression default).
+  * Null contract: NULL in → NULL out (BinaryExpression default), and
+  * m = 0 → NULL — matching the Remainder chain this expression claims
+  * bit-parity with, which returns NULL on a zero divisor (non-ANSI)
+  * where a bare Java `% 0` would throw. No current call site passes a
+  * non-positive modulus, but the parity contract is total either way.
   */
 case class Md5Mod(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
@@ -42,12 +46,21 @@ case class Md5Mod(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "md5_mod"
 
-  override def nullSafeEval(s: Any, m: Any): Any =
-    Md5Mod.hash(s.asInstanceOf[UTF8String].getBytes, m.asInstanceOf[Long])
+  override def nullSafeEval(s: Any, m: Any): Any = {
+    val mod = m.asInstanceOf[Long]
+    if (mod == 0L) null
+    else Md5Mod.hash(s.asInstanceOf[UTF8String].getBytes, mod)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (s, m) => s"graft.functions.Md5Mod.hash($s.getBytes(), $m)")
+    nullSafeCodeGen(ctx, ev, (s, m) =>
+      s"""
+         |if ($m == 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Md5Mod.hash($s.getBytes(), $m);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Md5Mod =

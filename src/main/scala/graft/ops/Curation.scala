@@ -183,15 +183,10 @@ object Curation extends QueryPack {
     // travels: n-grams are md5-hashed to 64-bit keys before any
     // shuffle, the 100 TB trick that keeps exchange payloads tiny.
     "q151_interdoc_dup" -> ((s, dir) => {
-      val ng = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> " +
-            "md5_mod(concat_ws(' ', slice(w, i, 8)), 9223372036854775807L))")).as("h"))
-        .distinct()
-        .localCheckpoint() // df branch + join-back branch
+      // Memoized shared contraction (Text.hashedGrams8): q216 reads the
+      // SAME hashed-gram index; the checkpoint covers both the
+      // doc-frequency branch and the join-back branch here.
+      val ng = Text.hashedGrams8(s, dir)
       val df = ng.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
       ng.join(df, "h")
         .groupBy(col("doc_id"))

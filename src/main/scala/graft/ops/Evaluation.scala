@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,8 +130,12 @@ object Evaluation extends QueryPack {
       val ev = Tables.events(s, dir)
         .filter(col("value").isNotNull)
         .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      // boundaries 6dp-rounded on BOTH engines before the `value > b`
+      // compare: full-double interpolated percentile parity is
+      // engine-sensitive (the q162/q168 convention), and a 1-ULP
+      // boundary difference would shift a straddling row's bin
       val bs = ev.agg(
-        expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"),
+        expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 6))").as("bs"),
         count(lit(1)).as("n_tot"), sum(col("pos")).as("pos_tot"))
       ev.crossJoin(broadcast(bs))
         .withColumn("decile", expr("size(filter(bs, b -> value > b)) + 1"))
@@ -193,8 +198,9 @@ object Evaluation extends QueryPack {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
         .localCheckpoint() // consumed twice: boundary agg + binning scan
+      // boundaries 6dp-rounded on both engines pre-compare (q200's note)
       val bs = cust.agg(
-        expr("percentile(cast(rev as double), array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"),
+        expr("transform(percentile(cast(rev as double), array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 6))").as("bs"),
         sum(col("rev")).as("tot"), count(lit(1)).as("n_cust"))
       cust.crossJoin(broadcast(bs))
         .withColumn("decile", expr("size(filter(bs, b -> cast(rev as double) > b)) + 1"))
@@ -245,8 +251,9 @@ object Evaluation extends QueryPack {
         .filter(col("value").isNotNull)
         .select(col("value").as("v"),
           (dayofmonth(col("ts").cast("date")) <= 15).cast("long").as("isa"))
+      // boundaries 6dp-rounded on both engines pre-compare (q200's note)
       val bs = ev.filter(col("isa") === 1)
-        .agg(expr("percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+        .agg(expr("transform(percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 6))").as("bs"))
       val counts = ev.crossJoin(broadcast(bs))
         .withColumn("bin", expr("size(filter(bs, b -> v > b)) + 1"))
         .groupBy(col("bin"))
@@ -380,26 +387,19 @@ object Evaluation extends QueryPack {
     // row cells. CM cells are pure partial-agg sums, i.e. MERGEABLE —
     // the 100 TB path is per-partition sketches merged cell-wise, and
     // this query reports the overcount the merge would actually incur.
-    // No SQL oracle (sketch internals) → rows-only; EvaluationSpec
-    // asserts est ≥ truth and the ε-bound.
-    "q208_countmin" -> ((s, dir) => {
-      val tc = Tables.documents(s, dir)
-        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // consumed thrice: cells + truth top-k + total
-      val cells = tc.select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
-        .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
-        .groupBy(col("r"), col("cm_col")).agg(sum(col("c")).as("cell"))
-      val top = tc.orderBy(col("c").desc, col("tok")).limit(15)
-        .select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
-        .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
-      top.join(cells, Seq("r", "cm_col"))
-        .groupBy(col("tok"))
-        .agg(max(col("c")).as("true_c"), min(col("cell")).as("est_c"))
-        .select(col("tok"), col("true_c"), col("est_c"),
-          (col("est_c") - col("true_c")).as("overcount"))
-        .orderBy(col("true_c").desc, col("tok"))
-    }),
+    // Cross-engine-gated via the CM guarantee: the estimates can't
+    // hash-match another engine's sketch, but "est ≥ truth AND
+    // overcount ≤ 4N/w + 1" is a bool both engines agree on — the
+    // oracle recomputes the exact top-15 and pins cm_ok TRUE; the row
+    // matches iff the sketch bound actually held. EvaluationSpec still
+    // asserts est ≥ truth and the ε-bound on countMinRaw.
+    "q208_countmin" -> ((s, dir) =>
+      countMinRaw(s, dir)
+        .select(col("tok"), col("true_c"),
+          (col("est_c") >= col("true_c") &&
+            (col("est_c") - col("true_c")).cast("double") <=
+              lit(4.0) * col("n_tot") / lit(1024.0) + lit(1.0)).as("cm_ok"))
+        .orderBy(col("true_c").desc, col("tok"))),
 
     // ------------------------------------------------------------------
     // Partial autocorrelation (lags 1–3) of the daily value series via
@@ -556,11 +556,16 @@ object Evaluation extends QueryPack {
         .agg(expr(s"percentile(value, $qarr)").as("bq"))
         .select(posexplode(col("bq")).as(Seq("i2", "global_q")))
       grp.join(broadcast(glob), col("i") === col("i2"))
+        // shift differenced AFTER the 6dp quantile rounding (both
+        // engines): subtracting full-double interpolated percentiles
+        // first would let a 1-ULP engine difference flip the 6th dp
+        .withColumn("gq6", round(col("group_q"), 6))
+        .withColumn("bq6", round(col("global_q"), 6))
         .select(col("event_type"),
           round(expr("(i + 1) / 10.0d"), 6).as("q"),
-          round(col("group_q"), 6).as("group_q"),
-          round(col("global_q"), 6).as("global_q"),
-          round(expr("group_q - global_q"), 6).as("shift"))
+          col("gq6").as("group_q"),
+          col("bq6").as("global_q"),
+          round(col("gq6") - col("bq6"), 6).as("shift"))
         .orderBy(col("event_type"), col("q"))
     }),
 
@@ -618,8 +623,11 @@ object Evaluation extends QueryPack {
           round(col("p"), 6).as("base_rate"),
           round(col("se"), 6).as("se"),
           round(expr("(1.959964d + 0.841621d) * se"), 6).as("mde_abs"),
-          // zero observed conversions → relative MDE undefined (ANSI
-          // double division by zero THROWS, it does not return NaN)
+          // zero observed conversions → relative MDE undefined: double
+          // division by zero yields Infinity even under ANSI (only
+          // integral/decimal division errors), and an Infinity here
+          // would both be wrong and drift the schema vs the oracle's
+          // NULL — so short-circuit to NULL explicitly
           round(expr("CASE WHEN p = 0.0d THEN NULL ELSE (1.959964d + 0.841621d) * se / p END"), 6).as("mde_rel"))
     }),
 
@@ -634,18 +642,12 @@ object Evaluation extends QueryPack {
     // zero-novelty docs still count. Per-doc ratios DECIMAL-quantized
     // before the corpus mean.
     "q216_ngram_novelty" -> ((s, dir) => {
-      val grams = Tables.documents(s, dir)
+      // Memoized shared contraction (Text.hashedGrams8) — the same
+      // checkpointed (doc_id, h) index q151 reads; the split bucket is
+      // a narrow md5 of doc_id re-derived on top (no extra shuffle).
+      // Both consumers (train set + val side) read the checkpoint.
+      val grams = Text.hashedGrams8(s, dir)
         .withColumn("b", expr(md5mod("cast(doc_id as string)", 10)))
-        .select(col("doc_id"), col("b"),
-          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
-        .filter(size(col("w")) >= 8)
-        // identity modulus (2^63−1 > the 60-bit value): md5_mod yields
-        // the same full 15-hex-digit hash the conv chain produced
-        .select(col("doc_id"), col("b"), explode(expr(
-          "transform(sequence(1, size(w) - 7), i -> " +
-            "md5_mod(concat_ws(' ', slice(w, i, 8)), 9223372036854775807L))")).as("h"))
-        .distinct()
-        .localCheckpoint() // consumed twice: train set + val side
       val trainSet = grams.filter(col("b") < 9).select(col("h")).distinct()
         .withColumn("seen", lit(1))
       grams.filter(col("b") >= 9)
@@ -742,7 +744,42 @@ object Evaluation extends QueryPack {
     }),
   )
 
+  /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
+    * = total token mass): depth-4 × width-1024 cells as pure
+    * partial-agg sums (mergeable — the per-partition-sketch merge is
+    * exactly this plan at 100 TB), probed for the exact top-15 tokens.
+    * The query surface reduces it to the CM-bound boolean; kept
+    * separate so EvaluationSpec can assert est ≥ truth and the ε-bound
+    * on the actual estimates. */
+  private[graft] def countMinRaw(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // consumed 4×: cells + truth top-k + total
+    val tot = tc.agg(sum(col("c")).as("n_tot"))
+    val cells = tc.select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
+      .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
+      .groupBy(col("r"), col("cm_col")).agg(sum(col("c")).as("cell"))
+    val top = tc.orderBy(col("c").desc, col("tok")).limit(15)
+      .select(explode(expr("sequence(0, 3)")).as("r"), col("tok"), col("c"))
+      .withColumn("cm_col", expr(md5mod("concat(cast(r as string), '|', tok)", 1024)))
+    top.join(cells, Seq("r", "cm_col"))
+      .groupBy(col("tok"))
+      .agg(max(col("c")).as("true_c"), min(col("cell")).as("est_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok"), col("true_c"), col("est_c"),
+        (col("est_c") - col("true_c")).as("overcount"), col("n_tot"))
+      .orderBy(col("true_c").desc, col("tok"))
+  }
+
   def oracles: Map[String, String] = Map(
+    // q208: estimates can't cross-engine-match; the CM-bound bool can.
+    // DuckDB recomputes the exact top-15 and pins cm_ok TRUE.
+    "q208_countmin" ->
+      ("WITH t AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "c AS (SELECT tok, count(*) AS c FROM t GROUP BY tok) "
+        + "SELECT tok, c AS true_c, TRUE AS cm_ok FROM c "
+        + "ORDER BY true_c DESC, tok LIMIT 15"),
     "q198_roc_auc" ->
       ("WITH pooled AS (SELECT value AS v, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp, "
         + "row_number() OVER (ORDER BY value) AS rn FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL), "
@@ -767,7 +804,7 @@ object Evaluation extends QueryPack {
     "q200_decile_lift" ->
       ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos "
         + "FROM events WHERE value IS NOT NULL), "
-        + "bs AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs, "
+        + "bs AS (SELECT list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS bs, "
         + "count(*) AS n_tot, CAST(sum(pos) AS BIGINT) AS pos_tot FROM ev), "
         + "d AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS decile, pos, n_tot, pos_tot FROM ev CROSS JOIN bs), "
         + "g AS (SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos, max(n_tot) AS n_tot, max(pos_tot) AS pos_tot "
@@ -789,7 +826,7 @@ object Evaluation extends QueryPack {
         + "round(CAST(ece_x AS DOUBLE), 6) AS ece FROM cc CROSS JOIN e ORDER BY bin"),
     "q202_pareto_revenue" ->
       ("WITH cust AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY o_custkey), "
-        + "bs AS (SELECT quantile_cont(CAST(rev AS DOUBLE), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs, "
+        + "bs AS (SELECT list_transform(quantile_cont(CAST(rev AS DOUBLE), [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS bs, "
         + "sum(rev) AS tot, count(*) AS n_cust FROM cust), "
         + "d AS (SELECT len(list_filter(bs, b -> CAST(rev AS DOUBLE) > b)) + 1 AS decile, rev, tot FROM cust CROSS JOIN bs), "
         + "g AS (SELECT decile, count(*) AS n_cust, sum(rev) AS rev_sum, max(tot) AS tot FROM d GROUP BY decile), "
@@ -807,7 +844,7 @@ object Evaluation extends QueryPack {
     "q204_psi_drift" ->
       ("WITH ev AS (SELECT value AS v, CASE WHEN date_part('day', CAST(ts AS DATE)) <= 15 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS isa "
         + "FROM events WHERE value IS NOT NULL), "
-        + "bs AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM ev WHERE isa = 1), "
+        + "bs AS (SELECT list_transform(quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS bs FROM ev WHERE isa = 1), "
         + "d AS (SELECT len(list_filter(bs, b -> v > b)) + 1 AS bin, isa FROM ev CROSS JOIN bs), "
         + "g AS (SELECT bin, CAST(sum(isa) AS BIGINT) AS c1, CAST(sum(1 - isa) AS BIGINT) AS c2 FROM d GROUP BY bin), "
         + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
@@ -880,7 +917,7 @@ object Evaluation extends QueryPack {
         + "gl AS (SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bq FROM events WHERE value IS NOT NULL), "
         + "idx AS (SELECT unnest(range(1, 10)) AS i) "
         + "SELECT event_type, round(i / CAST(10.0 AS DOUBLE), 6) AS q, round(gq[i], 6) AS group_q, round(bq[i], 6) AS global_q, "
-        + "round(gq[i] - bq[i], 6) AS shift FROM grp CROSS JOIN gl CROSS JOIN idx ORDER BY event_type, q"),
+        + "round(round(gq[i], 6) - round(bq[i], 6), 6) AS shift FROM grp CROSS JOIN gl CROSS JOIN idx ORDER BY event_type, q"),
     "q214_jackknife_cv" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, sum(CAST(value AS DECIMAL(18,2))) AS x FROM events GROUP BY 1), "
         + "tot AS (SELECT count(*) AS n, sum(x) AS s1, sum(CAST(x * x AS DECIMAL(38,4))) AS s2 FROM daily), "

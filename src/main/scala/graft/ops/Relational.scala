@@ -175,12 +175,22 @@ object Relational extends QueryPack {
           countDistinct(col("l_returnflag"), col("l_linestatus")).as("d_flag_status"))),
 
     // ------------------------------------------------------------------
-    // HLL sketch: no DuckDB oracle (different sketch impls); rows-only.
+    // HLL sketch, cross-engine-gated: sketch INTERNALS differ per
+    // engine, so the raw estimate can never hash-match a DuckDB run —
+    // but `|est − exact| ≤ max(5, 15%·exact)` CAN (default rsd 0.05,
+    // 3σ ≈ 15%): Spark computes the bool from its own estimate, the
+    // oracle emits literal TRUE, and the row hash-matches iff the HLL
+    // bound actually held. Exact + approx distinct ride the same
+    // partial-agg shuffle (both states are mergeable).
     "q13_agg_hll" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("est"),
+          countDistinct(col("user_id")).as("d_users"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_events"), col("d_users"),
+          (abs(col("est") - col("d_users")) <=
+            greatest(lit(5.0), lit(0.15) * col("d_users"))).as("hll_ok"))
         .orderBy(col("event_type"))),
 
     // ------------------------------------------------------------------
@@ -846,7 +856,12 @@ object Relational extends QueryPack {
         + "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "q12_agg_distinct" ->
       "SELECT count(DISTINCT l_orderkey) AS d_orders, count(DISTINCT l_partkey) AS d_parts, count(DISTINCT l_suppkey) AS d_supps, count(DISTINCT (l_returnflag, l_linestatus)) AS d_flag_status FROM lineitem",
-    // q13_agg_hll intentionally has no oracle (sketch impls differ).
+    // q13: the raw HLL estimate can't cross-engine-match, but the
+    // within-bound bool can — the oracle pins hll_ok to TRUE and the
+    // hash matches iff Spark's estimate actually met the bound.
+    "q13_agg_hll" ->
+      ("SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS d_users, "
+        + "TRUE AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
     "q14_rollup_cube" ->
       "SELECT l_returnflag, l_linestatus, CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls, count(*) AS cnt, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q15_pivot" ->

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -239,24 +239,45 @@ object Stats extends QueryPack {
     // ------------------------------------------------------------------
     // Sketch-based quantiles (Greenwald-Khanna): the 100 TB path when
     // exact percentile's full sort-per-group is too expensive — one
-    // pass, mergeable state, rank error ≤ 1/accuracy. No oracle
-    // (DuckDB's approx sketch differs, like q13's HLL) → rows-only;
-    // ApproxQuantileSpec asserts the rank-error bound against exact.
-    // Emitted as 4 scalar columns (not one array column): array-typed
-    // output crashes the driver's pandas sort_values compare.
-    "q63_approx_quantile" -> ((s, dir) =>
-      Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("aq"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          expr("element_at(aq, 1)").as("p25"),
-          expr("element_at(aq, 2)").as("p50"),
-          expr("element_at(aq, 3)").as("p75"),
-          expr("element_at(aq, 4)").as("p90"),
-          col("n"))
-        .orderBy(col("l_returnflag"))),
+    // pass, mergeable state, rank error ≤ 1/accuracy. Cross-engine-
+    // gated via the GK guarantee itself: the raw estimates can't
+    // hash-match DuckDB's sketch, but "est's RANK interval in the
+    // exact sorted data intersects (q ± ε)·n" is a bool both engines
+    // agree on — the oracle pins each p*_ok to TRUE, and the row
+    // matches iff the bound actually held. The audit join broadcasts
+    // the ≤4·#groups estimate rows back over one fact scan (n_lt/n_le
+    // are partial-agg counts), so the whole check is two scans and
+    // two partial-agg shuffles — no sort, scale-safe.
+    // ApproxQuantileSpec still asserts the bound on the raw estimates
+    // via approxQuantileEst below.
+    "q63_approx_quantile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v"))
+      val est = approxQuantileEst(s, dir)
+        .select(col("l_returnflag").as("erf"), col("n"),
+          posexplode(array(col("p25"), col("p50"), col("p75"), col("p90")))
+            .as(Seq("qi", "est")))
+      val eps = 2e-4 // 2× the 1/accuracy rank error, ceil/floor slack below
+      li.join(broadcast(est), col("rf") === col("erf"))
+        .groupBy(col("rf"), col("qi"), col("n"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("n_le"))
+        .withColumn("q",
+          element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)), col("qi") + 1))
+        // est occupies ranks [n_lt+1, n_le]; GK promises that interval
+        // meets [(q−ε)n, (q+ε)n] (±1 row of integer-rank slack)
+        .withColumn("ok",
+          (col("n_lt") + lit(1) <= (col("q") + lit(eps)) * col("n") + lit(1)) &&
+            (col("n_le") >= (col("q") - lit(eps)) * col("n") - lit(1)))
+        .groupBy(col("rf"), col("n"))
+        .agg(first(when(col("qi") === 0, col("ok")), ignoreNulls = true).as("p25_ok"),
+          first(when(col("qi") === 1, col("ok")), ignoreNulls = true).as("p50_ok"),
+          first(when(col("qi") === 2, col("ok")), ignoreNulls = true).as("p75_ok"),
+          first(when(col("qi") === 3, col("ok")), ignoreNulls = true).as("p90_ok"))
+        .select(col("rf").as("l_returnflag"), col("n"),
+          col("p25_ok"), col("p50_ok"), col("p75_ok"), col("p90_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ------------------------------------------------------------------
     // Winsorization: per-group p05/p95 exact-percentile clamp — the
@@ -716,7 +737,32 @@ object Stats extends QueryPack {
     }),
   )
 
+  /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
+    * the query's rank-bound audit (and ApproxQuantileSpec) consume.
+    * Kept separate so the spec can still assert the rank-error bound
+    * against the exact sorted data while the query surface emits the
+    * cross-engine-comparable booleans. */
+  private[graft] def approxQuantileEst(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("aq"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        expr("element_at(aq, 1)").as("p25"),
+        expr("element_at(aq, 2)").as("p50"),
+        expr("element_at(aq, 3)").as("p75"),
+        expr("element_at(aq, 4)").as("p90"),
+        col("n"))
+
   def oracles: Map[String, String] = Map(
+    // q63: the raw GK estimates can't cross-engine-match, but the
+    // rank-bound booleans can — the oracle pins them TRUE; the hash
+    // matches iff Spark's sketch actually met its guarantee.
+    "q63_approx_quantile" ->
+      ("SELECT l_returnflag, count(*) AS n, TRUE AS p25_ok, TRUE AS p50_ok, "
+        + "TRUE AS p75_ok, TRUE AS p90_ok FROM lineitem GROUP BY l_returnflag "
+        + "ORDER BY l_returnflag"),
     "q143_distance_corr" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
         + "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x, "

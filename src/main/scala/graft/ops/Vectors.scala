@@ -72,15 +72,14 @@ object Vectors extends QueryPack {
     * invocation. The retained value is one k×dim checkpointed frame —
     * bounded, unlike the unbounded cache()-per-invocation leak this
     * replaced in round 4. A stopped session's stale entry is never
-    * reused (keyed by session identity) and holds only driver-side
-    * metadata once its executors' blocks are gone. */
-  private val cbMemo = scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    * reused (Memo keys on the live session object, weakly) and becomes
+    * collectable with its session. */
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
-    cbMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    Memo.perSession(s, s"trainedCodebook|$dir") {
       val e = Tables.embeddings(s, dir)
       val cent0 = centroids(s, dir).select(col("clabel").as("cid"), col("cvec"))
       recompute(assign(e, cent0)).localCheckpoint()
-    })
+    }
 
   /** PQ index artifacts — the 4 per-block trained sub-codebooks and the
     * corpus code table (vec_id, c0..c3, err0..err3) they imply — built
@@ -88,11 +87,10 @@ object Vectors extends QueryPack {
     * q142 (search). At 100 TB both are PERSISTED index tables (the code
     * table is the ~64×-compressed index a billion-vector deploy ships);
     * here localCheckpoint stands in for that materialization, and the
-    * memo mirrors [[trainedCodebook]]'s: deterministic training, keyed
-    * by session identity, shared across Bench's min-of-2 passes. */
-  private val pqMemo = scala.collection.concurrent.TrieMap.empty[(Int, String), (DataFrame, Seq[DataFrame])]
+    * memo mirrors [[trainedCodebook]]'s: deterministic training,
+    * weakly session-keyed, shared across Bench's min-of-2 passes. */
   private def pqArtifacts(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
-    pqMemo.getOrElseUpdate((System.identityHashCode(s), dir), {
+    Memo.perSession(s, s"pqArtifacts|$dir") {
       val e = Tables.embeddings(s, dir)
       val blocks = (0 until 4).map { b =>
         val sub = e.select(col("vec_id"), col("label"),
@@ -111,7 +109,7 @@ object Vectors extends QueryPack {
       }
       val codes = blocks.map(_._1).reduce(_.join(_, "vec_id")).localCheckpoint()
       (codes, blocks.map(_._2))
-    })
+    }
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------

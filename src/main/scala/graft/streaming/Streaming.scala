@@ -436,9 +436,12 @@ object Streaming extends QueryPack {
         .withColumn("u", coalesce(col("user_id"), col("c_user")))
         .filter(col("u") >= 0) // drop the watermark sentinels
         .groupBy(col("u"))
+        // match status keyed on cts (never null on a real click row),
+        // NOT c_value: events.value is nullable, so a matched click
+        // with NULL value must still count as matched
         .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("view_id").isNotNull && col("c_value").isNotNull, 1).otherwise(0)).as("n_matched"),
-          sum(when(col("c_value").isNull, 1).otherwise(0)).as("n_view_only"),
+          sum(when(col("view_id").isNotNull && col("cts").isNotNull, 1).otherwise(0)).as("n_matched"),
+          sum(when(col("cts").isNull, 1).otherwise(0)).as("n_view_only"),
           sum(when(col("view_id").isNull, 1).otherwise(0)).as("n_click_only"),
           round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
         .orderBy(col("u"))
@@ -488,9 +491,12 @@ object Streaming extends QueryPack {
       s.table("q191_mem")
         .filter(col("user_id") >= 0) // drop the watermark sentinels
         .groupBy(col("user_id"))
+        // match status keyed on cts (never null on a real click row),
+        // NOT c_value: events.value is nullable, so a matched click
+        // with NULL value must still count as matched
         .agg(count(lit(1)).as("n_rows"),
-          count(col("c_value")).as("n_matched"),
-          sum(when(col("c_value").isNull, 1).otherwise(0)).as("n_unmatched"),
+          count(col("cts")).as("n_matched"),
+          sum(when(col("cts").isNull, 1).otherwise(0)).as("n_unmatched"),
           round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
         .orderBy(col("user_id"))
     }),
@@ -500,10 +506,10 @@ object Streaming extends QueryPack {
     "q191_stream_outer_join" ->
       ("WITH v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events WHERE event_type = 'view'), "
         + "c AS (SELECT user_id AS c_user, ts AS cts, value AS c_value FROM events WHERE event_type = 'click'), "
-        + "j AS (SELECT v.user_id, c.c_value FROM v LEFT JOIN c ON v.user_id = c.c_user "
+        + "j AS (SELECT v.user_id, c.cts, c.c_value FROM v LEFT JOIN c ON v.user_id = c.c_user "
         + "AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE) "
-        + "SELECT user_id, count(*) AS n_rows, count(c_value) AS n_matched, "
-        + "CAST(sum(CASE WHEN c_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, "
+        + "SELECT user_id, count(*) AS n_rows, count(cts) AS n_matched, "
+        + "CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched, "
         + "round(CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
         + "FROM j GROUP BY user_id ORDER BY user_id"),
     "q156_stream_enrich" ->
@@ -521,11 +527,11 @@ object Streaming extends QueryPack {
     "q220_stream_full_outer" ->
       ("WITH v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events WHERE event_type = 'view'), "
         + "c AS (SELECT user_id AS c_user, ts AS cts, value AS c_value FROM events WHERE event_type = 'click'), "
-        + "j AS (SELECT coalesce(v.user_id, c.c_user) AS u, v.view_id, c.c_value FROM v FULL JOIN c ON v.user_id = c.c_user "
+        + "j AS (SELECT coalesce(v.user_id, c.c_user) AS u, v.view_id, c.cts, c.c_value FROM v FULL JOIN c ON v.user_id = c.c_user "
         + "AND c.cts > v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE) "
         + "SELECT u, count(*) AS n_rows, "
-        + "CAST(sum(CASE WHEN view_id IS NOT NULL AND c_value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, "
-        + "CAST(sum(CASE WHEN c_value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only, "
+        + "CAST(sum(CASE WHEN view_id IS NOT NULL AND cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, "
+        + "CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view_only, "
         + "CAST(sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only, "
         + "round(CAST(sum(CAST(c_value AS DECIMAL(18,2))) AS DOUBLE), 6) AS click_value "
         + "FROM j GROUP BY u ORDER BY u"),

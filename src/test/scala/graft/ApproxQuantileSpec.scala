@@ -14,7 +14,8 @@ class ApproxQuantileSpec extends AnyFunSuite with Matchers with SharedSpark {
   test("approx quantiles respect the rank-error bound per group") {
     val qs = Seq(0.25, 0.5, 0.75, 0.9)
     val acc = 10000.0
-    val approx = SparkEntry.queries("q63_approx_quantile")(spark, sf).collect()
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val approx = ops.Stats.approxQuantileEst(spark, sf).collect()
     approx.length should be > 0
     val data = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_returnflag"), col("l_extendedprice")).collect()
@@ -29,6 +30,16 @@ class ApproxQuantileSpec extends AnyFunSuite with Matchers with SharedSpark {
         withClue(s"$flag q=$q v=$v") {
           math.abs(rank - q * n) should be <= math.max(n / acc, 1.0)
         }
+      }
+    }
+  }
+
+  test("q63's query surface emits all-true rank-bound booleans (the oracle contract)") {
+    val rows = SparkEntry.queries("q63_approx_quantile")(spark, sf).collect()
+    rows.length should be > 0
+    for (r <- rows; c <- Seq("p25_ok", "p50_ok", "p75_ok", "p90_ok")) {
+      withClue(s"${r.getAs[String]("l_returnflag")} $c: ") {
+        r.getAs[Boolean](c) shouldBe true
       }
     }
   }

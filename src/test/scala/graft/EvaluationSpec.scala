@@ -171,7 +171,9 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
     val expected = counts.map { case (tok, c) =>
       tok -> (0 to 3).map(r => cells((r.toLong, md5mod(s"$r|$tok", 1024)))).min
     }
-    val rows = run("q208_countmin").collect()
+    // raw estimates via the helper (the query surface now emits the
+    // oracle-able CM-bound boolean instead of the estimates)
+    val rows = ops.Evaluation.countMinRaw(spark, fx).collect()
       .map(r => r.getAs[String]("tok") ->
         (r.getAs[Long]("true_c"), r.getAs[Long]("est_c"))).toMap
     rows.keySet shouldBe counts.keySet
@@ -181,6 +183,10 @@ class EvaluationSpec extends AnyFunSuite with Matchers with SharedSpark {
       ec should be >= tc // CM never undercounts
       (ec - tc) should be <= (4L * counts.values.sum / 1024 + 1)
     }
+    // and the query surface's cm_ok bool holds on every emitted row
+    val surf = run("q208_countmin").collect()
+    surf.length should be > 0
+    surf.foreach(r => r.getAs[Boolean]("cm_ok") shouldBe true)
   }
 
   test("q209: PACF(1..3) matches a Durbin-Levinson recompute over the daily series") {

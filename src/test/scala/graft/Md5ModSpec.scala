@@ -82,4 +82,35 @@ class Md5ModSpec extends AnyFunSuite with Matchers with SharedSpark {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     got shouldBe expected
   }
+
+  test("md5_mod returns NULL on a zero modulus, matching the Remainder chain (both paths)") {
+    // interpreted path
+    val e = graft.functions.Md5Mod(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString("abc")),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    assert(e.eval(null) == null)
+    // codegen path: md5_mod is NULL on m=0 regardless of mode
+    df.withColumn("native", expr("md5_mod(s, 0L)"))
+      .select(col("native")).collect()
+      .foreach(r => assert(r.isNullAt(0)))
+    // and next to the chain it claims parity with, under the chain's
+    // NULL-returning (non-ANSI) remainder semantics
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = df
+        .withColumn("native", expr("md5_mod(s, 0L)"))
+        .withColumn("chain", expr(
+          "cast(conv(substr(md5(cast(s as binary)), 1, 15), 16, 10) as bigint) % 0"))
+        .select(col("native"), col("chain"))
+        .collect()
+      rows.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+        case None => spark.conf.unset("spark.sql.ansi.enabled")
+      }
+    }
+  }
 }
