@@ -34,7 +34,13 @@ object Bench {
     }
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Ascending by seconds so the MOST EXPENSIVE queries sit at the END
+    // of the line: the driver's log window keeps a fixed-size TAIL of
+    // stdout, and this ordering lands the top of the cost distribution
+    // (the rows worth reading) inside the kept window. Errors (-1.0)
+    // sort first and are also listed in the errors array at the tail.
+    val qs = results.toSeq.sortBy(_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")

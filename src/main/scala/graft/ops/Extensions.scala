@@ -313,32 +313,34 @@ object Extensions extends QueryPack {
         .orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
-    // Multimodal decode stage: the per-batch decoder pattern (Spark's
-    // Scala equivalent of mapInPandas) — partitions stream through a
-    // "decoder" that turns opaque bytes into typed features. The real
-    // image/audio codec is STUBBED with a deterministic byte-statistics
-    // fake (no media libs in-container); the Spark-side plumbing —
-    // binary column in, typed feature row out, per-partition batching,
-    // no driver involvement — is the real 100 TB shape. No SQL oracle
-    // (imperative stage) → rows-only check; covered by ExtensionsSpec.
+    // Multimodal decode stage: the per-partition decoder pattern
+    // (Spark's Scala analogue of mapInPandas) with a REAL codec —
+    // encode synthesizes a deterministic RLE "image" per document
+    // (GRFT header + run-length pixel pairs, see MultimodalCodec) and
+    // decode then genuinely PARSES those bytes: validates magic/
+    // version, reads big-endian dims, RLE-expands, and reduces the
+    // decoded pixels to typed all-BIGINT features (no float to drift).
+    // Decode touches ONLY payload bytes, never doc_id-derived values,
+    // so the oracle — which recomputes the stats from the pixel
+    // formula in SQL — matches iff the codec round-trips bit-exactly.
+    // At 100 TB the payload column is real image bytes and this
+    // binary-column-in → feature-row-out per-partition batch shape is
+    // unchanged; the codec is synthetic-but-real RLE rather than JPEG
+    // only because no media libs exist in-container
+    // (MultimodalCodecSpec covers round-trip + malformed rejection).
     "q57_multimodal_decode" -> ((s, dir) => {
       import s.implicits._
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map(id => id -> MultimodalCodec.encode(id)))
+        .toDF("doc_id", "payload")
         .as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, bytes) =>
-          var sum = 0L; var i = 0; var nDistinct = 0
-          val seen = new Array[Boolean](256)
-          while (i < bytes.length) {
-            val b = bytes(i) & 0xff
-            sum += b
-            if (!seen(b)) { seen(b) = true; nDistinct += 1 }
-            i += 1
-          }
-          // stub "decode": fake frame dims derived from byte stats
-          (id, bytes.length, nDistinct, sum % 997, 16 + sum % 64, 16 + nDistinct % 64)
+          val d = MultimodalCodec.decode(bytes)
+          (id, d.w.toLong, d.h.toLong, d.nPx, d.nRuns, d.maxRun, d.sumPx, d.checksum)
         })
-        .toDF("doc_id", "n_bytes", "n_distinct_bytes", "checksum", "fake_w", "fake_h")
+        .toDF("doc_id", "w", "h", "n_px", "n_runs", "max_run", "sum_px", "checksum")
         .orderBy(col("doc_id"))
     }),
 
@@ -456,6 +458,22 @@ object Extensions extends QueryPack {
         + "probes AS (SELECT vec_id AS probe_id, bucket FROM buckets WHERE vec_id < 3) "
         + "SELECT p.probe_id, p.bucket, count(*) AS n_candidates FROM probes p JOIN buckets b ON b.bucket = p.bucket AND b.vec_id <> p.probe_id "
         + "GROUP BY 1, 2 ORDER BY probe_id"),
+    // q57: recomputes the decoded statistics from the pixel formula
+    // (dims and blocked LCG in MultimodalCodec's doc) — the Spark side
+    // derives the SAME numbers by parsing the encoded bytes, so a
+    // match certifies the encode→decode round trip, not shared code.
+    "q57_multimodal_decode" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 24) % 24 AS h FROM documents), "
+        + "u AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d), "
+        + "px AS (SELECT doc_id, w, h, i, (doc_id * 2654435761 + (i // 7) * 40503) % 251 AS v FROM u), "
+        + "rr AS (SELECT doc_id, i, v, CASE WHEN v IS DISTINCT FROM lag(v) OVER (PARTITION BY doc_id ORDER BY i) THEN 1 ELSE 0 END AS brk FROM px), "
+        + "rid AS (SELECT doc_id, i, v, sum(brk) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS run_id FROM rr), "
+        + "runs AS (SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY doc_id, run_id), "
+        + "ra AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs, CAST(max(rl) AS BIGINT) AS max_run FROM runs GROUP BY doc_id), "
+        + "g AS (SELECT doc_id, CAST(max(w) AS BIGINT) AS w, CAST(max(h) AS BIGINT) AS h, count(*) AS n_px, "
+        + "CAST(sum(v) AS BIGINT) AS sum_px, CAST(sum(v * (i + 1)) % 1000000007 AS BIGINT) AS checksum FROM px GROUP BY doc_id) "
+        + "SELECT g.doc_id, g.w, g.h, g.n_px, ra.n_runs, ra.max_run, g.sum_px, g.checksum "
+        + "FROM g JOIN ra USING (doc_id) ORDER BY doc_id"),
     "q56_multimodal" ->
       ("SELECT doc_id, lang, n_chars, octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS content_hash, "
         + "substr(hex(CAST(text AS BLOB)), 1, 16) AS head_hex, "

@@ -199,6 +199,85 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     } shouldBe empty
   }
 
+  /** A plan subtree is provably bounded (small, data-size-independent
+    * row count) when every path to a leaf passes through a global
+    * aggregate (empty grouping → exactly 1 row), a limit/top-k, or a
+    * literal local table. Multi-child nodes need ALL children bounded
+    * (a join/union of bounded frames stays bounded).
+    */
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      if a.groupingExpressions.isEmpty => true
+    case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+    case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+    case _: TakeOrderedAndProjectExec => true
+    case _ if p.children.nonEmpty => p.children.forall(bounded)
+    case _ => false
+  }
+
+  /** Every physical node in the tree INCLUDING physical subquery plans,
+    * tolerant of pre-AQE PlanExpressions that still wrap a LOGICAL plan
+    * (q177's average subquery) — same workaround as [[globalWindowsIn]].
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val here = p.collect { case n => n }
+    val subs = here
+      .flatMap(_.expressions)
+      .flatMap(_.collect {
+        case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] => pe.plan
+      })
+      .collect { case sp: SparkPlan => allNodes(sp) }
+      .flatten
+    here ++ subs
+  }
+
+  /** Nested-loop builds that ARE bounded but not structurally provable
+    * by [[bounded]] (the frame's bound comes from data semantics — a
+    * literal key-range probe set, a k-row trained codebook behind a
+    * localCheckpoint RDD scan, a calendar/enum contraction — not from
+    * a global-agg/limit plan node); each justified here, audited at
+    * the query.
+    */
+  private val boundedBnljKeys = Set(
+    "q41_cosine_topk",     // probes = vec_id < 3: 3 literal-keyed rows
+    "q55_ann_lsh",         // probes = vec_id < 3
+    "q126_ann_recall",     // probes = vec_id < 3
+    "q142_ivfpq_search",   // broadcast sub-centroid codebooks: k x 4 rows, checkpointed (RDDScan)
+    "q61_ann_ivf",         // broadcast k=10 centroid codebook, checkpointed
+    "q65_kmeans_train",    // broadcast k=10 centroids per Lloyd iteration
+    "q42_centroid_knn",    // per-label mean vectors: <= |label| enum rows
+    "q170_naive_bayes",    // class priors / vocab-class grid: <= |class| enum rows
+    "q127_rolling_distinct", // day spine <= #days: the documented interval-join plan
+    "q133_skyline",        // per-size min-price candidates: <= |p_size| rows, checkpointed
+    "q136_kendall_tau"     // daily cells <= #days, checkpointed, both pair-join sides
+  )
+
+  test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val cartOffenders = scala.collection.mutable.ListBuffer.empty[String]
+    val bnljOffenders = scala.collection.mutable.ListBuffer.empty[String]
+    for (k <- SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingKeys)) {
+      val nodes = allNodes(sparkPlanOf(k))
+      if (nodes.exists(_.isInstanceOf[CartesianProductExec])) cartOffenders += k
+      val unboundedBnlj = nodes.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+      }.filterNot { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        bounded(build)
+      }
+      if (unboundedBnlj.nonEmpty && !boundedBnljKeys(k)) bnljOffenders += k
+    }
+    withClue("CartesianProduct (both sides large — always a 100x-scale bug): ") {
+      cartOffenders.toList shouldBe empty
+    }
+    withClue("BroadcastNestedLoopJoin over a build side not provably bounded: ") {
+      bnljOffenders.toList shouldBe empty
+    }
+  }
+
   test("q28 top-k plans as TakeOrderedAndProject, never a global sort+limit") {
     sparkPlanOf("q28_sort_limit").collectWithSubqueries {
       case t: TakeOrderedAndProjectExec => t

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Checkpoint-restart fault tolerance — at cluster scale, recovery is
+  * half the point of Structured Streaming, and none of the AvailableNow
+  * streaming queries exercised it before this spec. The q217-shaped
+  * watermarked daily aggregation runs twice over the same data: once
+  * uninterrupted, and once STOPPED mid-stream (after the first two
+  * single-file microbatches drain) then RESUMED from its checkpoint
+  * with two more tranches staged. Resume must restore both the source
+  * offset log (no tranche re-read) and the state store (still-open
+  * windows' partial counts), and the final emitted set must be
+  * IDENTICAL — exactly-once across the restart, no loss, no re-emit.
+  */
+class StreamRecoverySpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("windowed agg resumes from checkpoint after a mid-stream stop with identical emission") {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("event_type", StringType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val b0 = 1704585600000000L // 2024-01-07 UTC, µs
+    val b1 = 1704931200000000L // 2024-01-11 UTC, µs (q90/q217's split)
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
+      .localCheckpoint() // shared by the tranche writes + max scan
+    val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+    val t0a = evs.filter(col("ts_us") <= b0)
+    val t0b = evs.filter(col("ts_us") > b0 && col("ts_us") <= b1)
+    val t1 = evs.filter(col("ts_us") > b1)
+    // far-future sentinel staged LAST advances the watermark past all
+    // real days so every real window closes and emits in append mode
+    // (q217's idiom); its own still-open window is withheld + filtered
+    val sentinel = Seq(("zz_sentinel", far, 0.0)).toDF("event_type", "ts_us", "value")
+
+    def stage(root: java.nio.file.Path, tranches: (String, DataFrame)*): Unit =
+      tranches.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+      }
+
+    def run(in: java.nio.file.Path, out: String, ck: String): Unit =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .withColumn("ets", timestamp_micros(col("ts_us")))
+        .withWatermark("ets", "1 hour")
+        .groupBy(window(col("ets"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("sum_v"))
+        .select(col("w.start").cast("date").as("day"), col("event_type"),
+          col("cnt"), col("sum_v"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+
+    def emitted(out: String): Seq[(String, String, Long, Double)] =
+      spark.read.parquet(out)
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(col("day").cast("string"), col("event_type"),
+          col("cnt"), col("sum_v"))
+        .as[(String, String, Long, Double)].collect().sorted.toSeq
+
+    // Reference: uninterrupted run over all four tranches.
+    val inA = ops.Stage.fresh("recov_in_a")
+    val outA = ops.Stage.fresh("recov_out_a").toString
+    val ckA = ops.Stage.fresh("recov_ck_a").toString
+    stage(inA, "b0" -> t0a, "b1" -> t0b, "b2" -> t1, "b3" -> sentinel)
+    run(inA, outA, ckA)
+
+    // Interrupted run: two tranches drain (2 microbatches at
+    // maxFilesPerTrigger=1), AvailableNow terminates — the "kill".
+    // The Jan-10 window is still OPEN here (watermark = max(t0b) − 1 h),
+    // so its partial counts exist only in the state store and the
+    // restart MUST restore them to emit the right totals.
+    val inB = ops.Stage.fresh("recov_in_b")
+    val outB = ops.Stage.fresh("recov_out_b").toString
+    val ckB = ops.Stage.fresh("recov_ck_b").toString
+    stage(inB, "b0" -> t0a, "b1" -> t0b)
+    run(inB, outB, ckB)
+    val firstEmit = emitted(outB)
+    stage(inB, "b2" -> t1, "b3" -> sentinel)
+    run(inB, outB, ckB) // resume: same checkpoint, same sink
+
+    val a = emitted(outA)
+    val b = emitted(outB)
+    a.length should be > 0
+    withClue("restart must only APPEND to what the first run emitted: ") {
+      b.toSet should contain allElementsOf firstEmit.toSet
+      firstEmit.length should be < b.length
+    }
+    withClue("interrupted+resumed emission must equal the uninterrupted run: ") {
+      b shouldBe a
+    }
+  }
+}
