@@ -645,9 +645,107 @@ object Text extends QueryPack {
               "(m * cast(syy as double) - cast(sy as double) * sy)), 0.0)"), 6)
             .as("assortativity"))
     }),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility by language: bytes-per-token and chars-per-
+    // token over the whitespace tokenization — the first number a
+    // multilingual tokenizer sizing exercise needs (languages with high
+    // byte fertility dominate the token budget). One partial-agg
+    // shuffle keyed by lang; per-row arithmetic only. Completes the
+    // tokenizer-sizing family (q53 counts, q165 coverage, q166 Heaps,
+    // q178 packing).
+    "q222_token_fertility" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("nt"),
+          octet_length(col("text")).cast("long").as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("toks"),
+          sum(col("nb")).as("nb"), sum(col("nc")).as("nc"))
+        .filter(col("toks") > 0)
+        .select(col("lang"), col("n_docs"), col("toks"),
+          round(col("nb").cast("double") / col("toks"), 6).as("bytes_per_tok"),
+          round(col("nc").cast("double") / col("toks"), 6).as("chars_per_tok"))
+        .orderBy(col("lang"))),
+
+    // ------------------------------------------------------------------
+    // ROUGE-2 over the candidate pair graph: distinct-bigram precision/
+    // recall/F1 for every q40 near-dup pair — the summarization-eval
+    // readout (and the "are these dups actually rewrites?" triage a
+    // dedup pipeline runs on its candidates). Bigram sets are built
+    // ONLY for docs that appear in a pair (the graph is sparse, so the
+    // contraction is tiny vs the corpus), md5-hashed to 64-bit keys
+    // before the intersection shuffle (q151's trick), and the pair
+    // graph itself is the memoized [[nearDupPairs]] checkpoint.
+    "q223_rouge_pairs" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val docs = pairs.select(col("doc_a").as("doc_id"))
+        .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val bg = Tables.documents(s, dir)
+        .join(docs, "doc_id")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> " +
+            "md5_mod(concat_ws(' ', slice(w, i, 2)), 9223372036854775807L))")).as("h"))
+        .distinct()
+        .localCheckpoint() // consumed thrice: sizes + both pair sides
+      val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nbg"))
+      val inter = pairs
+        .join(bg.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(bg.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("ncommon"))
+      pairs
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nbg").as("na2")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nbg").as("nb2")), "doc_b")
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("i2", coalesce(col("ncommon"), lit(0L)))
+        .select(col("doc_a"), col("doc_b"), col("i2").as("n_common"),
+          round(col("i2") / col("nb2"), 6).as("rouge2_p"),
+          round(col("i2") / col("na2"), 6).as("rouge2_r"),
+          round(lit(2.0) * col("i2") / (col("na2") + col("nb2")), 6).as("rouge2_f1"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q222_token_fertility" ->
+      ("WITH d AS (SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt, "
+        + "octet_length(CAST(text AS BLOB)) AS nb, length(text) AS nc FROM documents) "
+        + "SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS toks, "
+        + "round(CAST(sum(nb) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS bytes_per_tok, "
+        + "round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nt) AS DOUBLE), 6) AS chars_per_tok "
+        + "FROM d GROUP BY lang HAVING sum(nt) > 0 ORDER BY lang"),
+    // q223: q40's candidate-pair CTEs verbatim, then distinct-bigram
+    // P/R/F1 per pair over the md5-hashed bigram sets of paired docs.
+    "q223_rouge_pairs" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01)")
+      (s"WITH $pairCtes, "
+        + "bg AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT))) AS h FROM "
+        + "(SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents "
+        + "WHERE doc_id IN (SELECT doc_a FROM pairs UNION SELECT doc_b FROM pairs)) WHERE len(w) >= 2)), "
+        + "bsz AS (SELECT doc_id, count(*) AS nbg FROM bg GROUP BY doc_id), "
+        + "i2 AS (SELECT p.doc_a, p.doc_b, count(*) AS ncommon FROM pairs p "
+        + "JOIN bg a ON a.doc_id = p.doc_a JOIN bg b ON b.doc_id = p.doc_b AND b.h = a.h GROUP BY 1, 2) "
+        + "SELECT p.doc_a, p.doc_b, CAST(COALESCE(i.ncommon, 0) AS BIGINT) AS n_common, "
+        + "round(CAST(COALESCE(i.ncommon, 0) AS DOUBLE) / sb.nbg, 6) AS rouge2_p, "
+        + "round(CAST(COALESCE(i.ncommon, 0) AS DOUBLE) / sa.nbg, 6) AS rouge2_r, "
+        + "round(2.0 * COALESCE(i.ncommon, 0) / (sa.nbg + sb.nbg), 6) AS rouge2_f1 "
+        + "FROM pairs p JOIN bsz sa ON sa.doc_id = p.doc_a JOIN bsz sb ON sb.doc_id = p.doc_b "
+        + "LEFT JOIN i2 i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+        + "ORDER BY p.doc_a, p.doc_b")
+    },
     "q155_bpe_pairs" ->
       ("WITH t AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
         + "vocab AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok HAVING length(tok) >= 2), "

@@ -309,6 +309,39 @@ object Vectors extends QueryPack {
           coalesce(col("n_out"), lit(0L)).as("n_outliers"))
         .orderBy(col("pos"))
     }),
+
+    // ------------------------------------------------------------------
+    // Matryoshka truncation evaluation: how much retrieval quality
+    // survives keeping only the first 16 of 64 dims — the standard
+    // check before shipping truncated embeddings (64→16 is 4× less
+    // storage/bandwidth at 100 TB). Per probe: top-10 by full-dim
+    // cosine vs top-10 by truncated-dim cosine, overlap@10, and both
+    // top-1 ids. Probes broadcast; both cosines ride the native
+    // codegen'd cosine_sim in ONE corpus pass; windows are keyed by
+    // probe (never global). At corpus scale the probe set is a sample —
+    // the harness shape (rank joint, grouped overlap) is unchanged.
+    "q221_matryoshka_recall" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      val sim = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_full", round(expr("cosine_sim(embedding, p_emb)"), 6))
+        .withColumn("cos_16",
+          round(expr("cosine_sim(slice(embedding, 1, 16), slice(p_emb, 1, 16))"), 6))
+      val wf = Window.partitionBy(col("probe_id")).orderBy(col("cos_full").desc, col("vec_id"))
+      val wt = Window.partitionBy(col("probe_id")).orderBy(col("cos_16").desc, col("vec_id"))
+      sim.withColumn("rf", row_number().over(wf))
+        .withColumn("rt", row_number().over(wt))
+        .filter(col("rf") <= 10 || col("rt") <= 10)
+        .groupBy(col("probe_id"))
+        .agg(sum(when(col("rf") <= 10 && col("rt") <= 10, 1L).otherwise(0L)).as("overlap10"),
+          max(when(col("rf") === 1, col("vec_id"))).as("top1_full"),
+          max(when(col("rt") === 1, col("vec_id"))).as("top1_trunc"))
+        .withColumn("recall10", round(col("overlap10") / lit(10.0), 6))
+        .orderBy(col("probe_id"))
+    }),
   )
 
   /** Shared oracle SQL: label-mean init → assign → recompute = the
@@ -390,6 +423,23 @@ object Vectors extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // q221: same rounded-cosine + vec_id-tiebreak idiom as q41's oracle,
+    // computed twice (full 64 dims, first 16 dims) per candidate row.
+    "q221_matryoshka_recall" ->
+      ("WITH probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 5), "
+        + "sim AS (SELECT probe_id, vec_id, "
+        + "round(list_sum(list_transform(range(1, len(embedding) + 1), i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(p_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_full, "
+        + "round(list_sum(list_transform(range(1, 17), i -> CAST(embedding[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(range(1, 17), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) * sqrt(list_sum(list_transform(range(1, 17), i -> CAST(p_emb[i] AS DOUBLE) * CAST(p_emb[i] AS DOUBLE))))), 6) AS cos_16 "
+        + "FROM embeddings CROSS JOIN probes WHERE vec_id <> probe_id), "
+        + "r AS (SELECT probe_id, vec_id, "
+        + "row_number() OVER (PARTITION BY probe_id ORDER BY cos_full DESC, vec_id) AS rf, "
+        + "row_number() OVER (PARTITION BY probe_id ORDER BY cos_16 DESC, vec_id) AS rt FROM sim) "
+        + "SELECT probe_id, CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS overlap10, "
+        + "max(CASE WHEN rf = 1 THEN vec_id END) AS top1_full, max(CASE WHEN rt = 1 THEN vec_id END) AS top1_trunc, "
+        + "round(CAST(sum(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0, 6) AS recall10 "
+        + "FROM r WHERE rf <= 10 OR rt <= 10 GROUP BY probe_id ORDER BY probe_id"),
     "q154_embed_norm" ->
       ("WITH ex AS (SELECT generate_subscripts(embedding, 1) AS pos, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
         + "st AS (SELECT pos, count(*) AS n, sum(CAST(x AS DECIMAL(28,10))) AS sx, sum(CAST(x * x AS DECIMAL(38,16))) AS sxx FROM ex GROUP BY pos), "

@@ -240,6 +240,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     */
   private val boundedBnljKeys = Set(
     "q41_cosine_topk",     // probes = vec_id < 3: 3 literal-keyed rows
+    "q221_matryoshka_recall", // probes = vec_id < 5: 5 literal-keyed rows
     "q55_ann_lsh",         // probes = vec_id < 3
     "q126_ann_recall",     // probes = vec_id < 3
     "q142_ivfpq_search",   // broadcast sub-centroid codebooks: k x 4 rows, checkpointed (RDDScan)

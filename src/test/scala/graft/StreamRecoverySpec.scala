@@ -98,4 +98,88 @@ class StreamRecoverySpec extends AnyFunSuite with Matchers with SharedSpark {
       b shouldBe a
     }
   }
+
+  test("stream-stream inner join resumes from checkpoint with identical pair emission") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint()
+    // pick a REAL (view, click-within-30-min) pair and cut the tranches
+    // between its two events: the view lands before the stop and the
+    // click after, so emitting this pair REQUIRES the restarted query
+    // to restore the view from the join state store, not just offsets
+    val straddle = evs.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("vus"), col("event_id").as("view_id"))
+      .join(evs.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts_us").as("cus"), col("value").as("cv")),
+        col("user_id") === col("cu") && col("cus") > col("vus")
+          && col("cus") <= col("vus") + lit(1800000000L))
+      .orderBy(col("vus"), col("cus"), col("view_id"))
+      .select(col("user_id"), col("view_id"), col("vus"), col("cus")).first()
+    val cut = (straddle.getLong(2) + straddle.getLong(3)) / 2
+
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def run(in: java.nio.file.Path, out: String, ck: String): Unit = {
+      def src() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
+          col("value").as("c_value"))
+        .withWatermark("cts", "1 hour")
+      views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("user_id"), col("view_id"), col("cts"), col("c_value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    def emitted(out: String): Seq[(Long, Long, String, Double)] =
+      spark.read.parquet(out)
+        .select(col("user_id"), col("view_id"), col("cts").cast("string"),
+          coalesce(col("c_value"), lit(-1.0)))
+        .as[(Long, Long, String, Double)].collect().sorted.toSeq
+
+    def stage(root: java.nio.file.Path, tranches: (String, DataFrame)*): Unit =
+      tranches.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+      }
+    val t0a = evs.filter(col("ts_us") < straddle.getLong(2))
+    val t0b = evs.filter(col("ts_us") >= straddle.getLong(2) && col("ts_us") <= cut)
+    val t1 = evs.filter(col("ts_us") > cut)
+
+    val inA = ops.Stage.fresh("recovj_in_a")
+    val outA = ops.Stage.fresh("recovj_out_a").toString
+    val ckA = ops.Stage.fresh("recovj_ck_a").toString
+    stage(inA, "b0" -> t0a, "b1" -> t0b, "b2" -> t1)
+    run(inA, outA, ckA)
+
+    val inB = ops.Stage.fresh("recovj_in_b")
+    val outB = ops.Stage.fresh("recovj_out_b").toString
+    val ckB = ops.Stage.fresh("recovj_ck_b").toString
+    stage(inB, "b0" -> t0a, "b1" -> t0b)
+    run(inB, outB, ckB) // the "kill": straddle view now lives ONLY in join state
+    stage(inB, "b2" -> t1)
+    run(inB, outB, ckB) // resume
+
+    val a = emitted(outA)
+    val b = emitted(outB)
+    a.length should be > 0
+    withClue("the straddling pair proves join-state restore (view pre-stop, click post-stop): ") {
+      b.exists(p => p._1 == straddle.getLong(0) && p._2 == straddle.getLong(1)) shouldBe true
+    }
+    withClue("interrupted+resumed pair emission must equal the uninterrupted run: ") {
+      b shouldBe a
+    }
+  }
 }
