@@ -30,15 +30,25 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = rd(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = rd(s, dir, "embeddings")
 
-  /** `ts` arrives as ns-since-epoch Long (see above); convert to µs
-    * TimestampNTZ exactly like DuckDB truncates when reading the same file.
-    * The conf set is idempotent and only widens readability, so it is safe
-    * under the shared driver-built session (SURVEY.md §4.3.5).
+  /** `ts` has shipped in two generations of the driver testdata: INT64
+    * TIMESTAMP(NANOS) (read as ns-long under `nanosAsLong`, truncated to
+    * µs exactly like DuckDB truncates the same file) and, since the
+    * 2026-08-13 regeneration, plain TIMESTAMP(MICROS). Sniff the loaded
+    * dtype and normalize both to µs TimestampNTZ so every downstream
+    * query sees one stable type regardless of which generation is on
+    * disk. The footer-only schema read is driver-side and O(1).
+    * The conf set is idempotent and only widens readability, so it is
+    * safe under the shared driver-built session (SURVEY.md §4.3.5).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = rd(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** SURVEY.md §2.1 (formats): csv/json ingestion with an explicit

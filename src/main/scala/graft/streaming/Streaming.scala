@@ -41,7 +41,10 @@ object Streaming extends QueryPack {
 
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // INT64 TIMESTAMP(NANOS) read as ns-long
+    // TIMESTAMP(MICROS) since the 2026-08-13 testdata regeneration
+    // (was INT64 ns; batch reads sniff both via Tables.events, but a
+    // stream needs one declared schema, so this matches current disk)
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -62,7 +65,7 @@ object Streaming extends QueryPack {
       val q = withStateParts(s)(s.readStream
         .schema(rawSchema)
         .parquet(in.toString)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ets", timestamp_micros(expr("unix_micros(cast(ts as timestamp))")))
         .withWatermark("ets", "10 minutes")
         // watermark-bounded dedup state: an event_id reappearing within
         // the watermark window is dropped; state for ids older than the
