@@ -322,6 +322,47 @@ object Analysis extends QueryPack {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("actual"), col("predicted"))
     }),
+
+    // ------------------------------------------------------------------
+    // Theil's U (uncertainty coefficient) between document language and
+    // source — the entropy-based, ASYMMETRIC complement to q101's
+    // chi-square/Cramér's V: U(L|S) answers "how much does knowing the
+    // source reduce language uncertainty" (and vice versa), via
+    // U(L|S) = I(L;S)/H(L) with I = H(L)+H(S)−H(L,S). One partial-agg
+    // shuffle contracts the corpus to the |lang|×|source| cells; the
+    // three entropies are 1-row aggregates over that bounded frame with
+    // each −p·ln p term DECIMAL-quantized pre-sum (q98's recipe).
+    "q225_theils_u" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .localCheckpoint() // consumed thrice: joint + both marginals
+      val tot = cells.agg(sum(col("n")).as("tot"))
+      val hj = cells.crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          "cast(-(n / cast(tot as double)) * ln(n / cast(tot as double)) as decimal(28,12))")).as("hj"))
+      val hl = cells.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          "cast(-(nl / cast(tot as double)) * ln(nl / cast(tot as double)) as decimal(28,12))")).as("hl"))
+      val hs = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+        .crossJoin(broadcast(tot))
+        .agg(sum(expr(
+          "cast(-(ns / cast(tot as double)) * ln(ns / cast(tot as double)) as decimal(28,12))")).as("hs"))
+      hj.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+        .select(
+          round(expr("cast(hl as double)"), 6).as("h_lang"),
+          round(expr("cast(hs as double)"), 6).as("h_source"),
+          round(expr("cast(hj as double)"), 6).as("h_joint"),
+          round(expr(
+            "(cast(hl as double) + cast(hs as double) - cast(hj as double)) / cast(hl as double)"), 6)
+            .as("u_lang_given_source"),
+          round(expr(
+            "(cast(hl as double) + cast(hs as double) - cast(hj as double)) / cast(hs as double)"), 6)
+            .as("u_source_given_lang"),
+          round(expr(
+            "2.0d * (cast(hl as double) + cast(hs as double) - cast(hj as double)) / " +
+              "(cast(hl as double) + cast(hs as double))"), 6).as("u_symmetric"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -427,5 +468,20 @@ object Analysis extends QueryPack {
         + "SELECT actual, cls, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn FROM sc2) "
         + "WHERE rn = 1) "
         + "SELECT actual, predicted, count(*) AS n_docs FROM pred GROUP BY 1, 2 ORDER BY 1, 2"),
+    "q225_theils_u" ->
+      ("WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2), "
+        + "tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells), "
+        + "hj AS (SELECT sum(CAST(-(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)) AS DECIMAL(28,12))) AS hj FROM cells, tot), "
+        + "hl AS (SELECT sum(CAST(-(nl / CAST(tot AS DOUBLE)) * ln(nl / CAST(tot AS DOUBLE)) AS DECIMAL(28,12))) AS hl "
+        + "FROM (SELECT CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY lang), tot), "
+        + "hs AS (SELECT sum(CAST(-(ns / CAST(tot AS DOUBLE)) * ln(ns / CAST(tot AS DOUBLE)) AS DECIMAL(28,12))) AS hs "
+        + "FROM (SELECT CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY source), tot) "
+        + "SELECT round(CAST(hl AS DOUBLE), 6) AS h_lang, round(CAST(hs AS DOUBLE), 6) AS h_source, "
+        + "round(CAST(hj AS DOUBLE), 6) AS h_joint, "
+        + "round((CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE) - CAST(hj AS DOUBLE)) / CAST(hl AS DOUBLE), 6) AS u_lang_given_source, "
+        + "round((CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE) - CAST(hj AS DOUBLE)) / CAST(hs AS DOUBLE), 6) AS u_source_given_lang, "
+        + "round(2.0 * (CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE) - CAST(hj AS DOUBLE)) / "
+        + "(CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE)), 6) AS u_symmetric "
+        + "FROM hj, hl, hs"),
   )
 }

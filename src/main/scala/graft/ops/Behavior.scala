@@ -158,6 +158,29 @@ object Behavior extends QueryPack {
           col("p25_s"), col("p50_s"), col("p75_s"),
           round(expr("cast(sum_s as double) / n_converted"), 6).as("mean_s"))
     }),
+
+    // ------------------------------------------------------------------
+    // Burstiness: top-20 users by the Fano factor (variance-to-mean
+    // dispersion index) of their daily event counts — Fano ≫ 1 flags
+    // bot-like bursts, ≈ 1 is Poisson-regular. Two user-keyed
+    // partial-agg contractions; the sample variance comes from EXACT
+    // integer Σc and Σc² (never a distributed var_samp whose merge
+    // order could wobble), doubles only in the final closed form;
+    // orderBy+limit compiles to TakeOrderedAndProject.
+    "q230_burstiness" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("sc2"))
+        .filter(col("n_days") >= 2)
+        .select(col("user_id"), col("n_days"), col("n_events"),
+          round(expr("n_events / cast(n_days as double)"), 6).as("mean_daily"),
+          round(expr(
+            "((sc2 - cast(n_events as double) * n_events / n_days) / (n_days - 1)) / " +
+              "(n_events / cast(n_days as double))"), 6).as("fano"))
+        .orderBy(col("fano").desc, col("user_id")).limit(20)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -212,5 +235,14 @@ object Behavior extends QueryPack {
         + "nv AS (SELECT count(*) AS n_viewed FROM v) "
         + "SELECT n_viewed, n_converted, p25_s, p50_s, p75_s, "
         + "round(CAST(sum_s AS DOUBLE) / n_converted, 6) AS mean_s FROM a CROSS JOIN nv"),
+    "q230_burstiness" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1, 2), "
+        + "pu AS (SELECT user_id, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS n_events, "
+        + "CAST(sum(c * c) AS BIGINT) AS sc2 FROM daily GROUP BY user_id HAVING count(*) >= 2) "
+        + "SELECT user_id, n_days, n_events, "
+        + "round(n_events / CAST(n_days AS DOUBLE), 6) AS mean_daily, "
+        + "round(((sc2 - CAST(n_events AS DOUBLE) * n_events / n_days) / (n_days - 1)) / "
+        + "(n_events / CAST(n_days AS DOUBLE)), 6) AS fano "
+        + "FROM pu ORDER BY fano DESC, user_id LIMIT 20"),
   )
 }

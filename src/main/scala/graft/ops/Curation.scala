@@ -245,6 +245,55 @@ object Curation extends QueryPack {
           round(expr("cast(inter as double) / (na + nb - inter)"), 6).as("jaccard"))
         .orderBy(col("src_a"), col("src_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // Temperature-scaled sampling mix (α = 0.7 and 0.3): the
+    // multilingual/multi-source upsampling rule — sample source i with
+    // probability ∝ p_i^α, flattening the natural char-share
+    // distribution toward uniform — alongside the effective epochs each
+    // source would see at a budget equal to the corpus size (the
+    // "small sources repeat, big sources subsample" readout; q84 covers
+    // the fixed-target variant). One per-source contraction; p^α values
+    // are DECIMAL-quantized before the normalizing sum.
+    "q227_temperature_mix" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("chars"))
+      val tot = per.agg(sum(col("chars")).as("tot"))
+      val w = per.crossJoin(broadcast(tot))
+        .withColumn("p", expr("chars / cast(tot as double)"))
+        .withColumn("w07", expr("cast(power(p, 0.7d) as decimal(28,12))"))
+        .withColumn("w03", expr("cast(power(p, 0.3d) as decimal(28,12))"))
+        .localCheckpoint() // consumed twice: normalizer + final rows
+      val z = w.agg(sum(col("w07")).as("z07"), sum(col("w03")).as("z03"))
+      w.crossJoin(broadcast(z))
+        .select(col("source"), col("chars"),
+          round(col("p"), 6).as("share_raw"),
+          round(expr("cast(w07 as double) / cast(z07 as double)"), 6).as("share_t07"),
+          round(expr("(cast(w07 as double) / cast(z07 as double)) / p"), 6).as("epochs_t07"),
+          round(expr("cast(w03 as double) / cast(z03 as double)"), 6).as("share_t03"),
+          round(expr("(cast(w03 as double) / cast(z03 as double)) / p"), 6).as("epochs_t03"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Encoding audit: per-source share of characters outside printable
+    // ASCII and share of documents containing any — the cheap mojibake
+    // /encoding-regression tripwire a crawl pipeline runs per source
+    // before deeper language processing. Pure per-row regex + one
+    // partial-agg shuffle; per-doc ratios are DECIMAL-quantized before
+    // the cross-doc mean.
+    "q231_encoding_audit" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), length(col("text")).cast("double").as("nc"),
+          length(regexp_replace(col("text"), "[ -~]", "")).cast("double").as("nna"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("cast(CASE WHEN nc = 0.0d THEN 0.0d ELSE nna / nc END as decimal(28,12))")).as("sr"),
+          sum(when(col("nna") > 0, 1L).otherwise(0L)).as("n_na"))
+        .select(col("source"), col("n_docs"),
+          round(expr("cast(sr as double) / n_docs"), 6).as("mean_nonascii_ratio"),
+          round(expr("n_na / cast(n_docs as double)"), 6).as("pct_nonascii_docs"))
+        .orderBy(col("source"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -329,5 +378,25 @@ object Curation extends QueryPack {
         + "round(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) AS jaccard "
         + "FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b "
         + "ORDER BY src_a, src_b"),
+    "q227_temperature_mix" ->
+      ("WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source), "
+        + "tot AS (SELECT CAST(sum(chars) AS BIGINT) AS tot FROM per), "
+        + "w AS (SELECT source, chars, chars / CAST(tot AS DOUBLE) AS p, "
+        + "CAST(pow(chars / CAST(tot AS DOUBLE), 0.7) AS DECIMAL(28,12)) AS w07, "
+        + "CAST(pow(chars / CAST(tot AS DOUBLE), 0.3) AS DECIMAL(28,12)) AS w03 FROM per, tot), "
+        + "z AS (SELECT sum(w07) AS z07, sum(w03) AS z03 FROM w) "
+        + "SELECT source, chars, round(p, 6) AS share_raw, "
+        + "round(CAST(w07 AS DOUBLE) / CAST(z07 AS DOUBLE), 6) AS share_t07, "
+        + "round((CAST(w07 AS DOUBLE) / CAST(z07 AS DOUBLE)) / p, 6) AS epochs_t07, "
+        + "round(CAST(w03 AS DOUBLE) / CAST(z03 AS DOUBLE), 6) AS share_t03, "
+        + "round((CAST(w03 AS DOUBLE) / CAST(z03 AS DOUBLE)) / p, 6) AS epochs_t03 "
+        + "FROM w, z ORDER BY source"),
+    "q231_encoding_audit" ->
+      ("WITH d AS (SELECT source, CAST(length(text) AS DOUBLE) AS nc, "
+        + "CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS DOUBLE) AS nna FROM documents) "
+        + "SELECT source, count(*) AS n_docs, "
+        + "round(CAST(sum(CAST(CASE WHEN nc = 0.0 THEN 0.0 ELSE nna / nc END AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_nonascii_ratio, "
+        + "round(sum(CASE WHEN nna > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pct_nonascii_docs "
+        + "FROM d GROUP BY source ORDER BY source"),
   )
 }

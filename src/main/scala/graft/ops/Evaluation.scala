@@ -742,6 +742,50 @@ object Evaluation extends QueryPack {
           round(expr("CASE WHEN qhat_x IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),
           round(expr("2.0d * qhat_x"), 6).as("interval_width"))
     }),
+
+    // ------------------------------------------------------------------
+    // Ranking evaluation (nDCG@10 / MRR / MAP@10): each user's events
+    // ordered by score (`value` desc, event_id tiebreak) form a ranked
+    // list with purchases as the relevant items — the retrieval-eval
+    // readout a recommender/search pipeline runs per experiment. The
+    // only window is PARTITIONED BY user (never global); position
+    // terms are ln-expressed (log2 = ln2/ln(r+1) — ln is the proven
+    // cross-engine-parity transcendental here) and DECIMAL-quantized
+    // before the per-user sums; the ideal DCG is a ≤10-term in-row HOF
+    // over sequence(1, min(R,10)); per-user metrics quantize again
+    // before the cross-user mean so merge order cannot move a ULP.
+    "q224_ranking_eval" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      val ranked = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("crel", sum(col("rel")).over(w))
+        .withColumn("dcg_t", expr(
+          "cast(CASE WHEN r <= 10 THEN rel * ln(2.0d) / ln(r + 1.0d) ELSE 0.0d END as decimal(28,12))"))
+        .withColumn("ap_t", expr(
+          "cast(CASE WHEN r <= 10 AND rel = 1 THEN crel / cast(r as double) ELSE 0.0d END as decimal(28,12))"))
+      val perUser = ranked.groupBy(col("user_id"))
+        .agg(sum(col("rel")).as("nrel"), sum(col("dcg_t")).as("dcg"),
+          sum(col("ap_t")).as("apsum"),
+          min(when(col("rel") === 1, col("r"))).as("fr"))
+        .filter(col("nrel") > 0)
+        .withColumn("idcg", expr(
+          "aggregate(sequence(1L, least(nrel, 10L)), 0.0d, (acc, i) -> acc + ln(2.0d) / ln(i + 1.0d))"))
+        .select(
+          expr("cast(cast(dcg as double) / idcg as decimal(28,12))").as("ndcg"),
+          expr("cast(1.0d / fr as decimal(28,12))").as("rr"),
+          expr("cast(cast(apsum as double) / least(nrel, 10L) as decimal(28,12))").as("ap"))
+      perUser
+        .agg(count(lit(1)).as("n_users"), sum(col("ndcg")).as("sn"),
+          sum(col("rr")).as("sr"), sum(col("ap")).as("sa"))
+        .select(col("n_users"),
+          round(expr("cast(sn as double) / n_users"), 6).as("ndcg10"),
+          round(expr("cast(sr as double) / n_users"), 6).as("mrr"),
+          round(expr("cast(sa as double) / n_users"), 6).as("map10"))
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1042,5 +1086,22 @@ object Evaluation extends QueryPack {
         + "p2t AS (SELECT *, r1 * (1.0 - p2) AS p21 FROM p) "
         + "SELECT round(r1, 6) AS pacf1, round(p2, 6) AS pacf2, "
         + "round((r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2), 6) AS pacf3 FROM p2t"),
+    "q224_ranking_eval" ->
+      ("WITH ranked AS (SELECT user_id, event_id, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel, "
+        + "row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS r, "
+        + "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS crel "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "terms AS (SELECT user_id, rel, r, "
+        + "CAST(CASE WHEN r <= 10 THEN rel * ln(2.0) / ln(r + 1.0) ELSE 0.0 END AS DECIMAL(28,12)) AS dcg_t, "
+        + "CAST(CASE WHEN r <= 10 AND rel = 1 THEN crel / CAST(r AS DOUBLE) ELSE 0.0 END AS DECIMAL(28,12)) AS ap_t FROM ranked), "
+        + "pu AS (SELECT user_id, CAST(sum(rel) AS BIGINT) AS nrel, sum(dcg_t) AS dcg, sum(ap_t) AS apsum, "
+        + "min(CASE WHEN rel = 1 THEN r END) AS fr FROM terms GROUP BY user_id HAVING sum(rel) > 0), "
+        + "pm AS (SELECT CAST(CAST(dcg AS DOUBLE) / list_sum(list_transform(range(1, CAST(least(nrel, 10) AS BIGINT) + 1), "
+        + "i -> ln(2.0) / ln(i + 1.0))) AS DECIMAL(28,12)) AS ndcg, "
+        + "CAST(1.0 / fr AS DECIMAL(28,12)) AS rr, "
+        + "CAST(CAST(apsum AS DOUBLE) / least(nrel, 10) AS DECIMAL(28,12)) AS ap FROM pu) "
+        + "SELECT count(*) AS n_users, round(CAST(sum(ndcg) AS DOUBLE) / count(*), 6) AS ndcg10, "
+        + "round(CAST(sum(rr) AS DOUBLE) / count(*), 6) AS mrr, "
+        + "round(CAST(sum(ap) AS DOUBLE) / count(*), 6) AS map10 FROM pm"),
   )
 }

@@ -146,20 +146,7 @@ object Text extends QueryPack {
     // exponentially deep lineage, the standard Spark iterative-algo
     // practice.
     "q80_dedup_clusters" -> ((s, dir) => {
-      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val edges = pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v").localCheckpoint()
-      var labels = edges.select(col("u").as("doc")).distinct()
-        .withColumn("lbl", col("doc"))
-      for (_ <- 1 to 5) {
-        labels = labels
-          .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
-            .select(col("u").as("doc"), col("lbl")))
-          .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint()
-      }
-      labels.groupBy(col("lbl"))
+      ccLabels(s, dir).groupBy(col("lbl"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc")).as("min_doc"),
           max(col("doc")).as("max_doc"))
         .select(col("lbl").as("cluster"), col("n_docs"), col("min_doc"), col("max_doc"))
@@ -266,6 +253,29 @@ object Text extends QueryPack {
         .distinct()
         .localCheckpoint()
     }
+
+  /** Connected-component labels over the [[nearDupPairs]] graph: 5
+    * bounded label-propagation iterations (join + min, localCheckpoint
+    * per iteration — the large-scale CC / GraphX-Pregel shape in plain
+    * DataFrames). Shared by q80 (cluster rollup) and q229 (cluster-size
+    * distribution); the pair graph itself is the memoized checkpoint,
+    * so the propagation runs over a tiny frame. */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v").localCheckpoint()
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("lbl", col("doc"))
+    for (_ <- 1 to 5) {
+      labels = labels
+        .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
+          .select(col("u").as("doc"), col("lbl")))
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
       // Shingle sets via explode + hash-agg distinct (measured FASTER
@@ -708,6 +718,76 @@ object Text extends QueryPack {
           round(lit(2.0) * col("i2") / (col("na2") + col("nb2")), 6).as("rouge2_f1"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // Vocabulary richness estimation: Chao1 (bias-corrected) projects
+    // the UNSEEN vocabulary from the singleton/doubleton counts, and
+    // Good–Turing's n1/N is the probability mass a tokenizer will spend
+    // on never-before-seen types — the "how much bigger is the true
+    // vocab than this sample shows" readout that complements q166's
+    // Heaps-law growth fit. One token-count contraction, then a 1-row
+    // aggregate of exact integers; doubles only in the final closed
+    // forms.
+    "q226_chao1" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("vocab"), col("n_tokens"), col("n1"), col("n2"),
+          round(expr("vocab + cast(n1 as double) * (n1 - 1) / (2.0d * (n2 + 1))"), 6).as("chao1"),
+          round(expr("cast(n1 as double) / n_tokens"), 6).as("gt_unseen_mass"),
+          round(expr("1.0d - cast(n1 as double) / n_tokens"), 6).as("gt_coverage"))),
+
+    // ------------------------------------------------------------------
+    // k-core peeling (k=2, 4 bounded iterations) over the q40 pair
+    // graph: iteratively strip degree-<2 nodes and report the shrinking
+    // (n_nodes, n_edges) profile — "how much of the dup graph is
+    // tree-like fringe vs densely-duplicated core", the triage a dedup
+    // policy runs before choosing cluster survivors. Same bounded-
+    // iteration + localCheckpoint-per-step shape as q80's CC; every
+    // join is keyed on doc ids of the tiny memoized pair frame, and the
+    // output is 5 fixed rows built by unioned 1-row aggregates — no
+    // driver-side count actions.
+    "q228_kcore" -> ((s, dir) => {
+      def stats(i: Int, e: DataFrame): DataFrame = {
+        val nodes = e.select(col("doc_a").as("u"))
+          .union(e.select(col("doc_b").as("u")))
+          .agg(countDistinct(col("u")).as("n_nodes"))
+        e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(nodes))
+          .select(lit(i).as("iter"), col("n_nodes"), col("n_edges"))
+      }
+      var edges = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      var out = stats(0, edges)
+      for (i <- 1 to 4) {
+        val deg = edges.select(col("doc_a").as("u"))
+          .union(edges.select(col("doc_b").as("u")))
+          .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 2).select(col("u"))
+        edges = edges
+          .join(keep.withColumnRenamed("u", "doc_a"), "doc_a")
+          .join(keep.withColumnRenamed("u", "doc_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint()
+        out = out.union(stats(i, edges))
+      }
+      out.orderBy(col("iter"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Duplicate-cluster size distribution: the q80 connected components
+    // rolled up one level further — how many clusters of each size the
+    // near-dup graph contains (the shape a dedup report leads with:
+    // mostly pairs, or a few mega-clusters?). Two bounded groupBys over
+    // the shared [[ccLabels]] frame.
+    "q229_cluster_sizes" -> ((s, dir) =>
+      ccLabels(s, dir)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy(col("cluster_size"))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -975,6 +1055,63 @@ object Text extends QueryPack {
         + "nullif(sqrt((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx) * "
         + "(m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS assortativity "
         + "FROM agg CROSS JOIN nn")
+    },
+    "q226_chao1" ->
+      ("WITH t AS (SELECT tok FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "tc AS (SELECT tok, count(*) AS c FROM t GROUP BY tok), "
+        + "agg AS (SELECT count(*) AS vocab, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        + "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 FROM tc) "
+        + "SELECT vocab, n_tokens, n1, n2, "
+        + "round(vocab + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6) AS chao1, "
+        + "round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass, "
+        + "round(1.0 - CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_coverage FROM agg"),
+    // q228/q229: q40's candidate-pair CTEs verbatim, then the bounded
+    // peel / CC iterations unrolled as chained CTEs (same iteration
+    // count as the Spark side, so the fixpoints agree row-for-row).
+    // Multiply-referenced levels are AS MATERIALIZED: DuckDB otherwise
+    // inlines each e_i into its ~4 consumers and re-evaluates the
+    // shingle pipeline combinatorially (measured: >12 min inlined vs
+    // 0.6 s materialized at sf0.001).
+    "q228_kcore" -> {
+      val pairCtes =
+        ("sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01)")
+      val levels = (0 until 4).map(i =>
+        s"b$i AS MATERIALIZED (SELECT doc_a AS u FROM e$i UNION ALL SELECT doc_b FROM e$i), "
+          + s"k$i AS (SELECT u FROM b$i GROUP BY u HAVING count(*) >= 2), "
+          + s"e${i + 1} AS MATERIALIZED (SELECT e.doc_a, e.doc_b FROM e$i e JOIN k$i a ON a.u = e.doc_a JOIN k$i b ON b.u = e.doc_b)")
+        .mkString(", ")
+      val stats = (0 to 4).map(i =>
+        s"SELECT $i AS iter, (SELECT count(DISTINCT u) FROM (SELECT doc_a AS u FROM e$i UNION ALL SELECT doc_b FROM e$i)) AS n_nodes, "
+          + s"(SELECT count(*) FROM e$i) AS n_edges").mkString(" UNION ALL ")
+      (s"WITH $pairCtes, e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs), $levels "
+        + s"SELECT * FROM ($stats) ORDER BY iter")
+    },
+    "q229_cluster_sizes" -> {
+      val pairCtes =
+        ("sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+          + "l0 AS MATERIALIZED (SELECT DISTINCT u AS doc, u AS lbl FROM edges)")
+      val iters = (0 until 5).map(i =>
+        s"l${i + 1} AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM (SELECT doc, lbl FROM l$i "
+          + s"UNION ALL SELECT e.u AS doc, l.lbl FROM edges e JOIN l$i l ON l.doc = e.v) GROUP BY doc)").mkString(", ")
+      (s"WITH $pairCtes, $iters, "
+        + "cl AS (SELECT lbl, count(*) AS sz FROM l5 GROUP BY lbl) "
+        + "SELECT sz AS cluster_size, count(*) AS n_clusters FROM cl GROUP BY sz ORDER BY cluster_size")
     },
   )
 }

@@ -1,0 +1,184 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Formula/semantics tests for the §2.20 widening (q224–q231) beyond the
+  * DuckDB oracle: every statistic is recomputed by hand (or in plain
+  * Scala) on tiny fixtures whose answers are derivable on paper — the
+  * oracle proves engine parity; these prove the formulas themselves.
+  */
+class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** DECIMAL(28,12) quantization as the queries apply pre-sum. */
+  private def q12(v: Double): BigDecimal =
+    BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  private lazy val fx: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bfx_").toString
+    import spark.implicits._
+    import java.time.LocalDateTime
+    // documents: q225 lang×source cells en×s1=2, en×s2=1, fr×s2=1;
+    // q226 tokens of doc 1&2: "a a b c" ∪ "d" → a:2,b:1,c:1,d:1;
+    // q231 doc 4 carries one non-ASCII char (©) of 3 chars.
+    Seq(
+      (1L, "a a b", "en", "s1", 5L),
+      (2L, "c d", "en", "s1", 3L),
+      (3L, "e", "en", "s2", 1L),
+      (4L, "ab©", "fr", "s2", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // events: q224 user 1 → (v=5 purchase, v=4 view, v=3 purchase),
+    // user 2 → (v=9 view, v=1 purchase), user 3 views only (excluded);
+    // q230 day counts: user 1 → (3, 1) on two days, user 2 → (2, 2),
+    // user 3 → one day only (excluded).
+    def t(day: Int, h: Int) = LocalDateTime.of(2025, 1, day, h, 0, 0)
+    Seq(
+      (1L, t(1, 1), 1L, "purchase", Some(5.0)),
+      (2L, t(1, 2), 1L, "view", Some(4.0)),
+      (3L, t(1, 3), 1L, "purchase", Some(3.0)),
+      (4L, t(2, 1), 1L, "view", None),
+      (5L, t(1, 1), 2L, "view", Some(9.0)),
+      (6L, t(1, 2), 2L, "purchase", Some(1.0)),
+      (7L, t(2, 1), 2L, "view", None),
+      (8L, t(2, 2), 2L, "view", None),
+      (9L, t(1, 1), 3L, "view", Some(2.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .coalesce(1).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("q224: nDCG@10 / MRR / MAP@10 match the hand-derived two-user means") {
+    val ln2 = math.log(2.0)
+    def dcgT(r: Int) = ln2 / math.log(r + 1.0)
+    // user 1: rel at ranks 1,3 of (5,4,3); R=2
+    val ndcg1 = (q12(dcgT(1)) + q12(dcgT(3))).toDouble /
+      (dcgT(1) + dcgT(2))
+    val ap1 = (q12(1.0 / 1.0) + q12(2.0 / 3.0)).toDouble / 2.0
+    // user 2: rel at rank 2 of (9,1); R=1
+    val ndcg2 = q12(dcgT(2)).toDouble / dcgT(1)
+    val ap2 = q12(1.0 / 2.0).toDouble / 1.0
+    val rows = SparkEntry.queries("q224_ranking_eval")(spark, fx).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_users") shouldBe 2L
+    r.getAs[Double]("ndcg10") shouldBe r6((q12(ndcg1) + q12(ndcg2)).toDouble / 2.0)
+    r.getAs[Double]("mrr") shouldBe r6((q12(1.0) + q12(0.5)).toDouble / 2.0)
+    r.getAs[Double]("map10") shouldBe r6((q12(ap1) + q12(ap2)).toDouble / 2.0)
+  }
+
+  test("q225: entropies and Theil's U match the closed-form 2×2-cell values") {
+    def h(ps: Seq[Double]) = ps.map(p => (q12(-p * math.log(p))).toDouble).sum
+    val hl = h(Seq(0.75, 0.25)) // en 3/4, fr 1/4
+    val hs = h(Seq(0.5, 0.5)) // s1 2/4, s2 2/4
+    val hj = h(Seq(0.5, 0.25, 0.25)) // cells 2,1,1 of 4
+    val mi = hl + hs - hj
+    val rows = SparkEntry.queries("q225_theils_u")(spark, fx).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Double]("h_lang") shouldBe r6(hl)
+    r.getAs[Double]("h_source") shouldBe r6(hs)
+    r.getAs[Double]("h_joint") shouldBe r6(hj)
+    r.getAs[Double]("u_lang_given_source") shouldBe r6(mi / hl)
+    r.getAs[Double]("u_source_given_lang") shouldBe r6(mi / hs)
+    r.getAs[Double]("u_symmetric") shouldBe r6(2.0 * mi / (hl + hs))
+  }
+
+  test("q226: Chao1 and Good–Turing from a:2 plus five singletons") {
+    val rows = SparkEntry.queries("q226_chao1")(spark, fx).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("vocab") shouldBe 6L // a b c d e ab©
+    r.getAs[Long]("n_tokens") shouldBe 7L
+    r.getAs[Long]("n1") shouldBe 5L // b c d e ab©
+    r.getAs[Long]("n2") shouldBe 1L // a
+    // chao1 = V + n1(n1−1)/(2(n2+1)) = 6 + 20/4 = 11
+    r.getAs[Double]("chao1") shouldBe 11.0
+    r.getAs[Double]("gt_unseen_mass") shouldBe r6(5.0 / 7.0)
+    r.getAs[Double]("gt_coverage") shouldBe r6(1.0 - 5.0 / 7.0)
+  }
+
+  test("q227: temperature shares flatten toward uniform and epochs are share/p") {
+    // chars: s1 = 5+3 = 8, s2 = 1+3 = 4 → p = 2/3, 1/3
+    val (p1, p2) = (8.0 / 12.0, 4.0 / 12.0)
+    def share(a: Double, p: Double, po: Double) = {
+      val (w, wo) = (q12(math.pow(p, a)), q12(math.pow(po, a)))
+      (w.toDouble / (w + wo).toDouble, wo.toDouble / (w + wo).toDouble)
+    }
+    val (s1a7, s2a7) = share(0.7, p1, p2)
+    val (s1a3, s2a3) = share(0.3, p1, p2)
+    val rows = SparkEntry.queries("q227_temperature_mix")(spark, fx).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    rows.keySet shouldBe Set("s1", "s2")
+    rows("s1").getAs[Double]("share_raw") shouldBe r6(p1)
+    rows("s1").getAs[Double]("share_t07") shouldBe r6(s1a7)
+    rows("s2").getAs[Double]("share_t07") shouldBe r6(s2a7)
+    rows("s1").getAs[Double]("share_t03") shouldBe r6(s1a3)
+    rows("s2").getAs[Double]("epochs_t03") shouldBe r6(s2a3 / p2)
+    // temperature must flatten: minority share grows monotonically as α↓
+    s2a7 should be > p2
+    s2a3 should be > s2a7
+    rows("s2").getAs[Double]("epochs_t07") shouldBe r6(s2a7 / p2)
+  }
+
+  test("q228: a single-pair graph peels to empty at k=2 and stays empty") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // graph fixture: the Round6Spec d10/d11 pair corpus (one edge)
+    val rows = SparkEntry.queries("q228_kcore")(spark, fxPair).collect()
+      .map(r => (r.getAs[Int]("iter"), r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+      .sortBy(_._1)
+    rows shouldBe Seq((0, 2L, 1L), (1, 0L, 0L), (2, 0L, 0L), (3, 0L, 0L), (4, 0L, 0L))
+  }
+
+  test("q229: the single candidate pair rolls up to one cluster of size 2") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val rows = SparkEntry.queries("q229_cluster_sizes")(spark, fxPair).collect()
+    rows should have length 1
+    rows.head.getAs[Long]("cluster_size") shouldBe 2L
+    rows.head.getAs[Long]("n_clusters") shouldBe 1L
+  }
+
+  /** Two docs sharing the 5-gram "a b c d e" → exactly one q40 pair
+    * (Round6Spec's q223 fixture shape, rebuilt standalone so the two
+    * suites stay independent). */
+  private lazy val fxPair: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bpair_").toString
+    import spark.implicits._
+    Seq(
+      (10L, "a b c d e f", "cc", "src0", 11L),
+      (11L, "a b c d e g", "cc", "src0", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q230: Fano factor from exact integer sums (burst user 1, regular user 2)") {
+    val rows = SparkEntry.queries("q230_burstiness")(spark, fx).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    rows.keySet shouldBe Set(1L, 2L) // user 3 has one day → excluded
+    val u1 = rows(1L) // days (3,1): mean 2, var (10−8)/1 = 2, fano 1
+    u1.getAs[Long]("n_days") shouldBe 2L
+    u1.getAs[Long]("n_events") shouldBe 4L
+    u1.getAs[Double]("mean_daily") shouldBe 2.0
+    u1.getAs[Double]("fano") shouldBe 1.0
+    val u2 = rows(2L) // days (2,2): var 0 → fano 0
+    u2.getAs[Double]("fano") shouldBe 0.0
+  }
+
+  test("q231: non-ASCII ratio means and doc shares per source") {
+    val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    rows.keySet shouldBe Set("s1", "s2")
+    val s1 = rows("s1") // "a a b", "c d" — pure ASCII
+    s1.getAs[Long]("n_docs") shouldBe 2L
+    s1.getAs[Double]("mean_nonascii_ratio") shouldBe 0.0
+    s1.getAs[Double]("pct_nonascii_docs") shouldBe 0.0
+    val s2 = rows("s2") // "e" (0/1), "ab©" (1/3)
+    s2.getAs[Double]("mean_nonascii_ratio") shouldBe r6((q12(0.0) + q12(1.0 / 3.0)).toDouble / 2.0)
+    s2.getAs[Double]("pct_nonascii_docs") shouldBe 0.5
+  }
+}
