@@ -181,6 +181,33 @@ object Behavior extends QueryPack {
             "((sc2 - cast(n_events as double) * n_events / n_days) / (n_days - 1)) / " +
               "(n_events / cast(n_days as double))"), 6).as("fano"))
         .orderBy(col("fano").desc, col("user_id")).limit(20)),
+
+    // ------------------------------------------------------------------
+    // Inter-arrival time profile: the distribution of consecutive
+    // same-user event gaps (quartiles + mean + max, seconds) — the
+    // number that sizes session timeouts (q46/q110's 30-minute gap) and
+    // state-store TTLs from data instead of folklore. One
+    // user-partitioned lag window (never global); gaps are integer
+    // seconds (identical truncation both engines, q188's recipe), mean
+    // from a DECIMAL-quantized sum, exact percentiles rounded 6dp.
+    "q234_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("pts", lag(col("ts"), 1).over(w))
+        .filter(col("pts").isNotNull)
+        .withColumn("gap_s", expr(
+          "unix_seconds(cast(ts as timestamp)) - unix_seconds(cast(pts as timestamp))"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("round(percentile(gap_s, 0.25), 6)").as("p25_s"),
+          expr("round(percentile(gap_s, 0.5), 6)").as("p50_s"),
+          expr("round(percentile(gap_s, 0.75), 6)").as("p75_s"),
+          sum(expr("cast(gap_s as decimal(18,2))")).as("sum_s"),
+          max(col("gap_s")).as("max_s"))
+        .select(col("n_gaps"), col("p25_s"), col("p50_s"), col("p75_s"),
+          round(expr("cast(sum_s as double) / n_gaps"), 6).as("mean_s"),
+          col("max_s"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -244,5 +271,12 @@ object Behavior extends QueryPack {
         + "round(((sc2 - CAST(n_events AS DOUBLE) * n_events / n_days) / (n_days - 1)) / "
         + "(n_events / CAST(n_days AS DOUBLE)), 6) AS fano "
         + "FROM pu ORDER BY fano DESC, user_id LIMIT 20"),
+    "q234_interarrival" ->
+      ("WITH g AS (SELECT user_id, ts, lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events), "
+        + "d AS (SELECT date_diff('second', pts, ts) AS gap_s FROM g WHERE pts IS NOT NULL) "
+        + "SELECT count(*) AS n_gaps, round(quantile_cont(gap_s, 0.25), 6) AS p25_s, "
+        + "round(quantile_cont(gap_s, 0.5), 6) AS p50_s, round(quantile_cont(gap_s, 0.75), 6) AS p75_s, "
+        + "round(CAST(sum(CAST(gap_s AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS mean_s, "
+        + "CAST(max(gap_s) AS BIGINT) AS max_s FROM d"),
   )
 }

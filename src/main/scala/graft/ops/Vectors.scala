@@ -342,6 +342,133 @@ object Vectors extends QueryPack {
         .withColumn("recall10", round(col("overlap10") / lit(10.0), 6))
         .orderBy(col("probe_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // Embedding isotropy audit: anisotropy = ‖mean unit vector‖² (≈ the
+    // expected cosine between random pairs — 0 for a perfectly
+    // isotropic cloud, →1 when everything points one way) plus the
+    // norm distribution — the two embedding-health numbers checked
+    // before cosine similarity is trusted at all. Norms are in-row
+    // left-to-right folds (q41's parity recipe); unit components and
+    // squared dim-means are DECIMAL-quantized before their distributed
+    // sums. Two corpus scans (norm stats + dim means), one 64-cell
+    // shuffle.
+    "q232_isotropy" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("nrm", expr(
+          "sqrt(aggregate(embedding, 0.0d, (a, x) -> a + cast(x as double) * cast(x as double)))"))
+        .filter(col("nrm") > 0.0)
+      val ns = e.agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(nrm as decimal(28,12))")).as("snrm"),
+        sum(expr("cast(nrm * nrm as decimal(38,12))")).as("snrm2"))
+      val aniso = e
+        .select(col("nrm"), posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select(col("p0"), expr("cast(cast(x as double) / nrm as decimal(28,12))").as("u"))
+        .groupBy(col("p0")).agg(sum(col("u")).as("su"), count(lit(1)).as("n"))
+        .select(expr("cast(su as double) / n").as("mu"))
+        .agg(count(lit(1)).as("dim"),
+          sum(expr("cast(mu * mu as decimal(28,12))")).as("sa"))
+      ns.crossJoin(broadcast(aniso))
+        .select(col("n_vecs"), col("dim"),
+          round(expr("cast(snrm as double) / n_vecs"), 6).as("mean_norm"),
+          // greatest(…, 0): the closed-form variance of a near-constant
+          // norm distribution can land at −1e-15; DuckDB's sqrt ERRORS
+          // on negatives where Spark would yield NaN — clamp both
+          round(expr(
+            "sqrt(greatest(cast(snrm2 as double) / n_vecs - " +
+              "(cast(snrm as double) / n_vecs) * (cast(snrm as double) / n_vecs), 0.0d))"), 6)
+            .as("std_norm"),
+          round(expr("cast(sa as double)"), 6).as("anisotropy"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Effective dimensionality (participation ratio): (Σλ)²/Σλ² over
+    // the per-dimension variances — how many dimensions the embedding
+    // cloud actually uses (64 if perfectly spread, →1 if one direction
+    // dominates), the cheap PCA-free collapse detector. Rides q154's
+    // per-dim DECIMAL sufficient-statistic recipe; the rollup is a
+    // 1-row aggregate over 64 cells with λ terms quantized pre-sum.
+    "q233_effective_dim" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("p0", "x")))
+        .select(col("p0"), col("x").cast("double").as("x"))
+        .groupBy(col("p0"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(28,10)")).as("sx"),
+          sum(expr("cast(x * x as decimal(38,16))")).as("sxx"))
+        .select(col("n"), expr(
+          "cast(sxx as double) / n - (cast(sx as double) / n) * (cast(sx as double) / n)").as("lam"))
+        .agg(max(col("n")).as("n_vecs"), count(lit(1)).as("dim"),
+          sum(expr("cast(lam as decimal(28,12))")).as("tv"),
+          sum(expr("cast(lam * lam as decimal(28,12))")).as("tv2"))
+        .select(col("n_vecs"), col("dim"),
+          round(expr("cast(tv as double)"), 6).as("total_var"),
+          round(expr("cast(tv as double) / dim"), 6).as("mean_var"),
+          round(expr("cast(tv as double) * cast(tv as double) / cast(tv2 as double)"), 6)
+            .as("effective_dim"))),
+
+    // ------------------------------------------------------------------
+    // Leading eigenpair by power iteration — the distributed-PCA first
+    // step: ONE pair-expansion shuffle builds the 64×64 covariance
+    // (mergeable DECIMAL sufficient statistics — at 100 TB this is
+    // per-partition Gram partial-sums, the standard tall-skinny
+    // pattern), then 3 power iterations run entirely on the bounded
+    // 4096-cell frame (matvec terms DECIMAL-quantized; per-iteration
+    // localCheckpoint caps lineage). λ₁ = ‖Cv‖ after the last step;
+    // explained share = λ₁/tr(C). Sign-free outputs only (an
+    // eigenvector's sign is arbitrary): λ₁, share, and the argmax
+    // |loading| dimension.
+    "q235_pca_power" -> ((s, dir) => {
+      val prs = Tables.embeddings(s, dir)
+        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+        .select(col("i"), col("xi").cast("double").as("xi"),
+          posexplode(col("embedding")).as(Seq("j", "xj")))
+        .select(col("i"), col("j"), col("xi"), col("xj").cast("double").as("xj"))
+      val gram = prs.groupBy(col("i"), col("j"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(xi * xj as decimal(38,16))")).as("sxy"))
+      val mu = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("p", "x")))
+        .select(col("p"), col("x").cast("double").as("x"))
+        .groupBy(col("p"))
+        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
+        .localCheckpoint() // joined twice (row mean + col mean)
+      val cov = gram
+        .join(broadcast(mu.select(col("p").as("i"), col("m").as("mi"))), "i")
+        .join(broadcast(mu.select(col("p").as("j"), col("m").as("mj"))), "j")
+        .select(col("i"), col("j"),
+          expr("cast(sxy as double) / n - mi * mj").as("c"), col("n"))
+        .localCheckpoint() // consumed per iteration + trace
+      // init v = all-ones: the first normalization makes it unit, so no
+      // dimension count is needed anywhere on the driver
+      var v = mu.select(col("p"), lit(1.0).as("v"))
+      for (_ <- 1 to 3) {
+        val w = cov.join(broadcast(v.select(col("p").as("j"), col("v"))), "j")
+          .groupBy(col("i"))
+          .agg(sum(expr("cast(c * v as decimal(28,12))")).cast("double").as("w"))
+        val nr = w.agg(
+          expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("nrm"))
+        v = w.crossJoin(broadcast(nr))
+          .select(col("i").as("p"), expr("w / nrm").as("v"))
+          .localCheckpoint()
+      }
+      // λ₁ = ‖C·v₃‖ (one further matvec on the normalized iterate),
+      // alongside the trace and the argmax-|loading| readouts
+      val tr = cov.filter(col("i") === col("j"))
+        .agg(sum(expr("cast(c as decimal(28,12))")).cast("double").as("trace"),
+          max(col("n")).as("n_vecs"))
+      val top = v.orderBy(round(abs(col("v")), 6).desc, col("p")).limit(1)
+        .select((col("p") + 1).as("top_dim"), round(abs(col("v")), 6).as("top_loading"))
+      val lamF = cov.join(broadcast(v.select(col("p").as("j"), col("v"))), "j")
+        .groupBy(col("i"))
+        .agg(sum(expr("cast(c * v as decimal(28,12))")).cast("double").as("w"))
+        .agg(expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("lambda1"))
+      lamF.crossJoin(broadcast(tr)).crossJoin(broadcast(top))
+        .select(col("n_vecs"), round(col("lambda1"), 6).as("lambda1"),
+          round(col("trace"), 6).as("trace"),
+          round(expr("lambda1 / trace"), 6).as("explained_share"),
+          col("top_dim"), col("top_loading"))
+    }),
   )
 
   /** Shared oracle SQL: label-mean init → assign → recompute = the
@@ -488,5 +615,55 @@ object Vectors extends QueryPack {
         + distSql("cent1", "d2t", "a2") + " "
         + "SELECT cid, count(*) AS n_vecs, round(CAST(sum(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE), 6) AS inertia "
         + "FROM a2 GROUP BY cid ORDER BY cid"),
+    "q232_isotropy" ->
+      ("WITH e AS (SELECT embedding, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), "
+        + "f AS MATERIALIZED (SELECT * FROM e WHERE nrm > 0.0), "
+        + "ns AS (SELECT count(*) AS n_vecs, sum(CAST(nrm AS DECIMAL(28,12))) AS snrm, "
+        + "sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS snrm2 FROM f), "
+        + "dm AS (SELECT i, sum(CAST(CAST(x AS DOUBLE) / nrm AS DECIMAL(28,12))) AS su, count(*) AS n "
+        + "FROM (SELECT nrm, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM f) GROUP BY i), "
+        + "an AS (SELECT count(*) AS dim, sum(CAST((CAST(su AS DOUBLE) / n) * (CAST(su AS DOUBLE) / n) AS DECIMAL(28,12))) AS sa FROM dm) "
+        + "SELECT n_vecs, dim, round(CAST(snrm AS DOUBLE) / n_vecs, 6) AS mean_norm, "
+        + "round(sqrt(greatest(CAST(snrm2 AS DOUBLE) / n_vecs - (CAST(snrm AS DOUBLE) / n_vecs) * (CAST(snrm AS DOUBLE) / n_vecs), 0.0)), 6) AS std_norm, "
+        + "round(CAST(sa AS DOUBLE), 6) AS anisotropy FROM ns CROSS JOIN an"),
+    "q233_effective_dim" ->
+      ("WITH ex AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        + "pd AS (SELECT i, count(*) AS n, sum(CAST(x AS DECIMAL(28,10))) AS sx, "
+        + "sum(CAST(x * x AS DECIMAL(38,16))) AS sxx FROM ex GROUP BY i), "
+        + "lm AS (SELECT n, CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS lam FROM pd), "
+        + "a AS (SELECT max(n) AS n_vecs, count(*) AS dim, sum(CAST(lam AS DECIMAL(28,12))) AS tv, "
+        + "sum(CAST(lam * lam AS DECIMAL(28,12))) AS tv2 FROM lm) "
+        + "SELECT CAST(n_vecs AS BIGINT) AS n_vecs, dim, round(CAST(tv AS DOUBLE), 6) AS total_var, "
+        + "round(CAST(tv AS DOUBLE) / dim, 6) AS mean_var, "
+        + "round(CAST(tv AS DOUBLE) * CAST(tv AS DOUBLE) / CAST(tv2 AS DOUBLE), 6) AS effective_dim FROM a"),
+    // q235: the Spark plan mirrored CTE-for-CTE — Gram partial sums →
+    // covariance (0-based dims to match posexplode), all-ones init,
+    // three normalize iterations, then ‖C·v₃‖ / trace / argmax-|v|.
+    // Iterated frames AS MATERIALIZED (q228's lesson).
+    "q235_pca_power" -> {
+      val iters = (0 until 3).map(i =>
+        s"w${i + 1} AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w "
+          + s"FROM cov c JOIN v$i v ON v.p = c.j GROUP BY c.i), "
+          + s"n${i + 1} AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w${i + 1}), "
+          + s"v${i + 1} AS MATERIALIZED (SELECT i AS p, w / nrm AS v FROM w${i + 1} CROSS JOIN n${i + 1})")
+        .mkString(", ")
+      ("WITH prs AS (SELECT i - 1 AS i, j - 1 AS j, CAST(xi AS DOUBLE) AS xi, CAST(xj AS DOUBLE) AS xj FROM "
+        + "(SELECT embedding, unnest(embedding) AS xi, generate_subscripts(embedding, 1) AS i FROM embeddings), "
+        + "LATERAL (SELECT unnest(embedding) AS xj, generate_subscripts(embedding, 1) AS j)), "
+        + "gram AS MATERIALIZED (SELECT i, j, count(*) AS n, sum(CAST(xi * xj AS DECIMAL(38,16))) AS sxy FROM prs GROUP BY i, j), "
+        + "mu AS MATERIALIZED (SELECT i - 1 AS p, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m FROM "
+        + "(SELECT CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY i), "
+        + "cov AS MATERIALIZED (SELECT g.i, g.j, CAST(g.sxy AS DOUBLE) / g.n - a.m * b.m AS c, g.n "
+        + "FROM gram g JOIN mu a ON a.p = g.i JOIN mu b ON b.p = g.j), "
+        + "v0 AS (SELECT p, 1.0 AS v FROM mu), "
+        + s"$iters, "
+        + "tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS trace, max(n) AS n_vecs FROM cov WHERE i = j), "
+        + "top AS (SELECT p + 1 AS top_dim, round(abs(v), 6) AS top_loading FROM v3 ORDER BY round(abs(v), 6) DESC, p LIMIT 1), "
+        + "wf AS (SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w FROM cov c JOIN v3 v ON v.p = c.j GROUP BY c.i), "
+        + "lf AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS lambda1 FROM wf) "
+        + "SELECT CAST(n_vecs AS BIGINT) AS n_vecs, round(lambda1, 6) AS lambda1, round(trace, 6) AS trace, "
+        + "round(lambda1 / trace, 6) AS explained_share, top_dim, top_loading "
+        + "FROM lf CROSS JOIN tr CROSS JOIN top")
+    },
   )
 }

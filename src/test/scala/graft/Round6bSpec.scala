@@ -169,6 +169,96 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     u2.getAs[Double]("fano") shouldBe 0.0
   }
 
+  /** 2-D embeddings with hand-tractable geometry: [3,4]/[4,3] (norm 5)
+    * for isotropy; [1,0],[−1,0],[0,2],[0,−2] (zero-mean, cov diag(0.5,2))
+    * for effective-dim and the power iteration. */
+  private lazy val fxVec: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bvec_").toString
+    import spark.implicits._
+    Seq(
+      (1L, Array(3.0f, 4.0f), 0),
+      (2L, Array(4.0f, 3.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private lazy val fxVec2: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bvec2_").toString
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(-1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 2.0f), 0), (4L, Array(0.0f, -2.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q232: anisotropy of two unit-similar vectors is ‖mean unit vec‖² = 0.98") {
+    val rows = SparkEntry.queries("q232_isotropy")(spark, fxVec).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_vecs") shouldBe 2L
+    r.getAs[Long]("dim") shouldBe 2L
+    r.getAs[Double]("mean_norm") shouldBe 5.0
+    r.getAs[Double]("std_norm") shouldBe 0.0
+    // units (0.6,0.8) and (0.8,0.6) → mean (0.7,0.7) → 2·0.49 = 0.98
+    r.getAs[Double]("anisotropy") shouldBe 0.98
+  }
+
+  test("q233: participation ratio of λ=(0.5, 2) is 6.25/4.25") {
+    val rows = SparkEntry.queries("q233_effective_dim")(spark, fxVec2).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_vecs") shouldBe 4L
+    r.getAs[Long]("dim") shouldBe 2L
+    r.getAs[Double]("total_var") shouldBe 2.5
+    r.getAs[Double]("mean_var") shouldBe 1.25
+    r.getAs[Double]("effective_dim") shouldBe r6(6.25 / 4.25)
+  }
+
+  test("q234: gap quartiles/mean/max over the six hand-listed inter-arrival gaps") {
+    // user 1: 3600, 3600, 79200; user 2: 3600, 82800, 3600; user 3: none
+    val gaps = Seq(3600.0, 3600.0, 3600.0, 3600.0, 79200.0, 82800.0)
+    def qc(q: Double): Double = { // quantile_cont on the sorted list
+      val h = (gaps.size - 1) * q
+      val lo = gaps(h.toInt)
+      r6(lo + (h - h.toInt) * (gaps(math.min(h.toInt + 1, gaps.size - 1)) - lo))
+    }
+    val rows = SparkEntry.queries("q234_interarrival")(spark, fx).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_gaps") shouldBe 6L
+    r.getAs[Double]("p25_s") shouldBe qc(0.25)
+    r.getAs[Double]("p50_s") shouldBe qc(0.5)
+    r.getAs[Double]("p75_s") shouldBe qc(0.75)
+    r.getAs[Double]("mean_s") shouldBe r6(gaps.sum / 6.0)
+    r.getAs[Long]("max_s") shouldBe 82800L
+  }
+
+  test("q235: power iteration on cov diag(0.5, 2) converges toward λ₁ = 2, dim 2") {
+    // replicate: v0 = (1,1); w = C·v with terms quantized to 12dp;
+    // v = w/‖w‖ with ‖w‖ from quantized squares — 3 iterations + final
+    val c = Array(0.5, 2.0)
+    var v = Array(1.0, 1.0)
+    def matvec(v: Array[Double]) = Array(
+      q12(c(0) * v(0)).toDouble, q12(c(1) * v(1)).toDouble)
+    def nrm(w: Array[Double]) =
+      math.sqrt((q12(w(0) * w(0)) + q12(w(1) * w(1))).toDouble)
+    for (_ <- 1 to 3) { val w = matvec(v); val n = nrm(w); v = w.map(_ / n) }
+    val lam = nrm(matvec(v))
+    val rows = SparkEntry.queries("q235_pca_power")(spark, fxVec2).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_vecs") shouldBe 4L
+    r.getAs[Double]("trace") shouldBe 2.5
+    r.getAs[Double]("lambda1") shouldBe r6(lam)
+    r.getAs[Double]("explained_share") shouldBe r6(lam / 2.5)
+    r.getAs[Int]("top_dim") shouldBe 2
+    r.getAs[Double]("top_loading") shouldBe r6(math.abs(v(1)))
+    lam should be > 1.9 // converging to the true λ₁ = 2
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
