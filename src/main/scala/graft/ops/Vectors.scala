@@ -408,60 +408,65 @@ object Vectors extends QueryPack {
             .as("effective_dim"))),
 
     // ------------------------------------------------------------------
-    // Leading eigenpair by power iteration — the distributed-PCA first
-    // step: ONE pair-expansion shuffle builds the 64×64 covariance
-    // (mergeable DECIMAL sufficient statistics — at 100 TB this is
-    // per-partition Gram partial-sums, the standard tall-skinny
-    // pattern), then 3 power iterations run entirely on the bounded
-    // 4096-cell frame (matvec terms DECIMAL-quantized; per-iteration
-    // localCheckpoint caps lineage). λ₁ = ‖Cv‖ after the last step;
-    // explained share = λ₁/tr(C). Sign-free outputs only (an
-    // eigenvector's sign is arbitrary): λ₁, share, and the argmax
-    // |loading| dimension.
+    // Leading eigenpair by MATRIX-FREE power iteration — the
+    // distributed-PCA first step without ever materializing the
+    // covariance: Cv = (1/n)·Xᵀ(Xv) − μ(μᵀv), so each iteration is ONE
+    // corpus pass (per-row dot against the broadcast 64-element v,
+    // then a 64-cell per-dim contraction of x·d terms). A naive
+    // 64×64-pair explosion multiplies the scan by dim (measured 12.1 s
+    // vs <1 s at sf0.1; at 1 B vectors it's the difference between a
+    // readable pass and a 4-trillion-row generator). x·d terms are
+    // DECIMAL-quantized pre-shuffle, μᵀv over 64 quantized cells;
+    // per-iteration localCheckpoint caps lineage. λ₁ = ‖C·v₃‖;
+    // explained share = λ₁/tr(C) with tr from per-dim variances
+    // (q233's sufficient statistics). Sign-free outputs only (an
+    // eigenvector's sign is arbitrary): λ₁, share, argmax-|loading|.
     "q235_pca_power" -> ((s, dir) => {
-      val prs = Tables.embeddings(s, dir)
-        .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
-        .select(col("i"), col("xi").cast("double").as("xi"),
-          posexplode(col("embedding")).as(Seq("j", "xj")))
-        .select(col("i"), col("j"), col("xi"), col("xj").cast("double").as("xj"))
-      val gram = prs.groupBy(col("i"), col("j"))
-        .agg(count(lit(1)).as("n"),
-          sum(expr("cast(xi * xj as decimal(38,16))")).as("sxy"))
-      val mu = Tables.embeddings(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val pd = emb
         .select(posexplode(col("embedding")).as(Seq("p", "x")))
         .select(col("p"), col("x").cast("double").as("x"))
         .groupBy(col("p"))
-        .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"))
-        .localCheckpoint() // joined twice (row mean + col mean)
-      val cov = gram
-        .join(broadcast(mu.select(col("p").as("i"), col("m").as("mi"))), "i")
-        .join(broadcast(mu.select(col("p").as("j"), col("m").as("mj"))), "j")
-        .select(col("i"), col("j"),
-          expr("cast(sxy as double) / n - mi * mj").as("c"), col("n"))
-        .localCheckpoint() // consumed per iteration + trace
-      // init v = all-ones: the first normalization makes it unit, so no
-      // dimension count is needed anywhere on the driver
-      var v = mu.select(col("p"), lit(1.0).as("v"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"),
+          expr("cast(sum(cast(x * x as decimal(38,16))) as double)").as("sxx"))
+        .localCheckpoint() // consumed per iteration (μᵀv) + trace + init
+      // tr(C) = Σ_d (E[x²] − μ²), λ terms quantized over the 64 cells
+      val tr = pd.select(col("n"), expr("sxx / n - m * m").as("lam"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(expr("cast(lam as decimal(28,12))")).cast("double").as("trace"))
+      // one matrix-free matvec: w = (1/n)·Xᵀ(X·varr) − μ·(μᵀv)
+      def matvec(v: DataFrame): DataFrame = {
+        val varr = v.agg(expr(
+          "transform(sort_array(collect_list(struct(p, v))), s -> s.v)").as("va"))
+        val muv = pd.join(v, "p")
+          .agg(expr("cast(sum(cast(m * v as decimal(28,12))) as double)").as("mv"))
+        emb.crossJoin(broadcast(varr))
+          .withColumn("d", expr(
+            "aggregate(zip_with(embedding, va, (x, vv) -> cast(x as double) * vv), " +
+              "0.0d, (a, y) -> a + y)"))
+          .select(col("d"), posexplode(col("embedding")).as(Seq("p", "x")))
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n"),
+            expr("cast(sum(cast(cast(x as double) * d as decimal(38,16))) as double)").as("sxd"))
+          .join(broadcast(pd.select(col("p"), col("m"))), "p")
+          .crossJoin(broadcast(muv))
+          .select(col("p"), expr("sxd / n - m * mv").as("w"))
+      }
+      // init v = all-ones: the first normalization makes it unit
+      var v = pd.select(col("p"), lit(1.0).as("v"))
       for (_ <- 1 to 3) {
-        val w = cov.join(broadcast(v.select(col("p").as("j"), col("v"))), "j")
-          .groupBy(col("i"))
-          .agg(sum(expr("cast(c * v as decimal(28,12))")).cast("double").as("w"))
+        val w = matvec(v)
         val nr = w.agg(
           expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("nrm"))
         v = w.crossJoin(broadcast(nr))
-          .select(col("i").as("p"), expr("w / nrm").as("v"))
+          .select(col("p"), expr("w / nrm").as("v"))
           .localCheckpoint()
       }
-      // λ₁ = ‖C·v₃‖ (one further matvec on the normalized iterate),
-      // alongside the trace and the argmax-|loading| readouts
-      val tr = cov.filter(col("i") === col("j"))
-        .agg(sum(expr("cast(c as decimal(28,12))")).cast("double").as("trace"),
-          max(col("n")).as("n_vecs"))
+      // λ₁ = ‖C·v₃‖ (one further matvec on the normalized iterate)
       val top = v.orderBy(round(abs(col("v")), 6).desc, col("p")).limit(1)
         .select((col("p") + 1).as("top_dim"), round(abs(col("v")), 6).as("top_loading"))
-      val lamF = cov.join(broadcast(v.select(col("p").as("j"), col("v"))), "j")
-        .groupBy(col("i"))
-        .agg(sum(expr("cast(c * v as decimal(28,12))")).cast("double").as("w"))
+      val lamF = matvec(v)
         .agg(expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("lambda1"))
       lamF.crossJoin(broadcast(tr)).crossJoin(broadcast(top))
         .select(col("n_vecs"), round(col("lambda1"), 6).as("lambda1"),
@@ -636,30 +641,35 @@ object Vectors extends QueryPack {
         + "SELECT CAST(n_vecs AS BIGINT) AS n_vecs, dim, round(CAST(tv AS DOUBLE), 6) AS total_var, "
         + "round(CAST(tv AS DOUBLE) / dim, 6) AS mean_var, "
         + "round(CAST(tv AS DOUBLE) * CAST(tv AS DOUBLE) / CAST(tv2 AS DOUBLE), 6) AS effective_dim FROM a"),
-    // q235: the Spark plan mirrored CTE-for-CTE — Gram partial sums →
-    // covariance (0-based dims to match posexplode), all-ones init,
-    // three normalize iterations, then ‖C·v₃‖ / trace / argmax-|v|.
-    // Iterated frames AS MATERIALIZED (q228's lesson).
+    // q235: the matrix-free Spark plan mirrored CTE-for-CTE — per-dim
+    // sufficient statistics, all-ones init, three (dot → per-dim x·d
+    // contraction → normalize) iterations, then ‖C·v₃‖ / tr(C) /
+    // argmax-|v|. Same DECIMAL choreography at every step; iterated
+    // frames AS MATERIALIZED (q228's lesson).
     "q235_pca_power" -> {
+      def matvec(vk: String, wk: String): String =
+        (s"va$wk AS (SELECT list(v ORDER BY p) AS va FROM $vk), "
+          + s"muv$wk AS (SELECT CAST(sum(CAST(pd.m * v.v AS DECIMAL(28,12))) AS DOUBLE) AS mv FROM pd JOIN $vk v ON v.p = pd.p), "
+          + s"d$wk AS (SELECT embedding, list_sum(list_transform(range(1, len(embedding) + 1), i -> "
+          + s"CAST(embedding[i] AS DOUBLE) * va[i])) AS d FROM embeddings, va$wk), "
+          + s"$wk AS MATERIALIZED (SELECT s.p, CAST(s.sxd AS DOUBLE) / s.n - pd.m * muv.mv AS w FROM "
+          + s"(SELECT i - 1 AS p, count(*) AS n, sum(CAST(CAST(x AS DOUBLE) * d AS DECIMAL(38,16))) AS sxd FROM "
+          + s"(SELECT d, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM d$wk) GROUP BY i) s "
+          + s"JOIN pd ON pd.p = s.p, muv$wk muv)")
       val iters = (0 until 3).map(i =>
-        s"w${i + 1} AS MATERIALIZED (SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w "
-          + s"FROM cov c JOIN v$i v ON v.p = c.j GROUP BY c.i), "
+        matvec(s"v$i", s"w${i + 1}") + ", "
           + s"n${i + 1} AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w${i + 1}), "
-          + s"v${i + 1} AS MATERIALIZED (SELECT i AS p, w / nrm AS v FROM w${i + 1} CROSS JOIN n${i + 1})")
+          + s"v${i + 1} AS MATERIALIZED (SELECT p, w / nrm AS v FROM w${i + 1} CROSS JOIN n${i + 1})")
         .mkString(", ")
-      ("WITH prs AS (SELECT i - 1 AS i, j - 1 AS j, CAST(xi AS DOUBLE) AS xi, CAST(xj AS DOUBLE) AS xj FROM "
-        + "(SELECT embedding, unnest(embedding) AS xi, generate_subscripts(embedding, 1) AS i FROM embeddings), "
-        + "LATERAL (SELECT unnest(embedding) AS xj, generate_subscripts(embedding, 1) AS j)), "
-        + "gram AS MATERIALIZED (SELECT i, j, count(*) AS n, sum(CAST(xi * xj AS DECIMAL(38,16))) AS sxy FROM prs GROUP BY i, j), "
-        + "mu AS MATERIALIZED (SELECT i - 1 AS p, CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m FROM "
+      ("WITH pd AS MATERIALIZED (SELECT i - 1 AS p, count(*) AS n, "
+        + "CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m, "
+        + "CAST(sum(CAST(x * x AS DECIMAL(38,16))) AS DOUBLE) AS sxx FROM "
         + "(SELECT CAST(unnest(embedding) AS DOUBLE) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings) GROUP BY i), "
-        + "cov AS MATERIALIZED (SELECT g.i, g.j, CAST(g.sxy AS DOUBLE) / g.n - a.m * b.m AS c, g.n "
-        + "FROM gram g JOIN mu a ON a.p = g.i JOIN mu b ON b.p = g.j), "
-        + "v0 AS (SELECT p, 1.0 AS v FROM mu), "
+        + "tr AS (SELECT max(n) AS n_vecs, CAST(sum(CAST(sxx / n - m * m AS DECIMAL(28,12))) AS DOUBLE) AS trace FROM pd), "
+        + "v0 AS (SELECT p, 1.0 AS v FROM pd), "
         + s"$iters, "
-        + "tr AS (SELECT CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS trace, max(n) AS n_vecs FROM cov WHERE i = j), "
+        + matvec("v3", "wf") + ", "
         + "top AS (SELECT p + 1 AS top_dim, round(abs(v), 6) AS top_loading FROM v3 ORDER BY round(abs(v), 6) DESC, p LIMIT 1), "
-        + "wf AS (SELECT c.i, CAST(sum(CAST(c.c * v.v AS DECIMAL(28,12))) AS DOUBLE) AS w FROM cov c JOIN v3 v ON v.p = c.j GROUP BY c.i), "
         + "lf AS (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS lambda1 FROM wf) "
         + "SELECT CAST(n_vecs AS BIGINT) AS n_vecs, round(lambda1, 6) AS lambda1, round(trace, 6) AS trace, "
         + "round(lambda1 / trace, 6) AS explained_share, top_dim, top_loading "
