@@ -294,6 +294,33 @@ object Curation extends QueryPack {
           round(expr("cast(sr as double) / n_docs"), 6).as("mean_nonascii_ratio"),
           round(expr("n_na / cast(n_docs as double)"), 6).as("pct_nonascii_docs"))
         .orderBy(col("source"))),
+
+    // ------------------------------------------------------------------
+    // Source-level 8-gram contamination matrix: pairwise Jaccard AND
+    // containment of the per-source hashed-8-gram sets — the rigorous
+    // upgrade of q179's token-level overlap (token overlap says
+    // "similar vocabulary"; 8-gram overlap says "the same passages",
+    // which is what cross-source contamination means). Rides the
+    // memoized [[Text.hashedGrams8]] index — only 64-bit hashes ever
+    // shuffle; the pair frame is bounded by #sources².
+    "q237_source_gram_overlap" -> ((s, dir) => {
+      val sg = Text.hashedGrams8(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("h")).distinct()
+        .localCheckpoint() // consumed thrice: sizes + both join sides
+      val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      val inter = sg.select(col("source").as("src_a"), col("h"))
+        .join(sg.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n_grams").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n_grams").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+          round(expr("cast(inter as double) / (na + nb - inter)"), 6).as("jaccard"),
+          round(expr("cast(inter as double) / least(na, nb)"), 6).as("containment"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -398,5 +425,19 @@ object Curation extends QueryPack {
         + "round(CAST(sum(CAST(CASE WHEN nc = 0.0 THEN 0.0 ELSE nna / nc END AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_nonascii_ratio, "
         + "round(sum(CASE WHEN nna > 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pct_nonascii_docs "
         + "FROM d GROUP BY source ORDER BY source"),
+    // q237: q151's hashed-8-gram CTE lifted to the source level.
+    "q237_source_gram_overlap" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "ng AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT))) AS h FROM t WHERE len(w) >= 8)), "
+        + "sg AS MATERIALIZED (SELECT DISTINCT d.source, ng.h FROM ng JOIN documents d USING (doc_id)), "
+        + "sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source), "
+        + "inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter "
+        + "FROM sg a JOIN sg b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+        + "SELECT src_a, src_b, inter, sa.n_grams AS na, sb.n_grams AS nb, "
+        + "round(CAST(inter AS DOUBLE) / (sa.n_grams + sb.n_grams - inter), 6) AS jaccard, "
+        + "round(CAST(inter AS DOUBLE) / least(sa.n_grams, sb.n_grams), 6) AS containment "
+        + "FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b "
+        + "ORDER BY src_a, src_b"),
   )
 }

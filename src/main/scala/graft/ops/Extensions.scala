@@ -40,6 +40,25 @@ object Extensions extends QueryPack {
       .filter(col("tok") =!= "")
       .distinct()
 
+  /** SimHash signatures over the per-doc distinct-token sets: bit j of
+    * a token's hash is bit (3 − j%4) of md5 hex digit (j div 4); the
+    * sign of the ±1 vote sum per position gives the signature bit. q50
+    * reports the 16-bit signatures; q236 dedups on the 60-bit variant
+    * (60 = 15 hex digits, the repo's md5 window — and shiftleft at
+    * j ≤ 59 stays clear of the signed-64 overflow DuckDB errors on). */
+  private def simhashSigs(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val votes = toks(s, dir)
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .select(col("doc_id"), col("h"), explode(expr(s"sequence(0, ${bits - 1})")).as("j"))
+      .withColumn("hexv", expr("position(substr(h, 1 + j div 4, 1), '0123456789abcdef') - 1"))
+      .withColumn("vote", expr("CASE WHEN (shiftright(hexv, 3 - j % 4) & 1) = 1 THEN 1 ELSE -1 END"))
+    votes.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("vote")).as("sgn"))
+      .withColumn("bit", expr("CASE WHEN sgn >= 0 THEN 1 ELSE 0 END"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("shiftleft(cast(bit as bigint), j)")).as("simhash"))
+  }
+
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "it")
   private def inList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
@@ -121,19 +140,9 @@ object Extensions extends QueryPack {
     // 16-bit SimHash from md5 hex digits: bit j of token hash is bit
     // (3 - j%4) of hex digit (j div 4); sign of the ±1 vote sum per bit
     // position gives the signature. Docs sharing a signature = dup set.
-    "q50_simhash" -> ((s, dir) => {
-      val votes = toks(s, dir)
-        .withColumn("h", md5(col("tok").cast("binary")))
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("j"))
-        .withColumn("hexv", expr("position(substr(h, 1 + j div 4, 1), '0123456789abcdef') - 1"))
-        .withColumn("vote", expr("CASE WHEN (shiftright(hexv, 3 - j % 4) & 1) = 1 THEN 1 ELSE -1 END"))
-      votes.groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("vote")).as("sgn"))
-        .withColumn("bit", expr("CASE WHEN sgn >= 0 THEN 1 ELSE 0 END"))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("shiftleft(cast(bit as bigint), j)")).as("simhash"))
-        .orderBy(col("doc_id"))
-    }),
+    // (Signature pipeline shared with q236's 60-bit dedup variant.)
+    "q50_simhash" -> ((s, dir) =>
+      simhashSigs(s, dir, 16).orderBy(col("doc_id"))),
 
     // ------------------------------------------------------------------
     // Language ID by stopword-hit heuristic; deterministic tie-break
@@ -378,6 +387,55 @@ object Extensions extends QueryPack {
           round(expr("abs(est - jaccard)"), 6).as("abs_err"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup DEDUP — the operator q50's signatures exist for:
+    // 60-bit signatures, 4 bands × 15 bits (any pair within Hamming
+    // distance 3 shares ≥1 identical band — exact recall at the
+    // threshold), band-bucket candidate generation with q40's
+    // hot-bucket cap (≤1000), Hamming verify via codegen'd
+    // bit_count(xor). The readout is the SCALE-CORRECT summary (q49's
+    // lesson: this corpus's signatures are degenerate, so pair-level
+    // output explodes; counts + Hamming profile are what a dedup
+    // report needs): candidates, verified dups, docs involved,
+    // min/mean Hamming.
+    "q236_simhash_dedup" -> ((s, dir) => {
+      val sigs = simhashSigs(s, dir, 60)
+        .select(col("doc_id"), col("simhash").as("sig"))
+        .localCheckpoint() // consumed 4×: stats + bands + both verify sides
+      val cand = sigs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, 3), b -> (shiftright(sig, cast(15 * b as int)) & 32767) * 4 + b)"))
+          .as("bk"))
+        .groupBy(col("bk"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"), count(lit(1)).as("k"))
+        .filter(col("k") > 1 && col("k") <= 1000)
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
+          .as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val ver = cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .localCheckpoint() // consumed twice: summary + dup-doc count
+      val dupDocs = ver.filter(col("hamming") <= 3).select(col("doc_a").as("d"))
+        .union(ver.filter(col("hamming") <= 3).select(col("doc_b").as("d")))
+        .agg(countDistinct(col("d")).as("n_docs_in_dups"))
+      val ns = sigs.agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("sig")).as("n_distinct_sigs"))
+      ver.agg(count(lit(1)).as("n_cand_pairs"),
+          sum(when(col("hamming") <= 3, 1L).otherwise(0L)).as("n_dup_pairs"),
+          min(col("hamming")).as("min_hamming"),
+          sum(col("hamming").cast("decimal(18,6)")).as("sh"))
+        .crossJoin(broadcast(ns)).crossJoin(broadcast(dupDocs))
+        .select(col("n_docs"), col("n_distinct_sigs"), col("n_cand_pairs"),
+          col("n_dup_pairs"), col("n_docs_in_dups"), col("min_hamming"),
+          round(expr(
+            "CASE WHEN n_cand_pairs = 0 THEN NULL ELSE cast(sh as double) / n_cand_pairs END"), 6)
+            .as("mean_hamming"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -502,5 +560,29 @@ object Extensions extends QueryPack {
         + "FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b "
         + "ORDER BY p.doc_a, p.doc_b")
     },
+    // q236: the 60-bit signature pipeline + 4×15-bit banding + Hamming
+    // verify mirrored step-for-step; sigs MATERIALIZED (consumed by
+    // stats, bands, and both verify sides — q228's inlining lesson).
+    "q236_simhash_dedup" ->
+      ("WITH t AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "votes AS (SELECT doc_id, j, CASE WHEN (((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1) >> (3 - j % 4)) & 1) = 1 THEN 1 ELSE -1 END AS vote "
+        + "FROM t CROSS JOIN (SELECT unnest(range(0, 60)) AS j)), "
+        + "sigs AS MATERIALIZED (SELECT doc_id, CAST(sum(CAST(CASE WHEN sgn >= 0 THEN 1 ELSE 0 END AS BIGINT) << j) AS BIGINT) AS sig FROM "
+        + "(SELECT doc_id, j, sum(vote) AS sgn FROM votes GROUP BY doc_id, j) GROUP BY doc_id), "
+        + "grp AS (SELECT bk, list_sort(list(doc_id)) AS ds FROM "
+        + "(SELECT doc_id, ((sig >> (15 * b)) & 32767) * 4 + b AS bk FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS b)) "
+        + "GROUP BY bk HAVING count(*) > 1 AND count(*) <= 1000), "
+        + "cand AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT a AS doc_a, bb AS doc_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS bb))), "
+        + "ver AS MATERIALIZED (SELECT c.doc_a, c.doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand c "
+        + "JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b), "
+        + "dd AS (SELECT count(DISTINCT d) AS n_docs_in_dups FROM "
+        + "(SELECT doc_a AS d FROM ver WHERE hamming <= 3 UNION ALL SELECT doc_b FROM ver WHERE hamming <= 3)), "
+        + "ns AS (SELECT count(*) AS n_docs, count(DISTINCT sig) AS n_distinct_sigs FROM sigs), "
+        + "sm AS (SELECT count(*) AS n_cand_pairs, CAST(sum(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs, "
+        + "CAST(min(hamming) AS BIGINT) AS min_hamming, sum(CAST(hamming AS DECIMAL(18,6))) AS sh FROM ver) "
+        + "SELECT n_docs, n_distinct_sigs, n_cand_pairs, n_dup_pairs, n_docs_in_dups, min_hamming, "
+        + "round(CASE WHEN n_cand_pairs = 0 THEN NULL ELSE CAST(sh AS DOUBLE) / n_cand_pairs END, 6) AS mean_hamming "
+        + "FROM sm CROSS JOIN ns CROSS JOIN dd"),
   )
 }

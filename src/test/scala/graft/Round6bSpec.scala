@@ -259,6 +259,64 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     lam should be > 1.9 // converging to the true λ₁ = 2
   }
 
+  test("q236: 60-bit SimHash banding dedup matches a plain-Scala signature recompute") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // replicate the signature pipeline on fxPair's two token sets
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def sig(toks: Set[String]): Long = {
+      var out = 0L
+      for (j <- 0 until 60) {
+        val votes = toks.toSeq.map { t =>
+          val hexv = "0123456789abcdef".indexOf(md5hex(t).charAt(j / 4))
+          if (((hexv >> (3 - j % 4)) & 1) == 1) 1 else -1
+        }.sum
+        if (votes >= 0) out |= 1L << j
+      }
+      out
+    }
+    val sa = sig("a b c d e f".split(" ").toSet)
+    val sb = sig("a b c d e g".split(" ").toSet)
+    val sharesBand = (0 until 4).exists(b => ((sa >> (15 * b)) & 32767) == ((sb >> (15 * b)) & 32767))
+    val hamming = java.lang.Long.bitCount(sa ^ sb)
+    val rows = SparkEntry.queries("q236_simhash_dedup")(spark, fxPair).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("n_docs") shouldBe 2L
+    r.getAs[Long]("n_distinct_sigs") shouldBe (if (sa == sb) 1L else 2L)
+    r.getAs[Long]("n_cand_pairs") shouldBe (if (sharesBand) 1L else 0L)
+    if (sharesBand) {
+      r.getAs[Int]("min_hamming") shouldBe hamming
+      r.getAs[Long]("n_dup_pairs") shouldBe (if (hamming <= 3) 1L else 0L)
+      r.getAs[Double]("mean_hamming") shouldBe hamming.toDouble
+    }
+  }
+
+  test("q237: cross-source 8-gram jaccard/containment on a hand-built overlap") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bsrc_").toString
+    import spark.implicits._
+    // src_a grams {w1..w8, w2..w9}; src_b grams {w1..w8, w2..x9, z1..z8}
+    // → inter 1, na 2, nb 3 → jaccard 1/4, containment 1/2
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9", "en", "src_a", 26L),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 x9", "en", "src_b", 26L),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "src_b", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q237_source_gram_overlap")(spark, dir).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[String]("src_a") shouldBe "src_a"
+    r.getAs[String]("src_b") shouldBe "src_b"
+    r.getAs[Long]("inter") shouldBe 1L
+    r.getAs[Long]("na") shouldBe 2L
+    r.getAs[Long]("nb") shouldBe 3L
+    r.getAs[Double]("jaccard") shouldBe 0.25
+    r.getAs[Double]("containment") shouldBe 0.5
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
