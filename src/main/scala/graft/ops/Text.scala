@@ -788,6 +788,76 @@ object Text extends QueryPack {
         .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
         .select(col("sz").as("cluster_size"), col("n_clusters"))
         .orderBy(col("cluster_size"))),
+
+    // ------------------------------------------------------------------
+    // PPMI spectral axis: the leading eigenvector of the positive-PMI
+    // token co-occurrence matrix (q181's windowed pair counts, PPMI =
+    // max(pmi, 0) rounded 6dp so both engines iterate from identical
+    // cells) by the same matrix-free power iteration as q235 — the
+    // classic count-based word-embedding axis (LSA/GloVe's input), and
+    // a showcase of composing the co-occurrence machinery with the
+    // spectral machinery. The matrix stays SPARSE (support-floored
+    // cells, vocab-bounded); each matvec is one join + one vocab-cell
+    // contraction with DECIMAL-quantized terms. Sign-free outputs: the
+    // top-5 |loading| tokens and λ₁.
+    "q238_ppmi_spectral" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .localCheckpoint() // consumed twice: pair stream + unigrams
+      val allPairs = docs.select(explode(expr(
+          "flatten(transform(sequence(1, size(w) - 1), i -> " +
+            "transform(sequence(i + 1, least(i + 4, size(w))), j -> " +
+            "struct(least(w[i-1], w[j-1]) as ta, greatest(w[i-1], w[j-1]) as tb))))")).as("p"))
+        .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint() // consumed twice: grand total + survivors
+      val ptot = allPairs.agg(sum(col("c_ab")).as("np"))
+      val uni = docs.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        .localCheckpoint() // consumed thrice: total + both pair sides
+      val ttot = uni.agg(sum(col("cu")).as("nt"))
+      val half = allPairs.filter(col("c_ab") >= 5)
+        .join(broadcast(uni.select(col("tok").as("ta"), col("cu").as("ca"))), "ta")
+        .join(broadcast(uni.select(col("tok").as("tb"), col("cu").as("cb"))), "tb")
+        .crossJoin(broadcast(ptot)).crossJoin(broadcast(ttot))
+        .withColumn("ppmi", expr(
+          "round(greatest(ln((cast(c_ab as double) / np) / " +
+            "((cast(ca as double) / nt) * (cast(cb as double) / nt))), 0.0d), 6)"))
+        .filter(col("ppmi") > 0.0)
+        .select(col("ta"), col("tb"), col("ppmi"))
+      val cells = half.union(
+          half.filter(col("ta") =!= col("tb"))
+            .select(col("tb").as("ta"), col("ta").as("tb"), col("ppmi")))
+        .toDF("ti", "tj", "p")
+        .localCheckpoint() // consumed per iteration + stats
+      val nodes = cells.select(col("ti")).distinct()
+        .localCheckpoint() // consumed twice: init + count
+      def matvec(v: DataFrame): DataFrame =
+        cells.join(v.withColumnRenamed("tok", "tj"), "tj")
+          .groupBy(col("ti"))
+          .agg(sum(expr("cast(p * v as decimal(28,12))")).cast("double").as("wv"))
+          .select(col("ti").as("tok"), col("wv"))
+      var v = nodes.select(col("ti").as("tok"), lit(1.0).as("v"))
+      for (_ <- 1 to 3) {
+        val w = matvec(v)
+        val nr = w.agg(
+          expr("sqrt(cast(sum(cast(wv * wv as decimal(28,12))) as double))").as("nrm"))
+        v = w.crossJoin(broadcast(nr))
+          .select(col("tok"), expr("wv / nrm").as("v"))
+          .localCheckpoint()
+      }
+      val lam = matvec(v)
+        .agg(expr("sqrt(cast(sum(cast(wv * wv as decimal(28,12))) as double))").as("lambda1"))
+      val nc = cells.agg(count(lit(1)).as("n_cells"))
+      val nn = nodes.agg(count(lit(1)).as("n_tokens"))
+      v.select(col("tok"), round(abs(col("v")), 6).as("loading"))
+        .orderBy(col("loading").desc, col("tok")).limit(5)
+        .crossJoin(broadcast(lam)).crossJoin(broadcast(nn)).crossJoin(broadcast(nc))
+        .select(col("tok"), col("loading"), round(col("lambda1"), 6).as("lambda1"),
+          col("n_tokens"), col("n_cells"))
+        .orderBy(col("loading").desc, col("tok"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1112,6 +1182,42 @@ object Text extends QueryPack {
       (s"WITH $pairCtes, $iters, "
         + "cl AS (SELECT lbl, count(*) AS sz FROM l5 GROUP BY lbl) "
         + "SELECT sz AS cluster_size, count(*) AS n_clusters FROM cl GROUP BY sz ORDER BY cluster_size")
+    },
+    // q238: q181's pair CTEs → 6dp-rounded PPMI cells (identical on
+    // both engines) → the q235-style unrolled matrix-free iterations.
+    // Iterated frames AS MATERIALIZED (q228's lesson).
+    "q238_ppmi_spectral" -> {
+      val iters = (0 until 3).map(i =>
+        s"w${i + 1} AS MATERIALIZED (SELECT c.ti AS tok, CAST(sum(CAST(c.p * v.v AS DECIMAL(28,12))) AS DOUBLE) AS wv "
+          + s"FROM cells c JOIN v$i v ON v.tok = c.tj GROUP BY c.ti), "
+          + s"n${i + 1} AS (SELECT sqrt(CAST(sum(CAST(wv * wv AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w${i + 1}), "
+          + s"v${i + 1} AS MATERIALIZED (SELECT tok, wv / nrm AS v FROM w${i + 1} CROSS JOIN n${i + 1})")
+        .mkString(", ")
+      ("WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "t AS (SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS pos FROM w WHERE len(w) >= 2), "
+        + "pr AS (SELECT least(a.tok, b.tok) AS ta, greatest(a.tok, b.tok) AS tb "
+        + "FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 4), "
+        + "ap AS (SELECT ta, tb, count(*) AS c_ab FROM pr GROUP BY 1, 2), "
+        + "np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM ap), "
+        + "u AS (SELECT tok, count(*) AS cu FROM t GROUP BY 1), "
+        + "nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM u), "
+        + "half AS (SELECT ta, tb, ppmi FROM (SELECT ap.ta, ap.tb, "
+        + "round(greatest(ln((CAST(ap.c_ab AS DOUBLE) / np) / ((CAST(ua.cu AS DOUBLE) / nt) * (CAST(ub.cu AS DOUBLE) / nt))), 0.0), 6) AS ppmi "
+        + "FROM ap JOIN u ua ON ua.tok = ap.ta JOIN u ub ON ub.tok = ap.tb "
+        + "CROSS JOIN np CROSS JOIN nt WHERE ap.c_ab >= 5) WHERE ppmi > 0.0), "
+        + "cells AS MATERIALIZED (SELECT ta AS ti, tb AS tj, ppmi AS p FROM half "
+        + "UNION ALL SELECT tb, ta, ppmi FROM half WHERE ta <> tb), "
+        + "nodes AS MATERIALIZED (SELECT DISTINCT ti FROM cells), "
+        + "v0 AS (SELECT ti AS tok, 1.0 AS v FROM nodes), "
+        + s"$iters, "
+        + "wf AS (SELECT c.ti AS tok, CAST(sum(CAST(c.p * v.v AS DECIMAL(28,12))) AS DOUBLE) AS wv "
+        + "FROM cells c JOIN v3 v ON v.tok = c.tj GROUP BY c.ti), "
+        + "lf AS (SELECT sqrt(CAST(sum(CAST(wv * wv AS DECIMAL(28,12))) AS DOUBLE)) AS lambda1 FROM wf), "
+        + "nc AS (SELECT count(*) AS n_cells FROM cells), "
+        + "nn AS (SELECT count(*) AS n_tokens FROM nodes) "
+        + "SELECT tok, round(abs(v), 6) AS loading, round(lambda1, 6) AS lambda1, n_tokens, n_cells "
+        + "FROM v3 CROSS JOIN lf CROSS JOIN nn CROSS JOIN nc "
+        + "ORDER BY loading DESC, tok LIMIT 5")
     },
   )
 }

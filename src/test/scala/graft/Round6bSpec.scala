@@ -317,6 +317,52 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("containment") shouldBe 0.5
   }
 
+  test("q238: PPMI spectral axis matches a full plain-Scala recompute on sf0.001") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // independent recompute: tokenize → window-4 pairs → PPMI(6dp) →
+    // 3 power iterations with the same DECIMAL(28,12) quantization
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val pair = scala.collection.mutable.Map.empty[(String, String), Long]
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts) {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length >= 2) {
+        w.foreach(tok => uni(tok) = uni.getOrElse(tok, 0L) + 1)
+        for (i <- w.indices; j <- (i + 1) to math.min(i + 4, w.length - 1)) {
+          val k = (if (w(i) <= w(j)) (w(i), w(j)) else (w(j), w(i)))
+          pair(k) = pair.getOrElse(k, 0L) + 1
+        }
+      }
+    }
+    val np = pair.values.sum.toDouble
+    val nt = uni.values.sum.toDouble
+    val half = pair.toSeq.collect { case ((a, b), c) if c >= 5 =>
+      val p = r6(math.max(
+        math.log((c / np) / ((uni(a) / nt) * (uni(b) / nt))), 0.0))
+      ((a, b), p)
+    }.filter(_._2 > 0.0)
+    val cells = half ++ half.collect { case ((a, b), p) if a != b => ((b, a), p) }
+    val nodes = cells.map(_._1._1).distinct.sorted
+    var v = nodes.map(_ -> 1.0).toMap
+    def matvec(v: Map[String, Double]): Map[String, Double] =
+      cells.groupBy(_._1._1).map { case (i, cs) =>
+        i -> cs.map { case ((_, j), p) => q12(p * v(j)) }.sum.toDouble
+      }
+    def nrm(w: Map[String, Double]): Double =
+      math.sqrt(w.values.map(x => q12(x * x)).sum.toDouble)
+    for (_ <- 1 to 3) { val w = matvec(v); val n = nrm(w); v = w.map { case (k, x) => k -> x / n } }
+    val lam = nrm(matvec(v))
+    val expTop = v.toSeq.map { case (k, x) => (k, r6(math.abs(x))) }
+      .sortBy { case (k, l) => (-l, k) }.take(5)
+    val rows = SparkEntry.queries("q238_ppmi_spectral")(spark, sf).collect()
+    rows should have length 5
+    rows.head.getAs[Long]("n_tokens") shouldBe nodes.size.toLong
+    rows.head.getAs[Long]("n_cells") shouldBe cells.size.toLong
+    rows.head.getAs[Double]("lambda1") shouldBe r6(lam)
+    rows.map(r => (r.getAs[String]("tok"), r.getAs[Double]("loading"))).toSeq shouldBe expTop
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
