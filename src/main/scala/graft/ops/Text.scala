@@ -858,6 +858,34 @@ object Text extends QueryPack {
           col("n_tokens"), col("n_cells"))
         .orderBy(col("loading").desc, col("tok"))
     }),
+
+    // ------------------------------------------------------------------
+    // Dedup savings report — the number a dedup pipeline is judged by:
+    // collapse each q80 cluster to its min-doc survivor (the house
+    // keep-first convention) and report the docs/chars the corpus
+    // sheds, absolutely and as a fraction. Survivor chars via
+    // min(struct(doc, n_chars)) — no join-back, no window; one bounded
+    // rollup over the shared [[ccLabels]] frame + a 1-row corpus total.
+    "q239_dedup_savings" -> ((s, dir) => {
+      val sz = Tables.documents(s, dir)
+        .select(col("doc_id").as("doc"), col("n_chars"))
+      val per = ccLabels(s, dir).join(sz, "doc")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          min(struct(col("doc"), col("n_chars"))).as("surv"))
+        .select(col("n_docs"), col("chars"), col("surv.n_chars").as("surv_chars"))
+      val tot = Tables.documents(s, dir)
+        .agg(count(lit(1)).as("corpus_docs"), sum(col("n_chars")).as("corpus_chars"))
+      per.agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).as("docs_in_clusters"),
+          sum(col("n_docs") - 1).as("docs_removed"),
+          sum(col("chars") - col("surv_chars")).as("chars_removed"))
+        .crossJoin(broadcast(tot))
+        .select(col("corpus_docs"), col("corpus_chars"), col("n_clusters"),
+          col("docs_in_clusters"), col("docs_removed"), col("chars_removed"),
+          round(expr("docs_removed / cast(corpus_docs as double)"), 6).as("docs_removed_frac"),
+          round(expr("chars_removed / cast(corpus_chars as double)"), 6).as("chars_removed_frac"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1218,6 +1246,34 @@ object Text extends QueryPack {
         + "SELECT tok, round(abs(v), 6) AS loading, round(lambda1, 6) AS lambda1, n_tokens, n_cells "
         + "FROM v3 CROSS JOIN lf CROSS JOIN nn CROSS JOIN nc "
         + "ORDER BY loading DESC, tok LIMIT 5")
+    },
+    // q239: q80's CC CTEs + the savings rollup (survivor chars via
+    // arg_min ≡ Spark's min(struct(doc, n_chars)) on unique docs).
+    "q239_dedup_savings" -> {
+      val pairCtes =
+        ("sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+          + "l0 AS MATERIALIZED (SELECT DISTINCT u AS doc, u AS lbl FROM edges)")
+      val iters = (0 until 5).map(i =>
+        s"l${i + 1} AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM (SELECT doc, lbl FROM l$i "
+          + s"UNION ALL SELECT e.u AS doc, l.lbl FROM edges e JOIN l$i l ON l.doc = e.v) GROUP BY doc)").mkString(", ")
+      (s"WITH $pairCtes, $iters, "
+        + "per AS (SELECT l.lbl, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS chars, "
+        + "arg_min(d.n_chars, l.doc) AS surv_chars FROM l5 l JOIN documents d ON d.doc_id = l.doc GROUP BY l.lbl), "
+        + "tot AS (SELECT count(*) AS corpus_docs, CAST(sum(n_chars) AS BIGINT) AS corpus_chars FROM documents), "
+        + "agg AS (SELECT count(*) AS n_clusters, CAST(sum(n_docs) AS BIGINT) AS docs_in_clusters, "
+        + "CAST(sum(n_docs - 1) AS BIGINT) AS docs_removed, CAST(sum(chars - surv_chars) AS BIGINT) AS chars_removed FROM per) "
+        + "SELECT corpus_docs, corpus_chars, n_clusters, docs_in_clusters, docs_removed, chars_removed, "
+        + "round(docs_removed / CAST(corpus_docs AS DOUBLE), 6) AS docs_removed_frac, "
+        + "round(chars_removed / CAST(corpus_chars AS DOUBLE), 6) AS chars_removed_frac "
+        + "FROM agg CROSS JOIN tot")
     },
   )
 }

@@ -363,6 +363,21 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows.map(r => (r.getAs[String]("tok"), r.getAs[Double]("loading"))).toSeq shouldBe expTop
   }
 
+  test("q239: dedup savings on the single-pair cluster by hand") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    val rows = SparkEntry.queries("q239_dedup_savings")(spark, fxPair).collect()
+    rows should have length 1
+    val r = rows.head
+    r.getAs[Long]("corpus_docs") shouldBe 2L
+    r.getAs[Long]("corpus_chars") shouldBe 22L
+    r.getAs[Long]("n_clusters") shouldBe 1L
+    r.getAs[Long]("docs_in_clusters") shouldBe 2L
+    r.getAs[Long]("docs_removed") shouldBe 1L
+    r.getAs[Long]("chars_removed") shouldBe 11L // survivor = min doc 10
+    r.getAs[Double]("docs_removed_frac") shouldBe 0.5
+    r.getAs[Double]("chars_removed_frac") shouldBe 0.5
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
