@@ -23,6 +23,28 @@ object Relational extends QueryPack {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
   private def dec(c: Column): Column  = c.cast("decimal(18,2)")
 
+  /** q240's raw frame: per-event-type Datasketches HLL sketches (lgK=12)
+    * with exact counts, plus an 'ALL' row whose estimate comes from
+    * hll_union_agg over the per-type sketches — a true sketch MERGE,
+    * not a rescan. Kept separate so HllMergeSpec can assert the
+    * estimates and the merge itself; the query surface reduces it to
+    * the cross-engine-safe (exact, bound-bool) readout. */
+  private[graft] def hllMergeRaw(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val per = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .localCheckpoint() // consumed twice: per-type rows + the union row
+    val perRows = per.select(col("event_type"), col("exact_users"),
+      expr("cast(hll_sketch_estimate(sk) as double)").as("est"))
+    val allExact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    val allRow = per
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as double)").as("est"))
+      .crossJoin(broadcast(allExact))
+      .select(lit("ALL").as("event_type"), col("exact_users"), col("est"))
+    perRows.union(allRow)
+  }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     "q01_scan_project" -> ((s, dir) =>
@@ -191,6 +213,23 @@ object Relational extends QueryPack {
         .select(col("event_type"), col("n_events"), col("d_users"),
           (abs(col("est") - col("d_users")) <=
             greatest(lit(5.0), lit(0.15) * col("d_users"))).as("hll_ok"))
+        .orderBy(col("event_type"))),
+
+    // ------------------------------------------------------------------
+    // MERGEABLE HLL sketches (Datasketches hll_sketch_agg / hll_union_agg
+    // — the upgrade of q13's opaque approx_count_distinct): per-group
+    // sketches materialize as BINARY values that UNION without rescanning
+    // — at 100 TB this is THE distinct-count pattern (per-partition/
+    // per-day sketches persisted once, merged on demand). The 'ALL' row
+    // IS a sketch merge, never a second scan. Oracle-gated like
+    // q13/q208: exact value + a bound bool both engines agree on
+    // (lgK=12 ⇒ RSE ≈ 1.6%; 5σ + small-count slack); the raw estimates
+    // live behind [[hllMergeRaw]] for the spec's mergeability assertion.
+    "q240_hll_merge" -> ((s, dir) =>
+      hllMergeRaw(s, dir)
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(lit(3.0), lit(0.09) * col("exact_users"))).as("hll_ok"))
         .orderBy(col("event_type"))),
 
     // ------------------------------------------------------------------
@@ -862,6 +901,13 @@ object Relational extends QueryPack {
     "q13_agg_hll" ->
       ("SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS d_users, "
         + "TRUE AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
+    // q240: sketch estimates can't cross-engine-match; the exact counts
+    // + the accuracy-bound bool can (q13/q208's pattern).
+    "q240_hll_merge" ->
+      ("SELECT event_type, exact_users, TRUE AS hll_ok FROM ("
+        + "SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type "
+        + "UNION ALL SELECT 'ALL', count(DISTINCT user_id) FROM events) "
+        + "ORDER BY event_type"),
     "q14_rollup_cube" ->
       "SELECT l_returnflag, l_linestatus, CAST(grouping(l_returnflag) AS INT) AS g_rf, CAST(grouping(l_linestatus) AS INT) AS g_ls, count(*) AS cnt, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
     "q15_pivot" ->

@@ -378,6 +378,25 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("chars_removed_frac") shouldBe 0.5
   }
 
+  test("q240: HLL estimates sit inside the bound and the union row IS a faithful merge") {
+    import org.apache.spark.sql.functions._
+    val raw = graft.ops.Relational.hllMergeRaw(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("exact_users"), r.getAs[Double]("est"))).toMap
+    raw.keySet should contain("ALL")
+    for ((et, (exact, est)) <- raw) {
+      withClue(s"$et: est $est vs exact $exact") {
+        math.abs(est - exact) should be <= math.max(3.0, 0.09 * exact)
+      }
+    }
+    // mergeability: the union-of-sketches estimate equals a direct
+    // whole-column sketch estimate (same lgK) to well under the RSE
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as double)"))
+      .collect().head.getDouble(0)
+    math.abs(raw("ALL")._2 - direct) / direct should be <= 0.01
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
