@@ -241,6 +241,35 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // q127's rolling 7-day distinct, SKETCHED: one HLL sketch per day
+    // (hll_sketch_agg, lgK=12), then each day's trailing week is a
+    // 7-sketch hll_union_agg MERGE — at 100 TB the exact path rescans
+    // a week of raw events per day while this path persists #days tiny
+    // binary sketches and merges 7 of them, the canonical
+    // sketch-per-bucket rollup. Same bounded day-range join shape as
+    // q127 (no window). Oracle-gated like q240: exact trailing-week
+    // distinct + the accuracy-bound bool; Round6bSpec asserts the
+    // per-day estimates and union-vs-direct mergeability.
+    "q241_hll_rolling" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("eday"), col("user_id"))
+      val days = ev.select(col("eday").as("day")).distinct()
+      val exact = ev
+        .join(broadcast(days), expr("day >= eday AND datediff(day, eday) <= 6"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as("exact_wau7"))
+      val est = ev.groupBy(col("eday"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .join(broadcast(days), expr("day >= eday AND datediff(day, eday) <= 6"))
+        .groupBy(col("day"))
+        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as double)").as("est"))
+      exact.join(est, "day")
+        .select(col("day"), col("exact_wau7"),
+          (abs(col("est") - col("exact_wau7")) <=
+            greatest(lit(3.0), lit(0.09) * col("exact_wau7"))).as("hll_ok"))
+        .orderBy(col("day"))
+    }),
+
+    // ------------------------------------------------------------------
     // Welch's two-sample t-test (view vs click `value`): per-group
     // n/mean/var in ONE partial-agg pass, then the t statistic and
     // Welch–Satterthwaite df as scalar composites of the RAW moments
@@ -575,6 +604,14 @@ object Science extends QueryPack {
         + "days AS (SELECT DISTINCT eday AS day FROM ev) "
         + "SELECT day, count(DISTINCT CASE WHEN eday = day THEN user_id END) AS dau, "
         + "count(DISTINCT user_id) AS wau7 "
+        + "FROM ev JOIN days ON day >= eday AND date_diff('day', eday, day) <= 6 "
+        + "GROUP BY day ORDER BY day"),
+    // q241: sketch estimates can't cross-engine-match; q127's exact
+    // trailing-week distinct + the bound bool can (q240's pattern).
+    "q241_hll_rolling" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events), "
+        + "days AS (SELECT DISTINCT eday AS day FROM ev) "
+        + "SELECT day, count(DISTINCT user_id) AS exact_wau7, TRUE AS hll_ok "
         + "FROM ev JOIN days ON day >= eday AND date_diff('day', eday, day) <= 6 "
         + "GROUP BY day ORDER BY day"),
     "q128_welch_ttest" ->

@@ -249,6 +249,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q42_centroid_knn",    // per-label mean vectors: <= |label| enum rows
     "q170_naive_bayes",    // class priors / vocab-class grid: <= |class| enum rows
     "q127_rolling_distinct", // day spine <= #days: the documented interval-join plan
+    "q241_hll_rolling",    // same day-spine interval join as q127, twice (exact + sketch sides)
     "q133_skyline",        // per-size min-price candidates: <= |p_size| rows, checkpointed
     "q136_kendall_tau"     // daily cells <= #days, checkpointed, both pair-join sides
   )

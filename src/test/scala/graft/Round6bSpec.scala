@@ -397,6 +397,35 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     math.abs(raw("ALL")._2 - direct) / direct should be <= 0.01
   }
 
+  test("q241: every rolling-week HLL estimate is in-bound and the merge is faithful") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q241_hll_rolling")(spark, sf).collect()
+    rows.length should be > 0
+    all(rows.map(_.getAs[Boolean]("hll_ok"))) shouldBe true
+    // mergeability: per-day union-of-daily-sketches estimate vs a
+    // direct sketch over that day's trailing-week rows (same lgK)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("ts").cast("date").as("eday"), col("user_id"))
+    val days = ev.select(col("eday").as("day")).distinct()
+    val direct = ev
+      .join(broadcast(days), expr("day >= eday AND datediff(day, eday) <= 6"))
+      .groupBy(col("day"))
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as double)").as("d"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("d")).toMap
+    val merged = ev.groupBy(col("eday"))
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .join(broadcast(days), expr("day >= eday AND datediff(day, eday) <= 6"))
+      .groupBy(col("day"))
+      .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as double)").as("m"))
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getAs[Double]("m")).toMap
+    merged.keySet shouldBe direct.keySet
+    for ((d, m) <- merged) {
+      withClue(s"day $d: merged $m vs direct ${direct(d)}") {
+        math.abs(m - direct(d)) / direct(d) should be <= 0.02
+      }
+    }
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
