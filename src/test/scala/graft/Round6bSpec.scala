@@ -426,6 +426,34 @@ class Round6bSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("§2.20 invariants hold on the real sf0.001 corpus") {
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    // Chao1 can never project FEWER types than observed; GT mass ∈ [0,1]
+    val c = SparkEntry.queries("q226_chao1")(spark, sf).collect().head
+    c.getAs[Double]("chao1") should be >= c.getAs[Long]("vocab").toDouble
+    c.getAs[Double]("gt_unseen_mass") should (be >= 0.0 and be <= 1.0)
+    // anisotropy of unit-mean-vector norm² ∈ [0,1]
+    val iso = SparkEntry.queries("q232_isotropy")(spark, sf).collect().head
+    iso.getAs[Double]("anisotropy") should (be >= 0.0 and be <= 1.0)
+    // participation ratio ∈ [1, dim]
+    val ed = SparkEntry.queries("q233_effective_dim")(spark, sf).collect().head
+    ed.getAs[Double]("effective_dim") should (be >= 1.0 and
+      be <= ed.getAs[Long]("dim").toDouble)
+    // temperature shares are distributions; lower α is flatter (higher
+    // entropy pull toward uniform) so every minority share grows as α↓
+    val tm = SparkEntry.queries("q227_temperature_mix")(spark, sf).collect()
+    math.abs(tm.map(_.getAs[Double]("share_t07")).sum - 1.0) should be <= 1e-4
+    math.abs(tm.map(_.getAs[Double]("share_t03")).sum - 1.0) should be <= 1e-4
+    // λ₁ is at most the trace and explains a share in (0, 1]
+    val pca = SparkEntry.queries("q235_pca_power")(spark, sf).collect().head
+    pca.getAs[Double]("lambda1") should be <= pca.getAs[Double]("trace")
+    pca.getAs[Double]("explained_share") should (be > 0.0 and be <= 1.0)
+    // Theil's U coefficients ∈ [0, 1]
+    val u = SparkEntry.queries("q225_theils_u")(spark, sf).collect().head
+    u.getAs[Double]("u_lang_given_source") should (be >= 0.0 and be <= 1.0)
+    u.getAs[Double]("u_source_given_lang") should (be >= 0.0 and be <= 1.0)
+  }
+
   test("q231: non-ASCII ratio means and doc shares per source") {
     val rows = SparkEntry.queries("q231_encoding_audit")(spark, fx).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
