@@ -43,7 +43,10 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // "total" is duplicated as the LAST field: the driver's log window
+    // keeps a fixed-size TAIL of stdout, and the leading "value" field is
+    // outside it once the per-query map grows past the window size.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","total":$total}""")
     spark.stop()
   }
 }

@@ -39,6 +39,22 @@ object Streaming extends QueryPack {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Far-future watermark-sentinel timestamp (µs): max(events.ts) + 30
+    * days. Used by q191/q217/q220 to stage a final tranche that pushes
+    * every watermark past all real data so pending state flushes before
+    * AvailableNow terminates. Previously triplicated as a per-query
+    * 1-row collect; now computed ONCE per (session, sfDir) via
+    * Memo.perSession over the pruned ts column. Driver-side `.first()`
+    * by design: the aggregate is a single scalar, bounded by
+    * construction.
+    */
+  private def farSentinelUs(s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    graft.ops.Memo.perSession(s, s"stream_far_sentinel_us:$dir") {
+      Tables.events(s, dir)
+        .agg(max(expr("unix_micros(cast(ts as timestamp))")))
+        .first().getLong(0) + 30L * 86400 * 1000000L
+    }
+
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     // TIMESTAMP(MICROS) since the 2026-08-13 testdata regeneration
@@ -361,7 +377,7 @@ object Streaming extends QueryPack {
       evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
       evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
       evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
-      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq(("zz_sentinel", far, 0.0)).toDF("event_type", "ts_us", "value")
         .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
@@ -408,7 +424,7 @@ object Streaming extends QueryPack {
       evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
       evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
       evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
-      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
         .toDF("user_id", "ts_us", "event_id", "event_type", "value")
@@ -464,7 +480,7 @@ object Streaming extends QueryPack {
       evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
       evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
       evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
-      val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+      val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
         .toDF("user_id", "ts_us", "event_id", "event_type", "value")
