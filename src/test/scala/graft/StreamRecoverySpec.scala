@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TimeMode, Trigger}
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -180,6 +181,135 @@ class StreamRecoverySpec extends AnyFunSuite with Matchers with SharedSpark {
     }
     withClue("interrupted+resumed pair emission must equal the uninterrupted run: ") {
       b shouldBe a
+    }
+  }
+
+  // --- stateful sessionizer recovery (q81 / q145 twins) -----------------
+  // The remaining untested restart surface was cross-batch USER state:
+  // a session open at the stop exists only as a SessState record in the
+  // state store, and the resumed query must restore (start, last, n,
+  // emitted) exactly — or the session it later closes carries a wrong
+  // event count, duration, or sess_id. Both stateful APIs are run with
+  // function OutputMode.Append (closed sessions are final, never
+  // updated — the same emission contract as the shipped update-mode
+  // queries) so a fault-tolerant file sink can receive them.
+
+  private case class Straddle(user: Long, sid: Long, n: Long, durUs: Long, cutUs: Long)
+
+  /** Pick a CLOSED multi-event session from the batch gaps-and-islands
+    * formulation and a cut point strictly inside it: its head events
+    * land pre-stop, its tail post-stop, and because the session is
+    * closed (not the user's trailing one) a later event eventually
+    * closes it — so the resumed query can only emit it correctly by
+    * restoring the open-session state from the checkpoint. */
+  private def pickStraddle(): Straddle = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val cand = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull
+        || col("ts_us") - col("prev") > lit(graft.streaming.StatefulSessions.gapUs), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(w))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("st"), max(col("ts_us")).as("en"), count(lit(1)).as("n"))
+      .withColumn("mx", max(col("sid")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("sid") < col("mx") && col("n") > 1 && col("en") > col("st"))
+      .orderBy(col("user_id"), col("sid"))
+      .first()
+    Straddle(cand.getAs[Long]("user_id"), cand.getAs[Long]("sid"), cand.getAs[Long]("n"),
+      cand.getAs[Long]("en") - cand.getAs[Long]("st"),
+      (cand.getAs[Long]("st") + cand.getAs[Long]("en")) / 2)
+  }
+
+  private def runSessionizer(tws: Boolean)(in: java.nio.file.Path, out: String, ck: String): Unit = {
+    import graft.streaming.StatefulSessions.{Ev, Sess, SessState}
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_id", LongType)))
+    val keyed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      .as[Ev].groupByKey(_.user_id)
+    val sessions =
+      if (tws) keyed.transformWithState[Sess](new graft.streaming.TwsSessionizer,
+        TimeMode.None(), OutputMode.Append())
+      else keyed.flatMapGroupsWithState[SessState, Sess](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        graft.streaming.StatefulSessions.sessionize)
+    sessions.toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .awaitTermination()
+  }
+
+  private def sessionRecoveryCase(tws: Boolean, tag: String): Unit = {
+    import spark.implicits._
+    val straddle = pickStraddle()
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
+      .localCheckpoint()
+    val t0 = evs.filter(col("ts_us") <= straddle.cutUs)
+    val t1 = evs.filter(col("ts_us") > straddle.cutUs)
+    def stage(root: java.nio.file.Path, tranches: (String, DataFrame)*): Unit =
+      tranches.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+      }
+    def emitted(out: String): Seq[(Long, Long, Long, Long)] =
+      spark.read.parquet(out)
+        .select(col("user_id"), col("sess_id"), col("n_events"), col("dur_us"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+
+    // Reference: uninterrupted run over both tranches.
+    val inA = ops.Stage.fresh(s"${tag}_in_a")
+    val outA = ops.Stage.fresh(s"${tag}_out_a").toString
+    val ckA = ops.Stage.fresh(s"${tag}_ck_a").toString
+    stage(inA, "b0" -> t0, "b1" -> t1)
+    runSessionizer(tws)(inA, outA, ckA)
+
+    // Interrupted run: tranche 0 drains (one microbatch), AvailableNow
+    // terminates — the "kill". The straddling session is OPEN here: its
+    // head events live only in the state store.
+    val inB = ops.Stage.fresh(s"${tag}_in_b")
+    val outB = ops.Stage.fresh(s"${tag}_out_b").toString
+    val ckB = ops.Stage.fresh(s"${tag}_ck_b").toString
+    stage(inB, "b0" -> t0)
+    runSessionizer(tws)(inB, outB, ckB)
+    val firstEmit = emitted(outB)
+    stage(inB, "b1" -> t1)
+    runSessionizer(tws)(inB, outB, ckB) // resume: same checkpoint, same sink
+
+    val a = emitted(outA)
+    val b = emitted(outB)
+    a.length should be > 0
+    withClue("straddling session proves SessState restore (head pre-stop, tail post-stop): ") {
+      b should contain ((straddle.user, straddle.sid, straddle.n, straddle.durUs))
+      firstEmit should not contain ((straddle.user, straddle.sid, straddle.n, straddle.durUs))
+    }
+    withClue("restart must only APPEND to what the first run emitted: ") {
+      b.toSet should contain allElementsOf firstEmit.toSet
+      firstEmit.length should be < b.length
+    }
+    withClue("interrupted+resumed session emission must equal the uninterrupted run: ") {
+      b shouldBe a
+    }
+  }
+
+  test("flatMapGroupsWithState sessionizer resumes from checkpoint with identical session emission") {
+    sessionRecoveryCase(tws = false, tag = "recovs")
+  }
+
+  test("transformWithState sessionizer resumes from a RocksDB checkpoint with identical session emission") {
+    // mirror q145: the successor API runs on the RocksDB state store,
+    // so this restart also exercises RocksDB snapshot/changelog restore
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try sessionRecoveryCase(tws = true, tag = "recovt")
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
     }
   }
 }
