@@ -1,0 +1,224 @@
+package graft
+
+import graft.streaming.StatefulSessions
+import graft.streaming.StatefulSessions.{Ev, Sess, SessState}
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.{forAllNoShrink, propBoolean}
+
+/** SURVEY.md §5's planned ScalaCheck layer: generated-input invariants
+  * that fixture-based specs can't reach — edge shapes (empty frames,
+  * constant columns, exact gap boundaries, arbitrary microbatch splits)
+  * are produced by generators instead of being hand-picked.
+  *
+  * Split in two: [[SessionFoldProps]] is pure (no Spark jobs, default
+  * 100 samples); [[SparkQueryProps]] drives the REAL shipped query
+  * functions over generated corpora staged as parquet (5 samples each —
+  * every sample is a full Spark pipeline).
+  */
+object SessionFoldProps extends Properties("sessionize-fold") {
+
+  private val gapUs = StatefulSessions.gapUs
+
+  /** Per-user event streams built from GAPS, not raw timestamps, so the
+    * >30-min boundary itself is a first-class generated value: gap = 0
+    * (duplicate ts), gap = gapUs (must NOT close — the rule is strictly
+    * greater), gap = gapUs + 1 (must close), and generic in/out values.
+    */
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(0, 40)
+    gaps <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const(0L), Gen.const(gapUs), Gen.const(gapUs + 1),
+      Gen.choose(1L, gapUs), Gen.choose(gapUs + 1, 3 * gapUs)))
+  } yield gaps.scanLeft(1000000L)(_ + _).zipWithIndex
+    .map { case (ts, i) => Ev(7L, ts, i.toLong) }
+
+  /** Independent derivation of the session partition: split the sorted
+    * event list wherever the strict >gap rule fires (list-recursive
+    * span-splitting, a different formulation than the fold's running
+    * state machine). */
+  private def refSplit(evs: List[Ev]): List[List[Ev]] = evs match {
+    case Nil => Nil
+    case first :: _ =>
+      val (sess, rest) = {
+        var cur = List(first); var rem = evs.tail
+        while (rem.nonEmpty && rem.head.ts_us - cur.head.ts_us <= gapUs)
+          { cur ::= rem.head; rem = rem.tail }
+        (cur.reverse, rem)
+      }
+      sess :: refSplit(rest)
+  }
+
+  property("fold emission equals the independent span-split reference") =
+    forAllNoShrink(genEvents) { evs =>
+      val (st, out) = StatefulSessions.fold(7L, SessState(-1L, -1L, 0L, 0L), evs)
+      val ref = refSplit(evs)
+      val refClosed = ref.dropRight(1).zipWithIndex.map { case (ss, i) =>
+        Sess(7L, i + 1L, ss.length.toLong, ss.last.ts_us - ss.head.ts_us)
+      }
+      val openOk = ref.lastOption match {
+        case None => st.n == 0L
+        case Some(ss) => st.n == ss.length.toLong &&
+          st.start == ss.head.ts_us && st.last == ss.last.ts_us
+      }
+      (out == refClosed) :| s"closed: $out vs $refClosed" &&
+        openOk :| s"open state: $st vs ${ref.lastOption}"
+    }
+
+  /** The recovery-critical property: folding the stream in ANY
+    * consecutive microbatch chunking, threading state across chunks,
+    * must emit exactly what one single-batch fold emits — this is what
+    * makes checkpoint resume (state restored, remaining tranches
+    * replayed) equivalent to an uninterrupted run. */
+  property("fold is invariant under arbitrary microbatch chunking") =
+    forAllNoShrink(for {
+      evs <- genEvents
+      cuts <- Gen.listOf(Gen.choose(0, evs.length))
+    } yield (evs, cuts.distinct.sorted)) { case (evs, cuts) =>
+      val bounds = (0 +: cuts :+ evs.length).distinct.sorted
+      val chunks = bounds.sliding(2).map { case Seq(a, b) => evs.slice(a, b) }.toList
+      val (stWhole, outWhole) = StatefulSessions.fold(7L, SessState(-1L, -1L, 0L, 0L), evs)
+      val (stChunked, outChunked) = chunks.foldLeft((SessState(-1L, -1L, 0L, 0L), List.empty[Sess])) {
+        case ((st, acc), chunk) =>
+          val (st2, out) = StatefulSessions.fold(7L, st, chunk)
+          (st2, acc ++ out)
+      }
+      (outChunked == outWhole) :| "chunked emission differs" &&
+        (stChunked == stWhole) :| "chunked final state differs"
+    }
+
+  property("event conservation and contiguous session ids") =
+    forAllNoShrink(genEvents) { evs =>
+      val (st, out) = StatefulSessions.fold(7L, SessState(-1L, -1L, 0L, 0L), evs)
+      val closedBoundaries = evs.zip(evs.drop(1)).count { case (a, b) => b.ts_us - a.ts_us > gapUs }
+      (out.map(_.n_events).sum + st.n == evs.length.toLong) :| "event count not conserved" &&
+        (out.length == closedBoundaries) :| "one closed session per strict >gap boundary" &&
+        (out.map(_.sess_id) == (1L to out.length.toLong).toList) :| "sess ids not 1..k" &&
+        out.forall(_.dur_us >= 0L) :| "negative duration"
+    }
+}
+
+/** Generated-corpus invariants of the shipped dedup / similarity /
+  * correlation operators — each sample stages a corpus as parquet and
+  * calls the REAL `SparkEntry.queries` functions (not reimplementations).
+  */
+object SparkQueryProps extends Properties("graft-queries") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta")
+
+  /** Small vocab + short docs ⇒ exact duplicates and shared shingles
+    * are common, exercising the non-trivial dedup paths. */
+  private def genDocs(minWords: Int, maxWords: Int): Gen[List[(Long, String, String, String, Long)]] =
+    for {
+      n <- Gen.choose(2, 30)
+      texts <- Gen.listOfN(n, for {
+        k <- Gen.choose(minWords, maxWords)
+        ws <- Gen.listOfN(k, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", s"src${i % 3}", t.length.toLong)
+    }
+
+  /** Stage rows as a documents.parquet tree and hand the dir to `body`. */
+  private def withDocsDir(rows: List[(Long, String, String, String, Long)])(body: String => Prop): Prop = {
+    import spark.implicits._
+    val dir = ops.Stage.fresh("prop_docs")
+    try {
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      body(dir.toString)
+    } finally ops.Stage.release(dir)
+  }
+
+  private def rerunOnSurvivors(dir: String, survivorIds: Set[Long]): String = {
+    // stage the dedup output (original rows filtered to survivors) as a
+    // second corpus — idempotence means the second pass finds nothing
+    val surv = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id").isInCollection(survivorIds))
+    val dir2 = ops.Stage.fresh("prop_docs2")
+    surv.coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    dir2.toString
+  }
+
+  property("q39/q54/q100 exact-dedup family is idempotent") =
+    forAllNoShrink(genDocs(0, 8)) { rows =>
+      withDocsDir(rows) { dir =>
+        // q39: keep-first by text
+        val r39 = SparkEntry.queries("q39_dedup_exact")(spark, dir).collect()
+        val d39 = r39.map(_.getAs[Long]("doc_id")).toSet
+        val dir39 = rerunOnSurvivors(dir, d39)
+        val r39b = SparkEntry.queries("q39_dedup_exact")(spark, dir39).collect()
+        val p39 = (r39.map(_.getAs[Long]("copies")).sum == rows.length.toLong) :| "q39 copies must sum to corpus size" &&
+          (r39b.map(_.getAs[Long]("doc_id")).toSet == d39) :| "q39 second pass changed the survivor set" &&
+          r39b.forall(_.getAs[Long]("copies") == 1L) :| "q39 second pass still sees duplicates"
+
+        // q54: canonical-fingerprint clustering, survivor = min_doc
+        val r54 = SparkEntry.queries("q54_fingerprint")(spark, dir).collect()
+        val d54 = r54.map(_.getAs[Long]("min_doc")).toSet
+        val dir54 = rerunOnSurvivors(dir, d54)
+        val r54b = SparkEntry.queries("q54_fingerprint")(spark, dir54).collect()
+        val p54 = (r54b.map(_.getAs[String]("fp")).toSet == r54.map(_.getAs[String]("fp")).toSet) :| "q54 fingerprint set changed" &&
+          r54b.forall(_.getAs[Long]("n_docs") == 1L) :| "q54 second pass still sees clusters"
+
+        // q100: keep-best by quality within fingerprint cluster
+        val r100 = SparkEntry.queries("q100_keep_best")(spark, dir).collect()
+        val d100 = r100.map(_.getAs[Long]("survivor")).toSet
+        val dir100 = rerunOnSurvivors(dir, d100)
+        val r100b = SparkEntry.queries("q100_keep_best")(spark, dir100).collect()
+        val p100 = (r100b.map(_.getAs[Long]("survivor")).toSet == d100) :| "q100 second pass changed the survivor set" &&
+          r100b.forall(_.getAs[Long]("cluster_size") == 1L) :| "q100 second pass still sees clusters"
+
+        p39 && p54 && p100
+      }
+    }
+
+  property("q40 near-dup pairs respect Jaccard bounds and pair ordering") =
+    forAllNoShrink(genDocs(5, 12)) { rows =>
+      withDocsDir(rows) { dir =>
+        val pairs = SparkEntry.queries("q40_dedup_near")(spark, dir).collect()
+        Prop.all(pairs.map { r =>
+          val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+          val (inter, na, nb) = (r.getAs[Long]("inter"), r.getAs[Long]("na"), r.getAs[Long]("nb"))
+          val j = r.getAs[Double]("jaccard")
+          (a < b) :| s"pair not ordered: $a,$b" &&
+            (inter >= 1L && inter <= math.min(na, nb)) :| s"inter out of range: $inter vs $na,$nb" &&
+            (j > 0.0 && j <= 1.0) :| s"jaccard out of (0,1]: $j" &&
+            (math.abs(j - inter.toDouble / (na + nb - inter)) < 1e-6) :| s"jaccard != inter/union: $j"
+        }.toSeq: _*)
+      }
+    }
+
+  property("one-pass Welford corr agrees with built-in corr and stays in [-1,1]") =
+    forAllNoShrink(for {
+      n <- Gen.choose(0, 60)
+      xs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(-1e3, 1e3), Gen.const(5.0)))
+      ys <- Gen.listOfN(n, Gen.oneOf(Gen.choose(-1e3, 1e3), Gen.const(2.0)))
+    } yield xs.zip(ys)) { pts =>
+      import org.apache.spark.sql.functions.{col, corr, udaf}
+      import org.apache.spark.sql.{Encoders, Row}
+      import spark.implicits._
+      val cu = udaf(graft.functions.CorrAggregator,
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+      val row: Row = pts.toDF("x", "y")
+        .agg(cu(col("x"), col("y")).as("a"), corr(col("x"), col("y")).as("b"))
+        .head()
+      def undef(i: Int): Boolean = row.isNullAt(i) || row.getDouble(i).isNaN
+      if (undef(0) || undef(1))
+        (undef(0) && undef(1)) :| s"one side undefined, other not: $row"
+      else {
+        val (a, b) = (row.getDouble(0), row.getDouble(1))
+        (math.abs(a - b) < 1e-6) :| s"udaf $a vs builtin $b" &&
+          (a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9) :| s"corr out of [-1,1]: $a"
+      }
+    }
+}
