@@ -41,13 +41,23 @@ object Tables {
     * safe under the shared driver-built session (SURVEY.md §4.3.5).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = rd(s, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType => // old generation: INT64 TIMESTAMP(NANOS) read as ns-long
         raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case _ =>
+      case TimestampNTZType => // current generation: TIMESTAMP(MICROS, utc=false)
+        raw
+      case TimestampType =>
+        // TIMESTAMP(MICROS, adjustedToUTC=true): the NTZ cast reads the
+        // session timezone — exact only because every shipped entrypoint
+        // pins UTC (build.sbt / Verify / Bench / Smoke)
         raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other => // genuine schema drift must fail loudly, not coerce
+        throw new IllegalStateException(
+          s"unexpected events.ts parquet type $other in $dir — known generations are " +
+            "INT64 TIMESTAMP(NANOS) and TIMESTAMP(MICROS); see TESTDATA.md")
     }
   }
 

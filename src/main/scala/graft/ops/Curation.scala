@@ -261,8 +261,13 @@ object Curation extends QueryPack {
       val tot = per.agg(sum(col("chars")).as("tot"))
       val w = per.crossJoin(broadcast(tot))
         .withColumn("p", expr("chars / cast(tot as double)"))
-        .withColumn("w07", expr("cast(power(p, 0.7d) as decimal(28,12))"))
-        .withColumn("w03", expr("cast(power(p, 0.3d) as decimal(28,12))"))
+        // p^α expressed as exp(α·ln p) on BOTH engines: ln/exp are the
+        // repo's proven cross-engine parity transcendentals (q224),
+        // whereas Math.pow vs DuckDB pow parity was only observed, not
+        // proven. p = 0 (a source of only empty docs) guards to 0 —
+        // ln(0) is NULL in Spark but -inf in DuckDB.
+        .withColumn("w07", expr("cast(if(p > 0d, exp(0.7d * ln(p)), 0d) as decimal(28,12))"))
+        .withColumn("w03", expr("cast(if(p > 0d, exp(0.3d * ln(p)), 0d) as decimal(28,12))"))
         .localCheckpoint() // consumed twice: normalizer + final rows
       val z = w.agg(sum(col("w07")).as("z07"), sum(col("w03")).as("z03"))
       w.crossJoin(broadcast(z))
@@ -408,9 +413,10 @@ object Curation extends QueryPack {
     "q227_temperature_mix" ->
       ("WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY source), "
         + "tot AS (SELECT CAST(sum(chars) AS BIGINT) AS tot FROM per), "
-        + "w AS (SELECT source, chars, chars / CAST(tot AS DOUBLE) AS p, "
-        + "CAST(pow(chars / CAST(tot AS DOUBLE), 0.7) AS DECIMAL(28,12)) AS w07, "
-        + "CAST(pow(chars / CAST(tot AS DOUBLE), 0.3) AS DECIMAL(28,12)) AS w03 FROM per, tot), "
+        + "p0 AS (SELECT source, chars, chars / CAST(tot AS DOUBLE) AS p FROM per, tot), "
+        + "w AS (SELECT source, chars, p, "
+        + "CAST(CASE WHEN p > 0 THEN exp(0.7 * ln(p)) ELSE 0 END AS DECIMAL(28,12)) AS w07, "
+        + "CAST(CASE WHEN p > 0 THEN exp(0.3 * ln(p)) ELSE 0 END AS DECIMAL(28,12)) AS w03 FROM p0), "
         + "z AS (SELECT sum(w07) AS z07, sum(w03) AS z03 FROM w) "
         + "SELECT source, chars, round(p, 6) AS share_raw, "
         + "round(CAST(w07 AS DOUBLE) / CAST(z07 AS DOUBLE), 6) AS share_t07, "

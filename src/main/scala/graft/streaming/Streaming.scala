@@ -75,13 +75,25 @@ object Streaming extends QueryPack {
       // from earlier runs (and concurrent runs at different SFs would
       // corrupt each other's window counts).
       import java.nio.file.{Files, Paths, StandardCopyOption}
+      // rawSchema hard-declares TIMESTAMP(MICROS); detect the pre-
+      // 2026-08-13 INT64-ns generation up front and fail with a pointer
+      // instead of an opaque parquet read error mid-stream (the batch
+      // path's Tables.events sniff still reads both generations).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      if (s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
+        throw new IllegalStateException(
+          s"$dir/events.parquet is the old INT64 TIMESTAMP(NANOS) generation; the " +
+            "streaming source reads TIMESTAMP(MICROS) only — regenerate testdata (TESTDATA.md)")
       val in = graft.ops.Stage.fresh("stream_in")
       Files.copy(Paths.get(s"$dir/events.parquet"),
         in.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       val q = withStateParts(s)(s.readStream
         .schema(rawSchema)
         .parquet(in.toString)
-        .withColumn("ets", timestamp_micros(expr("unix_micros(cast(ts as timestamp))")))
+        // NTZ→TIMESTAMP directly; exact because every shipped entrypoint
+        // pins the session to UTC (a non-UTC session would shift values
+        // and be non-monotonic across DST — ADVICE round 6)
+        .withColumn("ets", col("ts").cast("timestamp"))
         .withWatermark("ets", "10 minutes")
         // watermark-bounded dedup state: an event_id reappearing within
         // the watermark window is dropped; state for ids older than the
