@@ -23,7 +23,11 @@ object Bench {
     // practice, and keeps the reported total stable across rounds.
     // A crashed query reports the sentinel -1.0, never its time-to-crash
     // (folding crash latency into min-of-2 would under-report it).
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated key filter for targeted local A/B runs
+    // (unset in the driver's invocation — the full map runs there).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val keys = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
+    def pass(): Map[String, Double] = keys.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
