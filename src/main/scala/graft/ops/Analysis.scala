@@ -363,6 +363,33 @@ object Analysis extends QueryPack {
             "2.0d * (cast(hl as double) + cast(hs as double) - cast(hj as double)) / " +
               "(cast(hl as double) + cast(hs as double))"), 6).as("u_symmetric"))
     }),
+
+    // ------------------------------------------------------------------
+    // Cramér's V — the [0,1]-normalized effect size q101's raw χ² (and
+    // q225's asymmetric U) lack, over the event_type × day-of-week
+    // contingency. Day-of-week is pure epoch arithmetic (days-since-
+    // epoch mod 7), never an engine-specific dow() whose week origin
+    // differs. ONE partial-agg shuffle to ≤|type|×7 cells; expected
+    // counts from broadcast row/col margins; each (o−e)²/e term is
+    // DECIMAL(28,12)-quantized so the 35-cell sum is order-exact.
+    "q243_cramers_v" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .select(col("event_type").as("et"),
+          expr("pmod(datediff(cast(ts as date), date'1970-01-01'), 7)").as("dw"))
+        .groupBy(col("et"), col("dw")).agg(count(lit(1)).as("o"))
+        .localCheckpoint() // margins + term sum all consume it
+      val rm = cells.groupBy(col("et")).agg(sum(col("o")).as("rn"))
+      val cm = cells.groupBy(col("dw")).agg(sum(col("o")).as("cn"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("et")).as("r"), countDistinct(col("dw")).as("c"))
+      cells.join(broadcast(rm), "et").join(broadcast(cm), "dw")
+        .crossJoin(broadcast(tot))
+        .withColumn("e", expr("cast(rn as double) * cn / n"))
+        .agg(first(col("n")).as("n"), first(col("r")).as("r"), first(col("c")).as("c"),
+          sum(expr("cast((o - e) * (o - e) / e as decimal(28,12))")).as("chi2q"))
+        .selectExpr("n", "r", "c", "round(cast(chi2q as double), 6) AS chi2",
+          "round(sqrt(cast(chi2q as double) / (n * (least(r, c) - 1))), 6) AS cramers_v")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -483,5 +510,15 @@ object Analysis extends QueryPack {
         + "round(2.0 * (CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE) - CAST(hj AS DOUBLE)) / "
         + "(CAST(hl AS DOUBLE) + CAST(hs AS DOUBLE)), 6) AS u_symmetric "
         + "FROM hj, hl, hs"),
+    "q243_cramers_v" ->
+      ("WITH cells AS (SELECT event_type AS et, (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dw, count(*) AS o FROM events GROUP BY 1, 2), "
+        + "rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY et), "
+        + "cm AS (SELECT dw, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY dw), "
+        + "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n, CAST(count(DISTINCT et) AS BIGINT) AS r, CAST(count(DISTINCT dw) AS BIGINT) AS c FROM cells), "
+        + "s AS (SELECT any_value(n) AS n, any_value(r) AS r, any_value(c) AS c, "
+        + "sum(CAST((o - e) * (o - e) / e AS DECIMAL(28,12))) AS chi2q FROM "
+        + "(SELECT o, CAST(rn AS DOUBLE) * cn / n AS e, n, r, c FROM cells JOIN rm USING (et) JOIN cm USING (dw) CROSS JOIN tot)) "
+        + "SELECT n, r, c, round(CAST(chi2q AS DOUBLE), 6) AS chi2, "
+        + "round(sqrt(CAST(chi2q AS DOUBLE) / (n * (least(r, c) - 1))), 6) AS cramers_v FROM s"),
   )
 }

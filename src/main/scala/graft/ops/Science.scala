@@ -550,6 +550,67 @@ object Science extends QueryPack {
           round(expr("det - seasonal"), 6).as("residual"))
         .orderBy(col("day"))
     }),
+
+    // ------------------------------------------------------------------
+    // Wald–Wolfowitz runs test for serial randomness of daily order
+    // revenue around its median. Contraction-first: orders → ≤#days
+    // daily cells (revenue summed as exact DECIMAL(18,2) — never a
+    // raw double sum), exact interpolated median, then ONE lag window
+    // over the bounded daily frame counts sign runs. μ/σ come from the
+    // exact integer counts (n₁ above, n₂ below), so z is a
+    // deterministic scalar formula — no distributed fp accumulation.
+    "q248_runs_test" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"))
+        .localCheckpoint() // median agg + signed series both consume it
+      val med = daily.agg(expr("percentile(cast(rev as double), 0.5)").as("med"))
+      val wd = Window.orderBy(col("day")) // bounded: ≤#days cells (allowlisted)
+      daily.crossJoin(broadcast(med))
+        .filter(col("rev").cast("double") =!= col("med")) // ties drop, both engines
+        .withColumn("above", (col("rev").cast("double") > col("med")).cast("int"))
+        .withColumn("chg", when(lag(col("above"), 1).over(wd).isNull
+          || lag(col("above"), 1).over(wd) =!= col("above"), 1L).otherwise(0L))
+        .agg(sum(col("chg")).as("runs"), sum(col("above")).as("n1"),
+          sum(expr("1 - above")).as("n2"))
+        .selectExpr("n1 + n2 AS n_days", "n1 AS n_above", "n2 AS n_below", "runs",
+          "round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
+            + "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+            + "((n1 + n2) * (n1 + n2) * (cast(n1 as double) + n2 - 1))), 6) AS z_stat")
+        .selectExpr("n_days", "n_above", "n_below", "runs", "z_stat",
+          "abs(z_stat) < 1.959964 AS random_5pct")
+    }),
+
+    // ------------------------------------------------------------------
+    // Mann–Kendall monotonic-trend test on the same exact daily revenue
+    // series: S = Σ_{i<j} sgn(xⱼ − xᵢ) over the bounded ≤#days daily
+    // contraction (pair join of two broadcast calendar frames — q136's
+    // audited shape, NEVER raw rows), tie-corrected variance from a
+    // per-value group count, continuity-corrected z. Revenue cells are
+    // exact decimals so every sgn comparison is exact in both engines.
+    "q249_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("rev"))
+        .localCheckpoint() // both pair-join sides + the tie contraction
+      val b = daily.select(col("day").as("day2"), col("rev").as("rev2"))
+      val sFrame = daily.join(broadcast(b), col("day") < col("day2"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("rev2") > col("rev"), 1L)
+            .when(col("rev2") < col("rev"), -1L).otherwise(0L)).as("s_stat"))
+      val ties = daily.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(expr("t * (t - 1) * (2 * t + 5)")).as("tsum"))
+      sFrame.crossJoin(broadcast(ties))
+        .selectExpr("n_days", "s_stat",
+          "round((cast(n_days as double) * (n_days - 1) * (2 * n_days + 5) - tsum) / 18.0, 6) AS var_s")
+        .selectExpr("n_days", "s_stat", "var_s",
+          "round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+            + "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z_stat")
+        .selectExpr("n_days", "s_stat", "var_s", "z_stat",
+          "CASE WHEN z_stat > 1.959964 THEN 'increasing' "
+            + "WHEN z_stat < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -719,5 +780,27 @@ object Science extends QueryPack {
         + "s AS (SELECT dow, CAST(sum(CAST(det AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS seasonal FROM d GROUP BY dow) "
         + "SELECT day, y, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal, "
         + "round(det - seasonal, 6) AS residual FROM d JOIN s USING (dow) ORDER BY day"),
+    "q248_runs_test" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), "
+        + "m AS (SELECT quantile_cont(CAST(rev AS DOUBLE), 0.5) AS med FROM daily), "
+        + "sgn AS (SELECT day, CASE WHEN CAST(rev AS DOUBLE) > med THEN 1 ELSE 0 END AS above FROM daily CROSS JOIN m WHERE CAST(rev AS DOUBLE) <> med), "
+        + "r AS (SELECT above, CASE WHEN lag(above) OVER (ORDER BY day) IS NULL OR lag(above) OVER (ORDER BY day) <> above THEN 1 ELSE 0 END AS chg FROM sgn), "
+        + "a AS (SELECT CAST(sum(chg) AS BIGINT) AS runs, CAST(sum(above) AS BIGINT) AS n1, CAST(sum(1 - above) AS BIGINT) AS n2 FROM r), "
+        + "z AS (SELECT n1 + n2 AS n_days, n1 AS n_above, n2 AS n_below, runs, "
+        + "round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1)) / "
+        + "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / "
+        + "((n1 + n2) * (n1 + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))), 6) AS z_stat FROM a) "
+        + "SELECT n_days, n_above, n_below, runs, z_stat, abs(z_stat) < 1.959964 AS random_5pct FROM z"),
+    "q249_mann_kendall" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev FROM orders GROUP BY 1), "
+        + "p AS (SELECT CAST(sum(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS BIGINT) AS s_stat "
+        + "FROM daily a JOIN daily b ON a.day < b.day), "
+        + "t AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum "
+        + "FROM (SELECT count(*) AS t FROM daily GROUP BY rev)), "
+        + "v AS (SELECT n_days, s_stat, round((CAST(n_days AS DOUBLE) * (n_days - 1) * (2 * n_days + 5) - tsum) / 18.0, 6) AS var_s FROM p CROSS JOIN t), "
+        + "z AS (SELECT n_days, s_stat, var_s, round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+        + "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z_stat FROM v) "
+        + "SELECT n_days, s_stat, var_s, z_stat, CASE WHEN z_stat > 1.959964 THEN 'increasing' "
+        + "WHEN z_stat < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend FROM z"),
   )
 }

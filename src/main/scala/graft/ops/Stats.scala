@@ -735,6 +735,37 @@ object Stats extends QueryPack {
           round(col("h"), 6).as("leverage"),
           round(col("cook"), 6).as("cooks_d"))
     }),
+
+    // ------------------------------------------------------------------
+    // Jarque–Bera normality test per returnflag group — the omnibus
+    // moment test that closes §2.5's distribution-shape family (q20
+    // reports the moments; this turns them into a decision). Same
+    // exact-integer power-sum contraction as q20 (l_quantity is
+    // integer-valued, so Σx..Σx⁴ are exact DECIMAL(38,0) — no fp
+    // accumulation anywhere before the final scalar formula), GROUPED:
+    // one partial-agg shuffle to ≤|returnflag| cells. JB is computed
+    // from the 6dp-ROUNDED skew/kurtosis in BOTH engines so the
+    // comparison can never hinge on a sub-rounding ULP.
+    "q242_jarque_bera" -> ((s, dir) => {
+      def p(k: Int) = {
+        val prod = (1 to k).map(_ => col("l_quantity")).reduce(_ * _)
+        sum(prod.cast("decimal(38,0)")).as(s"s$k")
+      }
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), p(1), p(2), p(3), p(4))
+        .selectExpr("l_returnflag", "n",
+          "cast(s1 as double)/n AS mu", "cast(s2 as double)/n AS e2",
+          "cast(s3 as double)/n AS e3", "cast(s4 as double)/n AS e4")
+        .selectExpr("l_returnflag", "n",
+          "round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew",
+          "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_excess")
+        .selectExpr("l_returnflag", "n", "skew", "kurt_excess",
+          "round(n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0), 6) AS jb",
+          // χ²(2) 5% critical value
+          "n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0) > 5.991465 AS reject_normal_5pct")
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
@@ -985,5 +1016,19 @@ object Stats extends QueryPack {
         + "SELECT day, y, round(e, 6) AS residual, round(h, 6) AS leverage, "
         + "round(e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h)), 6) AS cooks_d "
         + "FROM h ORDER BY e * e * h / (2.0 * s2e * (1.0 - h) * (1.0 - h)) DESC, day LIMIT 5"),
+    "q242_jarque_bera" ->
+      ("WITH m AS (SELECT l_returnflag, count(*) AS n, sum(CAST(l_quantity AS DECIMAL(38,0))) AS s1, "
+        + "sum(CAST(l_quantity*l_quantity AS DECIMAL(38,0))) AS s2, "
+        + "sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(38,0))) AS s3, "
+        + "sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(38,0))) AS s4 FROM lineitem GROUP BY l_returnflag), "
+        + "e AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE)/n AS mu, CAST(s2 AS DOUBLE)/n AS e2, "
+        + "CAST(s3 AS DOUBLE)/n AS e3, CAST(s4 AS DOUBLE)/n AS e4 FROM m), "
+        + "g AS (SELECT l_returnflag, n, "
+        + "round((e3 - 3*mu*e2 + 2*mu*mu*mu) / ((e2 - mu*mu) * sqrt(e2 - mu*mu)), 6) AS skew, "
+        + "round((e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu) / ((e2 - mu*mu) * (e2 - mu*mu)) - 3, 6) AS kurt_excess FROM e) "
+        + "SELECT l_returnflag, n, skew, kurt_excess, "
+        + "round(n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0), 6) AS jb, "
+        + "n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0) > 5.991465 AS reject_normal_5pct "
+        + "FROM g ORDER BY l_returnflag"),
   )
 }

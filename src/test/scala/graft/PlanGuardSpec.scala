@@ -52,7 +52,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q200_decile_lift",   // cumulative capture over 10 decile cells
     "q202_pareto_revenue",// cumulative share over 10 decile cells
     "q209_pacf",          // lag windows over <= #days daily cells (q23's shape)
-    "q212_bh_fdr"         // rank/step-up windows over <= #event-type test cells
+    "q212_bh_fdr",        // rank/step-up windows over <= #event-type test cells
+    "q248_runs_test"      // run-boundary lag over <= #days daily cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -251,7 +252,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q127_rolling_distinct", // day spine <= #days: the documented interval-join plan
     "q241_hll_rolling",    // same day-spine interval join as q127, twice (exact + sketch sides)
     "q133_skyline",        // per-size min-price candidates: <= |p_size| rows, checkpointed
-    "q136_kendall_tau"     // daily cells <= #days, checkpointed, both pair-join sides
+    "q136_kendall_tau",    // daily cells <= #days, checkpointed, both pair-join sides
+    "q249_mann_kendall"    // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
