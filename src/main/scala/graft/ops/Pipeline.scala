@@ -366,6 +366,42 @@ object Pipeline extends QueryPack {
           round(expr("cast(kept_tokens as double) / (n_docs * ctx)"), 6).as("fill_naive"))
         .orderBy(col("ctx"))
     }),
+
+    // ------------------------------------------------------------------
+    // Z-ORDER data-layout audit — the file-skipping decision a 100 TB
+    // table layout lives or dies by. Each order's (custkey, orderdate)
+    // is quantized to 8 bits per dim (pure integer arithmetic against
+    // broadcast min/max), bit-interleaved into a 16-bit Morton code
+    // (in-row HOF fold — no UDF), and bucketed into 64 Z-buckets vs 64
+    // natural insertion-order buckets (orderkey ranges). The per-bucket
+    // min/max SPAN of each dimension is exactly what parquet row-group
+    // pruning sees: small spans on BOTH dims ⇒ a predicate on either
+    // column skips most buckets. Output: one row per layout with the
+    // average spans — the Z-order rows should crush the natural layout
+    // on custkey while staying competitive on date.
+    "q250_zorder_layout" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        expr("datediff(cast(o_orderdate as date), date'1970-01-01')").as("d"))
+      val b = o.agg(min(col("c")).as("minc"), max(col("c")).as("maxc"),
+        min(col("d")).as("mind"), max(col("d")).as("maxd"),
+        min(col("k")).as("mink"), max(col("k")).as("maxk"))
+      val g = o.crossJoin(broadcast(b))
+        .withColumn("cx", expr("cast(floor(256.0 * (c - minc) / (maxc - minc + 1)) as int)"))
+        .withColumn("dx", expr("cast(floor(256.0 * (d - mind) / (maxd - mind + 1)) as int)"))
+        .withColumn("z", expr("aggregate(sequence(0, 7), 0, (acc, j) -> "
+          + "acc + shiftleft(shiftright(cx, j) & 1, 2 * j + 1) + shiftleft(shiftright(dx, j) & 1, 2 * j))"))
+        .withColumn("zb", expr("z div 1024"))
+        .withColumn("nb", expr("cast(floor(64.0 * (k - mink) / (maxk - mink + 1)) as int)"))
+        .localCheckpoint() // two layout rollups consume it
+      def spans(bucket: String, name: String) = g.groupBy(col(bucket))
+        .agg((max(col("c")) - min(col("c"))).as("cs"), (max(col("d")) - min(col("d"))).as("ds"))
+        .agg(count(lit(1)).as("n_buckets"),
+          round(expr("sum(cs) / cast(count(1) as double)"), 6).as("avg_cust_span"),
+          round(expr("sum(ds) / cast(count(1) as double)"), 6).as("avg_date_span"))
+        .select(lit(name).as("layout"), col("n_buckets"), col("avg_cust_span"), col("avg_date_span"))
+      spans("zb", "zorder").union(spans("nb", "natural")).orderBy(col("layout"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -467,5 +503,21 @@ object Pipeline extends QueryPack {
         + "round(CAST(kept_tokens AS DOUBLE) / (((kept_tokens + ctx - 1) // ctx) * ctx), 6) AS fill_lb, "
         + "round(CAST(kept_tokens AS DOUBLE) / (n_docs * ctx), 6) AS fill_naive "
         + "FROM g ORDER BY ctx"),
+    "q250_zorder_layout" ->
+      ("WITH o AS (SELECT o_orderkey AS k, o_custkey AS c, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d FROM orders), "
+        + "b AS (SELECT min(c) AS minc, max(c) AS maxc, min(d) AS mind, max(d) AS maxd, min(k) AS mink, max(k) AS maxk FROM o), "
+        + "g AS (SELECT k, c, d, "
+        + "CAST(floor(256.0 * (c - minc) / (maxc - minc + 1)) AS INT) AS cx, "
+        + "CAST(floor(256.0 * (d - mind) / (maxd - mind + 1)) AS INT) AS dx, "
+        + "CAST(floor(64.0 * (k - mink) / (maxk - mink + 1)) AS INT) AS nb FROM o CROSS JOIN b), "
+        + "z AS (SELECT c, d, nb, CAST(list_sum(list_transform(range(0, 8), j -> "
+        + "((cx >> j) & 1) * (1 << (2 * j + 1)) + ((dx >> j) & 1) * (1 << (2 * j)))) AS INT) // 1024 AS zb FROM g), "
+        + "zs AS (SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets, "
+        + "round(sum(cs) / CAST(count(*) AS DOUBLE), 6) AS avg_cust_span, round(sum(ds) / CAST(count(*) AS DOUBLE), 6) AS avg_date_span "
+        + "FROM (SELECT zb, max(c) - min(c) AS cs, max(d) - min(d) AS ds FROM z GROUP BY zb)), "
+        + "ns AS (SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_buckets, "
+        + "round(sum(cs) / CAST(count(*) AS DOUBLE), 6) AS avg_cust_span, round(sum(ds) / CAST(count(*) AS DOUBLE), 6) AS avg_date_span "
+        + "FROM (SELECT nb, max(c) - min(c) AS cs, max(d) - min(d) AS ds FROM z GROUP BY nb)) "
+        + "SELECT * FROM zs UNION ALL SELECT * FROM ns ORDER BY layout"),
   )
 }

@@ -611,6 +611,45 @@ object Science extends QueryPack {
           "CASE WHEN z_stat > 1.959964 THEN 'increasing' "
             + "WHEN z_stat < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend")
     }),
+
+    // ------------------------------------------------------------------
+    // MERGEABLE fixed-bin histogram quantiles: each day builds a 128-bin
+    // histogram of event values (the per-bucket sketch), the global
+    // estimate comes from SUMMING the daily bins — never re-sorting raw
+    // values. This is the deterministic counterpart of q63's opaque GK
+    // sketch: fixed bin edges make the estimate a pure function of
+    // integer counts, so it cross-engine matches exactly AND the
+    // per-day frames merge associatively (the 100 TB pattern: persist
+    // per-partition histograms once, answer any quantile later).
+    // Interpolation is uniform-within-bin; the exact interpolated
+    // percentile rides along as the audit column. The cum window runs
+    // over ≤128 bounded cells (allowlisted).
+    "q246_hist_quantile_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts").cast("date").as("day"), col("value").as("v"))
+      val bounds = ev.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"),
+        expr("percentile(v, array(0.25d, 0.5d, 0.75d, 0.9d, 0.99d))").as("ex"))
+      val daily = ev.crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
+        .withColumn("bin", expr(
+          "least(cast(floor((v - lo) / ((hi - lo) / 128.0)) as int), 127)"))
+        .groupBy(col("day"), col("bin")).agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+      val wb = Window.orderBy(col("bin")) // bounded: ≤128 bin cells
+      val cum = merged
+        .withColumn("cum", sum(col("c")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cumb", col("cum") - col("c"))
+      val probes = s.range(1).select(posexplode(array(
+        lit(0.25d), lit(0.5d), lit(0.75d), lit(0.9d), lit(0.99d))).as(Seq("i", "q")))
+      cum.crossJoin(broadcast(probes.crossJoin(bounds)))
+        .filter(expr("cum >= q * n AND cumb < q * n"))
+        .selectExpr("q",
+          "round(lo + ((hi - lo) / 128.0) * (bin + (q * n - cumb) / c), 6) AS est",
+          "round(element_at(ex, i + 1), 6) AS exact")
+        .selectExpr("q", "est", "exact", "round(abs(est - exact), 6) AS abs_err")
+        .orderBy(col("q"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -802,5 +841,19 @@ object Science extends QueryPack {
         + "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) ELSE 0.0 END, 6) AS z_stat FROM v) "
         + "SELECT n_days, s_stat, var_s, z_stat, CASE WHEN z_stat > 1.959964 THEN 'increasing' "
         + "WHEN z_stat < -1.959964 THEN 'decreasing' ELSE 'none' END AS trend FROM z"),
+    "q246_hist_quantile_merge" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, value AS v FROM events), "
+        + "b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n, "
+        + "quantile_cont(v, [0.25, 0.5, 0.75, 0.9, 0.99]) AS ex FROM ev), "
+        + "daily AS (SELECT day, least(CAST(floor((v - lo) / ((hi - lo) / 128.0)) AS INT), 127) AS bin, count(*) AS c "
+        + "FROM ev CROSS JOIN b GROUP BY 1, 2), "
+        + "merged AS (SELECT bin, CAST(sum(c) AS BIGINT) AS c FROM daily GROUP BY bin), "
+        + "cb AS (SELECT bin, c, CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) AS cum, "
+        + "CAST(sum(c) OVER (ORDER BY bin) AS BIGINT) - c AS cumb FROM merged), "
+        + "probes AS (SELECT i, CAST(q AS DOUBLE) AS q FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.9), (4, 0.99)) AS p(i, q)), "
+        + "sel AS (SELECT q, round(lo + ((hi - lo) / 128.0) * (bin + (q * n - cumb) / c), 6) AS est, "
+        + "round(ex[i + 1], 6) AS exact FROM cb CROSS JOIN probes CROSS JOIN b "
+        + "WHERE cum >= q * n AND cumb < q * n) "
+        + "SELECT q, est, exact, round(abs(est - exact), 6) AS abs_err FROM sel ORDER BY q"),
   )
 }

@@ -886,9 +886,54 @@ object Text extends QueryPack {
           round(expr("docs_removed / cast(corpus_docs as double)"), 6).as("docs_removed_frac"),
           round(expr("chars_removed / cast(corpus_chars as double)"), 6).as("chars_removed_frac"))
     }),
+
+    // ------------------------------------------------------------------
+    // Dunning log-likelihood (G-test) KEYNESS: which tokens are
+    // over/under-represented in sources 0–9 vs 10–19 — the
+    // corpus-comparison statistic (keyword extraction, domain-shift
+    // audits) that PMI/TF-IDF don't give. One token-count shuffle to
+    // vocab×2 cells, pivoted to (a, b) per token against broadcast
+    // corpus totals; G² = 2·Σ O·ln(O/E) with 0-count terms dropping out
+    // exactly (lim x·ln x = 0). ln is the proven parity transcendental;
+    // ordering is on the 6dp-ROUNDED G² with token tiebreak so the
+    // top-20 boundary is the same in both engines; top-k is
+    // TakeOrderedAndProject, never a vocab-sized sort.
+    "q244_gtest_keyness" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .select(expr("cast(substr(source, 4) as int) < 10").as("in_a"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"))
+        .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("b"))
+        .localCheckpoint() // totals + per-token terms both consume it
+      val tot = cells.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      cells.crossJoin(broadcast(tot))
+        .withColumn("ea", expr("cast(na as double) * (a + b) / (na + nb)"))
+        .withColumn("eb", expr("cast(nb as double) * (a + b) / (na + nb)"))
+        .withColumn("g2", expr(
+          "round(2.0 * (CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0.0 END "
+            + "+ CASE WHEN b > 0 THEN b * ln(b / eb) ELSE 0.0 END), 6)"))
+        .withColumn("direction", expr(
+          "CASE WHEN cast(a as double) / na > cast(b as double) / nb THEN 'A' ELSE 'B' END"))
+        .orderBy(col("g2").desc, col("tok"))
+        .limit(20)
+        .select(col("tok"), col("a"), col("b"), col("g2"), col("direction"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q244_gtest_keyness" ->
+      ("WITH t AS (SELECT CAST(substr(source, 4) AS INT) < 10 AS in_a, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        + "cells AS (SELECT tok, CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a, "
+        + "CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b FROM t WHERE tok <> '' GROUP BY tok), "
+        + "tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM cells), "
+        + "e AS (SELECT tok, a, b, na, nb, CAST(na AS DOUBLE) * (a + b) / (na + nb) AS ea, "
+        + "CAST(nb AS DOUBLE) * (a + b) / (na + nb) AS eb FROM cells CROSS JOIN tot), "
+        + "g AS (SELECT tok, a, b, round(2.0 * (CASE WHEN a > 0 THEN a * ln(a / ea) ELSE 0.0 END "
+        + "+ CASE WHEN b > 0 THEN b * ln(b / eb) ELSE 0.0 END), 6) AS g2, "
+        + "CASE WHEN CAST(a AS DOUBLE) / na > CAST(b AS DOUBLE) / nb THEN 'A' ELSE 'B' END AS direction FROM e) "
+        + "SELECT tok, a, b, g2, direction FROM g ORDER BY g2 DESC, tok LIMIT 20"),
     "q222_token_fertility" ->
       ("WITH d AS (SELECT lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt, "
         + "octet_length(CAST(text AS BLOB)) AS nb, length(text) AS nc FROM documents) "

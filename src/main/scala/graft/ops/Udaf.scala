@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
-import graft.functions.{CorrAggregator, CorrMatrixAggregator}
+import graft.functions.{CorrAggregator, CorrMatrixAggregator, KmvAggregator}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,40 @@ object Udaf extends QueryPack {
           round(element_at(col("m"), 5), 6).as("corr_e_t"),
           round(element_at(col("m"), 6), 6).as("corr_d_t"))
     }),
+
+    // ------------------------------------------------------------------
+    // KMV (bottom-k) distinct-user sketch per event type + a true
+    // sketch-union 'ALL' row built by re-aggregating the per-type
+    // sketches (explode → same Aggregator — k longs per type, NEVER a
+    // rescan of events). Because the hashes are md5-deterministic the
+    // estimate (k−1)/(kth_min/2^60) cross-engine matches EXACTLY — the
+    // mergeable-distinct pattern of q240 with a fully oracle-able
+    // estimate instead of a bound boolean. Types with <k distinct
+    // users carry the whole hash set, so their estimate is exact by
+    // construction (the sf0.001 path); ≥k types exercise estimation
+    // (sf0.01+). n_exact is the audit column.
+    "q245_kmv_sketch" -> ((s, dir) => {
+      val kmv = udaf(KmvAggregator, Encoders.scalaLong)
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type").as("grp"), col("user_id")).distinct()
+        .withColumn("h", expr(
+          "md5_mod(cast(user_id as string), 9223372036854775807L)"))
+        .localCheckpoint() // per-type agg + the ALL exact count
+      val perType = pairs.groupBy(col("grp"))
+        .agg(countDistinct(col("user_id")).as("n_exact"), kmv(col("h")).as("sk"))
+        .localCheckpoint() // emitted per type AND exploded for the union
+      val all = perType.select(explode(col("sk")).as("h"))
+        .agg(kmv(col("h")).as("sk"))
+        .crossJoin(broadcast(pairs.agg(countDistinct(col("user_id")).as("n_exact"))))
+        .select(lit("ALL").as("grp"), col("n_exact"), col("sk"))
+      perType.select(col("grp"), col("n_exact"), col("sk")).union(all)
+        .select(col("grp"), col("n_exact"), size(col("sk")).as("sk_size"),
+          expr("CASE WHEN size(sk) = 64 THEN element_at(sk, -1) ELSE NULL END").as("kth_hash"))
+        .selectExpr("grp", "n_exact", "sk_size", "kth_hash",
+          "CASE WHEN sk_size < 64 THEN cast(sk_size as double) "
+            + "ELSE round(63.0 / (cast(kth_hash as double) / 1152921504606846976.0), 6) END AS est")
+        .orderBy(col("grp"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -50,5 +84,20 @@ object Udaf extends QueryPack {
       ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_q_e, round(corr(l_quantity, l_discount), 6) AS corr_q_d, "
         + "round(corr(l_quantity, l_tax), 6) AS corr_q_t, round(corr(l_extendedprice, l_discount), 6) AS corr_e_d, "
         + "round(corr(l_extendedprice, l_tax), 6) AS corr_e_t, round(corr(l_discount, l_tax), 6) AS corr_d_t FROM lineitem"),
+    "q245_kmv_sketch" ->
+      ("WITH pairs AS (SELECT DISTINCT event_type AS grp, user_id FROM events), "
+        + "hh AS (SELECT DISTINCT grp, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM pairs), "
+        + "rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh), "
+        + "pt AS (SELECT r.grp, p.n_exact, CAST(least(max(r.rn), 64) AS BIGINT) AS sk_size, "
+        + "max(CASE WHEN r.rn = 64 THEN r.h END) AS kth_hash FROM rk r "
+        + "JOIN (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM pairs GROUP BY grp) p USING (grp) GROUP BY r.grp, p.n_exact), "
+        + "ar AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM hh)), "
+        + "allr AS (SELECT 'ALL' AS grp, (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM pairs) AS n_exact, "
+        + "CAST(least(max(rn), 64) AS BIGINT) AS sk_size, max(CASE WHEN rn = 64 THEN h END) AS kth_hash FROM ar), "
+        + "u AS (SELECT * FROM pt UNION ALL SELECT * FROM allr) "
+        + "SELECT grp, n_exact, sk_size, kth_hash, "
+        + "CASE WHEN sk_size < 64 THEN CAST(sk_size AS DOUBLE) "
+        + "ELSE round(63.0 / (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0), 6) END AS est "
+        + "FROM u ORDER BY grp"),
   )
 }

@@ -474,6 +474,104 @@ object Vectors extends QueryPack {
           round(expr("lambda1 / trace"), 6).as("explained_share"),
           col("top_dim"), col("top_loading"))
     }),
+
+    // ------------------------------------------------------------------
+    // INT8 scalar quantization + recall audit — the 4× memory
+    // compression step before any billion-vector ANN deploy. Per-dim
+    // symmetric scales (ONE 64-cell max-abs contraction, broadcast),
+    // in-row zip_with quantization to int8 range; candidate ranking by
+    // EXACT integer dot products over the quantized vectors (no fp
+    // accumulation at all on the approx side), recall@10 against the
+    // exact-cosine top-10 for 5 broadcast probes, plus the global mean
+    // absolute reconstruction error (in-row fold, DECIMAL-quantized
+    // per row, exact decimal sum). Probe-side joins are the audited
+    // bounded-BNLJ shape (5 literal-keyed rows).
+    "q247_int8_recall" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val sv = Tables.embeddings(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(max(abs(col("x").cast("double"))).as("sc"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, sc))), t -> t.sc)").as("sv"))
+      val q = Tables.embeddings(s, dir).crossJoin(broadcast(sv))
+        .withColumn("qv", expr(
+          "zip_with(embedding, sv, (x, s) -> CASE WHEN s = 0.0d THEN 0 "
+            + "ELSE cast(round(127.0 * cast(x as double) / s) as int) END)"))
+        .withColumn("qn", expr(
+          "aggregate(qv, 0L, (acc, a) -> acc + cast(a as bigint) * a)"))
+        .localCheckpoint() // probes + candidates + reconstruction audit
+      val probes = q.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("qv").as("p_qv"), col("qn").as("p_qn"))
+      val we = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+      val exact = q.crossJoin(broadcast(probes.select(col("probe_id"), col("p_emb"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", round(expr("cosine_sim(embedding, p_emb)"), 6))
+        .withColumn("rn", row_number().over(we)).filter(col("rn") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      val wa = Window.partitionBy(col("probe_id")).orderBy(col("qcos").desc, col("vec_id"))
+      val approx = q.crossJoin(broadcast(probes.select(col("probe_id"), col("p_qv"), col("p_qn"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("qdot", expr(
+          "aggregate(zip_with(qv, p_qv, (a, b) -> cast(a as bigint) * b), 0L, (acc, v) -> acc + v)"))
+        .withColumn("qcos", round(expr(
+          "qdot / (sqrt(cast(qn as double)) * sqrt(cast(p_qn as double)))"), 6))
+        .withColumn("rn", row_number().over(wa)).filter(col("rn") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      val overlap = exact.join(approx, Seq("probe_id", "vec_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("ov"))
+      val err = q.select(expr(
+        "cast(aggregate(zip_with(embedding, sv, (x, s) -> abs(cast(x as double) - "
+          + "CASE WHEN s = 0.0d THEN 0.0d ELSE round(127.0 * cast(x as double) / s) * s / 127.0 END)), "
+          + "0.0d, (acc, v) -> acc + v) as decimal(28,12))").as("re"))
+        .agg(sum(col("re")).as("se"), count(lit(1)).as("nv"))
+        .select(round(expr("cast(se as double) / (nv * 64)"), 6).as("mean_abs_err"))
+      probes.select(col("probe_id"))
+        .join(overlap, Seq("probe_id"), "left")
+        .crossJoin(broadcast(err))
+        .select(col("probe_id"), coalesce(col("ov"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("ov"), lit(0L)) / 10.0, 6).as("recall_at_10"),
+          col("mean_abs_err"))
+        .orderBy(col("probe_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Embedding class separation WITHOUT pair expansion: mean pairwise
+    // cosine within each label and between labels via the sum-vector
+    // identity  Σ_{i≠j} vᵢ·vⱼ = ‖Σv‖² − Σ‖v‖²  over 6dp-rounded unit
+    // vectors — the O(n²) statistic from O(n) work: one exploded
+    // shuffle to |label|×64 DECIMAL-exact cells, then bounded-cell
+    // algebra. At a billion vectors the naive version generates 10¹⁸
+    // pairs; this is one corpus pass. Between-label mean falls out of
+    // the same cells: Σ_{a≠b} S_a·S_b = ‖T‖² − Σ‖S_l‖².
+    "q251_label_separation" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).withColumn("nrm", expr(
+        "sqrt(aggregate(embedding, 0.0d, (acc, x) -> acc + cast(x as double) * cast(x as double)))"))
+      val x = e.select(col("label"), col("nrm"), posexplode(col("embedding")).as(Seq("pos", "xx")))
+        .withColumn("nv", expr("cast(round(cast(xx as double) / nrm, 6) as decimal(18,6))"))
+        .localCheckpoint() // cell sums + row-norm rollup
+      val lp = x.groupBy(col("label"), col("pos")).agg(sum(col("nv")).as("sd"))
+        .localCheckpoint() // label rollup + dim totals
+      val rr = x.groupBy(col("label")).agg(
+        sum(expr("cast(cast(nv as double) * cast(nv as double) as decimal(28,12))")).as("rr"))
+      val nl = Tables.embeddings(s, dir).groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val s2 = lp.groupBy(col("label")).agg(
+        sum(expr("cast(cast(sd as double) * cast(sd as double) as decimal(38,12))")).as("s2"))
+      val t2 = lp.groupBy(col("pos")).agg(sum(col("sd")).as("td"))
+        .agg(sum(expr("cast(cast(td as double) * cast(td as double) as decimal(38,12))")).as("t2"))
+      val tots = nl.agg(sum(col("n")).as("ntot"), sum(expr("n * n")).as("n2"))
+      val between = t2
+        .crossJoin(broadcast(s2.agg(sum(col("s2")).as("ss2"))))
+        .crossJoin(broadcast(tots))
+        .select(round(expr("cast(t2 - ss2 as double) / (ntot * ntot - n2)"), 6)
+          .as("between_mean_cos"))
+      nl.join(s2, "label").join(rr, "label").crossJoin(broadcast(between))
+        .select(col("label"), col("n"),
+          round(expr("cast(s2 - rr as double) / (n * cast(n - 1 as double))"), 6)
+            .as("within_mean_cos"),
+          col("between_mean_cos"))
+        .withColumn("separation", round(expr("within_mean_cos - between_mean_cos"), 6))
+        .orderBy(col("label"))
+    }),
   )
 
   /** Shared oracle SQL: label-mean init → assign → recompute = the
@@ -675,5 +773,49 @@ object Vectors extends QueryPack {
         + "round(lambda1 / trace, 6) AS explained_share, top_dim, top_loading "
         + "FROM lf CROSS JOIN tr CROSS JOIN top")
     },
+    "q247_int8_recall" ->
+      ("WITH sc AS (SELECT pos, max(abs(CAST(x AS DOUBLE))) AS s FROM "
+        + "(SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x FROM embeddings) GROUP BY pos), "
+        + "sv AS (SELECT list(s ORDER BY pos) AS sv FROM sc), "
+        + "q AS (SELECT vec_id, embedding, list_transform(range(1, len(embedding) + 1), i -> "
+        + "CASE WHEN sv[i] = 0.0 THEN 0 ELSE CAST(round(127.0 * CAST(embedding[i] AS DOUBLE) / sv[i]) AS INT) END) AS qv "
+        + "FROM embeddings CROSS JOIN sv), "
+        + "qn AS (SELECT vec_id, embedding, qv, list_sum(list_transform(qv, a -> CAST(a AS BIGINT) * a)) AS qn FROM q), "
+        + "probes AS (SELECT vec_id AS probe_id, embedding AS p_emb, qv AS p_qv, qn AS p_qn FROM qn WHERE vec_id < 5), "
+        + "exact AS (SELECT probe_id, vec_id FROM (SELECT p.probe_id, e.vec_id, row_number() OVER (PARTITION BY p.probe_id ORDER BY "
+        + "round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        + "sqrt(list_sum(list_transform(p.p_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) DESC, e.vec_id) AS rn "
+        + "FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id) WHERE rn <= 10), "
+        + "approx AS (SELECT probe_id, vec_id FROM (SELECT p.probe_id, c.vec_id, row_number() OVER (PARTITION BY p.probe_id ORDER BY "
+        + "round(CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> CAST(c.qv[i] AS BIGINT) * p.p_qv[i])) AS DOUBLE) / "
+        + "(sqrt(CAST(c.qn AS DOUBLE)) * sqrt(CAST(p.p_qn AS DOUBLE))), 6) DESC, c.vec_id) AS rn "
+        + "FROM qn c CROSS JOIN probes p WHERE c.vec_id <> p.probe_id) WHERE rn <= 10), "
+        + "ov AS (SELECT e.probe_id, CAST(count(*) AS BIGINT) AS ov FROM exact e JOIN approx a "
+        + "ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id GROUP BY 1), "
+        + "err AS (SELECT round(CAST(sum(CAST(re AS DECIMAL(28,12))) AS DOUBLE) / (count(*) * 64), 6) AS mean_abs_err FROM "
+        + "(SELECT list_sum(list_transform(range(1, len(embedding) + 1), i -> abs(CAST(embedding[i] AS DOUBLE) - "
+        + "CASE WHEN sv[i] = 0.0 THEN 0.0 ELSE round(127.0 * CAST(embedding[i] AS DOUBLE) / sv[i]) * sv[i] / 127.0 END))) AS re "
+        + "FROM embeddings CROSS JOIN sv)) "
+        + "SELECT p.probe_id, coalesce(ov, 0) AS n_overlap, round(coalesce(ov, 0) / 10.0, 6) AS recall_at_10, mean_abs_err "
+        + "FROM probes p LEFT JOIN ov ON ov.probe_id = p.probe_id CROSS JOIN err ORDER BY p.probe_id"),
+    "q251_label_separation" ->
+      ("WITH e AS (SELECT vec_id, label, embedding, "
+        + "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings), "
+        + "x AS (SELECT label, generate_subscripts(embedding, 1) AS pos, "
+        + "CAST(round(CAST(unnest(embedding) AS DOUBLE) / nrm, 6) AS DECIMAL(18,6)) AS nv FROM e), "
+        + "lp AS (SELECT label, pos, sum(nv) AS sd FROM x GROUP BY 1, 2), "
+        + "rr AS (SELECT label, sum(CAST(CAST(nv AS DOUBLE) * CAST(nv AS DOUBLE) AS DECIMAL(28,12))) AS rr FROM x GROUP BY label), "
+        + "nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY label), "
+        + "s2 AS (SELECT label, sum(CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS DECIMAL(38,12))) AS s2 FROM lp GROUP BY label), "
+        + "t2 AS (SELECT sum(CAST(CAST(td AS DOUBLE) * CAST(td AS DOUBLE) AS DECIMAL(38,12))) AS t2 FROM "
+        + "(SELECT pos, sum(sd) AS td FROM lp GROUP BY pos)), "
+        + "tt AS (SELECT CAST(sum(n) AS BIGINT) AS ntot, CAST(sum(n * n) AS BIGINT) AS n2 FROM nl), "
+        + "ss AS (SELECT sum(s2) AS ss2 FROM s2), "
+        + "bt AS (SELECT round(CAST(t2 - ss2 AS DOUBLE) / (ntot * ntot - n2), 6) AS between_mean_cos FROM t2 CROSS JOIN ss CROSS JOIN tt), "
+        + "w AS (SELECT nl.label, n, round(CAST(s2 - rr AS DOUBLE) / (n * CAST(n - 1 AS DOUBLE)), 6) AS within_mean_cos, between_mean_cos "
+        + "FROM nl JOIN s2 USING (label) JOIN rr USING (label) CROSS JOIN bt) "
+        + "SELECT label, n, within_mean_cos, between_mean_cos, "
+        + "round(within_mean_cos - between_mean_cos, 6) AS separation FROM w ORDER BY label"),
   )
 }

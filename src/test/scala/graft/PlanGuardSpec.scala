@@ -53,7 +53,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q202_pareto_revenue",// cumulative share over 10 decile cells
     "q209_pacf",          // lag windows over <= #days daily cells (q23's shape)
     "q212_bh_fdr",        // rank/step-up windows over <= #event-type test cells
-    "q248_runs_test"      // run-boundary lag over <= #days daily cells
+    "q248_runs_test",     // run-boundary lag over <= #days daily cells
+    "q246_hist_quantile_merge" // cum window over <= 128 fixed bin cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -253,7 +254,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q241_hll_rolling",    // same day-spine interval join as q127, twice (exact + sketch sides)
     "q133_skyline",        // per-size min-price candidates: <= |p_size| rows, checkpointed
     "q136_kendall_tau",    // daily cells <= #days, checkpointed, both pair-join sides
-    "q249_mann_kendall"    // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
+    "q249_mann_kendall",   // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
+    "q247_int8_recall",    // probes = vec_id < 5: 5 literal-keyed rows, checkpointed
+    "q246_hist_quantile_merge" // 5 literal quantile probes x 1-row global bounds
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
