@@ -390,6 +390,89 @@ object Analysis extends QueryPack {
         .selectExpr("n", "r", "c", "round(cast(chi2q as double), 6) AS chi2",
           "round(sqrt(cast(chi2q as double) / (n * (least(r, c) - 1))), 6) AS cramers_v")
     }),
+
+    // ------------------------------------------------------------------
+    // Stationary distribution of q107's event-type Markov chain: where
+    // does user behavior settle long-run? P^32 by FIVE matrix squarings
+    // (P→P²→P⁴→…→P³²) — log₂ iterations instead of 32 power steps,
+    // each squaring a bounded |types|³-term join over the ≤|types|²
+    // cell frame (localCheckpoint per step caps lineage, q112's idiom).
+    // Products are DECIMAL(28,18)-quantized pre-sum so the contraction
+    // is order-exact; π(k) = mean over start states of P³²(i,k) and the
+    // per-state spread max_i−min_i certifies convergence (spread → 0
+    // means every start state agrees). The fact table is touched by
+    // exactly one lag-window pass + one counting shuffle.
+    "q253_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      var m = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("i"), col("cur").as("j")).agg(count(lit(1)).as("c"))
+        .withColumn("p", expr("cast(c as double) / sum(c) over (partition by i)"))
+        .select(col("i"), col("j"), col("p"))
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        val a = m.select(col("i"), col("j").as("mid"), col("p").as("pa"))
+        val b = m.select(col("i").as("mid"), col("j"), col("p").as("pb"))
+        m = a.join(b, "mid")
+          .groupBy(col("i"), col("j"))
+          .agg(sum(expr("cast(pa * pb as decimal(28,18))")).as("pq"))
+          .select(col("i"), col("j"), expr("cast(pq as double)").as("p"))
+          .localCheckpoint()
+      }
+      val nr = m.agg(countDistinct(col("i")).as("nr"))
+      m.groupBy(col("j").as("state"))
+        .agg(sum(expr("cast(p as decimal(28,18))")).as("sp"),
+          (max(col("p")) - min(col("p"))).as("spread"))
+        .crossJoin(broadcast(nr))
+        .selectExpr("state", "round(cast(sp as double) / nr, 6) AS pi",
+          "round(spread, 9) AS spread")
+        .orderBy(col("state"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Decision stump: the best single o_totalprice threshold for
+    // predicting an urgent order — the one-feature split-quality scan
+    // every tree learner runs per node, here over 31 quantile-candidate
+    // thresholds (6dp-rounded on both engines, q200's boundary
+    // convention). The fact table contracts by ONE shuffle to ≤32
+    // (bin, n, pos) cells via the broadcast boundary array; cumulative
+    // left-split counts are a window over those ≤32 bounded cells; the
+    // information gain of all 31 candidate splits is closed-form ln
+    // arithmetic on exact integer counts. Top-5 splits by gain.
+    "q254_decision_stump" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_totalprice").as("v"),
+          expr("CASE WHEN o_orderpriority LIKE '1-%' THEN 1L ELSE 0L END").as("y"))
+      val qs = (1 to 31).map(i => (i / 32.0).toString).mkString(",")
+      val bnd = o.agg(
+        expr(s"transform(percentile(v, array($qs)), b -> round(b, 6))").as("bnd"))
+      val cells = o.crossJoin(broadcast(bnd))
+        .withColumn("bin", expr("size(filter(bnd, b -> v > b))"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .localCheckpoint() // cum window + the 1-row total both consume it
+      val wb = Window.orderBy(col("bin")) // bounded: ≤32 cells (allowlisted)
+      val tot = cells.agg(sum(col("n")).as("nt"), sum(col("pos")).as("pt"))
+      val hy = (p: String) => s"CASE WHEN $p > 0 AND $p < 1 " +
+        s"THEN -(($p) * ln($p) + (1.0 - ($p)) * ln(1.0 - ($p))) ELSE 0.0 END"
+      cells
+        .withColumn("nl", sum(col("n")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("posl", sum(col("pos")).over(
+          wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("bin") <= 30)
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(bnd))
+        .selectExpr("cast(bin + 1 as int) AS ix",
+          "element_at(bnd, cast(bin + 1 as int)) AS threshold",
+          "nl", "posl", "nt - nl AS nr", "pt - posl AS posr", "nt", "pt")
+        .selectExpr("ix", "threshold", "nl", "posl", "nr", "posr",
+          "round(" + hy("cast(pt as double) / nt") + " - (cast(nl as double) / nt) * ("
+            + hy("cast(posl as double) / nl") + ") - (cast(nr as double) / nt) * ("
+            + hy("cast(posr as double) / nr") + "), 6) AS gain")
+        .orderBy(col("gain").desc, col("ix"))
+        .limit(5)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -520,5 +603,40 @@ object Analysis extends QueryPack {
         + "(SELECT o, CAST(rn AS DOUBLE) * cn / n AS e, n, r, c FROM cells JOIN rm USING (et) JOIN cm USING (dw) CROSS JOIN tot)) "
         + "SELECT n, r, c, round(CAST(chi2q AS DOUBLE), 6) AS chi2, "
         + "round(sqrt(CAST(chi2q AS DOUBLE) / (n * (least(r, c) - 1))), 6) AS cramers_v FROM s"),
+    // q253: five unrolled squarings; AS MATERIALIZED per the q228 lesson
+    // (each p_i is consumed by |types| downstream terms).
+    "q253_markov_stationary" -> {
+      def sq(prev: String, cur: String) =
+        s"$cur AS MATERIALIZED (SELECT a.i, b.j, CAST(sum(CAST(a.p * b.p AS DECIMAL(28,18))) AS DOUBLE) AS p " +
+          s"FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2), "
+      ("WITH w AS (SELECT event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+        + "c0 AS (SELECT prev AS i, cur AS j, CAST(count(*) AS BIGINT) AS c FROM w WHERE prev IS NOT NULL GROUP BY 1, 2), "
+        + "p0 AS MATERIALIZED (SELECT i, j, CAST(c AS DOUBLE) / (sum(c) OVER (PARTITION BY i)) AS p FROM c0), "
+        + sq("p0", "p1") + sq("p1", "p2") + sq("p2", "p3") + sq("p3", "p4") + sq("p4", "p5")
+        + "nr AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS nr FROM p5) "
+        + "SELECT j AS state, round(CAST(sum(CAST(p AS DECIMAL(28,18))) AS DOUBLE) / any_value(nr), 6) AS pi, "
+        + "round(max(p) - min(p), 9) AS spread "
+        + "FROM p5 CROSS JOIN nr GROUP BY j ORDER BY state")
+    },
+    "q254_decision_stump" -> {
+      val qs = (1 to 31).map(i => i / 32.0).mkString(",")
+      def hy(p: String) = s"CASE WHEN $p > 0 AND $p < 1 " +
+        s"THEN -(($p) * ln($p) + (1.0 - ($p)) * ln(1.0 - ($p))) ELSE 0.0 END"
+      (s"WITH o AS (SELECT o_totalprice AS v, CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS y FROM orders), "
+        + s"bnd AS (SELECT list_transform(quantile_cont(v, [$qs]), b -> round(b, 6)) AS bnd FROM o), "
+        + "cells AS (SELECT len(list_filter(bnd, b -> v > b)) AS bin, CAST(count(*) AS BIGINT) AS n, "
+        + "CAST(sum(y) AS BIGINT) AS pos FROM o CROSS JOIN bnd GROUP BY 1), "
+        + "cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nl, "
+        + "CAST(sum(pos) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS posl FROM cells), "
+        + "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS pt FROM cells), "
+        + "sp AS (SELECT CAST(bin + 1 AS INT) AS ix, bnd[CAST(bin + 1 AS INT)] AS threshold, "
+        + "nl, posl, nt - nl AS nr, pt - posl AS posr, nt, pt "
+        + "FROM cum CROSS JOIN tot CROSS JOIN bnd WHERE bin <= 30) "
+        + "SELECT ix, threshold, nl, posl, nr, posr, "
+        + "round(" + hy("CAST(pt AS DOUBLE) / nt") + " - (CAST(nl AS DOUBLE) / nt) * ("
+        + hy("CAST(posl AS DOUBLE) / nl") + ") - (CAST(nr AS DOUBLE) / nt) * ("
+        + hy("CAST(posr AS DOUBLE) / nr") + "), 6) AS gain "
+        + "FROM sp ORDER BY gain DESC, ix LIMIT 5")
+    },
   )
 }

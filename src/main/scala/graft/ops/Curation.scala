@@ -326,9 +326,61 @@ object Curation extends QueryPack {
           round(expr("cast(inter as double) / least(na, nb)"), 6).as("containment"))
         .orderBy(col("src_a"), col("src_b"))
     }),
+
+    // ------------------------------------------------------------------
+    // Empirical-Bayes (beta-binomial) shrinkage of per-source quality
+    // rates: a source with 5 docs and a perfect long-doc rate should
+    // NOT outrank one with 500 docs at 90% — method-of-moments α̂/β̂
+    // from the per-source rate mean/variance pull small-sample rates
+    // toward the corpus prior, which is how per-domain quality scores
+    // are stabilized before a mixing decision. One corpus shuffle to
+    // ≤|sources| (n, x) cells; rates quantized DECIMAL(28,12) so the
+    // moment sums are order-exact; everything after is a bounded
+    // closed form. Degenerate variance (v = 0 or common ≤ 0) yields
+    // NULL shrinkage in both engines rather than a fabricated prior.
+    "q255_eb_shrinkage" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("x"))
+        .localCheckpoint() // moment agg + per-source output both consume it
+      val prior = cells
+        .select(col("n"), col("x"),
+          expr("cast(x as double) / n").as("p"))
+        .agg(count(lit(1)).as("s_cnt"),
+          sum(expr("cast(p as decimal(28,12))")).as("sp"),
+          sum(expr("cast(p * p as decimal(28,12))")).as("sp2"))
+        .selectExpr("s_cnt", "cast(sp as double) / s_cnt AS m",
+          "cast(sp2 as double) / s_cnt - (cast(sp as double) / s_cnt) * (cast(sp as double) / s_cnt) AS v")
+        .selectExpr("s_cnt", "m", "v",
+          "CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0 "
+            + "THEN m * (1.0 - m) / v - 1.0 END AS common")
+      cells.crossJoin(broadcast(prior))
+        .selectExpr("source", "n", "x",
+          "round(cast(x as double) / n, 6) AS raw_rate",
+          "round(m, 6) AS prior_mean",
+          "round((x + m * common) / (n + common), 6) AS shrunk_rate",
+          "round((x + m * common) / (n + common) - cast(x as double) / n, 6) AS delta")
+        .orderBy(col("source"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q255_eb_shrinkage" ->
+      ("WITH cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+        + "CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS x FROM documents GROUP BY source), "
+        + "prior AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt, "
+        + "sum(CAST(CAST(x AS DOUBLE) / n AS DECIMAL(28,12))) AS sp, "
+        + "sum(CAST((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n) AS DECIMAL(28,12))) AS sp2 FROM cells), "
+        + "mv AS (SELECT s_cnt, CAST(sp AS DOUBLE) / s_cnt AS m, "
+        + "CAST(sp2 AS DOUBLE) / s_cnt - (CAST(sp AS DOUBLE) / s_cnt) * (CAST(sp AS DOUBLE) / s_cnt) AS v FROM prior), "
+        + "pr AS (SELECT m, CASE WHEN v > 0 AND m * (1.0 - m) / v - 1.0 > 0 "
+        + "THEN m * (1.0 - m) / v - 1.0 END AS common FROM mv) "
+        + "SELECT source, n, x, round(CAST(x AS DOUBLE) / n, 6) AS raw_rate, "
+        + "round(m, 6) AS prior_mean, "
+        + "round((x + m * common) / (n + common), 6) AS shrunk_rate, "
+        + "round((x + m * common) / (n + common) - CAST(x AS DOUBLE) / n, 6) AS delta "
+        + "FROM cells CROSS JOIN pr ORDER BY source"),
     "q150_gopher_rules" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "m AS (SELECT doc_id, len(w) AS n_words, "

@@ -402,9 +402,50 @@ object Pipeline extends QueryPack {
         .select(lit(name).as("layout"), col("n_buckets"), col("avg_cust_span"), col("avg_date_span"))
       spans("zb", "zorder").union(spans("nb", "natural")).orderBy(col("layout"))
     }),
+
+    // ------------------------------------------------------------------
+    // Context-length sweep: how many tokens would a training run KEEP
+    // vs TRUNCATE at each candidate context length — the sizing table
+    // consulted before fixing max_seq_len on a 100 TB corpus. The
+    // corpus contracts FIRST to per-length doc counts (one shuffle to
+    // ≤|distinct lengths| cells, lengths computed in-row with no
+    // explode); the ×5 candidate-length expansion then runs on that
+    // bounded frame, never on docs. Exact integer token arithmetic
+    // throughout; only the percentages are rounded on output.
+    "q258_context_sweep" -> ((s, dir) => {
+      val perLen = Tables.documents(s, dir)
+        .select(expr("size(filter(split(text, ' '), x -> x <> ''))").as("nt"))
+        .groupBy(col("nt")).agg(count(lit(1)).as("n_docs"))
+      perLen
+        .select(col("nt"), col("n_docs"),
+          explode(array(lit(16), lit(32), lit(64), lit(96), lit(128))).as("ctx_len"))
+        .groupBy(col("ctx_len"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(when(col("nt") > col("ctx_len"), col("n_docs")).otherwise(0L)).as("docs_truncated"),
+          sum(col("nt") * col("n_docs")).as("toks_total"),
+          sum(least(col("nt"), col("ctx_len")) * col("n_docs")).as("toks_kept"),
+          sum(greatest(col("nt") - col("ctx_len"), lit(0)) * col("n_docs")).as("toks_lost"))
+        .selectExpr("ctx_len", "n_docs", "docs_truncated",
+          "round(cast(docs_truncated as double) / n_docs, 6) AS docs_truncated_pct",
+          "toks_total", "toks_kept", "toks_lost",
+          "round(cast(toks_lost as double) / toks_total, 6) AS loss_pct")
+        .orderBy(col("ctx_len"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q258_context_sweep" ->
+      ("WITH per AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt, "
+        + "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), "
+        + "sw AS (SELECT nt, n_docs, unnest([16, 32, 64, 96, 128]) AS ctx_len FROM per) "
+        + "SELECT ctx_len, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+        + "CAST(sum(CASE WHEN nt > ctx_len THEN n_docs ELSE 0 END) AS BIGINT) AS docs_truncated, "
+        + "round(CAST(sum(CASE WHEN nt > ctx_len THEN n_docs ELSE 0 END) AS DOUBLE) / sum(n_docs), 6) AS docs_truncated_pct, "
+        + "CAST(sum(nt * n_docs) AS BIGINT) AS toks_total, "
+        + "CAST(sum(least(nt, ctx_len) * n_docs) AS BIGINT) AS toks_kept, "
+        + "CAST(sum(greatest(nt - ctx_len, 0) * n_docs) AS BIGINT) AS toks_lost, "
+        + "round(CAST(sum(greatest(nt - ctx_len, 0) * n_docs) AS DOUBLE) / sum(nt * n_docs), 6) AS loss_pct "
+        + "FROM sw GROUP BY ctx_len ORDER BY ctx_len"),
     "q159_kfold" ->
       ("WITH per AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 5 AS fold, "
         + "count(*) AS n_val, CAST(sum(n_chars) AS BIGINT) AS val_chars FROM documents GROUP BY 1), "

@@ -650,6 +650,116 @@ object Science extends QueryPack {
         .selectExpr("q", "est", "exact", "round(abs(est - exact), 6) AS abs_err")
         .orderBy(col("q"))
     }),
+
+    // ------------------------------------------------------------------
+    // Hurst exponent by rescaled-range (R/S) analysis over the daily
+    // order-revenue series (q248/q249's exact DECIMAL(18,2) cells —
+    // order COUNTS are near-constant at small SF, which zeroes every
+    // block's variance): does revenue have long memory (H > 0.5) or
+    // mean-revert (H < 0.5)? The fact table contracts to ≤#observed-
+    // days cells by ONE shuffle; the ×4 window-size expansion runs on
+    // that bounded frame; every per-block window (cumdev, block sums)
+    // is partitioned by (w, block) with frames ≤64 rows — distributed
+    // at any scale. R = range of the within-block cumulative deviations
+    // Z_k = Σᵢ≤ₖxᵢ − k·mean; S = population std from exact DECIMAL
+    // Σx/Σx² (zero-variance blocks drop in both engines); R/S terms
+    // are DECIMAL(28,12)-quantized pre-mean, and H is the closed-form
+    // OLS slope of ln(mean R/S) on ln(w) over the 4 bounded points.
+    "q259_hurst" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("x"))
+      val idx = daily
+        .withColumn("t", row_number().over(Window.orderBy(col("day")))) // bounded: ≤#days cells (allowlisted)
+      val nd = idx.agg(count(lit(1)).as("n_days"))
+      val wk = Window.partitionBy(col("w"), col("blk"))
+      val wko = wk.orderBy(col("t"))
+      val rs = idx
+        .select(col("t"), col("x"),
+          explode(array(lit(8), lit(16), lit(32), lit(64))).as("w"))
+        .withColumn("blk", expr("cast(floor((t - 1) / w) as int)"))
+        .crossJoin(broadcast(nd))
+        .filter(col("blk") < expr("cast(floor(n_days / w) as int)"))
+        .withColumn("k", row_number().over(wko))
+        .withColumn("cx", sum(col("x")).over(
+          wko.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("sx", sum(col("x")).over(wk))
+        .withColumn("sx2", sum(expr("x * x")).over(wk))
+        .withColumn("z", expr("cast(cx as double) - k * (cast(sx as double) / w)"))
+        .groupBy(col("w"), col("blk"))
+        .agg((max(col("z")) - min(col("z"))).as("r"),
+          expr("sqrt(cast(first(sx2) as double) / cast(first(w) as double) "
+            + "- (cast(first(sx) as double) / cast(first(w) as double)) "
+            + "* (cast(first(sx) as double) / cast(first(w) as double)))").as("sd"))
+        .filter(col("sd") > 0)
+      val perW = rs.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(expr("cast(r / sd as decimal(28,12))")).as("srs"))
+        .selectExpr("w", "n_blocks", "cast(srs as double) / n_blocks AS mean_rs")
+        .localCheckpoint() // slope agg + per-w output both consume it
+      val slope = perW
+        .selectExpr("ln(cast(w as double)) AS lx", "ln(mean_rs) AS ly")
+        .agg(count(lit(1)).as("np"),
+          sum(expr("cast(lx as decimal(28,12))")).as("slx"),
+          sum(expr("cast(ly as decimal(28,12))")).as("sly"),
+          sum(expr("cast(lx * ly as decimal(28,12))")).as("slxy"),
+          sum(expr("cast(lx * lx as decimal(28,12))")).as("slx2"))
+        .selectExpr("round((np * cast(slxy as double) - cast(slx as double) * cast(sly as double)) "
+          + "/ (np * cast(slx2 as double) - cast(slx as double) * cast(slx as double)), 6) AS hurst")
+      perW.crossJoin(broadcast(slope))
+        .selectExpr("w", "n_blocks", "round(mean_rs, 6) AS mean_rs", "hurst")
+        .orderBy(col("w"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Bloom-filter FPP audit: measured vs theoretical false-positive
+    // rate of q103's bloom-prune pattern at three (m, k) sizings — THE
+    // table consulted before spending m bits/key on a 100 TB bloom-
+    // pruned join. Membership = customers ordering BEFORE 1996 (every
+    // customer orders eventually, so the date cutoff is what makes a
+    // non-empty probe complement); probes = the rest, so every probe
+    // hit is a TRUE false positive. Positions are md5-deterministic,
+    // the per-config bit set is bounded by m (≤64k rows — broadcast),
+    // and the theory column (1−e^{kn·ln(1−1/m)})^k is written with
+    // ln/exp only (the proven parity transcendentals — no pow). The
+    // three sizings deliberately straddle saturation at bench scale:
+    // an undersized filter's fpp→1 row IS the sizing lesson.
+    "q260_bloom_fpp" -> ((s, dir) => {
+      import s.implicits._
+      val cfgDf = broadcast(Seq((4096, 3), (16384, 3), (65536, 4)).toDF("m", "kh"))
+      val members = Tables.orders(s, dir)
+        .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
+        .select(col("o_custkey").as("u")).distinct()
+        .localCheckpoint() // bitset build + probe anti-join + n count
+      val probes = Tables.customer(s, dir).select(col("c_custkey").as("u"))
+        .join(members, Seq("u"), "left_anti")
+      def positions(keys: org.apache.spark.sql.DataFrame) = keys
+        .crossJoin(cfgDf)
+        .select(col("u"), col("m"), col("kh"),
+          explode(expr("sequence(1, kh)")).as("t"))
+        .withColumn("pos", expr(
+          "md5_mod(concat('bf', cast(t as string), '|', cast(u as string)), cast(m as bigint))"))
+      val bitset = positions(members)
+        .select(col("m"), col("kh"), col("pos")).distinct()
+        .localCheckpoint() // probed per config + bits_set count
+      val bits = bitset.groupBy(col("m"), col("kh")).agg(count(lit(1)).as("bits_set"))
+      val nMem = members.agg(count(lit(1)).as("n_keys"))
+      val fp = positions(probes)
+        .join(broadcast(bitset.withColumn("hit", lit(1))), Seq("m", "kh", "pos"), "left")
+        .groupBy(col("m"), col("kh"), col("u"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
+        .groupBy(col("m"), col("kh"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hits") === col("kh"), 1L).otherwise(0L)).as("false_pos"))
+      fp.join(broadcast(bits), Seq("m", "kh"))
+        .crossJoin(broadcast(nMem))
+        .selectExpr("m", "kh AS k", "n_keys", "bits_set",
+          "round(cast(bits_set as double) / m, 6) AS fill_ratio",
+          "n_probes", "false_pos",
+          "round(cast(false_pos as double) / n_probes, 6) AS fpp_measured",
+          "round(exp(kh * ln(1.0 - exp(kh * n_keys * ln(1.0 - 1.0 / m)))), 6) AS fpp_theory")
+        .orderBy(col("m"), col("k"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -855,5 +965,51 @@ object Science extends QueryPack {
         + "round(ex[i + 1], 6) AS exact FROM cb CROSS JOIN probes CROSS JOIN b "
         + "WHERE cum >= q * n AND cumb < q * n) "
         + "SELECT q, est, exact, round(abs(est - exact), 6) AS abs_err FROM sel ORDER BY q"),
+    "q259_hurst" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x FROM orders GROUP BY 1), "
+        + "idx AS (SELECT x, row_number() OVER (ORDER BY day) AS t FROM daily), "
+        + "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx), "
+        + "ex AS (SELECT t, x, w, CAST(floor((t - 1) / w) AS INT) AS blk FROM idx, "
+        + "LATERAL (SELECT unnest([8, 16, 32, 64]) AS w) CROSS JOIN nd "
+        + "WHERE CAST(floor((t - 1) / w) AS INT) < CAST(floor(n_days / w) AS INT)), "
+        + "z AS (SELECT w, blk, row_number() OVER (PARTITION BY w, blk ORDER BY t) AS k, "
+        + "sum(x) OVER (PARTITION BY w, blk ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx, "
+        + "sum(x) OVER (PARTITION BY w, blk) AS sx, "
+        + "sum(x * x) OVER (PARTITION BY w, blk) AS sx2 FROM ex), "
+        + "zz AS (SELECT w, blk, CAST(cx AS DOUBLE) - k * (CAST(sx AS DOUBLE) / w) AS zv, sx, sx2 FROM z), "
+        + "blkrs AS (SELECT w, blk, max(zv) - min(zv) AS r, "
+        + "sqrt(CAST(any_value(sx2) AS DOUBLE) / CAST(any_value(w) AS DOUBLE) - (CAST(any_value(sx) AS DOUBLE) / CAST(any_value(w) AS DOUBLE)) * (CAST(any_value(sx) AS DOUBLE) / CAST(any_value(w) AS DOUBLE))) AS sd "
+        + "FROM zz GROUP BY w, blk), "
+        + "perw AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n_blocks, "
+        + "CAST(sum(CAST(r / sd AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_rs "
+        + "FROM blkrs WHERE sd > 0 GROUP BY w), "
+        + "sl AS (SELECT CAST(count(*) AS BIGINT) AS np, "
+        + "sum(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(28,12))) AS slx, "
+        + "sum(CAST(ln(mean_rs) AS DECIMAL(28,12))) AS sly, "
+        + "sum(CAST(ln(CAST(w AS DOUBLE)) * ln(mean_rs) AS DECIMAL(28,12))) AS slxy, "
+        + "sum(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE)) AS DECIMAL(28,12))) AS slx2 FROM perw), "
+        + "hh AS (SELECT round((np * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(sly AS DOUBLE)) "
+        + "/ (np * CAST(slx2 AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(slx AS DOUBLE)), 6) AS hurst FROM sl) "
+        + "SELECT w, n_blocks, round(mean_rs, 6) AS mean_rs, hurst FROM perw CROSS JOIN hh ORDER BY w"),
+    "q260_bloom_fpp" ->
+      ("WITH cfg AS (SELECT * FROM (VALUES (4096, 3), (16384, 3), (65536, 4)) AS v(m, kh)), "
+        + "members AS (SELECT DISTINCT o_custkey AS u FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'), "
+        + "probes AS (SELECT c_custkey AS u FROM customer WHERE c_custkey NOT IN (SELECT u FROM members)), "
+        + "mpos AS (SELECT DISTINCT m, kh, CAST('0x' || substr(md5('bf' || CAST(t AS VARCHAR) || '|' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % m AS pos "
+        + "FROM members CROSS JOIN cfg, LATERAL (SELECT unnest(range(1, kh + 1)) AS t)), "
+        + "bits AS (SELECT m, kh, CAST(count(*) AS BIGINT) AS bits_set FROM mpos GROUP BY m, kh), "
+        + "nmem AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM members), "
+        + "ppos AS (SELECT u, m, kh, CAST('0x' || substr(md5('bf' || CAST(t AS VARCHAR) || '|' || CAST(u AS VARCHAR)), 1, 15) AS BIGINT) % m AS pos "
+        + "FROM probes CROSS JOIN cfg, LATERAL (SELECT unnest(range(1, kh + 1)) AS t)), "
+        + "hits AS (SELECT p.m, p.kh, p.u, CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits "
+        + "FROM ppos p LEFT JOIN mpos b ON b.m = p.m AND b.kh = p.kh AND b.pos = p.pos GROUP BY p.m, p.kh, p.u), "
+        + "fp AS (SELECT m, kh, CAST(count(*) AS BIGINT) AS n_probes, "
+        + "CAST(sum(CASE WHEN hits = kh THEN 1 ELSE 0 END) AS BIGINT) AS false_pos FROM hits GROUP BY m, kh) "
+        + "SELECT fp.m, fp.kh AS k, n_keys, bits_set, "
+        + "round(CAST(bits_set AS DOUBLE) / fp.m, 6) AS fill_ratio, "
+        + "n_probes, false_pos, "
+        + "round(CAST(false_pos AS DOUBLE) / n_probes, 6) AS fpp_measured, "
+        + "round(exp(fp.kh * ln(1.0 - exp(fp.kh * n_keys * ln(1.0 - 1.0 / fp.m)))), 6) AS fpp_theory "
+        + "FROM fp JOIN bits ON bits.m = fp.m AND bits.kh = fp.kh CROSS JOIN nmem ORDER BY fp.m, k"),
   )
 }

@@ -920,9 +920,103 @@ object Text extends QueryPack {
         .limit(20)
         .select(col("tok"), col("a"), col("b"), col("g2"), col("direction"))
     }),
+
+    // ------------------------------------------------------------------
+    // Simple Good–Turing smoothed counts over word-TRIGRAM types (the
+    // unigram vocabulary here is ~31 types with counts in the
+    // thousands — no N_r exists below r=10; the trigram type space is
+    // the sparse low-count regime GT smoothing is FOR, exactly the
+    // object an n-gram LM smooths). ONE corpus shuffle to (trigram,
+    // count) cells (trigrams generated in-row, hashed to nothing —
+    // the count key is the gram itself); frequency-of-frequencies N_r
+    // is a second tiny groupBy over the ≤|distinct counts| frame; r* =
+    // (r+1)·N_{r+1}/N_r for r ≤ 10 via a broadcast self-join on r+1
+    // (never a window), and the unseen mass P₀ = N₁/N rides along from
+    // the broadcast corpus total. N_{r+1} = 0 → r* NULL (deterministic
+    // in both engines, no smoothing-fit heuristics).
+    "q256_good_turing" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val fof = counts.groupBy(col("c").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+        .localCheckpoint() // both join sides + the total
+      val tot = fof.agg(sum(expr("r * n_r")).as("n_toks"), sum(col("n_r")).as("vocab"))
+      fof.filter(col("r") <= 10)
+        .join(broadcast(fof.select(col("r").as("r1"), col("n_r").as("n_next"))),
+          col("r") + 1 === col("r1"), "left")
+        .crossJoin(broadcast(tot))
+        .selectExpr("r", "n_r", "coalesce(n_next, 0L) AS n_next",
+          "round((r + 1) * cast(n_next as double) / n_r, 6) AS r_star",
+          "round((r + 1) * cast(n_next as double) / n_r / n_toks, 9) AS p_gt",
+          "n_toks", "vocab",
+          "round(cast(CASE WHEN r = 1 THEN n_r END as double) / n_toks, 6) AS p_unseen")
+        .orderBy(col("r"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Kneser–Ney continuation probability: P_cont(w) = |{v : (v,w) seen}|
+    // / |distinct bigram types| — the "how many contexts does this word
+    // complete" statistic that separates genuinely versatile tokens
+    // from high-count-but-single-context ones (the KN insight raw
+    // frequency misses). Bigrams are built IN-ROW from the filtered
+    // token array (one Generate, no join), contracted to DISTINCT
+    // (prev, tok) pairs by one shuffle; continuation counts are a
+    // second groupBy over the pair-type frame; raw occurrence counts
+    // join back broadcast (vocab-bounded). Top-20 on (p_cont, tok) is
+    // TakeOrderedAndProject.
+    "q257_kn_continuation" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir)
+        .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS p, element_at(w, i + 1) AS t))")).as("bg"))
+        .select(col("bg.p").as("prev"), col("bg.t").as("tok"))
+        .distinct()
+        .localCheckpoint() // continuation counts + the type total
+      val tot = pairs.agg(count(lit(1)).as("n_types"))
+      val raw = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("raw_count"))
+      pairs.groupBy(col("tok")).agg(count(lit(1)).as("cont"))
+        .join(broadcast(raw), Seq("tok"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("tok", "cont", "raw_count",
+          "round(cast(cont as double) / n_types, 6) AS p_cont")
+        .orderBy(col("p_cont").desc, col("tok"))
+        .limit(20)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q256_good_turing" ->
+      ("WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ("
+        + "SELECT unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS tok FROM ("
+        + "SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents) WHERE len(w) >= 3) GROUP BY tok), "
+        + "fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY c), "
+        + "tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_toks, CAST(sum(n_r) AS BIGINT) AS vocab FROM fof) "
+        + "SELECT f.r, f.n_r, coalesce(g.n_r, 0) AS n_next, "
+        + "round((f.r + 1) * CAST(g.n_r AS DOUBLE) / f.n_r, 6) AS r_star, "
+        + "round((f.r + 1) * CAST(g.n_r AS DOUBLE) / f.n_r / n_toks, 9) AS p_gt, "
+        + "n_toks, vocab, "
+        + "round(CAST(CASE WHEN f.r = 1 THEN f.n_r END AS DOUBLE) / n_toks, 6) AS p_unseen "
+        + "FROM fof f LEFT JOIN fof g ON f.r + 1 = g.r CROSS JOIN tot "
+        + "WHERE f.r <= 10 ORDER BY f.r"),
+    "q257_kn_continuation" ->
+      ("WITH pairs AS (SELECT DISTINCT w[i] AS prev, w[i + 1] AS tok FROM ("
+        + "SELECT list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "LATERAL (SELECT unnest(range(1, len(w))) AS i) WHERE len(w) >= 2), "
+        + "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM pairs), "
+        + "raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS raw_count FROM ("
+        + "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> '' GROUP BY tok), "
+        + "cont AS (SELECT tok, CAST(count(*) AS BIGINT) AS cont FROM pairs GROUP BY tok) "
+        + "SELECT tok, cont, raw_count, round(CAST(cont AS DOUBLE) / n_types, 6) AS p_cont "
+        + "FROM cont JOIN raw USING (tok) CROSS JOIN tot "
+        + "ORDER BY p_cont DESC, tok LIMIT 20"),
     "q244_gtest_keyness" ->
       ("WITH t AS (SELECT CAST(substr(source, 4) AS INT) < 10 AS in_a, unnest(string_split(text, ' ')) AS tok FROM documents), "
         + "cells AS (SELECT tok, CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a, "

@@ -74,6 +74,45 @@ object Udaf extends QueryPack {
             + "ELSE round(63.0 / (cast(kth_hash as double) / 1152921504606846976.0), 6) END AS est")
         .orderBy(col("grp"))
     }),
+
+    // ------------------------------------------------------------------
+    // KMV set-similarity: pairwise Jaccard of the per-type distinct-user
+    // SETS estimated purely from the q245 sketches — K(A∪B) is the
+    // bottom-64 of the two k-long arrays merged IN-ROW, the estimate is
+    // |{h ∈ K(A∪B) : h ∈ K(A) ∧ h ∈ K(B)}| / |K(A∪B)| — i.e. set
+    // overlap between 100 TB partitions answered from two 512-byte
+    // sketches, no raw-data rescan. The exact Jaccard (one user-keyed
+    // self-join of the distinct (type,user) frame — co-partitioned,
+    // ≤|types|² output) rides along as the audit; md5-determinism makes
+    // BOTH columns cross-engine exact. Pair frame is ≤|types|²/2 rows.
+    "q252_kmv_jaccard" -> ((s, dir) => {
+      val kmv = udaf(KmvAggregator, Encoders.scalaLong)
+      val pairs = Tables.events(s, dir)
+        .select(col("event_type").as("grp"), col("user_id")).distinct()
+        .withColumn("h", expr(
+          "md5_mod(cast(user_id as string), 9223372036854775807L)"))
+        .localCheckpoint() // sketch agg + exact-audit joins consume it
+      val perType = pairs.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_exact"), kmv(col("h")).as("sk"))
+      val sketchPairs = perType.select(col("grp").as("ta"), col("n_exact").as("na"), col("sk").as("ska"))
+        .join(broadcast(perType.select(col("grp").as("tb"), col("n_exact").as("nb"), col("sk").as("skb"))),
+          col("ta") < col("tb"))
+        .withColumn("un", expr("slice(array_sort(array_union(ska, skb)), 1, 64)"))
+        .withColumn("k_union", size(col("un")))
+        .withColumn("k_inter", expr(
+          "size(filter(un, x -> array_contains(ska, x) AND array_contains(skb, x)))"))
+      val exact = pairs.select(col("grp").as("ta"), col("user_id"))
+        .join(pairs.select(col("grp").as("tb"), col("user_id")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("inter_exact"))
+      sketchPairs.join(broadcast(exact), Seq("ta", "tb"))
+        .selectExpr("ta", "tb", "k_union", "k_inter",
+          "round(cast(k_inter as double) / k_union, 6) AS est_jaccard",
+          "round(cast(inter_exact as double) / (na + nb - inter_exact), 6) AS exact_jaccard",
+          "round(abs(cast(k_inter as double) / k_union "
+            + "- cast(inter_exact as double) / (na + nb - inter_exact)), 6) AS abs_err")
+        .orderBy(col("ta"), col("tb"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -99,5 +138,24 @@ object Udaf extends QueryPack {
         + "CASE WHEN sk_size < 64 THEN CAST(sk_size AS DOUBLE) "
         + "ELSE round(63.0 / (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0), 6) END AS est "
         + "FROM u ORDER BY grp"),
+    "q252_kmv_jaccard" ->
+      ("WITH pairs AS (SELECT DISTINCT event_type AS grp, user_id FROM events), "
+        + "hh AS (SELECT DISTINCT grp, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h FROM pairs), "
+        + "rk AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hh), "
+        + "sk AS (SELECT grp, list(h ORDER BY h) AS sk FROM rk WHERE rn <= 64 GROUP BY grp), "
+        + "nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM pairs GROUP BY grp), "
+        + "pr AS (SELECT a.grp AS ta, b.grp AS tb, a.sk AS ska, b.sk AS skb, na.n_exact AS na, nb.n_exact AS nb "
+        + "FROM sk a JOIN sk b ON a.grp < b.grp JOIN nn na ON na.grp = a.grp JOIN nn nb ON nb.grp = b.grp), "
+        + "u AS (SELECT ta, tb, na, nb, ska, skb, list_sort(list_distinct(ska || skb))[1:64] AS un FROM pr), "
+        + "est AS (SELECT ta, tb, na, nb, len(un) AS k_union, "
+        + "len(list_filter(un, x -> list_contains(ska, x) AND list_contains(skb, x))) AS k_inter FROM u), "
+        + "ex AS (SELECT a.grp AS ta, b.grp AS tb, CAST(count(*) AS BIGINT) AS inter_exact "
+        + "FROM pairs a JOIN pairs b ON a.user_id = b.user_id AND a.grp < b.grp GROUP BY 1, 2) "
+        + "SELECT ta, tb, k_union, k_inter, "
+        + "round(CAST(k_inter AS DOUBLE) / k_union, 6) AS est_jaccard, "
+        + "round(CAST(inter_exact AS DOUBLE) / (na + nb - inter_exact), 6) AS exact_jaccard, "
+        + "round(abs(CAST(k_inter AS DOUBLE) / k_union "
+        + "- CAST(inter_exact AS DOUBLE) / (na + nb - inter_exact)), 6) AS abs_err "
+        + "FROM est JOIN ex USING (ta, tb) ORDER BY ta, tb"),
   )
 }

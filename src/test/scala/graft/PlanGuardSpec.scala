@@ -54,7 +54,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q209_pacf",          // lag windows over <= #days daily cells (q23's shape)
     "q212_bh_fdr",        // rank/step-up windows over <= #event-type test cells
     "q248_runs_test",     // run-boundary lag over <= #days daily cells
-    "q246_hist_quantile_merge" // cum window over <= 128 fixed bin cells
+    "q246_hist_quantile_merge", // cum window over <= 128 fixed bin cells
+    "q254_decision_stump", // cumulative split counts over <= 32 quantile-bin cells
+    "q259_hurst"           // day-index row_number over <= #days daily cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -256,7 +258,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q136_kendall_tau",    // daily cells <= #days, checkpointed, both pair-join sides
     "q249_mann_kendall",   // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
     "q247_int8_recall",    // probes = vec_id < 5: 5 literal-keyed rows, checkpointed
-    "q246_hist_quantile_merge" // 5 literal quantile probes x 1-row global bounds
+    "q246_hist_quantile_merge", // 5 literal quantile probes x 1-row global bounds
+    "q252_kmv_jaccard"     // sketch pair join: <= |event types| k-long sketch rows per side
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
