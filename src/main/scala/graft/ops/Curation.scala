@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{QueryPack, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-curation operators a training-data pipeline runs between dedup
@@ -363,9 +364,139 @@ object Curation extends QueryPack {
           "round((x + m * common) / (n + common) - cast(x as double) / n, 6) AS delta")
         .orderBy(col("source"))
     }),
+
+    // ------------------------------------------------------------------
+    // Source acquisition novelty curve: adding sources one at a time
+    // (in id order), how many NEW 8-grams does each contribute — the
+    // diminishing-returns readout a data-acquisition decision reads
+    // (q237 says which sources overlap; this says when to STOP
+    // buying). Rides the memoized [[Text.hashedGrams8]] index: the
+    // (source, gram-hash) contraction is one hash-only shuffle;
+    // first-claimer per gram is a min over the gram key; cumulative
+    // novelty runs over ≤|sources| bounded cells (allowlisted).
+    "q265_source_novelty" -> ((s, dir) => {
+      val sg = Text.hashedGrams8(s, dir)
+        .join(Tables.documents(s, dir).select(col("doc_id"),
+          expr("cast(substr(source, 4) as int)").as("si")), "doc_id")
+        .select(col("si"), col("h")).distinct()
+        .localCheckpoint() // per-source totals + first-claim + universe
+      val firstClaim = sg.groupBy(col("h")).agg(min(col("si")).as("si"))
+        .groupBy(col("si")).agg(count(lit(1)).as("new_grams"))
+      val tot = sg.groupBy(col("si")).agg(count(lit(1)).as("n_grams"))
+      val uni = sg.agg(countDistinct(col("h")).as("uni"))
+      val wd = Window.orderBy(col("si")) // bounded: ≤|sources| cells (allowlisted)
+      tot.join(broadcast(firstClaim), Seq("si"), "left")
+        .withColumn("new_grams", coalesce(col("new_grams"), lit(0L)))
+        .withColumn("cum_new", sum(col("new_grams")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(uni))
+        .selectExpr("si AS source_id", "n_grams", "new_grams",
+          "round(cast(new_grams as double) / n_grams, 6) AS new_rate",
+          "cum_new", "round(cast(cum_new as double) / uni, 6) AS cum_share")
+        .orderBy(col("source_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Dedup aggressiveness sweep: exact cluster/doc/token removal at
+    // FOUR Jaccard thresholds over the memoized near-dup pair graph —
+    // the curve a curation owner reads before fixing the dedup
+    // threshold (q239 reports savings at ONE threshold; this is the
+    // decision table). Per threshold: filter the checkpointed pair
+    // frame, 5 bounded label-propagation iterations (q80's CC shape,
+    // localCheckpoint per step), survivor = min doc per cluster,
+    // removed tokens joined from the per-doc length contraction. Four
+    // 1-row aggregates unioned — the pair graph is built ONCE for the
+    // whole sweep (and shared with q40/q80/q190/q229 via the memo).
+    "q267_dedup_threshold_sweep" -> ((s, dir) => {
+      val pairs = Text.nearDupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val nt = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("size(filter(split(text, ' '), x -> x <> ''))").as("nt"))
+        .localCheckpoint() // joined per threshold + the corpus total
+      val corpus = nt.agg(sum(col("nt")).as("corpus_toks"))
+      val res = Seq(0.01, 0.02, 0.05, 0.1).map { t =>
+        val e = pairs.filter(col("jaccard") >= t)
+        val edges = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+          .localCheckpoint()
+        var labels = edges.select(col("u").as("doc")).distinct()
+          .withColumn("lbl", col("doc"))
+        for (_ <- 1 to 5) {
+          labels = labels
+            .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
+              .select(col("u").as("doc"), col("lbl")))
+            .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint()
+        }
+        val st = labels.join(nt, col("doc") === col("doc_id"))
+          .agg(count(lit(1)).as("docs_flagged"),
+            countDistinct(col("lbl")).as("n_clusters"),
+            sum(when(col("doc") =!= col("lbl"), col("nt")).otherwise(0)).as("tokens_removed"))
+        val np = e.agg(count(lit(1)).as("n_pairs"))
+        st.crossJoin(broadcast(np)).crossJoin(broadcast(corpus))
+          .selectExpr(s"cast($t as double) AS threshold", "n_pairs",
+            "docs_flagged", "n_clusters",
+            "docs_flagged - n_clusters AS docs_removable", "tokens_removed",
+            "round(cast(tokens_removed as double) / corpus_toks, 6) AS pct_corpus_tokens")
+      }
+      res.reduce(_ union _).orderBy(col("threshold"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q267: q40's candidate-pair CTEs (kept with their jaccard), then
+    // per threshold an unrolled 5-step min-label propagation (q228's
+    // AS MATERIALIZED lesson) and a 1-row stats select, unioned.
+    "q267_dedup_threshold_sweep" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairsj AS MATERIALIZED (SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS j "
+          + "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01), "
+          + "ntab AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt FROM documents), "
+          + "corpus AS (SELECT CAST(sum(nt) AS BIGINT) AS corpus_toks FROM ntab)")
+      def sweep(t: String, x: String): String = {
+        val e = s"e$x AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairsj WHERE j >= $t " +
+          s"UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairsj WHERE j >= $t), " +
+          s"l${x}0 AS MATERIALIZED (SELECT DISTINCT u AS doc, u AS lbl FROM e$x), "
+        val steps = (0 until 5).map { i =>
+          s"l$x${i + 1} AS MATERIALIZED (SELECT doc, min(lbl) AS lbl FROM (" +
+            s"SELECT doc, lbl FROM l$x$i UNION ALL " +
+            s"SELECT e.u AS doc, l.lbl FROM e$x e JOIN l$x$i l ON l.doc = e.v) GROUP BY doc), "
+        }.mkString
+        val row = s"r$x AS (SELECT CAST($t AS DOUBLE) AS threshold, " +
+          s"(SELECT CAST(count(*) AS BIGINT) FROM pairsj WHERE j >= $t) AS n_pairs, " +
+          "CAST(count(*) AS BIGINT) AS docs_flagged, CAST(count(DISTINCT lbl) AS BIGINT) AS n_clusters, " +
+          "CAST(count(*) AS BIGINT) - CAST(count(DISTINCT lbl) AS BIGINT) AS docs_removable, " +
+          "CAST(sum(CASE WHEN doc <> lbl THEN nt ELSE 0 END) AS BIGINT) AS tokens_removed, " +
+          "round(CAST(sum(CASE WHEN doc <> lbl THEN nt ELSE 0 END) AS DOUBLE) / any_value(corpus_toks), 6) AS pct_corpus_tokens " +
+          s"FROM l${x}5 JOIN ntab ON doc = doc_id CROSS JOIN corpus), "
+        e + steps + row
+      }
+      ("WITH " + pairCtes + ", "
+        + sweep("0.01", "a") + sweep("0.02", "b") + sweep("0.05", "c") + sweep("0.1", "d")
+        + "u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc UNION ALL SELECT * FROM rd) "
+        + "SELECT * FROM u ORDER BY threshold")
+    },
+    "q265_source_novelty" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "ng AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT))) AS h FROM t WHERE len(w) >= 8)), "
+        + "sg AS (SELECT DISTINCT CAST(substr(d.source, 4) AS INT) AS si, ng.h FROM ng JOIN documents d USING (doc_id)), "
+        + "fc AS (SELECT si, CAST(count(*) AS BIGINT) AS new_grams FROM (SELECT h, min(si) AS si FROM sg GROUP BY h) GROUP BY si), "
+        + "tot AS (SELECT si, CAST(count(*) AS BIGINT) AS n_grams FROM sg GROUP BY si), "
+        + "uni AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS uni FROM sg) "
+        + "SELECT tot.si AS source_id, n_grams, coalesce(new_grams, 0) AS new_grams, "
+        + "round(CAST(coalesce(new_grams, 0) AS DOUBLE) / n_grams, 6) AS new_rate, "
+        + "CAST(sum(coalesce(new_grams, 0)) OVER (ORDER BY tot.si ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_new, "
+        + "round(CAST(sum(coalesce(new_grams, 0)) OVER (ORDER BY tot.si ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / uni, 6) AS cum_share "
+        + "FROM tot LEFT JOIN fc USING (si) CROSS JOIN uni ORDER BY source_id"),
     "q255_eb_shrinkage" ->
       ("WITH cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
         + "CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS x FROM documents GROUP BY source), "

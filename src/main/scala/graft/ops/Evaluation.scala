@@ -786,6 +786,52 @@ object Evaluation extends QueryPack {
           round(expr("cast(sr as double) / n_users"), 6).as("mrr"),
           round(expr("cast(sa as double) / n_users"), 6).as("map10"))
     }),
+
+    // ------------------------------------------------------------------
+    // Sequential A/B monitoring path: the day-by-day cumulative
+    // two-proportion z between md5 user arms (purchase events /
+    // events), with TWO stopping rules evaluated on every look — the
+    // naive fixed 1.96 threshold (the peeking mistake) and an
+    // O'Brien–Fleming-style alpha-spending boundary 1.96·√(T/t) that
+    // front-loads stringency. The gap between their first-crossing
+    // days IS the peeking lesson q211/q215 imply but never show. One
+    // fact shuffle to ≤#days daily (arm-pivoted) cells; the cumulative
+    // windows run over those bounded cells (allowlisted); all counts
+    // exact integers, z closed-form.
+    "q263_sequential_ab" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .withColumn("arm", expr(md5mod("cast(user_id as string)", 2)))
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0 && col("event_type") === "purchase", 1L).otherwise(0L)).as("x0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1 && col("event_type") === "purchase", 1L).otherwise(0L)).as("x1"))
+      val wd = Window.orderBy(col("day")) // bounded: ≤#days cells (allowlisted)
+      val cum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val path = daily
+        .withColumn("t", row_number().over(wd))
+        .withColumn("cn0", sum(col("n0")).over(cum))
+        .withColumn("cx0", sum(col("x0")).over(cum))
+        .withColumn("cn1", sum(col("n1")).over(cum))
+        .withColumn("cx1", sum(col("x1")).over(cum))
+        .withColumn("z", expr(
+          "(cast(cx0 as double) / cn0 - cast(cx1 as double) / cn1) / "
+            + "sqrt((cast(cx0 + cx1 as double) / (cn0 + cn1)) * (1.0 - cast(cx0 + cx1 as double) / (cn0 + cn1)) "
+            + "* (1.0 / cn0 + 1.0 / cn1))"))
+        .localCheckpoint() // path rows + both crossing aggs consume it
+      val tt = path.agg(max(col("t")).as("bigT"))
+      val cross = path.crossJoin(broadcast(tt))
+        .agg(min(when(abs(col("z")) >= 1.959964, col("t"))).as("first_naive_t"),
+          min(when(expr("abs(z) >= 1.959964 * sqrt(cast(bigT as double) / t)"), col("t"))).as("first_obf_t"))
+      path.crossJoin(broadcast(tt)).crossJoin(broadcast(cross))
+        .selectExpr("day", "t", "cn0", "cx0", "cn1", "cx1",
+          "round(z, 6) AS z_stat",
+          "abs(z) >= 1.959964 AS naive_sig",
+          "round(1.959964 * sqrt(cast(bigT as double) / t), 6) AS obf_bound",
+          "abs(z) >= 1.959964 * sqrt(cast(bigT as double) / t) AS obf_sig",
+          "first_naive_t", "first_obf_t")
+        .orderBy(col("t"))
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -817,6 +863,30 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q263_sequential_ab" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        + "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+        + "CAST(sum(CASE WHEN arm = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x0, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "CAST(sum(CASE WHEN arm = 1 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x1 "
+        + "FROM (SELECT ts, event_type, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm FROM events) GROUP BY 1), "
+        + "path AS (SELECT day, row_number() OVER (ORDER BY day) AS t, "
+        + "CAST(sum(n0) OVER w AS BIGINT) AS cn0, CAST(sum(x0) OVER w AS BIGINT) AS cx0, "
+        + "CAST(sum(n1) OVER w AS BIGINT) AS cn1, CAST(sum(x1) OVER w AS BIGINT) AS cx1 "
+        + "FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "pz AS (SELECT *, (CAST(cx0 AS DOUBLE) / cn0 - CAST(cx1 AS DOUBLE) / cn1) / "
+        + "sqrt((CAST(cx0 + cx1 AS DOUBLE) / (cn0 + cn1)) * (1.0 - CAST(cx0 + cx1 AS DOUBLE) / (cn0 + cn1)) "
+        + "* (1.0 / cn0 + 1.0 / cn1)) AS z FROM path), "
+        + "tt AS (SELECT CAST(max(t) AS BIGINT) AS bigT FROM pz), "
+        + "cr AS (SELECT min(CASE WHEN abs(z) >= 1.959964 THEN t END) AS first_naive_t, "
+        + "min(CASE WHEN abs(z) >= 1.959964 * sqrt(CAST(bigT AS DOUBLE) / t) THEN t END) AS first_obf_t "
+        + "FROM pz CROSS JOIN tt) "
+        + "SELECT day, t, cn0, cx0, cn1, cx1, round(z, 6) AS z_stat, "
+        + "abs(z) >= 1.959964 AS naive_sig, "
+        + "round(1.959964 * sqrt(CAST(bigT AS DOUBLE) / t), 6) AS obf_bound, "
+        + "abs(z) >= 1.959964 * sqrt(CAST(bigT AS DOUBLE) / t) AS obf_sig, "
+        + "first_naive_t, first_obf_t "
+        + "FROM pz CROSS JOIN tt CROSS JOIN cr ORDER BY t"),
     // q208: estimates can't cross-engine-match; the CM-bound bool can.
     // DuckDB recomputes the exact top-15 and pins cm_ok TRUE.
     "q208_countmin" ->

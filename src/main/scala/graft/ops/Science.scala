@@ -712,6 +712,74 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Cochran's Q: do the k=|event types| "treatments" elicit the same
+    // binary response across user "blocks" — the k-sample McNemar the
+    // pairwise tests (q128/q130) can't give. Response x_{u,t} = 1 iff
+    // user u's max value for type t exceeds the type's p90 (raw
+    // presence is degenerate here: every user touches every type, so
+    // ΣR(k−R) = 0 and Q is undefined — measured). One (user, type)
+    // max-contraction + broadcast ≤k p90 bounds (6dp-rounded, q200's
+    // convention); column totals C_j contract to ≤k cells, row totals
+    // R_u to one user-keyed agg whose ΣR/ΣR² collapse to a 1-row
+    // frame. Q = k(k−1)·Σ(C_j − ΣR/k)² / (k·ΣR − ΣR²), χ²(k−1) at 5%.
+    // Exact integer sums; the Σ(C_j−N̄)² terms DECIMAL-quantized.
+    "q261_cochran_q" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val mv = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("value")).as("m"))
+      val p90 = ev.groupBy(col("event_type"))
+        .agg(expr("round(percentile(value, 0.9), 6)").as("p90"))
+      val pairs = mv.join(broadcast(p90), "event_type")
+        .filter(col("m") > col("p90"))
+        .select(col("user_id"), col("event_type"))
+        .localCheckpoint() // column totals + row totals both consume it
+      val cols_ = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("cj"))
+      val rows_ = pairs.groupBy(col("user_id")).agg(count(lit(1)).as("ru"))
+        .agg(count(lit(1)).as("n_users"), sum(col("ru")).as("sr"),
+          sum(expr("ru * ru")).as("sr2"))
+      val k = p90.agg(count(lit(1)).as("k"))
+      cols_.crossJoin(broadcast(k)).crossJoin(broadcast(rows_))
+        .withColumn("dev2", expr(
+          "cast((cj - cast(sr as double) / k) * (cj - cast(sr as double) / k) as decimal(28,12))"))
+        .agg(first(col("k")).as("k"), first(col("n_users")).as("n_users"),
+          first(col("sr")).as("sr"), first(col("sr2")).as("sr2"),
+          sum(col("dev2")).as("sdev"))
+        .selectExpr("k", "n_users",
+          "round(k * (k - 1) * cast(sdev as double) / (k * sr - sr2), 6) AS q_stat")
+        .selectExpr("k", "n_users", "q_stat",
+          "q_stat > 9.487729 AS reject_equal_reach_5pct") // chi2(4) 5%
+    }),
+
+    // ------------------------------------------------------------------
+    // Hill tail-index estimator over the top order statistics of
+    // o_totalprice — the heavy-tail audit q106 (Zipf) and q129
+    // (Benford) imply but never quantify: α̂(k) = 1 / (mean of
+    // ln(x_(n−i+1) / x_(n−k)) over the top k), reported at k ∈
+    // {100, 200, 400} so tail-index STABILITY across k is visible
+    // (the Hill-plot decision). ONE TakeOrderedAndProject of 401 rows
+    // (value-desc with orderkey tiebreak so the cut is deterministic);
+    // everything after is bounded in-row algebra over ≤401 cells.
+    "q264_hill_tail" -> ((s, dir) => {
+      val top = Tables.orders(s, dir)
+        .select(col("o_totalprice").as("v"), col("o_orderkey"))
+        .orderBy(col("v").desc, col("o_orderkey"))
+        .limit(401)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("v").desc, col("o_orderkey")))) // bounded: 401 rows post-limit
+        .localCheckpoint() // three k-slices consume it
+      top.select(explode(array(lit(100), lit(200), lit(400))).as("k"), col("rk"), col("v"))
+        .join(broadcast(top.select(col("rk").as("kk"), col("v").as("xmin"))),
+          col("k") + 1 === col("kk"))
+        .filter(col("rk") <= col("k"))
+        .withColumn("lr", expr("cast(ln(v / xmin) as decimal(28,12))"))
+        .groupBy(col("k"))
+        .agg(first(col("xmin")).as("xmin"), sum(col("lr")).as("slr"))
+        .selectExpr("k", "round(xmin, 2) AS xmin",
+          "round(cast(k as double) / cast(slr as double), 6) AS alpha")
+        .orderBy(col("k"))
+    }),
+
+    // ------------------------------------------------------------------
     // Bloom-filter FPP audit: measured vs theoretical false-positive
     // rate of q103's bloom-prune pattern at three (m, k) sizings — THE
     // table consulted before spending m bits/key on a 100 TB bloom-
@@ -991,6 +1059,28 @@ object Science extends QueryPack {
         + "hh AS (SELECT round((np * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(sly AS DOUBLE)) "
         + "/ (np * CAST(slx2 AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(slx AS DOUBLE)), 6) AS hurst FROM sl) "
         + "SELECT w, n_blocks, round(mean_rs, 6) AS mean_rs, hurst FROM perw CROSS JOIN hh ORDER BY w"),
+    "q261_cochran_q" ->
+      ("WITH ev AS (SELECT user_id, event_type, value FROM events WHERE value IS NOT NULL), "
+        + "mv AS (SELECT user_id, event_type, max(value) AS m FROM ev GROUP BY 1, 2), "
+        + "p AS (SELECT event_type, round(quantile_cont(value, 0.9), 6) AS p90 FROM ev GROUP BY 1), "
+        + "pairs AS (SELECT user_id, mv.event_type FROM mv JOIN p USING (event_type) WHERE m > p90), "
+        + "c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM pairs GROUP BY event_type), "
+        + "r AS (SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(ru) AS BIGINT) AS sr, CAST(sum(ru * ru) AS BIGINT) AS sr2 "
+        + "FROM (SELECT user_id, count(*) AS ru FROM pairs GROUP BY user_id)), "
+        + "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM p), "
+        + "dev AS (SELECT any_value(k) AS k, any_value(n_users) AS n_users, any_value(sr) AS sr, any_value(sr2) AS sr2, "
+        + "sum(CAST((cj - CAST(sr AS DOUBLE) / k) * (cj - CAST(sr AS DOUBLE) / k) AS DECIMAL(28,12))) AS sdev "
+        + "FROM c CROSS JOIN kk CROSS JOIN r) "
+        + "SELECT k, n_users, round(k * (k - 1) * CAST(sdev AS DOUBLE) / (k * sr - sr2), 6) AS q_stat, "
+        + "round(k * (k - 1) * CAST(sdev AS DOUBLE) / (k * sr - sr2), 6) > 9.487729 AS reject_equal_reach_5pct FROM dev"),
+    "q264_hill_tail" ->
+      ("WITH top AS (SELECT v, rk FROM (SELECT o_totalprice AS v, "
+        + "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 401), "
+        + "ex AS (SELECT k, rk, v FROM top, LATERAL (SELECT unnest([100, 200, 400]) AS k)), "
+        + "j AS (SELECT e.k, e.rk, e.v, t.v AS xmin FROM ex e JOIN top t ON e.k + 1 = t.rk WHERE e.rk <= e.k) "
+        + "SELECT k, round(any_value(xmin), 2) AS xmin, "
+        + "round(CAST(k AS DOUBLE) / CAST(sum(CAST(ln(v / xmin) AS DECIMAL(28,12))) AS DOUBLE), 6) AS alpha "
+        + "FROM j GROUP BY k ORDER BY k"),
     "q260_bloom_fpp" ->
       ("WITH cfg AS (SELECT * FROM (VALUES (4096, 3), (16384, 3), (65536, 4)) AS v(m, kh)), "
         + "members AS (SELECT DISTINCT o_custkey AS u FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'), "

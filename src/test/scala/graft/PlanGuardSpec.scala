@@ -56,7 +56,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q248_runs_test",     // run-boundary lag over <= #days daily cells
     "q246_hist_quantile_merge", // cum window over <= 128 fixed bin cells
     "q254_decision_stump", // cumulative split counts over <= 32 quantile-bin cells
-    "q259_hurst"           // day-index row_number over <= #days daily cells
+    "q259_hurst",          // day-index row_number over <= #days daily cells
+    "q263_sequential_ab",  // cumulative look windows over <= #days daily cells
+    "q264_hill_tail",      // rank window over the 401-row TakeOrdered tail
+    "q265_source_novelty"  // cumulative novelty over <= |sources| cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -259,7 +262,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q249_mann_kendall",   // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
     "q247_int8_recall",    // probes = vec_id < 5: 5 literal-keyed rows, checkpointed
     "q246_hist_quantile_merge", // 5 literal quantile probes x 1-row global bounds
-    "q252_kmv_jaccard"     // sketch pair join: <= |event types| k-long sketch rows per side
+    "q252_kmv_jaccard",    // sketch pair join: <= |event types| k-long sketch rows per side
+    "q266_shapley_attribution" // bit-subset joins over the 8-row coalition lattice / 3-row channel frame
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

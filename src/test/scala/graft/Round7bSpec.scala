@@ -214,6 +214,226 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  /** Spark `percentile`'s linear interpolation at rank q·(n−1). */
+  private def pct(sorted: Array[Double], q: Double): Double = {
+    val r = q * (sorted.length - 1)
+    val lo = r.toInt
+    if (lo == sorted.length - 1) sorted(lo)
+    else sorted(lo) + (r - lo) * (sorted(lo + 1) - sorted(lo))
+  }
+
+  test("q261 Cochran's Q matches a scalar block/treatment recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val types = ev.map(_._2).distinct.sorted
+    val p90 = types.map { t =>
+      val xs = ev.filter(_._2 == t).map(_._3).sorted
+      t -> BigDecimal(pct(xs, 0.9)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val x = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(_.map(_._3).max).toMap
+      .filter { case ((_, t), m) => m > p90(t) }.keys.toSeq
+    val k = types.size
+    val cj = x.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ru = x.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (sr, sr2) = (ru.values.sum, ru.values.map(r => r * r).sum)
+    val q = k * (k - 1) * types.map(t => math.pow(cj.getOrElse(t, 0L) - sr.toDouble / k, 2)).sum /
+      (k * sr - sr2)
+    val row = SparkEntry.queries("q261_cochran_q")(spark, sf).head()
+    row.getAs[Long]("k") shouldBe k.toLong
+    row.getAs[Long]("n_users") shouldBe ru.size.toLong
+    row.getAs[Double]("q_stat") shouldBe q +- 1e-4
+    row.getAs[Boolean]("reject_equal_reach_5pct") shouldBe (q > 9.487729)
+  }
+
+  test("q262 entropy rate: matches the chain recompute and is bounded by H0") {
+    // transition matrix + pi exactly as in the q253 test
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp)) AS tsu", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val states = ev.map(_._4).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    for ((_, g) <- ev.groupBy(_._1)) {
+      val seq = g.sortBy(t => (t._2, t._3)).map(_._4)
+      for (Array(p, c) <- seq.sliding(2).map(_.toArray) if seq.length >= 2)
+        counts((p, c)) = counts.getOrElse((p, c), 0L) + 1
+    }
+    val rowTot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p0 = states.map(i => states.map(j =>
+      counts.getOrElse((i, j), 0L).toDouble / rowTot(i)).toArray).toArray
+    var p = p0.map(_.clone())
+    val n = states.length
+    for (_ <- 1 to 5)
+      p = Array.tabulate(n, n)((i, k) => (0 until n).map(j => p(i)(j) * p(j)(k)).sum)
+    val pi = (0 until n).map(k => (0 until n).map(i => p(i)(k)).sum / n)
+    val h0 = pi.map(x => if (x > 0) -x * math.log(x) else 0.0).sum
+    val hr = (0 until n).map(i => pi(i) * p0(i).map(x =>
+      if (x > 0) -x * math.log(x) else 0.0).sum).sum
+    val row = SparkEntry.queries("q262_markov_entropy_rate")(spark, sf).head()
+    row.getAs[Long]("n_states") shouldBe n.toLong
+    row.getAs[Double]("h_rate") shouldBe hr +- 1e-5
+    row.getAs[Double]("h0") shouldBe h0 +- 1e-5
+    row.getAs[Double]("h_rate") should be <= row.getAs[Double]("h0") + 1e-9
+    row.getAs[Double]("predictability") should (be >= 0.0 and be <= 1.0)
+  }
+
+  test("q263 sequential A/B: z path matches a scalar recompute; OBF crossing never precedes naive") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("cast(ts as date) AS day", "user_id", "event_type").collect()
+      .map(r => (r.getDate(0).toString, h60(r.getLong(1).toString) % 2, r.getString(2)))
+    val days = ev.map(_._1).distinct.sorted
+    var (cn0, cx0, cn1, cx1) = (0L, 0L, 0L, 0L)
+    val expected = days.map { d =>
+      val dd = ev.filter(_._1 == d)
+      cn0 += dd.count(_._2 == 0); cx0 += dd.count(e => e._2 == 0 && e._3 == "purchase")
+      cn1 += dd.count(_._2 == 1); cx1 += dd.count(e => e._2 == 1 && e._3 == "purchase")
+      val pp = (cx0 + cx1).toDouble / (cn0 + cn1)
+      val z = (cx0.toDouble / cn0 - cx1.toDouble / cn1) /
+        math.sqrt(pp * (1 - pp) * (1.0 / cn0 + 1.0 / cn1))
+      (d, cn0, cx0, cn1, cx1, z)
+    }
+    val rows = SparkEntry.queries("q263_sequential_ab")(spark, sf).collect()
+    rows.length shouldBe days.length
+    val bigT = days.length
+    rows.zip(expected).foreach { case (r, (d, n0, x0, n1, x1, z)) =>
+      r.getAs[java.sql.Date]("day").toString shouldBe d
+      r.getAs[Long]("cn0") shouldBe n0
+      r.getAs[Long]("cx0") shouldBe x0
+      r.getAs[Long]("cn1") shouldBe n1
+      r.getAs[Long]("cx1") shouldBe x1
+      r.getAs[Double]("z_stat") shouldBe z +- 1e-5
+      val t = r.getAs[Int]("t")
+      r.getAs[Double]("obf_bound") shouldBe 1.959964 * math.sqrt(bigT.toDouble / t) +- 1e-5
+    }
+    // the OBF boundary is stricter at every interim look, so its first
+    // crossing can never precede the naive one
+    val fn = rows.head.get(rows.head.fieldIndex("first_naive_t"))
+    val fo = rows.head.get(rows.head.fieldIndex("first_obf_t"))
+    if (fo != null) {
+      assert(fn != null, "naive must cross whenever OBF crosses")
+      fo.asInstanceOf[Int] should be >= fn.asInstanceOf[Int]
+    }
+  }
+
+  test("q264 Hill alpha matches a scalar top-order-statistics recompute") {
+    val vs = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice", "o_orderkey").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (v, k) => (-v, k) }.map(_._1)
+    val rows = SparkEntry.queries("q264_hill_tail")(spark, sf).collect()
+    rows.map(_.getAs[Int]("k")).toSeq shouldBe Seq(100, 200, 400)
+    for (r <- rows) {
+      val k = r.getAs[Int]("k")
+      val xmin = vs(k) // rank k+1, 0-indexed
+      val alpha = k / (0 until k).map(i => math.log(vs(i) / xmin)).sum
+      r.getAs[Double]("xmin") shouldBe
+        BigDecimal(xmin).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      r.getAs[Double]("alpha") shouldBe alpha +- 1e-5
+      r.getAs[Double]("alpha") should be > 0.0
+    }
+  }
+
+  test("q265 source novelty matches an exact first-claimer recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getString(2).drop(3).toInt, r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val sg = docs.flatMap { case (si, w) =>
+      if (w.length < 8) Seq.empty
+      else w.sliding(8).map(g => (si, h60(g.mkString(" ")))).toSeq
+    }.distinct
+    val tot = sg.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val firstClaim = sg.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val newG = firstClaim.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uni = firstClaim.size.toLong
+    val rows = SparkEntry.queries("q265_source_novelty")(spark, sf).collect()
+    rows.map(_.getAs[Int]("source_id")).toSeq shouldBe tot.keys.toSeq.sorted
+    var cum = 0L
+    for (r <- rows) {
+      val si = r.getAs[Int]("source_id")
+      r.getAs[Long]("n_grams") shouldBe tot(si)
+      r.getAs[Long]("new_grams") shouldBe newG.getOrElse(si, 0L)
+      cum += newG.getOrElse(si, 0L)
+      r.getAs[Long]("cum_new") shouldBe cum
+      r.getAs[Double]("cum_share") shouldBe cum.toDouble / uni +- 1e-5
+    }
+    cum shouldBe uni // every gram is claimed exactly once
+  }
+
+  test("q266 Shapley attribution matches an exact coalition recompute and is efficient") {
+    val per = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val masks = per.values.toSeq.map { ts =>
+      val m = (if (ts("view")) 1 else 0) + (if (ts("click")) 2 else 0) + (if (ts("signup")) 4 else 0)
+      (m, if (ts("purchase")) 1L else 0L)
+    }
+    val nUsers = masks.size.toDouble
+    val convByMask = masks.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def v(set: Int): Double =
+      convByMask.filter { case (m, _) => (m & set) == m }.values.sum / nUsers
+    val w = Map(0 -> 2.0 / 6.0, 1 -> 1.0 / 6.0, 2 -> 2.0 / 6.0)
+    val channels = Seq((1, "view"), (2, "click"), (4, "signup"))
+    val phi = channels.map { case (bit, name) =>
+      name -> (0 until 8).filter(s0 => (s0 & bit) == 0)
+        .map(s0 => w(Integer.bitCount(s0)) * (v(s0 | bit) - v(s0))).sum
+    }.toMap
+    val rows = SparkEntry.queries("q266_shapley_attribution")(spark, sf).collect()
+    rows.length shouldBe 3
+    for (r <- rows) {
+      val c = r.getAs[String]("channel")
+      r.getAs[Double]("phi") shouldBe phi(c) +- 1e-5
+      r.getAs[Double]("v_full") shouldBe v(7) +- 1e-5
+      r.getAs[Double]("v_base") shouldBe v(0) +- 1e-5
+    }
+    // efficiency: the three credits split exactly v(full) - v(base)
+    rows.map(_.getAs[Double]("phi")).sum shouldBe (v(7) - v(0)) +- 1e-4
+  }
+
+  test("q267 threshold sweep matches an exact union-find recompute at every threshold") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val sh = docs.flatMap { case (id, w) =>
+      if (w.length < 5) Seq.empty
+      else w.sliding(5).map(g => (g.mkString(" "), id)).toSeq
+    }.distinct
+    val sizes = sh.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = docs.map { case (id, w) => id -> w.count(_.nonEmpty).toLong }.toMap
+    val corpusToks = nt.values.sum
+    val pairInter = sh.groupBy(_._1).values
+      .filter(g => g.size > 1 && g.size <= 1000)
+      .flatMap { g =>
+        val ds = g.map(_._2).sorted
+        for (i <- ds.indices; j <- (i + 1) until ds.size) yield (ds(i), ds(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val jac = pairInter.map { case ((a, b), i) =>
+      (a, b) -> BigDecimal(i.toDouble / (sizes(a) + sizes(b) - i))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.filter(_._2 >= 0.01)
+    val rows = SparkEntry.queries("q267_dedup_threshold_sweep")(spark, sf).collect()
+    rows.map(_.getAs[Double]("threshold")).toSeq shouldBe Seq(0.01, 0.02, 0.05, 0.1)
+    for (r <- rows) {
+      val t = r.getAs[Double]("threshold")
+      val edges = jac.filter(_._2 >= t).keys.toSeq
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val comps = nodes.groupBy(find)
+      r.getAs[Long]("n_pairs") shouldBe edges.size.toLong
+      r.getAs[Long]("docs_flagged") shouldBe nodes.size.toLong
+      r.getAs[Long]("n_clusters") shouldBe comps.size.toLong
+      r.getAs[Long]("docs_removable") shouldBe (nodes.size - comps.size).toLong
+      val removed = comps.values.map(c => c.map(nt).sum - nt(c.min)).sum
+      r.getAs[Long]("tokens_removed") shouldBe removed
+      r.getAs[Double]("pct_corpus_tokens") shouldBe removed.toDouble / corpusToks +- 1e-5
+    }
+  }
+
   test("q260 Bloom FPP matches an exact bit-set recompute per config") {
     val members = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
