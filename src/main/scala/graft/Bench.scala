@@ -25,7 +25,8 @@ object Bench {
     // (folding crash latency into min-of-2 would under-report it).
     // Optional comma-separated key filter for targeted local A/B runs
     // (unset in the driver's invocation — the full map runs there).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.nonEmpty)
+      .map(_.split(",").toSet)
     val keys = only.fold(SparkEntry.queries)(ks => SparkEntry.queries.filter(kv => ks(kv._1)))
     def pass(): Map[String, Double] = keys.map { case (name, fn) =>
       val t0 = System.nanoTime()

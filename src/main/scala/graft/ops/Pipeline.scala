@@ -431,9 +431,60 @@ object Pipeline extends QueryPack {
           "round(cast(toks_lost as double) / toks_total, 6) AS loss_pct")
         .orderBy(col("ctx_len"))
     }),
+
+    // ------------------------------------------------------------------
+    // Hash-uniformity audit of the engine's own md5_mod splitter — the
+    // machinery q58/q67/q137/q152/q159 ALL trust: 64-bucket chi²
+    // goodness-of-fit for the two hot key populations (event ids,
+    // order keys), plus min/max bucket occupancy (what a salt skew
+    // would show first). One partial-agg shuffle to ≤64 cells per key;
+    // (o−e)²/e terms DECIMAL-quantized; empty buckets cannot occur at
+    // these populations (n ≥ 6k over 64 buckets) and both engines sum
+    // over occupied cells identically regardless. χ²(63) 5% = 82.529.
+    "q269_hash_uniformity" -> ((s, dir) => {
+      def audit(name: String, df: org.apache.spark.sql.DataFrame, key: String) = {
+        val cells = df
+          .select(expr(s"md5_mod(cast($key as string), 64L)").as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // totals + per-cell terms both consume it
+        val tot = cells.agg(sum(col("c")).as("n"),
+          count(lit(1)).as("n_buckets"), min(col("c")).as("min_bucket_n"),
+          max(col("c")).as("max_bucket_n"))
+        cells.crossJoin(broadcast(tot))
+          // cast(n as double) FIRST: a bare n/64.0 is bigint/decimal →
+          // Spark's decimal division truncates each term at scale 6
+          // (measured 1.3e-5 chi² drift vs the exact double sum)
+          .withColumn("term", expr(
+            "cast((c - cast(n as double) / 64.0) * (c - cast(n as double) / 64.0) "
+              + "/ (cast(n as double) / 64.0) as decimal(28,12))"))
+          .agg(first(col("n")).as("n"), first(col("n_buckets")).as("n_buckets"),
+            first(col("min_bucket_n")).as("min_bucket_n"),
+            first(col("max_bucket_n")).as("max_bucket_n"),
+            sum(col("term")).as("chi2q"))
+          .selectExpr(s"'$name' AS key_name", "n", "n_buckets",
+            "min_bucket_n", "max_bucket_n",
+            "round(cast(chi2q as double), 6) AS chi2",
+            "cast(chi2q as double) < 82.529 AS uniform_ok_5pct")
+      }
+      audit("event_id", Tables.events(s, dir), "event_id")
+        .union(audit("o_orderkey", Tables.orders(s, dir), "o_orderkey"))
+        .orderBy(col("key_name"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q269_hash_uniformity" -> {
+      def audit(name: String, table: String, key: String) =
+        (s"SELECT '$name' AS key_name, n, n_buckets, min_bucket_n, max_bucket_n, "
+          + "round(CAST(chi2q AS DOUBLE), 6) AS chi2, CAST(chi2q AS DOUBLE) < 82.529 AS uniform_ok_5pct FROM ("
+          + "SELECT any_value(n) AS n, CAST(count(*) AS BIGINT) AS n_buckets, "
+          + "min(c) AS min_bucket_n, max(c) AS max_bucket_n, "
+          + "sum(CAST((c - CAST(n AS DOUBLE) / 64.0) * (c - CAST(n AS DOUBLE) / 64.0) / (CAST(n AS DOUBLE) / 64.0) AS DECIMAL(28,12))) AS chi2q FROM ("
+          + s"SELECT b, CAST(count(*) AS BIGINT) AS c FROM (SELECT CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS b FROM $table) GROUP BY b"
+          + ") cells CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM " + table + ") tot)")
+      audit("event_id", "events", "event_id") + " UNION ALL " +
+        audit("o_orderkey", "orders", "o_orderkey") + " ORDER BY key_name"
+    },
     "q258_context_sweep" ->
       ("WITH per AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt, "
         + "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), "

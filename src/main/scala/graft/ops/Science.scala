@@ -712,6 +712,78 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Per-day distribution drift monitor: the exact two-sample KS
+    // statistic of each day's value distribution against the global
+    // one — q204's PSI with bins replaced by the exact sup-gap (no
+    // binning decision to defend). The corpus contracts to (day, value)
+    // count cells in ONE shuffle; the global ECDF rides cumCounts'
+    // range-partitioned prefix sums (never a global window); per-day
+    // cumsums are day-PARTITIONED windows. Evaluating the gap at each
+    // day point AND its left limit is exact: F_day is flat between its
+    // own jump points, so every plateau's sup is attained at a
+    // neighboring day-point evaluation (both one-sided gaps checked).
+    "q268_daily_drift" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("ts").cast("date").as("day"), col("value").as("v"))
+        .groupBy(col("day"), col("v")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // global contraction + per-day windows
+      val gl = cells.groupBy(col("v"))
+        .agg(sum(col("c")).as("c1")).withColumn("c2", lit(0L))
+      val gcum = cumCounts(s, gl.select(col("v"), col("c1"), col("c2")))
+        .select(col("v"), col("cum1").as("cumg"), col("c1").as("cg"), col("n1").as("ng"))
+      val wdo = Window.partitionBy(col("day")).orderBy(col("v"))
+      val wda = Window.partitionBy(col("day"))
+      cells.join(gcum, "v")
+        .withColumn("cumd", sum(col("c")).over(
+          wdo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nd", sum(col("c")).over(wda))
+        .withColumn("gap", expr(
+          "greatest(abs(cast(cumd as double) / nd - cast(cumg as double) / ng), "
+            + "abs(cast(cumd - c as double) / nd - cast(cumg - cg as double) / ng))"))
+        .groupBy(col("day"))
+        .agg(max(col("nd")).as("n_day"), round(max(col("gap")), 6).as("ks_d"))
+        .crossJoin(broadcast(gl.agg(sum(col("c1")).as("ng"))))
+        .selectExpr("day", "n_day", "ks_d",
+          "round(1.358102 * sqrt(cast(n_day + ng as double) / (cast(n_day as double) * ng)), 6) AS crit_5pct",
+          "ks_d > 1.358102 * sqrt(cast(n_day + ng as double) / (cast(n_day as double) * ng)) AS drift_flag")
+        .orderBy(col("day"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Distribution-free median CI: exact order-statistic (binomial-
+    // rank) 95% bounds for the median of event values — the CI q99's
+    // bootstrap gives the MEAN, obtained here with zero resampling and
+    // an exact-rank guarantee. Ranks l = ⌊(n − z√n)/2⌋, u = ⌈1 +
+    // (n + z√n)/2⌉ looked up in the cumCounts prefix-sum frame (three
+    // bounded rank probes against the broadcast 1-row rank frame; the
+    // contraction is the only corpus shuffle). The exact interpolated
+    // median rides along as the audit column.
+    "q270_median_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val g = ev.groupBy(col("value").as("v"))
+        .agg(count(lit(1)).as("c1")).withColumn("c2", lit(0L))
+      val cum = cumCounts(s, g.select(col("v"), col("c1"), col("c2")))
+        .select(col("v"), col("below"), col("cum1"), col("n1"))
+        .localCheckpoint() // three rank probes consume it
+      val ranks = cum.select(col("n1")).limit(1)
+        .selectExpr("n1",
+          "cast(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) as bigint) AS rl",
+          "cast(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) as bigint) AS ru")
+      val med = ev.agg(expr("round(percentile(value, 0.5), 6)").as("median"))
+      val lo = cum.crossJoin(broadcast(ranks))
+        .filter(col("below") < col("rl") && col("cum1") >= col("rl"))
+        .select(col("v").as("ci_lo")).limit(1) // rank probe is unique; limit proves boundedness
+      val hi = cum.crossJoin(broadcast(ranks))
+        .filter(col("below") < col("ru") && col("cum1") >= col("ru"))
+        .select(col("v").as("ci_hi")).limit(1)
+      ranks.crossJoin(broadcast(med)).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .selectExpr("n1 AS n", "rl AS rank_lo", "ru AS rank_hi", "median",
+          "round(ci_lo, 6) AS ci_lo", "round(ci_hi, 6) AS ci_hi",
+          "ci_lo <= median AND median <= ci_hi AS contains_median")
+    }),
+
+    // ------------------------------------------------------------------
     // Cochran's Q: do the k=|event types| "treatments" elicit the same
     // binary response across user "blocks" — the k-sample McNemar the
     // pairwise tests (q128/q130) can't give. Response x_{u,t} = 1 iff
@@ -1059,6 +1131,38 @@ object Science extends QueryPack {
         + "hh AS (SELECT round((np * CAST(slxy AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(sly AS DOUBLE)) "
         + "/ (np * CAST(slx2 AS DOUBLE) - CAST(slx AS DOUBLE) * CAST(slx AS DOUBLE)), 6) AS hurst FROM sl) "
         + "SELECT w, n_blocks, round(mean_rs, 6) AS mean_rs, hurst FROM perw CROSS JOIN hh ORDER BY w"),
+    "q268_daily_drift" ->
+      ("WITH cells AS (SELECT CAST(ts AS DATE) AS day, value AS v, CAST(count(*) AS BIGINT) AS c "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        + "gl AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM cells GROUP BY v), "
+        + "gcum AS (SELECT v, cg, CAST(sum(cg) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg, "
+        + "(SELECT CAST(sum(cg) AS BIGINT) FROM gl) AS ng FROM gl), "
+        + "j AS (SELECT day, c, cumg, cg, ng, "
+        + "CAST(sum(c) OVER (PARTITION BY day ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumd, "
+        + "CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS nd "
+        + "FROM cells JOIN gcum USING (v)), "
+        + "d AS (SELECT day, max(nd) AS n_day, round(max(greatest("
+        + "abs(CAST(cumd AS DOUBLE) / nd - CAST(cumg AS DOUBLE) / ng), "
+        + "abs(CAST(cumd - c AS DOUBLE) / nd - CAST(cumg - cg AS DOUBLE) / ng))), 6) AS ks_d FROM j GROUP BY day), "
+        + "t AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM gl) "
+        + "SELECT day, n_day, ks_d, "
+        + "round(1.358102 * sqrt(CAST(n_day + ng AS DOUBLE) / (CAST(n_day AS DOUBLE) * ng)), 6) AS crit_5pct, "
+        + "ks_d > 1.358102 * sqrt(CAST(n_day + ng AS DOUBLE) / (CAST(n_day AS DOUBLE) * ng)) AS drift_flag "
+        + "FROM d CROSS JOIN t ORDER BY day"),
+    "q270_median_ci" ->
+      ("WITH g AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS c FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
+        + "CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c AS below FROM g), "
+        + "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM g), "
+        + "rk AS (SELECT n1, CAST(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) AS BIGINT) AS rl, "
+        + "CAST(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) AS BIGINT) AS ru FROM nn), "
+        + "med AS (SELECT round(quantile_cont(value, 0.5), 6) AS median FROM events WHERE value IS NOT NULL), "
+        + "lo AS (SELECT v AS ci_lo FROM cum CROSS JOIN rk WHERE below < rl AND cum1 >= rl), "
+        + "hi AS (SELECT v AS ci_hi FROM cum CROSS JOIN rk WHERE below < ru AND cum1 >= ru) "
+        + "SELECT n1 AS n, rl AS rank_lo, ru AS rank_hi, median, "
+        + "round(ci_lo, 6) AS ci_lo, round(ci_hi, 6) AS ci_hi, "
+        + "ci_lo <= median AND median <= ci_hi AS contains_median "
+        + "FROM rk CROSS JOIN med CROSS JOIN lo CROSS JOIN hi"),
     "q261_cochran_q" ->
       ("WITH ev AS (SELECT user_id, event_type, value FROM events WHERE value IS NOT NULL), "
         + "mv AS (SELECT user_id, event_type, max(value) AS m FROM ev GROUP BY 1, 2), "

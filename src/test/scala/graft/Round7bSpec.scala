@@ -434,6 +434,75 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("q268 daily drift: day-point evaluation equals a brute-force sup over ALL jump points") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .selectExpr("cast(ts as date) AS day", "value").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1)))
+    val global = ev.map(_._2).sorted
+    val ng = global.length
+    val rows = SparkEntry.queries("q268_daily_drift")(spark, sf).collect()
+    rows.length shouldBe ev.map(_._1).distinct.length
+    for (r <- rows) {
+      val d = r.getAs[java.sql.Date]("day").toString
+      val xs = ev.filter(_._1 == d).map(_._2).sorted
+      val nd = xs.length
+      r.getAs[Long]("n_day") shouldBe nd.toLong
+      // brute force: evaluate |F_d - F_g| at EVERY global jump point
+      // and its left limit — the true sup of the step-function gap
+      val pts = global.distinct
+      val sup = pts.flatMap { x =>
+        val fd = xs.count(_ <= x).toDouble / nd
+        val fg = global.count(_ <= x).toDouble / ng
+        val fdm = xs.count(_ < x).toDouble / nd
+        val fgm = global.count(_ < x).toDouble / ng
+        Seq(math.abs(fd - fg), math.abs(fdm - fgm))
+      }.max
+      r.getAs[Double]("ks_d") shouldBe sup +- 1e-5
+    }
+  }
+
+  test("q269 hash uniformity matches an exact bucket recompute for both key populations") {
+    val rows = SparkEntry.queries("q269_hash_uniformity")(spark, sf).collect()
+    rows.length shouldBe 2
+    val pops = Map(
+      "event_id" -> spark.read.parquet(s"$sf/events.parquet").select("event_id")
+        .collect().map(_.getLong(0)),
+      "o_orderkey" -> spark.read.parquet(s"$sf/orders.parquet").select("o_orderkey")
+        .collect().map(_.getLong(0)))
+    for (r <- rows) {
+      val keys = pops(r.getAs[String]("key_name"))
+      val buckets = keys.map(k => h60(k.toString) % 64)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val n = keys.length.toDouble
+      val e = n / 64.0
+      val chi2 = buckets.values.map(c => (c - e) * (c - e) / e).sum
+      r.getAs[Long]("n") shouldBe keys.length.toLong
+      r.getAs[Long]("n_buckets") shouldBe buckets.size.toLong
+      r.getAs[Long]("min_bucket_n") shouldBe buckets.values.min
+      r.getAs[Long]("max_bucket_n") shouldBe buckets.values.max
+      r.getAs[Double]("chi2") shouldBe chi2 +- 1e-4
+      r.getAs[Boolean]("uniform_ok_5pct") shouldBe (chi2 < 82.529)
+    }
+  }
+
+  test("q270 median CI matches exact order-statistic ranks and brackets the median") {
+    val vs = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull).select("value").collect()
+      .map(_.getDouble(0)).sorted
+    val n = vs.length
+    val rl = math.floor((n - 1.959964 * math.sqrt(n)) / 2.0).toLong
+    val ru = math.ceil(1.0 + (n + 1.959964 * math.sqrt(n)) / 2.0).toLong
+    val r = SparkEntry.queries("q270_median_ci")(spark, sf).head()
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Long]("rank_lo") shouldBe rl
+    r.getAs[Long]("rank_hi") shouldBe ru
+    r.getAs[Double]("ci_lo") shouldBe vs((rl - 1).toInt) +- 1e-5
+    r.getAs[Double]("ci_hi") shouldBe vs((ru - 1).toInt) +- 1e-5
+    r.getAs[Double]("median") shouldBe pct(vs, 0.5) +- 1e-5
+    r.getAs[Boolean]("contains_median") shouldBe true
+  }
+
   test("q260 Bloom FPP matches an exact bit-set recompute per config") {
     val members = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
