@@ -445,6 +445,51 @@ object Extensions extends QueryPack {
             "CASE WHEN n_cand_pairs = 0 THEN NULL ELSE cast(sh as double) / n_cand_pairs END"), 6)
             .as("mean_hamming"))
     }),
+
+    // ------------------------------------------------------------------
+    // LSH banding tuner: q49's 16-slot MinHash signatures re-bucketed
+    // at EVERY (bands × rows) split of 16 — (2,8)/(4,4)/(8,2)/(16,1) —
+    // with the measured candidate load (Σ k(k−1)/2 from bucket sizes,
+    // never enumerated) next to the theoretical detection probability
+    // 1−(1−j^r)^b at reference similarities j ∈ {0.3, 0.5, 0.8}. This
+    // is the table that picks a banding BEFORE a billion-doc LSH run:
+    // recall you need vs candidate volume you pay. Signatures are
+    // built once (localCheckpoint, 4 banding consumers); powers are
+    // exp/ln on both engines (the proven parity transcendentals).
+    "q271_lsh_tuning" -> ((s, dir) => {
+      val p = 1000000007L
+      val sigCols = (0 until 16).map { i =>
+        expr(s"array_min(transform(hs, h -> (${2 * i + 3} * h + ${5 * i + 7}) % $p))").as(s"mh$i")
+      }
+      val sig = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").as("toks"))
+        .withColumn("hs", expr(s"transform(toks, tk -> md5_mod(tk, ${p}L))"))
+        .select(col("doc_id") +: sigCols: _*)
+        .localCheckpoint() // four banding rebuckets consume it
+      def banding(b: Int): org.apache.spark.sql.DataFrame = {
+        val r = 16 / b
+        val bandStructs = (0 until b).map { j =>
+          val key = concat_ws(",", (0 until r).map(i => col(s"mh${r * j + i}")): _*)
+          struct(lit(j).as("j"), key.as("bandkey"))
+        }
+        def pd(jac: String) =
+          s"round(1.0 - exp($b * ln(1.0 - exp($r * ln($jac)))), 6)"
+        sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+          .groupBy(col("bk.j").as("j"), col("bk.bandkey").as("bandkey"))
+          .agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("k") > 1, 1).otherwise(0)).as("n_multi_buckets"),
+            sum(expr("k * (k - 1) div 2")).as("n_cand_pairs"),
+            max(col("k")).as("max_bucket"))
+          .selectExpr(s"$b AS bands", s"$r AS rows_per_band",
+            "n_buckets", "n_multi_buckets", "n_cand_pairs", "max_bucket",
+            pd("0.3") + " AS p_detect_j30",
+            pd("0.5") + " AS p_detect_j50",
+            pd("0.8") + " AS p_detect_j80")
+      }
+      Seq(2, 4, 8, 16).map(banding).reduce(_ union _).orderBy(col("bands"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -464,6 +509,30 @@ object Extensions extends QueryPack {
         // CAST: DuckDB integer sum() returns HUGEINT → driver-side float64
         + "SELECT b, count(*) AS n_buckets, CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets, "
         + "CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_cand_pairs, max(k) AS max_bucket FROM buckets GROUP BY b ORDER BY b")
+    },
+    "q271_lsh_tuning" -> {
+      val p = "1000000007"
+      val sigSql = (0 until 16).map(i =>
+        s"list_min(list_transform(hs, h -> (${2 * i + 3} * h + ${5 * i + 7}) % $p)) AS mh$i").mkString(", ")
+      def bandRow(b: Int): String = {
+        val r = 16 / b
+        val bandsSql = (0 until b).map { j =>
+          val key = (0 until r).map(i => s"mh${r * j + i}").mkString(", ")
+          s"SELECT doc_id, $j AS j, concat_ws(',', $key) AS bandkey FROM sig"
+        }.mkString(" UNION ALL ")
+        def pd(jac: String) = s"round(1.0 - exp($b * ln(1.0 - exp($r * ln($jac)))), 6)"
+        (s"(SELECT $b AS bands, $r AS rows_per_band, count(*) AS n_buckets, "
+          + "CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets, "
+          + "CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_cand_pairs, max(k) AS max_bucket, "
+          + pd("0.3") + " AS p_detect_j30, " + pd("0.5") + " AS p_detect_j50, "
+          + pd("0.8") + " AS p_detect_j80 "
+          + s"FROM (SELECT j, bandkey, count(*) AS k FROM ($bandsSql) GROUP BY j, bandkey))")
+      }
+      ("WITH docsets AS (SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS toks FROM documents), "
+        + s"hashed AS (SELECT doc_id, list_transform(toks, tk -> CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) % $p) AS hs FROM docsets), "
+        + s"sig AS MATERIALIZED (SELECT doc_id, $sigSql FROM hashed) "
+        + Seq(2, 4, 8, 16).map(bandRow).mkString(" UNION ALL ")
+        + " ORDER BY bands")
     },
     "q50_simhash" ->
       ("WITH t AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "

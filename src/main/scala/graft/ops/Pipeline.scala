@@ -470,6 +470,41 @@ object Pipeline extends QueryPack {
         .union(audit("o_orderkey", Tables.orders(s, dir), "o_orderkey"))
         .orderBy(col("key_name"))
     }),
+
+    // ------------------------------------------------------------------
+    // Join-key skew audit — the diagnosis that justifies (or rejects)
+    // q67's salting BEFORE a shuffle is launched: per-key row counts
+    // for events.user_id (one contraction), the heavy-key profile
+    // (max/p99 key rows, top-1 share), and the measured max-partition
+    // share at 32 md5 buckets of the RAW key vs the SALTED key
+    // (key‖md5-salt mod 8, q67's scatter). balance_gain = raw/salted
+    // max-share: >1 means salting would flatten the hot partition.
+    // Everything after the per-key contraction is ≤32 bounded cells;
+    // exact integer counts, 6dp output rounding only.
+    "q272_skew_audit" -> ((s, dir) => {
+      val perKey = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // profile agg + both bucket rollups
+      val prof = perKey.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_key_rows"),
+        expr("cast(percentile(c, 0.99) as double)").as("p99_key_rows"))
+      val rawB = perKey
+        .withColumn("b", expr("md5_mod(cast(user_id as string), 32L)"))
+        .groupBy(col("b")).agg(sum(col("c")).as("load"))
+        .agg(max(col("load")).as("max_raw_load"))
+      val saltB = Tables.events(s, dir)
+        .withColumn("b", expr(
+          "md5_mod(concat(cast(user_id as string), '#', cast(md5_mod(cast(event_id as string), 8L) as string)), 32L)"))
+        .groupBy(col("b")).agg(count(lit(1)).as("load"))
+        .agg(max(col("load")).as("max_salt_load"))
+      prof.crossJoin(broadcast(rawB)).crossJoin(broadcast(saltB))
+        .selectExpr("n_keys", "n_rows", "max_key_rows",
+          "round(p99_key_rows, 6) AS p99_key_rows",
+          "round(cast(max_key_rows as double) / n_rows, 6) AS top1_share",
+          "round(cast(max_raw_load as double) / n_rows, 6) AS max_bucket_share_raw",
+          "round(cast(max_salt_load as double) / n_rows, 6) AS max_bucket_share_salted",
+          "round(cast(max_raw_load as double) / max_salt_load, 6) AS balance_gain")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -485,6 +520,21 @@ object Pipeline extends QueryPack {
       audit("event_id", "events", "event_id") + " UNION ALL " +
         audit("o_orderkey", "orders", "o_orderkey") + " ORDER BY key_name"
     },
+    "q272_skew_audit" ->
+      ("WITH perkey AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id), "
+        + "prof AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, "
+        + "max(c) AS max_key_rows, CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_key_rows FROM perkey), "
+        + "rawb AS (SELECT max(load) AS max_raw_load FROM (SELECT CAST(sum(c) AS BIGINT) AS load FROM ("
+        + "SELECT c, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS b FROM perkey) GROUP BY b)), "
+        + "saltb AS (SELECT max(load) AS max_salt_load FROM (SELECT CAST(count(*) AS BIGINT) AS load FROM ("
+        + "SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#' || "
+        + "CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS b FROM events) GROUP BY b)) "
+        + "SELECT n_keys, n_rows, max_key_rows, round(p99_key_rows, 6) AS p99_key_rows, "
+        + "round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top1_share, "
+        + "round(CAST(max_raw_load AS DOUBLE) / n_rows, 6) AS max_bucket_share_raw, "
+        + "round(CAST(max_salt_load AS DOUBLE) / n_rows, 6) AS max_bucket_share_salted, "
+        + "round(CAST(max_raw_load AS DOUBLE) / max_salt_load, 6) AS balance_gain "
+        + "FROM prof CROSS JOIN rawb CROSS JOIN saltb"),
     "q258_context_sweep" ->
       ("WITH per AS (SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt, "
         + "CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), "

@@ -503,6 +503,56 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Boolean]("contains_median") shouldBe true
   }
 
+  test("q271 LSH tuning matches an exact signature/banding recompute; candidates shrink as bands merge") {
+    val p = 1000000007L
+    val sigs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map { r =>
+        val hs = r.getString(1).split(" ").filter(_.nonEmpty).distinct.map(t => h60(t) % p)
+        (0 until 16).map(i => hs.map(h => ((2 * i + 3) * h + (5 * i + 7)) % p).min).toVector
+      }
+    val rows = SparkEntry.queries("q271_lsh_tuning")(spark, sf).collect()
+    rows.map(_.getAs[Int]("bands")).toSeq shouldBe Seq(2, 4, 8, 16)
+    for (r <- rows) {
+      val b = r.getAs[Int]("bands")
+      val rr = 16 / b
+      val buckets = sigs.flatMap(sig => (0 until b).map(j =>
+        (j, sig.slice(rr * j, rr * j + rr)))).groupBy(identity).view.mapValues(_.length.toLong)
+      r.getAs[Int]("rows_per_band") shouldBe rr
+      r.getAs[Long]("n_buckets") shouldBe buckets.size.toLong
+      r.getAs[Long]("n_cand_pairs") shouldBe buckets.values.map(k => k * (k - 1) / 2).sum
+      r.getAs[Long]("max_bucket") shouldBe buckets.values.max
+      for ((j, c) <- Seq(("p_detect_j30", 0.3), ("p_detect_j50", 0.5), ("p_detect_j80", 0.8)))
+        r.getAs[Double](j) shouldBe
+          (1.0 - math.exp(b * math.log(1.0 - math.exp(rr * math.log(c))))) +- 1e-5
+    }
+    // more rows per band = stricter: candidate load must not increase
+    val cands = rows.sortBy(-_.getAs[Int]("rows_per_band")).map(_.getAs[Long]("n_cand_pairs"))
+    cands.toSeq shouldBe cands.sorted
+  }
+
+  test("q272 skew audit matches an exact per-key/bucket recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perKey = ev.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nRows = ev.length.toLong
+    val raw = perKey.toSeq.groupBy { case (u, _) => h60(u.toString) % 32 }
+      .view.mapValues(_.map(_._2).sum).values.max
+    val salted = ev.groupBy { case (u, e) =>
+      h60(s"$u#${h60(e.toString) % 8}") % 32
+    }.view.mapValues(_.length.toLong).values.max
+    val r = SparkEntry.queries("q272_skew_audit")(spark, sf).head()
+    r.getAs[Long]("n_keys") shouldBe perKey.size.toLong
+    r.getAs[Long]("n_rows") shouldBe nRows
+    r.getAs[Long]("max_key_rows") shouldBe perKey.values.max
+    r.getAs[Double]("p99_key_rows") shouldBe
+      pct(perKey.values.toArray.sorted.map(_.toDouble), 0.99) +- 1e-4
+    r.getAs[Double]("top1_share") shouldBe perKey.values.max.toDouble / nRows +- 1e-5
+    r.getAs[Double]("max_bucket_share_raw") shouldBe raw.toDouble / nRows +- 1e-5
+    r.getAs[Double]("max_bucket_share_salted") shouldBe salted.toDouble / nRows +- 1e-5
+    r.getAs[Double]("balance_gain") shouldBe raw.toDouble / salted +- 1e-4
+  }
+
   test("q260 Bloom FPP matches an exact bit-set recompute per config") {
     val members = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
