@@ -198,6 +198,92 @@ object SparkQueryProps extends Properties("graft-queries") {
       }
     }
 
+  /** Stage rows as an events.parquet tree (TIMESTAMP-µs generation —
+    * exercises Tables.events' TimestampType branch under the UTC
+    * session) and hand the dir to `body`. */
+  private def withEventsDir(rows: List[(Long, java.sql.Timestamp, Long, String, Double, String)])(body: String => Prop): Prop = {
+    import spark.implicits._
+    val dir = ops.Stage.fresh("prop_events")
+    try {
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      body(dir.toString)
+    } finally ops.Stage.release(dir)
+  }
+
+  private val channels = Vector("view", "click", "signup")
+
+  /** Users with generated channel subsets + conversion flags — one
+    * event per touched channel, one purchase per converter. */
+  private def genTouches: Gen[List[(Long, Set[String], Boolean)]] = for {
+    n <- Gen.choose(2, 25)
+    us <- Gen.listOfN(n, for {
+      set <- Gen.someOf(channels)
+      conv <- Gen.oneOf(true, false)
+    } yield (set.toSet, conv))
+  } yield us.zipWithIndex.map { case ((set, conv), i) => (i.toLong, set, conv) }
+
+  private def touchRows(us: List[(Long, Set[String], Boolean)]): List[(Long, java.sql.Timestamp, Long, String, Double, String)] = {
+    var eid = 0L
+    us.flatMap { case (u, set, conv) =>
+      (set.toSeq.sorted ++ (if (conv) Seq("purchase") else Nil)).map { t =>
+        eid += 1
+        (eid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, t, 1.0, "")
+      }
+    }
+  }
+
+  property("q266 Shapley credits are efficient on generated coalition structures") =
+    forAllNoShrink(genTouches) { us =>
+      val rows = touchRows(us)
+      if (rows.isEmpty) Prop.passed
+      else withEventsDir(rows) { dir =>
+        val r = SparkEntry.queries("q266_shapley_attribution")(spark, dir).collect()
+        val phiSum = r.map(_.getAs[Double]("phi")).sum
+        val (vf, vb) = (r.head.getAs[Double]("v_full"), r.head.getAs[Double]("v_base"))
+        (r.length == 3) :| s"3 channel rows, got ${r.length}" &&
+          (math.abs(phiSum - (vf - vb)) < 1e-4) :|
+            f"efficiency: sum(phi)=$phiSum%.6f vs v_full-v_base=${vf - vb}%.6f"
+      }
+    }
+
+  property("q252 KMV Jaccard is EXACT whenever the union fits the sketch (n <= 64)") =
+    forAllNoShrink(for {
+      nTypes <- Gen.choose(2, 4)
+      sets <- Gen.listOfN(nTypes, Gen.nonEmptyListOf(Gen.choose(1L, 40L)).map(_.toSet))
+    } yield sets) { sets =>
+      val types = sets.indices.map(i => s"t$i")
+      var eid = 0L
+      val rows = sets.zipWithIndex.flatMap { case (s0, i) =>
+        s0.toSeq.map { u =>
+          eid += 1
+          (eid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, types(i), 1.0, "")
+        }
+      }.toList
+      withEventsDir(rows) { dir =>
+        val r = SparkEntry.queries("q252_kmv_jaccard")(spark, dir).collect()
+        Prop.all(r.map { row =>
+          val est = row.getAs[Double]("est_jaccard")
+          val ex = row.getAs[Double]("exact_jaccard")
+          (math.abs(est - ex) < 1e-6) :|
+            s"${row.getAs[String]("ta")}/${row.getAs[String]("tb")}: est $est != exact $ex with full-union sketch"
+        }.toSeq: _*)
+      }
+    }
+
+  property("q258 context sweep conserves tokens and truncation is monotone on generated corpora") =
+    forAllNoShrink(genDocs(0, 40)) { rows =>
+      withDocsDir(rows) { dir =>
+        val r = SparkEntry.queries("q258_context_sweep")(spark, dir).collect()
+        val conserved = Prop.all(r.map { row =>
+          (row.getAs[Long]("toks_kept") + row.getAs[Long]("toks_lost") ==
+            row.getAs[Long]("toks_total")) :| s"kept+lost != total at ctx ${row.getAs[Int]("ctx_len")}"
+        }.toSeq: _*)
+        val truncs = r.sortBy(_.getAs[Int]("ctx_len")).map(_.getAs[Long]("docs_truncated"))
+        conserved && (truncs.toSeq == truncs.sortBy(-_).toSeq) :| s"docs_truncated not monotone: ${truncs.toSeq}"
+      }
+    }
+
   property("one-pass Welford corr agrees with built-in corr and stays in [-1,1]") =
     forAllNoShrink(for {
       n <- Gen.choose(0, 60)
