@@ -442,9 +442,73 @@ object Curation extends QueryPack {
       }
       res.reduce(_ union _).orderBy(col("threshold"))
     }),
+
+    // ------------------------------------------------------------------
+    // Lognormal fit of the document-length distribution: MLE μ̂/σ̂ of
+    // ln(n_chars) from exact DECIMAL moment sums + the one-sample KS
+    // distance between the empirical CDF and the fitted normal (both
+    // ECDF sides evaluated, so the sup over the step function is
+    // exact). Doc lengths are the canonical lognormal in corpus work —
+    // this is the modeling readout behind packing (q178/q258) and
+    // length-based quality gates. ECDF rides cumCounts' prefix sums;
+    // Φ via the Zelen–Severo polynomial (q212's idiom — identical
+    // double literals on both engines). The 5% threshold uses the
+    // Lilliefors approximation 0.886/√n (params are estimated, so the
+    // plain KS critical value would be anti-conservative).
+    "q275_lognormal_fit" -> ((s, dir) => {
+      val y = Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(expr("ln(cast(n_chars as double))").as("yv"))
+      val fit = y.agg(count(lit(1)).as("n"),
+        sum(expr("cast(yv as decimal(28,12))")).as("sy"),
+        sum(expr("cast(yv * yv as decimal(28,12))")).as("sy2"))
+        .selectExpr("n", "cast(sy as double) / n AS mu",
+          "sqrt(cast(sy2 as double) / n - (cast(sy as double) / n) * (cast(sy as double) / n)) AS sigma")
+      val g = y.groupBy(col("yv").as("v"))
+        .agg(count(lit(1)).as("c1")).withColumn("c2", lit(0L))
+      val cum = Science.cumCounts(s, g.select(col("v"), col("c1"), col("c2")))
+        .select(col("v"), col("below"), col("cum1"), col("n1"))
+      val phi = "CASE WHEN z >= 0 THEN 1.0 - tail ELSE tailn END"
+      cum.crossJoin(broadcast(fit))
+        .withColumn("z", expr("(v - mu) / sigma"))
+        .withColumn("t", expr("1.0d / (1.0d + 0.2316419d * abs(z))"))
+        .withColumn("tail", expr(
+          "0.3989422804014327d * exp(-(z * z) / 2.0d) * " +
+            "(0.319381530d * t - 0.356563782d * t * t + 1.781477937d * t * t * t " +
+            "- 1.821255978d * t * t * t * t + 1.330274429d * t * t * t * t * t)"))
+        .withColumn("tailn", col("tail"))
+        .withColumn("gap", expr(
+          s"greatest(abs(cast(cum1 as double) / n1 - ($phi)), abs(cast(below as double) / n1 - ($phi)))"))
+        .agg(first(col("n1")).as("n"), first(col("mu")).as("mu"),
+          first(col("sigma")).as("sigma"), max(col("gap")).as("ks"))
+        .selectExpr("n", "round(mu, 6) AS mu", "round(sigma, 6) AS sigma",
+          "round(ks, 6) AS ks_stat",
+          "round(0.886 / sqrt(cast(n as double)), 6) AS lilliefors_crit_5pct",
+          "ks < 0.886 / sqrt(cast(n as double)) AS lognormal_ok_5pct")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q275_lognormal_fit" ->
+      ("WITH y AS (SELECT ln(CAST(n_chars AS DOUBLE)) AS yv FROM documents WHERE n_chars > 0), "
+        + "fit AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(yv AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu, "
+        + "sqrt(CAST(sum(CAST(yv * yv AS DECIMAL(28,12))) AS DOUBLE) / count(*) "
+        + "- (CAST(sum(CAST(yv AS DECIMAL(28,12))) AS DOUBLE) / count(*)) * (CAST(sum(CAST(yv AS DECIMAL(28,12))) AS DOUBLE) / count(*))) AS sigma FROM y), "
+        + "g AS (SELECT yv AS v, CAST(count(*) AS BIGINT) AS c FROM y GROUP BY 1), "
+        + "cum AS (SELECT v, CAST(sum(c) OVER w AS BIGINT) AS cum1, CAST(sum(c) OVER w AS BIGINT) - c AS below FROM g "
+        + "WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM g), "
+        + "zz AS (SELECT cum1, below, n1, (v - mu) / sigma AS z FROM cum CROSS JOIN fit CROSS JOIN nn), "
+        + "tt AS (SELECT cum1, below, n1, z, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz), "
+        + "pp AS (SELECT cum1, below, n1, CASE WHEN z >= 0 THEN 1.0 - tail ELSE tail END AS ph FROM ("
+        + "SELECT cum1, below, n1, z, 0.3989422804014327 * exp(-(z * z) / 2.0) * "
+        + "(0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t "
+        + "- 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t) AS tail FROM tt)), "
+        + "k AS (SELECT max(greatest(abs(CAST(cum1 AS DOUBLE) / n1 - ph), abs(CAST(below AS DOUBLE) / n1 - ph))) AS ks FROM pp) "
+        + "SELECT n, round(mu, 6) AS mu, round(sigma, 6) AS sigma, round(ks, 6) AS ks_stat, "
+        + "round(0.886 / sqrt(CAST(n AS DOUBLE)), 6) AS lilliefors_crit_5pct, "
+        + "ks < 0.886 / sqrt(CAST(n AS DOUBLE)) AS lognormal_ok_5pct "
+        + "FROM k CROSS JOIN fit"),
     // q267: q40's candidate-pair CTEs (kept with their jaccard), then
     // per threshold an unrolled 5-step min-label propagation (q228's
     // AS MATERIALIZED lesson) and a 1-row stats select, unioned.

@@ -766,6 +766,72 @@ object Stats extends QueryPack {
           "n / 6.0 * (skew * skew + kurt_excess * kurt_excess / 4.0) > 5.991465 AS reject_normal_5pct")
         .orderBy(col("l_returnflag"))
     }),
+
+    // ------------------------------------------------------------------
+    // WEIGHTED quantiles of extended price, weighted by quantity — the
+    // "per-unit price distribution" a revenue analysis needs where
+    // q21's row-quantiles answer a different question. Prices contract
+    // to per-distinct-value INTEGER weight sums (one shuffle), the
+    // weighted CDF rides cumCounts' range-partitioned prefix sums, and
+    // each of the 4 probes brackets its target weight q·W with a
+    // below/cum filter (≤4 output rows — cum is strictly increasing so
+    // the bracket row is unique). The unweighted percentile rides
+    // along to show WHERE the weighting moves each cut.
+    "q273_weighted_quantile" -> ((s, dir) => {
+      val g = Tables.lineitem(s, dir)
+        .groupBy(col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("c1"))
+        .withColumn("c2", lit(0L))
+      val cum = Science.cumCounts(s, g.select(col("v"), col("c1"), col("c2")))
+        .select(col("v"), col("below"), col("cum1"), col("n1"))
+      val probes = s.range(1).select(posexplode(array(
+        lit(0.25d), lit(0.5d), lit(0.75d), lit(0.9d))).as(Seq("i", "q")))
+      val uw = Tables.lineitem(s, dir).agg(expr(
+        "transform(percentile(l_extendedprice, array(0.25d, 0.5d, 0.75d, 0.9d)), b -> round(b, 6))").as("uq"))
+      cum.crossJoin(broadcast(probes))
+        .filter(col("below") < col("q") * col("n1") && col("cum1") >= col("q") * col("n1"))
+        .crossJoin(broadcast(uw))
+        .selectExpr("q", "n1 AS total_weight",
+          "round(v, 6) AS weighted_q",
+          "element_at(uq, cast(i + 1 as int)) AS unweighted_q",
+          "round(v - element_at(uq, cast(i + 1 as int)), 6) AS shift")
+        .orderBy(col("q"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Ljung–Box portmanteau test: is daily revenue white noise, or is
+    // there autocorrelation ANYWHERE in the first 7 lags — the
+    // one-number upgrade of q23's two point estimates (and the residual
+    // whiteness check behind q193/q209). Classical ACF (common mean,
+    // full-series denominator, both from exact DECIMAL sums) over the
+    // ≤#days daily contraction; all 7 lags evaluate in ONE bounded
+    // window pass (q87's idiom, allowlisted); products quantized
+    // DECIMAL(28,12). LB = n(n+2)·Σ r_k²/(n−k) vs χ²(7) at 5%.
+    "q274_ljung_box" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("xd"))
+        .localCheckpoint() // mean agg + lag window both consume it
+      val m = daily.agg(sum(col("xd")).as("sx"), count(lit(1)).as("n"))
+        .selectExpr("cast(sx as double) / n AS mu", "n")
+      val w = Window.orderBy(col("day")) // bounded: ≤#days cells (allowlisted)
+      val lagged = daily.crossJoin(broadcast(m))
+        .withColumn("x", expr("cast(xd as double) - mu"))
+      val withLags = (1 to 7).foldLeft(lagged)((df, k) =>
+        df.withColumn(s"x$k", lag(col("x"), k).over(w)))
+      val aggCols = Seq(sum(expr("cast(x * x as decimal(28,12))")).as("d0"),
+        first(col("n")).as("n")) ++
+        (1 to 7).map(k => sum(expr(s"cast(x * x$k as decimal(28,12))")).as(s"nu$k"))
+      val sums = withLags.agg(aggCols.head, aggCols.tail: _*)
+      val rks = (1 to 7).map(k =>
+        s"cast(nu$k as double) / cast(d0 as double) AS r$k")
+      val lbTerms = (1 to 7).map(k => s"r$k * r$k / (n - $k)").mkString(" + ")
+      sums.selectExpr(("n" +: rks): _*)
+        .selectExpr(Seq("n") ++ (1 to 7).map(k => s"round(r$k, 6) AS r$k") ++ Seq(
+          s"round(n * (n + 2.0) * ($lbTerms), 6) AS lb_stat",
+          // χ²(7) 5% critical value
+          s"n * (n + 2.0) * ($lbTerms) > 14.067140 AS reject_white_5pct"): _*)
+    }),
   )
 
   /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
@@ -787,6 +853,34 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q273_weighted_quantile" ->
+      ("WITH g AS (SELECT l_extendedprice AS v, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c FROM lineitem GROUP BY 1), "
+        + "cum AS (SELECT v, CAST(sum(c) OVER w AS BIGINT) AS cum1, CAST(sum(c) OVER w AS BIGINT) - c AS below FROM g "
+        + "WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM g), "
+        // q forced to DOUBLE so the q*W bracket boundary uses the same
+        // float as Spark's double literal (a DECIMAL q could land on the
+        // other side of an integer cum when q*W is exactly integral)
+        + "probes AS (SELECT i, CAST(q AS DOUBLE) AS q FROM (VALUES (0, 0.25), (1, 0.5), (2, 0.75), (3, 0.9)) AS t(i, q)), "
+        + "uw AS (SELECT list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]), b -> round(b, 6)) AS uq FROM lineitem) "
+        + "SELECT q, n1 AS total_weight, round(v, 6) AS weighted_q, uq[i + 1] AS unweighted_q, "
+        + "round(v - uq[i + 1], 6) AS shift "
+        + "FROM cum CROSS JOIN nn CROSS JOIN probes CROSS JOIN uw "
+        + "WHERE below < q * n1 AND cum1 >= q * n1 ORDER BY q"),
+    "q274_ljung_box" -> {
+      val lags = (1 to 7).map(k => s"lag(CAST(xd AS DOUBLE) - mu, $k) OVER (ORDER BY day) AS x$k").mkString(", ")
+      val nus = (1 to 7).map(k => s"sum(CAST(x * x$k AS DECIMAL(28,12))) AS nu$k").mkString(", ")
+      val rs = (1 to 7).map(k => s"CAST(nu$k AS DOUBLE) / CAST(d0 AS DOUBLE) AS r$k").mkString(", ")
+      val rounds = (1 to 7).map(k => s"round(r$k, 6) AS r$k").mkString(", ")
+      val lb = (1 to 7).map(k => s"r$k * r$k / (n - $k)").mkString(" + ")
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS xd FROM orders GROUP BY 1), "
+        + "m AS (SELECT CAST(sum(xd) AS DOUBLE) / count(*) AS mu, CAST(count(*) AS BIGINT) AS n FROM daily), "
+        + s"lagged AS (SELECT n, CAST(xd AS DOUBLE) - mu AS x, $lags FROM daily CROSS JOIN m), "
+        + s"sums AS (SELECT any_value(n) AS n, sum(CAST(x * x AS DECIMAL(28,12))) AS d0, $nus FROM lagged), "
+        + s"rr AS (SELECT n, $rs FROM sums) "
+        + s"SELECT n, $rounds, round(n * (n + 2.0) * ($lb), 6) AS lb_stat, "
+        + s"n * (n + 2.0) * ($lb) > 14.067140 AS reject_white_5pct FROM rr")
+    },
     // q63: the raw GK estimates can't cross-engine-match, but the
     // rank-bound booleans can — the oracle pins them TRUE; the hash
     // matches iff Spark's sketch actually met its guarantee.

@@ -553,6 +553,73 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Double]("balance_gain") shouldBe raw.toDouble / salted +- 1e-4
   }
 
+  test("q273 weighted quantiles match an exact weighted-CDF recompute") {
+    val rows0 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1).toLong))
+    val byV = rows0.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val w = byV.map(_._2).sum
+    def wq(q: Double): Double = {
+      var cum = 0L
+      byV.find { case (_, c) => cum += c; cum >= q * w }.get._1
+    }
+    val rows = SparkEntry.queries("q273_weighted_quantile")(spark, sf).collect()
+    rows.map(_.getAs[Double]("q")).toSeq shouldBe Seq(0.25, 0.5, 0.75, 0.9)
+    var last = Double.MinValue
+    for (r <- rows) {
+      val q = r.getAs[Double]("q")
+      r.getAs[Long]("total_weight") shouldBe w
+      r.getAs[Double]("weighted_q") shouldBe wq(q) +- 1e-5
+      r.getAs[Double]("weighted_q") should be >= last // quantiles monotone
+      last = r.getAs[Double]("weighted_q")
+    }
+  }
+
+  test("q274 Ljung-Box matches a plain-Scala classical-ACF recompute") {
+    val daily = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(expr("cast(o_totalprice as decimal(18,2))")).as("xd"))
+      .orderBy(col("day")).collect().map(_.getDecimal(1).doubleValue())
+    val n = daily.length
+    val mu = daily.sum / n
+    val x = daily.map(_ - mu)
+    val d0 = x.map(v => v * v).sum
+    val rks = (1 to 7).map(k => (0 until n - k).map(i => x(i + k) * x(i)).sum / d0)
+    val lb = n * (n + 2.0) * (1 to 7).map(k => rks(k - 1) * rks(k - 1) / (n - k)).sum
+    val r = SparkEntry.queries("q274_ljung_box")(spark, sf).head()
+    r.getAs[Long]("n") shouldBe n.toLong
+    for (k <- 1 to 7) r.getAs[Double](s"r$k") shouldBe rks(k - 1) +- 1e-5
+    r.getAs[Double]("lb_stat") shouldBe lb +- 1e-3
+    r.getAs[Boolean]("reject_white_5pct") shouldBe (lb > 14.067140)
+  }
+
+  test("q275 lognormal fit matches a scalar MLE + exact one-sample-KS recompute") {
+    val ys = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0).select("n_chars").collect()
+      .map(r => math.log(r.getLong(0).toDouble)).sorted
+    val n = ys.length
+    val mu = ys.sum / n
+    val sigma = math.sqrt(ys.map(y => y * y).sum / n - mu * mu)
+    def phi(z: Double): Double = {
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+      val tail = 0.3989422804014327 * math.exp(-z * z / 2.0) *
+        (0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t
+          - 1.821255978 * math.pow(t, 4) + 1.330274429 * math.pow(t, 5))
+      if (z >= 0) 1.0 - tail else tail
+    }
+    val ks = ys.distinct.map { v =>
+      val le = ys.count(_ <= v).toDouble / n
+      val lt = ys.count(_ < v).toDouble / n
+      math.max(math.abs(le - phi((v - mu) / sigma)), math.abs(lt - phi((v - mu) / sigma)))
+    }.max
+    val r = SparkEntry.queries("q275_lognormal_fit")(spark, sf).head()
+    r.getAs[Long]("n") shouldBe n.toLong
+    r.getAs[Double]("mu") shouldBe mu +- 1e-5
+    r.getAs[Double]("sigma") shouldBe sigma +- 1e-5
+    r.getAs[Double]("ks_stat") shouldBe ks +- 1e-5
+    r.getAs[Boolean]("lognormal_ok_5pct") shouldBe (ks < 0.886 / math.sqrt(n.toDouble))
+  }
+
   test("q260 Bloom FPP matches an exact bit-set recompute per config") {
     val members = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
