@@ -832,6 +832,63 @@ object Evaluation extends QueryPack {
           "first_naive_t", "first_obf_t")
         .orderBy(col("t"))
     }),
+
+    // ------------------------------------------------------------------
+    // Cluster-sampling design effect: how much variance does USER-level
+    // randomization cost vs event-level SRS — the experiment-design
+    // number that decides whether q263's user arms are adequately
+    // powered. One user-keyed contraction to exact DECIMAL (n_u, Σx,
+    // Σx²) cells; one-way-ANOVA ICC with the unequal-cluster-size m₀
+    // correction; DEFF = 1 + (m₀−1)·ICC. Per-cluster s²/n terms are
+    // DECIMAL-quantized pre-sum; everything after the contraction is a
+    // 1-row closed form.
+    "q276_design_effect" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nu"),
+          sum(expr("cast(value as decimal(18,2))")).as("su"),
+          sum(expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))")).as("qu"))
+      per.agg(count(lit(1)).as("k"), sum(col("nu")).as("n"),
+        sum(col("su")).as("sx"), sum(col("qu")).as("qx"),
+        sum(expr("nu * nu")).as("n2"),
+        sum(expr("cast((cast(su as double) * cast(su as double)) / nu as decimal(28,12))")).as("sb"))
+        .selectExpr("k", "n",
+          "cast(sb as double) - (cast(sx as double) * cast(sx as double)) / n AS ssb",
+          "cast(qx as double) - cast(sb as double) AS ssw",
+          "(n - cast(n2 as double) / n) / (k - 1) AS m0")
+        .selectExpr("k", "n", "m0",
+          "ssb / (k - 1) AS msb", "ssw / (n - k) AS msw")
+        .selectExpr("k", "n", "round(m0, 6) AS m0",
+          "round((msb - msw) / (msb + (m0 - 1.0) * msw), 6) AS icc")
+        .selectExpr("k AS n_clusters", "n AS n_events", "m0",
+          "icc", "round(1.0 + (m0 - 1.0) * icc, 6) AS deff")
+    }),
+
+    // ------------------------------------------------------------------
+    // Quantile treatment effects: the per-decile gap between the md5
+    // user arms' value distributions — the DISTRIBUTIONAL readout
+    // behind q192's mean difference (a treatment can move the tails
+    // without moving the mean). Both arms' decile arrays come from ONE
+    // aggregate (percentile over the arm-masked column ignores the
+    // NULLs of the other arm, 6dp-rounded boundaries per the q200
+    // convention); the ×9 expansion runs on the 1-row frame.
+    "q277_qte" -> ((s, dir) => {
+      val qs = (1 to 9).map(i => s"0.${i}d").mkString(",")
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("arm", expr(md5mod("cast(user_id as string)", 2)))
+        .agg(
+          expr(s"transform(percentile(CASE WHEN arm = 0 THEN value END, array($qs)), b -> round(b, 6))").as("q0"),
+          expr(s"transform(percentile(CASE WHEN arm = 1 THEN value END, array($qs)), b -> round(b, 6))").as("q1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .select(posexplode(expr("zip_with(q0, q1, (a, b) -> struct(a AS v0, b AS v1))")).as(Seq("i", "p")),
+          col("n0"), col("n1"))
+        .selectExpr("round(cast(i + 1 as double) / 10.0, 1) AS q", "n0", "n1",
+          "p.v0 AS v0", "p.v1 AS v1", "round(p.v1 - p.v0, 6) AS qte")
+        .orderBy(col("q"))
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -863,6 +920,28 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q276_design_effect" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, sum(CAST(value AS DECIMAL(18,2))) AS su, "
+        + "sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS qu "
+        + "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+        + "t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(nu) AS BIGINT) AS n, "
+        + "sum(su) AS sx, sum(qu) AS qx, CAST(sum(nu * nu) AS BIGINT) AS n2, "
+        + "sum(CAST((CAST(su AS DOUBLE) * CAST(su AS DOUBLE)) / nu AS DECIMAL(28,12))) AS sb FROM per), "
+        + "ss AS (SELECT k, n, CAST(sb AS DOUBLE) - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n AS ssb, "
+        + "CAST(qx AS DOUBLE) - CAST(sb AS DOUBLE) AS ssw, "
+        + "(n - CAST(n2 AS DOUBLE) / n) / (k - 1) AS m0 FROM t), "
+        + "ms AS (SELECT k, n, m0, ssb / (k - 1) AS msb, ssw / (n - k) AS msw FROM ss), "
+        + "ic AS (SELECT k, n, round(m0, 6) AS m0, round((msb - msw) / (msb + (m0 - 1.0) * msw), 6) AS icc FROM ms) "
+        + "SELECT k AS n_clusters, n AS n_events, m0, icc, round(1.0 + (m0 - 1.0) * icc, 6) AS deff FROM ic"),
+    "q277_qte" ->
+      ("WITH ev AS (SELECT value, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "agg AS (SELECT list_transform(quantile_cont(CASE WHEN arm = 0 THEN value END, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS q0, "
+        + "list_transform(quantile_cont(CASE WHEN arm = 1 THEN value END, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS q1, "
+        + "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM ev) "
+        + "SELECT round(CAST(i AS DOUBLE) / 10.0, 1) AS q, n0, n1, q0[i] AS v0, q1[i] AS v1, round(q1[i] - q0[i], 6) AS qte "
+        + "FROM agg, LATERAL (SELECT unnest(range(1, 10)) AS i) ORDER BY q"),
     "q263_sequential_ab" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
         + "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "

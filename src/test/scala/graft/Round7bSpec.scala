@@ -620,6 +620,49 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
     r.getAs[Boolean]("lognormal_ok_5pct") shouldBe (ks < 0.886 / math.sqrt(n.toDouble))
   }
 
+  test("q276 design effect matches a scalar one-way-ANOVA ICC recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .selectExpr("user_id", "cast(cast(value as decimal(18,2)) as double) AS v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val grp = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val (k, n) = (grp.size, ev.length)
+    val sx = ev.map(_._2).sum
+    val ssb = grp.values.map(xs => math.pow(xs.sum, 2) / xs.length).sum - sx * sx / n
+    val ssw = ev.map(e => e._2 * e._2).sum - grp.values.map(xs => math.pow(xs.sum, 2) / xs.length).sum
+    val m0 = (n - grp.values.map(xs => math.pow(xs.length, 2)).sum / n) / (k - 1)
+    val (msb, msw) = (ssb / (k - 1), ssw / (n - k))
+    val icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    val r = SparkEntry.queries("q276_design_effect")(spark, sf).head()
+    r.getAs[Long]("n_clusters") shouldBe k.toLong
+    r.getAs[Long]("n_events") shouldBe n.toLong
+    r.getAs[Double]("m0") shouldBe m0 +- 1e-4
+    r.getAs[Double]("icc") shouldBe icc +- 1e-4
+    r.getAs[Double]("deff") shouldBe (1 + (r.getAs[Double]("m0") - 1) * r.getAs[Double]("icc")) +- 1e-4
+    r.getAs[Double]("deff") should be > 0.0
+  }
+
+  test("q277 QTE matches a per-arm interpolated-quantile recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("value").isNotNull)
+      .select("user_id", "value").collect()
+      .map(r => (h60(r.getLong(0).toString) % 2, r.getDouble(1)))
+    val a0 = ev.filter(_._1 == 0).map(_._2).sorted
+    val a1 = ev.filter(_._1 == 1).map(_._2).sorted
+    val rows = SparkEntry.queries("q277_qte")(spark, sf).collect()
+    rows.length shouldBe 9
+    for ((r, i) <- rows.zipWithIndex) {
+      val q = (i + 1) / 10.0
+      r.getAs[Double]("q") shouldBe q +- 1e-9
+      r.getAs[Long]("n0") shouldBe a0.length.toLong
+      r.getAs[Long]("n1") shouldBe a1.length.toLong
+      val (v0, v1) = (pct(a0, q), pct(a1, q))
+      r.getAs[Double]("v0") shouldBe v0 +- 1e-5
+      r.getAs[Double]("v1") shouldBe v1 +- 1e-5
+      r.getAs[Double]("qte") shouldBe (r.getAs[Double]("v1") - r.getAs[Double]("v0")) +- 1e-5
+    }
+  }
+
   test("q260 Bloom FPP matches an exact bit-set recompute per config") {
     val members = spark.read.parquet(s"$sf/orders.parquet")
       .filter(col("o_orderdate").cast("date") < lit("1996-01-01").cast("date"))
