@@ -295,16 +295,27 @@ object SparkQueryProps extends Properties("graft-queries") {
       import spark.implicits._
       val cu = udaf(graft.functions.CorrAggregator,
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
-      val row: Row = pts.toDF("x", "y")
-        .agg(cu(col("x"), col("y")).as("a"), corr(col("x"), col("y")).as("b"))
-        .head()
-      def undef(i: Int): Boolean = row.isNullAt(i) || row.getDouble(i).isNaN
-      if (undef(0) || undef(1))
-        (undef(0) && undef(1)) :| s"one side undefined, other not: $row"
-      else {
-        val (a, b) = (row.getDouble(0), row.getDouble(1))
-        (math.abs(a - b) < 1e-6) :| s"udaf $a vs builtin $b" &&
-          (a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9) :| s"corr out of [-1,1]: $a"
+      val df = pts.toDF("x", "y")
+      val ra: Row = df.agg(cu(col("x"), col("y")).as("a")).head()
+      def undefA: Boolean = ra.isNullAt(0) || ra.getDouble(0).isNaN
+      // the BUILT-IN corr THROWS under ANSI on a zero-variance column
+      // (CorrAggregatorSpec pins this); the UDAF must yield NaN/NULL
+      // there instead of diverging silently
+      val rb: Either[Throwable, Row] =
+        try Right(df.agg(corr(col("x"), col("y")).as("b")).head())
+        catch { case e: ArithmeticException => Left(e) } // SparkArithmeticException (DIVIDE_BY_ZERO)
+      rb match {
+        case Left(_) =>
+          undefA :| s"builtin corr threw (zero variance) but udaf gave ${ra}"
+        case Right(row) =>
+          def undefB: Boolean = row.isNullAt(0) || row.getDouble(0).isNaN
+          if (undefA || undefB)
+            (undefA && undefB) :| s"one side undefined, other not: udaf=$ra builtin=$row"
+          else {
+            val (a, b) = (ra.getDouble(0), row.getDouble(0))
+            (math.abs(a - b) < 1e-6) :| s"udaf $a vs builtin $b" &&
+              (a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9) :| s"corr out of [-1,1]: $a"
+          }
       }
     }
 }
