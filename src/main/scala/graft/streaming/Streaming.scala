@@ -13,16 +13,22 @@ import org.apache.spark.sql.types._
   * Semantics demonstrated:
   *  - event-time processing: the 1-hour windows are computed on the
   *    event's own `ts`, not arrival time;
-  *  - watermarking: `withWatermark("ets", "10 minutes")` bounds state —
-  *    in append mode only windows closed by the watermark emit, so the
-  *    trailing open window is (correctly) withheld; at 100 TB/day this
-  *    is what keeps the state store finite;
-  *  - exactly the same aggregation as the batch twin q44 — stream/batch
-  *    equivalence over the emitted (closed) windows is asserted in the
-  *    test suite.
+  *  - watermarking with a REAL late-data drop: a deterministic subset
+  *    of early rows (user_id % 7 == 3) is staged one tranche late, so
+  *    the 10-minute watermark advanced by tranche 0 drops every moved
+  *    row whose hour-window already closed — at 100 TB/day this is
+  *    what keeps the state store finite;
+  *  - append-mode emission: only watermark-closed windows emit; a
+  *    far-future sentinel tranche (q191's idiom) closes all real
+  *    windows before AvailableNow terminates.
   *
-  * No DuckDB oracle (a stream can't be replayed in DuckDB) → driver
-  * records a rows-only check, per the SparkEntry contract.
+  * Since round 8 this carries a FULL DuckDB hash oracle: the surviving
+  * row set is deterministic — Spark's watermark after tranche 0 is
+  * floor(maxTsUs/1000)·ms − 10 min (EventTimeWatermarkExec tracks max
+  * event time in MILLISECONDS), and a late row is dropped iff its
+  * window end ≤ that watermark — so the emitted windows equal a batch
+  * aggregate over (on-time rows ∪ surviving moved rows), which is the
+  * oracle SQL. StreamBatchSpec pins stream ≡ oracle semantics.
   */
 object Streaming extends QueryPack {
 
@@ -55,54 +61,62 @@ object Streaming extends QueryPack {
         .first().getLong(0) + 30L * 86400 * 1000000L
     }
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    // TIMESTAMP(MICROS) since the 2026-08-13 testdata regeneration
-    // (was INT64 ns; batch reads sniff both via Tables.events, but a
-    // stream needs one declared schema, so this matches current disk)
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------
+    // Watermarked hour-window aggregation with a REAL late-data drop
+    // and a full hash oracle. 4 tranches, one microbatch each:
+    //   b0 = early rows (ts ≤ Jan 11) EXCEPT the moved set,
+    //   b1 = mid rows,
+    //   b2 = the rest + the MOVED set (early rows with user_id%7==3,
+    //        arriving TWO tranches late),
+    //   b3 = far-future sentinel (flushes all windows).
+    // Spark 4 runs TWO watermarks per batch (so chained stateful
+    // operators see consistent input): eviction uses the watermark from
+    // data through batch N−1, but the LATE-EVENT filter uses the
+    // previous batch's value — data through batch N−2 (measured here:
+    // one-tranche-late rows are never dropped). Hence the moved set is
+    // staged two tranches late: at batch b2 the late filter holds
+    // exactly wm0 = floor(maxTsUs(b0)/1000)ms − 10 min, and drops every
+    // moved row whose hour-window end ≤ wm0; moved rows in b0's final
+    // open hour survive and merge into their (not yet evicted) windows.
+    // That kept set is exactly batch-expressible → the oracle. w_start
+    // is emitted as epoch MICROS (bigint) — tz-representation-proof
+    // across the parquet/pandas/DuckDB compare path.
     "q47_stream_demo" -> ((s, dir) => {
       s.catalog.dropTempView("q47_mem")
-      // The file source monitors a DIRECTORY for arriving files; stage
-      // the (read-only) events file into one, as a real ingest dir would.
-      // Per-run temp dir: a fixed shared path would ingest stale files
-      // from earlier runs (and concurrent runs at different SFs would
-      // corrupt each other's window counts).
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      // rawSchema hard-declares TIMESTAMP(MICROS); detect the pre-
-      // 2026-08-13 INT64-ns generation up front and fail with a pointer
-      // instead of an opaque parquet read error mid-stream (the batch
-      // path's Tables.events sniff still reads both generations).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      if (s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType)
-        throw new IllegalStateException(
-          s"$dir/events.parquet is the old INT64 TIMESTAMP(NANOS) generation; the " +
-            "streaming source reads TIMESTAMP(MICROS) only — regenerate testdata (TESTDATA.md)")
-      val in = graft.ops.Stage.fresh("stream_in")
-      Files.copy(Paths.get(s"$dir/events.parquet"),
-        in.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      val q = withStateParts(s)(s.readStream
-        .schema(rawSchema)
-        .parquet(in.toString)
-        // NTZ→TIMESTAMP directly; exact because every shipped entrypoint
-        // pins the session to UTC (a non-UTC session would shift values
-        // and be non-monotonic across DST — ADVICE round 6)
-        .withColumn("ets", col("ts").cast("timestamp"))
+      val inP = graft.ops.Stage.fresh("q47")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // shared by the 3 tranche writes
+      val moved = col("ts_us") <= b1 && col("user_id") % 7 === 3
+      evs.filter(col("ts_us") <= b1 && !moved).coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2 || moved).coalesce(1)
+        .write.mode("overwrite").parquet(s"$in/b2")
+      val far = farSentinelUs(s, dir)
+      import s.implicits._
+      Seq((-1L, far, "zz_sentinel", 0.0))
+        .toDF("user_id", "ts_us", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val q = withStateParts(s)(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .withColumn("ets", timestamp_micros(col("ts_us")))
         .withWatermark("ets", "10 minutes")
-        // watermark-bounded dedup state: an event_id reappearing within
-        // the watermark window is dropped; state for ids older than the
-        // watermark is evicted (exactly-once-per-id at bounded memory)
-        .dropDuplicatesWithinWatermark("event_id")
         .groupBy(window(col("ets"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("sum_v"))
-        .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_v"))
+        .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+          col("cnt"), col("sum_v"))
         .writeStream
         .format("memory")
         .queryName("q47_mem")
@@ -112,8 +126,10 @@ object Streaming extends QueryPack {
       q.awaitTermination()
       // results now live in the memory sink — drop the staged ingest
       // tree eagerly instead of holding it until JVM exit
-      graft.ops.Stage.release(in)
-      s.table("q47_mem").orderBy(col("w_start"), col("event_type"))
+      graft.ops.Stage.release(inP)
+      s.table("q47_mem")
+        .filter(col("event_type") =!= "zz_sentinel")
+        .orderBy(col("w_start_us"), col("event_type"))
     }),
 
     // ------------------------------------------------------------------
@@ -534,6 +550,27 @@ object Streaming extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // q47: the batch replay of the watermark's late-drop. Spark tracks
+    // max event time in MILLISECONDS (µs floor-divided by 1000), and
+    // the LATE-EVENT filter at batch N uses the watermark from data
+    // through batch N−2, so the moved rows (staged two tranches late,
+    // in b2) are filtered against (max_ts_us(b0)//1000 − 600000)·1000
+    // µs; a moved row survives iff its hour-window END exceeds that.
+    // On-time rows are never late (time-ordered tranches + lagged
+    // filter), and the sentinel closes every real window, so emitted =
+    // this kept-set aggregate exactly.
+    "q47_stream_demo" ->
+      ("WITH mv AS (SELECT ts, event_type, value FROM events "
+        + "WHERE ts <= TIMESTAMP '2024-01-11 00:00:00' AND user_id % 7 = 3), "
+        + "wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) * 1000 AS wm_us FROM events "
+        + "WHERE ts <= TIMESTAMP '2024-01-11 00:00:00' AND user_id % 7 <> 3), "
+        + "kept AS (SELECT ts, event_type, value FROM events "
+        + "WHERE NOT (ts <= TIMESTAMP '2024-01-11 00:00:00' AND user_id % 7 = 3) "
+        + "UNION ALL SELECT m.ts, m.event_type, m.value FROM mv m, wm "
+        + "WHERE epoch_us(date_trunc('hour', m.ts) + INTERVAL 1 HOUR) > wm.wm_us) "
+        + "SELECT epoch_us(date_trunc('hour', ts)) AS w_start_us, event_type, "
+        + "count(*) AS cnt, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_v "
+        + "FROM kept GROUP BY 1, 2 ORDER BY w_start_us, event_type"),
     "q191_stream_outer_join" ->
       ("WITH v AS (SELECT user_id, ts AS vts, event_id AS view_id FROM events WHERE event_type = 'view'), "
         + "c AS (SELECT user_id AS c_user, ts AS cts, value AS c_value FROM events WHERE event_type = 'click'), "

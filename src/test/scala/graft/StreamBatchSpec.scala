@@ -24,25 +24,40 @@ class StreamBatchSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
-  test("q47 emitted windows match q44 batch results exactly") {
+  test("q47 emits exactly the batch replay of the lagged late-drop, and drops are real") {
+    import org.apache.spark.sql.functions._
     val stream = SparkEntry.queries("q47_stream_demo")(spark, sf).collect()
-      .map(r => (r.getAs[java.sql.Timestamp]("w_start"), r.getAs[String]("event_type")) ->
+      .map(r => (r.getAs[Long]("w_start_us"), r.getAs[String]("event_type")) ->
         (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v"))).toMap
-    val batch = SparkEntry.queries("q44_window_tumble")(spark, sf).collect()
-      .map(r => (java.sql.Timestamp.valueOf(r.getAs[java.time.LocalDateTime]("w_start")), r.getAs[String]("event_type")) ->
+    // batch replay of the documented semantics: moved rows (early,
+    // user_id%7==3, staged two tranches late) survive iff their
+    // hour-window END exceeds wm0 = floor(maxTsUs(b0)/1000)ms − 10 min
+    val b1 = 1704931200000000L
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_type"), col("value"))
+    val movedC = col("ts_us") <= b1 && col("user_id") % 7 === 3
+    val wm0 = (e.filter(col("ts_us") <= b1 && !(col("user_id") % 7 === 3))
+      .agg(max(col("ts_us"))).first().getLong(0) / 1000L - 600000L) * 1000L
+    val hourUs = 3600L * 1000000L
+    val winEnd = (floor(col("ts_us") / hourUs) + 1) * hourUs
+    val kept = e.filter(!movedC).union(e.filter(movedC && winEnd > wm0))
+    val batch = kept
+      .groupBy((floor(col("ts_us") / hourUs) * hourUs).as("w_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("sum_v"))
+      .collect()
+      .map(r => (r.getAs[Long]("w_start_us"), r.getAs[String]("event_type")) ->
         (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v"))).toMap
-
     stream.size should be > 0
-    // every emitted window agrees with batch
-    for ((k, v) <- stream) withClue(k) { batch(k) shouldBe v }
-    // withheld windows are only those the final watermark left open:
-    // strictly after (max event time - 10 min) truncated to the hour
-    val withheld = batch.keySet.diff(stream.keySet)
-    if (withheld.nonEmpty) {
-      val cutoff = withheld.map(_._1).min
-      val emittedAfter = stream.keySet.count(_._1.compareTo(cutoff) > 0)
-      emittedAfter shouldBe 0
-    }
+    stream shouldBe batch
+    // the drop is non-trivial: some moved rows must actually have been
+    // discarded by the watermark (emitted total < full no-drop total)
+    val full = e.count()
+    val emitted = stream.values.map(_._1).sum
+    emitted should be < full
+    emitted shouldBe kept.count()
   }
 
   test("q90 stream-stream join emits exactly the batch interval join") {
