@@ -768,8 +768,10 @@ object Science extends QueryPack {
         .localCheckpoint() // three rank probes consume it
       val ranks = cum.select(col("n1")).limit(1)
         .selectExpr("n1",
-          "cast(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) as bigint) AS rl",
-          "cast(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) as bigint) AS ru")
+          // clamp to [1, n]: tiny n would otherwise push rl < 1 / ru > n and
+          // make the rank probes unsatisfiable (zero-row result, no diagnostic)
+          "greatest(cast(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) as bigint), 1L) AS rl",
+          "least(cast(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) as bigint), n1) AS ru")
       val med = ev.agg(expr("round(percentile(value, 0.5), 6)").as("median"))
       val lo = cum.crossJoin(broadcast(ranks))
         .filter(col("below") < col("rl") && col("cum1") >= col("rl"))
@@ -819,7 +821,12 @@ object Science extends QueryPack {
         .selectExpr("k", "n_users",
           "round(k * (k - 1) * cast(sdev as double) / (k * sr - sr2), 6) AS q_stat")
         .selectExpr("k", "n_users", "q_stat",
-          "q_stat > 9.487729 AS reject_equal_reach_5pct") // chi2(4) 5%
+          // critical value tracks df = k-1; out-of-table df => NULL flag
+          // (loud) rather than a silently-wrong fixed chi2(4) cutoff
+          "q_stat > (CASE k - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 "
+            + "WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 "
+            + "WHEN 6 THEN 12.591587 WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 "
+            + "WHEN 9 THEN 16.918978 END) AS reject_equal_reach_5pct")
     }),
 
     // ------------------------------------------------------------------
@@ -1154,8 +1161,8 @@ object Science extends QueryPack {
         + "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
         + "CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c AS below FROM g), "
         + "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n1 FROM g), "
-        + "rk AS (SELECT n1, CAST(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) AS BIGINT) AS rl, "
-        + "CAST(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) AS BIGINT) AS ru FROM nn), "
+        + "rk AS (SELECT n1, greatest(CAST(floor((n1 - 1.959964 * sqrt(n1)) / 2.0) AS BIGINT), 1) AS rl, "
+        + "least(CAST(ceil(1.0 + (n1 + 1.959964 * sqrt(n1)) / 2.0) AS BIGINT), n1) AS ru FROM nn), "
         + "med AS (SELECT round(quantile_cont(value, 0.5), 6) AS median FROM events WHERE value IS NOT NULL), "
         + "lo AS (SELECT v AS ci_lo FROM cum CROSS JOIN rk WHERE below < rl AND cum1 >= rl), "
         + "hi AS (SELECT v AS ci_hi FROM cum CROSS JOIN rk WHERE below < ru AND cum1 >= ru) "
@@ -1176,7 +1183,11 @@ object Science extends QueryPack {
         + "sum(CAST((cj - CAST(sr AS DOUBLE) / k) * (cj - CAST(sr AS DOUBLE) / k) AS DECIMAL(28,12))) AS sdev "
         + "FROM c CROSS JOIN kk CROSS JOIN r) "
         + "SELECT k, n_users, round(k * (k - 1) * CAST(sdev AS DOUBLE) / (k * sr - sr2), 6) AS q_stat, "
-        + "round(k * (k - 1) * CAST(sdev AS DOUBLE) / (k * sr - sr2), 6) > 9.487729 AS reject_equal_reach_5pct FROM dev"),
+        + "round(k * (k - 1) * CAST(sdev AS DOUBLE) / (k * sr - sr2), 6) > "
+        + "(CASE k - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
+        + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 "
+        + "WHEN 7 THEN 14.067140 WHEN 8 THEN 15.507313 WHEN 9 THEN 16.918978 END) "
+        + "AS reject_equal_reach_5pct FROM dev"),
     "q264_hill_tail" ->
       ("WITH top AS (SELECT v, rk FROM (SELECT o_totalprice AS v, "
         + "row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) WHERE rk <= 401), "

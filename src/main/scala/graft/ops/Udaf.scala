@@ -105,12 +105,13 @@ object Udaf extends QueryPack {
         .join(pairs.select(col("grp").as("tb"), col("user_id")), "user_id")
         .filter(col("ta") < col("tb"))
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("inter_exact"))
-      sketchPairs.join(broadcast(exact), Seq("ta", "tb"))
+      sketchPairs.join(broadcast(exact), Seq("ta", "tb"), "left")
+        .withColumn("ie", coalesce(col("inter_exact"), lit(0L))) // disjoint pair => jaccard 0, not a dropped row
         .selectExpr("ta", "tb", "k_union", "k_inter",
           "round(cast(k_inter as double) / k_union, 6) AS est_jaccard",
-          "round(cast(inter_exact as double) / (na + nb - inter_exact), 6) AS exact_jaccard",
+          "round(cast(ie as double) / (na + nb - ie), 6) AS exact_jaccard",
           "round(abs(cast(k_inter as double) / k_union "
-            + "- cast(inter_exact as double) / (na + nb - inter_exact)), 6) AS abs_err")
+            + "- cast(ie as double) / (na + nb - ie)), 6) AS abs_err")
         .orderBy(col("ta"), col("tb"))
     }),
   )
@@ -150,12 +151,14 @@ object Udaf extends QueryPack {
         + "est AS (SELECT ta, tb, na, nb, len(un) AS k_union, "
         + "len(list_filter(un, x -> list_contains(ska, x) AND list_contains(skb, x))) AS k_inter FROM u), "
         + "ex AS (SELECT a.grp AS ta, b.grp AS tb, CAST(count(*) AS BIGINT) AS inter_exact "
-        + "FROM pairs a JOIN pairs b ON a.user_id = b.user_id AND a.grp < b.grp GROUP BY 1, 2) "
+        + "FROM pairs a JOIN pairs b ON a.user_id = b.user_id AND a.grp < b.grp GROUP BY 1, 2), "
+        + "co AS (SELECT ta, tb, k_union, k_inter, coalesce(inter_exact, 0) AS ie, na, nb "
+        + "FROM est LEFT JOIN ex USING (ta, tb)) "
         + "SELECT ta, tb, k_union, k_inter, "
         + "round(CAST(k_inter AS DOUBLE) / k_union, 6) AS est_jaccard, "
-        + "round(CAST(inter_exact AS DOUBLE) / (na + nb - inter_exact), 6) AS exact_jaccard, "
+        + "round(CAST(ie AS DOUBLE) / (na + nb - ie), 6) AS exact_jaccard, "
         + "round(abs(CAST(k_inter AS DOUBLE) / k_union "
-        + "- CAST(inter_exact AS DOUBLE) / (na + nb - inter_exact)), 6) AS abs_err "
-        + "FROM est JOIN ex USING (ta, tb) ORDER BY ta, tb"),
+        + "- CAST(ie AS DOUBLE) / (na + nb - ie)), 6) AS abs_err "
+        + "FROM co ORDER BY ta, tb"),
   )
 }

@@ -322,6 +322,9 @@ class Round7bSpec extends AnyFunSuite with Matchers with SharedSpark {
       .select("o_totalprice", "o_orderkey").collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
       .sortBy { case (v, k) => (-v, k) }.map(_._1)
+    // fixture sanity: q264 joins each k-slice to its x_(k+1) cut over limit(401);
+    // fewer than 401 orders would silently drop k-rows in BOTH engines
+    assert(vs.length >= 401, s"orders fixture too small for the Hill cut: ${vs.length} < 401")
     val rows = SparkEntry.queries("q264_hill_tail")(spark, sf).collect()
     rows.map(_.getAs[Int]("k")).toSeq shouldBe Seq(100, 200, 400)
     for (r <- rows) {
