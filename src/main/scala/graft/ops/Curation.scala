@@ -402,8 +402,8 @@ object Curation extends QueryPack {
     // the curve a curation owner reads before fixing the dedup
     // threshold (q239 reports savings at ONE threshold; this is the
     // decision table). Per threshold: filter the checkpointed pair
-    // frame, 5 bounded label-propagation iterations (q80's CC shape,
-    // localCheckpoint per step), survivor = min doc per cluster,
+    // frame, fixpoint-certified label propagation (Text.ccMinLabels,
+    // q80's CC shape), survivor = min doc per cluster,
     // removed tokens joined from the per-doc length contraction. Four
     // 1-row aggregates unioned — the pair graph is built ONCE for the
     // whole sweep (and shared with q40/q80/q190/q229 via the memo).
@@ -420,15 +420,7 @@ object Curation extends QueryPack {
         val edges = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
           .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
           .localCheckpoint()
-        var labels = edges.select(col("u").as("doc")).distinct()
-          .withColumn("lbl", col("doc"))
-        for (_ <- 1 to 5) {
-          labels = labels
-            .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
-              .select(col("u").as("doc"), col("lbl")))
-            .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint()
-        }
+        val labels = Text.ccMinLabels(edges) // fixpoint-certified, diameter-safe
         val st = labels.join(nt, col("doc") === col("doc_id"))
           .agg(count(lit(1)).as("docs_flagged"),
             countDistinct(col("lbl")).as("n_clusters"),

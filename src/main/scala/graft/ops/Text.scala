@@ -138,11 +138,11 @@ object Text extends QueryPack {
     // ------------------------------------------------------------------
     // Dedup-cluster consolidation: q40's near-dup PAIRS are only half
     // the dedup story — transitive groups must collapse to one survivor.
-    // Connected components by min-label propagation over the pair
-    // graph: 5 deterministic iterations (cluster diameters here are
-    // tiny; a 100 TB run iterates to fixpoint the same way — this IS
+    // Connected components by pointer-jumped min-label propagation over
+    // the pair graph, run to a certified fixpoint ([[ccMinLabels]]:
+    // O(log diameter) passes, zero-labels-changed exit — this IS
     // large-scale CC, the GraphX/Pregel shape in plain DataFrames).
-    // Each iteration localCheckpoints: iterative plans otherwise grow
+    // Each pass localCheckpoints: iterative plans otherwise grow
     // exponentially deep lineage, the standard Spark iterative-algo
     // practice.
     "q80_dedup_clusters" -> ((s, dir) => {
@@ -254,27 +254,54 @@ object Text extends QueryPack {
         .localCheckpoint()
     }
 
-  /** Connected-component labels over the [[nearDupPairs]] graph: 5
-    * bounded label-propagation iterations (join + min, localCheckpoint
-    * per iteration — the large-scale CC / GraphX-Pregel shape in plain
-    * DataFrames). Shared by q80 (cluster rollup) and q229 (cluster-size
-    * distribution); the pair graph itself is the memoized checkpoint,
-    * so the propagation runs over a tiny frame. */
+  /** Connected-component min-labels over a SYMMETRIC (u,v) edge frame:
+    * pointer-jumped min-label propagation run to an EXPLICIT fixpoint.
+    * Each pass takes the neighborhood min (distance 1) and then
+    * compresses labels through themselves (lbl ← lbl(lbl)), so covered
+    * distance roughly DOUBLES per pass — a fixed k-pass propagation
+    * silently under-merges any component of diameter > k, the failure
+    * mode a 100× corpus with long dup-chains would hit. Convergence is
+    * certified, not assumed: the loop exits only when a pass changes
+    * ZERO labels (the per-pass changed-count is a scalar driver action
+    * over the already-checkpointed frame — the same constant-size
+    * pattern as cumCounts' partition counters, never a data-sized
+    * collect). Fixpoint labels == per-component min doc id (union-find
+    * semantics), so downstream oracles are iteration-count independent.
+    * localCheckpoint per pass keeps iterative lineage flat. */
+  private[ops] def ccMinLabels(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("u").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    var changed = 1L
+    var pass = 0
+    while (changed > 0) {
+      pass += 1
+      require(pass <= 40, "ccMinLabels: no fixpoint after 40 passes (2^40 diameter?)")
+      val prop = labels
+        .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
+          .select(col("u").as("doc"), col("lbl")))
+        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
+      val jumped = prop
+        .join(prop.select(col("doc").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"), "left")
+        .select(col("doc"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = jumped.join(labels.select(col("doc"), col("lbl").as("prev")), "doc")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = jumped
+    }
+    labels
+  }
+
+  /** Connected-component labels over the [[nearDupPairs]] graph via
+    * [[ccMinLabels]]. Shared by q80 (cluster rollup), q229 (cluster-size
+    * distribution) and q239 (savings report); the pair graph itself is
+    * the memoized checkpoint, so the fixpoint loop runs over a tiny
+    * frame. */
   private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v").localCheckpoint()
-    var labels = edges.select(col("u").as("doc")).distinct()
-      .withColumn("lbl", col("doc"))
-    for (_ <- 1 to 5) {
-      labels = labels
-        .union(edges.join(labels.withColumnRenamed("doc", "v"), "v")
-          .select(col("u").as("doc"), col("lbl")))
-        .groupBy(col("doc")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-    }
-    labels
+    ccMinLabels(edges)
   }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
