@@ -258,7 +258,11 @@ object Behavior extends QueryPack {
         sum(when(col("ss") === 0, col("v"))).as("v_base"))
       terms.crossJoin(broadcast(ends))
         .selectExpr("channel", "round(cast(phiq as double), 6) AS phi",
-          "round(cast(phiq as double) / (v_full - v_base), 6) AS share",
+          // nullif: a coalition structure where conversion is channel-
+          // independent makes v_full == v_base (no credit to split) —
+          // share is NULL there, never an ANSI divide-by-zero throw
+          // (surfaced by the generated-structure ScalaCheck property)
+          "round(cast(phiq as double) / nullif(v_full - v_base, 0.0d), 6) AS share",
           "round(v_full, 6) AS v_full", "round(v_base, 6) AS v_base")
         .orderBy(col("channel"))
     }),
@@ -282,7 +286,7 @@ object Behavior extends QueryPack {
         + "WHERE a.ss = s.ss AND b.ss = (s.ss | ch.bit) AND (s.ss & ch.bit) = 0) GROUP BY channel), "
         + "ends AS (SELECT sum(CASE WHEN ss = 7 THEN v END) AS v_full, sum(CASE WHEN ss = 0 THEN v END) AS v_base FROM vtab) "
         + "SELECT channel, round(CAST(phiq AS DOUBLE), 6) AS phi, "
-        + "round(CAST(phiq AS DOUBLE) / (v_full - v_base), 6) AS share, "
+        + "round(CAST(phiq AS DOUBLE) / nullif(v_full - v_base, 0.0), 6) AS share, "
         + "round(v_full, 6) AS v_full, round(v_base, 6) AS v_base "
         + "FROM terms CROSS JOIN ends ORDER BY channel"),
     "q147_assoc_rules" ->

@@ -243,7 +243,11 @@ object SparkQueryProps extends Properties("graft-queries") {
         val (vf, vb) = (r.head.getAs[Double]("v_full"), r.head.getAs[Double]("v_base"))
         (r.length == 3) :| s"3 channel rows, got ${r.length}" &&
           (math.abs(phiSum - (vf - vb)) < 1e-4) :|
-            f"efficiency: sum(phi)=$phiSum%.6f vs v_full-v_base=${vf - vb}%.6f"
+            f"efficiency: sum(phi)=$phiSum%.6f vs v_full-v_base=${vf - vb}%.6f" &&
+          // channel-independent conversion (v_full == v_base) has no
+          // credit to split: share must be NULL, never a throw
+          (vf != vb || r.forall(_.isNullAt(r.head.fieldIndex("share")))) :|
+            "degenerate structure (v_full == v_base) must yield NULL shares"
       }
     }
 
