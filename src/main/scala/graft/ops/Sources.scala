@@ -113,6 +113,52 @@ object Sources extends QueryPack {
           min(col("l_shipdate")).as("first_ship"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+
+    // ------------------------------------------------------------------
+    // Write-side MERGE (upsert + delete) — the transactional-table
+    // surface q85/q91 only READ: a staged base table and a CDC change
+    // batch (op ∈ U/D/I, disjoint keys by mod-10 slice: %10=1 updates
+    // acctbal, %10=2 deletes, %10=3 inserts under new keys) are merged
+    // by ONE full-outer join on the key — matched+D drops, matched+U
+    // takes the change row, unmatched+I inserts, unmatched base rows
+    // pass through — then written, read back, and aggregated, so the
+    // hash covers the POST-MERGE table content end-to-end. The join is
+    // the scale shape (changes ⋈ base shuffles keys once; a small batch
+    // broadcasts under AQE); update arithmetic runs in DECIMAL(18,2) so
+    // both engines produce bit-identical balances. Oracle recomputes
+    // the merge INDEPENDENTLY as (base ∖ changed-keys) ∪ upserts —
+    // set algebra, not a join — so a merge bug can't cancel out.
+    "q278_merge_upsert" -> ((s, dir) => {
+      val stage = Stage.dir("merge278")
+      val cust = Tables.customer(s, dir)
+      cust.write.mode("overwrite").parquet(s"$stage/base")
+      val upd = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_acctbal",
+          (col("c_acctbal").cast("decimal(18,2)") + lit(100)).cast("double"))
+        .withColumn("op", lit("U"))
+      val del = cust.filter(col("c_custkey") % 10 === 2).withColumn("op", lit("D"))
+      val ins = cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .withColumn("c_name", concat(lit("new|"), col("c_name")))
+        .withColumn("op", lit("I"))
+      upd.unionByName(del).unionByName(ins)
+        .write.mode("overwrite").parquet(s"$stage/changes")
+      val base = s.read.parquet(s"$stage/base").alias("b")
+      val chg = s.read.parquet(s"$stage/changes").alias("c")
+      val dataCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      base.join(chg, col("b.c_custkey") === col("c.c_custkey"), "full_outer")
+        .filter(col("c.op").isNull || col("c.op") =!= "D")
+        .select(dataCols.map(x =>
+          when(col("c.op").isNotNull, col(s"c.$x")).otherwise(col(s"b.$x")).as(x)): _*)
+        .write.mode("overwrite").parquet(s"$stage/merged")
+      s.read.parquet(s"$stage/merged")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"),
+          sum(when(col("c_name").startsWith("new|"), 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -137,5 +183,21 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue, "
         + "min(o_orderdate) AS first_order FROM orders JOIN customer ON o_custkey = c_custkey "
         + "GROUP BY c_mktsegment, o_orderstatus ORDER BY c_mktsegment, o_orderstatus"),
+    "q278_merge_upsert" ->
+      ("WITH upserts AS ("
+        + "SELECT c_custkey, c_name, c_nationkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS c_acctbal, c_mktsegment "
+        + "FROM customer WHERE c_custkey % 10 = 1 "
+        + "UNION ALL SELECT c_custkey + 1000000, 'new|' || c_name, c_nationkey, c_acctbal, c_mktsegment "
+        + "FROM customer WHERE c_custkey % 10 = 3), "
+        + "merged AS ("
+        + "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer "
+        + "WHERE c_custkey % 10 <> 1 AND c_custkey % 10 <> 2 "
+        + "UNION ALL SELECT * FROM upserts) "
+        + "SELECT c_mktsegment, count(*) AS n_cust, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
+        + "CAST(sum(CASE WHEN c_name LIKE 'new|%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted "
+        + "FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }

@@ -804,6 +804,46 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Bounded-hop BFS reach: hop distance of every near-dup-graph node
+    // from the GREEDY-SURVIVOR seed set (docs with no smaller neighbor
+    // — doc_a-side-only nodes of the canonical a<b pair frame, i.e.
+    // exactly what keep-first pairwise dedup retains), reported as the
+    // distance distribution with per-level min/max doc. "How many hops
+    // of transitive duplication separate a doc from a kept survivor" is
+    // the chain-depth readout CC labels erase; dist is capped at 4 BY
+    // DEFINITION (−1 = farther), so the fixed frontier count is the
+    // semantics, not an approximation (contrast [[ccMinLabels]]'s
+    // certified fixpoint). 4 frontier expansions = 4 keyed joins over
+    // the tiny memoized pair frame, anti-join dedup per level,
+    // localCheckpoint per step — the Pregel BFS shape in DataFrames.
+    "q279_graph_reach" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint() // seeds + both edge directions consume it
+      val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .localCheckpoint()
+      val nodes = edges.select(col("u").as("doc")).distinct()
+      val seeds = pairs.select(col("doc_a")).distinct()
+        .join(pairs.select(col("doc_b").as("doc_a")).distinct(), Seq("doc_a"), "left_anti")
+        .select(col("doc_a").as("doc"))
+      var dist = seeds.withColumn("d", lit(0)).localCheckpoint()
+      for (i <- 1 to 4) {
+        val next = dist.filter(col("d") === i - 1)
+          .join(edges, col("doc") === col("u"))
+          .select(col("v").as("doc")).distinct()
+          .join(dist.select(col("doc")), Seq("doc"), "left_anti")
+          .withColumn("d", lit(i))
+        dist = dist.union(next).localCheckpoint()
+      }
+      nodes.join(dist, Seq("doc"), "left")
+        .withColumn("dist", coalesce(col("d"), lit(-1)))
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc")).as("min_doc"), max(col("doc")).as("max_doc"))
+        .orderBy(col("dist"))
+    }),
+
+    // ------------------------------------------------------------------
     // Duplicate-cluster size distribution: the q80 connected components
     // rolled up one level further — how many clusters of each size the
     // near-dup graph contains (the shape a dedup report leads with:
@@ -1357,6 +1397,34 @@ object Text extends QueryPack {
           + s"(SELECT count(*) FROM e$i) AS n_edges").mkString(" UNION ALL ")
       (s"WITH $pairCtes, e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs), $levels "
         + s"SELECT * FROM ($stats) ORDER BY iter")
+    },
+    // q279: q40's candidate-pair CTEs verbatim, then 4 BFS frontier
+    // expansions unrolled as chained MATERIALIZED CTEs (r_i = reached
+    // within i hops; f_i = the new frontier at exactly i hops).
+    "q279_graph_reach" -> {
+      val pairCtes =
+        ("sh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01)")
+      val levels = (1 to 4).map(i =>
+        s"f$i AS MATERIALIZED (SELECT DISTINCT e.v AS doc FROM edges e JOIN r${i - 1} r ON r.doc = e.u AND r.d = ${i - 1} "
+          + s"WHERE e.v NOT IN (SELECT doc FROM r${i - 1})), "
+          + s"r$i AS MATERIALIZED (SELECT doc, d FROM r${i - 1} UNION ALL SELECT doc, $i FROM f$i)")
+        .mkString(", ")
+      (s"WITH $pairCtes, "
+        + "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+        + "nodes AS (SELECT DISTINCT u AS doc FROM edges), "
+        + "seeds AS (SELECT DISTINCT doc_a AS doc FROM pairs WHERE doc_a NOT IN (SELECT doc_b FROM pairs)), "
+        + "r0 AS MATERIALIZED (SELECT doc, 0 AS d FROM seeds), "
+        + s"$levels "
+        + "SELECT coalesce(r.d, -1) AS dist, CAST(count(*) AS BIGINT) AS n_docs, "
+        + "min(n.doc) AS min_doc, max(n.doc) AS max_doc "
+        + "FROM nodes n LEFT JOIN r4 r ON r.doc = n.doc GROUP BY 1 ORDER BY 1")
     },
     "q229_cluster_sizes" -> {
       val pairCtes =
