@@ -299,6 +299,106 @@ class StreamRecoverySpec extends AnyFunSuite with Matchers with SharedSpark {
     sessionRecoveryCase(tws = false, tag = "recovs")
   }
 
+  test("stream-stream FULL OUTER join resumes from checkpoint with identical null-extended emission") {
+    import spark.implicits._
+    // q220's shape: the post-watermark null-flush is the subtlest state
+    // machine in the repo — an unmatched row sits in the join state until
+    // the OTHER side's watermark passes its window, then emits exactly
+    // once, null-extended. The kill lands BEFORE the sentinel tranche, so
+    // rows already in state must survive the restart and still null-flush
+    // exactly once afterwards.
+    val b1 = 1704931200000000L // 2024-01-11 UTC, µs (q90/q220's split)
+    val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .localCheckpoint()
+    val far = evs.agg(max(col("ts_us"))).first().getLong(0) + 30L * 86400 * 1000000L
+    val sentinel = Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val t0 = evs.filter(col("ts_us") <= b1)
+    val t1 = evs.filter(col("ts_us") > b1 && col("ts_us") <= b2)
+    val t2 = evs.filter(col("ts_us") > b2)
+
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def run(in: java.nio.file.Path, out: String, ck: String): Unit = {
+      def src() = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"),
+          col("value").as("c_value"))
+        .withWatermark("cts", "1 hour")
+      views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    // null-tolerant canonical row: (user, view_id | -1, vts | "-", cts | "-", value | -1)
+    def emitted(out: String): Seq[(Long, Long, String, String, Double)] =
+      spark.read.parquet(out)
+        .withColumn("u", coalesce(col("user_id"), col("c_user")))
+        .filter(col("u") >= 0) // drop the watermark sentinels
+        .select(col("u"), coalesce(col("view_id"), lit(-1L)),
+          coalesce(col("vts").cast("string"), lit("-")),
+          coalesce(col("cts").cast("string"), lit("-")),
+          coalesce(col("c_value"), lit(-1.0)))
+        .as[(Long, Long, String, String, Double)].collect().sorted.toSeq
+    def stage(root: java.nio.file.Path, tranches: (String, DataFrame)*): Unit =
+      tranches.foreach { case (name, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+      }
+
+    // Reference: uninterrupted run over all four tranches.
+    val inA = ops.Stage.fresh("recovfo_in_a")
+    val outA = ops.Stage.fresh("recovfo_out_a").toString
+    val ckA = ops.Stage.fresh("recovfo_ck_a").toString
+    stage(inA, "b0" -> t0, "b1" -> t1, "b2" -> t2, "b3" -> sentinel)
+    run(inA, outA, ckA)
+
+    // Interrupted run: the kill lands after b0/b1 drain, BEFORE the
+    // sentinel — unmatched rows from both sides sit in the state store
+    // awaiting their null-flush.
+    val inB = ops.Stage.fresh("recovfo_in_b")
+    val outB = ops.Stage.fresh("recovfo_out_b").toString
+    val ckB = ops.Stage.fresh("recovfo_ck_b").toString
+    stage(inB, "b0" -> t0, "b1" -> t1)
+    run(inB, outB, ckB)
+    val firstEmit = emitted(outB)
+    stage(inB, "b2" -> t2, "b3" -> sentinel)
+    run(inB, outB, ckB) // resume: same checkpoint, same sink
+
+    val a = emitted(outA)
+    val b = emitted(outB)
+    a.length should be > 0
+    val lateFlush = b.toSet -- firstEmit.toSet
+    withClue("a pre-stop row must null-flush AFTER the restart (state survived the kill): ") {
+      // view-only rows (cts == "-") whose view arrived in b0/b1 but whose
+      // null-extension could only emit once the post-restart watermark advanced
+      lateFlush.exists(r => r._4 == "-" && r._2 >= 0) shouldBe true
+      // and the click-only null path too (view_id == -1)
+      lateFlush.exists(r => r._2 == -1L && r._4 != "-") shouldBe true
+    }
+    withClue("restart must only APPEND to what the first run emitted: ") {
+      b.toSet should contain allElementsOf firstEmit.toSet
+      firstEmit.length should be < b.length
+    }
+    withClue("interrupted+resumed emission must equal the uninterrupted run (exactly-once null-flush): ") {
+      b shouldBe a
+    }
+  }
+
   test("transformWithState sessionizer resumes from a RocksDB checkpoint with identical session emission") {
     // mirror q145: the successor API runs on the RocksDB state store,
     // so this restart also exercises RocksDB snapshot/changelog restore
