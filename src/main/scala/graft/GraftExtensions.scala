@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.slidingInfo, GraftFunctions.slidingBuilder))
     ext.injectFunction((GraftFunctions.md5ModIdent,
       GraftFunctions.md5ModInfo, GraftFunctions.md5ModBuilder))
+    ext.injectFunction((GraftFunctions.jaroWinklerIdent,
+      GraftFunctions.jaroWinklerInfo, GraftFunctions.jaroWinklerBuilder))
     // portable md5-chain SQL → native Md5Mod (literal non-zero modulus
     // only; see the rule's scaladoc for the ANSI zero-divisor caveat)
     ext.injectOptimizerRule(_ => graft.plans.RewriteMd5Chain)

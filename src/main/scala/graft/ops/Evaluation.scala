@@ -889,6 +889,96 @@ object Evaluation extends QueryPack {
           "p.v0 AS v0", "p.v1 AS v1", "round(p.v1 - p.v0, 6) AS qte")
         .orderBy(col("q"))
     }),
+
+    // ------------------------------------------------------------------
+    // Qini uplift curve: the two-arm generalization of q200's one-arm
+    // decile lift — does targeting high-activity users first capture
+    // more of the treatment effect? Users contract to (score = event
+    // count, treated = md5 arm, converted = any purchase); deciles come
+    // from broadcast 6dp-rounded percentile boundaries (q200's
+    // convention — never a global row_number over users), and the Qini
+    // statistic cumulates top-decile-down over the 10 decile cells
+    // (allowlisted window): qini(d) = CXt − CXc·CNt/CNc = incremental
+    // converts vs a control scaled to treated exposure. nullif guards
+    // the empty-control prefix (q266's lesson).
+    "q283_uplift_qini" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("treated", expr(md5mod("cast(user_id as string)", 2)))
+        .localCheckpoint() // boundary agg + decile assignment both consume it
+      val bs = users.agg(expr(
+        "transform(percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 6))").as("bs"))
+      val cells = users.crossJoin(broadcast(bs))
+        .withColumn("decile", expr("size(filter(bs, b -> score > b)) + 1"))
+        .groupBy(col("decile"))
+        .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treated") === 1, col("conv")).otherwise(0L)).as("xt"),
+          sum(when(col("treated") === 0, col("conv")).otherwise(0L)).as("xc"))
+      val w = Window.orderBy(col("decile").desc) // bounded: 10 decile cells (allowlisted)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("cnt", sum(col("nt")).over(w))
+        .withColumn("cnc", sum(col("nc")).over(w))
+        .withColumn("cxt", sum(col("xt")).over(w))
+        .withColumn("cxc", sum(col("xc")).over(w))
+        .select(col("decile").cast("int").as("decile"),
+          col("nt"), col("nc"), col("xt"), col("xc"), col("cnt"), col("cnc"),
+          round(expr("cxt - (cast(cxc as double) * cnt) / nullif(cnc, 0)"), 6).as("qini"),
+          round(expr("cast(cxt as double) / nullif(cnt, 0) - cast(cxc as double) / nullif(cnc, 0)"), 6)
+            .as("uplift_gap"))
+        .orderBy(col("decile").desc)
+    }),
+
+    // ------------------------------------------------------------------
+    // Isotonic calibration (weighted PAVA) of q201's reliability curve:
+    // the monotone conversion-rate fit over the 10 fixed-width score
+    // bins, computed EXACTLY via the minimax closed form
+    // iso_i = max_{j≤i} min_{k≥i} rate(j..k) — the pool-adjacent-
+    // violators solution without PAVA's sequential pooling loop, so it
+    // runs as two bounded aggregations over the ≤55 (j,k) bin-range
+    // cells (prefix sums → triangular self-join → per-(i,j) min →
+    // per-i max). rate(j..k) = one double division of exact integer
+    // range sums — bit-identical both engines; Round8Spec proves the
+    // fit against a scalar pooling PAVA.
+    "q284_isotonic_calibration" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      val mx = ev.agg(max(col("value")).as("vmax"))
+      val bins = ev.crossJoin(broadcast(mx))
+        .withColumn("bin", expr("least(cast(floor(value / vmax * 10) as int), 9)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+        .localCheckpoint() // prefix frame + final join-back consume it
+      val wb = Window.orderBy(col("bin")) // bounded: ≤10 bin cells (allowlisted)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins
+        .withColumn("cn", sum(col("n")).over(wb))
+        .withColumn("cpos", sum(col("pos")).over(wb))
+        .select(col("bin"), col("cn"), col("cpos"))
+        .localCheckpoint() // both sides of the triangular join
+      // range rate over bins j..k from prefix sums (j ≤ k): the ≤55-cell
+      // triangular frame; the sentinel -1 row supplies the empty prefix
+      val zero = s.range(1).select(lit(-1).as("bin"), lit(0L).as("cn"), lit(0L).as("cpos"))
+      val prez = pre.unionByName(zero)
+      val ranges = prez.select(col("bin").as("jm1"), col("cn").as("cnj"), col("cpos").as("cpj"))
+        .join(pre.select(col("bin").as("k"), col("cn").as("cnk"), col("cpos").as("cpk")),
+          col("jm1") < col("k"))
+        .select((col("jm1") + 1).as("j"), col("k"),
+          expr("cast(cpk - cpj as double) / (cnk - cnj)").as("rate"))
+      val iso = bins.select(col("bin").as("i"))
+        .join(ranges, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy(col("i"), col("j")).agg(min(col("rate")).as("minr"))
+        .groupBy(col("i")).agg(max(col("minr")).as("iso"))
+      bins.join(iso, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("pos"),
+          round(expr("cast(pos as double) / n"), 6).as("raw_rate"),
+          round(col("iso"), 6).as("iso_rate"))
+        .orderBy(col("bin"))
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -920,6 +1010,43 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q283_uplift_qini" ->
+      ("WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, "
+        + "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY user_id), "
+        + "ut AS (SELECT *, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS treated FROM users), "
+        + "bs AS (SELECT list_transform(quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS bs FROM ut), "
+        + "cells AS (SELECT len(list_filter(bs, b -> score > b)) + 1 AS decile, "
+        + "CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt, "
+        + "CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc, "
+        + "CAST(sum(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS BIGINT) AS xt, "
+        + "CAST(sum(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS BIGINT) AS xc "
+        + "FROM ut CROSS JOIN bs GROUP BY 1), "
+        + "c AS (SELECT *, "
+        + "CAST(sum(nt) OVER w AS BIGINT) AS cnt, CAST(sum(nc) OVER w AS BIGINT) AS cnc, "
+        + "CAST(sum(xt) OVER w AS BIGINT) AS cxt, CAST(sum(xc) OVER w AS BIGINT) AS cxc "
+        + "FROM cells WINDOW w AS (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) "
+        + "SELECT CAST(decile AS INT) AS decile, nt, nc, xt, xc, cnt, cnc, "
+        + "round(cxt - (CAST(cxc AS DOUBLE) * cnt) / nullif(cnc, 0), 6) AS qini, "
+        + "round(CAST(cxt AS DOUBLE) / nullif(cnt, 0) - CAST(cxc AS DOUBLE) / nullif(cnc, 0), 6) AS uplift_gap "
+        + "FROM c ORDER BY decile DESC"),
+    // q284: the same minimax range construction as the Spark plan — the
+    // -1 sentinel row is the empty prefix; ranges are (a.bin, b.bin]
+    // over the occupied-bin sequence, gaps included by construction.
+    "q284_isotonic_calibration" ->
+      ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "mx AS (SELECT max(value) AS vmax FROM ev), "
+        + "bins AS (SELECT least(CAST(floor((value / vmax) * 10) AS INT), 9) AS bin, "
+        + "CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS pos FROM ev CROSS JOIN mx GROUP BY 1), "
+        + "pre AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn, "
+        + "CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos FROM bins), "
+        + "prez AS (SELECT bin, cn, cpos FROM pre UNION ALL SELECT -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT)), "
+        + "ranges AS (SELECT a.bin + 1 AS j, b.bin AS k, "
+        + "CAST(b.cpos - a.cpos AS DOUBLE) / (b.cn - a.cn) AS rate FROM prez a JOIN pre b ON a.bin < b.bin), "
+        + "iso AS (SELECT i, max(minr) AS iso FROM (SELECT bi.bin AS i, r.j, min(r.rate) AS minr "
+        + "FROM bins bi JOIN ranges r ON r.j <= bi.bin AND r.k >= bi.bin GROUP BY 1, 2) GROUP BY i) "
+        + "SELECT b.bin, b.n, b.pos, round(CAST(b.pos AS DOUBLE) / b.n, 6) AS raw_rate, "
+        + "round(iso.iso, 6) AS iso_rate FROM bins b JOIN iso ON iso.i = b.bin ORDER BY b.bin"),
     "q276_design_effect" ->
       ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, sum(CAST(value AS DECIMAL(18,2))) AS su, "
         + "sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS qu "

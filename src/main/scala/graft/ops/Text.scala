@@ -1057,9 +1057,126 @@ object Text extends QueryPack {
         .orderBy(col("p_cont").desc, col("tok"))
         .limit(20)
     }),
+
+    // ------------------------------------------------------------------
+    // Line-level boilerplate dedup (the CCNet/RefinedWeb curation step
+    // q151's 8-gram doc-frequency only measures): each doc is cut into
+    // consecutive stride-8 token segments IN-ROW (one HOF, no join —
+    // segments partition the token list, so token mass is conserved by
+    // construction), a segment duplicated across ≥2 docs corpus-wide is
+    // boilerplate, and the readout is the per-source removal bill:
+    // flagged segments/instances, removed token mass, pct of the
+    // source's tokens. Segments md5-hash to 60-bit keys BEFORE the
+    // shuffle (q151's discipline — exchanges carry 8-byte keys, never
+    // segment text); the global doc-frequency comes from a window over
+    // the (segkey, source) CONTRACTION partitioned by segkey (≤#sources
+    // rows per partition), not from a second shuffle over instances.
+    "q280_line_dedup" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, cast(ceil(size(t) / 8.0d) as int) - 1), k -> "
+            + "struct(md5_mod(array_join(slice(t, k * 8 + 1, 8), ' '), 1152921504606846976L) AS segkey, "
+            + "least(size(t) - k * 8, 8) AS seg_toks))")).as("sg"))
+        .select(col("doc_id"), col("source"), col("sg.segkey"), col("sg.seg_toks"))
+        .groupBy(col("segkey"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("ni"),
+          sum(col("seg_toks")).as("st"))
+        // global df = Σ per-source distinct-doc counts (a doc lives in
+        // exactly one source); segkey-partitioned window, ≤#sources rows
+        .withColumn("df", sum(col("nd")).over(Window.partitionBy(col("segkey"))))
+      val docs = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      cells.groupBy(col("source"))
+        .agg(sum(col("ni")).as("segs_total"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("boiler_segs"),
+          sum(when(col("df") >= 2, col("ni")).otherwise(0L)).as("boiler_inst"),
+          sum(col("st")).as("toks_total"),
+          sum(when(col("df") >= 2, col("st")).otherwise(0L)).as("toks_removed"),
+          max(col("df")).as("max_df"))
+        .join(broadcast(docs), Seq("source"))
+        .select(col("source"), col("n_docs"), col("segs_total"), col("boiler_segs"),
+          col("boiler_inst"), col("toks_total"), col("toks_removed"),
+          round(col("toks_removed").cast("double") / col("toks_total"), 6).as("pct_removed"),
+          col("max_df"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Fuzzy record linkage with the native jaro_winkler expression
+    // (functions/JaroWinkler.scala — the record-linkage scorer Spark's
+    // built-ins lack; bit-identical to DuckDB's jaro_winkler_similarity,
+    // the oracle): every part row's name gets a deterministic typo
+    // (chars 2 and 3 swapped), then links back to the DISTINCT clean-name
+    // dictionary, blocked on (first char, |length diff| ≤ 2) — the
+    // classic blocking contraction: candidates per row scale with the
+    // dictionary slice, not the table. The dictionary is the broadcast
+    // side; dirty rows stream (cost is linear in table size at any SF).
+    // Winner = row_number over (jw desc, clean asc) per row — ties are
+    // EXACT rationals in both engines (see the expression's scaladoc),
+    // so the tie-break can never flip on float noise. Readout: per-brand
+    // top-1 accuracy + winner-score stats (DECIMAL-summed mean).
+    "q281_record_linkage" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dict = parts.select(col("p_name").as("clean")).distinct()
+      val cand = parts
+        .select(col("p_partkey"), col("p_brand"), col("p_name").as("orig"))
+        .withColumn("dirty", expr(
+          "concat(substr(orig, 1, 1), substr(orig, 3, 1), substr(orig, 2, 1), substr(orig, 4))"))
+        .join(broadcast(dict), expr(
+          "substr(dirty, 1, 1) = substr(clean, 1, 1) AND abs(length(dirty) - length(clean)) <= 2"))
+        .withColumn("jw", expr("jaro_winkler(dirty, clean)"))
+      val w = Window.partitionBy(col("p_partkey")).orderBy(col("jw").desc, col("clean"))
+      cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("clean") === col("orig"), 1L).otherwise(0L)).as("n_correct"),
+          sum(expr("cast(round(jw, 6) as decimal(18,6))")).as("sumjw"),
+          min(expr("round(jw, 6)")).as("min_jw"),
+          max(expr("round(jw, 6)")).as("max_jw"))
+        .selectExpr("p_brand", "n_rows", "n_correct",
+          "round(cast(n_correct as double) / n_rows, 6) AS accuracy",
+          "round(cast(sumjw as double) / n_rows, 6) AS mean_jw",
+          "min_jw", "max_jw")
+        .orderBy(col("p_brand"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q280: segments grouped by TEXT here vs 60-bit md5 keys in Spark —
+    // identical df counts unless the hash collides (~#segs²/2⁶¹).
+    "q280_line_dedup" ->
+      ("WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents), "
+        + "segs AS (SELECT doc_id, source, array_to_string(t[k*8+1:k*8+8], ' ') AS seg, "
+        + "len(t[k*8+1:k*8+8]) AS seg_toks FROM toks, "
+        + "LATERAL (SELECT unnest(range(0, CAST(ceil(len(t)/8.0) AS BIGINT))) AS k)), "
+        + "cells AS (SELECT seg, source, count(DISTINCT doc_id) AS nd, count(*) AS ni, sum(seg_toks) AS st "
+        + "FROM segs GROUP BY 1, 2), "
+        + "cells2 AS (SELECT *, sum(nd) OVER (PARTITION BY seg) AS df FROM cells), "
+        + "per AS (SELECT source, CAST(sum(ni) AS BIGINT) AS segs_total, "
+        + "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS boiler_segs, "
+        + "CAST(sum(CASE WHEN df >= 2 THEN ni ELSE 0 END) AS BIGINT) AS boiler_inst, "
+        + "CAST(sum(st) AS BIGINT) AS toks_total, "
+        + "CAST(sum(CASE WHEN df >= 2 THEN st ELSE 0 END) AS BIGINT) AS toks_removed, "
+        + "CAST(max(df) AS BIGINT) AS max_df FROM cells2 GROUP BY source), "
+        + "d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source) "
+        + "SELECT d.source, n_docs, segs_total, boiler_segs, boiler_inst, toks_total, toks_removed, "
+        + "round(CAST(toks_removed AS DOUBLE) / toks_total, 6) AS pct_removed, max_df "
+        + "FROM per JOIN d ON per.source = d.source ORDER BY d.source"),
+    "q281_record_linkage" ->
+      ("WITH dict AS (SELECT DISTINCT p_name AS clean FROM part), "
+        + "dirty AS (SELECT p_partkey, p_brand, p_name AS orig, "
+        + "substr(p_name, 1, 1) || substr(p_name, 3, 1) || substr(p_name, 2, 1) || substr(p_name, 4) AS dirty FROM part), "
+        + "cand AS (SELECT d.p_partkey, d.p_brand, d.orig, c.clean, "
+        + "jaro_winkler_similarity(d.dirty, c.clean) AS jw FROM dirty d JOIN dict c "
+        + "ON substr(d.dirty, 1, 1) = substr(c.clean, 1, 1) AND abs(length(d.dirty) - length(c.clean)) <= 2), "
+        + "win AS (SELECT *, row_number() OVER (PARTITION BY p_partkey ORDER BY jw DESC, clean) AS rn FROM cand) "
+        + "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows, "
+        + "CAST(sum(CASE WHEN clean = orig THEN 1 ELSE 0 END) AS BIGINT) AS n_correct, "
+        + "round(CAST(sum(CASE WHEN clean = orig THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy, "
+        + "round(CAST(sum(CAST(round(jw, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_jw, "
+        + "min(round(jw, 6)) AS min_jw, max(round(jw, 6)) AS max_jw "
+        + "FROM win WHERE rn = 1 GROUP BY p_brand ORDER BY p_brand"),
     "q256_good_turing" ->
       ("WITH counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ("
         + "SELECT unnest(list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))) AS tok FROM ("

@@ -263,9 +263,75 @@ object TimeWin extends QueryPack {
           round(col("cum_rev").cast("double"), 2).as("cum_revenue"))
         .orderBy(col("cohort_week"), col("age_week"))
     }),
+
+    // ------------------------------------------------------------------
+    // Holt's linear-trend exponential smoothing over the daily event
+    // count — the recursive (level, trend) forecaster q87's flat EWMA
+    // can't express (EWMA has no trend state; a 10-term lag unroll
+    // can't carry one). The recurrence is inherently sequential, so it
+    // runs as ONE in-row fold over the ≤#days daily contraction
+    // (sort_array'd collect_list → aggregate HOF — the bounded-series
+    // idiom, not a driver loop): l_t = round(½y + ½(l+b), 6),
+    // b_t = round(¼(l_t − l_{t−1}) + ¾b, 6), init l₁ = y₁, b₁ = 0.
+    // EVERY step is DECIMAL arithmetic quantized to 6dp (dyadic α=½,
+    // β=¼ keep pre-round products exact), so the 60-step recursion is
+    // bit-identical to DuckDB's recursive-CTE replay — float drift
+    // cannot compound. One-step-ahead SSE accumulates in the same fold
+    // ((18,6)² = (37,12), exact); output = 7-day-ahead forecast fan
+    // l + h·b (×7 expansion on the 1-row frame).
+    "q282_holt_forecast" -> ((s, dir) => {
+      val series = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ds"),
+          count(lit(1)).as("n_days"))
+        .selectExpr("n_days", "transform(ds, x -> x.y) AS ys")
+      series.selectExpr("n_days",
+        ("aggregate(ys, "
+          + "named_struct('l', CAST(0 AS DECIMAL(28,6)), 'b', CAST(0 AS DECIMAL(28,6)), "
+          + "'sse', CAST(0 AS DECIMAL(38,12)), 'i', 0), "
+          + "(a, y) -> CASE WHEN a.i = 0 THEN named_struct("
+          + "'l', CAST(y AS DECIMAL(28,6)), 'b', CAST(0 AS DECIMAL(28,6)), 'sse', a.sse, 'i', 1) "
+          + "ELSE named_struct("
+          + "'l', CAST(round(0.5 * y + 0.5 * (a.l + a.b), 6) AS DECIMAL(28,6)), "
+          + "'b', CAST(round(0.25 * (CAST(round(0.5 * y + 0.5 * (a.l + a.b), 6) AS DECIMAL(28,6)) - a.l) "
+          + "+ 0.75 * a.b, 6) AS DECIMAL(28,6)), "
+          + "'sse', CAST(a.sse + CAST(y - (a.l + a.b) AS DECIMAL(18,6)) "
+          + "* CAST(y - (a.l + a.b) AS DECIMAL(18,6)) AS DECIMAL(38,12)), "
+          + "'i', a.i + 1) END) AS st"))
+        .select(col("n_days"), col("st"), explode(expr("sequence(1, 7)")).as("h"))
+        .selectExpr("h", "n_days",
+          "cast(st.l as double) AS level",
+          "cast(st.b as double) AS trend",
+          "cast(round(st.sse, 6) as double) AS sse",
+          "cast(st.l + h * st.b as double) AS forecast")
+        .orderBy(col("h"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q282: the identical quantized recursion replayed as a recursive
+    // CTE — the rounded level lp binds in a subquery so the trend uses
+    // the SAME post-round value the Spark fold uses.
+    "q282_holt_forecast" ->
+      ("WITH RECURSIVE idx AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM ("
+        + "SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1)), "
+        + "n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx), "
+        + "rec AS ("
+        + "SELECT i, CAST(y AS DECIMAL(28,6)) AS l, CAST(0 AS DECIMAL(28,6)) AS b, "
+        + "CAST(0 AS DECIMAL(38,12)) AS sse FROM idx WHERE i = 1 "
+        + "UNION ALL "
+        + "SELECT q.i, q.lp, "
+        + "CAST(round(0.25 * (q.lp - q.l0) + 0.75 * q.b0, 6) AS DECIMAL(28,6)), "
+        + "CAST(q.sse0 + CAST(q.e AS DECIMAL(18,6)) * CAST(q.e AS DECIMAL(18,6)) AS DECIMAL(38,12)) "
+        + "FROM (SELECT x.i AS i, "
+        + "CAST(round(0.5 * x.y + 0.5 * (r.l + r.b), 6) AS DECIMAL(28,6)) AS lp, "
+        + "r.l AS l0, r.b AS b0, r.sse AS sse0, x.y - (r.l + r.b) AS e "
+        + "FROM rec r JOIN idx x ON x.i = r.i + 1) q), "
+        + "fin AS (SELECT l, b, sse FROM rec WHERE i = (SELECT max(i) FROM rec)) "
+        + "SELECT h, n_days, CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend, "
+        + "CAST(round(sse, 6) AS DOUBLE) AS sse, CAST(l + h * b AS DOUBLE) AS forecast "
+        + "FROM fin CROSS JOIN n CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS INT) AS h) ORDER BY h"),
     "q110_session_window" ->
       ("WITH f AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
         + "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess "

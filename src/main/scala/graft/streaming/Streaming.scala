@@ -547,9 +547,91 @@ object Streaming extends QueryPack {
           round(sum(col("c_value").cast("decimal(18,2)")).cast("double"), 6).as("click_value"))
         .orderBy(col("user_id"))
     }),
+
+    // ------------------------------------------------------------------
+    // foreachBatch idempotent merge sink — the custom-sink surface the
+    // memory/parquet-sink keys never touch: the canonical "streaming
+    // upsert into a keyed table" pattern when the target store has no
+    // transactional MERGE. Events stream in 3 time-ordered tranches
+    // (one per microbatch); each batch contracts to per-user deltas
+    // (n, Σvalue DECIMAL, max ts) and full-outer-merges them into a
+    // VERSIONED parquet state table (state/v{batchId} = merge of
+    // v{batchId-1} + delta) — version-by-batchId is what makes replay
+    // idempotent: re-running batch N deterministically rewrites v{N}
+    // instead of double-counting, exactly the epoch-id recipe the
+    // foreachBatch docs prescribe. No watermark/state store: the state
+    // IS the sink. The final readout re-reads the last version and
+    // contracts to user_id%10 buckets; count/Σ-DECIMAL/max are exactly
+    // mergeable, so the 3-way incremental merge must equal DuckDB's
+    // one-shot batch aggregate — any double-apply or dropped delta
+    // breaks the hash.
+    "q285_stream_foreach_merge" -> ((s, dir) => {
+      val inP = graft.ops.Stage.fresh("q285in")
+      val in = inP.toString
+      val stP = graft.ops.Stage.fresh("q285st")
+      val st = stP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (q90's split)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("value"))
+        .localCheckpoint()
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("value", DoubleType)))
+      @volatile var lastVersion = -1L
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val delta = batch.groupBy(col("user_id"))
+            .agg(count(lit(1)).as("d_n"),
+              sum(col("value").cast("decimal(18,2)")).as("d_sv"),
+              max(col("ts_us")).as("d_mts"))
+          val merged = (if (id == 0) {
+            delta.select(col("user_id"), col("d_n").as("n"),
+              col("d_sv").cast("decimal(28,2)").as("sv"), col("d_mts").as("mts"))
+          } else {
+            s.read.parquet(s"$st/v${id - 1}")
+              .join(delta, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+                (coalesce(col("sv"), lit(BigDecimal(0)).cast("decimal(28,2)"))
+                  + coalesce(col("d_sv").cast("decimal(28,2)"),
+                    lit(BigDecimal(0)).cast("decimal(28,2)"))).cast("decimal(28,2)").as("sv"),
+                greatest(coalesce(col("mts"), lit(Long.MinValue)),
+                  coalesce(col("d_mts"), lit(Long.MinValue))).as("mts"))
+          })
+          merged.write.mode("overwrite").parquet(s"$st/v$id")
+          lastVersion = math.max(lastVersion, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.ops.Stage.release(inP)
+      val out = s.read.parquet(s"$st/v$lastVersion")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          round(sum(col("sv")).cast("double"), 6).as("sum_value"),
+          max(col("mts")).as("last_ts_us"))
+        .orderBy(col("bucket"))
+      out
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q285: the incremental per-batch merge telescopes to the one-shot
+    // batch aggregate — count/Σ/max are exactly mergeable.
+    "q285_stream_foreach_merge" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, "
+        + "sum(CAST(value AS DECIMAL(18,2))) AS sv, max(epoch_us(ts)) AS mts FROM events GROUP BY user_id) "
+        + "SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_users, "
+        + "CAST(sum(n) AS BIGINT) AS n_events, "
+        + "round(CAST(sum(sv) AS DOUBLE), 6) AS sum_value, "
+        + "CAST(max(mts) AS BIGINT) AS last_ts_us FROM per GROUP BY 1 ORDER BY 1"),
     // q47: the batch replay of the watermark's late-drop. Spark tracks
     // max event time in MILLISECONDS (µs floor-divided by 1000), and
     // the LATE-EVENT filter at batch N uses the watermark from data

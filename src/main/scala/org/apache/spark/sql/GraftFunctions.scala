@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import graft.functions.{CosineSimilarity, Md5Mod, RollingWindowHashes, SlidingGen, SquaredDistance}
+import graft.functions.{CosineSimilarity, JaroWinkler, Md5Mod, RollingWindowHashes, SlidingGen, SquaredDistance}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -72,6 +72,17 @@ object GraftFunctions {
 
   val md5ModIdent: FunctionIdentifier = FunctionIdentifier("md5_mod")
 
+  val jaroWinklerBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaroWinkler(a, b)
+    case other =>
+      throw new IllegalArgumentException(s"jaro_winkler expects 2 args, got ${other.size}")
+  }
+
+  val jaroWinklerInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[JaroWinkler].getName, "jaro_winkler")
+
+  val jaroWinklerIdent: FunctionIdentifier = FunctionIdentifier("jaro_winkler")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -87,5 +98,6 @@ object GraftFunctions {
     once("rolling_win_hashes", rollingBuilder)
     once("sliding_gen", slidingBuilder)
     once("md5_mod", md5ModBuilder)
+    once("jaro_winkler", jaroWinklerBuilder)
   }
 }

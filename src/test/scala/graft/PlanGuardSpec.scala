@@ -60,7 +60,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q263_sequential_ab",  // cumulative look windows over <= #days daily cells
     "q264_hill_tail",      // rank window over the 401-row TakeOrdered tail
     "q265_source_novelty", // cumulative novelty over <= |sources| cells
-    "q274_ljung_box"       // 7 lag terms in one window over <= #days daily cells
+    "q274_ljung_box",      // 7 lag terms in one window over <= #days daily cells
+    "q283_uplift_qini",    // cumulative uplift windows over 10 decile cells
+    "q284_isotonic_calibration" // prefix sums over <= 10 calibration-bin cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -265,7 +267,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q246_hist_quantile_merge", // 5 literal quantile probes x 1-row global bounds
     "q252_kmv_jaccard",    // sketch pair join: <= |event types| k-long sketch rows per side
     "q266_shapley_attribution", // bit-subset joins over the 8-row coalition lattice / 3-row channel frame
-    "q273_weighted_quantile" // 4 literal quantile probes against the prefix-sum frame (q246's shape)
+    "q273_weighted_quantile", // 4 literal quantile probes against the prefix-sum frame (q246's shape)
+    "q284_isotonic_calibration" // <= 11-row prefix frame triangular-joined to <= 55 (j,k) range cells, checkpointed
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

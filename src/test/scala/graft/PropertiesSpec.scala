@@ -322,4 +322,101 @@ object SparkQueryProps extends Properties("graft-queries") {
           }
       }
     }
+
+  private val b1Us = 1704931200000000L // q81's first tranche boundary, µs
+  private val b2Us = 1705795200000000L
+  private val sessGapUs = StatefulSessions.gapUs
+
+  /** Multi-user µs-precise event streams anchored AROUND the streaming
+    * tranche boundaries, with the same boundary-valued gap distribution
+    * as [[SessionFoldProps]] — sessions that straddle a microbatch cut
+    * are the generated norm, not a lucky accident. */
+  private def genStreamEvents: Gen[List[Ev]] = for {
+    nUsers <- Gen.choose(1, 3)
+    perUser <- Gen.listOfN(nUsers, for {
+      anchor <- Gen.oneOf(b1Us - 45L * 60 * 1000000, b2Us - 45L * 60 * 1000000,
+        b1Us - 3L * 3600 * 1000000)
+      n <- Gen.choose(1, 25)
+      gaps <- Gen.listOfN(n - 1, Gen.oneOf(
+        Gen.const(0L), Gen.const(sessGapUs), Gen.const(sessGapUs + 1),
+        Gen.choose(1L, sessGapUs), Gen.choose(sessGapUs + 1, 3 * sessGapUs)))
+    } yield (anchor, gaps))
+  } yield perUser.zipWithIndex.flatMap { case ((anchor, gaps), u) =>
+    gaps.scanLeft(anchor)(_ + _).zipWithIndex
+      .map { case (ts, i) => Ev(u.toLong + 1, ts, u.toLong * 1000 + i) }
+  }
+
+  private def usTimestamp(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** The batch≡stream bridge the recovery suite assumes: the REAL q81
+    * streaming pipeline (tranche staging, state store, AvailableNow
+    * microbatches) over a generated stream must emit exactly what one
+    * single-shot fold over the whole stream emits. The pure fold is
+    * itself proven against an independent span-split reference in
+    * [[SessionFoldProps]], so this property pins the MACHINERY, not the
+    * state arithmetic. */
+  property("q81 streaming sessionizer equals the one-shot batch fold on generated streams") =
+    forAllNoShrink(genStreamEvents) { evs =>
+      val rows = evs.map(e =>
+        (e.event_id, usTimestamp(e.ts_us), e.user_id, "view", 1.0, ""))
+      withEventsDir(rows) { dir =>
+        val got = SparkEntry.queries("q81_stream_sessionize")(spark, dir).collect()
+          .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_id"),
+            r.getAs[Long]("n_events"), r.getAs[Long]("dur_us"))).toList.sorted
+        val expect = evs.groupBy(_.user_id).toList.flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+          val (_, out) = StatefulSessions.fold(u, SessState(-1L, -1L, 0L, 0L), sorted)
+          out.map(s0 => (s0.user_id, s0.sess_id, s0.n_events, s0.dur_us))
+        }.sorted
+        (got == expect) :| s"stream emitted $got, batch fold closed $expect"
+      }
+    }
+}
+
+/** Merge algebra of the KMV sketch (pure, no Spark jobs): persisting
+  * per-partition/per-day sketches and unioning them later is only sound
+  * if merge is commutative, associative, chunking-invariant, and lands
+  * on the exact bottom-k of the distinct hash set — all four generated
+  * here (the fixture specs only check one split).
+  */
+object KmvMergeProps extends Properties("kmv-merge") {
+
+  import graft.functions.{KmvAggregator => K}
+
+  private val genHashes: Gen[List[Long]] = for {
+    n <- Gen.choose(0, 300)
+    // small value range ⇒ duplicates are common (the DISTINCT path);
+    // mixed with full-range hashes for the generic path
+    hs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 99L), Gen.choose(0L, (1L << 60) - 1)))
+  } yield hs
+
+  private def sk(hs: Seq[Long]) = hs.foldLeft(K.zero)(K.reduce)
+
+  property("merge is commutative") =
+    forAllNoShrink(genHashes, genHashes) { (a, b) =>
+      K.merge(sk(a), sk(b)).hs.toList == K.merge(sk(b), sk(a)).hs.toList
+    }
+
+  property("merge is associative") =
+    forAllNoShrink(genHashes, genHashes, genHashes) { (a, b, c) =>
+      K.merge(K.merge(sk(a), sk(b)), sk(c)).hs.toList ==
+        K.merge(sk(a), K.merge(sk(b), sk(c))).hs.toList
+    }
+
+  property("any chunking merges to the exact bottom-k of the distinct set") =
+    forAllNoShrink(for {
+      hs <- genHashes
+      cuts <- Gen.listOf(Gen.choose(0, hs.length))
+    } yield (hs, cuts.distinct.sorted)) { case (hs, cuts) =>
+      val bounds = (0 +: cuts :+ hs.length).distinct.sorted
+      val merged = bounds.sliding(2).map { case Seq(x, y) => sk(hs.slice(x, y)) }
+        .foldLeft(K.zero)(K.merge)
+      val ref = hs.distinct.sorted.take(K.k)
+      (merged.hs.toList == ref) :|
+        s"chunk-merged ${merged.hs.toList.take(5)}... vs reference ${ref.take(5)}..."
+    }
 }

@@ -101,4 +101,154 @@ class Round8Spec extends AnyFunSuite with Matchers with SharedSpark {
     got.map(_._1) shouldBe Seq(-1, 0, 1, 2, 3, 4)
     got.find(_._1 == -1).get._2 shouldBe 5L // docs 5..9 beyond 4 hops
   }
+
+  // --- round-8 widening recomputes -------------------------------------
+
+  test("q280 line-dedup matches a scalar stride-segment recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val segs = docs.flatMap { case (id, src, text) =>
+      text.split(" ").grouped(8).map(g => (id, src, g.mkString(" "), g.length))
+    }
+    val df = segs.groupBy(_._3).view.mapValues(_.map(_._1).distinct.size.toLong).toMap
+    val expect = segs.groupBy(_._2).map { case (src, ss) =>
+      val boiler = ss.filter(s => df(s._3) >= 2)
+      val toksTotal = ss.map(_._4).sum.toLong
+      val toksRemoved = boiler.map(_._4).sum.toLong
+      (src, docs.count(_._2 == src).toLong, ss.length.toLong,
+        boiler.map(_._3).distinct.length.toLong, boiler.length.toLong,
+        toksTotal, toksRemoved,
+        BigDecimal(toksRemoved.toDouble / toksTotal)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        ss.map(s => df(s._3)).max)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q280_line_dedup")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getLong(8))).toSeq
+    got shouldBe expect
+    // the corpus must actually contain cross-doc boilerplate
+    got.map(_._7).sum should be > 0L
+  }
+
+  test("q282 Holt fold matches a scalar BigDecimal recompute of the quantized recursion") {
+    import org.apache.spark.sql.functions._
+    val ys = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day")).agg(count(lit(1)).as("y"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val half = BigDecimal("0.5"); val q1 = BigDecimal("0.25"); val q3 = BigDecimal("0.75")
+    var l = BigDecimal(ys.head).setScale(6)
+    var b = BigDecimal(0).setScale(6)
+    var sse = BigDecimal(0)
+    for (y <- ys.tail) {
+      val e = BigDecimal(y) - (l + b)
+      sse += e * e
+      val lp = (half * y + half * (l + b)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      b = (q1 * (lp - l) + q3 * b).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      l = lp
+    }
+    val rows = SparkEntry.queries("q282_holt_forecast")(spark, sf).collect()
+    rows.length shouldBe 7
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      r.getAs[Int]("h") shouldBe h
+      r.getAs[Long]("n_days") shouldBe ys.length.toLong
+      r.getAs[Double]("level") shouldBe l.toDouble
+      r.getAs[Double]("trend") shouldBe b.toDouble
+      r.getAs[Double]("sse") shouldBe
+        sse.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("forecast") shouldBe (l + b * h).toDouble
+    }
+    // the corpus must exercise a genuine trend state
+    rows.head.getAs[Double]("trend") should !==(0.0)
+  }
+
+  private def md5Arm(uid: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(uid.toString.getBytes("UTF-8"))
+    BigInt(d.map("%02x".format(_)).mkString.substring(0, 15), 16).toLong % 2
+  }
+
+  test("q283 Qini curve matches a scalar recompute from raw events") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong, if (es.exists(_._2 == "purchase")) 1L else 0L, md5Arm(u))
+    }.toArray
+    // Spark percentile: rank p(n-1) linear interpolation, 6dp half-up
+    val sorted = users.map(_._2).sorted
+    val bs = (1 to 9).map { d =>
+      val rank = d / 10.0 * (sorted.length - 1)
+      val lo = math.floor(rank).toInt
+      val frac = rank - lo
+      val v = sorted(lo) + (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo)) * frac
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cells = users.groupBy(u => bs.count(u._2 > _) + 1).map { case (d, us) =>
+      (d, us.count(_._4 == 1).toLong, us.count(_._4 == 0).toLong,
+        us.filter(_._4 == 1).map(_._3).sum, us.filter(_._4 == 0).map(_._3).sum)
+    }.toSeq.sortBy(-_._1)
+    var (cnt, cnc, cxt, cxc) = (0L, 0L, 0L, 0L)
+    val expect = cells.map { case (d, nt, nc, xt, xc) =>
+      cnt += nt; cnc += nc; cxt += xt; cxc += xc
+      val qini = if (cnc == 0) None
+        else Some(BigDecimal(java.math.BigDecimal.valueOf(cxt - (cxc.toDouble * cnt) / cnc))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (d, nt, nc, xt, xc, cnt, cnc, qini)
+    }
+    val got = SparkEntry.queries("q283_uplift_qini")(spark, sf).collect().map { r =>
+      (r.getAs[Int]("decile"), r.getAs[Long]("nt"), r.getAs[Long]("nc"),
+        r.getAs[Long]("xt"), r.getAs[Long]("xc"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("cnc"),
+        if (r.isNullAt(r.fieldIndex("qini"))) None else Some(r.getAs[Double]("qini")))
+    }.toSeq
+    got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)) shouldBe
+      expect.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7))
+    got.map(_._8).zip(expect.map(_._8)).foreach {
+      case (Some(g), Some(e)) => g shouldBe e +- 1e-6
+      case (g, e) => g shouldBe e
+    }
+  }
+
+  test("q284 minimax isotonic fit equals a scalar pooling PAVA and is monotone") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select("value", "event_type").collect()
+      .map(r => (r.getDouble(0), if (r.getString(1) == "purchase") 1L else 0L))
+    val vmax = ev.map(_._1).max
+    val bins = ev.groupBy(t => math.min(math.floor(t._1 / vmax * 10).toInt, 9))
+      .map { case (b, es) => (b, es.length.toLong, es.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    // classic pooling PAVA over the occupied-bin sequence (weighted L2)
+    case class Block(bins: List[Int], n: Long, pos: Long) {
+      def rate: Double = pos.toDouble / n
+    }
+    var stack = List.empty[Block]
+    for ((b, n, pos) <- bins) {
+      stack ::= Block(List(b), n, pos)
+      while (stack.size >= 2 && stack.tail.head.rate > stack.head.rate) {
+        val top :: prev :: rest = stack
+        stack = Block(prev.bins ++ top.bins, prev.n + top.n, prev.pos + top.pos) :: rest
+      }
+    }
+    val pava = stack.flatMap(bl => bl.bins.map(_ -> bl.rate)).toMap
+    val got = SparkEntry.queries("q284_isotonic_calibration")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"), r.getAs[Long]("pos"),
+        r.getAs[Double]("iso_rate"))).toSeq.sortBy(_._1)
+    got.map(t => (t._1, t._2, t._3)) shouldBe bins
+    got.foreach { case (b, _, _, iso) => iso shouldBe pava(b) +- 1e-6 }
+    withClue("isotonic fit must be monotone non-decreasing: ") {
+      got.map(_._4).sliding(2).foreach {
+        case Seq(a, b2) => a should be <= b2 + 1e-12
+        case _ =>
+      }
+    }
+    withClue("the corpus reliability curve must actually violate monotonicity somewhere " +
+      "(otherwise the fit is vacuous): ") {
+      val raw = bins.map(t => t._3.toDouble / t._2)
+      raw.sliding(2).exists { case Seq(a, b2) => a > b2; case _ => false } shouldBe true
+    }
+  }
 }
