@@ -54,6 +54,39 @@ object Streaming extends QueryPack {
     * by design: the aggregate is a single scalar, bounded by
     * construction.
     */
+  /** q285's per-batch state merge, extracted so StreamRecoverySpec can
+    * drive the IDENTICAL code through kill/resume and replay scenarios:
+    * contract the batch to per-user deltas, full-outer-merge into the
+    * previous state version, write state/v{batchId}. Writing to a
+    * BATCH-ID-KEYED path is the idempotence mechanism — a replayed
+    * batch (restart after a sink write that never reached the commit
+    * log) deterministically rewrites v{id} from the same v{id−1} + the
+    * same data instead of double-counting.
+    */
+  private[graft] def mergeBatchIntoState(s: org.apache.spark.sql.SparkSession,
+      st: String, batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      id: Long): Unit = {
+    val delta = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("d_n"),
+        sum(col("value").cast("decimal(18,2)")).as("d_sv"),
+        max(col("ts_us")).as("d_mts"))
+    val merged = (if (id == 0) {
+      delta.select(col("user_id"), col("d_n").as("n"),
+        col("d_sv").cast("decimal(28,2)").as("sv"), col("d_mts").as("mts"))
+    } else {
+      s.read.parquet(s"$st/v${id - 1}")
+        .join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+          (coalesce(col("sv"), lit(BigDecimal(0)).cast("decimal(28,2)"))
+            + coalesce(col("d_sv").cast("decimal(28,2)"),
+              lit(BigDecimal(0)).cast("decimal(28,2)"))).cast("decimal(28,2)").as("sv"),
+          greatest(coalesce(col("mts"), lit(Long.MinValue)),
+            coalesce(col("d_mts"), lit(Long.MinValue))).as("mts"))
+    })
+    merged.write.mode("overwrite").parquet(s"$st/v$id")
+  }
+
   private def farSentinelUs(s: org.apache.spark.sql.SparkSession, dir: String): Long =
     graft.ops.Memo.perSession(s, s"stream_far_sentinel_us:$dir") {
       Tables.events(s, dir)
@@ -587,25 +620,7 @@ object Streaming extends QueryPack {
         .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val delta = batch.groupBy(col("user_id"))
-            .agg(count(lit(1)).as("d_n"),
-              sum(col("value").cast("decimal(18,2)")).as("d_sv"),
-              max(col("ts_us")).as("d_mts"))
-          val merged = (if (id == 0) {
-            delta.select(col("user_id"), col("d_n").as("n"),
-              col("d_sv").cast("decimal(28,2)").as("sv"), col("d_mts").as("mts"))
-          } else {
-            s.read.parquet(s"$st/v${id - 1}")
-              .join(delta, Seq("user_id"), "full_outer")
-              .select(col("user_id"),
-                (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
-                (coalesce(col("sv"), lit(BigDecimal(0)).cast("decimal(28,2)"))
-                  + coalesce(col("d_sv").cast("decimal(28,2)"),
-                    lit(BigDecimal(0)).cast("decimal(28,2)"))).cast("decimal(28,2)").as("sv"),
-                greatest(coalesce(col("mts"), lit(Long.MinValue)),
-                  coalesce(col("d_mts"), lit(Long.MinValue))).as("mts"))
-          })
-          merged.write.mode("overwrite").parquet(s"$st/v$id")
+          Streaming.mergeBatchIntoState(s, st, batch, id)
           lastVersion = math.max(lastVersion, id)
           ()
         }

@@ -399,6 +399,91 @@ class StreamRecoverySpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("foreachBatch versioned merge sink: kill/resume and batch replay are both exactly-once") {
+    // q285's sink has no state store — the versioned parquet state IS
+    // the state, so recovery has two failure modes to pin: (a) restart
+    // from checkpoint must continue the version chain without re-reading
+    // drained tranches; (b) a REPLAYED batch (sink write landed, commit
+    // log didn't) must rewrite its version idempotently, not double-count.
+    val b1 = 1704931200000000L // 2024-01-11 UTC, µs (q90's split)
+    val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
+      .localCheckpoint()
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    // stage a half-open tranche slice [from, upTo) — resume staging must
+    // touch ONLY the new tranche: rewriting an already-drained dir gives
+    // its part-file a fresh name the file source would (correctly) treat
+    // as unseen data
+    def stageTranches(in: java.nio.file.Path, from: Int, upTo: Int): Unit = {
+      val ts = Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2))
+      ts.slice(from, upTo).foreach { case (n, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$in/$n")
+      }
+    }
+    def run(in: String, st: String, ck: String): Long = {
+      @volatile var last = -1L
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          streaming.Streaming.mergeBatchIntoState(spark, st, b, id)
+          last = math.max(last, id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      last
+    }
+    def snap(st: String, v: Long): Seq[(Long, Long, java.math.BigDecimal, Long)] =
+      spark.read.parquet(s"$st/v$v")
+        .select(col("user_id"), col("n"), col("sv"), col("mts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+
+    // uninterrupted reference
+    val inA = ops.Stage.fresh("fbrec_in_a"); val stA = ops.Stage.fresh("fbrec_st_a").toString
+    stageTranches(inA, 0, 3)
+    val lastA = run(inA.toString, stA, ops.Stage.fresh("fbrec_ck_a").toString)
+
+    // interrupted: drain b0/b1, then resume with ONLY b2 newly staged
+    val inB = ops.Stage.fresh("fbrec_in_b"); val stB = ops.Stage.fresh("fbrec_st_b").toString
+    val ckB = ops.Stage.fresh("fbrec_ck_b").toString
+    stageTranches(inB, 0, 2)
+    val mid = run(inB.toString, stB, ckB)
+    stageTranches(inB, 2, 3)
+    val lastB = run(inB.toString, stB, ckB)
+    withClue("resume must continue the version chain, not restart it: ") {
+      lastB shouldBe (mid + 1)
+      lastA shouldBe lastB
+    }
+    withClue("interrupted+resumed final state must equal the uninterrupted run: ") {
+      snap(stB, lastB) shouldBe snap(stA, lastA)
+    }
+    withClue("and equal the one-shot batch aggregate (no loss, no double-count): ") {
+      val direct = evs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)").as("sv"),
+          max(col("ts_us")).as("mts")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      snap(stA, lastA) shouldBe direct
+    }
+    // replay: re-apply the FINAL batch with the same id (sink write
+    // survived, commit didn't) — the versioned write must be idempotent
+    val lastBatch = spark.read.schema(schema).parquet(s"$inB/b2")
+    streaming.Streaming.mergeBatchIntoState(spark, stB, lastBatch, lastB)
+    withClue("replaying the last batch at the same version must change nothing: ") {
+      snap(stB, lastB) shouldBe snap(stA, lastA)
+    }
+  }
+
   test("transformWithState sessionizer resumes from a RocksDB checkpoint with identical session emission") {
     // mirror q145: the successor API runs on the RocksDB state store,
     // so this restart also exercises RocksDB snapshot/changelog restore
