@@ -979,6 +979,55 @@ object Evaluation extends QueryPack {
           round(col("iso"), 6).as("iso_rate"))
         .orderBy(col("bin"))
     }),
+
+    // ------------------------------------------------------------------
+    // Stratified confounding adjustment (direct standardization) — the
+    // observational-causal counterpart of q283's randomized Qini:
+    // "treatment" here is SELF-SELECTED (user's error-event count above
+    // the median — error-prone users are mechanically the more ACTIVE
+    // users), the outcome is the user's purchase count, and the
+    // confounder is total activity, stratified into score quartiles
+    // (broadcast 6dp-rounded percentile boundaries — q200's idiom;
+    // day-count and any-purchase strata saturate on this corpus).
+    // Standardizing the per-stratum differences to the full population
+    // (Σ n_s/N · (ȳ_Ts − ȳ_Cs) over both-arm strata, terms
+    // DECIMAL-quantized pre-sum — q201's ECE recipe) removes the
+    // measured confounder; the naive-vs-adjusted gap IS the measured
+    // confounding. Readout includes the both-arm coverage mass, the
+    // honest caveat of any stratified estimate. One user contraction,
+    // ≤4 stratum cells, broadcast 1-row frames.
+    "q289_stratified_adjust" -> ((s, dir) => {
+      val users = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .localCheckpoint() // boundary agg + stratum cells both consume it
+      val med = users.agg(expr("round(percentile(errs, 0.5), 6)").as("med"),
+        expr("transform(percentile(score, array(0.25, 0.5, 0.75)), b -> round(b, 6))").as("bs"))
+      val cells = users.crossJoin(broadcast(med))
+        .withColumn("treated", (col("errs") > col("med")).cast("int"))
+        .withColumn("stratum", expr("size(filter(bs, b -> score > b)) + 1"))
+        .groupBy(col("stratum"))
+        .agg(sum(when(col("treated") === 1, 1L).otherwise(0L)).as("nt"),
+          sum(when(col("treated") === 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("treated") === 1, col("conv")).otherwise(0L)).as("xt"),
+          sum(when(col("treated") === 0, col("conv")).otherwise(0L)).as("xc"))
+      cells.agg(
+          sum(col("nt") + col("nc")).as("n_users"),
+          sum(col("nt")).as("n_treated"),
+          sum(col("xt")).as("sxt"), sum(col("xc")).as("sxc"),
+          count(lit(1)).as("n_strata"),
+          sum(when(col("nt") > 0 && col("nc") > 0, 1L).otherwise(0L)).as("n_strata_used"),
+          sum(when(col("nt") > 0 && col("nc") > 0, col("nt") + col("nc")).otherwise(0L)).as("n_covered"),
+          sum(when(col("nt") > 0 && col("nc") > 0, expr(
+            "cast((cast(nt + nc as double)) * (cast(xt as double) / nt - cast(xc as double) / nc) "
+              + "as decimal(28,12))"))).as("adjx"))
+        .selectExpr("n_users", "n_treated", "n_strata", "n_strata_used",
+          "round(cast(sxt as double) / n_treated - cast(sxc as double) / (n_users - n_treated), 6) AS naive_diff",
+          "round(cast(adjx as double) / n_users, 6) AS adj_diff",
+          "round(cast(n_covered as double) / n_users, 6) AS coverage")
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1010,6 +1059,28 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q289_stratified_adjust" ->
+      ("WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, "
+        + "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs, "
+        + "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY user_id), "
+        + "med AS (SELECT round(quantile_cont(errs, 0.5), 6) AS med, "
+        + "list_transform(quantile_cont(score, [0.25, 0.5, 0.75]), b -> round(b, 6)) AS bs FROM users), "
+        + "ut AS (SELECT u.*, CASE WHEN errs > med THEN 1 ELSE 0 END AS treated, "
+        + "len(list_filter(bs, b -> score > b)) + 1 AS stratum FROM users u CROSS JOIN med), "
+        + "cells AS (SELECT stratum, "
+        + "CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt, "
+        + "CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc, "
+        + "CAST(sum(CASE WHEN treated = 1 THEN conv ELSE 0 END) AS BIGINT) AS xt, "
+        + "CAST(sum(CASE WHEN treated = 0 THEN conv ELSE 0 END) AS BIGINT) AS xc FROM ut GROUP BY stratum) "
+        + "SELECT CAST(sum(nt + nc) AS BIGINT) AS n_users, CAST(sum(nt) AS BIGINT) AS n_treated, "
+        + "CAST(count(*) AS BIGINT) AS n_strata, "
+        + "CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_strata_used, "
+        + "round(CAST(sum(xt) AS DOUBLE) / sum(nt) - CAST(sum(xc) AS DOUBLE) / (sum(nt + nc) - sum(nt)), 6) AS naive_diff, "
+        + "round(CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN "
+        + "CAST((CAST(nt + nc AS DOUBLE)) * (CAST(xt AS DOUBLE) / nt - CAST(xc AS DOUBLE) / nc) AS DECIMAL(28,12)) "
+        + "END) AS DOUBLE) / sum(nt + nc), 6) AS adj_diff, "
+        + "round(CAST(sum(CASE WHEN nt > 0 AND nc > 0 THEN nt + nc ELSE 0 END) AS DOUBLE) / sum(nt + nc), 6) AS coverage "
+        + "FROM cells"),
     "q283_uplift_qini" ->
       ("WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, "
         + "CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY user_id), "

@@ -907,9 +907,92 @@ object Science extends QueryPack {
           "round(exp(kh * ln(1.0 - exp(kh * n_keys * ln(1.0 - 1.0 / m)))), 6) AS fpp_theory")
         .orderBy(col("m"), col("k"))
     }),
+
+    // ------------------------------------------------------------------
+    // Missing-value imputation audit — the data-prep operator every
+    // feature pipeline runs before modeling. The corpus has no real
+    // NULLs, so missingness is a deterministic MCAR mask (md5(event_id)
+    // % 7 = 0, ~14% — the documented simulation, never rand()): per
+    // event_type, the observed-only median imputes the masked cells,
+    // and the readout quantifies the imputation bill — masked count,
+    // imputed value, observed mean vs post-imputation mean (the shift
+    // median-imputation introduces). One fact-scan groupBy; numerators
+    // exact DECIMAL (sum_obs + n_missing·median), divisions in double
+    // with identical operation order both engines.
+    "q287_missing_impute" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("miss", expr("md5_mod(cast(event_id as string), 7L)") === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("miss"), 1L).otherwise(0L)).as("n_missing"),
+          sum(when(!col("miss"), expr("cast(value as decimal(18,2))"))).as("sum_obs"),
+          expr("round(percentile(CASE WHEN NOT miss THEN value END, 0.5), 6)").as("median_imputed"))
+        .selectExpr("event_type", "n_rows", "n_missing", "median_imputed",
+          "round(cast(sum_obs as double) / (n_rows - n_missing), 6) AS mean_obs",
+          ("round(cast(cast(sum_obs as decimal(28,6)) "
+            + "+ cast(median_imputed as decimal(18,6)) * n_missing as double) / n_rows, 6) AS mean_after"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Poisson overdispersion of the daily arrival counts per event_type
+    // — the variance/mean diagnostic that decides Poisson vs negative-
+    // binomial rate modeling (q125/q268 assume stable daily rates; this
+    // measures whether the variance claim holds). Daily contraction →
+    // per-type exact integer (nd, Σn, Σn²) cells → closed-form sample
+    // variance and dispersion index D = s²/x̄; significance via the
+    // df-FREE normal approximation z = (D−1)·√((nd−1)/2) against the
+    // one-sided 5% bound 1.644854 (a hardcoded χ² critical would
+    // silently wrong-df if the day count changed — q261's review
+    // lesson).
+    "q288_poisson_dispersion" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"), sum(col("n")).as("tot"),
+          sum(col("n") * col("n")).as("sq"))
+        .selectExpr("event_type", "nd", "tot",
+          "round(cast(tot as double) / nd, 6) AS mean_daily",
+          "round((cast(sq as double) - cast(tot as double) * tot / nd) / (nd - 1), 6) AS var_daily",
+          ("round(((cast(sq as double) - cast(tot as double) * tot / nd) / (nd - 1)) "
+            + "/ (cast(tot as double) / nd), 6) AS dispersion"),
+          ("round((((cast(sq as double) - cast(tot as double) * tot / nd) / (nd - 1)) "
+            + "/ (cast(tot as double) / nd) - 1.0) * sqrt((nd - 1) / 2.0), 6) AS z_disp"),
+          ("(((cast(sq as double) - cast(tot as double) * tot / nd) / (nd - 1)) "
+            + "/ (cast(tot as double) / nd) - 1.0) * sqrt((nd - 1) / 2.0) > 1.644854 AS overdispersed"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q287_missing_impute" ->
+      ("WITH ev AS (SELECT event_type, value, "
+        + "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 7 = 0 AS miss FROM events) "
+        + "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+        + "CAST(sum(CASE WHEN miss THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, "
+        + "round(quantile_cont(CASE WHEN NOT miss THEN value END, 0.5), 6) AS median_imputed, "
+        + "round(CAST(sum(CASE WHEN NOT miss THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) "
+        + "/ (count(*) - sum(CASE WHEN miss THEN 1 ELSE 0 END)), 6) AS mean_obs, "
+        + "round(CAST(CAST(sum(CASE WHEN NOT miss THEN CAST(value AS DECIMAL(18,2)) END) AS DECIMAL(28,6)) "
+        + "+ CAST(round(quantile_cont(CASE WHEN NOT miss THEN value END, 0.5), 6) AS DECIMAL(18,6)) "
+        + "* sum(CASE WHEN miss THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS mean_after "
+        + "FROM ev GROUP BY event_type ORDER BY event_type"),
+    "q288_poisson_dispersion" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, CAST(count(*) AS BIGINT) AS n "
+        + "FROM events GROUP BY 1, 2), "
+        + "cells AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd, CAST(sum(n) AS BIGINT) AS tot, "
+        + "CAST(sum(n * n) AS BIGINT) AS sq FROM daily GROUP BY 1) "
+        + "SELECT event_type, nd, tot, "
+        + "round(CAST(tot AS DOUBLE) / nd, 6) AS mean_daily, "
+        + "round((CAST(sq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / nd) / (nd - 1), 6) AS var_daily, "
+        + "round(((CAST(sq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / nd) / (nd - 1)) "
+        + "/ (CAST(tot AS DOUBLE) / nd), 6) AS dispersion, "
+        + "round((((CAST(sq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / nd) / (nd - 1)) "
+        + "/ (CAST(tot AS DOUBLE) / nd) - 1.0) * sqrt((nd - 1) / 2.0), 6) AS z_disp, "
+        + "(((CAST(sq AS DOUBLE) - CAST(tot AS DOUBLE) * tot / nd) / (nd - 1)) "
+        + "/ (CAST(tot AS DOUBLE) / nd) - 1.0) * sqrt((nd - 1) / 2.0) > 1.644854 AS overdispersed "
+        + "FROM cells ORDER BY event_type"),
     "q123_bm25" ->
       ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
         + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "

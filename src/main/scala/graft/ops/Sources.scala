@@ -159,6 +159,28 @@ object Sources extends QueryPack {
           sum(when(col("c_name").startsWith("new|"), 1L).otherwise(0L)).as("n_inserted"))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // ------------------------------------------------------------------
+    // Custom DataSource V2 connector end-to-end (sources/GraftSeqSource
+    // .scala): the full TableProvider → ScanBuilder → Batch →
+    // InputPartition → PartitionReader chain behind
+    // spark.read.format("graftseq"), with 8 independent range readers
+    // (the multi-executor scan shape) and column pruning pushed into
+    // the reader — this query touches only (bucket, tok), so the scan's
+    // readSchema drops `id` entirely (asserted in DsV2Spec). The table
+    // is deterministic (bucket = md5_mod(id, 97), tok = 't'||id%50), so
+    // DuckDB replays it from range() — the oracle certifies the
+    // connector serves exactly the declared table, across all slices,
+    // no row lost or duplicated at partition boundaries.
+    "q286_dsv2_scan" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .select(col("bucket"), col("tok"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("n_tok"),
+          min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -199,5 +221,12 @@ object Sources extends QueryPack {
         + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
         + "CAST(sum(CASE WHEN c_name LIKE 'new|%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted "
         + "FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q286: DuckDB replays the synthetic table from range() + the
+    // portable md5 chain (bit-identical to the connector's Md5Mod).
+    "q286_dsv2_scan" ->
+      ("WITH t AS (SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "'t' || CAST(i % 50 AS VARCHAR) AS tok FROM (SELECT unnest(range(0, 200000)) AS i)) "
+        + "SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT tok) AS BIGINT) AS n_tok, "
+        + "min(tok) AS min_tok, max(tok) AS max_tok FROM t GROUP BY 1 ORDER BY 1"),
   )
 }

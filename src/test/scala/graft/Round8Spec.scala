@@ -251,4 +251,96 @@ class Round8Spec extends AnyFunSuite with Matchers with SharedSpark {
       raw.sliding(2).exists { case Seq(a, b2) => a > b2; case _ => false } shouldBe true
     }
   }
+
+  test("q287 imputation bill: mask is non-trivial and mean_after interpolates toward the median") {
+    val rows = SparkEntry.queries("q287_missing_impute")(spark, sf).collect()
+    rows.length should be > 0
+    rows.foreach { r =>
+      val (n, miss) = (r.getAs[Long]("n_rows"), r.getAs[Long]("n_missing"))
+      val (mObs, mAfter, med) = (r.getAs[Double]("mean_obs"),
+        r.getAs[Double]("mean_after"), r.getAs[Double]("median_imputed"))
+      withClue(s"${r.getString(0)}: ") {
+        miss should be > 0L
+        miss should be < n
+        // mean_after is the miss/n-weighted pull of mean_obs toward med
+        mAfter shouldBe (mObs * (n - miss) + med * miss) / n +- 1e-5
+        (mAfter >= math.min(mObs, med) - 1e-9 &&
+          mAfter <= math.max(mObs, med) + 1e-9) shouldBe true
+      }
+    }
+  }
+
+  test("q288 dispersion matches a scalar variance recompute from raw events") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type")).count()
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).map { case (t, cells) =>
+      val ns = cells.map(_._2.toDouble)
+      val nd = ns.length
+      val mean = ns.sum / nd
+      val variance = ns.map(x => (x - mean) * (x - mean)).sum / (nd - 1)
+      (t, nd.toLong, ns.sum.toLong, mean, variance, variance / mean)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q288_poisson_dispersion")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("nd"), r.getAs[Long]("tot"),
+        r.getAs[Double]("mean_daily"), r.getAs[Double]("var_daily"),
+        r.getAs[Double]("dispersion"), r.getAs[Double]("z_disp"),
+        r.getAs[Boolean]("overdispersed"))).toSeq
+    got.map(_._1) shouldBe expect.map(_._1)
+    got.zip(expect).foreach { case (g, e) =>
+      (g._2, g._3) shouldBe ((e._2, e._3))
+      g._4 shouldBe e._4 +- 1e-6
+      g._5 shouldBe e._5 +- 1e-4
+      g._6 shouldBe e._6 +- 1e-6
+      // z and the flag must be self-consistent
+      g._7 shouldBe ((g._6 - 1.0) * math.sqrt((g._2 - 1) / 2.0)) +- 1e-4
+      g._8 shouldBe (g._7 > 1.644854)
+    }
+  }
+
+  test("q289 adjusted difference matches a scalar standardization and differs from naive") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // (user, score, errs, purchases)
+    val users = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.length.toLong, es.count(_._2 == "error").toLong,
+        es.count(_._2 == "purchase").toLong)
+    }.toArray
+    // Spark percentile (rank p(n-1), linear interpolation, 6dp round)
+    def pct(xs: Array[Long], p: Double): Double = {
+      val s0 = xs.sorted
+      val rank = p * (s0.length - 1)
+      val lo = math.floor(rank).toInt
+      val v = s0(lo) + (s0(math.min(lo + 1, s0.length - 1)) - s0(lo)) * (rank - lo)
+      BigDecimal(java.math.BigDecimal.valueOf(v))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val med = pct(users.map(_._3), 0.5)
+    val bs = Seq(0.25, 0.5, 0.75).map(pct(users.map(_._2), _))
+    // (stratum, treated, purchases)
+    val withT = users.map(u =>
+      (bs.count(u._2 > _) + 1, if (u._3 > med) 1 else 0, u._4))
+    val cells = withT.groupBy(_._1).map { case (s0, us) =>
+      (s0, us.count(_._2 == 1).toLong, us.count(_._2 == 0).toLong,
+        us.filter(_._2 == 1).map(_._3).sum, us.filter(_._2 == 0).map(_._3).sum)
+    }.toSeq
+    val nUsers = users.length.toLong
+    val nT = withT.count(_._2 == 1).toLong
+    val naive = withT.filter(_._2 == 1).map(_._3).sum.toDouble / nT -
+      withT.filter(_._2 == 0).map(_._3).sum.toDouble / (nUsers - nT)
+    val adj = cells.collect { case (_, nt, nc, xt, xc) if nt > 0 && nc > 0 =>
+      (nt + nc).toDouble * (xt.toDouble / nt - xc.toDouble / nc)
+    }.sum / nUsers
+    val r = SparkEntry.queries("q289_stratified_adjust")(spark, sf).head()
+    r.getAs[Long]("n_users") shouldBe nUsers
+    r.getAs[Long]("n_treated") shouldBe nT
+    r.getAs[Double]("naive_diff") shouldBe naive +- 1e-6
+    r.getAs[Double]("adj_diff") shouldBe adj +- 1e-6
+    withClue("activity must actually confound (naive != adjusted), else the key is vacuous: ") {
+      math.abs(naive - adj) should be > 1e-4
+    }
+  }
 }
