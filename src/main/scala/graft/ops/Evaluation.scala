@@ -953,6 +953,15 @@ object Evaluation extends QueryPack {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
         .localCheckpoint() // prefix frame + final join-back consume it
+      // the -1 sentinel row below encodes "empty prefix": it is only
+      // sound if every REAL bin id is >= 0 (a corpus with negative
+      // `value` would mint negative bins and silently collide with the
+      // sentinel in both engines — the oracle could not catch it).
+      // Fail loudly instead; bins is checkpointed so this scans ≤10 rows.
+      val minBin = bins.agg(min(col("bin"))).head()
+      require(minBin.isNullAt(0) || minBin.getInt(0) >= 0,
+        s"q284: bin ids must be >= 0 for the -1 sentinel to be distinct; " +
+          s"min(bin)=${minBin.get(0)} — corpus has negative `value`")
       val wb = Window.orderBy(col("bin")) // bounded: ≤10 bin cells (allowlisted)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val pre = bins

@@ -505,9 +505,77 @@ object Pipeline extends QueryPack {
           "round(cast(max_salt_load as double) / n_rows, 6) AS max_bucket_share_salted",
           "round(cast(max_raw_load as double) / max_salt_load, 6) AS balance_gain")
     }),
+
+    // ------------------------------------------------------------------
+    // Exact Neyman allocation: the optimal stratified-sampling design
+    // n_h ∝ N_h·S_h (big AND variable strata get more budget) for a
+    // 200-doc sample stratified by lang, with LARGEST-REMAINDER
+    // rounding so the allocations sum to exactly 200 — q68 samples
+    // uniformly per stratum; this computes the budget a survey
+    // statistician would. S_h from exact integer (N, Σx, Σx²) cells in
+    // one fixed-order closed form (bit-identical both engines), the
+    // remainder rank over ≤|langs| cells (bounded window, allowlisted),
+    // the sample itself by the md5-order row_number (q68's idiom, but
+    // with the PER-STRATUM cutoff joined in), and the realized sample
+    // mean vs the stratum mean as the design audit.
+    "q292_neyman_alloc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+      val cells = d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("nh"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sx2"))
+        .withColumn("sh", expr(
+          "sqrt((sx2 - cast(sx as double) * sx / nh) / (nh - 1))"))
+        .withColumn("wh", expr("nh * sh"))
+        .localCheckpoint() // Σw + base-sum + the ranked allocation all consume it
+      val tot = cells.agg(sum(col("wh")).as("sw"))
+      val quotas = cells.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("200.0 * wh / sw"))
+        .withColumn("base", expr("cast(floor(quota) as bigint)"))
+        .withColumn("rem", expr("quota - floor(quota)"))
+        .localCheckpoint() // base-sum + ranked allocation
+      val baseTot = quotas.agg(sum(col("base")).as("tb"))
+      val wr = Window.orderBy(col("rem").desc, col("lang")) // bounded: ≤|langs| cells
+      val alloc = quotas.crossJoin(broadcast(baseTot))
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("n_h", col("base") + when(col("rk") <= lit(200L) - col("tb"), 1L).otherwise(0L))
+        .select(col("lang"), col("nh"), col("sh"), col("n_h"))
+      val ws = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      val sample = d
+        .withColumn("h", md5(concat(lit("ney|"), col("doc_id").cast("string")).cast("binary")))
+        .withColumn("rn", row_number().over(ws))
+        .join(broadcast(alloc.select(col("lang"), col("n_h"))), "lang")
+        .filter(col("rn") <= col("n_h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("samp_sx"))
+      alloc.join(sample, Seq("lang"), "left")
+        .select(col("lang"), col("nh").as("stratum_n"),
+          round(col("sh"), 6).as("stratum_sd"), col("n_h").as("alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          round(expr("cast(samp_sx as double) / n_sampled"), 6).as("sample_mean"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q292_neyman_alloc" ->
+      ("WITH cells AS (SELECT lang, CAST(count(*) AS BIGINT) AS nh, CAST(sum(n_chars) AS BIGINT) AS sx, "
+        + "CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2 FROM documents GROUP BY 1), "
+        + "c2 AS (SELECT lang, nh, sqrt((sx2 - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) AS sh, "
+        + "nh * sqrt((sx2 - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) AS wh FROM cells), "
+        + "q AS (SELECT lang, nh, sh, 200.0 * wh / (SELECT sum(wh) FROM c2) AS quota FROM c2), "
+        + "q2 AS (SELECT lang, nh, sh, CAST(floor(quota) AS BIGINT) AS base, quota - floor(quota) AS rem FROM q), "
+        + "alloc AS (SELECT lang, nh, sh, base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang) "
+        + "<= 200 - (SELECT sum(base) FROM q2) THEN 1 ELSE 0 END) AS n_h FROM q2), "
+        + "ranked AS (SELECT lang, doc_id, n_chars, row_number() OVER (PARTITION BY lang "
+        + "ORDER BY md5('ney|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents), "
+        + "samp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS samp_sx "
+        + "FROM ranked r JOIN alloc a ON r.lang = a.lang AND r.rn <= a.n_h GROUP BY 1) "
+        + "SELECT a.lang, a.nh AS stratum_n, round(a.sh, 6) AS stratum_sd, a.n_h AS alloc, "
+        + "coalesce(s.n_sampled, 0) AS n_sampled, "
+        + "round(CAST(samp_sx AS DOUBLE) / s.n_sampled, 6) AS sample_mean "
+        + "FROM alloc a LEFT JOIN samp s ON a.lang = s.lang ORDER BY a.lang"),
     "q269_hash_uniformity" -> {
       def audit(name: String, table: String, key: String) =
         (s"SELECT '$name' AS key_name, n, n_buckets, min_bucket_n, max_bucket_n, "

@@ -181,6 +181,58 @@ object Sources extends QueryPack {
           min(col("tok")).as("min_tok"), max(col("tok")).as("max_tok"))
         .orderBy(col("bucket"))
     }),
+
+    // ------------------------------------------------------------------
+    // DSv2 FILTER PUSHDOWN (SupportsPushDownFilters): the id-range
+    // predicates reach the connector and narrow partition PLANNING —
+    // [50k,150k) is split into 8 slices covering only the kept range,
+    // so the pruned half of the table is never planned, let alone read
+    // (the partition-pruning shape: at 100 TB, `id >= X` skips
+    // files/splits below X instead of scanning-then-filtering). The
+    // `tok` predicate is NOT pushable and comes back as a residual
+    // Spark evaluates post-scan — both paths in one query. DsV2Spec
+    // asserts the mechanics (pushedFilters non-empty, planned
+    // partitions shrink to the range); this oracle certifies values.
+    "q290_dsv2_pushdown" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .filter(col("id") >= 50000L && col("id") < 150000L && col("tok") =!= "t7")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), countDistinct(col("tok")).as("n_tok"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
+    // DSv2 WRITE surface (sources/GraftSinkSource.scala): customer is
+    // pushed through the staged-commit sink twice — even keys via
+    // OVERWRITE (SupportsTruncate), odd keys via APPEND (manifest
+    // merge + schema check) — then read back through the sink's own
+    // BATCH_READ and aggregated. The oracle computes the same result
+    // straight from parquet, so any loss anywhere in the write path
+    // (row encoding, null codec, tab/escape handling via the
+    // deliberately tab-embedded `tagged` column, task commit, driver
+    // rename, manifest merge) breaks the hash. Two-phase commit:
+    // tasks stage under _staging/<queryId>/, driver renames then
+    // publishes the manifest LAST — the atomic-publish idiom.
+    "q291_dsv2_sink" -> ((s, dir) => {
+      val stage = Stage.dir("sink291")
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        concat_ws("\t", col("c_name"), col("c_mktsegment")).as("tagged"))
+      c.filter(col("c_custkey") % 2 === 0)
+        .write.format("graftsink").mode("overwrite").option("path", stage).save()
+      c.filter(col("c_custkey") % 2 === 1)
+        .write.format("graftsink").mode("append").option("path", stage).save()
+      s.read.format("graftsink").option("path", stage).load()
+        .groupBy(expr("coalesce(seg, 'OTHER')").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"),
+          sum(length(col("tagged"))).as("sum_tag_len"))
+        .orderBy(col("segment"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -228,5 +280,22 @@ object Sources extends QueryPack {
         + "'t' || CAST(i % 50 AS VARCHAR) AS tok FROM (SELECT unnest(range(0, 200000)) AS i)) "
         + "SELECT bucket, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT tok) AS BIGINT) AS n_tok, "
         + "min(tok) AS min_tok, max(tok) AS max_tok FROM t GROUP BY 1 ORDER BY 1"),
+    // q290: the pushed-down range + residual tok filter, replayed from
+    // the narrowed range() directly.
+    "q290_dsv2_pushdown" ->
+      ("WITH t AS (SELECT i AS id, CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "'t' || CAST(i % 50 AS VARCHAR) AS tok FROM (SELECT unnest(range(50000, 150000)) AS i)) "
+        + "SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(id) AS min_id, max(id) AS max_id, "
+        + "CAST(count(DISTINCT tok) AS BIGINT) AS n_tok FROM t WHERE tok <> 't7' GROUP BY 1 ORDER BY 1"),
+    // q291: the sink round-trip must equal the same aggregate straight
+    // off parquet; chr(9) rebuilds the tab-embedded tagged column.
+    "q291_dsv2_sink" ->
+      ("WITH c AS (SELECT c_custkey, c_acctbal, nullif(c_mktsegment, 'BUILDING') AS seg, "
+        + "c_name || chr(9) || c_mktsegment AS tagged FROM customer) "
+        + "SELECT coalesce(seg, 'OTHER') AS segment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
+        + "CAST(sum(length(tagged)) AS BIGINT) AS sum_tag_len "
+        + "FROM c GROUP BY 1 ORDER BY 1"),
   )
 }

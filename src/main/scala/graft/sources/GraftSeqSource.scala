@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Custom DataSource V2 connector (`spark.read.format("graftseq")`):
   * a deterministic synthetic table — the connector surface itself is
   * the point (TableProvider → Table → ScanBuilder → Batch →
-  * InputPartition → PartitionReader), exercised end-to-end by q286 and
-  * asserted structurally in DsV2Spec:
+  * InputPartition → PartitionReader), exercised end-to-end by q286/q290
+  * and asserted structurally in DsV2Spec:
   *
   *  - **schema inference**: `(id BIGINT, bucket BIGINT, tok STRING)`
   *    where bucket = md5_mod(id, 97) (the repo's native hash — same
@@ -31,7 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **column pruning**: implements SupportsPushDownRequiredColumns;
   *    the reader materializes ONLY the pruned columns (a query touching
   *    `bucket, tok` never pays the `id` column — DsV2Spec asserts the
-  *    scan's readSchema shrank).
+  *    scan's readSchema shrank);
+  *  - **filter pushdown**: implements SupportsPushDownFilters; range
+  *    predicates on `id` (`>,>=,<,<=,=`) narrow the planned id-range so
+  *    whole InputPartitions are never created — the partition-pruning
+  *    shape (a 100 TB scan with `id >= X` skips the files/splits below
+  *    X instead of reading-then-filtering them). Accepted filters are
+  *    enforced EXACTLY by the range, so they are not re-evaluated
+  *    post-scan; anything else (e.g. a `tok` predicate) is returned to
+  *    Spark as a residual and evaluated after the scan.
   *
   * Options: `rows` (total row count, required), `slices` (input
   * partitions, default 4). Registered under the short name "graftseq"
@@ -45,10 +53,9 @@ class GraftSeqProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val rows = Option(properties.get("rows"))
-      .getOrElse(throw new IllegalArgumentException("graftseq requires option 'rows'"))
-      .toLong
-    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(4)
+    val rows = GraftSeqTable.parseLong(properties, "rows")
+    val slices = Option(properties.get("slices"))
+      .map(_ => GraftSeqTable.parseLong(properties, "slices").toInt).getOrElse(4)
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(slices >= 1, s"slices must be >= 1, got $slices")
     new GraftSeqTable(rows, slices)
@@ -60,6 +67,18 @@ object GraftSeqTable {
     .add("id", LongType, nullable = false)
     .add("bucket", LongType, nullable = false)
     .add("tok", StringType, nullable = false)
+
+  /** Parse a required numeric option, naming the option in BOTH the
+    * missing and the malformed case (a bare NumberFormatException from
+    * `"12x".toLong` names neither the option nor the value). */
+  def parseLong(properties: JMap[String, String], name: String): Long = {
+    val raw = Option(properties.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"graftseq requires option '$name'"))
+    try raw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graftseq option '$name' must be an integer, got '$raw'")
+    }
+  }
 }
 
 class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
@@ -72,32 +91,63 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class GraftSeqScanBuilder(rows: Long, slices: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = GraftSeqTable.fullSchema
+  private var lo: Long = 0L            // narrowed id-range [lo, hi)
+  private var hi: Long = rows
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftSeqScan(rows, slices, required)
+  /** Accept exactly the filters the id-range enforces COMPLETELY (so
+    * Spark must not re-evaluate them): range/equality predicates on
+    * `id` with a literal long, plus vacuous IsNotNull on the non-null
+    * columns. Everything else is a residual for Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("id", v: Long)           => hi = math.min(hi, v); true
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1); true
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case IsNotNull(c) => GraftSeqTable.fullSchema.fieldNames.contains(c) // all non-null
+      case _ => false
+    }
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi), accepted)
 }
 
-class GraftSeqScan(rows: Long, slices: Int, required: StructType)
-  extends Scan with Batch {
+class GraftSeqScan(rows: Long, slices: Int, required: StructType,
+    lo: Long, hi: Long, val pushed: Array[Filter]) extends Scan with Batch {
+
+  def this(rows: Long, slices: Int, required: StructType) =
+    this(rows, slices, required, 0L, rows, Array.empty)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSeqScan(rows=$rows, slices=$slices, cols=${required.fieldNames.mkString(",")})"
+    s"GraftSeqScan(rows=$rows, slices=$slices, range=[$lo,$hi), " +
+      s"cols=${required.fieldNames.mkString(",")}, pushed=[${pushed.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // even id-range split; the last slice absorbs the remainder
-    val per = math.max(1L, rows / slices)
+    // even split of the PUSHED-DOWN range [lo, hi) — filters narrow the
+    // range BEFORE partitions exist, so pruned slices are never planned;
+    // the last slice absorbs the remainder
+    val span = math.max(0L, hi - lo)
+    if (span == 0L) return Array(GraftSeqPartition(lo, lo))
+    val per = math.max(1L, span / slices)
     (0 until slices).flatMap { i =>
-      val start = i.toLong * per
-      val end = if (i == slices - 1) rows else math.min(rows, start + per)
-      if (start < end || (rows == 0 && i == 0)) Some(GraftSeqPartition(start, end))
-      else None
+      val start = lo + i.toLong * per
+      val end = if (i == slices - 1) hi else math.min(hi, start + per)
+      if (start < end) Some(GraftSeqPartition(start, end)) else None
     }.toArray
   }
 
@@ -108,22 +158,33 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType)
 case class GraftSeqPartition(start: Long, end: Long) extends InputPartition
 
 /** Serializable factory shipped to executors; builds rows holding ONLY
-  * the pruned columns, in the pruned order. */
+  * the pruned columns, in the pruned order. Column extractors are
+  * resolved ONCE per reader (not string-matched per row), and each
+  * reader reuses a single values buffer — get() is two or three direct
+  * function calls per row, no per-row closure or Array allocation. */
 class GraftSeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftSeqPartition]
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
+      private val extractors: Array[Long => Any] = cols.map {
+        case "id" => (id: Long) => id
+        case "bucket" => (id: Long) =>
+          graft.functions.Md5Mod.hash(id.toString.getBytes("UTF-8"), 97L)
+        case "tok" => (id: Long) => UTF8String.fromString("t" + (id % 50))
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+      private val buf = new Array[Any](extractors.length)
+
       override def next(): Boolean = { cur += 1; cur < p.end }
       override def get(): InternalRow = {
-        val vals: Array[Any] = cols.map {
-          case "id" => cur
-          case "bucket" =>
-            graft.functions.Md5Mod.hash(cur.toString.getBytes("UTF-8"), 97L)
-          case "tok" => UTF8String.fromString("t" + (cur % 50))
-          case other => throw new IllegalArgumentException(s"unknown column $other")
-        }
-        new GenericInternalRow(vals)
+        var i = 0
+        while (i < extractors.length) { buf(i) = extractors(i)(cur); i += 1 }
+        // GenericInternalRow aliases the passed array; operators upstream
+        // copy the row if they retain it (Spark's own row-reuse contract),
+        // so reusing `buf` per reader is safe and allocation-free bar the
+        // row wrapper itself.
+        new GenericInternalRow(buf)
       }
       override def close(): Unit = ()
     }

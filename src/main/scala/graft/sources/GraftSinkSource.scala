@@ -1,0 +1,336 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader}
+import java.nio.charset.StandardCharsets
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Write-side DataSource V2 connector (`df.write.format("graftsink")`):
+  * a path-backed staged-commit table — the WRITE surface is the point
+  * (WriteBuilder → BatchWrite → DataWriterFactory → DataWriter →
+  * task-commit → driver-commit), the exact two-phase shape every
+  * exactly-once distributed sink uses:
+  *
+  *  - **task side**: each DataWriter streams its partition's rows into
+  *    `_staging/<queryId>/part-<pid>-<taskId>.tsv` (Hadoop FileSystem
+  *    API, so the same code addresses HDFS/S3A on a real cluster) and
+  *    returns the staged file + row count as its commit message. Tasks
+  *    never write into the visible table — a failed/speculated task
+  *    leaves only staging garbage, never a torn table. Spark's commit
+  *    coordinator guarantees one committed task per partition.
+  *  - **driver side**: `BatchWrite.commit` renames the committed tasks'
+  *    staged files into the table root and THEN publishes `_manifest`
+  *    (schema DDL line + one committed file per line). Readers resolve
+  *    the file list ONLY through the manifest, so a crash between
+  *    renames publishes nothing — readers see the previous table
+  *    version (manifest-last = the atomic-publish idiom used by every
+  *    table format). `abort` deletes the staging tree.
+  *  - **truncate**: `.mode("overwrite")` routes through
+  *    SupportsTruncate; commit then REPLACES the manifest instead of
+  *    merging with it (old data files are dropped from the manifest
+  *    first, deleted best-effort after publish). Append mode merges,
+  *    requiring the incoming schema to match the published DDL.
+  *  - **read-back**: BATCH_READ serves the manifest's files one
+  *    InputPartition each (split-per-file scan parallelism), with
+  *    SupportsPushDownRequiredColumns — the TSV reader parses ONLY the
+  *    pruned columns' fields.
+  *
+  * Row encoding: one TSV line per row; `\`-escaped tab/newline/
+  * backslash, `\N` for NULL. Supported column types: BIGINT, INT,
+  * DOUBLE, STRING (doubles via Java round-trip formatting, so
+  * read-back is bit-exact). Option: `path` (required).
+  */
+class GraftSinkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftsink"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftSink.pathOf(options.asCaseSensitiveMap())
+    GraftSink.readManifest(path)
+      .map(m => StructType.fromDDL(m.ddl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftsink: no committed table at $path (missing ${GraftSink.MANIFEST})"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftSinkTable(GraftSink.pathOf(properties), schema)
+}
+
+object GraftSink {
+  val MANIFEST = "_manifest"
+  val STAGING = "_staging"
+
+  def pathOf(properties: JMap[String, String]): String =
+    Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graftsink requires option 'path'"))
+
+  def fs(path: String): FileSystem =
+    new HPath(path).getFileSystem(new Configuration())
+
+  final case class Manifest(ddl: String, files: Seq[String])
+
+  def readManifest(path: String): Option[Manifest] = {
+    val f = fs(path)
+    val mp = new HPath(path, MANIFEST)
+    if (!f.exists(mp)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(f.open(mp), StandardCharsets.UTF_8))
+      try {
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+        require(lines.nonEmpty, s"graftsink: empty manifest at $mp")
+        Some(Manifest(lines.head, lines.tail.filter(_.nonEmpty)))
+      } finally in.close()
+    }
+  }
+
+  def writeManifest(path: String, m: Manifest): Unit = {
+    val f = fs(path)
+    val out = f.create(new HPath(path, MANIFEST), true)
+    try out.write((m.ddl +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def checkSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
+    fld.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"graftsink: unsupported column type ${dt.sql} for '${fld.name}' " +
+          "(supported: BIGINT, INT, DOUBLE, STRING)")
+    }
+  }
+
+  // --- TSV field codec (escape-stable, null-safe, type-exact) ---------
+  def encodeField(dt: DataType, row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) "\\N"
+    else dt match {
+      case LongType    => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType  => row.getDouble(i).toString // Java shortest round-trip
+      case StringType  => row.getUTF8String(i).toString
+        .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+      case dt => throw new IllegalArgumentException(s"graftsink: unsupported type $dt")
+    }
+
+  def decodeField(dt: DataType, raw: String): Any =
+    if (raw == "\\N") null
+    else dt match {
+      case LongType    => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType  => raw.toDouble
+      case StringType  =>
+        val sb = new java.lang.StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\' && i + 1 < raw.length) {
+            raw.charAt(i + 1) match {
+              case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+              case '\\' => sb.append('\\')
+              case o => sb.append('\\').append(o)
+            }
+            i += 2
+          } else { sb.append(c); i += 1 }
+        }
+        UTF8String.fromString(sb.toString)
+      case dt => throw new IllegalArgumentException(s"graftsink: unsupported type $dt")
+    }
+
+  /** Split a TSV line on UNESCAPED tabs (an escaped `\t` never appears:
+    * the encoder rewrites literal tab characters to the 2-char escape,
+    * so every 0x09 byte in the file is a field separator). */
+  def splitLine(line: String): Array[String] = line.split("\t", -1)
+}
+
+class GraftSinkTable(path: String, declared: StructType)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graftsink($path)"
+  override def schema(): StructType =
+    GraftSink.readManifest(path).map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftSinkScanBuilder(path, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftSinkWriteBuilder(path, info.schema(), info.queryId())
+}
+
+// --------------------------------------------------------------------
+// WRITE path
+// --------------------------------------------------------------------
+
+class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String)
+  extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      GraftSink.checkSchema(schema)
+      new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
+    }
+  }
+}
+
+/** One staged-commit message per successfully committed task. */
+case class GraftSinkCommit(stagedFile: String, partitionId: Int, rows: Long)
+  extends WriterCommitMessage
+
+class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftSinkWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftSink.fs(path)
+    val prior = GraftSink.readManifest(path)
+    if (!truncate) prior.foreach { m =>
+      require(m.ddl == schema.toDDL,
+        s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
+          s"write is '${schema.toDDL}' (use overwrite to replace)")
+    }
+    // 1) move committed tasks' staged files into the table root, named
+    //    uniquely per (queryId, partition) so appends never collide
+    val published = messages.collect { case c: GraftSinkCommit =>
+      val fin = s"$queryId-part-${c.partitionId}.tsv"
+      val ok = f.rename(new HPath(c.stagedFile), new HPath(path, fin))
+      require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
+      fin
+    }.toSeq
+    // 2) manifest-last: only now do readers see the new version
+    val files = if (truncate) published
+                else prior.map(_.files).getOrElse(Nil) ++ published
+    GraftSink.writeManifest(path, GraftSink.Manifest(schema.toDDL, files))
+    // 3) best-effort GC of replaced data + this query's staging tree
+    if (truncate) prior.foreach(_.files.foreach(n =>
+      f.delete(new HPath(path, n), false)))
+    f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // staged files are invisible to readers; dropping the staging tree
+    // restores the exact pre-write state
+    GraftSink.fs(path).delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+  }
+}
+
+class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val staged =
+        s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv"
+      private val out = GraftSink.fs(path).create(new HPath(staged), true)
+      private val types = schema.fields.map(_.dataType)
+      private var n = 0L
+
+      override def write(row: InternalRow): Unit = {
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < types.length) {
+          if (i > 0) sb.append('\t')
+          sb.append(GraftSink.encodeField(types(i), row, i))
+          i += 1
+        }
+        sb.append('\n')
+        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+        n += 1
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        GraftSinkCommit(staged, partitionId, n)
+      }
+      override def abort(): Unit = {
+        out.close()
+        GraftSink.fs(path).delete(new HPath(staged), false)
+      }
+      override def close(): Unit = ()
+    }
+}
+
+// --------------------------------------------------------------------
+// READ path (manifest-resolved, one InputPartition per committed file)
+// --------------------------------------------------------------------
+
+class GraftSinkScanBuilder(path: String, full: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftSinkScan(path, full, required)
+}
+
+class GraftSinkScan(path: String, full: StructType, required: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = GraftSink.readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
+    m.files.map(n => GraftSinkFilePartition(s"$path/$n")).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // resolve once on the driver: for each REQUIRED column, its type and
+    // its field index in the full on-disk row
+    val srcIdx = required.fieldNames.map(full.fieldIndex)
+    new GraftSinkReaderFactory(required.fields.map(_.dataType), srcIdx)
+  }
+}
+
+case class GraftSinkFilePartition(file: String) extends InputPartition
+
+class GraftSinkReaderFactory(types: Array[DataType], srcIdx: Array[Int])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[GraftSinkFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val in = new BufferedReader(new InputStreamReader(
+        GraftSink.fs(file).open(new HPath(file)), StandardCharsets.UTF_8))
+      private var line: String = _
+
+      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def get(): InternalRow = {
+        val fields = GraftSink.splitLine(line)
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = GraftSink.decodeField(types(i), fields(srcIdx(i)))
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -626,6 +626,8 @@ object Streaming extends QueryPack {
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      require(lastVersion >= 0,
+        "q285: stream produced no batches — no versioned state was written")
       graft.ops.Stage.release(inP)
       val out = s.read.parquet(s"$st/v$lastVersion")
         .groupBy((col("user_id") % 10).as("bucket"))

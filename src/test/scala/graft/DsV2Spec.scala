@@ -59,6 +59,139 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("filter pushdown narrows partition planning to the predicate range") {
+    val df = rd(200000L, 8).filter(col("id") >= 50000L && col("id") < 150000L)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    val scan = scans.head.scan.asInstanceOf[GraftSeqScan]
+    // both range predicates were ACCEPTED by the source...
+    scan.pushed.length should be >= 2
+    // ...and partition planning covers ONLY [50000, 150000): the pruned
+    // half of the table is never planned, let alone read
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[GraftSeqPartition])
+    parts.map(_.start).min shouldBe 50000L
+    parts.map(_.end).max shouldBe 150000L
+    parts.map(p => p.end - p.start).sum shouldBe 100000L
+    // values stay exact: the range is enforced by planning, not re-filtered
+    df.count() shouldBe 100000L
+    df.agg(min(col("id")), max(col("id"))).head() match {
+      case r => r.getLong(0) shouldBe 50000L; r.getLong(1) shouldBe 149999L
+    }
+  }
+
+  test("unpushable predicates come back as residuals, pushable ones do not double-apply") {
+    val df = rd(1000L, 4).filter(col("id") >= 100L && col("tok") === "t7")
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    val scan = scans.head.scan.asInstanceOf[GraftSeqScan]
+    scan.pushed.map(_.toString).exists(_.contains("id")) shouldBe true
+    // the tok predicate must NOT be claimed by the source
+    scan.pushed.map(_.toString).exists(_.contains("tok")) shouldBe false
+    // ids >= 100 with id % 50 == 7 → 107, 157, ..., 957
+    df.select(col("id")).collect().map(_.getLong(0)).sorted shouldBe
+      (100L until 1000L).filter(_ % 50 == 7).toArray
+  }
+
+  test("equality pushdown plans a single-row range") {
+    val df = rd(100000L, 8).filter(col("id") === 42L)
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.asInstanceOf[GraftSeqScan]
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[GraftSeqPartition])
+    parts.map(p => p.end - p.start).sum shouldBe 1L
+    df.select(col("bucket")).head().getLong(0) shouldBe
+      graft.functions.Md5Mod.hash("42".getBytes("UTF-8"), 97L)
+  }
+
+  test("contradictory pushed range plans an empty scan, not a crash") {
+    rd(1000L, 4).filter(col("id") >= 900L && col("id") < 100L).count() shouldBe 0L
+  }
+
+  test("sink: overwrite + append round-trip preserves rows, nulls, and escapes") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("dsv2sink").toString
+    val df = Seq(
+      (1L, 10, 1.5, "plain"),
+      (2L, 20, -0.25, "tab\there"),
+      (3L, 30, 3.0, "nl\nline"),
+      (4L, 40, 1e-17, "back\\slash"),
+      (5L, 50, 2.0, null.asInstanceOf[String])
+    ).toDF("k", "v", "x", "s")
+    df.filter($"k" <= 3).write.format("graftsink").mode("overwrite").option("path", dir).save()
+    df.filter($"k" > 3).write.format("graftsink").mode("append").option("path", dir).save()
+    val back = spark.read.format("graftsink").option("path", dir).load()
+    back.schema.fieldNames.toSeq shouldBe Seq("k", "v", "x", "s")
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), if (r.isNullAt(3)) null else r.getString(3)))
+      .sortBy(_._1)
+    rows shouldBe Array(
+      (1L, 10, 1.5, "plain"), (2L, 20, -0.25, "tab\there"), (3L, 30, 3.0, "nl\nline"),
+      (4L, 40, 1e-17, "back\\slash"), (5L, 50, 2.0, null))
+    // overwrite replaces: a second truncate write drops the old 5 rows
+    df.filter($"k" === 1L).write.format("graftsink").mode("overwrite").option("path", dir).save()
+    spark.read.format("graftsink").option("path", dir).load().count() shouldBe 1L
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
+  test("sink: manifest-last publish — staged-but-uncommitted files are invisible to readers") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("dsv2stage").toString
+    Seq((1L, 1, 1.0, "a")).toDF("k", "v", "x", "s")
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    // hand-plant staging garbage (a crashed writer's leftovers) plus a
+    // stray data file NOT in the manifest
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p.resolve("_staging/deadquery"))
+    java.nio.file.Files.write(p.resolve("_staging/deadquery/part-0-99.tsv"),
+      "9\t9\t9.0\tghost\n".getBytes)
+    java.nio.file.Files.write(p.resolve("orphan-part-7.tsv"), "8\t8\t8.0\tstray\n".getBytes)
+    // readers resolve files ONLY through the manifest → still 1 row
+    spark.read.format("graftsink").option("path", dir).load().count() shouldBe 1L
+    graft.ops.Stage.release(p)
+  }
+
+  test("sink: append with a mismatched schema fails loudly") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("dsv2mismatch").toString
+    Seq((1L, "a")).toDF("k", "s")
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    val ex = intercept[Exception] {
+      Seq((1L, 2.0)).toDF("k", "x")
+        .write.format("graftsink").mode("append").option("path", dir).save()
+    }
+    // Spark's analyzer rejects it against the manifest-published schema
+    // (table.schema() resolves through the manifest) before the sink's
+    // own commit-time DDL check even runs — either layer failing loudly
+    // is the contract
+    (ex.getMessage.contains("schema mismatch") ||
+      ex.getMessage.contains("INCOMPATIBLE_DATA_FOR_TABLE")) shouldBe true
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
+  test("sink: unsupported column type is rejected before any write happens") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("dsv2badtype").toString
+    val ex = intercept[Exception] {
+      Seq((1L, Array(1.0))).toDF("k", "arr")
+        .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    }
+    ex.getMessage should include("unsupported column type")
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
+  test("sink read prunes columns: only required fields are parsed") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("dsv2prune").toString
+    Seq((1L, 10, 1.0, "a"), (2L, 20, 2.0, "b")).toDF("k", "v", "x", "s")
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    val df = spark.read.format("graftsink").option("path", dir).load()
+      .select(col("s"), col("k")).groupBy(col("s")).count()
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    scans.head.scan.asInstanceOf[graft.sources.GraftSinkScan]
+      .readSchema().fieldNames.toSeq shouldBe Seq("s")
+    df.count() shouldBe 2L
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
   test("bucket column is bit-identical to the portable md5 SQL chain") {
     org.apache.spark.sql.GraftFunctions.register(spark)
     val bad = rd(500L, 3)

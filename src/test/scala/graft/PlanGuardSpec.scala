@@ -62,7 +62,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q265_source_novelty", // cumulative novelty over <= |sources| cells
     "q274_ljung_box",      // 7 lag terms in one window over <= #days daily cells
     "q283_uplift_qini",    // cumulative uplift windows over 10 decile cells
-    "q284_isotonic_calibration" // prefix sums over <= 10 calibration-bin cells
+    "q284_isotonic_calibration", // prefix sums over <= 10 calibration-bin cells
+    "q292_neyman_alloc"  // largest-remainder rank over <= |langs| allocation cells
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
