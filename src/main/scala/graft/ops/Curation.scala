@@ -478,9 +478,58 @@ object Curation extends QueryPack {
           "round(0.886 / sqrt(cast(n as double)), 6) AS lilliefors_crit_5pct",
           "ks < 0.886 / sqrt(cast(n as double)) AS lognormal_ok_5pct")
     }),
+
+    // ------------------------------------------------------------------
+    // Per-SOURCE benchmark-contamination attribution — q75 finds the
+    // contaminated docs, this answers the follow-up a curation owner
+    // actually asks: WHICH ingestion source leaks eval data, at what
+    // rate, and what share of total contamination does each source own
+    // (the table that decides whether to drop a source or just its
+    // hits). Bench set = q75's held-out slice (doc_id % 101 = 7);
+    // gram machinery = the memoized 60-bit hashed-8-gram index shared
+    // with q151/q237/q265, so the fact-table pass is already paid. The
+    // bench gram set is eval-sized → broadcast; hit docs contract to
+    // distinct doc_ids before the source rollup; the grand total rides
+    // as a broadcast 1-row frame.
+    "q296_contamination_attr" -> ((s, dir) => {
+      val sg = Text.hashedGrams8(s, dir)
+      val bench = sg.filter(col("doc_id") % 101 === 7).select(col("h")).distinct()
+      val hitDocs = sg.filter(col("doc_id") % 101 =!= 7)
+        .join(broadcast(bench), "h")
+        .select(col("doc_id")).distinct()
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 101 =!= 7)
+        .select(col("doc_id"), col("source"))
+      val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val hits = docs.join(hitDocs, "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_contam"))
+        .localCheckpoint() // per-source rollup + grand total both consume it
+      val grand = hits.agg(coalesce(sum(col("n_contam")), lit(0L)).as("tot_contam"))
+      tot.join(hits, Seq("source"), "left")
+        .withColumn("n_contam", coalesce(col("n_contam"), lit(0L)))
+        .crossJoin(broadcast(grand))
+        .select(col("source"), col("n_docs"), col("n_contam"),
+          round(col("n_contam").cast("double") / col("n_docs"), 6).as("contam_rate"),
+          round(col("n_contam").cast("double") / col("tot_contam"), 6).as("contam_share"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q296_contamination_attr" ->
+      ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "ng AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT))) AS h FROM t WHERE len(w) >= 8)), "
+        + "bench AS (SELECT DISTINCT h FROM ng WHERE doc_id % 101 = 7), "
+        + "hits AS (SELECT DISTINCT doc_id FROM ng WHERE doc_id % 101 <> 7 AND h IN (SELECT h FROM bench)), "
+        + "docs AS (SELECT doc_id, source FROM documents WHERE doc_id % 101 <> 7), "
+        + "tot AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source), "
+        + "hs AS (SELECT d.source, count(*) AS n_contam FROM docs d JOIN hits USING (doc_id) GROUP BY d.source), "
+        + "tc AS (SELECT CAST(coalesce(sum(n_contam), 0) AS BIGINT) AS tot_contam FROM hs) "
+        + "SELECT t.source, t.n_docs, CAST(coalesce(h.n_contam, 0) AS BIGINT) AS n_contam, "
+        + "round(CAST(coalesce(h.n_contam, 0) AS DOUBLE) / t.n_docs, 6) AS contam_rate, "
+        + "round(CAST(coalesce(h.n_contam, 0) AS DOUBLE) / tot_contam, 6) AS contam_share "
+        + "FROM tot t LEFT JOIN hs h USING (source) CROSS JOIN tc ORDER BY t.source"),
     "q275_lognormal_fit" ->
       ("WITH y AS (SELECT ln(CAST(n_chars AS DOUBLE)) AS yv FROM documents WHERE n_chars > 0), "
         + "fit AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(yv AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu, "

@@ -806,9 +806,39 @@ object Relational extends QueryPack {
         ORDER BY numwait DESC, s_name
         LIMIT 10""")
     }),
+
+    // ------------------------------------------------------------------
+    // Modern SQL aggregate surface: GROUP BY ALL (keys inferred from
+    // the non-aggregate select items — the 2023-era convenience both
+    // Spark 4 and DuckDB resolve identically) combined with per-
+    // aggregate FILTER clauses (SQL:2003 T612), which beat the
+    // CASE-WHEN-ELSE-NULL encoding by keeping the predicate inside the
+    // aggregate where codegen fuses it into the partial-agg pass.
+    // Sums quantize to DECIMAL(18,2) before aggregation (q83's
+    // discipline) so cell values are accumulation-order-free; the
+    // conditional sum coalesces to 0 for cells where no row passes.
+    "q293_groupby_all" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_ga")
+      s.sql("""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n_events,
+               count(*) FILTER (WHERE value > 100) AS n_hi,
+               round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2)))
+                 FILTER (WHERE value > 100), 0.0) AS DOUBLE), 6) AS sum_hi,
+               count(DISTINCT user_id) AS n_users
+        FROM events_ga
+        GROUP BY ALL
+        ORDER BY event_type, day""")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q293_groupby_all" ->
+      ("SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events, "
+        + "count(*) FILTER (WHERE value > 100) AS n_hi, "
+        + "round(CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE value > 100), 0.0) AS DOUBLE), 6) AS sum_hi, "
+        + "count(DISTINCT user_id) AS n_users "
+        + "FROM events GROUP BY ALL ORDER BY event_type, day"),
     "q134_unpivot" ->
       ("WITH a AS (SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
         + "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, "

@@ -963,9 +963,60 @@ object Science extends QueryPack {
             + "/ (cast(tot as double) / nd) - 1.0) * sqrt((nd - 1) / 2.0) > 1.644854 AS overdispersed"))
         .orderBy(col("event_type"))
     }),
+
+    // ------------------------------------------------------------------
+    // Percentile-bootstrap CI for the MEDIAN of per-type daily revenue
+    // — the nonparametric statistic q99's mean-bootstrap cannot cover
+    // (a median has no CLT normal approximation worth trusting at
+    // these n, and q270's order-statistic CI only exists ungrouped).
+    // Resampling is q99's discipline verbatim: md5(b,i) mod n picks
+    // each resample element — never rand(), so the CI is reproducible
+    // across runs/engines/partitionings. B=200 resamples over bounded
+    // post-agg daily rows; each resample median interpolates over
+    // exact-decimal daily sums cast to double (the q21
+    // percentile↔quantile_cont parity recipe); the outer percentile
+    // runs over 200 medians per type.
+    "q297_bootstrap_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("vd"))
+        .localCheckpoint() // ranked resample frame + original median
+      val ranked = daily
+        .withColumn("idx", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      val grid = ranked.select(col("event_type"), col("n")).distinct()
+        .select(col("event_type"), col("n"), explode(expr("sequence(1, 200)")).as("b"))
+        .select(col("event_type"), col("n"), col("b"), explode(expr("sequence(1, n)")).as("i"))
+        .withColumn("idx", expr(
+          "md5_mod(concat('bsm|', event_type, '|', cast(b as string), '|', cast(i as string)), n) + 1"))
+      val meds = grid
+        .join(ranked.select(col("event_type"), col("idx"), col("vd")), Seq("event_type", "idx"))
+        .groupBy(col("event_type"), col("b"), col("n"))
+        .agg(expr("percentile(cast(vd as double), 0.5d)").as("med_b"))
+      val orig = daily.groupBy(col("event_type"))
+        .agg(round(expr("percentile(cast(vd as double), 0.5d)"), 6).as("med_v"))
+      meds.groupBy(col("event_type"), col("n"))
+        .agg(round(expr("percentile(med_b, 0.025d)"), 6).as("ci_lo"),
+          round(expr("percentile(med_b, 0.975d)"), 6).as("ci_hi"))
+        .join(broadcast(orig), "event_type")
+        .select(col("event_type"), col("n"), col("med_v"), col("ci_lo"), col("ci_hi"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q297_bootstrap_median" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(CAST(value AS DECIMAL(18,2))) AS vd FROM events GROUP BY 1, 2), "
+        + "ranked AS (SELECT event_type, vd, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx, count(*) OVER (PARTITION BY event_type) AS n FROM daily), "
+        + "tn AS (SELECT DISTINCT event_type, n FROM ranked), "
+        + "grid AS (SELECT event_type, n, b, i, CAST('0x' || substr(md5('bsm|' || event_type || '|' || CAST(b AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % n + 1 AS idx "
+        + "FROM tn, LATERAL (SELECT unnest(range(1, 201)) AS b), LATERAL (SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i)), "
+        + "meds AS (SELECT g.event_type, g.b, g.n, quantile_cont(CAST(r.vd AS DOUBLE), 0.5) AS med_b FROM grid g JOIN ranked r ON r.event_type = g.event_type AND r.idx = g.idx GROUP BY 1, 2, 3), "
+        + "orig AS (SELECT event_type, round(quantile_cont(CAST(vd AS DOUBLE), 0.5), 6) AS med_v FROM daily GROUP BY 1) "
+        + "SELECT m.event_type, CAST(m.n AS BIGINT) AS n, o.med_v, round(quantile_cont(med_b, 0.025), 6) AS ci_lo, round(quantile_cont(med_b, 0.975), 6) AS ci_hi "
+        + "FROM meds m JOIN orig o USING (event_type) GROUP BY 1, 2, 3 ORDER BY 1"),
     "q287_missing_impute" ->
       ("WITH ev AS (SELECT event_type, value, "
         + "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 7 = 0 AS miss FROM events) "

@@ -832,6 +832,46 @@ object Stats extends QueryPack {
           // χ²(7) 5% critical value
           s"n * (n + 2.0) * ($lbTerms) > 14.067140 AS reject_white_5pct"): _*)
     }),
+
+    // ------------------------------------------------------------------
+    // Intraclass correlation ICC(1) — one-way random-effects
+    // reliability of o_totalprice within o_orderpriority groups: the
+    // variance-decomposition readout q116's F-test implies (what share
+    // of price variance sits BETWEEN priorities?). Same exact
+    // (n, Σx, Σx²) cells as q116; the unbalanced design uses the
+    // standard k0 = (N − Σn_g²/N)/(k−1) effective group size, so the
+    // estimate is exact for unequal groups rather than the
+    // balanced-design shortcut. One partial-agg shuffle to k cells;
+    // everything after is closed-form over those cells.
+    "q301_icc" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr"), col("o_totalprice").cast("decimal(18,2)").as("x"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum((col("x") * col("x")).cast("decimal(28,4)")).as("q_g"))
+      g.agg(
+          count(lit(1)).as("k"),
+          sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"),
+          sum(col("q_g")).as("q"),
+          sum((col("s_g").cast("double") * col("s_g").cast("double") / col("n_g"))
+            .cast("decimal(38,10)")).as("t"),
+          sum(col("n_g") * col("n_g")).as("sn2"))
+        .select(col("k"), col("n"),
+          (col("t").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n")).as("ssb"),
+          (col("q").cast("double") - col("t").cast("double")).as("ssw"),
+          col("k").cast("double").as("kd"), col("n").cast("double").as("nd"),
+          col("sn2").cast("double").as("sn2d"))
+        .select(col("k"), col("n"),
+          (col("ssb") / (col("kd") - 1)).as("msb"),
+          (col("ssw") / (col("nd") - col("kd"))).as("msw"),
+          ((col("nd") - col("sn2d") / col("nd")) / (col("kd") - 1)).as("k0"))
+        .select(col("k"), col("n"),
+          round(col("msb"), 4).as("msb"), round(col("msw"), 4).as("msw"),
+          round(col("k0"), 6).as("k0"),
+          round((col("msb") - col("msw")) /
+            (col("msb") + (col("k0") - 1) * col("msw")), 6).as("icc1"))
+    }),
   )
 
   /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
@@ -853,6 +893,19 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q301_icc" ->
+      ("WITH g AS (SELECT o_orderpriority AS pr, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
+        + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS q_g FROM orders GROUP BY pr), "
+        + "m AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s, sum(q_g) AS q, "
+        + "sum(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g AS DECIMAL(38,10))) AS t, "
+        + "CAST(sum(n_g * n_g) AS BIGINT) AS sn2 FROM g), "
+        + "d AS (SELECT k, n, CAST(t AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n AS ssb, "
+        + "CAST(q AS DOUBLE) - CAST(t AS DOUBLE) AS ssw, "
+        + "CAST(k AS DOUBLE) AS kd, CAST(n AS DOUBLE) AS nd, CAST(sn2 AS DOUBLE) AS sn2d FROM m), "
+        + "e AS (SELECT k, n, ssb / (kd - 1) AS msb, ssw / (nd - kd) AS msw, "
+        + "(nd - sn2d / nd) / (kd - 1) AS k0 FROM d) "
+        + "SELECT k, n, round(msb, 4) AS msb, round(msw, 4) AS msw, round(k0, 6) AS k0, "
+        + "round((msb - msw) / (msb + (k0 - 1) * msw), 6) AS icc1 FROM e"),
     "q273_weighted_quantile" ->
       ("WITH g AS (SELECT l_extendedprice AS v, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS c FROM lineitem GROUP BY 1), "
         + "cum AS (SELECT v, CAST(sum(c) OVER w AS BIGINT) AS cum1, CAST(sum(c) OVER w AS BIGINT) - c AS below FROM g "
