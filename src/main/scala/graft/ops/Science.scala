@@ -965,6 +965,177 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // BM25 with pseudo-relevance-feedback query expansion (Rocchio-
+    // style PRF with Robertson–Sparck-Jones offer weights — the
+    // classic two-pass retrieval loop): pass 1 scores the 3 seed
+    // terms (q123's BM25 verbatim) and takes the top-10 docs as the
+    // feedback set; expansion candidates are the feedback docs'
+    // vocabulary scored by the RSJ weight ln(((r+0.5)(N−df−R+r+0.5))/
+    // ((df−r+0.5)(R−r+0.5))) with r = feedback-doc frequency, gated on
+    // r≥3, df≥5, positive log argument, and w>0; the top-5 terms join
+    // the seeds at half query weight and pass 2 rescores the corpus
+    // with the 8-term weighted query. Every post-contraction frame is
+    // bounded (feedback vocab, ≤8 query terms, broadcast stats); the
+    // corpus-scale ops are the token contraction passes and the
+    // vocabulary df build (q37's shape). Both top-k selections are
+    // orderBy+limit → TakeOrderedAndProject, never a global window.
+    "q294_bm25_prf" -> ((s, dir) => {
+      import s.implicits._
+      val seeds = Seq("spark", "join", "filter")
+      val t = toks(s, dir)
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // corpus stats + two scoring passes
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val dfAll = t.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .localCheckpoint() // seed pass + RSJ + rescore pass
+      val bm25 = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+        "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (cast(sumdl as double) / n)))"
+      val tf1 = t.filter(col("tok").isin(seeds: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val scored1 = tf1
+        .join(broadcast(dfAll.filter(col("tok").isin(seeds: _*))), "tok")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("term_score", expr(s"cast($bm25 as decimal(28,12))"))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_x"))
+      val fb = scored1.orderBy(col("score_x").desc, col("doc_id")).limit(10)
+        .select(col("doc_id")).localCheckpoint() // r-counts + fbn
+      val fbn = fb.agg(count(lit(1)).as("rn"))
+      val r = t.join(broadcast(fb), "doc_id")
+        .select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+      val expTerms = dfAll.join(broadcast(r), "tok")
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(fbn))
+        .filter(!col("tok").isin(seeds: _*) && col("r") >= 3 && col("df") >= 5)
+        .filter(expr("(n - df - rn + r + 0.5) > 0"))
+        .withColumn("w", expr(
+          "ln(((r + 0.5) * (n - df - rn + r + 0.5)) / ((df - r + 0.5) * (rn - r + 0.5)))"))
+        .filter(col("w") > 0)
+        .orderBy(col("w").desc, col("tok")).limit(5)
+        .select(col("tok"), lit(0.5).as("qw"))
+      val qterms = seeds.toDF("tok").withColumn("qw", lit(1.0))
+        .unionByName(expTerms)
+        .localCheckpoint() // ≤8 rows: tf join + df join both consume it
+      val tf2 = t.join(broadcast(qterms.select(col("tok"))), "tok")
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val scored2 = tf2
+        .join(broadcast(dfAll.join(broadcast(qterms), "tok")), "tok")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("term_score", expr(s"cast(qw * ($bm25) as decimal(28,12))"))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_x"))
+      val top = scored2.orderBy(col("score_x").desc, col("doc_id")).limit(15)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score_x").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"),
+          round(col("score_x").cast("double"), 6).as("score"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009, the
+    // fusion every lexical+vector search stack runs): list A = BM25
+    // top-50 for the seed query (q123's scoring), list B = cosine
+    // top-50 against the vec_id-0 probe embedding (broadcast probe ×
+    // corpus, the brute-force baseline — at index scale the same list
+    // comes from q61/q142's IVF path), fused on doc_id = vec_id with
+    // RRF(d) = Σ_lists 1/(60 + rank_d). Both lists are bounded 50-row
+    // frames (orderBy+limit → TakeOrderedAndProject), the fusion is a
+    // 50×50 full-outer join, absent ranks report the -1 sentinel
+    // (NULL-typed ranks would dtype-drift through pandas), and the
+    // division is CAST(1 AS DOUBLE)/(60+rank) in both engines so no
+    // decimal-division scale rules apply.
+    "q300_rrf_fusion" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val t = toks(s, dir)
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // corpus stats + per-doc norm
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      val tf = t.filter(col("tok").isin("spark", "join", "filter"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("term_score", expr(
+          "cast(ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
+            "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (cast(sumdl as double) / n))) " +
+            "as decimal(28,12))"))
+        .groupBy(col("doc_id")).agg(sum(col("term_score")).as("score_x"))
+      val topB = scored.orderBy(col("score_x").desc, col("doc_id")).limit(50)
+        .withColumn("rank_b", row_number().over(
+          Window.orderBy(col("score_x").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank_b"))
+      val e = Tables.embeddings(s, dir)
+      val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p_emb"))
+      val topV = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+        .withColumn("cos", round(expr("cosine_sim(embedding, p_emb)"), 6))
+        .orderBy(col("cos").desc, col("vec_id")).limit(50)
+        .withColumn("rank_v", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))))
+        .select(col("vec_id").as("id"), col("rank_v"))
+      val fused = topB.join(topV, Seq("id"), "full_outer")
+        .withColumn("rrf", expr(
+          "coalesce(cast(1 as double) / (60 + rank_b), 0.0) + coalesce(cast(1 as double) / (60 + rank_v), 0.0)"))
+      val top = fused.orderBy(col("rrf").desc, col("id")).limit(15)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf").desc, col("id"))))
+        .select(col("rank"), col("id"),
+          coalesce(col("rank_b").cast("long"), lit(-1L)).as("rank_b"),
+          coalesce(col("rank_v").cast("long"), lit(-1L)).as("rank_v"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Distributed EXACT L-moments (λ1–λ4, L-CV, L-skewness,
+    // L-kurtosis) of o_totalprice — the order-statistic moment family
+    // (Hosking 1990) that is robust where classical skew/kurtosis
+    // (q20) explode on heavy tails, and the standard first step of a
+    // regional-frequency / GEV fit. The textbook estimator needs every
+    // global rank i and Σ x_(i)·C(i−1,r) — a global sort. Here the sum
+    // collapses per DISTINCT VALUE via the hockey-stick identity
+    // Σ_{i=lo..hi} C(i−1,r) = C(hi,r+1) − C(lo−1,r+1): cumCounts'
+    // range-partitioned prefix sums give each tie-group its rank span
+    // [lo,hi], and the falling-factorial differences ΔP_{r+1} telescope
+    // (Σ ΔP = P(n)), so each per-value term is quantized
+    // DECIMAL(38,6) and summed order-free — no global window, no
+    // data-sized sort on one task. P products run in double ABOVE 2^53
+    // for P4, identically associated in both engines (IEEE-
+    // deterministic), and all divisions happen once, after the exact
+    // sums. b_r = S_r/((r+1)!·n·C(n−1,r)); λ's are the standard
+    // linear combinations.
+    "q299_lmoments" -> ((s, dir) => {
+      val g = Tables.orders(s, dir)
+        .groupBy(col("o_totalprice").cast("decimal(18,2)").cast("double").as("v"))
+        .agg(count(lit(1)).as("c1"), lit(0L).as("c2"))
+      val sums = cumCounts(s, g)
+        .withColumn("hi", col("cum1").cast("double"))
+        .withColumn("lod", (col("cum1") - col("c1")).cast("double"))
+        .agg(
+          max(col("n1")).as("n"),
+          sum(expr("cast(v * (hi - lod) as decimal(38,6))")).as("s0"),
+          sum(expr("cast(v * (hi * (hi - 1.0) - lod * (lod - 1.0)) as decimal(38,6))")).as("s1"),
+          sum(expr("cast(v * (hi * (hi - 1.0) * (hi - 2.0) - lod * (lod - 1.0) * (lod - 2.0)) as decimal(38,6))")).as("s2"),
+          sum(expr("cast(v * (hi * (hi - 1.0) * (hi - 2.0) * (hi - 3.0) - lod * (lod - 1.0) * (lod - 2.0) * (lod - 3.0)) as decimal(38,6))")).as("s3"))
+      sums
+        .selectExpr("n", "cast(n as double) AS nd",
+          "cast(s0 as double) AS d0", "cast(s1 as double) AS d1",
+          "cast(s2 as double) AS d2", "cast(s3 as double) AS d3")
+        .selectExpr("n",
+          "d0 / nd AS b0",
+          "d1 / (2.0 * nd * (nd - 1.0)) AS b1",
+          "d2 / (3.0 * nd * (nd - 1.0) * (nd - 2.0)) AS b2",
+          "d3 / (4.0 * nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0)) AS b3")
+        .selectExpr("n", "b0 AS lam1", "2.0 * b1 - b0 AS lam2",
+          "6.0 * b2 - 6.0 * b1 + b0 AS lam3",
+          "20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS lam4")
+        .selectExpr("n", "round(lam1, 6) AS lam1", "round(lam2, 6) AS lam2",
+          "round(lam3, 6) AS lam3", "round(lam4, 6) AS lam4",
+          "round(lam2 / lam1, 6) AS l_cv",
+          "round(lam3 / lam2, 6) AS l_skew",
+          "round(lam4 / lam2, 6) AS l_kurt")
+    }),
+
+    // ------------------------------------------------------------------
     // Percentile-bootstrap CI for the MEDIAN of per-type daily revenue
     // — the nonparametric statistic q99's mean-bootstrap cannot cover
     // (a median has no CLT normal approximation worth trusting at
@@ -1007,6 +1178,74 @@ object Science extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q300_rrf_fusion" ->
+      ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+        + "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl), "
+        + "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok IN ('spark', 'join', 'filter') GROUP BY doc_id, tok), "
+        + "df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        + "scored AS (SELECT tf.doc_id, sum(CAST(ln((n - df + 0.5) / (df + 0.5) + 1.0) * "
+        + "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n))) AS DECIMAL(28,12))) AS score_x "
+        + "FROM tf JOIN df USING (tok) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats GROUP BY tf.doc_id), "
+        + "topb AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score_x DESC, doc_id) AS rank_b FROM ("
+        + "SELECT doc_id, score_x FROM scored ORDER BY score_x DESC, doc_id LIMIT 50)), "
+        + "probe AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0), "
+        + "cosd AS (SELECT e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        + "CAST(e.embedding[i] AS DOUBLE) * CAST(p.p_emb[i] AS DOUBLE))) / "
+        + "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        + "sqrt(list_sum(list_transform(p.p_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos "
+        + "FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0), "
+        + "topv AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_v FROM ("
+        + "SELECT vec_id, cos FROM cosd ORDER BY cos DESC, vec_id LIMIT 50)), "
+        + "fused AS (SELECT coalesce(b.id, v.id) AS id, b.rank_b, v.rank_v, "
+        + "coalesce(CAST(1 AS DOUBLE) / (60 + b.rank_b), 0.0) + coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), 0.0) AS rrf "
+        + "FROM topb b FULL OUTER JOIN topv v ON b.id = v.id) "
+        + "SELECT rank, id, coalesce(CAST(rank_b AS BIGINT), -1) AS rank_b, coalesce(CAST(rank_v AS BIGINT), -1) AS rank_v, round(rrf, 6) AS rrf FROM ("
+        + "SELECT id, rank_b, rank_v, rrf, row_number() OVER (ORDER BY rrf DESC, id) AS rank FROM fused) "
+        + "WHERE rank <= 15 ORDER BY rank"),
+    "q294_bm25_prf" -> {
+      val bm25 = ("ln((n - df + 0.5) / (df + 0.5) + 1.0) * "
+        + "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (CAST(sumdl AS DOUBLE) / n)))")
+      ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+        + "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl), "
+        + "dfa AS (SELECT tok, count(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM t) GROUP BY tok), "
+        + "tf1 AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok IN ('spark', 'join', 'filter') GROUP BY 1, 2), "
+        + s"s1 AS (SELECT tf1.doc_id, sum(CAST($bm25 AS DECIMAL(28,12))) AS score_x "
+        + "FROM tf1 JOIN dfa USING (tok) JOIN dl ON tf1.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1), "
+        + "fb AS (SELECT doc_id FROM s1 ORDER BY score_x DESC, doc_id LIMIT 10), "
+        + "fbn AS (SELECT count(*) AS rn FROM fb), "
+        + "r AS (SELECT tok, count(*) AS r FROM (SELECT DISTINCT doc_id, tok FROM t WHERE doc_id IN (SELECT doc_id FROM fb)) GROUP BY tok), "
+        + "expw AS (SELECT r.tok, ln(((r + 0.5) * (n - df - rn + r + 0.5)) / ((df - r + 0.5) * (rn - r + 0.5))) AS w "
+        + "FROM r JOIN dfa USING (tok) CROSS JOIN stats CROSS JOIN fbn "
+        + "WHERE r.tok NOT IN ('spark', 'join', 'filter') AND r >= 3 AND df >= 5 AND (n - df - rn + r + 0.5) > 0), "
+        + "expt AS (SELECT tok, 0.5 AS qw FROM expw WHERE w > 0 ORDER BY w DESC, tok LIMIT 5), "
+        + "qterms AS (SELECT 'spark' AS tok, 1.0 AS qw UNION ALL SELECT 'join', 1.0 UNION ALL SELECT 'filter', 1.0 "
+        + "UNION ALL SELECT tok, qw FROM expt), "
+        + "tf2 AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok IN (SELECT tok FROM qterms) GROUP BY 1, 2), "
+        + s"s2 AS (SELECT tf2.doc_id, sum(CAST(qw * ($bm25) AS DECIMAL(28,12))) AS score_x "
+        + "FROM tf2 JOIN qterms USING (tok) JOIN dfa USING (tok) JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats GROUP BY 1) "
+        + "SELECT rank, doc_id, round(CAST(score_x AS DOUBLE), 6) AS score FROM ("
+        + "SELECT doc_id, score_x, row_number() OVER (ORDER BY score_x DESC, doc_id) AS rank FROM s2) "
+        + "WHERE rank <= 15 ORDER BY rank")
+    },
+    "q299_lmoments" ->
+      ("WITH g AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v, count(*) AS c1 FROM orders GROUP BY 1), "
+        + "c AS (SELECT v, CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS hi, "
+        + "CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c1 AS DOUBLE) AS lod FROM g), "
+        + "t AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM g) AS n, "
+        + "CAST(sum(CAST(v * (hi - lod) AS DECIMAL(38,6))) AS DOUBLE) AS d0, "
+        + "CAST(sum(CAST(v * (hi * (hi - 1.0) - lod * (lod - 1.0)) AS DECIMAL(38,6))) AS DOUBLE) AS d1, "
+        + "CAST(sum(CAST(v * (hi * (hi - 1.0) * (hi - 2.0) - lod * (lod - 1.0) * (lod - 2.0)) AS DECIMAL(38,6))) AS DOUBLE) AS d2, "
+        + "CAST(sum(CAST(v * (hi * (hi - 1.0) * (hi - 2.0) * (hi - 3.0) - lod * (lod - 1.0) * (lod - 2.0) * (lod - 3.0)) AS DECIMAL(38,6))) AS DOUBLE) AS d3 FROM c), "
+        + "b AS (SELECT n, CAST(n AS DOUBLE) AS nd, d0, d1, d2, d3 FROM t), "
+        + "bb AS (SELECT n, d0 / nd AS b0, d1 / (2.0 * nd * (nd - 1.0)) AS b1, "
+        + "d2 / (3.0 * nd * (nd - 1.0) * (nd - 2.0)) AS b2, "
+        + "d3 / (4.0 * nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0)) AS b3 FROM b), "
+        + "lam AS (SELECT n, b0 AS lam1, 2.0 * b1 - b0 AS lam2, 6.0 * b2 - 6.0 * b1 + b0 AS lam3, "
+        + "20.0 * b3 - 30.0 * b2 + 12.0 * b1 - b0 AS lam4 FROM bb) "
+        + "SELECT n, round(lam1, 6) AS lam1, round(lam2, 6) AS lam2, round(lam3, 6) AS lam3, round(lam4, 6) AS lam4, "
+        + "round(lam2 / lam1, 6) AS l_cv, round(lam3 / lam2, 6) AS l_skew, round(lam4 / lam2, 6) AS l_kurt FROM lam"),
     "q297_bootstrap_median" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, sum(CAST(value AS DECIMAL(18,2))) AS vd FROM events GROUP BY 1, 2), "
         + "ranked AS (SELECT event_type, vd, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx, count(*) OVER (PARTITION BY event_type) AS n FROM daily), "

@@ -188,6 +188,71 @@ object Vectors extends QueryPack {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
     // ------------------------------------------------------------------
+    // HDBSCAN-style mutual-reachability core distances over the LSH
+    // bucket graph — the density layer under hierarchical density
+    // clustering (Campello/McInnes): core_4(x) = distance to x's 4th-
+    // nearest in-bucket neighbor, and every candidate edge is
+    // reweighted to mreach(a,b) = max(core_a, core_b, d(a,b)) — the
+    // metric whose MST HDBSCAN cuts. Exact all-pairs kNN is quadratic;
+    // the scale path is q62's candidate generator verbatim: 8-plane
+    // sign-LSH buckets (group-then-expand under the hot-bucket cap,
+    // never all-pairs), so core distances are bucket-local — the
+    // standard approximate-HDBSCAN contraction for billion-vector
+    // corpora. Output = the 20 lowest-mreach edges (the first MST
+    // edge candidates), via orderBy+limit → TakeOrderedAndProject.
+    "q295_core_distance" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val planes = s.range(0, 8).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w2", expr(
+          "2 * (position(substr(md5(cast(concat(cast(j as string), '_', cast(d as string)) as binary)), 1, 1), '0123456789abcdef') - 1) - 15"))
+      val buckets = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          expr("cast(floor(cast(x as double) * 1000000) as bigint)").as("xq"))
+        .join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("xq") * col("w2")).as("dot"))
+        .withColumn("bit", expr("CASE WHEN dot >= 0 THEN cast(1 as bigint) ELSE cast(0 as bigint) END"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("shiftleft(bit, j)")).as("bucket"))
+        .localCheckpoint() // df-filter + pair join
+      val keep = buckets.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1 && col("k") <= Text.maxShingleDf)
+        .select(col("bucket"))
+      val pairs = buckets.join(keep, "bucket")
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), x -> struct(a AS vec_a, x AS vec_b))))")).as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      val e = Tables.embeddings(s, dir)
+      val pd = pairs
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+        .withColumn("d2", round(expr(sqdist.format("ea", "eb")), 6))
+        .select(col("vec_a"), col("vec_b"), col("d2"))
+        .localCheckpoint() // neighbor ranks (both directions) + edge join
+      val nbrs = pd.select(col("vec_a").as("v"), col("vec_b").as("o"), col("d2"))
+        .unionByName(pd.select(col("vec_b").as("v"), col("vec_a").as("o"), col("d2")))
+      val wv = Window.partitionBy(col("v")).orderBy(col("d2"), col("o"))
+      val core = nbrs.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 4)
+        .select(col("v"), col("d2").as("core4"))
+      val edges = pd
+        .join(core.select(col("v").as("vec_a"), col("core4").as("core_a")), "vec_a")
+        .join(core.select(col("v").as("vec_b"), col("core4").as("core_b")), "vec_b")
+        .withColumn("mreach", greatest(col("core_a"), col("core_b"), col("d2")))
+      val top = edges.orderBy(col("mreach"), col("vec_a"), col("vec_b")).limit(20)
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("mreach"), col("vec_a"), col("vec_b"))))
+        .select(col("rank"), col("vec_a"), col("vec_b"), col("d2"),
+          col("core_a"), col("core_b"), col("mreach"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
     // Product quantization (the IVF-PQ compression path): the 64-dim
     // vector is split into 4×16-dim sub-blocks, each with its OWN
     // trained sub-codebook (label-mean init → one Lloyd iteration —
@@ -653,6 +718,25 @@ object Vectors extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q295_core_distance" ->
+      ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
+        + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
+        + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xq FROM embeddings), "
+        + "dots AS (SELECT e.vec_id, p.j, sum(e.xq * p.w2) AS dot FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
+        + "buckets AS (SELECT vec_id, sum((CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) << j) AS bucket FROM dots GROUP BY vec_id), "
+        + "grp AS (SELECT bucket, list_sort(list(vec_id)) AS ds FROM buckets GROUP BY bucket HAVING count(*) > 1 AND count(*) <= 1000), "
+        + "pairs AS (SELECT a AS vec_a, x AS vec_b FROM grp, "
+        + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS x)), "
+        + "pd AS (SELECT p.vec_a, p.vec_b, round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> "
+        + "(CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE)) * (CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM pairs p JOIN embeddings ea ON ea.vec_id = p.vec_a JOIN embeddings eb ON eb.vec_id = p.vec_b), "
+        + "nb AS (SELECT vec_a AS v, vec_b AS o, d2 FROM pd UNION ALL SELECT vec_b AS v, vec_a AS o, d2 FROM pd), "
+        + "core AS (SELECT v, d2 AS core4 FROM (SELECT v, o, d2, row_number() OVER (PARTITION BY v ORDER BY d2, o) AS rn FROM nb) WHERE rn = 4), "
+        + "ed AS (SELECT pd.vec_a, pd.vec_b, pd.d2, ca.core4 AS core_a, cb.core4 AS core_b, "
+        + "greatest(ca.core4, cb.core4, pd.d2) AS mreach FROM pd JOIN core ca ON ca.v = pd.vec_a JOIN core cb ON cb.v = pd.vec_b) "
+        + "SELECT rank, vec_a, vec_b, d2, core_a, core_b, mreach FROM ("
+        + "SELECT vec_a, vec_b, d2, core_a, core_b, mreach, row_number() OVER (ORDER BY mreach, vec_a, vec_b) AS rank FROM ed) "
+        + "WHERE rank <= 20 ORDER BY rank"),
     // q221: same rounded-cosine + vec_id-tiebreak idiom as q41's oracle,
     // computed twice (full 64 dims, first 16 dims) per candidate row.
     "q221_matryoshka_recall" ->

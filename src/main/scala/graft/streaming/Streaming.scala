@@ -210,6 +210,65 @@ object Streaming extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Streaming session_window with a DYNAMIC per-event gap (the API's
+    // closure form): views close after 10 min of quiet, everything
+    // else after 20 — the per-event-type session policy a real
+    // clickstream runs. Spark models each event as the interval
+    // [ts, ts+gap(event)) and merges overlapping intervals in state
+    // (UpdatingSessionsIterator), so a long-gap event can hold a
+    // session open past a later short-gap one: session end = MAX event
+    // end, not last-event end — exactly what the running-max oracle
+    // replays. Three time-ordered tranches carry sessions across
+    // microbatch boundaries through the session-state store; the
+    // far-future sentinel (q191's idiom, filtered from the output)
+    // advances the global watermark so append mode flushes every real
+    // session before AvailableNow terminates. Window bounds emit as
+    // epoch-µs bigints (q47's tz-proof recipe).
+    "q298_stream_session_gap" -> ((s, dir) => {
+      s.catalog.dropTempView("q298_mem")
+      val inP = graft.ops.Stage.fresh("q298")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (q81's split)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_type"), col("value"))
+        .localCheckpoint() // shared by the 3 tranche writes
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      s.range(1).select(lit(-1L).as("user_id"), lit(farSentinelUs(s, dir)).as("ts_us"),
+          lit("view").as("event_type"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val q = withStateParts(s)(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$in/*/")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "view", "10 minutes").otherwise("20 minutes")))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("user_id"),
+          expr("unix_micros(session_window.start)").as("s_start_us"),
+          expr("unix_micros(session_window.end)").as("s_end_us"),
+          col("n_events"), col("sv"))
+        .writeStream.format("memory").queryName("q298_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP)
+      s.table("q298_mem").filter(col("user_id") >= 0)
+        .select(col("user_id"), col("s_start_us"), col("s_end_us"),
+          col("n_events"), round(col("sv").cast("double"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("s_start_us"))
+    }),
+
+    // ------------------------------------------------------------------
     // STREAM-STREAM interval join with a full hash oracle: views ⋈
     // clicks (same user, click within 30 min after the view) as two
     // watermarked streams over 3 event-time-ordered microbatches, so
@@ -713,6 +772,24 @@ object Streaming extends QueryPack {
     // same emission contract, same oracle: closed sessions are an API-
     // independent property of the event stream
     "q145_stream_sessionize_tws" -> closedSessionsSql,
+    // q298: batch replay of dynamic-gap interval-merge sessionization.
+    // Each event is [ts, ts+gap); a row starts a NEW session iff its
+    // start ≥ the running MAX end of all prior rows in its user
+    // partition (strict overlap merges, touching does not — Spark's
+    // merge condition is start < end); session end = max event end.
+    // The sentinel flushes everything, so emitted = all sessions.
+    "q298_stream_session_gap" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        + "CASE WHEN event_type = 'view' THEN 600000000 ELSE 1200000000 END AS gap_us, value FROM events), "
+        + "m AS (SELECT user_id, event_id, ts_us, gap_us, value, "
+        + "max(ts_us + gap_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e), "
+        + "sfl AS (SELECT user_id, event_id, ts_us, gap_us, value, "
+        + "CASE WHEN prev_end IS NULL OR ts_us >= prev_end THEN 1 ELSE 0 END AS new_sess FROM m), "
+        + "s2 AS (SELECT user_id, ts_us, gap_us, value, "
+        + "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM sfl) "
+        + "SELECT user_id, CAST(min(ts_us) AS BIGINT) AS s_start_us, CAST(max(ts_us + gap_us) AS BIGINT) AS s_end_us, "
+        + "count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value "
+        + "FROM s2 GROUP BY user_id, sid ORDER BY user_id, s_start_us"),
   )
 
   /** Shared q81/q145 oracle: every gaps-and-islands session CLOSED by an

@@ -63,7 +63,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q274_ljung_box",      // 7 lag terms in one window over <= #days daily cells
     "q283_uplift_qini",    // cumulative uplift windows over 10 decile cells
     "q284_isotonic_calibration", // prefix sums over <= 10 calibration-bin cells
-    "q292_neyman_alloc"  // largest-remainder rank over <= |langs| allocation cells
+    "q292_neyman_alloc", // largest-remainder rank over <= |langs| allocation cells
+    "q294_bm25_prf",     // rank over the 15-row TakeOrdered tail (q123's shape)
+    "q295_core_distance",// rank over the 20-row TakeOrdered mreach tail
+    "q300_rrf_fusion"    // ranks over the two 50-row TakeOrdered lists + 15-row fused tail
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -269,7 +272,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q252_kmv_jaccard",    // sketch pair join: <= |event types| k-long sketch rows per side
     "q266_shapley_attribution", // bit-subset joins over the 8-row coalition lattice / 3-row channel frame
     "q273_weighted_quantile", // 4 literal quantile probes against the prefix-sum frame (q246's shape)
-    "q284_isotonic_calibration" // <= 11-row prefix frame triangular-joined to <= 55 (j,k) range cells, checkpointed
+    "q284_isotonic_calibration", // <= 11-row prefix frame triangular-joined to <= 55 (j,k) range cells, checkpointed
+    "q300_rrf_fusion"      // probe = vec_id = 0: a single literal-keyed row
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
