@@ -1037,6 +1037,81 @@ object Evaluation extends QueryPack {
           "round(cast(adjx as double) / n_users, 6) AS adj_diff",
           "round(cast(n_covered as double) / n_users, 6) AS coverage")
     }),
+
+    // ------------------------------------------------------------------
+    // Difference-in-differences — the panel-data causal estimator
+    // completing the family (q218 CUPED = randomized variance
+    // reduction, q289 = cross-sectional confounding adjustment, this =
+    // time-varying confounding under parallel trends): cohort = odd
+    // user_ids, post = ts ≥ Jan 16; DiD = (T̄post−T̄pre) − (C̄post−C̄pre)
+    // cancels both the cohort's level difference and the common time
+    // shock. One partial-agg shuffle to the FOUR (treat, post) cells
+    // of exact (n, Σx, Σx²) sums; the unequal-variance SE and t pool
+    // the four cell variances with DECIMAL-quantized terms.
+    "q302_did" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select((col("user_id") % 2).cast("int").as("treat"),
+          expr("cast(unix_micros(cast(ts as timestamp)) >= 1705363200000000 as int)").as("post"),
+          col("value").cast("decimal(18,2)").as("x"))
+        .groupBy(col("treat"), col("post"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(28,4)")).as("qx"))
+        .withColumn("m", expr("cast(sx as double) / n"))
+        .withColumn("v", expr(
+          "(cast(qx as double) - cast(sx as double) * cast(sx as double) / n) / (n - 1)"))
+      cells.agg(
+          sum(col("n")).as("n_total"),
+          max(when(col("treat") === 1 && col("post") === 1, col("m"))).as("m_t_post"),
+          max(when(col("treat") === 1 && col("post") === 0, col("m"))).as("m_t_pre"),
+          max(when(col("treat") === 0 && col("post") === 1, col("m"))).as("m_c_post"),
+          max(when(col("treat") === 0 && col("post") === 0, col("m"))).as("m_c_pre"),
+          sum(expr("cast(v / n as decimal(28,12))")).as("se2q"))
+        .selectExpr("n_total",
+          "round(m_t_pre, 6) AS m_t_pre", "round(m_t_post, 6) AS m_t_post",
+          "round(m_c_pre, 6) AS m_c_pre", "round(m_c_post, 6) AS m_c_post",
+          "round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did",
+          "round(sqrt(cast(se2q as double)), 6) AS se",
+          "round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / sqrt(cast(se2q as double)), 6) AS t_stat")
+    }),
+
+    // ------------------------------------------------------------------
+    // Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    // over event_type strata (exposure = odd user_id, outcome =
+    // value > 100): the stratified 2×2 pooling that q289's
+    // standardization does for means, done for odds — robust to
+    // per-stratum base-rate differences, the epidemiology/AB-test
+    // workhorse for binary outcomes. One shuffle to |event_type| 2×2
+    // integer cell rows; OR_MH = Σ(a·d/n)/Σ(b·c/n) and the
+    // continuity-corrected CMH statistic pool with DECIMAL-quantized
+    // per-stratum terms so the 5-term sums are order-free.
+    "q303_mantel_haenszel" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (col("user_id") % 2).cast("int").as("e"),
+          (col("value") > 100).cast("int").as("y"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("cast(e = 1 and y = 1 as int)")).as("a"),
+          sum(expr("cast(e = 1 and y = 0 as int)")).as("b"),
+          sum(expr("cast(e = 0 and y = 1 as int)")).as("c"),
+          sum(expr("cast(e = 0 and y = 0 as int)")).as("d"))
+        .withColumn("nn", expr("a + b + c + d"))
+      cells.agg(
+          count(lit(1)).as("n_strata"),
+          sum(expr("cast(cast(a as double) * d / nn as decimal(28,12))")).as("sad"),
+          sum(expr("cast(cast(b as double) * c / nn as decimal(28,12))")).as("sbc"),
+          sum(col("a")).as("sa"),
+          sum(expr("cast(cast(a + b as double) * (a + c) / nn as decimal(28,12))")).as("se1"),
+          sum(expr(
+            "cast(cast(a + b as double) * (c + d) * (a + c) * (b + d) / (cast(nn as double) * nn * (nn - 1)) as decimal(28,12))")).as("sv"))
+        .selectExpr("n_strata",
+          "round(cast(sad as double) / cast(sbc as double), 6) AS or_mh",
+          ("round(pow(abs(cast(sa as double) - cast(se1 as double)) - 0.5, 2) "
+            + "/ cast(sv as double), 6) AS chi2_cmh"),
+          ("pow(abs(cast(sa as double) - cast(se1 as double)) - 0.5, 2) "
+            + "/ cast(sv as double) > 3.841459 AS reject_5pct"))
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1068,6 +1143,41 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q302_did" ->
+      ("WITH cells AS (SELECT CAST(user_id % 2 AS INT) AS treat, CAST(epoch_us(ts) >= 1705363200000000 AS INT) AS post, "
+        + "count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sx, "
+        + "sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS qx "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        + "m AS (SELECT treat, post, n, CAST(sx AS DOUBLE) / n AS m, "
+        + "(CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) AS v FROM cells), "
+        + "a AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, "
+        + "max(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m_t_post, "
+        + "max(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m_t_pre, "
+        + "max(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m_c_post, "
+        + "max(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m_c_pre, "
+        + "CAST(sum(CAST(v / n AS DECIMAL(28,12))) AS DOUBLE) AS se2 FROM m) "
+        + "SELECT n_total, round(m_t_pre, 6) AS m_t_pre, round(m_t_post, 6) AS m_t_post, "
+        + "round(m_c_pre, 6) AS m_c_pre, round(m_c_post, 6) AS m_c_post, "
+        + "round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did, "
+        + "round(sqrt(se2), 6) AS se, "
+        + "round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / sqrt(se2), 6) AS t_stat FROM a"),
+    "q303_mantel_haenszel" ->
+      ("WITH cells AS (SELECT event_type, "
+        + "CAST(sum(CAST(user_id % 2 = 1 AND value > 100 AS INT)) AS BIGINT) AS a, "
+        + "CAST(sum(CAST(user_id % 2 = 1 AND value <= 100 AS INT)) AS BIGINT) AS b, "
+        + "CAST(sum(CAST(user_id % 2 = 0 AND value > 100 AS INT)) AS BIGINT) AS c, "
+        + "CAST(sum(CAST(user_id % 2 = 0 AND value <= 100 AS INT)) AS BIGINT) AS d "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "c2 AS (SELECT a, b, c, d, a + b + c + d AS nn FROM cells), "
+        + "agg AS (SELECT count(*) AS n_strata, "
+        + "CAST(sum(CAST(CAST(a AS DOUBLE) * d / nn AS DECIMAL(28,12))) AS DOUBLE) AS sad, "
+        + "CAST(sum(CAST(CAST(b AS DOUBLE) * c / nn AS DECIMAL(28,12))) AS DOUBLE) AS sbc, "
+        + "CAST(sum(a) AS BIGINT) AS sa, "
+        + "CAST(sum(CAST(CAST(a + b AS DOUBLE) * (a + c) / nn AS DECIMAL(28,12))) AS DOUBLE) AS se1, "
+        + "CAST(sum(CAST(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d) / (CAST(nn AS DOUBLE) * nn * (nn - 1)) AS DECIMAL(28,12))) AS DOUBLE) AS sv FROM c2) "
+        + "SELECT n_strata, round(sad / sbc, 6) AS or_mh, "
+        + "round(pow(abs(CAST(sa AS DOUBLE) - se1) - 0.5, 2) / sv, 6) AS chi2_cmh, "
+        + "pow(abs(CAST(sa AS DOUBLE) - se1) - 0.5, 2) / sv > 3.841459 AS reject_5pct FROM agg"),
     "q289_stratified_adjust" ->
       ("WITH users AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, "
         + "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs, "

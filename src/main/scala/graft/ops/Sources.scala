@@ -204,6 +204,24 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DSv2 AGGREGATE pushdown (SupportsPushDownAggregates on graftseq):
+    // the global count/min/max/sum over a filter-narrowed id-range is
+    // answered COMPLETELY by the source in one closed-form row — no
+    // aggregate exec in the plan, one InputPartition, zero data rows
+    // generated (DsV2Spec asserts all three). This is the metadata-only
+    // query shape: at 100 TB, `SELECT count(*) ... WHERE id >= X` comes
+    // from range/footer/manifest metadata, not a scan. The filter
+    // pushdown (q290) composes: the range narrows FIRST, then the
+    // aggregate collapses over the narrowed range.
+    "q305_dsv2_agg_pushdown" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .filter(col("id") >= 50000L && col("id") < 150000L)
+        .agg(expr("count(*)").as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // DSv2 WRITE surface (sources/GraftSinkSource.scala): customer is
     // pushed through the staged-commit sink twice — even keys via
     // OVERWRITE (SupportsTruncate), odd keys via APPEND (manifest
@@ -282,6 +300,11 @@ object Sources extends QueryPack {
         + "min(tok) AS min_tok, max(tok) AS max_tok FROM t GROUP BY 1 ORDER BY 1"),
     // q290: the pushed-down range + residual tok filter, replayed from
     // the narrowed range() directly.
+    // q305: the pushed aggregate must equal the same aggregate over the
+    // materialized range — any error in the closed forms breaks the hash.
+    "q305_dsv2_agg_pushdown" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id, "
+        + "CAST(sum(i) AS BIGINT) AS sum_id FROM (SELECT unnest(range(50000, 150000)) AS i)"),
     "q290_dsv2_pushdown" ->
       ("WITH t AS (SELECT i AS id, CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
         + "'t' || CAST(i % 50 AS VARCHAR) AS tok FROM (SELECT unnest(range(50000, 150000)) AS i)) "

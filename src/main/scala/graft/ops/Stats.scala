@@ -872,6 +872,36 @@ object Stats extends QueryPack {
           round((col("msb") - col("msw")) /
             (col("msb") + (col("k0") - 1) * col("msw")), 6).as("icc1"))
     }),
+
+    // ------------------------------------------------------------------
+    // Inequality indices beyond Gini (q135): Theil T (the additively
+    // decomposable entropy index), Atkinson ε=0.5 (welfare-weighted,
+    // 1 − EDE/μ with EDE = ((1/n)Σ√x)²), and Hoover/Robin-Hood
+    // (Σ|x−μ| / 2nμ — the share of mass that must move to equalize)
+    // over o_totalprice. Two fact passes: pass 1 builds the exact
+    // (n, Σx, Σ√x-quantized) stats, pass 2 broadcasts them back for
+    // the μ-dependent per-row terms ((x/μ)ln(x/μ), |x−μ|), each
+    // quantized DECIMAL(28,12) before the order-free sum — q93's
+    // two-pass broadcast shape; no window, no sort.
+    "q304_inequality" -> ((s, dir) => {
+      val x = Tables.orders(s, dir)
+        .select(col("o_totalprice").cast("decimal(18,2)").as("x"))
+        .filter(col("x") > 0)
+      val stats = x.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("cast(sqrt(cast(x as double)) as decimal(28,12))")).as("ssq"))
+      x.crossJoin(broadcast(stats))
+        .withColumn("mu", expr("cast(sx as double) / n"))
+        .agg(
+          max(col("n")).as("n"), max(col("mu")).as("mu"),
+          max(expr("cast(ssq as double)")).as("ssqd"),
+          sum(expr(
+            "cast((cast(x as double) / (cast(sx as double) / n)) * ln(cast(x as double) / (cast(sx as double) / n)) as decimal(28,12))")).as("tq"),
+          sum(expr("cast(abs(cast(x as double) - cast(sx as double) / n) as decimal(28,12))")).as("hq"))
+        .selectExpr("n", "round(mu, 6) AS mean",
+          "round(cast(tq as double) / n, 6) AS theil_t",
+          "round(1.0 - (ssqd / n) * (ssqd / n) / mu, 6) AS atkinson_05",
+          "round(cast(hq as double) / (2.0 * n * mu), 6) AS hoover")
+    }),
   )
 
   /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
@@ -893,6 +923,17 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q304_inequality" ->
+      ("WITH x AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0), "
+        + "st AS (SELECT count(*) AS n, sum(x) AS sx, "
+        + "sum(CAST(sqrt(CAST(x AS DOUBLE)) AS DECIMAL(28,12))) AS ssq FROM x), "
+        + "t AS (SELECT CAST(max(n) AS BIGINT) AS n, max(CAST(sx AS DOUBLE) / n) AS mu, max(CAST(ssq AS DOUBLE)) AS ssqd, "
+        + "CAST(sum(CAST((CAST(x AS DOUBLE) / (CAST(sx AS DOUBLE) / n)) * ln(CAST(x AS DOUBLE) / (CAST(sx AS DOUBLE) / n)) AS DECIMAL(28,12))) AS DOUBLE) AS tq, "
+        + "CAST(sum(CAST(abs(CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / n) AS DECIMAL(28,12))) AS DOUBLE) AS hq "
+        + "FROM x CROSS JOIN st) "
+        + "SELECT n, round(mu, 6) AS mean, round(tq / n, 6) AS theil_t, "
+        + "round(1.0 - (ssqd / n) * (ssqd / n) / mu, 6) AS atkinson_05, "
+        + "round(hq / (2.0 * n * mu), 6) AS hoover FROM t"),
     "q301_icc" ->
       ("WITH g AS (SELECT o_orderpriority AS pr, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
         + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS q_g FROM orders GROUP BY pr), "

@@ -7,8 +7,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,6 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    enforced EXACTLY by the range, so they are not re-evaluated
   *    post-scan; anything else (e.g. a `tok` predicate) is returned to
   *    Spark as a residual and evaluated after the scan.
+  *  - **aggregate pushdown**: implements SupportsPushDownAggregates
+  *    with COMPLETE pushdown of global count/count(col)/min(id)/
+  *    max(id)/sum(id) — the scan answers from range metadata in one
+  *    closed-form row, zero rows generated (q305, asserted in
+  *    DsV2Spec: no aggregate exec in the plan, 1 input partition).
   *
   * Options: `rows` (total row count, required), `slices` (input
   * partitions, default 4). Registered under the short name "graftseq"
@@ -91,15 +97,58 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 class GraftSeqScanBuilder(rows: Long, slices: Int)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var required: StructType = GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
   private var hi: Long = rows
   private var accepted: Array[Filter] = Array.empty
+  private var aggFuncs: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COMPLETE aggregate pushdown for global (ungrouped) count(*) /
+    * count(col) / min(id) / max(id) / sum(id): every one is closed-form
+    * over the (filter-narrowed) id-range [lo, hi), so the "scan" is a
+    * single metadata-only row — zero rows generated, zero rows read.
+    * This is the 100 TB `SELECT count(*) WHERE id >= X` shape: range
+    * metadata answers it without touching data, like parquet footer
+    * counts or an Iceberg manifest. Grouped or non-translatable
+    * aggregations are refused and Spark evaluates them normally.
+    */
+  private def translateAgg(aggregation: Aggregation): Option[Seq[String]] = {
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    def isCol(e: org.apache.spark.sql.connector.expressions.Expression, name: String): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.length == 1 && nr.fieldNames()(0) == name
+      case _ => false
+    }
+    def isAnyCol(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case nr: NamedReference => nr.fieldNames.length == 1 &&
+        GraftSeqTable.fullSchema.fieldNames.contains(nr.fieldNames()(0))
+      case _ => false
+    }
+    val fs = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some("count")
+      // count(col) == count(*): every column is non-null by schema
+      case c: Count if !c.isDistinct && isAnyCol(c.column) => Some("count")
+      case m: Min if isCol(m.column, "id") => Some("min")
+      case m: Max if isCol(m.column, "id") => Some("max")
+      case su: Sum if !su.isDistinct && isCol(su.column, "id") => Some("sum")
+      case _ => None
+    }
+    if (fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation) match {
+      case some @ Some(_) => aggFuncs = some; true
+      case None => false
+    }
 
   /** Accept exactly the filters the id-range enforces COMPLETELY (so
     * Spark must not re-evaluate them): range/equality predicates on
@@ -121,8 +170,64 @@ class GraftSeqScanBuilder(rows: Long, slices: Int)
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi), accepted)
+  override def build(): Scan = aggFuncs match {
+    case Some(fs) =>
+      new GraftSeqAggScan(math.max(0L, lo), math.max(math.max(0L, lo), hi), fs, accepted)
+    case None =>
+      new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi), accepted)
+  }
+}
+
+/** Completely-pushed-down aggregate "scan": one partition, one row,
+  * every value computed in closed form from the id-range — count =
+  * hi−lo, min = lo, max = hi−1, sum = (lo + hi − 1)·(hi − lo)/2 (exact
+  * in Long at any plausible range). Empty range → count 0, NULL
+  * min/max/sum, matching Spark's global-aggregate semantics.
+  */
+class GraftSeqAggScan(lo: Long, hi: Long, funcs: Seq[String],
+    val pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    funcs.zipWithIndex.foldLeft(new StructType()) { case (st, (f, i)) =>
+      st.add(s"agg_$i", LongType, nullable = f != "count")
+    }
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSeqAggScan(range=[$lo,$hi), aggPushed=[${funcs.mkString(",")}], " +
+      s"pushedFilters=[${pushed.mkString(",")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftSeqPartition(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSeqAggReaderFactory(funcs.toArray)
+}
+
+class GraftSeqAggReaderFactory(funcs: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftSeqPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val span = p.end - p.start
+        val vals: Array[Any] = funcs.map {
+          case "count" => span
+          case "min" => if (span > 0) p.start else null
+          case "max" => if (span > 0) p.end - 1 else null
+          case "sum" =>
+            // (start + end - 1) * span / 2: one of the factors is even,
+            // so divide it BEFORE multiplying to stay overflow-safe
+            if (span > 0) {
+              val a = p.start + p.end - 1
+              if (span % 2 == 0) a * (span / 2) else (a / 2) * span
+            } else null
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class GraftSeqScan(rows: Long, slices: Int, required: StructType,

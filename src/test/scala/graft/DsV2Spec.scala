@@ -200,4 +200,47 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
       .filter(col("bucket") =!= col("chain")).count()
     bad shouldBe 0L
   }
+
+  test("aggregate pushdown: global count/min/max/sum collapse to one metadata row, no aggregate exec") {
+    val df = rd(200000L, 8)
+      .filter(col("id") >= 50000L && col("id") < 150000L)
+      .agg(expr("count(*)").as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+    // the plan must contain NO aggregate operator — the source answered
+    // (sparkPlan, not executedPlan: AQE wraps the latter opaquely)
+    val aggs = df.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    aggs shouldBe empty
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    val scan = scans.head.scan.asInstanceOf[graft.sources.GraftSeqAggScan]
+    scan.description() should include("aggPushed=[count,min,max,sum]")
+    scan.planInputPartitions() should have length 1
+    // values = closed forms over the filter-narrowed range [50000,150000)
+    val r = df.head()
+    r.getLong(0) shouldBe 100000L
+    r.getLong(1) shouldBe 50000L
+    r.getLong(2) shouldBe 149999L
+    r.getLong(3) shouldBe (50000L + 149999L) * 100000L / 2
+  }
+
+  test("aggregate pushdown refuses grouped aggregations: the grouped path still answers correctly") {
+    val grouped = rd(1000L, 4).groupBy(col("bucket")).count()
+    // grouping is NOT pushable — Spark must still plan its own aggregate
+    val aggs = grouped.queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    aggs should not be empty
+    grouped.agg(sum(col("count"))).head().getLong(0) shouldBe 1000L
+  }
+
+  test("aggregate pushdown on an empty range: count 0, NULL min/max/sum") {
+    val r = rd(1000L, 4).filter(col("id") >= 500L && col("id") < 500L)
+      .agg(expr("count(*)"), min(col("id")), max(col("id")), sum(col("id"))).head()
+    r.getLong(0) shouldBe 0L
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe true
+    r.isNullAt(3) shouldBe true
+  }
 }
