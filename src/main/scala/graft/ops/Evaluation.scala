@@ -1112,6 +1112,31 @@ object Evaluation extends QueryPack {
           ("pow(abs(cast(sa as double) - cast(se1 as double)) - 0.5, 2) "
             + "/ cast(sv as double) > 3.841459 AS reject_5pct"))
     }),
+
+    // ------------------------------------------------------------------
+    // McNemar's test — PAIRED binary before/after (q303 pools
+    // independent 2×2 strata; this is the within-subject design):
+    // each user is their own control, pre/post = any high-value event
+    // before/after Jan 16; only the DISCORDANT pairs carry signal
+    // (b = converted-then-stopped, c = started-converting), and the
+    // continuity-corrected χ² = (|b−c|−1)²/(b+c) on 1 df. One
+    // per-user contraction (two conditional maxes in the same pass),
+    // then a 1-row integer aggregate — exact everywhere.
+    "q308_mcnemar" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(expr("cast(ts_us < 1705363200000000 and value > 300 as int)")).as("pre"),
+          max(expr("cast(ts_us >= 1705363200000000 and value > 300 as int)")).as("post"))
+      per.agg(count(lit(1)).as("n_users"),
+          sum(expr("cast(pre = 1 and post = 0 as int)")).as("b"),
+          sum(expr("cast(pre = 0 and post = 1 as int)")).as("c"))
+        .selectExpr("n_users", "b", "c",
+          "round(pow(abs(cast(b as double) - c) - 1.0, 2) / nullif(b + c, 0), 6) AS chi2_mcnemar",
+          "pow(abs(cast(b as double) - c) - 1.0, 2) / nullif(b + c, 0) > 3.841459 AS reject_5pct")
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1143,6 +1168,17 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q308_mcnemar" ->
+      ("WITH per AS (SELECT user_id, "
+        + "max(CAST(epoch_us(ts) < 1705363200000000 AND value > 300 AS INT)) AS pre, "
+        + "max(CAST(epoch_us(ts) >= 1705363200000000 AND value > 300 AS INT)) AS post "
+        + "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+        + "agg AS (SELECT count(*) AS n_users, "
+        + "CAST(sum(CAST(pre = 1 AND post = 0 AS INT)) AS BIGINT) AS b, "
+        + "CAST(sum(CAST(pre = 0 AND post = 1 AS INT)) AS BIGINT) AS c FROM per) "
+        + "SELECT n_users, b, c, "
+        + "round(pow(abs(CAST(b AS DOUBLE) - c) - 1.0, 2) / nullif(b + c, 0), 6) AS chi2_mcnemar, "
+        + "pow(abs(CAST(b AS DOUBLE) - c) - 1.0, 2) / nullif(b + c, 0) > 3.841459 AS reject_5pct FROM agg"),
     "q302_did" ->
       ("WITH cells AS (SELECT CAST(user_id % 2 AS INT) AS treat, CAST(epoch_us(ts) >= 1705363200000000 AS INT) AS post, "
         + "count(*) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sx, "

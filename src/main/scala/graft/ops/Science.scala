@@ -1032,6 +1032,77 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Friedman test — the nonparametric repeated-measures ANOVA
+    // closing the rank-test family (Kruskal–Wallis q161 = independent
+    // groups, Mann–Whitney q130 = two samples, this = k treatments
+    // over matched blocks): blocks = days, treatments = event types,
+    // response = the per-(day, type) mean value. Only COMPLETE blocks
+    // (days observing every type) enter, per the design. Within-block
+    // ranks come from a day-PARTITIONED window over ≤k cells (means
+    // are continuous so exact ties are measure-zero; the (m, type)
+    // tie-break keeps both engines identical regardless). χ²_F =
+    // 12/(nk(k+1))·ΣR_j² − 3n(k+1), df = k−1 with the critical value
+    // a CASE over the COMPUTED df (q261's discipline — never
+    // hardcoded for one k).
+    "q307_friedman" -> ((s, dir) => {
+      val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
+        + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE cast(null as double) END")
+      val cells = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("sx"), count(lit(1)).as("cnt"))
+        .withColumn("m", expr("cast(sx as double) / cnt"))
+        .localCheckpoint() // k-count + completeness + ranks all consume it
+      val kf = cells.agg(countDistinct(col("event_type")).as("kk"))
+      val complete = cells.groupBy(col("day")).agg(count(lit(1)).as("kd"))
+        .crossJoin(broadcast(kf)).filter(col("kd") === col("kk")).select(col("day"))
+      val ranked = cells.join(complete, "day")
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("day")).orderBy(col("m"), col("event_type"))))
+      val rsums = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r")).as("rj"), count(lit(1)).as("nd"))
+      rsums.agg(max(col("nd")).as("n"), count(lit(1)).as("kk"),
+          sum(col("rj") * col("rj")).as("sr2"))
+        .selectExpr("n", "kk AS k",
+          "cast(12 as double) / (n * kk * (kk + 1.0d)) * sr2 - cast(3 as double) * n * (kk + 1.0d) AS chi2_raw",
+          s"$crit AS critv")
+        .selectExpr("n AS n_blocks", "k", "round(chi2_raw, 6) AS chi2_friedman",
+          "chi2_raw > critv AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
+    // Bartlett's test for variance homogeneity across o_orderpriority
+    // groups — the parametric counterpart of Levene (q162; Bartlett is
+    // more powerful under normality, fragile otherwise — reading both
+    // IS the diagnostic): T = [(N−k)·ln s²_p − Σ(n_g−1)·ln s²_g] / C,
+    // C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1)). All from q116's exact
+    // (n, Σx, Σx²) cells; the three k-term sums quantize DECIMAL
+    // before summing; df = k−1 critical via the computed-df CASE.
+    "q310_bartlett" -> ((s, dir) => {
+      val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
+        + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE cast(null as double) END")
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr"), col("o_totalprice").cast("decimal(18,2)").as("x"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum((col("x") * col("x")).cast("decimal(28,4)")).as("q_g"))
+        .withColumn("s2", expr(
+          "(cast(q_g as double) - cast(s_g as double) * cast(s_g as double) / n_g) / (n_g - 1)"))
+      g.agg(count(lit(1)).as("kk"), sum(col("n_g")).as("nn"),
+          sum(expr("cast((n_g - 1) * s2 as decimal(28,6))")).as("sw"),
+          sum(expr("cast((n_g - 1) * ln(s2) as decimal(28,12))")).as("sl"),
+          sum(expr("cast(1.0 / (n_g - 1) as decimal(28,12))")).as("si"))
+        .selectExpr("kk", "nn",
+          "cast(sw as double) / (nn - kk) AS sp2",
+          "cast(sl as double) AS sld", "cast(si as double) AS sid")
+        .selectExpr("kk", "nn",
+          "(nn - kk) * ln(sp2) - sld AS num",
+          "1.0 + (sid - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0)) AS cc")
+        .selectExpr("kk AS k", "nn AS n", "round(num / cc, 6) AS bartlett_stat",
+          s"num / cc > ($crit) AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
     // Hybrid retrieval via Reciprocal Rank Fusion (Cormack 2009, the
     // fusion every lexical+vector search stack runs): list A = BM25
     // top-50 for the seed query (q123's scoring), list B = cosine
@@ -1178,6 +1249,39 @@ object Science extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q307_friedman" -> {
+      val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
+        + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE CAST(NULL AS DOUBLE) END")
+      ("WITH cells AS (SELECT CAST(ts AS DATE) AS day, event_type, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS m "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        + "kf AS (SELECT count(DISTINCT event_type) AS kk FROM cells), "
+        + "complete AS (SELECT day FROM cells CROSS JOIN kf GROUP BY day, kk HAVING count(*) = kk), "
+        + "ranked AS (SELECT c.day, c.event_type, row_number() OVER (PARTITION BY c.day ORDER BY c.m, c.event_type) AS r "
+        + "FROM cells c JOIN complete USING (day)), "
+        + "rsums AS (SELECT event_type, CAST(sum(r) AS BIGINT) AS rj, count(*) AS nd FROM ranked GROUP BY 1), "
+        + "agg AS (SELECT max(nd) AS n, count(*) AS kk, CAST(sum(rj * rj) AS BIGINT) AS sr2 FROM rsums), "
+        + "st AS (SELECT n, kk, CAST(12 AS DOUBLE) / (n * kk * (kk + CAST(1 AS DOUBLE))) * sr2 - CAST(3 AS DOUBLE) * n * (kk + CAST(1 AS DOUBLE)) AS chi2_raw, "
+        + s"$crit AS critv FROM agg) "
+        + "SELECT CAST(n AS BIGINT) AS n_blocks, CAST(kk AS BIGINT) AS k, round(chi2_raw, 6) AS chi2_friedman, "
+        + "chi2_raw > critv AS reject_5pct FROM st")
+    },
+    "q310_bartlett" -> {
+      val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
+        + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE CAST(NULL AS DOUBLE) END")
+      ("WITH g AS (SELECT o_orderpriority AS pr, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
+        + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS q_g FROM orders GROUP BY pr), "
+        + "g2 AS (SELECT n_g, (CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g) / (n_g - 1) AS s2 FROM g), "
+        + "agg AS (SELECT count(*) AS kk, CAST(sum(n_g) AS BIGINT) AS nn, "
+        + "CAST(sum(CAST((n_g - 1) * s2 AS DECIMAL(28,6))) AS DOUBLE) AS sw, "
+        + "CAST(sum(CAST((n_g - 1) * ln(s2) AS DECIMAL(28,12))) AS DOUBLE) AS sl, "
+        + "CAST(sum(CAST(1.0 / (n_g - 1) AS DECIMAL(28,12))) AS DOUBLE) AS si FROM g2), "
+        + "st AS (SELECT kk, nn, (nn - kk) * ln(sw / (nn - kk)) - sl AS num, "
+        + "1.0 + (si - 1.0 / (nn - kk)) / (3.0 * (kk - 1.0)) AS cc, "
+        + s"$crit AS critv FROM agg) "
+        + "SELECT CAST(kk AS BIGINT) AS k, nn AS n, round(num / cc, 6) AS bartlett_stat, "
+        + "num / cc > critv AS reject_5pct FROM st")
+    },
     "q300_rrf_fusion" ->
       ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
         + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "

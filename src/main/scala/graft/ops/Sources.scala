@@ -222,6 +222,26 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DSv2 LIMIT pushdown (SupportsPushDownLimit on graftseq): LIMIT n
+    // truncates the planned id-range to [lo, lo+n) AFTER the pushed
+    // filter narrows lo — so `filter(id >= X).limit(n)` plans exactly
+    // n rows instead of scanning-then-discarding (a 100 TB "peek at
+    // the data" query touches n rows, not the table). The sequence
+    // source emits ids in range order so the truncated range IS the
+    // limit's row set — the aggregate below it is deterministic. The
+    // aggregate sits ABOVE the limit, so aggregate pushdown correctly
+    // does NOT fire here (DsV2Spec pins planned span == n).
+    "q306_dsv2_limit" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .filter(col("id") >= 50000L).limit(1000)
+        .groupBy((col("id") % 10).as("m"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("m"))
+    }),
+
+    // ------------------------------------------------------------------
     // DSv2 WRITE surface (sources/GraftSinkSource.scala): customer is
     // pushed through the staged-commit sink twice — even keys via
     // OVERWRITE (SupportsTruncate), odd keys via APPEND (manifest
@@ -300,6 +320,10 @@ object Sources extends QueryPack {
         + "min(tok) AS min_tok, max(tok) AS max_tok FROM t GROUP BY 1 ORDER BY 1"),
     // q290: the pushed-down range + residual tok filter, replayed from
     // the narrowed range() directly.
+    // q306: the limit-truncated range is exactly [50000, 51000).
+    "q306_dsv2_limit" ->
+      ("SELECT i % 10 AS m, CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id "
+        + "FROM (SELECT unnest(range(50000, 51000)) AS i) GROUP BY 1 ORDER BY 1"),
     // q305: the pushed aggregate must equal the same aggregate over the
     // materialized range — any error in the closed forms breaks the hash.
     "q305_dsv2_agg_pushdown" ->

@@ -874,6 +874,51 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Residual diagnostics for the daily-count trend regression —
+    // Durbin–Watson serial-correlation and Breusch–Pagan
+    // heteroskedasticity, the two standard OLS residual checks q182's
+    // fit-quality readout doesn't cover (q274's Ljung–Box tests the
+    // raw series; DW tests the RESIDUALS at lag 1, BP tests whether
+    // their VARIANCE drifts with the regressor). OLS from exact
+    // integer sums; residuals live on ≤#days post-agg cells, the DW
+    // lag is a window over those cells (allowlisted), and BP's
+    // auxiliary r² of e² on x comes from DECIMAL-quantized cell sums.
+    "q309_resid_diag" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // sums pass + residual pass
+      val st = daily.agg(count(lit(1)).as("n"), min(col("day")).as("mind"))
+      val d2 = daily.crossJoin(broadcast(st))
+        .withColumn("x", expr("datediff(day, mind)"))
+      val sums = d2.agg(max(col("n")).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), min(col("mind")).as("mind"))
+      val resid = d2.drop("n", "mind").crossJoin(broadcast(sums.select(
+          expr("(cast(n as double) * sxy - cast(sx as double) * sy) / (cast(n as double) * sxx - cast(sx as double) * sx)").as("slope"),
+          col("n").as("nn"), col("sx").as("fsx"), col("sy").as("fsy"))))
+        .withColumn("icept", expr("(cast(fsy as double) - slope * fsx) / nn"))
+        .withColumn("e", expr("cast(y as double) - (icept + slope * x)"))
+      val wd = Window.orderBy(col("day")) // bounded: <= #days daily cells (allowlisted)
+      val lagged = resid.withColumn("e1", lag(col("e"), 1).over(wd))
+      lagged.agg(
+          max(col("nn")).as("n"), max(col("slope")).as("slope"),
+          sum(expr("cast(e * e as decimal(28,12))")).as("see"),
+          sum(expr("cast(case when e1 is null then 0.0 else (e - e1) * (e - e1) end as decimal(28,12))")).as("sd2"),
+          sum(expr("cast(e * e * x as decimal(28,6))")).as("szx"),
+          sum(expr("cast(e * e * e * e as decimal(38,6))")).as("szz"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .selectExpr("n", "slope",
+          "cast(sd2 as double) / cast(see as double) AS dw",
+          ("(cast(n as double) * cast(szx as double) - cast(sx as double) * cast(see as double)) "
+            + "/ (sqrt(cast(n as double) * sxx - cast(sx as double) * sx) "
+            + "* sqrt(cast(n as double) * cast(szz as double) - cast(see as double) * cast(see as double))) AS r_aux"))
+        .selectExpr("n", "round(slope, 6) AS slope", "round(dw, 6) AS dw_stat",
+          "round(n * r_aux * r_aux, 6) AS bp_lm",
+          "n * r_aux * r_aux > 3.841459 AS bp_reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
     // Inequality indices beyond Gini (q135): Theil T (the additively
     // decomposable entropy index), Atkinson ε=0.5 (welfare-weighted,
     // 1 − EDE/μ with EDE = ((1/n)Σ√x)²), and Hoover/Robin-Hood
@@ -923,6 +968,29 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q309_resid_diag" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
+        + "st AS (SELECT count(*) AS n, min(day) AS mind FROM daily), "
+        + "d2 AS (SELECT day, y, date_diff('day', mind, day) AS x, n FROM daily CROSS JOIN st), "
+        + "sums AS (SELECT max(n) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx, "
+        + "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy FROM d2), "
+        + "fit AS (SELECT n, sx, sy, "
+        + "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope FROM sums), "
+        + "resid AS (SELECT d2.day, d2.x, "
+        + "CAST(d2.y AS DOUBLE) - ((CAST(f.sy AS DOUBLE) - f.slope * f.sx) / f.n + f.slope * d2.x) AS e, "
+        + "f.n, f.slope FROM d2 CROSS JOIN fit f), "
+        + "lagged AS (SELECT n, slope, x, e, lag(e) OVER (ORDER BY day) AS e1 FROM resid), "
+        + "agg AS (SELECT max(n) AS n, max(slope) AS slope, "
+        + "CAST(sum(CAST(e * e AS DECIMAL(28,12))) AS DOUBLE) AS see, "
+        + "CAST(sum(CAST(CASE WHEN e1 IS NULL THEN 0.0 ELSE (e - e1) * (e - e1) END AS DECIMAL(28,12))) AS DOUBLE) AS sd2, "
+        + "CAST(sum(CAST(e * e * x AS DECIMAL(28,6))) AS DOUBLE) AS szx, "
+        + "CAST(sum(CAST(e * e * e * e AS DECIMAL(38,6))) AS DOUBLE) AS szz, "
+        + "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx FROM lagged), "
+        + "fin AS (SELECT n, slope, sd2 / see AS dw, "
+        + "(CAST(n AS DOUBLE) * szx - CAST(sx AS DOUBLE) * see) / "
+        + "(sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * sqrt(CAST(n AS DOUBLE) * szz - see * see)) AS r_aux FROM agg) "
+        + "SELECT CAST(n AS BIGINT) AS n, round(slope, 6) AS slope, round(dw, 6) AS dw_stat, "
+        + "round(n * r_aux * r_aux, 6) AS bp_lm, n * r_aux * r_aux > 3.841459 AS bp_reject_5pct FROM fin"),
     "q304_inequality" ->
       ("WITH x AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 0), "
         + "st AS (SELECT count(*) AS n, sum(x) AS sx, "

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,7 +45,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    with COMPLETE pushdown of global count/count(col)/min(id)/
   *    max(id)/sum(id) — the scan answers from range metadata in one
   *    closed-form row, zero rows generated (q305, asserted in
-  *    DsV2Spec: no aggregate exec in the plan, 1 input partition).
+  *    DsV2Spec: no aggregate exec in the plan, 1 input partition);
+  *  - **limit pushdown**: implements SupportsPushDownLimit; LIMIT n
+  *    truncates the planned range to [lo, lo+n) after filter
+  *    narrowing, so a `filter.limit(n)` plans exactly n rows (q306).
   *
   * Options: `rows` (total row count, required), `slices` (input
   * partitions, default 4). Registered under the short name "graftseq"
@@ -98,7 +101,7 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class GraftSeqScanBuilder(rows: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
@@ -139,6 +142,20 @@ class GraftSeqScanBuilder(rows: Long, slices: Int)
       case _ => None
     }
     if (fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
+  }
+
+  /** LIMIT pushdown: truncate the planned range to [lo, lo+limit) so
+    * pruned rows are never planned (Spark runs filter pushdown first,
+    * so the limit applies to the already-narrowed range — the order
+    * V2ScanRelationPushDown guarantees). The sequence source emits ids
+    * in range order, so the truncated range IS the limit's row set and
+    * the result stays deterministic; Spark still applies its own
+    * GlobalLimit above (the interface contract — pushdown is an
+    * optimization, not a correctness transfer).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, math.max(0L, lo) + limit)
+    true
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =

@@ -235,6 +235,19 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     grouped.agg(sum(col("count"))).head().getLong(0) shouldBe 1000L
   }
 
+  test("limit pushdown truncates the planned range after filter narrowing") {
+    val df = rd(200000L, 8).filter(col("id") >= 50000L).limit(1000)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    val scan = scans.head.scan.asInstanceOf[GraftSeqScan]
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[GraftSeqPartition])
+    // exactly the limit's row count is planned — not the 150k-row tail
+    parts.map(p => p.end - p.start).sum shouldBe 1000L
+    parts.map(_.start).min shouldBe 50000L
+    parts.map(_.end).max shouldBe 51000L
+    df.collect().map(_.getLong(0)).sorted shouldBe (50000L until 51000L).toArray
+  }
+
   test("aggregate pushdown on an empty range: count 0, NULL min/max/sum") {
     val r = rd(1000L, 4).filter(col("id") >= 500L && col("id") < 500L)
       .agg(expr("count(*)"), min(col("id")), max(col("id")), sum(col("id"))).head()

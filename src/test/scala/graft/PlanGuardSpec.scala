@@ -65,6 +65,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q284_isotonic_calibration", // prefix sums over <= 10 calibration-bin cells
     "q292_neyman_alloc", // largest-remainder rank over <= |langs| allocation cells
     "q294_bm25_prf",     // rank over the 15-row TakeOrdered tail (q123's shape)
+    "q309_resid_diag",   // residual lag over <= #days daily cells (q23's shape)
     "q295_core_distance",// rank over the 20-row TakeOrdered mreach tail
     "q300_rrf_fusion"    // ranks over the two 50-row TakeOrdered lists + 15-row fused tail
   )

@@ -413,7 +413,9 @@ object KmvMergeProps extends Properties("kmv-merge") {
       cuts <- Gen.listOf(Gen.choose(0, hs.length))
     } yield (hs, cuts.distinct.sorted)) { case (hs, cuts) =>
       val bounds = (0 +: cuts :+ hs.length).distinct.sorted
-      val merged = bounds.sliding(2).map { case Seq(x, y) => sk(hs.slice(x, y)) }
+      // collect, not map: an empty hs with cuts=[0] gives a single bound,
+      // and sliding(2) then yields one SHORT window — skip it (zero chunks)
+      val merged = bounds.sliding(2).collect { case Seq(x, y) => sk(hs.slice(x, y)) }
         .foldLeft(K.zero)(K.merge)
       val ref = hs.distinct.sorted.take(K.k)
       (merged.hs.toList == ref) :|
