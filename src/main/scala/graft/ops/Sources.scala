@@ -242,6 +242,70 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DSv2 TOP-N pushdown (SupportsPushDownTopN on graftseq): ORDER BY
+    // id DESC LIMIT n truncates the planned range to its TAIL
+    // [hi−n, hi), so the "newest n rows" query PLANS n rows instead of
+    // scanning and sorting the table (at 100 TB: the tail file/split,
+    // not a table sort). Pushdown is PARTIAL per the interface
+    // contract — Spark's TakeOrdered still runs above, but over
+    // exactly the n planned rows (DsV2Spec pins the planned span to
+    // the tail and the exact row set for both directions).
+    "q311_dsv2_topn" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .select(col("id"), col("tok"))
+        .orderBy(col("id").desc).limit(500)
+    }),
+
+    // ------------------------------------------------------------------
+    // DSv2 REPORTED STATISTICS (SupportsReportStatistics on graftseq):
+    // both sides are graftseq scans, and the join picks its strategy
+    // from the stats the CONNECTOR reports — the 1M-row side reports
+    // ~32 MB (over the 10 MB auto-broadcast threshold), the 2000-row
+    // side ~16 KB, so Catalyst auto-broadcasts the small side with NO
+    // broadcast() hint. Without SupportsReportStatistics a V2 scan
+    // defaults to "unknown = huge" and can never be auto-broadcast;
+    // these stats are how a real connector steers a 100 TB plan away
+    // from a shuffle join (DsV2Spec asserts the hint-free
+    // BroadcastHashJoin with the SMALL scan on the build side).
+    "q312_dsv2_stats_bcast" -> ((s, dir) => {
+      val big = s.read.format("graftseq")
+        .option("rows", "1000000").option("slices", "8").load()
+        .select(col("id"), col("tok"))
+      val small = s.read.format("graftseq")
+        .option("rows", "2000").option("slices", "4").load()
+        .select(col("id").as("sid"))
+      big.join(small, col("id") % 2000 === col("sid"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"), min(col("sid")).as("min_sid"),
+          max(col("sid")).as("max_sid"))
+        .orderBy(col("tok"))
+    }),
+
+    // ------------------------------------------------------------------
+    // DSv2 RUNTIME FILTERING (SupportsRuntimeV2Filtering on graftseq):
+    // the selective dim filter (c_custkey % 7 = 3) triggers Spark's
+    // dynamic partition pruning — after the broadcast side executes,
+    // the scan receives the observed join keys as `id IN (...)` and
+    // re-narrows its planned range to their envelope BEFORE partitions
+    // are planned, so the 500k-row fact scan plans only the ≤|customer|
+    // ids a dim row can actually match. This is DPP for a V2 source:
+    // the mechanism that keeps a 100 TB fact scan from reading slices
+    // the dim cannot join (DsV2Spec asserts the executed scan's
+    // runtime range collapsed from 500000 to the dim envelope).
+    "q313_dsv2_runtime_prune" -> ((s, dir) => {
+      val fact = s.read.format("graftseq")
+        .option("rows", "500000").option("slices", "16").load()
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 7 === lit(3)).select(col("c_custkey"))
+      fact.join(dim, col("id") === col("c_custkey"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
     // DSv2 WRITE surface (sources/GraftSinkSource.scala): customer is
     // pushed through the staged-commit sink twice — even keys via
     // OVERWRITE (SupportsTruncate), odd keys via APPEND (manifest
@@ -324,6 +388,27 @@ object Sources extends QueryPack {
     "q306_dsv2_limit" ->
       ("SELECT i % 10 AS m, CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id "
         + "FROM (SELECT unnest(range(50000, 51000)) AS i) GROUP BY 1 ORDER BY 1"),
+    // q311: the top-500 under id DESC is exactly the range tail.
+    "q311_dsv2_topn" ->
+      ("SELECT i AS id, 't' || CAST(i % 50 AS VARCHAR) AS tok "
+        + "FROM (SELECT unnest(range(199500, 200000)) AS i)"),
+    // q312: replay both synthetic ranges and the stats-broadcast join —
+    // values must match whichever join strategy Spark picked (the
+    // strategy itself is asserted separately in DsV2Spec).
+    "q312_dsv2_stats_bcast" ->
+      ("WITH big AS (SELECT i AS id, 't' || CAST(i % 50 AS VARCHAR) AS tok "
+        + "FROM (SELECT unnest(range(0, 1000000)) AS i)), "
+        + "small AS (SELECT i AS sid FROM (SELECT unnest(range(0, 2000)) AS i)) "
+        + "SELECT tok, CAST(count(*) AS BIGINT) AS n, min(sid) AS min_sid, max(sid) AS max_sid "
+        + "FROM big JOIN small ON id % 2000 = sid GROUP BY 1 ORDER BY 1"),
+    // q313: replay the runtime-pruned join — the envelope narrowing is
+    // an optimization, so the values equal the plain join.
+    "q313_dsv2_runtime_prune" ->
+      ("WITH t AS (SELECT i AS id, CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket "
+        + "FROM (SELECT unnest(range(0, 500000)) AS i)), "
+        + "d AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 3) "
+        + "SELECT bucket, CAST(count(*) AS BIGINT) AS n, min(id) AS min_id, max(id) AS max_id "
+        + "FROM t JOIN d ON id = c_custkey GROUP BY 1 ORDER BY 1"),
     // q305: the pushed aggregate must equal the same aggregate over the
     // materialized range — any error in the closed forms breaks the hash.
     "q305_dsv2_agg_pushdown" ->

@@ -1,15 +1,16 @@
 package graft.sources
 
-import java.util.{Map => JMap}
+import java.util.{Map => JMap, OptionalLong}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,6 +50,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **limit pushdown**: implements SupportsPushDownLimit; LIMIT n
   *    truncates the planned range to [lo, lo+n) after filter
   *    narrowing, so a `filter.limit(n)` plans exactly n rows (q306).
+  *  - **top-N pushdown**: implements SupportsPushDownTopN for a single
+  *    sort on `id`: ORDER BY id LIMIT n plans [lo, lo+n), ORDER BY id
+  *    DESC LIMIT n plans [hi−n, hi) — the "newest n rows" query plans
+  *    n rows instead of sorting the table (q311). Pushdown stays
+  *    PARTIAL per the interface default: Spark's own TakeOrdered still
+  *    runs above, over exactly the n planned rows.
+  *  - **reported statistics**: implements SupportsReportStatistics
+  *    (numRows = planned span, sizeInBytes = span × pruned row width),
+  *    so Catalyst's join planning sees the post-pushdown size and
+  *    auto-broadcasts a narrowed graftseq side with NO hint — the
+  *    stats flow a real connector must feed the optimizer (q312).
+  *  - **runtime filtering**: implements SupportsRuntimeV2Filtering on
+  *    `id`; when a join's build side finishes, Spark hands the scan the
+  *    observed join-key IN-set and the scan re-narrows its range BEFORE
+  *    planning partitions — DPP-shaped partition pruning driven by
+  *    runtime data, the mechanism that keeps a 100 TB fact scan from
+  *    reading slices no dim row can match (q313, DsV2Spec asserts the
+  *    executed scan's runtime range collapsed).
   *
   * Options: `rows` (total row count, required), `slices` (input
   * partitions, default 4). Registered under the short name "graftseq"
@@ -101,7 +120,7 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class GraftSeqScanBuilder(rows: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
@@ -156,6 +175,34 @@ class GraftSeqScanBuilder(rows: Long, slices: Int)
   override def pushLimit(limit: Int): Boolean = {
     hi = math.min(hi, math.max(0L, lo) + limit)
     true
+  }
+
+  /** Top-N pushdown for a single sort on `id`: the source emits ids in
+    * range order, so the top-n under `id ASC` is the range head and
+    * under `id DESC` the range tail — truncate the planned range to
+    * exactly those n rows. Multi-key or non-`id` sorts are refused
+    * (Spark sorts normally). Pushdown is PARTIAL (isPartiallyPushed
+    * default true): Spark's TakeOrdered still runs above — over the n
+    * planned rows instead of the whole range — which also re-orders
+    * the DESC case's ascending reader output.
+    */
+  /** Both limit and top-N pushdowns are PARTIAL: Spark keeps its own
+    * GlobalLimit/TakeOrdered above the truncated scan (disambiguates
+    * the default inherited from both pushdown traits). */
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (orders.length != 1) return false
+    orders(0).expression match {
+      case nr: NamedReference
+          if nr.fieldNames.length == 1 && nr.fieldNames()(0) == "id" =>
+        val l = math.max(0L, lo)
+        val h = math.max(l, hi)
+        if (orders(0).direction == SortDirection.ASCENDING) hi = math.min(h, l + limit)
+        else lo = math.max(l, h - limit)
+        true
+      case _ => false
+    }
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
@@ -248,10 +295,22 @@ class GraftSeqAggReaderFactory(funcs: Array[String]) extends PartitionReaderFact
 }
 
 class GraftSeqScan(rows: Long, slices: Int, required: StructType,
-    lo: Long, hi: Long, val pushed: Array[Filter]) extends Scan with Batch {
+    lo: Long, hi: Long, val pushed: Array[Filter])
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   def this(rows: Long, slices: Int, required: StructType) =
     this(rows, slices, required, 0L, rows, Array.empty)
+
+  // Runtime-filtered range [rlo, rhi) — starts at the compile-time
+  // pushed range; SupportsRuntimeV2Filtering.filter narrows it AFTER
+  // the join's build side has executed but BEFORE partitions are
+  // planned (BatchScanExec.filteredPartitions re-invokes
+  // planInputPartitions post-filter).
+  @volatile private var rlo: Long = lo
+  @volatile private var rhi: Long = hi
+
+  /** The effective range after any runtime filtering (spec hook). */
+  def runtimeRange: (Long, Long) = (rlo, rhi)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -259,10 +318,56 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
     s"GraftSeqScan(rows=$rows, slices=$slices, range=[$lo,$hi), " +
       s"cols=${required.fieldNames.mkString(",")}, pushed=[${pushed.mkString(",")}])"
 
+  /** Post-pushdown size estimate: numRows = planned span, sizeInBytes =
+    * span × the PRUNED row width (8 B per long column, 24 B per string).
+    * This is what lets Catalyst auto-broadcast a narrowed graftseq side
+    * with no hint — the join planner compares exactly these bytes
+    * against autoBroadcastJoinThreshold.
+    */
+  override def estimateStatistics(): Statistics = {
+    val span = math.max(0L, hi - lo)
+    val width = required.fields.map(f =>
+      if (f.dataType == LongType) 8L else 24L).sum.max(1L)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(span * width)
+      override def numRows(): OptionalLong = OptionalLong.of(span)
+    }
+  }
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  /** Runtime (DPP-shaped) filtering: Spark hands over the join-key
+    * values observed on the broadcast side as `id IN (v...)`; contract
+    * the planned range to the values' [min, max] envelope. The envelope
+    * (not the exact set) keeps partitions contiguous ranges; rows
+    * inside it that miss the IN-set are dropped by the join itself —
+    * runtime filtering is an optimization, never a correctness
+    * transfer. An empty IN-set (no build rows) collapses the range to
+    * empty. Non-IN predicates are ignored (same contract).
+    */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN") {
+        val vals: Array[Long] = p.children().collect {
+          case l: Literal[_] if l.value().isInstanceOf[java.lang.Long] =>
+            l.value().asInstanceOf[java.lang.Long].longValue()
+        }
+        if (vals.isEmpty) { rhi = rlo }
+        else {
+          rlo = math.max(rlo, vals.min)
+          rhi = math.min(rhi, vals.max + 1)
+        }
+      }
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // even split of the PUSHED-DOWN range [lo, hi) — filters narrow the
-    // range BEFORE partitions exist, so pruned slices are never planned;
-    // the last slice absorbs the remainder
+    // even split of the PUSHED-DOWN and runtime-filtered range
+    // [rlo, rhi) — filters narrow the range BEFORE partitions exist, so
+    // pruned slices are never planned; the last slice absorbs the
+    // remainder
+    val lo = rlo
+    val hi = rhi
     val span = math.max(0L, hi - lo)
     if (span == 0L) return Array(GraftSeqPartition(lo, lo))
     val per = math.max(1L, span / slices)

@@ -256,4 +256,87 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     r.isNullAt(2) shouldBe true
     r.isNullAt(3) shouldBe true
   }
+
+  private def plannedSpan(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    val parts = scans.head.scan.asInstanceOf[GraftSeqScan]
+      .planInputPartitions().map(_.asInstanceOf[GraftSeqPartition])
+    (parts.map(p => p.end - p.start).sum, parts.map(_.start).min, parts.map(_.end).max)
+  }
+
+  test("top-N pushdown plans the range tail under id DESC and the head under id ASC") {
+    val desc = rd(200000L, 8).orderBy(col("id").desc).limit(500)
+    plannedSpan(desc) shouldBe ((500L, 199500L, 200000L))
+    desc.collect().map(_.getLong(0)) shouldBe (199999L to 199500L by -1L).toArray
+    val asc = rd(200000L, 8).orderBy(col("id")).limit(500)
+    plannedSpan(asc) shouldBe ((500L, 0L, 500L))
+    asc.collect().map(_.getLong(0)) shouldBe (0L until 500L).toArray
+    // composes with filter pushdown: the tail of the NARROWED range
+    val both = rd(200000L, 8).filter(col("id") < 100000L)
+      .orderBy(col("id").desc).limit(100)
+    plannedSpan(both) shouldBe ((100L, 99900L, 100000L))
+    both.head().getLong(0) shouldBe 99999L
+  }
+
+  test("top-N pushdown refuses non-id sorts: the full range is planned and Spark sorts") {
+    val df = rd(2000L, 4).orderBy(col("tok"), col("id")).limit(5)
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    scans should have size 1
+    val parts = scans.head.scan.asInstanceOf[GraftSeqScan]
+      .planInputPartitions().map(_.asInstanceOf[GraftSeqPartition])
+    parts.map(p => p.end - p.start).sum shouldBe 2000L
+    // t0 < t1 < t10 < t11 ... lexicographic; ids 0 and 50 share t0
+    df.collect().map(_.getLong(0)).take(4) shouldBe Array(0L, 50L, 100L, 150L)
+  }
+
+  test("reported statistics: numRows/sizeInBytes reflect the post-pushdown range and pruned width") {
+    val df = rd(200000L, 8).filter(col("id") >= 150000L).select(col("id"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b }
+    val st = scans.head.scan.asInstanceOf[GraftSeqScan].estimateStatistics()
+    st.numRows().getAsLong shouldBe 50000L
+    st.sizeInBytes().getAsLong shouldBe 50000L * 8L // id only: 8 B/row
+  }
+
+  test("reported statistics drive a hint-free broadcast of the small graftseq side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // 1M-row side reports ~32 MB (> autoBroadcastJoinThreshold), the
+    // 2000-row side ~16 KB — stats-based selection must broadcast the
+    // SMALL scan; without reported stats a V2 scan defaults to "huge"
+    // and could never be auto-broadcast
+    val big = rd(1000000L, 8).select(col("id"), col("tok"))
+    val small = rd(2000L, 4).select(col("id").as("sid"))
+    val joined = big.join(small, col("id") % 2000 === col("sid"))
+    val bhj = joined.queryExecution.sparkPlan.collect { case j: BroadcastHashJoinExec => j }
+    bhj should have size 1
+    val buildPlan = if (bhj.head.buildSide.toString.contains("Right")) bhj.head.right
+      else bhj.head.left
+    val buildScans = buildPlan.collectWithSubqueries { case b: BatchScanExec => b }
+    buildScans should have size 1
+    buildScans.head.scan.description() should include("rows=2000")
+  }
+
+  test("runtime filtering narrows the executed scan's range to the dim envelope") {
+    val fact = rd(500000L, 16)
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 7 === lit(3)).select(col("c_custkey"))
+    val joined = fact.join(dim, col("id") === col("c_custkey"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
+    // collect(), not head(): head() re-plans through a fresh Limit
+    // QueryExecution whose scan is a DIFFERENT instance
+    val r = joined.collect().head
+    // the scan object is shared between the logical relation and the
+    // executed BatchScanExec, so its post-execution runtime range is
+    // visible here; DPP must have collapsed it from [0, 500000) to the
+    // dim ids' envelope (sf0.001 customer: c_custkey <= 149)
+    val scan = joined.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if rel.scan.isInstanceOf[GraftSeqScan] => rel.scan.asInstanceOf[GraftSeqScan]
+    }.head
+    val (rlo, rhi) = scan.runtimeRange
+    rlo shouldBe 3L              // min c_custkey with key % 7 == 3
+    rhi should be < 1000L        // envelope of a <=149-key dim, not 500000
+    r.getLong(1) shouldBe rhi - 1 // max joined id == envelope top
+    r.getLong(0) should be > 0L
+  }
 }
