@@ -1137,6 +1137,76 @@ object Evaluation extends QueryPack {
           "round(pow(abs(cast(b as double) - c) - 1.0, 2) / nullif(b + c, 0), 6) AS chi2_mcnemar",
           "pow(abs(cast(b as double) - c) - 1.0, 2) / nullif(b + c, 0) > 3.841459 AS reject_5pct")
     }),
+
+    // ------------------------------------------------------------------
+    // Cochran–Armitage trend test — ORDERED 2×k proportions (q101's χ²
+    // asks "any association?"; this asks "does the hit rate trend
+    // MONOTONICALLY with the dose?", one df instead of k−1, the
+    // dose-response workhorse): dose = priority rank 1..5, hit =
+    // totalprice > 250k. Z = [Σaᵢsᵢ − A·s̄] / √(p̄(1−p̄)(Σnᵢsᵢ² −
+    // N·s̄²)) — every term an exact integer sum over k cells, the
+    // statistic a closed-form composite of them.
+    "q317_cochran_armitage" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .select(expr("cast(substring(o_orderpriority, 1, 1) as int)").as("dose"),
+          expr("cast(cast(o_totalprice as decimal(18,2)) > 250000 as int)").as("hit"))
+        .groupBy(col("dose"))
+        .agg(count(lit(1)).as("n_i"), sum(col("hit")).as("a_i"))
+      cells.agg(sum(col("n_i")).as("nn"), sum(col("a_i")).as("aa"),
+          sum(col("n_i") * col("dose")).as("sns"),
+          sum(col("n_i") * col("dose") * col("dose")).as("sns2"),
+          sum(col("a_i") * col("dose")).as("sas"))
+        .selectExpr("nn", "aa",
+          "cast(sas as double) - cast(aa as double) * sns / nn AS tnum",
+          ("(cast(aa as double) / nn) * (1.0 - cast(aa as double) / nn) "
+            + "* (cast(sns2 as double) - cast(sns as double) * sns / nn) AS tvar"))
+        .selectExpr("nn AS n", "aa AS n_hit",
+          "round(tnum / sqrt(tvar), 6) AS z_trend",
+          "round(tnum * tnum / tvar, 6) AS chi2_trend",
+          "tnum * tnum / tvar > 3.841459 AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
+    // Brier score + Murphy decomposition — the proper-scoring-rule
+    // readout q201's ECE doesn't give (ECE is |gap|-weighted; the
+    // Brier decomposition separates CALIBRATION error from
+    // DISCRIMINATION skill): same p = value/vmax forecast and
+    // purchase outcome as q201, BS = mean((p−y)²) exact from a
+    // DECIMAL-quantized per-row sum; over the 10 q201 bins,
+    // reliability = Σnₖ(conf−acc)²/N, resolution = Σnₖ(acc−ȳ)²/N,
+    // uncertainty = ȳ(1−ȳ); the residual BS − (REL−RES+UNC) is the
+    // within-bin forecast variance, reported (and pinned ≥ 0 in
+    // Round9eSpec — binning a continuous forecast loses exactly that
+    // variance, a real property, not noise).
+    "q318_brier_decomp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("pos"))
+      val mx = ev.agg(max(col("value")).as("vmax"))
+      val bins = ev.crossJoin(broadcast(mx))
+        .withColumn("p", col("value") / col("vmax"))
+        .withColumn("bin", least(floor(col("p") * 10), lit(9)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_k"), sum(col("pos")).as("a_k"),
+          sum(expr("cast(p as decimal(28,12))")).as("sump"),
+          sum(expr("cast((p - pos) * (p - pos) as decimal(28,12))")).as("sbr"))
+      val tot = bins.agg(sum(col("n_k")).as("nn"), sum(col("a_k")).as("aa"),
+        sum(col("sbr")).as("sbrx"))
+      bins.crossJoin(broadcast(tot))
+        .withColumn("conf", expr("cast(sump as double) / n_k"))
+        .withColumn("acc", expr("cast(a_k as double) / n_k"))
+        .withColumn("ybar", expr("cast(aa as double) / nn"))
+        .agg(max(col("nn")).as("n"),
+          max(expr("cast(sbrx as double) / nn")).as("brier_raw"),
+          max(expr("(cast(aa as double) / nn) * (1.0 - cast(aa as double) / nn)")).as("unc"),
+          sum(expr("cast(n_k * (conf - acc) * (conf - acc) / nn as decimal(28,12))")).as("relx"),
+          sum(expr("cast(n_k * (acc - ybar) * (acc - ybar) / nn as decimal(28,12))")).as("resx"))
+        .selectExpr("n", "round(brier_raw, 6) AS brier",
+          "round(cast(relx as double), 6) AS reliability",
+          "round(cast(resx as double), 6) AS resolution",
+          "round(unc, 6) AS uncertainty",
+          "round(brier_raw - (cast(relx as double) - cast(resx as double) + unc), 6) AS within_bin_var")
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1168,6 +1238,34 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q317_cochran_armitage" ->
+      ("WITH cells AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS dose, "
+        + "count(*) AS n_i, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) > 250000 AS INT)) AS BIGINT) AS a_i "
+        + "FROM orders GROUP BY 1), "
+        + "agg AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn, CAST(sum(a_i) AS BIGINT) AS aa, "
+        + "CAST(sum(n_i * dose) AS BIGINT) AS sns, CAST(sum(n_i * dose * dose) AS BIGINT) AS sns2, "
+        + "CAST(sum(a_i * dose) AS BIGINT) AS sas FROM cells), "
+        + "st AS (SELECT nn, aa, CAST(sas AS DOUBLE) - CAST(aa AS DOUBLE) * sns / nn AS tnum, "
+        + "(CAST(aa AS DOUBLE) / nn) * (1.0 - CAST(aa AS DOUBLE) / nn) * (CAST(sns2 AS DOUBLE) - CAST(sns AS DOUBLE) * sns / nn) AS tvar FROM agg) "
+        + "SELECT nn AS n, aa AS n_hit, round(tnum / sqrt(tvar), 6) AS z_trend, "
+        + "round(tnum * tnum / tvar, 6) AS chi2_trend, tnum * tnum / tvar > 3.841459 AS reject_5pct FROM st"),
+    "q318_brier_decomp" ->
+      ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pos "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "mx AS (SELECT max(value) AS vmax FROM ev), "
+        + "b AS (SELECT least(CAST(floor((value / vmax) * 10) AS BIGINT), 9) AS bin, pos, value / vmax AS p FROM ev CROSS JOIN mx), "
+        + "g AS (SELECT bin, count(*) AS n_k, CAST(sum(pos) AS BIGINT) AS a_k, "
+        + "sum(CAST(p AS DECIMAL(28,12))) AS sump, sum(CAST((p - pos) * (p - pos) AS DECIMAL(28,12))) AS sbr FROM b GROUP BY bin), "
+        + "t AS (SELECT CAST(sum(n_k) AS BIGINT) AS nn, CAST(sum(a_k) AS BIGINT) AS aa, sum(sbr) AS sbrx FROM g), "
+        + "c AS (SELECT g.*, t.nn, t.aa, t.sbrx, CAST(sump AS DOUBLE) / n_k AS conf, "
+        + "CAST(a_k AS DOUBLE) / n_k AS acc, CAST(aa AS DOUBLE) / nn AS ybar FROM g CROSS JOIN t), "
+        + "agg AS (SELECT max(nn) AS n, max(CAST(sbrx AS DOUBLE) / nn) AS brier_raw, "
+        + "max((CAST(aa AS DOUBLE) / nn) * (1.0 - CAST(aa AS DOUBLE) / nn)) AS unc, "
+        + "CAST(sum(CAST(n_k * (conf - acc) * (conf - acc) / nn AS DECIMAL(28,12))) AS DOUBLE) AS relx, "
+        + "CAST(sum(CAST(n_k * (acc - ybar) * (acc - ybar) / nn AS DECIMAL(28,12))) AS DOUBLE) AS resx FROM c) "
+        + "SELECT n, round(brier_raw, 6) AS brier, round(relx, 6) AS reliability, "
+        + "round(resx, 6) AS resolution, round(unc, 6) AS uncertainty, "
+        + "round(brier_raw - (relx - resx + unc), 6) AS within_bin_var FROM agg"),
     "q308_mcnemar" ->
       ("WITH per AS (SELECT user_id, "
         + "max(CAST(epoch_us(ts) < 1705363200000000 AND value > 300 AS INT)) AS pre, "

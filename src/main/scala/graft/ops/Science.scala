@@ -1078,6 +1078,82 @@ object Science extends QueryPack {
     // C = 1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1)). All from q116's exact
     // (n, Σx, Σx²) cells; the three k-term sums quantize DECIMAL
     // before summing; df = k−1 critical via the computed-df CASE.
+    // ------------------------------------------------------------------
+    // Wilcoxon signed-rank test — the PAIRED continuous design closing
+    // the rank-test matrix (Mann–Whitney q130 = two independent
+    // samples, Friedman q307 = k matched treatments, McNemar q308 =
+    // paired binary; this = paired continuous): per user, d = mean
+    // value after Jan 16 − mean before; zero differences drop per the
+    // standard procedure. |d| midranks ride cumCounts' range-
+    // partitioned prefix sums exactly like q130 (one groupBy
+    // contraction, never a row-level global rank), W+ = Σ midrank over
+    // d>0, and the tie-corrected normal approximation z = (W+ −
+    // n(n+1)/4)/√(n(n+1)(2n+1)/24 − Σ(t³−t)/48) — the tie term is an
+    // exact integer ridden through the same cells.
+    "q314_wilcoxon_signed" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"),
+          col("value").cast("decimal(18,2)").as("x"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < lit(1705363200000000L), col("x"))).as("spre"),
+          count(when(col("us") < lit(1705363200000000L), 1)).as("npre"),
+          sum(when(col("us") >= lit(1705363200000000L), col("x"))).as("spost"),
+          count(when(col("us") >= lit(1705363200000000L), 1)).as("npost"))
+        .filter(col("npre") > 0 && col("npost") > 0)
+        .withColumn("d", expr("cast(spost as double) / npost - cast(spre as double) / npre"))
+        .filter(col("d") =!= 0.0)
+      val g = per.groupBy(abs(col("d")).as("v"))
+        .agg(sum(when(col("d") > 0, 1).otherwise(0)).as("c1"),
+          sum(when(col("d") < 0, 1).otherwise(0)).as("c2"))
+      cumCounts(s, g)
+        .withColumn("ar", expr("below + (c1 + c2 + 1) / 2.0"))
+        .agg(sum(col("c1") + col("c2")).as("n"),
+          sum(expr("cast(ar * c1 as decimal(28,6))")).as("wx"),
+          sum(expr("(c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)")).as("tie"))
+        .selectExpr("n", "round(cast(wx as double), 6) AS w_plus",
+          ("round((cast(wx as double) - n * (n + 1.0d) / 4.0d) / "
+            + "sqrt(n * (n + 1.0d) * (2.0d * n + 1.0d) / 24.0d - cast(tie as double) / 48.0d), 6) AS z_stat"),
+          ("abs((cast(wx as double) - n * (n + 1.0d) / 4.0d) / "
+            + "sqrt(n * (n + 1.0d) * (2.0d * n + 1.0d) / 24.0d - cast(tie as double) / 48.0d)) > 1.959964 AS reject_5pct"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Tukey's HSD post-hoc — the pairwise follow-up ANOVA q116 stops
+    // short of (a significant F says "some pair differs"; HSD says
+    // WHICH, at a family-wise 5%): per-group exact (n, Σx, Σx²) cells
+    // give MSW, the k(k−1)/2 pairs are a broadcast self-join on the
+    // k-cell frame (never on rows), and q = |m_i − m_j| /
+    // √(MSW/2·(1/n_i + 1/n_j)) (the Tukey–Kramer unequal-n form)
+    // compares against the studentized-range critical q_{0.05,k,∞} —
+    // a CASE over the COMPUTED k (q261's discipline; df = N−k is
+    // ~15k+ here, the ∞ asymptote's error is <0.2%, and the constant
+    // is identical in both engines so the oracle is unaffected).
+    "q316_tukey_hsd" -> ((s, dir) => {
+      val crit = ("CASE kk WHEN 2 THEN 2.771808 WHEN 3 THEN 3.314493 WHEN 4 THEN 3.633162 "
+        + "WHEN 5 THEN 3.858296 WHEN 6 THEN 4.030270 WHEN 7 THEN 4.170210 ELSE cast(null as double) END")
+      val g = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("pr"), col("o_totalprice").cast("decimal(18,2)").as("x"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+          sum((col("x") * col("x")).cast("decimal(28,4)")).as("q_g"))
+        .localCheckpoint() // consumed thrice: MSW + both pair sides
+      val msw = g.agg(count(lit(1)).as("kk"), sum(col("n_g")).as("nn"),
+          sum(expr("cast(cast(q_g as double) - cast(s_g as double) * cast(s_g as double) / n_g as decimal(28,6))")).as("ssw"))
+        .withColumn("msw", expr("cast(ssw as double) / (nn - kk)"))
+      val a = g.select(col("pr").as("pr_a"), col("n_g").as("na"),
+        expr("cast(s_g as double) / n_g").as("ma"))
+      val b = g.select(col("pr").as("pr_b"), col("n_g").as("nb"),
+        expr("cast(s_g as double) / n_g").as("mb"))
+      a.join(broadcast(b), col("pr_a") < col("pr_b"))
+        .crossJoin(broadcast(msw))
+        .withColumn("qstat", expr("abs(ma - mb) / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb))"))
+        .selectExpr("pr_a", "pr_b", "round(ma - mb, 6) AS mean_diff",
+          "round(qstat, 6) AS q_stat", s"qstat > ($crit) AS reject_5pct")
+        .orderBy(col("pr_a"), col("pr_b"))
+    }),
+
     "q310_bartlett" -> ((s, dir) => {
       val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
         + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE cast(null as double) END")
@@ -1249,6 +1325,41 @@ object Science extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q314_wilcoxon_signed" ->
+      ("WITH per AS (SELECT user_id, "
+        + "sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN CAST(value AS DECIMAL(18,2)) END) AS spre, "
+        + "count(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 END) AS npre, "
+        + "sum(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN CAST(value AS DECIMAL(18,2)) END) AS spost, "
+        + "count(CASE WHEN epoch_us(ts) >= 1705363200000000 THEN 1 END) AS npost "
+        + "FROM events WHERE value IS NOT NULL GROUP BY user_id), "
+        + "d AS (SELECT CAST(spost AS DOUBLE) / npost - CAST(spre AS DOUBLE) / npre AS d "
+        + "FROM per WHERE npre > 0 AND npost > 0), "
+        + "dd AS (SELECT d FROM d WHERE d <> 0), "
+        + "g AS (SELECT abs(d) AS v, CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM dd GROUP BY 1), "
+        + "r AS (SELECT v, c1, c2, coalesce(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below FROM g), "
+        + "agg AS (SELECT CAST(sum(c1 + c2) AS BIGINT) AS n, "
+        + "CAST(sum(CAST((below + (c1 + c2 + 1) / 2.0) * c1 AS DECIMAL(28,6))) AS DOUBLE) AS wx, "
+        + "CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tie FROM r), "
+        + "st AS (SELECT n, wx, (wx - n * (n + 1.0) / 4.0) / "
+        + "sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie / 48.0) AS z FROM agg) "
+        + "SELECT n, round(wx, 6) AS w_plus, round(z, 6) AS z_stat, abs(z) > 1.959964 AS reject_5pct FROM st"),
+    "q316_tukey_hsd" -> {
+      val crit = ("CASE kk WHEN 2 THEN 2.771808 WHEN 3 THEN 3.314493 WHEN 4 THEN 3.633162 "
+        + "WHEN 5 THEN 3.858296 WHEN 6 THEN 4.030270 WHEN 7 THEN 4.170210 ELSE CAST(NULL AS DOUBLE) END")
+      ("WITH g AS (SELECT o_orderpriority AS pr, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
+        + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS q_g FROM orders GROUP BY pr), "
+        + "m AS (SELECT count(*) AS kk, CAST(sum(n_g) AS BIGINT) AS nn, "
+        + "CAST(sum(CAST(CAST(q_g AS DOUBLE) - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g AS DECIMAL(28,6))) AS DOUBLE) AS ssw FROM g), "
+        + "m2 AS (SELECT kk, ssw / (nn - kk) AS msw FROM m), "
+        + "p AS (SELECT a.pr AS pr_a, b.pr AS pr_b, CAST(a.s_g AS DOUBLE) / a.n_g AS ma, "
+        + "CAST(b.s_g AS DOUBLE) / b.n_g AS mb, a.n_g AS na, b.n_g AS nb "
+        + "FROM g a JOIN g b ON a.pr < b.pr), "
+        + "q AS (SELECT pr_a, pr_b, ma - mb AS mean_diff, "
+        + "abs(ma - mb) / sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb)) AS qstat, kk FROM p CROSS JOIN m2) "
+        + s"SELECT pr_a, pr_b, round(mean_diff, 6) AS mean_diff, round(qstat, 6) AS q_stat, qstat > ($crit) AS reject_5pct "
+        + "FROM q ORDER BY pr_a, pr_b")
+    },
     "q307_friedman" -> {
       val crit = ("CASE kk - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 WHEN 3 THEN 7.814728 "
         + "WHEN 4 THEN 9.487729 WHEN 5 THEN 11.070498 WHEN 6 THEN 12.591587 ELSE CAST(NULL AS DOUBLE) END")

@@ -234,6 +234,60 @@ object TimeWin extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Two-group log-rank test — the hypothesis test the q171 KM curve
+    // stops short of ("do the even- and odd-user time-to-conversion
+    // curves differ?"): the death event is the user's FIRST >150
+    // purchase (q188's conversion framing — q171's activity-gap
+    // censoring never fires on this corpus, every user stays active
+    // to the end); users who never convert are right-censored at
+    // their last observed day. Contracted to per-lifetime 2×2 cells
+    // (deaths + censored per group), at-risk counts from the
+    // product-limit cumsum over the ≤#observation-days cell frame
+    // (allowlisted window, q171's shape), and the hypergeometric
+    // O−E/V pooled with DECIMAL-quantized per-time terms: χ² =
+    // (O₁−E₁)²/V on 1 df. Times with no deaths or <2 at risk
+    // contribute nothing, per the standard estimator; censored-at-t
+    // stay in the time-t risk set (standard convention).
+    "q315_logrank" -> ((s, dir) => {
+      val byT = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as date)").as("day"),
+          (col("event_type") === "purchase" && col("value") > 150).as("hit"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          min(when(col("hit"), col("day"))).as("p1"))
+        .withColumn("grp", (col("user_id") % 2).cast("int"))
+        .withColumn("t", expr("datediff(coalesce(p1, d1), d0)"))
+        .withColumn("death", col("p1").isNotNull)
+        .groupBy(col("t"))
+        .agg(sum(expr("case when grp = 0 and death then 1 else 0 end")).as("e1c"),
+          sum(expr("case when grp = 0 and not death then 1 else 0 end")).as("x1c"),
+          sum(expr("case when grp = 1 and death then 1 else 0 end")).as("e2c"),
+          sum(expr("case when grp = 1 and not death then 1 else 0 end")).as("x2c"))
+        .localCheckpoint() // consumed twice: group totals + risk sets
+      val tot = byT.agg(sum(col("e1c") + col("x1c")).as("n1t"),
+        sum(col("e2c") + col("x2c")).as("n2t"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n1r",
+          col("n1t") - coalesce(sum(col("e1c") + col("x1c")).over(wPrev), lit(0L)))
+        .withColumn("n2r",
+          col("n2t") - coalesce(sum(col("e2c") + col("x2c")).over(wPrev), lit(0L)))
+        .withColumn("dj", col("e1c") + col("e2c"))
+        .withColumn("nj", col("n1r") + col("n2r"))
+        .filter(col("dj") > 0 && col("nj") > 1)
+        .withColumn("ej", expr("cast(n1r as double) * dj / nj"))
+        .withColumn("vj", expr(
+          "cast(n1r as double) * n2r * dj * (nj - dj) / (cast(nj as double) * nj * (nj - 1))"))
+        .agg(sum(col("e1c")).as("o1"),
+          sum(expr("cast(ej as decimal(28,12))")).as("e1x"),
+          sum(expr("cast(vj as decimal(28,12))")).as("vx"))
+        .selectExpr("o1", "round(cast(e1x as double), 6) AS e1",
+          "round(pow(o1 - cast(e1x as double), 2) / cast(vx as double), 6) AS chi2_logrank",
+          "pow(o1 - cast(e1x as double), 2) / cast(vx as double) > 3.841459 AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
     // Cohort-LTV triangle: users cohort by first-activity week, revenue
     // (purchase values) accumulates per cohort over age-in-weeks. The
     // fact table is touched twice (first-day contraction + revenue
@@ -310,6 +364,27 @@ object TimeWin extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q315_logrank" ->
+      ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1, "
+        + "min(CASE WHEN event_type = 'purchase' AND value > 150 THEN CAST(ts AS DATE) END) AS p1 "
+        + "FROM events GROUP BY user_id), "
+        + "byt AS (SELECT date_diff('day', d0, coalesce(p1, d1)) AS t, "
+        + "CAST(sum(CASE WHEN user_id % 2 = 0 AND p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e1c, "
+        + "CAST(sum(CASE WHEN user_id % 2 = 0 AND p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x1c, "
+        + "CAST(sum(CASE WHEN user_id % 2 = 1 AND p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e2c, "
+        + "CAST(sum(CASE WHEN user_id % 2 = 1 AND p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS x2c "
+        + "FROM u GROUP BY 1), "
+        + "tt AS (SELECT CAST(sum(e1c + x1c) AS BIGINT) AS n1t, CAST(sum(e2c + x2c) AS BIGINT) AS n2t FROM byt), "
+        + "r AS (SELECT t, e1c, e2c, "
+        + "n1t - coalesce(sum(e1c + x1c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1r, "
+        + "n2t - coalesce(sum(e2c + x2c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2r "
+        + "FROM byt CROSS JOIN tt), "
+        + "k AS (SELECT e1c, n1r, n2r, e1c + e2c AS dj, n1r + n2r AS nj FROM r WHERE e1c + e2c > 0 AND n1r + n2r > 1), "
+        + "agg AS (SELECT CAST(sum(e1c) AS BIGINT) AS o1, "
+        + "CAST(sum(CAST(CAST(n1r AS DOUBLE) * dj / nj AS DECIMAL(28,12))) AS DOUBLE) AS e1x, "
+        + "CAST(sum(CAST(CAST(n1r AS DOUBLE) * n2r * dj * (nj - dj) / (CAST(nj AS DOUBLE) * nj * (nj - 1)) AS DECIMAL(28,12))) AS DOUBLE) AS vx FROM k) "
+        + "SELECT o1, round(e1x, 6) AS e1, round(pow(o1 - e1x, 2) / vx, 6) AS chi2_logrank, "
+        + "pow(o1 - e1x, 2) / vx > 3.841459 AS reject_5pct FROM agg"),
     // q282: the identical quantized recursion replayed as a recursive
     // CTE — the rounded level lp binds in a subquery so the trend uses
     // the SAME post-round value the Spark fold uses.

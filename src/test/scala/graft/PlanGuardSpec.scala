@@ -67,7 +67,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q294_bm25_prf",     // rank over the 15-row TakeOrdered tail (q123's shape)
     "q309_resid_diag",   // residual lag over <= #days daily cells (q23's shape)
     "q295_core_distance",// rank over the 20-row TakeOrdered mreach tail
-    "q300_rrf_fusion"    // ranks over the two 50-row TakeOrdered lists + 15-row fused tail
+    "q300_rrf_fusion",   // ranks over the two 50-row TakeOrdered lists + 15-row fused tail
+    "q315_logrank"       // at-risk cumsum over <= #observation-days lifetime cells (q171's shape)
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -269,6 +270,7 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q136_kendall_tau",    // daily cells <= #days, checkpointed, both pair-join sides
     "q249_mann_kendall",   // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
     "q247_int8_recall",    // probes = vec_id < 5: 5 literal-keyed rows, checkpointed
+    "q316_tukey_hsd",      // per-priority cells: <= |o_orderpriority| enum rows, checkpointed, both pair-join sides
     "q246_hist_quantile_merge", // 5 literal quantile probes x 1-row global bounds
     "q252_kmv_jaccard",    // sketch pair join: <= |event types| k-long sketch rows per side
     "q266_shapley_attribution", // bit-subset joins over the 8-row coalition lattice / 3-row channel frame
