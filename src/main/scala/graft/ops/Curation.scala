@@ -491,6 +491,51 @@ object Curation extends QueryPack {
     // bench gram set is eval-sized → broadcast; hit docs contract to
     // distinct doc_ids before the source rollup; the grand total rides
     // as a broadcast 1-row frame.
+    // ------------------------------------------------------------------
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // via Importance Resampling") — the principled replacement for
+    // q84's fixed domain-mix: score every raw doc by how target-like
+    // its hashed-bigram distribution is, log w(d) = Σ_f c_f·[ln
+    // p̂_t(f) − ln p̂_r(f)] with add-1-smoothed bucket estimates (B=512
+    // md5 buckets, q58's hash discipline — never a vocabulary map).
+    // Target = the src1 seed corpus; raw = everything. The bucket
+    // histograms are two B-cell aggregates off ONE (doc, bucket,
+    // count) contraction; the ≤B-row log-ratio table broadcasts back
+    // for the per-doc weighted sum (DECIMAL-quantized). Top-20 by
+    // weight via TakeOrderedAndProject — the resampling step would
+    // sample ∝ exp(log w), this reports the ranking it keys on.
+    "q322_dsir_weights" -> ((s, dir) => {
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> md5_mod(concat_ws(' ', slice(w, i, 2)), 512L))")).as("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed twice: bucket histograms + per-doc weights
+      val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("cr"))
+      val tgt = perDoc.filter(col("source") === "src1")
+        .groupBy(col("b")).agg(sum(col("c")).as("ct"))
+      val tot = raw.agg(sum(col("cr")).as("nr"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+      val lw = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("lw", expr(
+          "ln((coalesce(ct, 0) + 1.0d) / (nt + 512.0d)) - ln((cr + 1.0d) / (nr + 512.0d))"))
+        .select(col("b"), col("lw"))
+      val scored = perDoc.join(broadcast(lw), "b")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(expr("cast(c * lw as decimal(28,12))")).as("logw_x"),
+          sum(col("c")).as("n_bigrams"))
+      val top = scored.orderBy(col("logw_x").desc, col("doc_id")).limit(20)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("logw_x").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("source"), col("n_bigrams"),
+          round(col("logw_x").cast("double"), 6).as("log_weight"))
+        .orderBy(col("rank"))
+    }),
+
     "q296_contamination_attr" -> ((s, dir) => {
       val sg = Text.hashedGrams8(s, dir)
       val bench = sg.filter(col("doc_id") % 101 === 7).select(col("h")).distinct()
@@ -516,6 +561,20 @@ object Curation extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q322_dsir_weights" ->
+      ("WITH db AS (SELECT doc_id, source, unnest(list_transform(range(1, len(w)), i -> "
+        + "CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) % 512)) AS b "
+        + "FROM (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents) WHERE len(w) >= 2), "
+        + "pd AS (SELECT doc_id, source, b, count(*) AS c FROM db GROUP BY 1, 2, 3), "
+        + "raw AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM pd GROUP BY b), "
+        + "tgt AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM pd WHERE source = 'src1' GROUP BY b), "
+        + "tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr, (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt), "
+        + "lw AS (SELECT raw.b, ln((coalesce(ct, 0) + CAST(1 AS DOUBLE)) / (nt + CAST(512 AS DOUBLE))) - "
+        + "ln((cr + CAST(1 AS DOUBLE)) / (nr + CAST(512 AS DOUBLE))) AS lw FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot), "
+        + "sc AS (SELECT doc_id, source, sum(CAST(c * lw AS DECIMAL(28,12))) AS logw_x, CAST(sum(c) AS BIGINT) AS n_bigrams "
+        + "FROM pd JOIN lw USING (b) GROUP BY 1, 2) "
+        + "SELECT rank, doc_id, source, n_bigrams, round(CAST(logw_x AS DOUBLE), 6) AS log_weight FROM ("
+        + "SELECT *, row_number() OVER (ORDER BY logw_x DESC, doc_id) AS rank FROM sc) WHERE rank <= 20 ORDER BY rank"),
     "q296_contamination_attr" ->
       ("WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "ng AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) - 6), i -> "

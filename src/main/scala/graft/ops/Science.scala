@@ -1120,6 +1120,83 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Two-sample Cramér–von Mises — the INTEGRATED-square EDF test
+    // closing the distribution-comparison family (KS q124 reads the
+    // MAX ECDF gap — sensitive to one sharp deviation; CvM integrates
+    // the squared gap over the whole pooled sample — more powerful
+    // against dispersed alternatives): T = n1·n2/N² · Σ_x (F₁(x) −
+    // F₂(x))², summed at every pooled observation (per-distinct-value
+    // counts weight the tied points). Rides q124's exact contraction +
+    // cumCounts' range-partitioned prefix sums; per-value terms
+    // quantize DECIMAL(28,12) before the order-free sum; the squared
+    // gap is an explicit product (never pow — cross-engine pow(x,2)
+    // parity is not guaranteed). Asymptotic 5% critical T = 0.461
+    // (Anderson 1962), identical constant in both engines.
+    "q319_cvm_test" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("c1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("c2"))
+      cumCounts(s, g)
+        .withColumn("gap", expr("cast(cum1 as double) / n1 - cast(cum2 as double) / n2"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(expr("cast((c1 + c2) * gap * gap as decimal(28,12))")).as("sx"))
+        .selectExpr("n1", "n2",
+          ("round(cast(n1 as double) * n2 / (cast(n1 + n2 as double) * (n1 + n2)) "
+            + "* cast(sx as double), 6) AS cvm_t"),
+          ("cast(n1 as double) * n2 / (cast(n1 + n2 as double) * (n1 + n2)) "
+            + "* cast(sx as double) > 0.461 AS reject_5pct"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Query-likelihood retrieval with Dirichlet smoothing (μ=300,
+    // Zhai/Lafferty) — the language-model scorer closing the retrieval
+    // family (BM25 q123 = tf·idf saturation, PRF q294 = expansion, RRF
+    // q300 = fusion; this = the generative model): score(q,d) =
+    // Σ_t ln((tf_{t,d} + μ·P(t|C))/(dl_d + μ)). Every doc scores every
+    // query term INCLUDING tf=0 — decomposed so the zero terms never
+    // join: score = Σ_t ln(μ·pc_t/(dl+μ)) [all-docs side, from dl
+    // alone + the broadcast 3-row query-stats frame] + Σ_{tf>0}
+    // [ln(tf + μ·pc_t) − ln(μ·pc_t)] [the bounded tf-join side].
+    // Per-term adjustments quantize DECIMAL(28,12); top-15 via
+    // TakeOrderedAndProject (q123's discipline).
+    "q323_qlm_dirichlet" -> ((s, dir) => {
+      val t = toks(s, dir)
+      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .localCheckpoint() // consumed twice: corpus total + per-doc base
+      val ctot = dl.agg(sum(col("dl")).as("ctot"))
+      val cf = t.filter(col("tok").isin("spark", "data", "query"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+        .crossJoin(broadcast(ctot))
+        .withColumn("mpc", expr("300.0d * cf / ctot")) // μ·P(t|C), forced DOUBLE (decimal-division precision rules differ across engines)
+        .localCheckpoint() // consumed twice: base-sum scalar + tf join
+      // nq = COUNT of in-corpus query terms (an OOV term has no cf row
+      // and is dropped per standard QLM practice — hardcoding 3 would
+      // mis-pair the ln(dl+μ) denominators if a term never occurs)
+      val baseTerm = cf.agg(sum(expr("cast(ln(mpc) as decimal(28,12))")).as("slnmpc"),
+        count(lit(1)).as("nq"))
+      val base = dl.crossJoin(broadcast(baseTerm))
+        .withColumn("base_x", expr(
+          "cast(cast(slnmpc as double) - nq * ln(dl + 300.0) as decimal(28,12))"))
+      val adj = t.filter(col("tok").isin("spark", "data", "query"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .join(broadcast(cf.select(col("tok"), col("mpc"))), "tok")
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("cast(ln(tf + mpc) - ln(mpc) as decimal(28,12))")).as("adj_x"),
+          count(lit(1)).as("n_hit"))
+      val scored = base.join(adj, Seq("doc_id"), "left")
+        .withColumn("score_x", expr("base_x + coalesce(adj_x, cast(0 as decimal(28,12)))"))
+      val top = scored.orderBy(col("score_x").desc, col("doc_id")).limit(15)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("score_x").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), col("dl"),
+          coalesce(col("n_hit"), lit(0L)).as("n_terms_present"),
+          round(col("score_x").cast("double"), 6).as("score"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
     // Tukey's HSD post-hoc — the pairwise follow-up ANOVA q116 stops
     // short of (a significant F says "some pair differs"; HSD says
     // WHICH, at a family-wise 5%): per-group exact (n, Σx, Σx²) cells
@@ -1325,6 +1402,36 @@ object Science extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q319_cvm_test" ->
+      ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY value), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
+        + "cums AS (SELECT c1, c2, n1, n2, "
+        + "CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, "
+        + "CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2 FROM g CROSS JOIN t), "
+        + "agg AS (SELECT max(n1) AS n1, max(n2) AS n2, CAST(sum(CAST((c1 + c2) * "
+        + "(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) * (CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) "
+        + "AS DECIMAL(28,12))) AS DOUBLE) AS sx FROM cums) "
+        + "SELECT n1, n2, round(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * sx, 6) AS cvm_t, "
+        + "CAST(n1 AS DOUBLE) * n2 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)) * sx > 0.461 AS reject_5pct FROM agg"),
+    "q323_qlm_dirichlet" ->
+      ("WITH t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) WHERE tok <> ''), "
+        + "dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id), "
+        + "ctot AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM dl), "
+        + "cf AS (SELECT tok, CAST(300 AS DOUBLE) * count(*) / (SELECT ctot FROM ctot) AS mpc "
+        + "FROM t WHERE tok IN ('spark', 'data', 'query') GROUP BY tok), "
+        + "bt AS (SELECT CAST(sum(CAST(ln(mpc) AS DECIMAL(28,12))) AS DOUBLE) AS slnmpc, count(*) AS nq FROM cf), "
+        + "base AS (SELECT doc_id, dl, CAST(slnmpc - nq * ln(dl + 300.0) AS DECIMAL(28,12)) AS base_x FROM dl CROSS JOIN bt), "
+        + "tf AS (SELECT doc_id, tok, count(*) AS tf FROM t WHERE tok IN ('spark', 'data', 'query') GROUP BY doc_id, tok), "
+        + "adj AS (SELECT doc_id, sum(CAST(ln(tf + mpc) - ln(mpc) AS DECIMAL(28,12))) AS adj_x, count(*) AS n_hit "
+        + "FROM tf JOIN cf USING (tok) GROUP BY doc_id), "
+        + "scored AS (SELECT base.doc_id, dl, coalesce(n_hit, 0) AS n_terms_present, "
+        + "base_x + coalesce(adj_x, CAST(0 AS DECIMAL(28,12))) AS score_x "
+        + "FROM base LEFT JOIN adj ON base.doc_id = adj.doc_id) "
+        + "SELECT rank, doc_id, dl, n_terms_present, round(CAST(score_x AS DOUBLE), 6) AS score FROM ("
+        + "SELECT doc_id, dl, n_terms_present, score_x, row_number() OVER (ORDER BY score_x DESC, doc_id) AS rank FROM scored) "
+        + "WHERE rank <= 15 ORDER BY rank"),
     "q314_wilcoxon_signed" ->
       ("WITH per AS (SELECT user_id, "
         + "sum(CASE WHEN epoch_us(ts) < 1705363200000000 THEN CAST(value AS DECIMAL(18,2)) END) AS spre, "

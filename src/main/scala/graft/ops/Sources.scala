@@ -242,6 +242,25 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DSv2 OFFSET pushdown (SupportsPushDownOffset on graftseq) — the
+    // pagination shape completing the read-pushdown matrix: OFFSET o
+    // advances the planned range head, so `filter.offset(o).limit(n)`
+    // plans exactly the n-row page window [lo+o, lo+o+n) — keyset
+    // pagination where page k never reads (or even plans) the skipped
+    // prefix. Spark pushes LIMIT(o+n) first, then OFFSET(o) (removing
+    // its Offset operator — offset pushdown has no partial mode), so
+    // the window composes with the pushed `id >= 50000` filter. The
+    // aggregate reads `bucket` so the md5 content of the page is
+    // hashed, not just its ids; DsV2Spec pins the planned span.
+    "q324_dsv2_offset" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .filter(col("id") >= 50000L).offset(20000).limit(1000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("bucket")).as("sum_bucket"))
+    }),
+
+    // ------------------------------------------------------------------
     // DSv2 TOP-N pushdown (SupportsPushDownTopN on graftseq): ORDER BY
     // id DESC LIMIT n truncates the planned range to its TAIL
     // [hi−n, hi), so the "newest n rows" query PLANS n rows instead of
@@ -388,6 +407,13 @@ object Sources extends QueryPack {
     "q306_dsv2_limit" ->
       ("SELECT i % 10 AS m, CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id "
         + "FROM (SELECT unnest(range(50000, 51000)) AS i) GROUP BY 1 ORDER BY 1"),
+    // q324: the page after skipping 20000 of the filtered range is
+    // exactly [70000, 71000); the bucket column replays the portable
+    // md5 chain.
+    "q324_dsv2_offset" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id, "
+        + "CAST(sum(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97) AS BIGINT) AS sum_bucket "
+        + "FROM (SELECT unnest(range(70000, 71000)) AS i)"),
     // q311: the top-500 under id DESC is exactly the range tail.
     "q311_dsv2_topn" ->
       ("SELECT i AS id, 't' || CAST(i % 50 AS VARCHAR) AS tok "

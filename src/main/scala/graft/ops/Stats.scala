@@ -919,6 +919,92 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Granger causality (clicks → purchases, lag 1) — "do yesterday's
+    // clicks improve today's purchase forecast beyond yesterday's
+    // purchases?": the lead-lag test the q70 cross-correlation reads
+    // descriptively, done inferentially. Daily (clicks, purchases)
+    // cells; restricted OLS y_t ~ y_{t−1} vs unrestricted y_t ~ y_{t−1}
+    // + x_{t−1}, both CLOSED-FORM from exact integer sums (the 2×2
+    // normal equations solve by Cramer's rule on centered sums — no
+    // iteration); F = (SSR_r − SSR_ur)(n−3)/SSR_ur on (1, n−3) df,
+    // compared against the asymptotic χ²(1) critical 3.841459
+    // (documented asymptote — identical constant in both engines).
+    // The lag window rides ≤ #days daily cells (allowlisted).
+    "q320_granger" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(when(col("event_type") === "click", 1).otherwise(0)).as("xc"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("yc"))
+      val wd = Window.orderBy(col("day")) // bounded: <= #days daily cells (allowlisted)
+      val lagged = daily
+        .withColumn("a", lag(col("yc"), 1).over(wd))
+        .withColumn("b", lag(col("xc"), 1).over(wd))
+        .filter(col("a").isNotNull && col("b").isNotNull)
+      lagged.agg(count(lit(1)).as("n"),
+          sum(col("yc")).as("sy"), sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("yc") * col("yc")).as("syy"), sum(col("a") * col("a")).as("saa"),
+          sum(col("b") * col("b")).as("sbb"), sum(col("a") * col("yc")).as("say"),
+          sum(col("b") * col("yc")).as("sby"), sum(col("a") * col("b")).as("sab"))
+        .selectExpr("n",
+          "cast(saa as double) - cast(sa as double) * sa / n AS caa",
+          "cast(sbb as double) - cast(sb as double) * sb / n AS cbb",
+          "cast(sab as double) - cast(sa as double) * sb / n AS cab",
+          "cast(say as double) - cast(sa as double) * sy / n AS cay",
+          "cast(sby as double) - cast(sb as double) * sy / n AS cby",
+          "cast(syy as double) - cast(sy as double) * sy / n AS cyy")
+        .selectExpr("n", "caa", "cay", "cyy",
+          "(cay * cbb - cby * cab) / (caa * cbb - cab * cab) AS beta_ylag",
+          "(cby * caa - cay * cab) / (caa * cbb - cab * cab) AS beta_xlag",
+          "cby")
+        .selectExpr("n", "beta_ylag", "beta_xlag",
+          "cyy - beta_ylag * cay - beta_xlag * cby AS ssr_ur",
+          "cyy - cay * cay / caa AS ssr_r")
+        .selectExpr("n", "round(beta_ylag, 6) AS beta_ylag",
+          "round(beta_xlag, 6) AS beta_xlag",
+          "round((ssr_r - ssr_ur) * (n - 3) / ssr_ur, 6) AS f_stat",
+          "(ssr_r - ssr_ur) * (n - 3) / ssr_ur > 3.841459 AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
+    // Chow structural-break test at the known Jan-16 cutpoint — the
+    // PARAMETRIC break test (q125's CUSUM scans for an UNKNOWN break;
+    // Chow tests a hypothesized one): daily-count linear trends fit
+    // separately pre/post vs pooled, F = [(SSR_p − SSR₁ − SSR₂)/2] /
+    // [(SSR₁+SSR₂)/(n−4)]. Each segment's SSR is closed-form from
+    // exact integer (n, Σt, Σt², Σy, Σty, Σy²) cells; the pooled SSR
+    // reuses the SAME cells summed — one contraction, one 2-row
+    // aggregate, zero windows. Asymptotic χ²(2)/2 critical (2F >
+    // 5.991465), identical constant in both engines.
+    "q321_chow" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .select(expr("datediff(day, date'2024-01-01')").as("t"), col("y"),
+          expr("case when day < date'2024-01-16' then 0 else 1 end").as("seg"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_g"), sum(col("t")).as("st"),
+          sum(col("t") * col("t")).as("stt"), sum(col("y")).as("sy"),
+          sum(col("t") * col("y")).as("sty"), sum(col("y") * col("y")).as("syy"))
+      cells
+        .withColumn("ssr_g", expr(
+          "cast((cast(syy as double) - cast(sy as double) * sy / n_g) - "
+            + "(cast(sty as double) - cast(st as double) * sy / n_g) * (cast(sty as double) - cast(st as double) * sy / n_g) "
+            + "/ (cast(stt as double) - cast(st as double) * st / n_g) as decimal(28,12))"))
+        .agg(sum(col("n_g")).as("n"), sum(col("st")).as("pst"),
+          sum(col("stt")).as("pstt"), sum(col("sy")).as("psy"),
+          sum(col("sty")).as("psty"), sum(col("syy")).as("psyy"),
+          sum(col("ssr_g")).as("ssr_split_x"))
+        .selectExpr("n", "cast(ssr_split_x as double) AS ssr_split",
+          ("(cast(psyy as double) - cast(psy as double) * psy / n) - "
+            + "(cast(psty as double) - cast(pst as double) * psy / n) * (cast(psty as double) - cast(pst as double) * psy / n) "
+            + "/ (cast(pstt as double) - cast(pst as double) * pst / n) AS ssr_pooled"))
+        .selectExpr("n", "round(ssr_pooled, 6) AS ssr_pooled",
+          "round(ssr_split, 6) AS ssr_split",
+          "round(((ssr_pooled - ssr_split) / 2.0) / (ssr_split / (n - 4)), 6) AS chow_f",
+          "(ssr_pooled - ssr_split) / (ssr_split / (n - 4)) > 5.991465 AS reject_5pct")
+    }),
+
+    // ------------------------------------------------------------------
     // Inequality indices beyond Gini (q135): Theil T (the additively
     // decomposable entropy index), Atkinson ε=0.5 (welfare-weighted,
     // 1 − EDE/μ with EDE = ((1/n)Σ√x)²), and Hoover/Robin-Hood
@@ -968,6 +1054,44 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q320_granger" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc, "
+        + "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yc FROM events GROUP BY 1), "
+        + "lagged AS (SELECT yc, lag(yc) OVER (ORDER BY day) AS a, lag(xc) OVER (ORDER BY day) AS b FROM daily), "
+        + "f AS (SELECT * FROM lagged WHERE a IS NOT NULL AND b IS NOT NULL), "
+        + "sums AS (SELECT count(*) AS n, CAST(sum(yc) AS BIGINT) AS sy, CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb, "
+        + "CAST(sum(yc * yc) AS BIGINT) AS syy, CAST(sum(a * a) AS BIGINT) AS saa, CAST(sum(b * b) AS BIGINT) AS sbb, "
+        + "CAST(sum(a * yc) AS BIGINT) AS say, CAST(sum(b * yc) AS BIGINT) AS sby, CAST(sum(a * b) AS BIGINT) AS sab FROM f), "
+        + "c AS (SELECT n, CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n AS caa, "
+        + "CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n AS cbb, CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n AS cab, "
+        + "CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * sy / n AS cay, CAST(sby AS DOUBLE) - CAST(sb AS DOUBLE) * sy / n AS cby, "
+        + "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy FROM sums), "
+        + "b2 AS (SELECT n, caa, cay, cyy, (cay * cbb - cby * cab) / (caa * cbb - cab * cab) AS beta_ylag, "
+        + "(cby * caa - cay * cab) / (caa * cbb - cab * cab) AS beta_xlag, cby FROM c), "
+        + "s2 AS (SELECT n, beta_ylag, beta_xlag, cyy - beta_ylag * cay - beta_xlag * cby AS ssr_ur, "
+        + "cyy - cay * cay / caa AS ssr_r FROM b2) "
+        + "SELECT n, round(beta_ylag, 6) AS beta_ylag, round(beta_xlag, 6) AS beta_xlag, "
+        + "round((ssr_r - ssr_ur) * (n - 3) / ssr_ur, 6) AS f_stat, "
+        + "(ssr_r - ssr_ur) * (n - 3) / ssr_ur > 3.841459 AS reject_5pct FROM s2"),
+    "q321_chow" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
+        + "d2 AS (SELECT date_diff('day', DATE '2024-01-01', day) AS t, y, "
+        + "CASE WHEN day < DATE '2024-01-16' THEN 0 ELSE 1 END AS seg FROM daily), "
+        + "cells AS (SELECT seg, count(*) AS n_g, CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt, "
+        + "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty, CAST(sum(y * y) AS BIGINT) AS syy FROM d2 GROUP BY seg), "
+        + "g AS (SELECT *, CAST((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n_g) - "
+        + "(CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n_g) * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / n_g) "
+        + "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n_g) AS DECIMAL(28,12)) AS ssr_g FROM cells), "
+        + "p AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(st) AS BIGINT) AS pst, CAST(sum(stt) AS BIGINT) AS pstt, "
+        + "CAST(sum(sy) AS BIGINT) AS psy, CAST(sum(sty) AS BIGINT) AS psty, CAST(sum(syy) AS BIGINT) AS psyy, "
+        + "CAST(sum(ssr_g) AS DOUBLE) AS ssr_split FROM g), "
+        + "q AS (SELECT n, ssr_split, (CAST(psyy AS DOUBLE) - CAST(psy AS DOUBLE) * psy / n) - "
+        + "(CAST(psty AS DOUBLE) - CAST(pst AS DOUBLE) * psy / n) * (CAST(psty AS DOUBLE) - CAST(pst AS DOUBLE) * psy / n) "
+        + "/ (CAST(pstt AS DOUBLE) - CAST(pst AS DOUBLE) * pst / n) AS ssr_pooled FROM p) "
+        + "SELECT n, round(ssr_pooled, 6) AS ssr_pooled, round(ssr_split, 6) AS ssr_split, "
+        + "round(((ssr_pooled - ssr_split) / 2.0) / (ssr_split / (n - 4)), 6) AS chow_f, "
+        + "(ssr_pooled - ssr_split) / (ssr_split / (n - 4)) > 5.991465 AS reject_5pct FROM q"),
     "q309_resid_diag" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
         + "st AS (SELECT count(*) AS n, min(day) AS mind FROM daily), "

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -50,6 +50,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **limit pushdown**: implements SupportsPushDownLimit; LIMIT n
   *    truncates the planned range to [lo, lo+n) after filter
   *    narrowing, so a `filter.limit(n)` plans exactly n rows (q306).
+  *  - **offset pushdown**: implements SupportsPushDownOffset; OFFSET o
+  *    advances the planned range head to lo+o, so a paginated
+  *    `filter.offset(o).limit(n)` plans exactly the n-row page window
+  *    [lo+o, lo+o+n) — keyset pagination that never reads the skipped
+  *    prefix (q324).
   *  - **top-N pushdown**: implements SupportsPushDownTopN for a single
   *    sort on `id`: ORDER BY id LIMIT n plans [lo, lo+n), ORDER BY id
   *    DESC LIMIT n plans [hi−n, hi) — the "newest n rows" query plans
@@ -120,7 +125,8 @@ class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class GraftSeqScanBuilder(rows: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
+  with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
+  with SupportsPushDownOffset {
 
   private var required: StructType = GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
@@ -174,6 +180,21 @@ class GraftSeqScanBuilder(rows: Long, slices: Int)
     */
   override def pushLimit(limit: Int): Boolean = {
     hi = math.min(hi, math.max(0L, lo) + limit)
+    true
+  }
+
+  /** OFFSET pushdown: advance the planned range head by `offset` rows —
+    * the source emits ids in range order, so skipping the first o rows
+    * IS advancing lo (the 100 TB pagination shape: page k of a keyset
+    * scan plans only its own rows, never reads-then-drops the prefix).
+    * Unlike limit/top-N there is NO partial mode in the interface:
+    * returning true promises the scan itself drops exactly `offset`
+    * rows and Spark removes its Offset operator. Composes with the
+    * pushed limit: Spark pushes LIMIT(l+o) first, then OFFSET(o), so
+    * the final range is the exact [lo+o, lo+o+l) page window.
+    */
+  override def pushOffset(offset: Int): Boolean = {
+    lo = math.min(hi, math.max(0L, lo) + offset)
     true
   }
 

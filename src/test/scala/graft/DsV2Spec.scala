@@ -248,6 +248,18 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     df.collect().map(_.getLong(0)).sorted shouldBe (50000L until 51000L).toArray
   }
 
+  test("offset pushdown plans only the page window, composing with pushed filter and limit") {
+    val page = rd(200000L, 8).filter(col("id") >= 50000L).offset(20000).limit(1000)
+    plannedSpan(page) shouldBe ((1000L, 70000L, 71000L))
+    page.collect().map(_.getLong(0)).sorted shouldBe (70000L until 71000L).toArray
+    // pure offset with no limit: the scan itself drops the prefix
+    val off = rd(2000L, 4).offset(1500)
+    plannedSpan(off) shouldBe ((500L, 1500L, 2000L))
+    off.collect().map(_.getLong(0)).sorted shouldBe (1500L until 2000L).toArray
+    // offset past the end of the range: empty result, no crash
+    rd(100L, 4).offset(200).collect() shouldBe empty
+  }
+
   test("aggregate pushdown on an empty range: count 0, NULL min/max/sum") {
     val r = rd(1000L, 4).filter(col("id") >= 500L && col("id") < 500L)
       .agg(expr("count(*)"), min(col("id")), max(col("id")), sum(col("id"))).head()

@@ -68,7 +68,10 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q309_resid_diag",   // residual lag over <= #days daily cells (q23's shape)
     "q295_core_distance",// rank over the 20-row TakeOrdered mreach tail
     "q300_rrf_fusion",   // ranks over the two 50-row TakeOrdered lists + 15-row fused tail
-    "q315_logrank"       // at-risk cumsum over <= #observation-days lifetime cells (q171's shape)
+    "q315_logrank",      // at-risk cumsum over <= #observation-days lifetime cells (q171's shape)
+    "q320_granger",      // lag window over <= #days daily cells (q23's shape)
+    "q322_dsir_weights", // rank over the 20-row TakeOrdered tail (q123's shape)
+    "q323_qlm_dirichlet" // rank over the 15-row TakeOrdered tail (q123's shape)
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
