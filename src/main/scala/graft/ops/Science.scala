@@ -1197,6 +1197,46 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DFT periodogram + Fisher's g-test for hidden periodicity — the
+    // FREQUENCY-domain reading of the daily series (q111 tests a
+    // hypothesized weekday cycle; Fisher's g asks "is ANY single
+    // frequency carrying more power than white noise would put
+    // there?"): P_k = (Σy·cos(2πki/n))² + (Σy·sin(2πki/n))² for
+    // k = 1..⌊(n−1)/2⌋, g = max P/ΣP, and the exact-under-normality
+    // tail bound p ≈ nf·(1−g)^{nf−1} composed as nf·exp((nf−1)·
+    // ln(1−g)) (never pow). Per-(day, k) trig terms quantize
+    // DECIMAL(28,12) before the per-k sums (order-free); the
+    // day-index window and the n×nf cell grid are both ≤ #days-bounded
+    // (allowlisted). The squared sums are explicit products.
+    "q328_periodogram" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("day")) // bounded: <= #days daily cells (allowlisted)
+      val idx = daily
+        .withColumn("i", row_number().over(wd) - 1)
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n"))))
+      val cells = idx
+        .withColumn("k", explode(expr("sequence(1, cast((n - 1) div 2 as int))")))
+        .groupBy(col("k"))
+        .agg(max(col("n")).as("n"),
+          sum(expr("cast(y * cos(2.0d * pi() * k * i / n) as decimal(28,12))")).as("sc"),
+          sum(expr("cast(y * sin(2.0d * pi() * k * i / n) as decimal(28,12))")).as("ss"))
+        .withColumn("p", expr(
+          "cast(sc as double) * cast(sc as double) + cast(ss as double) * cast(ss as double)"))
+        .localCheckpoint() // consumed twice: totals + argmax
+      val tot = cells.agg(sum(expr("cast(p as decimal(38,6))")).as("ptot"),
+        count(lit(1)).as("nf"))
+      cells.orderBy(col("p").desc, col("k")).limit(1)
+        .crossJoin(broadcast(tot))
+        .withColumn("g", expr("p / cast(ptot as double)"))
+        .selectExpr("n", "nf", "k AS k_star",
+          "round(p, 6) AS p_max", "round(g, 6) AS fisher_g",
+          ("round(case when g < 1.0 then nf * exp((nf - 1) * ln(1.0 - g)) else 0.0 end, 6) "
+            + "AS p_fisher"))
+    }),
+
+    // ------------------------------------------------------------------
     // Tukey's HSD post-hoc — the pairwise follow-up ANOVA q116 stops
     // short of (a significant F says "some pair differs"; HSD says
     // WHICH, at a family-wise 5%): per-group exact (n, Σx, Σx²) cells
@@ -1402,6 +1442,21 @@ object Science extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q328_periodogram" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
+        + "nn AS (SELECT count(*) AS n FROM daily), "
+        + "idx AS (SELECT y, row_number() OVER (ORDER BY day) - 1 AS i, n FROM daily CROSS JOIN nn), "
+        + "ks AS (SELECT unnest(range(1, CAST(floor((n - 1) / 2) AS BIGINT) + 1)) AS k FROM nn), "
+        + "cells AS (SELECT k, max(n) AS n, "
+        + "sum(CAST(y * cos(2.0 * pi() * k * i / n) AS DECIMAL(28,12))) AS sc, "
+        + "sum(CAST(y * sin(2.0 * pi() * k * i / n) AS DECIMAL(28,12))) AS ss "
+        + "FROM idx CROSS JOIN ks GROUP BY k), "
+        + "pw AS (SELECT k, n, CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) + CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE) AS p FROM cells), "
+        + "tot AS (SELECT CAST(sum(CAST(p AS DECIMAL(38,6))) AS DOUBLE) AS ptot, count(*) AS nf FROM pw), "
+        + "top AS (SELECT * FROM pw ORDER BY p DESC, k LIMIT 1) "
+        + "SELECT n, nf, k AS k_star, round(p, 6) AS p_max, round(p / ptot, 6) AS fisher_g, "
+        + "round(CASE WHEN p / ptot < 1.0 THEN nf * exp((nf - 1) * ln(1.0 - p / ptot)) ELSE 0.0 END, 6) AS p_fisher "
+        + "FROM top CROSS JOIN tot"),
     "q319_cvm_test" ->
       ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
         + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "

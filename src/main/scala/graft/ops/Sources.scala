@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{QueryPack, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.1: the csv/json format surface as a DRIVER-VISIBLE
@@ -261,6 +262,33 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DSv2 STREAMING read (MICRO_BATCH_READ on graftseq): the same
+    // deterministic id-range consumed as an admission-controlled
+    // microbatch stream — rowsPerBatch=25000 ids per trigger via
+    // ReadLimit.maxRows, so Trigger.AvailableNow drains 100k rows in
+    // exactly 4 batches (the Kafka-shaped source contract — offsets,
+    // per-batch partition planning, commit — without a broker; at
+    // 100 TB this is the backfill-then-stream path a V2 connector must
+    // serve). Rows land in a memory sink and the batch rollup hashes
+    // the per-bucket counts + id sums, so the oracle certifies no row
+    // was lost or duplicated across batch boundaries; DsV2Spec
+    // additionally pins the batch COUNT and kill-and-resume.
+    "q325_dsv2_stream" -> ((s, dir) => {
+      s.catalog.dropTempView("q325_mem")
+      val q = s.readStream.format("graftseq")
+        .option("rows", "100000").option("slices", "4")
+        .option("rowsPerBatch", "25000").load()
+        .writeStream.format("memory").queryName("q325_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("q325_mem")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          countDistinct(col("id")).as("n_distinct"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
     // DSv2 TOP-N pushdown (SupportsPushDownTopN on graftseq): ORDER BY
     // id DESC LIMIT n truncates the planned range to its TAIL
     // [hi−n, hi), so the "newest n rows" query PLANS n rows instead of
@@ -414,6 +442,13 @@ object Sources extends QueryPack {
       ("SELECT CAST(count(*) AS BIGINT) AS n, min(i) AS min_id, max(i) AS max_id, "
         + "CAST(sum(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97) AS BIGINT) AS sum_bucket "
         + "FROM (SELECT unnest(range(70000, 71000)) AS i)"),
+    // q325: the streamed union of the 4 microbatches is exactly
+    // range(100000); per-bucket counts/sums replay the md5 chain.
+    "q325_dsv2_stream" ->
+      ("SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sum_id, "
+        + "CAST(count(DISTINCT i) AS BIGINT) AS n_distinct "
+        + "FROM (SELECT unnest(range(100000)) AS i) GROUP BY 1 ORDER BY 1"),
     // q311: the top-500 under id DESC is exactly the range tail.
     "q311_dsv2_topn" ->
       ("SELECT i AS id, 't' || CAST(i % 50 AS VARCHAR) AS tok "

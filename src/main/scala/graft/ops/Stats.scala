@@ -1005,6 +1005,42 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Cronbach's alpha — internal-consistency reliability of the event
+    // stream read as a k-item instrument (items = event types, subjects
+    // = days, score = daily count): α = k/(k−1)·(1 − Σσ²ᵢ/σ²_T), the
+    // "do the k channels move together?" readout q17's correlation
+    // matrix implies but never aggregates. Absent (day, type) cells
+    // are genuine zeros and contribute nothing to Σx/Σx², so the
+    // per-type variance over ALL n_days days is exact from the present
+    // cells + the broadcast day count — no pivot, no dense grid. One
+    // (day, type) contraction; per-item and per-day-total variances
+    // both from exact integer sums; sample (n−1) variances.
+    "q327_cronbach_alpha" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // consumed thrice: day count + item cells + day totals
+      val nd = cells.select(col("day")).distinct().agg(count(lit(1)).as("nd"))
+      val items = cells.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+        .crossJoin(broadcast(nd))
+        .withColumn("var_i", expr(
+          "(cast(s2 as double) - cast(s1 as double) * s1 / nd) / (nd - 1)"))
+        .agg(count(lit(1)).as("k"), max(col("nd")).as("nd"),
+          sum(expr("cast(var_i as decimal(28,12))")).as("sv"))
+      val totals = cells.groupBy(col("day"))
+        .agg(sum(col("c")).as("tt"))
+        .agg(sum(col("tt")).as("s1t"), sum(col("tt") * col("tt")).as("s2t"))
+      items.crossJoin(broadcast(totals))
+        .withColumn("var_t", expr(
+          "(cast(s2t as double) - cast(s1t as double) * s1t / nd) / (nd - 1)"))
+        .selectExpr("k", "nd AS n_days",
+          "round(cast(sv as double), 6) AS sum_item_var",
+          "round(var_t, 6) AS total_var",
+          "round(cast(k as double) / (k - 1) * (1.0 - cast(sv as double) / var_t), 6) AS alpha")
+    }),
+
+    // ------------------------------------------------------------------
     // Inequality indices beyond Gini (q135): Theil T (the additively
     // decomposable entropy index), Atkinson ε=0.5 (welfare-weighted,
     // 1 − EDE/μ with EDE = ((1/n)Σ√x)²), and Hoover/Robin-Hood
@@ -1054,6 +1090,17 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q327_cronbach_alpha" ->
+      ("WITH cells AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2), "
+        + "nd AS (SELECT count(DISTINCT day) AS nd FROM cells), "
+        + "items AS (SELECT count(*) AS k, max(nd) AS nd, "
+        + "CAST(sum(CAST((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1) AS DECIMAL(28,12))) AS DOUBLE) AS sv "
+        + "FROM (SELECT event_type, CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM cells GROUP BY event_type) CROSS JOIN nd), "
+        + "tt AS (SELECT CAST(sum(t) AS BIGINT) AS s1t, CAST(sum(t * t) AS BIGINT) AS s2t "
+        + "FROM (SELECT day, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY day)), "
+        + "fin AS (SELECT k, nd, sv, (CAST(s2t AS DOUBLE) - CAST(s1t AS DOUBLE) * s1t / nd) / (nd - 1) AS var_t FROM items CROSS JOIN tt) "
+        + "SELECT k, nd AS n_days, round(sv, 6) AS sum_item_var, round(var_t, 6) AS total_var, "
+        + "round(CAST(k AS DOUBLE) / (k - 1) * (1.0 - sv / var_t), 6) AS alpha FROM fin"),
     "q320_granger" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
         + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xc, "

@@ -288,6 +288,59 @@ object TimeWin extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Kaplan–Meier with GREENWOOD standard errors + log-log CIs — the
+    // uncertainty readout q171's point curve stops short of (a KM
+    // curve without CIs can't say whether two cohorts differ; q315
+    // tests that globally, this localizes it per time point): q315's
+    // time-to-first->150-purchase framing, Greenwood Var(Ŝ) =
+    // Ŝ²·Σ d/(n(n−d)), and the Kalbfleisch–Prentice log-log interval
+    // Ŝ^exp(±z·√v/ln Ŝ) — computed as exp(exp(±zτ)·lnŜ) so both
+    // engines compose the same exp/ln/sqrt chain (never pow). CIs are
+    // NULL at Ŝ=1 (ln Ŝ=0, the interval is undefined) and Ŝ=0, per
+    // convention. Per-t terms quantize DECIMAL(28,12) before the
+    // cumulative sums over the ≤#observation-days cell frame
+    // (allowlisted window, q171's shape).
+    "q326_km_greenwood" -> ((s, dir) => {
+      val byT = Tables.events(s, dir)
+        .select(col("user_id"), expr("cast(ts as date)").as("day"),
+          (col("event_type") === "purchase" && col("value") > 150).as("hit"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"),
+          min(when(col("hit"), col("day"))).as("p1"))
+        .withColumn("t", expr("datediff(coalesce(p1, d1), d0)"))
+        .groupBy(col("t"))
+        .agg(sum(when(col("p1").isNotNull, 1).otherwise(0)).as("d"),
+          sum(when(col("p1").isNotNull, 0).otherwise(1)).as("c"))
+        .localCheckpoint() // consumed twice: total + curve
+      val tot = byT.agg(sum(col("d") + col("c")).as("n_total"))
+      val wPrev = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wIncl = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+        .withColumn("lnf", expr(
+          "cast(case when d > 0 and d < n_risk then ln(1.0 - cast(d as double) / n_risk) else 0.0 end as decimal(28,12))"))
+        .withColumn("gterm", expr(
+          "cast(case when d > 0 and d < n_risk then cast(d as double) / (cast(n_risk as double) * (n_risk - d)) else 0.0 end as decimal(28,12))"))
+        .withColumn("dead", expr("case when d >= n_risk then 1 else 0 end"))
+        .withColumn("anyd", max(col("dead")).over(wIncl))
+        .withColumn("cuml", sum(col("lnf")).over(wIncl).cast("double"))
+        .withColumn("cumg", sum(col("gterm")).over(wIncl).cast("double"))
+        .withColumn("surv", expr("case when anyd = 1 then 0.0 else exp(cuml) end"))
+        .withColumn("tau", expr(
+          "case when anyd = 0 and cuml < 0.0 then sqrt(cumg) / (-cuml) else cast(null as double) end"))
+        .select(col("t"), col("n_risk"), col("d").as("deaths"),
+          col("c").as("censored_n"),
+          round(col("surv"), 6).as("survival"),
+          round(expr("case when anyd = 1 then cast(null as double) else exp(cuml) * sqrt(cumg) end"), 6).as("se_greenwood"),
+          round(expr("exp(exp(1.959964 * tau) * cuml)"), 6).as("ci_lo"),
+          round(expr("exp(exp(-1.959964 * tau) * cuml)"), 6).as("ci_hi"))
+        .orderBy(col("t"))
+    }),
+
+    // ------------------------------------------------------------------
     // Cohort-LTV triangle: users cohort by first-activity week, revenue
     // (purchase values) accumulates per cohort over age-in-weeks. The
     // fact table is touched twice (first-day contraction + revenue
@@ -364,6 +417,32 @@ object TimeWin extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q326_km_greenwood" ->
+      ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1, "
+        + "min(CASE WHEN event_type = 'purchase' AND value > 150 THEN CAST(ts AS DATE) END) AS p1 "
+        + "FROM events GROUP BY user_id), "
+        + "byt AS (SELECT date_diff('day', d0, coalesce(p1, d1)) AS t, "
+        + "CAST(sum(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS d, "
+        + "CAST(sum(CASE WHEN p1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c FROM u GROUP BY 1), "
+        + "tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM byt), "
+        + "r AS (SELECT t, d, c, n_total - coalesce(CAST(sum(d + c) OVER "
+        + "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk FROM byt CROSS JOIN tot), "
+        + "f AS (SELECT t, d, c, n_risk, "
+        + "CAST(CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END AS DECIMAL(28,12)) AS lnf, "
+        + "CAST(CASE WHEN d > 0 AND d < n_risk THEN CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * (n_risk - d)) ELSE 0.0 END AS DECIMAL(28,12)) AS gterm, "
+        + "CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead FROM r), "
+        + "s AS (SELECT t, n_risk, d, c, "
+        + "CAST(sum(lnf) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cuml, "
+        + "CAST(sum(gterm) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumg, "
+        + "max(dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anyd FROM f), "
+        + "k AS (SELECT t, n_risk, d, c, anyd, cuml, cumg, "
+        + "CASE WHEN anyd = 0 AND cuml < 0.0 THEN sqrt(cumg) / (-cuml) END AS tau FROM s) "
+        + "SELECT t, n_risk, d AS deaths, c AS censored_n, "
+        + "round(CASE WHEN anyd = 1 THEN 0.0 ELSE exp(cuml) END, 6) AS survival, "
+        + "round(CASE WHEN anyd = 1 THEN CAST(NULL AS DOUBLE) ELSE exp(cuml) * sqrt(cumg) END, 6) AS se_greenwood, "
+        + "round(exp(exp(1.959964 * tau) * cuml), 6) AS ci_lo, "
+        + "round(exp(exp(-1.959964 * tau) * cuml), 6) AS ci_hi "
+        + "FROM k ORDER BY t"),
     "q315_logrank" ->
       ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1, "
         + "min(CASE WHEN event_type = 'purchase' AND value > 150 THEN CAST(ts AS DATE) END) AS p1 "

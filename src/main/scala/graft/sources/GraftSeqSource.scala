@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,9 +75,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reading slices no dim row can match (q313, DsV2Spec asserts the
   *    executed scan's runtime range collapsed).
   *
+  *  - **streaming read**: implements MICRO_BATCH_READ via an
+  *    admission-controlled MicroBatchStream (`rowsPerBatch` ids per
+  *    trigger through ReadLimit.maxRows, offsets = bare id positions);
+  *    Trigger.AvailableNow drains the range in deterministic batches
+  *    and kill-and-resume replans from the checkpointed offset (q325,
+  *    DsV2Spec asserts batch count and exactly-once totals).
+  *
   * Options: `rows` (total row count, required), `slices` (input
-  * partitions, default 4). Registered under the short name "graftseq"
-  * via META-INF/services (DataSourceRegister).
+  * partitions, default 4), `rowsPerBatch` (streaming admission cap,
+  * default `rows`). Registered under the short name "graftseq" via
+  * META-INF/services (DataSourceRegister).
   */
 class GraftSeqProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftseq"
@@ -89,9 +98,13 @@ class GraftSeqProvider extends TableProvider with DataSourceRegister {
     val rows = GraftSeqTable.parseLong(properties, "rows")
     val slices = Option(properties.get("slices"))
       .map(_ => GraftSeqTable.parseLong(properties, "slices").toInt).getOrElse(4)
+    val rowsPerBatch = Option(properties.get("rowsPerBatch"))
+      .map(_ => GraftSeqTable.parseLong(properties, "rowsPerBatch"))
+      .getOrElse(math.max(rows, 1L)) // default: whole range in one batch (>=1 even for an empty table)
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(slices >= 1, s"slices must be >= 1, got $slices")
-    new GraftSeqTable(rows, slices)
+    require(rowsPerBatch >= 1, s"rowsPerBatch must be >= 1, got $rowsPerBatch")
+    new GraftSeqTable(rows, slices, rowsPerBatch)
   }
 }
 
@@ -114,19 +127,22 @@ object GraftSeqTable {
   }
 }
 
-class GraftSeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
+class GraftSeqTable(rows: Long, slices: Int, rowsPerBatch: Long) extends Table with SupportsRead {
+  def this(rows: Long, slices: Int) = this(rows, slices, rows)
   override def name(): String = s"graftseq(rows=$rows, slices=$slices)"
   override def schema(): StructType = GraftSeqTable.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSeqScanBuilder(rows, slices)
+    new GraftSeqScanBuilder(rows, slices, rowsPerBatch)
 }
 
-class GraftSeqScanBuilder(rows: Long, slices: Int)
+class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
   with SupportsPushDownOffset {
+
+  def this(rows: Long, slices: Int) = this(rows, slices, rows)
 
   private var required: StructType = GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
@@ -259,7 +275,8 @@ class GraftSeqScanBuilder(rows: Long, slices: Int)
     case Some(fs) =>
       new GraftSeqAggScan(math.max(0L, lo), math.max(math.max(0L, lo), hi), fs, accepted)
     case None =>
-      new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi), accepted)
+      new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi),
+        accepted, rowsPerBatch)
   }
 }
 
@@ -316,11 +333,21 @@ class GraftSeqAggReaderFactory(funcs: Array[String]) extends PartitionReaderFact
 }
 
 class GraftSeqScan(rows: Long, slices: Int, required: StructType,
-    lo: Long, hi: Long, val pushed: Array[Filter])
+    lo: Long, hi: Long, val pushed: Array[Filter], rowsPerBatch: Long)
   extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   def this(rows: Long, slices: Int, required: StructType) =
-    this(rows, slices, required, 0L, rows, Array.empty)
+    this(rows, slices, required, 0L, rows, Array.empty, rows)
+  def this(rows: Long, slices: Int, required: StructType,
+      lo: Long, hi: Long, pushed: Array[Filter]) =
+    this(rows, slices, required, lo, hi, pushed, rows)
+
+  /** Streaming read surface: the same deterministic id-range served as
+    * admission-controlled microbatches (q325; recovery + batch-count
+    * assertions in DsV2Spec). */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftSeqMicroBatchStream(math.max(0L, lo), math.max(lo, hi), slices,
+      rowsPerBatch, required)
 
   // Runtime-filtered range [rlo, rhi) — starts at the compile-time
   // pushed range; SupportsRuntimeV2Filtering.filter narrows it AFTER
@@ -404,6 +431,83 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
 }
 
 case class GraftSeqPartition(start: Long, end: Long) extends InputPartition
+
+/** Watermark-free streaming offset: the next unread id. JSON form is
+  * the bare number, so checkpointed offsets are human-readable and a
+  * resume replans from exactly the committed position. */
+case class GraftSeqOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+/** Admission-controlled microbatch stream over the id-range [lo, hi):
+  * each trigger admits at most `rowsPerBatch` ids (ReadLimit.maxRows —
+  * the default read limit, so Trigger.AvailableNow's wrapper drains
+  * the range in ceil(span/rowsPerBatch) DETERMINISTIC batches rather
+  * than one giant catch-up batch), plans the admitted sub-range as
+  * `slices` independent InputPartitions (the same multi-executor shape
+  * as the batch scan), and advances the offset to the batch end.
+  * Offsets serialize as the bare position, so kill-and-resume replans
+  * from the checkpointed id — exactly-once by construction because the
+  * rows ARE the ids. This is the Kafka-shaped source contract
+  * (initial/latest/deserialize offsets, per-batch partition planning,
+  * commit) exercised without a broker.
+  */
+class GraftSeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    rowsPerBatch: Long, required: StructType)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = GraftSeqOffset(lo)
+
+  /** Trigger.AvailableNow contract (without this Spark falls back to
+    * ONE catch-up batch, defeating the admission control): capture the
+    * availability bound when the trigger starts. The range end is
+    * already fixed at hi, so the capture is a no-op — latestOffset
+    * never reports past it. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftSeqOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val capped = math.min(rowsPerBatch, Int.MaxValue.toLong).toInt
+    ReadLimit.maxRows(capped)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val pos = start.asInstanceOf[GraftSeqOffset].pos
+    limit match {
+      case mr: ReadMaxRows => GraftSeqOffset(math.min(hi, pos + mr.maxRows()))
+      case _ => GraftSeqOffset(hi) // allAvailable and anything else: drain
+    }
+  }
+
+  /** Deprecated no-admission-control path — SupportsAdmissionControl
+    * guarantees Spark calls the 2-arg form instead. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "graftseq reports offsets through latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = GraftSeqOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftSeqOffset].pos
+    val e = end.asInstanceOf[GraftSeqOffset].pos
+    val span = math.max(0L, e - s)
+    if (span == 0L) return Array.empty
+    val per = math.max(1L, span / slices)
+    (0 until slices).flatMap { i =>
+      val from = s + i.toLong * per
+      val to = if (i == slices - 1) e else math.min(e, from + per)
+      if (from < to) Some(GraftSeqPartition(from, to)) else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSeqReaderFactory(required.fieldNames)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** Serializable factory shipped to executors; builds rows holding ONLY
   * the pruned columns, in the pruned order. Column extractors are

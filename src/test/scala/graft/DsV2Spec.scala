@@ -248,6 +248,50 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     df.collect().map(_.getLong(0)).sorted shouldBe (50000L until 51000L).toArray
   }
 
+  test("streaming read drains the range in rowsPerBatch-sized admission-controlled microbatches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = graft.ops.Stage.fresh("dsv2s_out").toString
+    val ck = graft.ops.Stage.fresh("dsv2s_ck").toString
+    val q = spark.readStream.format("graftseq")
+      .option("rows", "100000").option("slices", "4")
+      .option("rowsPerBatch", "25000").load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // exactly ceil(100000/25000) = 4 data batches, each admission-capped
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    prog.length shouldBe 4
+    prog.map(_.numInputRows).distinct.toSeq shouldBe Seq(25000L)
+    val g = spark.read.parquet(out)
+      .agg(count(lit(1)), countDistinct(col("id")), min(col("id")), max(col("id"))).head()
+    (g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3)) shouldBe
+      ((100000L, 100000L, 0L, 99999L))
+  }
+
+  test("streaming read kill-and-resume replans from the checkpointed offset, exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = graft.ops.Stage.fresh("dsv2r_out").toString
+    val ck = graft.ops.Stage.fresh("dsv2r_ck").toString
+    def run(rows: Long): Unit =
+      spark.readStream.format("graftseq")
+        .option("rows", rows.toString).option("slices", "4")
+        .option("rowsPerBatch", "20000").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    run(40000L) // session 1: drains [0, 40000) then terminates (the "kill")
+    val mid = spark.read.parquet(out).agg(count(lit(1)), max(col("id"))).head()
+    (mid.getLong(0), mid.getLong(1)) shouldBe ((40000L, 39999L))
+    run(100000L) // resume from the SAME checkpoint: only [40000, 100000) is new
+    val fin = spark.read.parquet(out)
+      .agg(count(lit(1)), countDistinct(col("id")), max(col("id"))).head()
+    // count == distinct == 100000: nothing replayed, nothing lost
+    (fin.getLong(0), fin.getLong(1), fin.getLong(2)) shouldBe
+      ((100000L, 100000L, 99999L))
+  }
+
   test("offset pushdown plans only the page window, composing with pushed filter and limit") {
     val page = rd(200000L, 8).filter(col("id") >= 50000L).offset(20000).limit(1000)
     plannedSpan(page) shouldBe ((1000L, 70000L, 71000L))
