@@ -1207,6 +1207,56 @@ object Evaluation extends QueryPack {
           "round(unc, 6) AS uncertainty",
           "round(brier_raw - (cast(relx as double) - cast(resx as double) + unc), 6) AS within_bin_var")
     }),
+
+    // ------------------------------------------------------------------
+    // Delta-method z-test for a RATIO metric (revenue per event,
+    // randomized by user) — the variance correction every real A/B
+    // platform needs when the analysis unit (event) differs from the
+    // randomization unit (user): naive per-event variance understates
+    // SE because events cluster within users. R_a = Σy_u/Σn_u over
+    // users; Var(R) ≈ (s_yy − 2R·s_yn + R²·s_nn)/(k·n̄²) (Taylor/delta
+    // expansion on the ratio of user-level sums, Deng et al.'s
+    // formula). ONE per-user contraction (the only fact shuffle), arm
+    // = the q192/q218 md5 split, exact DECIMAL/integer sufficient
+    // statistics per arm, closed form after; |z| vs 1.959964.
+    "q331_delta_ratio" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nu"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("yu"))
+        .withColumn("arm", expr(md5mod("cast(user_id as string)", 2)))
+      per.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("k0"),
+          sum(when(col("arm") === 0, col("nu"))).as("sn0"),
+          sum(when(col("arm") === 0, col("yu"))).as("sy0"),
+          sum(when(col("arm") === 0, expr("nu * nu"))).as("snn0"),
+          sum(when(col("arm") === 0, expr("cast(yu * yu as decimal(38,4))"))).as("syy0"),
+          sum(when(col("arm") === 0, expr("cast(nu * yu as decimal(38,4))"))).as("sny0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("arm") === 1, col("nu"))).as("sn1"),
+          sum(when(col("arm") === 1, col("yu"))).as("sy1"),
+          sum(when(col("arm") === 1, expr("nu * nu"))).as("snn1"),
+          sum(when(col("arm") === 1, expr("cast(yu * yu as decimal(38,4))"))).as("syy1"),
+          sum(when(col("arm") === 1, expr("cast(nu * yu as decimal(38,4))"))).as("sny1"))
+        .withColumn("r0", expr("cast(sy0 as double) / sn0"))
+        .withColumn("r1", expr("cast(sy1 as double) / sn1"))
+        .withColumn("v0", expr(
+          "((cast(syy0 as double) - cast(sy0 as double) * cast(sy0 as double) / k0) / (k0 - 1) " +
+            "- 2.0d * (cast(sy0 as double) / sn0) * ((cast(sny0 as double) - cast(sn0 as double) * cast(sy0 as double) / k0) / (k0 - 1)) " +
+            "+ (cast(sy0 as double) / sn0) * (cast(sy0 as double) / sn0) * ((cast(snn0 as double) - cast(sn0 as double) * sn0 / k0) / (k0 - 1))) " +
+            "/ (k0 * (cast(sn0 as double) / k0) * (cast(sn0 as double) / k0))"))
+        .withColumn("v1", expr(
+          "((cast(syy1 as double) - cast(sy1 as double) * cast(sy1 as double) / k1) / (k1 - 1) " +
+            "- 2.0d * (cast(sy1 as double) / sn1) * ((cast(sny1 as double) - cast(sn1 as double) * cast(sy1 as double) / k1) / (k1 - 1)) " +
+            "+ (cast(sy1 as double) / sn1) * (cast(sy1 as double) / sn1) * ((cast(snn1 as double) - cast(sn1 as double) * sn1 / k1) / (k1 - 1))) " +
+            "/ (k1 * (cast(sn1 as double) / k1) * (cast(sn1 as double) / k1))"))
+        .selectExpr("k0 AS users_ctrl", "k1 AS users_treat",
+          "round(r0, 6) AS ratio_ctrl", "round(r1, 6) AS ratio_treat",
+          "round(sqrt(v0 + v1), 6) AS se_delta",
+          "round((r1 - r0) / sqrt(v0 + v1), 6) AS z_stat",
+          "abs((r1 - r0) / sqrt(v0 + v1)) > 1.959964 AS reject_5pct")
+    }),
   )
 
   /** q208's raw count-min frame (tok, true_c, est_c, overcount, n_tot
@@ -1238,6 +1288,35 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q331_delta_ratio" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, "
+        + "coalesce(sum(CAST(value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS yu FROM events GROUP BY user_id), "
+        + "pa AS (SELECT *, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm FROM per), "
+        + "agg AS (SELECT "
+        + "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS k0, "
+        + "CAST(sum(CASE WHEN arm = 0 THEN nu END) AS BIGINT) AS sn0, "
+        + "sum(CASE WHEN arm = 0 THEN yu END) AS sy0, "
+        + "CAST(sum(CASE WHEN arm = 0 THEN nu * nu END) AS BIGINT) AS snn0, "
+        + "sum(CASE WHEN arm = 0 THEN CAST(yu * yu AS DECIMAL(38,4)) END) AS syy0, "
+        + "sum(CASE WHEN arm = 0 THEN CAST(nu * yu AS DECIMAL(38,4)) END) AS sny0, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN nu END) AS BIGINT) AS sn1, "
+        + "sum(CASE WHEN arm = 1 THEN yu END) AS sy1, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN nu * nu END) AS BIGINT) AS snn1, "
+        + "sum(CASE WHEN arm = 1 THEN CAST(yu * yu AS DECIMAL(38,4)) END) AS syy1, "
+        + "sum(CASE WHEN arm = 1 THEN CAST(nu * yu AS DECIMAL(38,4)) END) AS sny1 FROM pa), "
+        + "f AS (SELECT k0, k1, CAST(sy0 AS DOUBLE) / sn0 AS r0, CAST(sy1 AS DOUBLE) / sn1 AS r1, "
+        + "((CAST(syy0 AS DOUBLE) - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / k0) / (k0 - 1) "
+        + "- 2.0 * (CAST(sy0 AS DOUBLE) / sn0) * ((CAST(sny0 AS DOUBLE) - CAST(sn0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / k0) / (k0 - 1)) "
+        + "+ (CAST(sy0 AS DOUBLE) / sn0) * (CAST(sy0 AS DOUBLE) / sn0) * ((CAST(snn0 AS DOUBLE) - CAST(sn0 AS DOUBLE) * sn0 / k0) / (k0 - 1))) "
+        + "/ (k0 * (CAST(sn0 AS DOUBLE) / k0) * (CAST(sn0 AS DOUBLE) / k0)) AS v0, "
+        + "((CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / k1) / (k1 - 1) "
+        + "- 2.0 * (CAST(sy1 AS DOUBLE) / sn1) * ((CAST(sny1 AS DOUBLE) - CAST(sn1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / k1) / (k1 - 1)) "
+        + "+ (CAST(sy1 AS DOUBLE) / sn1) * (CAST(sy1 AS DOUBLE) / sn1) * ((CAST(snn1 AS DOUBLE) - CAST(sn1 AS DOUBLE) * sn1 / k1) / (k1 - 1))) "
+        + "/ (k1 * (CAST(sn1 AS DOUBLE) / k1) * (CAST(sn1 AS DOUBLE) / k1)) AS v1 FROM agg) "
+        + "SELECT k0 AS users_ctrl, k1 AS users_treat, round(r0, 6) AS ratio_ctrl, round(r1, 6) AS ratio_treat, "
+        + "round(sqrt(v0 + v1), 6) AS se_delta, round((r1 - r0) / sqrt(v0 + v1), 6) AS z_stat, "
+        + "abs((r1 - r0) / sqrt(v0 + v1)) > 1.959964 AS reject_5pct FROM f"),
     "q317_cochran_armitage" ->
       ("WITH cells AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS dose, "
         + "count(*) AS n_i, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) > 250000 AS INT)) AS BIGINT) AS a_i "

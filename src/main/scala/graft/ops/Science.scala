@@ -1237,6 +1237,104 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Anderson–Darling normality test (case 4: both parameters
+    // estimated) — the TAIL-weighted EDF test closing the
+    // goodness-of-fit family (KS q124 reads the max gap, CvM q319 the
+    // integrated square; AD weights by 1/[F(1−F)], the most powerful
+    // of the three against tail departures — exactly where heavy-tailed
+    // `value` data breaks normality first): A² = −n − (1/n)Σᵢ(2i−1)
+    // [lnΦ(zᵢ) + ln(1−Φ(z_{n+1−i}))]. The rank sum is folded to ONE
+    // pass over per-distinct-value cells: a value with count c at
+    // exclusive prefix `below` owns ranks (below, below+c], so
+    // Σ(2i−1) = 2c·below + c² and Σ(2n+1−2i) = c(2n+1) − 2c·below −
+    // c(c+1) — closed-form tie handling, no row-level rank. Ranks ride
+    // cumCounts' range-partitioned prefix sums; Φ via the Zelen–Severo
+    // polynomial (q212's idiom, identical doubles both engines);
+    // per-value terms quantize DECIMAL(28,12) pre-sum. A*² = A²(1 +
+    // 0.75/n + 2.25/n²) vs the 0.752 Stephens 5% critical.
+    "q329_anderson_darling" -> ((s, dir) => {
+      val x = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value").cast("decimal(18,2)").as("x"))
+      val st = x.agg(count(lit(1)).as("nn"), sum(col("x")).as("sx"),
+        sum(expr("cast(x * x as decimal(38,4))")).as("sxx"))
+      val g = x.groupBy(expr("cast(x as double)").as("v"))
+        .agg(count(lit(1)).as("c1")).withColumn("c2", lit(0L))
+      cumCounts(s, g)
+        .crossJoin(broadcast(st))
+        .withColumn("mu", expr("cast(sx as double) / nn"))
+        .withColumn("sd", expr(
+          "sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double) / nn) / (nn - 1))"))
+        .withColumn("z", expr("(v - mu) / sd"))
+        .withColumn("az", expr("abs(z)"))
+        .withColumn("t", expr("1.0d / (1.0d + 0.2316419d * az)"))
+        .withColumn("q", expr(
+          "0.3989422804014327d * exp(-(az * az) / 2.0d) * " +
+            "(0.319381530d * t - 0.356563782d * t * t + 1.781477937d * t * t * t " +
+            "- 1.821255978d * t * t * t * t + 1.330274429d * t * t * t * t * t)"))
+        .withColumn("lph", expr("CASE WHEN z >= 0.0d THEN ln(1.0d - q) ELSE ln(q) END"))
+        .withColumn("lmq", expr("CASE WHEN z >= 0.0d THEN ln(q) ELSE ln(1.0d - q) END"))
+        .withColumn("term", expr(
+          "cast((2.0d * c1 * below + cast(c1 as double) * c1) * lph " +
+            "+ (c1 * (2.0d * nn + 1.0d) - 2.0d * c1 * below - cast(c1 as double) * (c1 + 1.0d)) * lmq " +
+            "as decimal(28,12))"))
+        .agg(max(col("nn")).as("n"), max(col("mu")).as("mu"), max(col("sd")).as("sd"),
+          sum(col("term")).as("sterm"))
+        .selectExpr("n", "round(mu, 6) AS mean", "round(sd, 6) AS sd",
+          "round(-cast(n as double) - cast(sterm as double) / n, 6) AS a2",
+          ("round((-cast(n as double) - cast(sterm as double) / n) " +
+            "* (1.0d + 0.75d / n + 2.25d / (n * n)), 6) AS a2_star"),
+          ("(-cast(n as double) - cast(sterm as double) / n) " +
+            "* (1.0d + 0.75d / n + 2.25d / (n * n)) > 0.752 AS reject_5pct"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Two-sample ENERGY distance (Székely–Rizzo) between the click and
+    // purchase value distributions — the characteristic-function-based
+    // distance that is zero IFF the distributions are equal (KS/CvM/AD
+    // read ECDF gaps; energy distance metrizes equality and powers the
+    // energy two-sample test): D² = 2E|X−Y| − E|X−X′| − E|Y−Y′|. In
+    // 1-D every pairwise-|Δ| expectation is EXACT from sorted prefix
+    // sums — never an O(n²) pair join: for each distinct v,
+    // Σ_y c₂(y)|v−y| = v·cum₂ − cw₂ + (W₂−cw₂) − v·(n₂−cum₂) with cw
+    // the value-weighted prefix sum. Values quantize to integer CENTS
+    // (the data is 2-decimal) so all pair sums are exact integers —
+    // order-free across engines; two cumCounts passes (plain + cents-
+    // weighted counters) over the distinct-value contraction, joined
+    // back on v. V-statistic denominators (n², includes i=j zeros).
+    "q330_energy_distance" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("click", "purchase") && col("value").isNotNull)
+        .groupBy(expr("cast(cast(value as decimal(18,2)) as double)").as("v"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+        .withColumn("cents", expr("cast(cast(v as decimal(18,2)) * 100 as bigint)"))
+        .localCheckpoint() // consumed by both cumCounts passes
+      val counts = cumCounts(s, g.select(col("v"), col("c1"), col("c2")))
+      val weights = cumCounts(s, g.select(col("v"),
+          (col("c1") * col("cents")).as("c1"), (col("c2") * col("cents")).as("c2")))
+        .select(col("v").as("v2"), col("cum1").as("cw1"), col("cum2").as("cw2"),
+          col("n1").as("w1tot"), col("n2").as("w2tot"))
+      counts.join(weights, col("v") === col("v2"))
+        .withColumn("cents", expr("cast(cast(v as decimal(18,2)) * 100 as bigint)"))
+        .withColumn("txy", expr(
+          "cast(c1 * (cents * cum2 - cw2 + (w2tot - cw2) - cents * (n2 - cum2)) as decimal(38,0))"))
+        .withColumn("txx", expr(
+          "cast(2 * c1 * (cents * (cum1 - c1) - (cw1 - c1 * cents)) as decimal(38,0))"))
+        .withColumn("tyy", expr(
+          "cast(2 * c2 * (cents * (cum2 - c2) - (cw2 - c2 * cents)) as decimal(38,0))"))
+        .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+          sum(col("txy")).as("sxy"), sum(col("txx")).as("sxx2"), sum(col("tyy")).as("syy2"))
+        .selectExpr("n1", "n2",
+          "round(cast(sxy as double) / n1 / n2 / 100.0d, 6) AS e_xy",
+          "round(cast(sxx2 as double) / n1 / n1 / 100.0d, 6) AS e_xx",
+          "round(cast(syy2 as double) / n2 / n2 / 100.0d, 6) AS e_yy",
+          ("round(2.0d * (cast(sxy as double) / n1 / n2 / 100.0d) " +
+            "- cast(sxx2 as double) / n1 / n1 / 100.0d " +
+            "- cast(syy2 as double) / n2 / n2 / 100.0d, 6) AS energy_dist"))
+    }),
+
+    // ------------------------------------------------------------------
     // Tukey's HSD post-hoc — the pairwise follow-up ANOVA q116 stops
     // short of (a significant F says "some pair differs"; HSD says
     // WHICH, at a family-wise 5%): per-group exact (n, Σx, Σx²) cells
@@ -1457,6 +1555,50 @@ object Science extends QueryPack {
         + "SELECT n, nf, k AS k_star, round(p, 6) AS p_max, round(p / ptot, 6) AS fisher_g, "
         + "round(CASE WHEN p / ptot < 1.0 THEN nf * exp((nf - 1) * ln(1.0 - p / ptot)) ELSE 0.0 END, 6) AS p_fisher "
         + "FROM top CROSS JOIN tot"),
+    "q329_anderson_darling" ->
+      ("WITH x AS (SELECT CAST(value AS DECIMAL(18,2)) AS x FROM events WHERE value IS NOT NULL), "
+        + "st AS (SELECT count(*) AS nn, sum(x) AS sx, sum(CAST(x * x AS DECIMAL(38,4))) AS sxx FROM x), "
+        + "g AS (SELECT CAST(x AS DOUBLE) AS v, CAST(count(*) AS BIGINT) AS c1 FROM x GROUP BY 1), "
+        + "cum AS (SELECT v, c1, CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - c1 AS below FROM g), "
+        + "zt AS (SELECT v, c1, below, nn, CAST(sx AS DOUBLE) / nn AS mu, "
+        + "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nn) / (nn - 1)) AS sd FROM cum CROSS JOIN st), "
+        + "z2 AS (SELECT *, (v - mu) / sd AS z, abs((v - mu) / sd) AS az FROM zt), "
+        + "z3 AS (SELECT *, 1.0 / (1.0 + 0.2316419 * az) AS t FROM z2), "
+        + "z4 AS (SELECT *, 0.3989422804014327 * exp(-(az * az) / 2.0) * "
+        + "(0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t "
+        + "- 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t) AS q FROM z3), "
+        + "z5 AS (SELECT *, CASE WHEN z >= 0.0 THEN ln(1.0 - q) ELSE ln(q) END AS lph, "
+        + "CASE WHEN z >= 0.0 THEN ln(q) ELSE ln(1.0 - q) END AS lmq FROM z4), "
+        + "agg AS (SELECT max(nn) AS n, max(mu) AS mu, max(sd) AS sd, "
+        + "CAST(sum(CAST((2.0 * c1 * below + CAST(c1 AS DOUBLE) * c1) * lph "
+        + "+ (c1 * (2.0 * nn + 1.0) - 2.0 * c1 * below - CAST(c1 AS DOUBLE) * (c1 + 1.0)) * lmq "
+        + "AS DECIMAL(28,12))) AS DOUBLE) AS sterm FROM z5) "
+        + "SELECT n, round(mu, 6) AS mean, round(sd, 6) AS sd, "
+        + "round(-CAST(n AS DOUBLE) - sterm / n, 6) AS a2, "
+        + "round((-CAST(n AS DOUBLE) - sterm / n) * (1.0 + 0.75 / n + 2.25 / (n * n)), 6) AS a2_star, "
+        + "(-CAST(n AS DOUBLE) - sterm / n) * (1.0 + 0.75 / n + 2.25 / (n * n)) > 0.752 AS reject_5pct FROM agg"),
+    "q330_energy_distance" ->
+      ("WITH g AS (SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v, "
+        + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL GROUP BY 1), "
+        + "g2 AS (SELECT *, CAST(CAST(v AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM g), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2, "
+        + "CAST(sum(c1 * cents) AS BIGINT) AS w1tot, CAST(sum(c2 * cents) AS BIGINT) AS w2tot FROM g2), "
+        + "cums AS (SELECT c1, c2, cents, n1, n2, w1tot, w2tot, "
+        + "CAST(sum(c1) OVER w AS BIGINT) AS cum1, CAST(sum(c2) OVER w AS BIGINT) AS cum2, "
+        + "CAST(sum(c1 * cents) OVER w AS BIGINT) AS cw1, CAST(sum(c2 * cents) OVER w AS BIGINT) AS cw2 "
+        + "FROM g2 CROSS JOIN t WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "agg AS (SELECT max(n1) AS n1, max(n2) AS n2, "
+        + "sum(CAST(c1 * (cents * cum2 - cw2 + (w2tot - cw2) - cents * (n2 - cum2)) AS DECIMAL(38,0))) AS sxy, "
+        + "sum(CAST(2 * c1 * (cents * (cum1 - c1) - (cw1 - c1 * cents)) AS DECIMAL(38,0))) AS sxx2, "
+        + "sum(CAST(2 * c2 * (cents * (cum2 - c2) - (cw2 - c2 * cents)) AS DECIMAL(38,0))) AS syy2 FROM cums) "
+        + "SELECT n1, n2, round(CAST(sxy AS DOUBLE) / n1 / n2 / 100.0, 6) AS e_xy, "
+        + "round(CAST(sxx2 AS DOUBLE) / n1 / n1 / 100.0, 6) AS e_xx, "
+        + "round(CAST(syy2 AS DOUBLE) / n2 / n2 / 100.0, 6) AS e_yy, "
+        + "round(2.0 * (CAST(sxy AS DOUBLE) / n1 / n2 / 100.0) "
+        + "- CAST(sxx2 AS DOUBLE) / n1 / n1 / 100.0 "
+        + "- CAST(syy2 AS DOUBLE) / n2 / n2 / 100.0, 6) AS energy_dist FROM agg"),
     "q319_cvm_test" ->
       ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
         + "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "

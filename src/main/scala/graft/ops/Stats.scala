@@ -1041,6 +1041,42 @@ object Stats extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Dickey–Fuller unit-root test (constant, lag 0) on the daily
+    // event count — the STATIONARITY gate the trend family assumes
+    // away (q249 Mann–Kendall detects a monotone trend; q320 Granger
+    // REQUIRES stationarity; DF tests it): Δy_t = α + β·y_{t−1} + ε,
+    // H₀: β = 0 (unit root). β̂, SE, and the DF statistic are all
+    // closed-form from exact integer sums over the lagged daily frame
+    // (counts are integers, so Σy₁, Σy₁², ΣΔy, ΣΔy², Σy₁Δy are exact
+    // BIGINTs — order-free across engines); the comparison constant is
+    // the asymptotic 5% critical −2.86 (constant-only case, identical
+    // literal both engines; the t-distribution does NOT apply under
+    // H₀, hence the dedicated DF table). One daily contraction; the
+    // lag window runs over ≤#days cells (allowlisted, q23's shape).
+    "q332_adf_test" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val wd = Window.orderBy(col("day")) // bounded: <= #days daily cells
+      daily.withColumn("y1", lag(col("y"), 1).over(wd))
+        .filter(col("y1").isNotNull)
+        .withColumn("dy", col("y") - col("y1"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("y1")).as("s1"), sum(expr("y1 * y1")).as("s11"),
+          sum(col("dy")).as("sd"), sum(expr("dy * dy")).as("sdd"),
+          sum(expr("y1 * dy")).as("s1d"))
+        .withColumn("c11", expr("cast(s11 as double) - cast(s1 as double) * s1 / n"))
+        .withColumn("c1d", expr("cast(s1d as double) - cast(s1 as double) * sd / n"))
+        .withColumn("cdd", expr("cast(sdd as double) - cast(sd as double) * sd / n"))
+        .withColumn("beta", expr("c1d / c11"))
+        .withColumn("se", expr("sqrt((cdd - c1d / c11 * c1d) / (n - 2) / c11)"))
+        .selectExpr("n", "round(beta, 6) AS beta",
+          "round(beta / se, 6) AS df_stat",
+          "beta / se < -2.86 AS reject_unit_root_5pct")
+    }),
+
+    // ------------------------------------------------------------------
     // Inequality indices beyond Gini (q135): Theil T (the additively
     // decomposable entropy index), Atkinson ε=0.5 (welfare-weighted,
     // 1 − EDE/μ with EDE = ((1/n)Σ√x)²), and Hoover/Robin-Hood
@@ -1090,6 +1126,18 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    "q332_adf_test" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1), "
+        + "lagged AS (SELECT y, lag(y) OVER (ORDER BY day) AS y1 FROM daily), "
+        + "f AS (SELECT y1, y - y1 AS dy FROM lagged WHERE y1 IS NOT NULL), "
+        + "sums AS (SELECT count(*) AS n, CAST(sum(y1) AS BIGINT) AS s1, CAST(sum(y1 * y1) AS BIGINT) AS s11, "
+        + "CAST(sum(dy) AS BIGINT) AS sd, CAST(sum(dy * dy) AS BIGINT) AS sdd, CAST(sum(y1 * dy) AS BIGINT) AS s1d FROM f), "
+        + "c AS (SELECT n, CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n AS c11, "
+        + "CAST(s1d AS DOUBLE) - CAST(s1 AS DOUBLE) * sd / n AS c1d, "
+        + "CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * sd / n AS cdd FROM sums), "
+        + "b AS (SELECT n, c1d / c11 AS beta, sqrt((cdd - c1d / c11 * c1d) / (n - 2) / c11) AS se FROM c) "
+        + "SELECT n, round(beta, 6) AS beta, round(beta / se, 6) AS df_stat, "
+        + "beta / se < -2.86 AS reject_unit_root_5pct FROM b"),
     "q327_cronbach_alpha" ->
       ("WITH cells AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c FROM events GROUP BY 1, 2), "
         + "nd AS (SELECT count(DISTINCT day) AS nd FROM cells), "

@@ -73,7 +73,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q322_dsir_weights", // rank over the 20-row TakeOrdered tail (q123's shape)
     "q323_qlm_dirichlet",// rank over the 15-row TakeOrdered tail (q123's shape)
     "q326_km_greenwood", // product-limit + Greenwood cumsums over <= #observation-days cells (q171's shape)
-    "q328_periodogram"   // day-index row_number over <= #days daily cells (q259's shape)
+    "q328_periodogram",  // day-index row_number over <= #days daily cells (q259's shape)
+    "q332_adf_test"      // lag window over <= #days daily cells (q23's shape)
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
