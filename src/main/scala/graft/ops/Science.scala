@@ -1289,6 +1289,36 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Gumbel extreme-value fit on daily block maxima — the EVT reading
+    // the central-moment family can't give (q275 fits the BODY of the
+    // length distribution; capacity planning needs the TAIL of the
+    // maxima: "what daily peak do we see once a month?"): block = day,
+    // x_d = max(value); method-of-moments Gumbel β̂ = s√6/π, μ̂ = x̄ − γβ̂
+    // (γ = Euler–Mascheroni, identical literal both engines), 30-day
+    // return level μ̂ − β̂·ln(−ln(1−1/30)), and the exceedance
+    // probability of the observed grand max under the fitted law.
+    // ONE daily-max contraction (the only fact shuffle) + a 1-row
+    // closed form from exact DECIMAL sums over the ≤#days cells.
+    "q334_gumbel_maxima" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(max(col("value").cast("decimal(18,2)")).as("x"))
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sx"),
+          sum(expr("cast(x * x as decimal(38,4))")).as("sxx"),
+          max(col("x")).as("xmx"))
+        .withColumn("m", expr("cast(sx as double) / nd"))
+        .withColumn("sd", expr(
+          "sqrt((cast(sxx as double) - cast(sx as double) * cast(sx as double) / nd) / (nd - 1))"))
+        .withColumn("beta", expr("sd * sqrt(6.0d) / pi()"))
+        .withColumn("mu", expr("m - 0.5772156649015329d * beta"))
+        .selectExpr("nd AS n_days", "round(m, 6) AS mean_max", "round(sd, 6) AS sd_max",
+          "round(mu, 6) AS gumbel_mu", "round(beta, 6) AS gumbel_beta",
+          "round(mu - beta * ln(-ln(1.0d - 1.0d / 30.0d)), 6) AS return_level_30d",
+          "round(1.0d - exp(-exp(-(cast(xmx as double) - mu) / beta)), 6) AS p_exceed_observed_max")
+    }),
+
+    // ------------------------------------------------------------------
     // Two-sample ENERGY distance (Székely–Rizzo) between the click and
     // purchase value distributions — the characteristic-function-based
     // distance that is zero IFF the distributions are equal (KS/CvM/AD
@@ -1555,6 +1585,18 @@ object Science extends QueryPack {
         + "SELECT n, nf, k AS k_star, round(p, 6) AS p_max, round(p / ptot, 6) AS fisher_g, "
         + "round(CASE WHEN p / ptot < 1.0 THEN nf * exp((nf - 1) * ln(1.0 - p / ptot)) ELSE 0.0 END, 6) AS p_fisher "
         + "FROM top CROSS JOIN tot"),
+    "q334_gumbel_maxima" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, max(CAST(value AS DECIMAL(18,2))) AS x "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "st AS (SELECT count(*) AS nd, sum(x) AS sx, sum(CAST(x * x AS DECIMAL(38,4))) AS sxx, max(x) AS xmx FROM daily), "
+        + "f AS (SELECT nd, xmx, CAST(sx AS DOUBLE) / nd AS m, "
+        + "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / nd) / (nd - 1)) AS sd FROM st), "
+        + "g AS (SELECT *, sd * sqrt(6.0) / pi() AS beta FROM f), "
+        + "h AS (SELECT *, m - 0.5772156649015329 * beta AS mu FROM g) "
+        + "SELECT nd AS n_days, round(m, 6) AS mean_max, round(sd, 6) AS sd_max, "
+        + "round(mu, 6) AS gumbel_mu, round(beta, 6) AS gumbel_beta, "
+        + "round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6) AS return_level_30d, "
+        + "round(1.0 - exp(-exp(-(CAST(xmx AS DOUBLE) - mu) / beta)), 6) AS p_exceed_observed_max FROM h"),
     "q329_anderson_darling" ->
       ("WITH x AS (SELECT CAST(value AS DECIMAL(18,2)) AS x FROM events WHERE value IS NOT NULL), "
         + "st AS (SELECT count(*) AS nn, sum(x) AS sx, sum(CAST(x * x AS DECIMAL(38,4))) AS sxx FROM x), "

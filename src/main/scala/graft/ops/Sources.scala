@@ -382,9 +382,47 @@ object Sources extends QueryPack {
           sum(length(col("tagged"))).as("sum_tag_len"))
         .orderBy(col("segment"))
     }),
+
+    // ------------------------------------------------------------------
+    // V2 sink with a CONNECTOR-REQUESTED write layout — the
+    // RequiresDistributionAndOrdering half of the write contract q291's
+    // staged commit leaves unexercised: the per-user rollup writes
+    // through graftsink with clusterBy=user_id & shards=4, so the SINK
+    // declares "hash-cluster by key into exactly 4 sorted files" and
+    // SPARK inserts the shuffle+sort (the user never repartitions) —
+    // the mechanism that gives a table format key-disjoint,
+    // internally-sorted files at any scale (without it, every key is
+    // sprayed across all writer tasks' files and read-side pruning is
+    // impossible). DsV2Spec asserts the 4 published files are
+    // key-disjoint and sorted; the oracle replays the rollup from
+    // events so the hash certifies the written+read-back content.
+    "q335_dsv2_clustered_sink" -> ((s, dir) => {
+      val stage = Stage.dir("sink335")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .write.format("graftsink").mode("overwrite")
+        .option("path", stage).option("clusterBy", "user_id").option("shards", "4")
+        .save()
+      s.read.format("graftsink").option("path", stage).load()
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+          round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"))
+        .orderBy(col("bucket"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q335_dsv2_clustered_sink" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + "CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_val "
+        + "FROM events GROUP BY user_id) "
+        + "SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_users, "
+        + "CAST(sum(n_events) AS BIGINT) AS n_events, "
+        + "round(CAST(sum(CAST(sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val "
+        + "FROM per GROUP BY 1 ORDER BY 1"),
     "q94_orc_roundtrip" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS n, "
         + "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty, "

@@ -1059,6 +1059,57 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Jelinek–Mercer interpolated bigram LM scored on a HELD-OUT split
+    // — the train/test discipline q146's in-sample perplexity lacks
+    // (scoring docs under a model trained on themselves understates
+    // surprise; the held-out read is what a curation pipeline actually
+    // deploys): train on the md5 90% (q58's splitter), score the 10%
+    // with p = λ·c(w₁w₂)/c(w₁) + (1−λ)·(c(w₂)+1)/(N+V+1), λ=0.7 —
+    // the mixture keeps unseen bigrams AND unseen unigrams strictly
+    // positive (the +1/V+1 floor), so OOV never yields ln(0). Two
+    // train contractions (unigram, bigram) + one held-out bigram
+    // frame; scoring is two LEFT joins keyed by bigram/unigram (AQE
+    // broadcasts the vocab side; at 100 TB they are hash joins on
+    // 8-byte-hashable keys); per-bigram nll quantizes DECIMAL(28,12)
+    // before the per-doc sum.
+    "q333_jm_bigram_lm" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("md5_mod(cast(doc_id as string), 10L)").as("split"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .localCheckpoint() // train counts + held-out bigrams share it
+      val train = toks.filter(col("split") =!= 0)
+      val uc = train.select(explode(col("w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // N+V totals + the two scoring joins
+      val nv = uc.agg(sum(col("c")).as("bign"), count(lit(1)).as("bigv"))
+      val bc = train.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("bg"))
+        .groupBy(col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+        .agg(count(lit(1)).as("cb"))
+      toks.filter(col("split") === 0 && size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS t1, element_at(w, i + 1) AS t2))")).as("bg"))
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+        .join(bc, Seq("t1", "t2"), "left")
+        .join(uc.select(col("t").as("t1"), col("c").as("cprev")), Seq("t1"), "left")
+        .join(uc.select(col("t").as("t2"), col("c").as("cw")), Seq("t2"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("p", expr(
+          "0.7d * (CASE WHEN cprev IS NULL OR cb IS NULL THEN 0.0d ELSE cast(cb as double) / cprev END) " +
+            "+ 0.3d * (cast(coalesce(cw, 0L) as double) + 1.0d) / (cast(bign as double) + bigv + 1.0d)"))
+        .withColumn("nll", expr("cast(-ln(p) as decimal(28,12))"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("nllx"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(expr("cast(nllx as double) / n_bigrams"), 6).as("avg_nll"),
+          round(expr("exp(cast(nllx as double) / n_bigrams)"), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // Line-level boilerplate dedup (the CCNet/RefinedWeb curation step
     // q151's 8-gram doc-frequency only measures): each doc is cut into
     // consecutive stride-8 token segments IN-ROW (one HOF, no join —
@@ -1272,6 +1323,25 @@ object Text extends QueryPack {
         + "SELECT doc_id, count(*) AS n_bigrams, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll, "
         + "round(exp(CAST(sum(nll) AS DOUBLE) / count(*)), 6) AS ppl "
         + "FROM scored GROUP BY doc_id ORDER BY doc_id"),
+    "q333_jm_bigram_lm" ->
+      ("WITH toks AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS split, "
+        + "list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
+        + "uni AS (SELECT unnest(w) AS t FROM toks WHERE split <> 0), "
+        + "uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t), "
+        + "nv AS (SELECT CAST(sum(c) AS BIGINT) AS bign, CAST(count(*) AS BIGINT) AS bigv FROM uc), "
+        + "bgt AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS t1, "
+        + "unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS t2 FROM toks WHERE split <> 0 AND len(w) >= 2), "
+        + "bc AS (SELECT t1, t2, CAST(count(*) AS BIGINT) AS cb FROM bgt GROUP BY 1, 2), "
+        + "ho AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i])) AS t1, "
+        + "unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS t2 FROM toks WHERE split = 0 AND len(w) >= 2), "
+        + "sc AS (SELECT doc_id, 0.7 * (CASE WHEN u1.c IS NULL OR bc.cb IS NULL THEN 0.0 ELSE CAST(bc.cb AS DOUBLE) / u1.c END) "
+        + "+ 0.3 * (CAST(coalesce(u2.c, 0) AS DOUBLE) + 1.0) / (CAST(bign AS DOUBLE) + bigv + 1.0) AS p "
+        + "FROM ho LEFT JOIN bc ON ho.t1 = bc.t1 AND ho.t2 = bc.t2 "
+        + "LEFT JOIN uc u1 ON ho.t1 = u1.t LEFT JOIN uc u2 ON ho.t2 = u2.t CROSS JOIN nv), "
+        + "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        + "CAST(sum(CAST(-ln(p) AS DECIMAL(28,12))) AS DOUBLE) AS nllx FROM sc GROUP BY doc_id) "
+        + "SELECT doc_id, n_bigrams, round(nllx / n_bigrams, 6) AS avg_nll, "
+        + "round(exp(nllx / n_bigrams), 6) AS ppl FROM agg ORDER BY doc_id"),
     "q92_bigram_pmi" ->
       ("WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w FROM documents), "
         + "uni AS (SELECT unnest(w) AS t FROM toks), "

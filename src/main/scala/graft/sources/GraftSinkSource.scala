@@ -13,7 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -171,23 +173,64 @@ class GraftSinkTable(path: String, declared: StructType)
     new GraftSinkScanBuilder(path, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftSinkWriteBuilder(path, info.schema(), info.queryId())
+    new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), info.options())
 }
 
 // --------------------------------------------------------------------
 // WRITE path
 // --------------------------------------------------------------------
 
-class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String)
+class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = {
+  /** Connector-requested write layout (`RequiresDistributionAndOrdering`
+    * — the scale-critical half of the V2 write contract): with option
+    * `clusterBy=<col>` the sink DECLARES it wants rows clustered by
+    * that column (Spark inserts the hash shuffle — the user never
+    * hand-repartitions) and sorted within each writer task, so every
+    * key's rows land in exactly ONE output file, sorted. Option
+    * `shards=<n>` additionally pins the writer-task count — the "N
+    * output files" knob a table format uses to control file sizing. A
+    * sink WITHOUT this interface inherits the query's arbitrary
+    * partitioning: at 100 TB that means every key sprayed across
+    * thousands of files and no file-level pruning on read.
+    */
+  override def build(): Write = {
+    val clusterBy = Option(options.get("clusterBy"))
+    val shards = Option(options.get("shards")).map { raw =>
+      val n = try raw.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graftsink: option 'shards' must be an int, got '$raw'")
+      }
+      require(n > 0, s"graftsink: option 'shards' must be positive, got $n")
+      n
+    }
+    def batch: BatchWrite = {
       GraftSink.checkSchema(schema)
       new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
+    }
+    clusterBy match {
+      case Some(colName) =>
+        require(schema.fieldNames.contains(colName),
+          s"graftsink: clusterBy column '$colName' not in write schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        new Write with RequiresDistributionAndOrdering {
+          override def requiredDistribution(): Distribution =
+            Distributions.clustered(Array(Expressions.identity(colName)))
+          override def requiredNumPartitions(): Int = shards.getOrElse(0)
+          override def requiredOrdering(): Array[VSortOrder] =
+            Array(Expressions.sort(Expressions.identity(colName), SortDirection.ASCENDING))
+          override def toBatch: BatchWrite = batch
+        }
+      case None =>
+        require(shards.isEmpty,
+          "graftsink: option 'shards' requires 'clusterBy' (a partition count " +
+            "without a distribution would repartition arbitrarily)")
+        new Write { override def toBatch: BatchWrite = batch }
     }
   }
 }

@@ -395,4 +395,49 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     r.getLong(1) shouldBe rhi - 1 // max joined id == envelope top
     r.getLong(0) should be > 0L
   }
+
+  test("sink: clusterBy+shards — connector-requested distribution yields key-disjoint sorted files") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = graft.ops.Stage.fresh("dsv2clust").toString
+    (0L until 400L).map(i => (i % 97, i)).toDF("k", "v")
+      .repartition(13) // deliberately awkward input layout: the SINK must fix it
+      .write.format("graftsink").mode("overwrite")
+      .option("path", dir).option("clusterBy", "k").option("shards", "4").save()
+    // requiredNumPartitions honored: exactly 4 published files
+    val manifest = graft.sources.GraftSink.readManifest(dir).get
+    manifest.files.length shouldBe 4
+    val perFile = manifest.files.map { f =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(dir, f)).asScala
+        .map(_.split("\t")(0).toLong).toVector
+    }
+    // requiredOrdering honored: each file internally sorted by k
+    perFile.foreach(ks => ks shouldBe ks.sorted)
+    // clustered distribution honored: no key appears in two files
+    val sets = perFile.map(_.toSet)
+    for (i <- sets.indices; j <- sets.indices if i < j)
+      withClue(s"files $i/$j share keys: ") { sets(i) intersect sets(j) shouldBe empty }
+    sets.map(_.size).sum shouldBe 97 // all keys present exactly once
+    spark.read.format("graftsink").option("path", dir).load().count() shouldBe 400L
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
+  test("sink: clusterBy validation — unknown column and shards-without-clusterBy fail loudly") {
+    import spark.implicits._
+    def messages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val dir = graft.ops.Stage.fresh("dsv2clustbad").toString
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    val e1 = intercept[Throwable] {
+      df.write.format("graftsink").mode("overwrite").option("path", dir)
+        .option("clusterBy", "nope").save()
+    }
+    messages(e1) should include("clusterBy column 'nope'")
+    val e2 = intercept[Throwable] {
+      df.write.format("graftsink").mode("overwrite").option("path", dir)
+        .option("shards", "4").save()
+    }
+    messages(e2) should include("requires 'clusterBy'")
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
 }
