@@ -1209,6 +1209,56 @@ object Evaluation extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Holm STEP-DOWN multiple-testing correction — the FWER control
+    // q212's Benjamini–Hochberg (FDR) deliberately trades away: Holm
+    // guarantees P(any false rejection) ≤ α with NO independence
+    // assumption (BH bounds the expected false-discovery fraction and
+    // wants independence/PRDS). Test family: per event_type, Welch z
+    // for the weekend-vs-weekday value gap (exact-DECIMAL sufficient
+    // statistics, Zelen–Severo two-sided p — q212's machinery on an
+    // orthogonal contrast). Step-down: rank p ascending, crit_i =
+    // α/(m−i+1), rejection stops at the FIRST p above its threshold
+    // (everything after is accepted even if below its own crit — the
+    // sequential-gate semantics that distinguishes Holm from plain
+    // Bonferroni). Rank/min windows run on ≤5 post-agg cells
+    // (allowlisted bounded).
+    "q337_holm_fwer" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(dayofweek(col("ts").cast("date")).isin(1, 7), 1L).otherwise(0L)).as("n1"),
+          sum(when(dayofweek(col("ts").cast("date")).isin(1, 7), col("value").cast("decimal(18,2)"))).as("s1"),
+          sum(when(dayofweek(col("ts").cast("date")).isin(1, 7),
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q1"),
+          sum(when(!dayofweek(col("ts").cast("date")).isin(1, 7), 1L).otherwise(0L)).as("n2"),
+          sum(when(!dayofweek(col("ts").cast("date")).isin(1, 7), col("value").cast("decimal(18,2)"))).as("s2"),
+          sum(when(!dayofweek(col("ts").cast("date")).isin(1, 7),
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q2"))
+        .withColumn("v1", expr("(cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / n1) / (n1 - 1)"))
+        .withColumn("v2", expr("(cast(q2 as double) - cast(s2 as double) * cast(s2 as double) / n2) / (n2 - 1)"))
+        .withColumn("z", expr("(cast(s1 as double) / n1 - cast(s2 as double) / n2) / sqrt(v1 / n1 + v2 / n2)"))
+        .withColumn("t", expr("1.0d / (1.0d + 0.2316419d * abs(z))"))
+        .withColumn("p", expr(
+          "2.0d * (0.3989422804014327d * exp(-(z * z) / 2.0d) * " +
+            "(0.319381530d * t - 0.356563782d * t * t + 1.781477937d * t * t * t " +
+            "- 1.821255978d * t * t * t * t + 1.330274429d * t * t * t * t * t))"))
+      val m = Window.orderBy(col("p"), col("event_type"))
+      val all = Window.orderBy(col("p"), col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("rank", row_number().over(m))
+        .withColumn("m", count(lit(1)).over(all))
+        .withColumn("crit", expr("0.05d / (m - rank + 1)"))
+        .withColumn("k_stop", min(when(col("p") > col("crit"), col("rank"))).over(all))
+        .select(col("event_type"), col("n1").as("n_weekend"), col("n2").as("n_weekday"),
+          round(col("z"), 6).as("z_stat"),
+          round(col("p"), 6).as("p_value"),
+          col("rank"), round(col("crit"), 6).as("holm_crit"),
+          (col("rank") < coalesce(col("k_stop"), col("m") + 1)).as("rejected"))
+        .orderBy(col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
     // Delta-method z-test for a RATIO metric (revenue per event,
     // randomized by user) — the variance correction every real A/B
     // platform needs when the analysis unit (event) differs from the
@@ -1288,6 +1338,28 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q337_holm_fwer" ->
+      ("WITH g AS (SELECT event_type, "
+        + "CAST(sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) IN (0, 6) THEN CAST(value AS DECIMAL(18,2)) END) AS s1, "
+        + "sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) IN (0, 6) THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q1, "
+        + "CAST(sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) NOT IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n2, "
+        + "sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) NOT IN (0, 6) THEN CAST(value AS DECIMAL(18,2)) END) AS s2, "
+        + "sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) NOT IN (0, 6) THEN CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)) END) AS q2 "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "v AS (SELECT *, (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) AS v1, "
+        + "(CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) AS v2 FROM g), "
+        + "zz AS (SELECT *, (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / sqrt(v1 / n1 + v2 / n2) AS z FROM v), "
+        + "tt AS (SELECT *, CAST(1.0 AS DOUBLE) / (1.0 + 0.2316419 * abs(z)) AS t FROM zz), "
+        + "pp AS (SELECT *, 2.0 * (0.3989422804014327 * exp(-(z * z) / 2.0) * "
+        + "(0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t "
+        + "- 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t)) AS p FROM tt), "
+        + "r AS (SELECT *, row_number() OVER (ORDER BY p, event_type) AS rank, count(*) OVER () AS m FROM pp), "
+        + "cr AS (SELECT *, 0.05 / (m - rank + 1) AS crit FROM r), "
+        + "k AS (SELECT *, min(CASE WHEN p > crit THEN rank END) OVER () AS k_stop FROM cr) "
+        + "SELECT event_type, n1 AS n_weekend, n2 AS n_weekday, round(z, 6) AS z_stat, "
+        + "round(p, 6) AS p_value, CAST(rank AS INT) AS rank, round(crit, 6) AS holm_crit, "
+        + "rank < coalesce(k_stop, m + 1) AS rejected FROM k ORDER BY rank"),
     "q331_delta_ratio" ->
       ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, "
         + "coalesce(sum(CAST(value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS yu FROM events GROUP BY user_id), "

@@ -140,6 +140,110 @@ object Vectors extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // IVF nprobe SWEEP — the recall/cost tuning curve an ANN deploy
+    // reads before fixing nprobe (q61 searches at nprobe=1; q271 tunes
+    // LSH bandings the same way): for nprobe ∈ {1,2,4,10}, candidates
+    // = vectors in the probe's nprobe nearest codebook cells, scored
+    // against the EXACT euclidean top-10 (q61's metric). One shared
+    // index (memoized trainedCodebook), ONE corpus assignment and ONE
+    // candidate frame staged and filtered per level by cell rank —
+    // the levels frame is a broadcast 4-row side, never a rescan.
+    // nprobe=10 = all cells is the self-certifying row: candidates =
+    // the whole corpus, so recall is exactly 1 (Round9jSpec pins it,
+    // plus monotonicity of recall and cost in nprobe).
+    "q336_ivf_probe_sweep" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val cb = trainedCodebook(s, dir)
+      val a = assign(e, cb).select(col("vec_id"), col("cid").as("cell"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        .localCheckpoint() // cell ranking + the truth pass both consume it
+      val wc = Window.partitionBy(col("probe_id")).orderBy(col("pd"), col("cid"))
+      val cellRank = probes.crossJoin(broadcast(cb))
+        .withColumn("pd", round(expr(sqdist.format("p_emb", "cvec")), 6))
+        .withColumn("crank", row_number().over(wc))
+        .select(col("probe_id"), col("cid").as("cell"), col("crank"))
+      val wt = Window.partitionBy(col("probe_id")).orderBy(col("d2"), col("vec_id"))
+      val truth = e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", round(expr(sqdist.format("embedding", "p_emb")), 6))
+        .withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+        .localCheckpoint() // intersected once per nprobe level
+      val cand = a.join(cellRank, "cell")
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"), col("crank"))
+        .localCheckpoint() // counted + hit-joined at 4 levels
+      val levels = s.range(1).select(explode(expr("array(1, 2, 4, 10)")).as("np"))
+      val nc = cand.crossJoin(broadcast(levels))
+        .filter(col("crank") <= col("np"))
+        .groupBy(col("np"), col("probe_id")).agg(count(lit(1)).as("n_cand"))
+      val nh = truth.join(cand, Seq("probe_id", "vec_id"))
+        .crossJoin(broadcast(levels))
+        .filter(col("crank") <= col("np"))
+        .groupBy(col("np"), col("probe_id")).agg(count(lit(1)).as("n_hit"))
+      levels.crossJoin(broadcast(probes.select(col("probe_id"))))
+        .join(nc, Seq("np", "probe_id"), "left")
+        .join(nh, Seq("np", "probe_id"), "left")
+        .groupBy(col("np"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("n_cand"), lit(0L))).as("total_cand"),
+          sum(coalesce(col("n_hit"), lit(0L))).as("total_hits"))
+        .selectExpr("np", "n_probes", "total_cand", "total_hits",
+          "round(cast(total_cand as double) / n_probes, 6) AS mean_cand",
+          "round(cast(total_hits as double) / (n_probes * 10.0d), 6) AS mean_recall_at_10")
+        .orderBy(col("np"))
+    }),
+
+    // ------------------------------------------------------------------
+    // MMR (Maximal Marginal Relevance) re-ranking of a cosine top-20
+    // shortlist — the diversity step between retrieval and serving
+    // (q41 ranks by pure relevance; near-duplicate hits crowd the top;
+    // MMR greedily picks argmax λ·rel − (1−λ)·max-sim-to-selected,
+    // λ=0.7, k=5): ONE corpus pass builds the shortlist
+    // (TakeOrderedAndProject); the greedy loop is 4 bounded driver-
+    // side iterations over ≤20-row broadcast frames (q279's bounded-
+    // hop discipline — at ANY corpus size the loop cost is k×shortlist,
+    // never data-sized). Similarities round to 6 dp before every argmax
+    // so tie-breaks (score desc, vec_id asc) are engine-stable.
+    "q338_mmr_rerank" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val shortlist = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q0))
+        .withColumn("rel", round(expr("cosine_sim(embedding, q_emb)"), 6))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"), col("rel"))
+        .localCheckpoint() // consumed by all 5 greedy steps
+      var sel = shortlist.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("embedding"), col("rel"),
+          lit(1).as("pick"), round(expr("0.7d * rel"), 6).as("mmr_score"),
+          lit(null).cast("double").as("max_sim_prior"))
+        .localCheckpoint()
+      for (k <- 2 to 5) {
+        val prior = sel.select(col("vec_id").as("pid"), col("embedding").as("p_emb"))
+        val next = shortlist
+          .join(sel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .crossJoin(broadcast(prior))
+          .withColumn("sim", round(expr("cosine_sim(embedding, p_emb)"), 6))
+          .groupBy(col("vec_id")).agg(max(col("sim")).as("msim"))
+          .join(shortlist, "vec_id")
+          .withColumn("score", round(expr("0.7d * rel - 0.3d * msim"), 6))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            lit(k).as("pick"), col("score").as("mmr_score"),
+            col("msim").as("max_sim_prior"))
+        sel = sel.union(next).localCheckpoint() // <= 5 rows per step
+      }
+      sel.select(col("pick"), col("vec_id"), round(col("rel"), 6).as("rel"),
+          col("mmr_score"), col("max_sim_prior"))
+        .orderBy(col("pick"))
+    }),
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: candidate pairs come from q55's LSH
     // buckets (group-then-expand, never all-pairs), exact cosine via
     // the native codegen'd cosine_sim expression, keep cos ≥ 0.4.
@@ -639,6 +743,34 @@ object Vectors extends QueryPack {
     }),
   )
 
+  /** DuckDB cosine mirror of the native `cosine_sim` (q62's proven
+    * formula: left-to-right list folds, final ratio rounded 6 dp). */
+  private def cosSql(a: String, b: String) =
+    (s"round(list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / "
+      + s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+      + s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)")
+
+  /** q338 oracle: the greedy MMR loop unrolled to 4 materialized CTE
+    * steps (q279's unrolled-CTE idiom) over the same top-20 shortlist. */
+  private def mmrSql: String = {
+    val steps = (2 to 5).map { k =>
+      val p = s"p${k - 1}"
+      (s"c$k AS (SELECT s.vec_id, s.embedding, s.rel, max(${cosSql("s.embedding", "p.embedding")}) AS msim "
+        + s"FROM short s, $p p WHERE s.vec_id NOT IN (SELECT vec_id FROM $p) GROUP BY 1, 2, 3), "
+        + s"s$k AS (SELECT vec_id, embedding, rel, $k AS pick, round(0.7 * rel - 0.3 * msim, 6) AS mmr_score, "
+        + s"msim AS max_sim_prior FROM c$k ORDER BY round(0.7 * rel - 0.3 * msim, 6) DESC, vec_id LIMIT 1), "
+        + s"p$k AS (SELECT * FROM $p UNION ALL SELECT * FROM s$k)")
+    }.mkString(", ")
+    ("WITH q0 AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+      + s"relv AS (SELECT e.vec_id, e.embedding, ${cosSql("e.embedding", "q_emb")} AS rel "
+      + "FROM embeddings e CROSS JOIN q0 WHERE e.vec_id <> 0), "
+      + "short AS (SELECT * FROM relv ORDER BY rel DESC, vec_id LIMIT 20), "
+      + "s1 AS (SELECT vec_id, embedding, rel, 1 AS pick, round(0.7 * rel, 6) AS mmr_score, "
+      + "CAST(NULL AS DOUBLE) AS max_sim_prior FROM short ORDER BY rel DESC, vec_id LIMIT 1), "
+      + s"p1 AS (SELECT * FROM s1), $steps "
+      + "SELECT pick, vec_id, round(rel, 6) AS rel, mmr_score, max_sim_prior FROM p5 ORDER BY pick")
+  }
+
   /** Shared oracle SQL: label-mean init → assign → recompute = the
     * trained codebook `cent1` (mirrors [[trainedCodebook]] exactly). */
   private def distSql(centTbl: String, dTbl: String, aTbl: String) =
@@ -781,6 +913,33 @@ object Vectors extends QueryPack {
         + "FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.probe_id) "
         + "SELECT probe_id, rn, vec_id, label, d2 FROM (SELECT probe_id, vec_id, label, d2, "
         + "row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM cand) WHERE rn <= 3 ORDER BY probe_id, rn"),
+    "q338_mmr_rerank" -> mmrSql,
+    "q336_ivf_probe_sweep" ->
+      (s"WITH $trainSql, "
+        + distSql("cent1", "dsw", "asw") + ", "
+        + "probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10), "
+        + "crd AS (SELECT p.probe_id, c.cid, round(list_sum(list_transform(range(1, len(p.p_emb) + 1), i -> "
+        + "(CAST(p.p_emb[i] AS DOUBLE) - c.cvec[i]) * (CAST(p.p_emb[i] AS DOUBLE) - c.cvec[i]))), 6) AS pd "
+        + "FROM probes p CROSS JOIN cent1 c), "
+        + "cr AS (SELECT probe_id, cid AS cell, row_number() OVER (PARTITION BY probe_id ORDER BY pd, cid) AS crank FROM crd), "
+        + "td AS (SELECT p.probe_id, e.vec_id, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        + "(CAST(e.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)) * (CAST(e.embedding[i] AS DOUBLE) - CAST(p.p_emb[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM embeddings e CROSS JOIN probes p WHERE e.vec_id <> p.probe_id), "
+        + "truth AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id, "
+        + "row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM td) WHERE rn <= 10), "
+        + "cand AS (SELECT cr.probe_id, a.vec_id, cr.crank FROM cr JOIN asw a ON a.cid = cr.cell WHERE a.vec_id <> cr.probe_id), "
+        + "lv AS (SELECT unnest([1, 2, 4, 10]) AS np), "
+        + "nc AS (SELECT l.np, c.probe_id, count(*) AS n_cand FROM lv l, cand c WHERE c.crank <= l.np GROUP BY 1, 2), "
+        + "nh AS (SELECT l.np, t.probe_id, count(*) AS n_hit FROM lv l, truth t JOIN cand c "
+        + "ON c.probe_id = t.probe_id AND c.vec_id = t.vec_id WHERE c.crank <= l.np GROUP BY 1, 2), "
+        + "grid AS (SELECT np, probe_id FROM lv CROSS JOIN probes), "
+        + "agg AS (SELECT g.np, count(*) AS n_probes, CAST(sum(coalesce(nc.n_cand, 0)) AS BIGINT) AS total_cand, "
+        + "CAST(sum(coalesce(nh.n_hit, 0)) AS BIGINT) AS total_hits "
+        + "FROM grid g LEFT JOIN nc ON nc.np = g.np AND nc.probe_id = g.probe_id "
+        + "LEFT JOIN nh ON nh.np = g.np AND nh.probe_id = g.probe_id GROUP BY g.np) "
+        + "SELECT np, n_probes, total_cand, total_hits, "
+        + "round(CAST(total_cand AS DOUBLE) / n_probes, 6) AS mean_cand, "
+        + "round(CAST(total_hits AS DOUBLE) / (n_probes * 10.0), 6) AS mean_recall_at_10 FROM agg ORDER BY np"),
     "q62_dedup_embed" ->
       ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
         + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
