@@ -1209,6 +1209,93 @@ object Evaluation extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Inverse-propensity-weighted ATE with stratified propensities —
+    // the OBSERVATIONAL causal estimator the experiment keys don't
+    // need (q289 directly standardizes a stratified diff; q302 DiD
+    // uses time; IPW reweights self-selected treatment): treatment =
+    // "user's purchase SHARE above the 1/5 type-uniform base rate"
+    // (self-selected, confounded by activity; exact integer compare
+    // 5·purchases > n — SF-robust where an "ever purchased" flag
+    // saturates to all-treated as activity grows), outcome = the
+    // user's non-purchase spend, confounder = activity
+    // stratum (event-count bucket), p̂_s = within-stratum treated
+    // share, Horvitz–Thompson μ̂_t = (1/N')Σ t·y/p̂_s. Strata failing
+    // positivity (p̂∈{0,1}) are excluded — the standard guard, counted
+    // via n_users − n_used. One per-user contraction + a broadcast
+    // ≤5-row stratum-cell join; per-user weighted terms quantize
+    // DECIMAL(38,6) pre-sum. ESS shows the weight-variance bill.
+    "q344_ipw_ate" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("nu"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) * 5
+            > count(lit(1)), 1).otherwise(0).as("t"),
+          coalesce(sum(when(col("event_type") =!= "purchase",
+            col("value").cast("decimal(18,2)"))), lit(0).cast("decimal(18,2)")).as("y"))
+        .withColumn("stratum", expr("least(cast(nu div 20 as int), 4)"))
+        .localCheckpoint() // stratum cells + the weighted pass share it
+      val cells = per.groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_s"), sum(col("t")).as("t_s"))
+        .withColumn("p", expr("cast(t_s as double) / n_s"))
+      val tot = per.agg(count(lit(1)).as("n_users"))
+      per.join(broadcast(cells), "stratum")
+        .filter(col("t_s") > 0 && col("t_s") < col("n_s"))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n_users")).as("n_users"),
+          count(lit(1)).as("n_used"),
+          sum(col("t")).as("n_treated"),
+          sum(when(col("t") === 1, col("y"))).as("sy1"),
+          sum(when(col("t") === 0, col("y"))).as("sy0"),
+          sum(expr("cast(t * cast(y as double) / p as decimal(38,6))")).as("ht1"),
+          sum(expr("cast((1 - t) * cast(y as double) / (1.0d - p) as decimal(38,6))")).as("ht0"),
+          sum(expr("cast(t / p as decimal(38,6))")).as("w1"),
+          sum(expr("cast(t / (p * p) as decimal(38,6))")).as("w2"))
+        .selectExpr("n_users", "n_used", "n_treated",
+          ("round(cast(sy1 as double) / n_treated " +
+            "- cast(sy0 as double) / (n_used - n_treated), 6) AS naive_diff"),
+          "round((cast(ht1 as double) - cast(ht0 as double)) / n_used, 6) AS ipw_ate",
+          "round(cast(w1 as double) * cast(w1 as double) / cast(w2 as double), 6) AS ess_treated")
+    }),
+
+    // ------------------------------------------------------------------
+    // TOST equivalence test (two one-sided Welch z's, margin δ=2.00)
+    // — the "are they the SAME?" read every significance key inverts
+    // (q192/q212/q337 test difference; failing to reject ≠ equivalence
+    // — TOST is the correct procedure: reject BOTH H₀: d ≤ −δ and
+    // H₀: d ≥ +δ at α=0.05, equivalently the 90% CI inside ±δ):
+    // z_low = (d+δ)/se > 1.644854 AND z_up = (d−δ)/se < −1.644854.
+    // q192's md5 event-arm split, exact DECIMAL sufficient statistics
+    // in ONE conditional aggregate, closed form after — zero windows.
+    "q341_tost_equivalence" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("arm", expr(md5mod("cast(event_id as string)", 2)))
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("value").cast("decimal(18,2)"))).as("s0"),
+          sum(when(col("arm") === 0,
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("value").cast("decimal(18,2)"))).as("s1"),
+          sum(when(col("arm") === 1,
+            expr("cast(cast(value as decimal(18,2)) * cast(value as decimal(18,2)) as decimal(38,4))"))).as("q1"))
+        .withColumn("m0", expr("cast(s0 as double) / n0"))
+        .withColumn("m1", expr("cast(s1 as double) / n1"))
+        .withColumn("se", expr(
+          "sqrt((cast(q0 as double) - cast(s0 as double) * cast(s0 as double) / n0) / (n0 - 1) / n0 " +
+            "+ (cast(q1 as double) - cast(s1 as double) * cast(s1 as double) / n1) / (n1 - 1) / n1)"))
+        .withColumn("d", expr("m1 - m0"))
+        .selectExpr("n0", "n1",
+          "round(m0, 6) AS mean_ctrl", "round(m1, 6) AS mean_treat",
+          "round(d, 6) AS diff", "round(se, 6) AS se",
+          "round((d + 2.0d) / se, 6) AS z_lower",
+          "round((d - 2.0d) / se, 6) AS z_upper",
+          "round(d - 1.644854d * se, 6) AS ci90_lo",
+          "round(d + 1.644854d * se, 6) AS ci90_hi",
+          "(d + 2.0d) / se > 1.644854d AND (d - 2.0d) / se < -1.644854d AS equivalent_margin2")
+    }),
+
+    // ------------------------------------------------------------------
     // Holm STEP-DOWN multiple-testing correction — the FWER control
     // q212's Benjamini–Hochberg (FDR) deliberately trades away: Holm
     // guarantees P(any false rejection) ≤ α with NO independence
@@ -1338,6 +1425,45 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q344_ipw_ate" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, "
+        + "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 > count(*) THEN 1 ELSE 0 END AS t, "
+        + "coalesce(sum(CASE WHEN event_type <> 'purchase' THEN CAST(value AS DECIMAL(18,2)) END), CAST(0 AS DECIMAL(18,2))) AS y "
+        + "FROM events GROUP BY user_id), "
+        + "ps AS (SELECT *, least(CAST(nu // 20 AS INT), 4) AS stratum FROM per), "
+        + "cells AS (SELECT stratum, count(*) AS n_s, CAST(sum(t) AS BIGINT) AS t_s, "
+        + "CAST(sum(t) AS DOUBLE) / count(*) AS p FROM ps GROUP BY stratum), "
+        + "tot AS (SELECT count(*) AS n_users FROM per), "
+        + "f AS (SELECT ps.*, c.p FROM ps JOIN cells c ON c.stratum = ps.stratum WHERE c.t_s > 0 AND c.t_s < c.n_s), "
+        + "agg AS (SELECT max(n_users) AS n_users, count(*) AS n_used, CAST(sum(t) AS BIGINT) AS n_treated, "
+        + "sum(CASE WHEN t = 1 THEN y END) AS sy1, sum(CASE WHEN t = 0 THEN y END) AS sy0, "
+        + "sum(CAST(t * CAST(y AS DOUBLE) / p AS DECIMAL(38,6))) AS ht1, "
+        + "sum(CAST((1 - t) * CAST(y AS DOUBLE) / (1.0 - p) AS DECIMAL(38,6))) AS ht0, "
+        + "sum(CAST(t / p AS DECIMAL(38,6))) AS w1, sum(CAST(t / (p * p) AS DECIMAL(38,6))) AS w2 "
+        + "FROM f CROSS JOIN tot) "
+        + "SELECT CAST(n_users AS BIGINT) AS n_users, CAST(n_used AS BIGINT) AS n_used, n_treated, "
+        + "round(CAST(sy1 AS DOUBLE) / n_treated - CAST(sy0 AS DOUBLE) / (n_used - n_treated), 6) AS naive_diff, "
+        + "round((CAST(ht1 AS DOUBLE) - CAST(ht0 AS DOUBLE)) / n_used, 6) AS ipw_ate, "
+        + "round(CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE) / CAST(w2 AS DOUBLE), 6) AS ess_treated FROM agg"),
+    "q341_tost_equivalence" ->
+      ("WITH pa AS (SELECT CAST(value AS DECIMAL(18,2)) AS x, "
+        + "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS arm "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "agg AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, "
+        + "sum(CASE WHEN arm = 0 THEN x END) AS s0, "
+        + "sum(CASE WHEN arm = 0 THEN CAST(x * x AS DECIMAL(38,4)) END) AS q0, "
+        + "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
+        + "sum(CASE WHEN arm = 1 THEN x END) AS s1, "
+        + "sum(CASE WHEN arm = 1 THEN CAST(x * x AS DECIMAL(38,4)) END) AS q1 FROM pa), "
+        + "f AS (SELECT n0, n1, CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1, "
+        + "sqrt((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0) / (n0 - 1) / n0 "
+        + "+ (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) / n1) AS se FROM agg), "
+        + "g AS (SELECT *, m1 - m0 AS d FROM f) "
+        + "SELECT n0, n1, round(m0, 6) AS mean_ctrl, round(m1, 6) AS mean_treat, "
+        + "round(d, 6) AS diff, round(se, 6) AS se, "
+        + "round((d + 2.0) / se, 6) AS z_lower, round((d - 2.0) / se, 6) AS z_upper, "
+        + "round(d - 1.644854 * se, 6) AS ci90_lo, round(d + 1.644854 * se, 6) AS ci90_hi, "
+        + "(d + 2.0) / se > 1.644854 AND (d - 2.0) / se < -1.644854 AS equivalent_margin2 FROM g"),
     "q337_holm_fwer" ->
       ("WITH g AS (SELECT event_type, "
         + "CAST(sum(CASE WHEN date_part('dow', CAST(ts AS DATE)) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT) AS n1, "

@@ -556,9 +556,58 @@ object Pipeline extends QueryPack {
           round(expr("cast(samp_sx as double) / n_sampled"), 6).as("sample_mean"))
         .orderBy(col("lang"))
     }),
+
+    // ------------------------------------------------------------------
+    // Leave-one-out TARGET ENCODING with a leakage audit — the
+    // feature-engineering step that turns a categorical into its
+    // group-mean target (q152 hashes features; this encodes them), and
+    // the audit every pipeline should run: the naive encoder e_i =
+    // ȳ_{g(i)} contains y_i itself, so corr(e, y) overstates signal;
+    // the LOO encoder l_i = (S_g − y_i)/(n_g − 1) strips it. BOTH
+    // correlations are CLOSED-FORM from the per-group (n, Σy, Σy²)
+    // cells — the per-row encoded column is never materialized:
+    // Σe·y = Σ_g S_g²/n_g, Σl·y = Σ_g (S_g²−Q_g)/(n_g−1), Σl² =
+    // Σ_g ((n_g−2)S_g²+Q_g)/(n_g−1)² — one contraction, zero joins.
+    // leakage_gap = corr_naive − corr_loo is the self-leak bill.
+    "q343_target_encoding" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"),
+          col("o_totalprice").cast("decimal(18,2)").as("y"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
+          sum(expr("cast(y * y as decimal(38,4))")).as("q_g"))
+        .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("sy"), sum(col("q_g")).as("qy"),
+          sum(expr("cast(cast(s_g as double) * cast(s_g as double) / n_g as decimal(38,6))")).as("se2"),
+          sum(expr("cast((cast(s_g as double) * cast(s_g as double) - cast(q_g as double)) / (n_g - 1) as decimal(38,6))")).as("sly"),
+          sum(expr("cast(((n_g - 2) * cast(s_g as double) * cast(s_g as double) + cast(q_g as double)) / (cast(n_g - 1 as double) * (n_g - 1)) as decimal(38,6))")).as("sl2"))
+        .withColumn("cyy", expr("cast(qy as double) - cast(sy as double) * cast(sy as double) / n"))
+        .withColumn("cee", expr("cast(se2 as double) - cast(sy as double) * cast(sy as double) / n"))
+        .withColumn("cly", expr("cast(sly as double) - cast(sy as double) * cast(sy as double) / n"))
+        .withColumn("cll", expr("cast(sl2 as double) - cast(sy as double) * cast(sy as double) / n"))
+        .selectExpr("n", "k",
+          "round(sqrt(cee / cyy), 6) AS corr_naive",
+          "round(cly / sqrt(cll * cyy), 6) AS corr_loo",
+          "round(sqrt(cee / cyy) - cly / sqrt(cll * cyy), 6) AS leakage_gap")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q343_target_encoding" ->
+      ("WITH g AS (SELECT o_orderpriority AS grp, count(*) AS n_g, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_g, "
+        + "sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS q_g "
+        + "FROM orders GROUP BY 1), "
+        + "agg AS (SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS sy, sum(q_g) AS qy, "
+        + "sum(CAST(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g AS DECIMAL(38,6))) AS se2, "
+        + "sum(CAST((CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) - CAST(q_g AS DOUBLE)) / (n_g - 1) AS DECIMAL(38,6))) AS sly, "
+        + "sum(CAST(((n_g - 2) * CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) + CAST(q_g AS DOUBLE)) / (CAST(n_g - 1 AS DOUBLE) * (n_g - 1)) AS DECIMAL(38,6))) AS sl2 FROM g), "
+        + "c AS (SELECT n, k, CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cyy, "
+        + "CAST(se2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cee, "
+        + "CAST(sly AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cly, "
+        + "CAST(sl2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n AS cll FROM agg) "
+        + "SELECT n, k, round(sqrt(cee / cyy), 6) AS corr_naive, "
+        + "round(cly / sqrt(cll * cyy), 6) AS corr_loo, "
+        + "round(sqrt(cee / cyy) - cly / sqrt(cll * cyy), 6) AS leakage_gap FROM c"),
     "q292_neyman_alloc" ->
       ("WITH cells AS (SELECT lang, CAST(count(*) AS BIGINT) AS nh, CAST(sum(n_chars) AS BIGINT) AS sx, "
         + "CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2 FROM documents GROUP BY 1), "

@@ -233,6 +233,56 @@ object Relational extends QueryPack {
         .orderBy(col("event_type"))),
 
     // ------------------------------------------------------------------
+    // HLL set-INTERSECTION estimates via inclusion–exclusion — the
+    // audience-overlap question (q240 merges sketches for the union;
+    // real dashboards need "how many users did BOTH?"): |A∩B| ≈
+    // est(A) + est(B) − est(A∪B), three Datasketches HLLs per pair,
+    // union via the pairwise hll_union. The POINT is the error
+    // profile: an intersection estimate differences two large
+    // numbers, so its relative error is amplified by |A∪B|/|A∩B| —
+    // the accuracy gate scales with the UNION (q13/q240's
+    // within-bound-bool oracle discipline; the oracle pins exact
+    // values + TRUE). Exact sides come from ONE per-user flag
+    // contraction; sketches from ONE per-type contraction.
+    "q348_hll_intersection" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+      val per = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .localCheckpoint() // both sides of the pair self-join
+      val exact = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("fv"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("fc"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("fp"))
+        .agg(sum(col("fv")).as("nv"), sum(col("fc")).as("nc"), sum(col("fp")).as("np"),
+          sum(expr("fv * fc")).as("ivc"), sum(expr("fv * fp")).as("ivp"),
+          sum(expr("fc * fp")).as("icp"),
+          sum(expr("least(fv + fc, 1L)")).as("uvc"),
+          sum(expr("least(fv + fp, 1L)")).as("uvp"),
+          sum(expr("least(fc + fp, 1L)")).as("ucp"))
+      per.select(col("event_type").as("ta"), col("sk").as("ska"))
+        .join(per.select(col("event_type").as("tb"), col("sk").as("skb")),
+          expr("(ta = 'view' AND tb = 'click') OR (ta = 'view' AND tb = 'purchase') " +
+            "OR (ta = 'click' AND tb = 'purchase')"))
+        .withColumn("est_i", expr(
+          "cast(hll_sketch_estimate(ska) as double) + cast(hll_sketch_estimate(skb) as double) " +
+            "- cast(hll_sketch_estimate(hll_union(ska, skb)) as double)"))
+        .crossJoin(broadcast(exact))
+        .withColumn("exact_a", expr("CASE ta WHEN 'view' THEN nv WHEN 'click' THEN nc ELSE np END"))
+        .withColumn("exact_b", expr("CASE tb WHEN 'click' THEN nc ELSE np END"))
+        .withColumn("exact_i", expr(
+          "CASE WHEN ta = 'view' AND tb = 'click' THEN ivc WHEN ta = 'view' AND tb = 'purchase' THEN ivp ELSE icp END"))
+        .withColumn("exact_u", expr(
+          "CASE WHEN ta = 'view' AND tb = 'click' THEN uvc WHEN ta = 'view' AND tb = 'purchase' THEN uvp ELSE ucp END"))
+        .select(col("ta").as("type_a"), col("tb").as("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_u").as("exact_union"),
+          col("exact_i").as("exact_inter"),
+          (abs(col("est_i") - col("exact_i")) <=
+            greatest(lit(6.0), lit(0.1) * col("exact_u"))).as("hll_inter_ok"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // ------------------------------------------------------------------
     "q14_rollup_cube" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .cube(col("l_returnflag"), col("l_linestatus"))
@@ -933,6 +983,23 @@ object Relational extends QueryPack {
         + "TRUE AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
     // q240: sketch estimates can't cross-engine-match; the exact counts
     // + the accuracy-bound bool can (q13/q208's pattern).
+    "q348_hll_intersection" ->
+      ("WITH flags AS (SELECT user_id, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv, "
+        + "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc, "
+        + "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fp "
+        + "FROM events WHERE event_type IN ('view', 'click', 'purchase') GROUP BY user_id), "
+        + "e AS (SELECT CAST(sum(fv) AS BIGINT) AS nv, CAST(sum(fc) AS BIGINT) AS nc, CAST(sum(fp) AS BIGINT) AS np, "
+        + "CAST(sum(fv * fc) AS BIGINT) AS ivc, CAST(sum(fv * fp) AS BIGINT) AS ivp, CAST(sum(fc * fp) AS BIGINT) AS icp, "
+        + "CAST(sum(least(fv + fc, 1)) AS BIGINT) AS uvc, CAST(sum(least(fv + fp, 1)) AS BIGINT) AS uvp, "
+        + "CAST(sum(least(fc + fp, 1)) AS BIGINT) AS ucp FROM flags), "
+        + "p AS (SELECT unnest([struct_pack(ta := 'view', tb := 'click'), "
+        + "struct_pack(ta := 'view', tb := 'purchase'), struct_pack(ta := 'click', tb := 'purchase')]) AS pr) "
+        + "SELECT pr.ta AS type_a, pr.tb AS type_b, "
+        + "CASE pr.ta WHEN 'view' THEN nv WHEN 'click' THEN nc ELSE np END AS exact_a, "
+        + "CASE pr.tb WHEN 'click' THEN nc ELSE np END AS exact_b, "
+        + "CASE WHEN pr.ta = 'view' AND pr.tb = 'click' THEN uvc WHEN pr.ta = 'view' AND pr.tb = 'purchase' THEN uvp ELSE ucp END AS exact_union, "
+        + "CASE WHEN pr.ta = 'view' AND pr.tb = 'click' THEN ivc WHEN pr.ta = 'view' AND pr.tb = 'purchase' THEN ivp ELSE icp END AS exact_inter, "
+        + "TRUE AS hll_inter_ok FROM p CROSS JOIN e ORDER BY type_a, type_b"),
     "q240_hll_merge" ->
       ("SELECT event_type, exact_users, TRUE AS hll_ok FROM ("
         + "SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY event_type "

@@ -458,6 +458,107 @@ object Science extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Negative-binomial MoM fit on PER-USER event counts (with genuine
+    // zeros) — the count-model step after q288's per-day dispersion
+    // flag: per (user, type) counts INCLUDING the zero cells (one
+    // conditional per-user contraction, then an in-row 5-struct
+    // explode — no user×type grid join), r̂ = m²/(s²−m), p̂ = r̂/(r̂+m),
+    // and the FIT CHECK the MoM identity can't fake: NB-predicted
+    // P(0) = (1+m/r̂)^(−r̂) composed via exp/ln (never pow) vs the
+    // OBSERVED zero share. Under-dispersed types (s² ≤ m) emit NULL
+    // fit columns instead of a bogus negative r̂.
+    "q345_negbin_fit" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("cv"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cc"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cp"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("cs"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ce"))
+        .select(explode(expr(
+          "array(named_struct('event_type', 'view', 'c', cv), " +
+            "named_struct('event_type', 'click', 'c', cc), " +
+            "named_struct('event_type', 'purchase', 'c', cp), " +
+            "named_struct('event_type', 'signup', 'c', cs), " +
+            "named_struct('event_type', 'error', 'c', ce))")).as("x"))
+        .select(col("x.event_type").as("event_type"), col("x.c").as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(expr("c * c")).as("sq"),
+          sum(when(col("c") === 0, 1L).otherwise(0L)).as("zeros"))
+        .withColumn("m", expr("cast(sc as double) / n"))
+        .withColumn("v", expr("(cast(sq as double) - cast(sc as double) * sc / n) / (n - 1)"))
+        .withColumn("r", expr("CASE WHEN v > m THEN m * m / (v - m) ELSE cast(null as double) END"))
+        .selectExpr("event_type", "n AS n_users",
+          "round(m, 6) AS mean_c", "round(v, 6) AS var_c",
+          "round(v / m, 6) AS dispersion",
+          "round(r, 6) AS nb_r",
+          "round(r / (r + m), 6) AS nb_p",
+          "round(exp(-r * ln(1.0d + m / r)), 6) AS p0_pred",
+          "round(cast(zeros as double) / n, 6) AS p0_obs")
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Dunn's post-hoc — the pairwise follow-up Kruskal–Wallis q161
+    // stops short of (a significant H says "some group differs"; Dunn
+    // says WHICH, on the POOLED midranks with the tie correction, the
+    // nonparametric sibling of q316's Tukey HSD): z_ij = (R̄_i − R̄_j) /
+    // √[(N(N+1)/12 − ΣT/(12(N−1)))(1/n_i + 1/n_j)], two-sided p via
+    // Zelen–Severo, Bonferroni-gated at α/3 (the convention for Dunn;
+    // q337 carries the step-down variant). Rides q161's exact
+    // contraction + cumCounts midranks — ONE value groupBy is the only
+    // data-sized stage; the 3 pair rows explode from the 1-row
+    // sufficient-statistics frame.
+    "q340_dunn_posthoc" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1).otherwise(0)).as("g1"),
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("g2"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("g3"))
+        .localCheckpoint() // consumed twice: cumCounts pass + midrank join
+      val below = cumCounts(s,
+          g.select(col("v"), (col("g1") + col("g2") + col("g3")).as("c1"),
+            lit(0L).as("c2")))
+        .select(col("v"), col("below"))
+      g.join(below, "v")
+        .withColumn("ct", col("g1") + col("g2") + col("g3"))
+        .withColumn("ar", expr("below + (ct + 1) / 2.0"))
+        .agg(sum(col("g1")).as("n1"), sum(col("g2")).as("n2"), sum(col("g3")).as("n3"),
+          sum(expr("cast(ar * g1 as decimal(28,6))")).as("r1"),
+          sum(expr("cast(ar * g2 as decimal(28,6))")).as("r2"),
+          sum(expr("cast(ar * g3 as decimal(28,6))")).as("r3"),
+          sum(expr("cast(ct * ct * ct - ct as decimal(38,0))")).as("ties"))
+        .withColumn("nt", col("n1") + col("n2") + col("n3"))
+        .withColumn("s2", expr(
+          "cast(nt as double) * (nt + 1) / 12.0d - cast(ties as double) / (12.0d * (nt - 1))"))
+        .withColumn("pr", explode(expr(
+          "array(named_struct('ga', 'view', 'gb', 'click', 'i', 1, 'j', 2), " +
+            "named_struct('ga', 'view', 'gb', 'purchase', 'i', 1, 'j', 3), " +
+            "named_struct('ga', 'click', 'gb', 'purchase', 'i', 2, 'j', 3))")))
+        .withColumn("na", expr("CASE pr.i WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END"))
+        .withColumn("nb", expr("CASE pr.j WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END"))
+        .withColumn("ma", expr(
+          "CASE pr.i WHEN 1 THEN cast(r1 as double) / n1 WHEN 2 THEN cast(r2 as double) / n2 ELSE cast(r3 as double) / n3 END"))
+        .withColumn("mb", expr(
+          "CASE pr.j WHEN 1 THEN cast(r1 as double) / n1 WHEN 2 THEN cast(r2 as double) / n2 ELSE cast(r3 as double) / n3 END"))
+        .withColumn("z", expr("(ma - mb) / sqrt(s2 * (1.0d / na + 1.0d / nb))"))
+        .withColumn("t", expr("1.0d / (1.0d + 0.2316419d * abs(z))"))
+        .withColumn("p", expr(
+          "2.0d * (0.3989422804014327d * exp(-(z * z) / 2.0d) * " +
+            "(0.319381530d * t - 0.356563782d * t * t + 1.781477937d * t * t * t " +
+            "- 1.821255978d * t * t * t * t + 1.330274429d * t * t * t * t * t))"))
+        .select(col("pr.ga").as("group_a"), col("pr.gb").as("group_b"),
+          col("na").as("n_a"), col("nb").as("n_b"),
+          round(col("ma"), 6).as("mean_rank_a"), round(col("mb"), 6).as("mean_rank_b"),
+          round(col("z"), 6).as("z_stat"), round(col("p"), 6).as("p_value"),
+          (col("p") < lit(0.05 / 3)).as("reject_bonf"))
+        .orderBy(col("group_a"), col("group_b"))
+    }),
+
+    // ------------------------------------------------------------------
     // Brown–Forsythe (median-based Levene) homogeneity-of-variance test
     // across the same three groups. Group centers are exact medians
     // ROUNDED TO 6dp on both engines (full-double interpolated
@@ -1960,6 +2061,50 @@ object Science extends QueryPack {
         + "SELECT p.p_partkey, p.p_size, p.p_retailprice FROM part p "
         + "JOIN sky s ON p.p_size = s.sz AND p.p_retailprice = s.bp "
         + "ORDER BY p_size, p_partkey"),
+    "q345_negbin_fit" ->
+      ("WITH users AS (SELECT DISTINCT user_id FROM events), "
+        + "tps AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error']) AS event_type), "
+        + "cnt AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+        + "grid AS (SELECT u.user_id, t.event_type, coalesce(c.c, 0) AS c FROM users u CROSS JOIN tps t "
+        + "LEFT JOIN cnt c ON c.user_id = u.user_id AND c.event_type = t.event_type), "
+        + "agg AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sq, "
+        + "CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros FROM grid GROUP BY 1), "
+        + "f AS (SELECT *, CAST(sc AS DOUBLE) / n AS m, "
+        + "(CAST(sq AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1) AS v FROM agg), "
+        + "g AS (SELECT *, CASE WHEN v > m THEN m * m / (v - m) END AS r FROM f) "
+        + "SELECT event_type, CAST(n AS BIGINT) AS n_users, round(m, 6) AS mean_c, round(v, 6) AS var_c, "
+        + "round(v / m, 6) AS dispersion, round(r, 6) AS nb_r, round(r / (r + m), 6) AS nb_p, "
+        + "round(exp(-r * ln(1.0 + m / r)), 6) AS p0_pred, round(CAST(zeros AS DOUBLE) / n, 6) AS p0_obs "
+        + "FROM g ORDER BY event_type"),
+    "q340_dunn_posthoc" ->
+      ("WITH pooled AS (SELECT value AS v, event_type AS g, row_number() OVER (ORDER BY value) AS rn "
+        + "FROM events WHERE event_type IN ('view', 'click', 'purchase') AND value IS NOT NULL), "
+        + "pv AS (SELECT v, avg(rn) AS ar, count(*) AS ct, "
+        + "CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS g1, "
+        + "CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS g2, "
+        + "CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS g3 FROM pooled GROUP BY v), "
+        + "agg AS (SELECT CAST(sum(g1) AS BIGINT) AS n1, CAST(sum(g2) AS BIGINT) AS n2, CAST(sum(g3) AS BIGINT) AS n3, "
+        + "sum(CAST(ar * g1 AS DECIMAL(28,6))) AS r1, sum(CAST(ar * g2 AS DECIMAL(28,6))) AS r2, "
+        + "sum(CAST(ar * g3 AS DECIMAL(28,6))) AS r3, sum(CAST(ct * ct * ct - ct AS DECIMAL(38,0))) AS ties FROM pv), "
+        + "prs AS (SELECT unnest([struct_pack(ga := 'view', gb := 'click', i := 1, j := 2), "
+        + "struct_pack(ga := 'view', gb := 'purchase', i := 1, j := 3), "
+        + "struct_pack(ga := 'click', gb := 'purchase', i := 2, j := 3)]) AS pr), "
+        + "x AS (SELECT pr.ga AS ga, pr.gb AS gb, pr.i AS i, pr.j AS j, n1, n2, n3, r1, r2, r3, ties, "
+        + "n1 + n2 + n3 AS nt FROM prs CROSS JOIN agg), "
+        + "y AS (SELECT *, CAST(nt AS DOUBLE) * (nt + 1) / 12.0 - CAST(ties AS DOUBLE) / (12.0 * (nt - 1)) AS s2, "
+        + "CASE i WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS na, "
+        + "CASE j WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END AS nb, "
+        + "CASE i WHEN 1 THEN CAST(r1 AS DOUBLE) / n1 WHEN 2 THEN CAST(r2 AS DOUBLE) / n2 ELSE CAST(r3 AS DOUBLE) / n3 END AS ma, "
+        + "CASE j WHEN 1 THEN CAST(r1 AS DOUBLE) / n1 WHEN 2 THEN CAST(r2 AS DOUBLE) / n2 ELSE CAST(r3 AS DOUBLE) / n3 END AS mb FROM x), "
+        + "zz AS (SELECT *, (ma - mb) / sqrt(s2 * (1.0 / na + 1.0 / nb)) AS z FROM y), "
+        + "tt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz), "
+        + "pp AS (SELECT *, 2.0 * (0.3989422804014327 * exp(-(z * z) / 2.0) * "
+        + "(0.319381530 * t - 0.356563782 * t * t + 1.781477937 * t * t * t "
+        + "- 1.821255978 * t * t * t * t + 1.330274429 * t * t * t * t * t)) AS p FROM tt) "
+        + "SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b, "
+        + "round(ma, 6) AS mean_rank_a, round(mb, 6) AS mean_rank_b, "
+        + "round(z, 6) AS z_stat, round(p, 6) AS p_value, p < 0.05 / 3 AS reject_bonf "
+        + "FROM pp ORDER BY group_a, group_b"),
     "q161_kruskal_wallis" ->
       ("WITH pooled AS (SELECT value AS v, event_type AS g, row_number() OVER (ORDER BY value) AS rn "
         + "FROM events WHERE event_type IN ('view', 'click', 'purchase') AND value IS NOT NULL), "

@@ -412,9 +412,49 @@ object Sources extends QueryPack {
           round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"))
         .orderBy(col("bucket"))
     }),
+
+    // ------------------------------------------------------------------
+    // STORAGE-PARTITIONED JOIN (SPJ) — the final DSv2 read surface:
+    // with keyed=true the graftseq scan reports KeyGroupedPartitioning
+    // on `grp` (one InputPartition per grp value, each carrying its key
+    // via HasPartitionKey), so under spark.sql.sources.v2.bucketing
+    // two co-keyed scans JOIN WITHOUT ANY SHUFFLE — the Iceberg/Hive-
+    // bucketing mechanism that makes two 100 TB co-bucketed tables
+    // joinable with zero exchange (without the interface, BOTH sides
+    // pay a full shuffle on every join). Here: self-shaped tables a
+    // (sum per id) ⋈ b on (grp, id) — partition keys ⊆ join keys, the
+    // SPJ condition — then a per-grp rollup. DsV2Spec asserts the join
+    // subtree is exchange-free; the oracle replays from range().
+    "q350_dsv2_spj" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // partition keys [grp] ⊂ join keys (grp, id): subset-key
+      // co-partitioning is gated by this conf (default-on requires
+      // ALL cluster keys, which would demand bucketing by id too)
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      def rd = s.read.format("graftseq")
+        .option("rows", "100000").option("slices", "8").option("keyed", "true").load()
+      val a = rd.select(col("grp"), col("id"), col("bucket").as("bucket_a"))
+      val b = rd.select(col("grp"), col("id"), (col("id") % 50).as("m_b"))
+      // merge hint: the reported post-pruning stats are under the
+      // broadcast threshold at this fixture size; the hint forces the
+      // shuffle-join path SPJ exists to fix (a broadcast would hide it)
+      a.join(b.hint("merge"), Seq("grp", "id"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          sum(col("bucket_a")).as("sum_bucket"), sum(col("m_b")).as("sum_m"))
+        .orderBy(col("grp"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q350_dsv2_spj" ->
+      ("WITH t AS (SELECT id, id // 12500 AS grp, "
+        + "CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "id % 50 AS m FROM range(0, 100000) r(id)) "
+        + "SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS sum_id, "
+        + "CAST(sum(bucket) AS BIGINT) AS sum_bucket, CAST(sum(m) AS BIGINT) AS sum_m "
+        + "FROM t GROUP BY grp ORDER BY grp"),
     "q335_dsv2_clustered_sink" ->
       ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
         + "CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_val "

@@ -154,6 +154,50 @@ object Text extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Newman MODULARITY of the source partition on the near-dup graph
+    // — "do duplicates stay inside their source?" as ONE graph-level
+    // scalar (q179 counts cross-source gram overlap; q174 reads degree
+    // assortativity; modularity scores an explicit community
+    // partition): Q = Σ_c [e_c/m − (d_c/2m)²] over the memoized q40
+    // pair graph with communities = doc source. High Q ⟹ near-dups are
+    // intra-source (dedup can shard by source); Q ≈ 0 ⟹ cross-source
+    // dup mass (global dedup required) — a real curation routing
+    // decision. All counts exact integers off the checkpointed
+    // labeled-edge frame; per-source contributions quantize
+    // DECIMAL(28,12) before the ≤|sources|-cell total.
+    "q347_graph_modularity" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val lab = pairs
+        .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .localCheckpoint() // m + endpoint + intra rollups share it
+      val m = lab.agg(count(lit(1)).as("m"))
+      val ends = lab.select(col("sa").as("source"))
+        .union(lab.select(col("sb").as("source")))
+        .groupBy(col("source")).agg(count(lit(1)).as("deg"))
+      val intra = lab.filter(col("sa") === col("sb"))
+        .groupBy(col("sa").as("source")).agg(count(lit(1)).as("e_in"))
+      val nodes = pairs.select(col("doc_a").as("doc"))
+        .union(pairs.select(col("doc_b").as("doc"))).distinct()
+        .join(srcs.select(col("doc_id").as("doc"), col("source")), "doc")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_nodes"))
+      val parts = nodes.join(ends, "source")
+        .join(intra, Seq("source"), "left")
+        .crossJoin(broadcast(m))
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .withColumn("contrib", expr(
+          "cast(e_in as double) / m - (cast(deg as double) / (2.0d * m)) * (cast(deg as double) / (2.0d * m))"))
+        .localCheckpoint() // total + output rows
+      val q = parts.agg(sum(expr("cast(contrib as decimal(28,12))")).as("qx"))
+      parts.crossJoin(broadcast(q))
+        .select(col("source"), col("n_nodes"), col("e_in").as("intra_edges"),
+          col("deg").as("degree_sum"), round(col("contrib"), 6).as("contribution"),
+          round(expr("cast(qx as double)"), 6).as("modularity"))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------------------------
     // PageRank (3 iterations, damping 0.85) over the q40 near-dup pair
     // graph — centrality of documents inside their duplicate
     // neighborhoods (a canonical iterative DataFrame algorithm, same
@@ -1401,6 +1445,33 @@ object Text extends QueryPack {
       (s"WITH $pairCtes, $iters "
         + "SELECT lbl AS cluster, count(*) AS n_docs, min(doc) AS min_doc, max(doc) AS max_doc "
         + "FROM l5 GROUP BY lbl ORDER BY cluster")
+    },
+    "q347_graph_modularity" -> {
+      val pairCtes =
+        ("sh AS (SELECT DISTINCT doc_id, sh FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(string_split(text, ' ')) - 3, 1)), i -> "
+          + "array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sh FROM documents)), "
+          + "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+          + "grp AS (SELECT sh, list_sort(list(doc_id)) AS ds FROM sh GROUP BY sh HAVING count(*) > 1 AND count(*) <= 1000), "
+          + "inter AS (SELECT doc_a, doc_b, count(*) AS inter FROM (SELECT a AS doc_a, b AS doc_b FROM grp, "
+          + "LATERAL (SELECT unnest(ds) AS a, generate_subscripts(ds, 1) AS ia), LATERAL (SELECT unnest(ds[ia+1:]) AS b)) GROUP BY 1, 2), "
+          + "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+          + "WHERE round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) >= 0.01)")
+      (s"WITH $pairCtes, "
+        + "lab AS (SELECT p.doc_a, p.doc_b, da.source AS sa, db.source AS sb FROM pairs p "
+        + "JOIN documents da ON da.doc_id = p.doc_a JOIN documents db ON db.doc_id = p.doc_b), "
+        + "mm AS (SELECT count(*) AS m FROM lab), "
+        + "ends AS (SELECT source, CAST(count(*) AS BIGINT) AS deg FROM "
+        + "(SELECT sa AS source FROM lab UNION ALL SELECT sb FROM lab) GROUP BY source), "
+        + "intra AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS e_in FROM lab WHERE sa = sb GROUP BY sa), "
+        + "nodes AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_nodes FROM "
+        + "(SELECT DISTINCT doc FROM (SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs)) x "
+        + "JOIN documents d ON d.doc_id = x.doc GROUP BY d.source), "
+        + "parts AS (SELECT n.source, n.n_nodes, coalesce(i.e_in, 0) AS intra_edges, e.deg AS degree_sum, "
+        + "CAST(coalesce(i.e_in, 0) AS DOUBLE) / mm.m - (CAST(e.deg AS DOUBLE) / (2.0 * mm.m)) * (CAST(e.deg AS DOUBLE) / (2.0 * mm.m)) AS contrib "
+        + "FROM nodes n JOIN ends e ON e.source = n.source LEFT JOIN intra i ON i.source = n.source CROSS JOIN mm), "
+        + "qt AS (SELECT CAST(sum(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE) AS qx FROM parts) "
+        + "SELECT source, n_nodes, intra_edges, degree_sum, round(contrib, 6) AS contribution, "
+        + "round(qx, 6) AS modularity FROM parts CROSS JOIN qt ORDER BY source")
     },
     "q112_pagerank" -> {
       val pairCtes =

@@ -414,9 +414,52 @@ object TimeWin extends QueryPack {
           "cast(st.l + h * st.b as double) AS forecast")
         .orderBy(col("h"))
     }),
+
+    // ------------------------------------------------------------------
+    // One-step-ahead forecast BACKTEST (naive vs seasonal-naive) — the
+    // evaluation discipline q282's fitted forecast lacks (a forecast
+    // key without a backtest key invites silent model rot): for every
+    // day with a full 7-day history, score ŷ=y_{t−1} (naive) and
+    // ŷ=y_{t−7} (seasonal-naive) on the SAME eval window, report
+    // MAE/RMSE per method and MASE = MAE_snaive/MAE_naive (<1 ⟺ the
+    // weekly cycle beats persistence). Errors are exact integers; lag
+    // windows run over ≤#days daily cells (allowlisted, q23's shape).
+    "q346_forecast_backtest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.orderBy(col("day")) // bounded: <= #days daily cells
+      daily
+        .withColumn("l1", lag(col("y"), 1).over(w))
+        .withColumn("l7", lag(col("y"), 7).over(w))
+        .filter(col("l7").isNotNull)
+        .withColumn("en", abs(col("y") - col("l1")))
+        .withColumn("es", abs(col("y") - col("l7")))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(col("en")).as("sn"), sum(col("es")).as("ss"),
+          sum(expr("en * en")).as("sn2"), sum(expr("es * es")).as("ss2"))
+        .selectExpr("n_eval",
+          "round(cast(sn as double) / n_eval, 6) AS mae_naive",
+          "round(cast(ss as double) / n_eval, 6) AS mae_snaive",
+          "round(sqrt(cast(sn2 as double) / n_eval), 6) AS rmse_naive",
+          "round(sqrt(cast(ss2 as double) / n_eval), 6) AS rmse_snaive",
+          "round(cast(ss as double) / cast(sn as double), 6) AS mase_snaive")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q346_forecast_backtest" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1), "
+        + "lagged AS (SELECT y, lag(y, 1) OVER (ORDER BY day) AS l1, lag(y, 7) OVER (ORDER BY day) AS l7 FROM daily), "
+        + "f AS (SELECT abs(y - l1) AS en, abs(y - l7) AS es FROM lagged WHERE l7 IS NOT NULL), "
+        + "agg AS (SELECT count(*) AS n_eval, CAST(sum(en) AS BIGINT) AS sn, CAST(sum(es) AS BIGINT) AS ss, "
+        + "CAST(sum(en * en) AS BIGINT) AS sn2, CAST(sum(es * es) AS BIGINT) AS ss2 FROM f) "
+        + "SELECT CAST(n_eval AS BIGINT) AS n_eval, round(CAST(sn AS DOUBLE) / n_eval, 6) AS mae_naive, "
+        + "round(CAST(ss AS DOUBLE) / n_eval, 6) AS mae_snaive, "
+        + "round(sqrt(CAST(sn2 AS DOUBLE) / n_eval), 6) AS rmse_naive, "
+        + "round(sqrt(CAST(ss2 AS DOUBLE) / n_eval), 6) AS rmse_snaive, "
+        + "round(CAST(ss AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS mase_snaive FROM agg"),
     "q326_km_greenwood" ->
       ("WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1, "
         + "min(CASE WHEN event_type = 'purchase' AND value > 150 THEN CAST(ts AS DATE) END) AS p1 "

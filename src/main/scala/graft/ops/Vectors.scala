@@ -198,6 +198,111 @@ object Vectors extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // kNN-distance outlier scoring (k=5) within IVF cells — the
+    // embedding-space data-cleaning read (q93 flags value outliers by
+    // MAD; vectors need a DENSITY read: a point far from even its 5th
+    // neighbor is a mislabeled/garbage embedding): distance to the
+    // 5th-nearest same-cell neighbor, top-10 most isolated. The cell
+    // pre-partition bounds the pair cost exactly like q339 (SemDeDup's
+    // contract — grow k with N); vectors in cells too small for 5
+    // neighbors are excluded (documented positivity of the score, not
+    // silently scored against fewer neighbors). Distances round 6 dp
+    // pre-rank; per-vector rank windows are partitioned (scale-safe);
+    // the rank-10 window rides the 10-row TakeOrdered tail.
+    "q349_knn_outliers" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val cb = trainedCodebook(s, dir)
+      val a = assign(e, cb).select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .localCheckpoint() // both sides of the within-cell self-join
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("nd"), col("nbr"))
+      val knn5 = a.join(
+          a.select(col("cell"), col("vec_id").as("nbr"), col("embedding").as("nemb")),
+          "cell")
+        .filter(col("nbr") =!= col("vec_id"))
+        .withColumn("nd", round(expr(sqdist.format("embedding", "nemb")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 5)
+        .select(col("vec_id"), col("cell"), col("nd").as("knn5_dist"))
+      knn5.orderBy(col("knn5_dist").desc, col("vec_id")).limit(10)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("knn5_dist").desc, col("vec_id"))))
+        .select(col("rk"), col("vec_id"), col("cell"), col("knn5_dist"))
+        .orderBy(col("rk"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Per-dimension mutual information feature ranking — which
+    // embedding dimensions carry label signal (the feature-selection
+    // readout q117's two-column MI never generalizes): each dim's
+    // values quantize into 4 equal-width bins from the per-dim global
+    // [min,max] (one broadcast bounds frame), MI_d = Σ_{b,l} p ln(p/
+    // (p_b p_l)) over the (dim, bin, label) contraction — 64×4×|label|
+    // cells regardless of corpus size; per-cell terms quantize
+    // DECIMAL(28,12) pre-sum, top-10 dims via TakeOrderedAndProject.
+    // The bin edge uses the SAME least(…,3) clamp in both engines so
+    // the max value lands in the top bin, not a phantom 5th.
+    "q342_mi_dims" -> ((s, dir) => {
+      val x = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("label"), (col("pos") + 1).as("d"),
+          col("xf").cast("double").as("x"))
+      val bounds = x.groupBy(col("d"))
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val cells = x.join(broadcast(bounds), "d")
+        .withColumn("bin", expr(
+          "least(cast(floor((x - lo) / ((hi - lo) / 4.0d)) as int), 3)"))
+        .groupBy(col("d"), col("bin"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // marginals + joint terms share it
+      val nTot = cells.groupBy(col("d")).agg(sum(col("c")).as("n"))
+      val pb = cells.groupBy(col("d"), col("bin")).agg(sum(col("c")).as("cb"))
+      val pl = cells.groupBy(col("d"), col("label")).agg(sum(col("c")).as("cl"))
+      cells.join(pb, Seq("d", "bin")).join(pl, Seq("d", "label"))
+        .join(broadcast(nTot), "d")
+        .withColumn("term", expr(
+          "cast((cast(c as double) / n) * ln(cast(c as double) * n / (cast(cb as double) * cl)) as decimal(28,12))"))
+        .groupBy(col("d"))
+        .agg(max(col("n")).as("n"), sum(col("term")).as("mix"))
+        .select(col("d").as("dim"), col("n"),
+          round(expr("cast(mix as double)"), 6).as("mi"))
+        .orderBy(col("mi").desc, col("dim")).limit(10)
+    }),
+
+    // ------------------------------------------------------------------
+    // SemDeDup (Abbas et al. 2023) — semantic dedup via
+    // WITHIN-CLUSTER cosine: assign every vector to its IVF cell
+    // (the shared memoized codebook), compare each vector ONLY to
+    // lower-id members of its own cell, and drop it when any cosine
+    // ≥ τ=0.35 (keep-lowest-id, the paper's keep-one rule made
+    // deterministic). The cluster pre-partition is the whole point at
+    // scale: pair cost is Σ|cell|² not N² — the paper's recipe is to
+    // grow k with N so cells stay bounded; here k=10 over 500 vecs.
+    // Readout = the per-cell dedup bill (kept/dropped/rate) + cell
+    // sizes, the artifact a curation run logs before committing τ.
+    "q339_semdedup" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+      val cb = trainedCodebook(s, dir)
+      val a = assign(e, cb).select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .localCheckpoint() // both pair sides + the per-cell readout
+      val dups = a.join(
+          a.select(col("cell"), col("vec_id").as("lo_id"), col("embedding").as("lo_emb")),
+          "cell")
+        .filter(col("lo_id") < col("vec_id"))
+        .withColumn("cos", round(expr("cosine_sim(embedding, lo_emb)"), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("cell"), col("vec_id")).distinct()
+      a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+        .join(dups.groupBy(col("cell")).agg(count(lit(1)).as("n_dup")), Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dup"), lit(0L))).as("n_kept"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_vecs"), 6).as("drop_rate"))
+        .orderBy(col("cell"))
+    }),
+
+    // ------------------------------------------------------------------
     // MMR (Maximal Marginal Relevance) re-ranking of a cosine top-20
     // shortlist — the diversity step between retrieval and serving
     // (q41 ranks by pure relevance; near-duplicate hits crowd the top;
@@ -914,6 +1019,44 @@ object Vectors extends QueryPack {
         + "SELECT probe_id, rn, vec_id, label, d2 FROM (SELECT probe_id, vec_id, label, d2, "
         + "row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM cand) WHERE rn <= 3 ORDER BY probe_id, rn"),
     "q338_mmr_rerank" -> mmrSql,
+    "q349_knn_outliers" ->
+      (s"WITH $trainSql, "
+        + distSql("cent1", "dko", "ako") + ", "
+        + "av AS (SELECT a.vec_id, a.cid AS cell, e.embedding FROM ako a JOIN embeddings e USING (vec_id)), "
+        + "nd AS (SELECT hi.vec_id, hi.cell, lo.vec_id AS nbr, "
+        + "round(list_sum(list_transform(range(1, len(hi.embedding) + 1), i -> "
+        + "(CAST(hi.embedding[i] AS DOUBLE) - CAST(lo.embedding[i] AS DOUBLE)) * (CAST(hi.embedding[i] AS DOUBLE) - CAST(lo.embedding[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM av hi JOIN av lo ON lo.cell = hi.cell AND lo.vec_id <> hi.vec_id), "
+        + "k5 AS (SELECT vec_id, cell, d2 AS knn5_dist FROM (SELECT vec_id, cell, d2, "
+        + "row_number() OVER (PARTITION BY vec_id ORDER BY d2, nbr) AS rn FROM nd) WHERE rn = 5) "
+        + "SELECT rk, vec_id, cell, knn5_dist FROM (SELECT vec_id, cell, knn5_dist, "
+        + "row_number() OVER (ORDER BY knn5_dist DESC, vec_id) AS rk FROM k5) WHERE rk <= 10 ORDER BY rk"),
+    "q342_mi_dims" ->
+      ("WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS d, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+        + "bounds AS (SELECT d, min(x) AS lo, max(x) AS hi FROM x GROUP BY d), "
+        + "cells AS (SELECT x.d, least(CAST(floor((x.x - b.lo) / ((b.hi - b.lo) / 4.0)) AS INT), 3) AS bin, label, "
+        + "CAST(count(*) AS BIGINT) AS c FROM x JOIN bounds b ON x.d = b.d GROUP BY 1, 2, 3), "
+        + "nt AS (SELECT d, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY d), "
+        + "pb AS (SELECT d, bin, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1, 2), "
+        + "pl AS (SELECT d, label, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY 1, 2), "
+        + "mi AS (SELECT c2.d, max(n.n) AS n, "
+        + "CAST(sum(CAST((CAST(c2.c AS DOUBLE) / n.n) * ln(CAST(c2.c AS DOUBLE) * n.n / (CAST(pb.cb AS DOUBLE) * pl.cl)) AS DECIMAL(28,12))) AS DOUBLE) AS mix "
+        + "FROM cells c2 JOIN pb ON pb.d = c2.d AND pb.bin = c2.bin "
+        + "JOIN pl ON pl.d = c2.d AND pl.label = c2.label JOIN nt n ON n.d = c2.d GROUP BY c2.d) "
+        + "SELECT d AS dim, n, round(mix, 6) AS mi FROM mi ORDER BY mi DESC, dim LIMIT 10"),
+    "q339_semdedup" ->
+      (s"WITH $trainSql, "
+        + distSql("cent1", "dsd", "asd") + ", "
+        + "av AS (SELECT a.vec_id, a.cid AS cell, e.embedding FROM asd a JOIN embeddings e USING (vec_id)), "
+        + "dups AS (SELECT DISTINCT hi.cell, hi.vec_id FROM av hi JOIN av lo "
+        + "ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id "
+        + s"WHERE ${cosSql("hi.embedding", "lo.embedding")} >= 0.35), "
+        + "cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM av GROUP BY cell), "
+        + "dd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dup FROM dups GROUP BY cell) "
+        + "SELECT c.cell, c.n_vecs, coalesce(dd.n_dup, 0) AS n_dropped, "
+        + "c.n_vecs - coalesce(dd.n_dup, 0) AS n_kept, "
+        + "round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / c.n_vecs, 6) AS drop_rate "
+        + "FROM cells c LEFT JOIN dd ON dd.cell = c.cell ORDER BY c.cell"),
     "q336_ivf_probe_sweep" ->
       (s"WITH $trainSql, "
         + distSql("cent1", "dsw", "asw") + ", "

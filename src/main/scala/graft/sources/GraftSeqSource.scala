@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -75,6 +76,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reading slices no dim row can match (q313, DsV2Spec asserts the
   *    executed scan's runtime range collapsed).
   *
+  *  - **reported partitioning / storage-partitioned joins**: with
+  *    option keyed=true the schema gains `grp = id div ceil(rows/
+  *    slices)` and the scan implements SupportsReportPartitioning,
+  *    declaring KeyGroupedPartitioning on `grp` with one
+  *    InputPartition per grp value (HasPartitionKey). Under
+  *    spark.sql.sources.v2.bucketing two co-keyed scans join with
+  *    ZERO exchange (q350; DsV2Spec asserts the exchange-free plan) —
+  *    the Iceberg/Hive-bucketing mechanism for joining co-bucketed
+  *    100 TB tables shuffle-free. Keyed mode refuses aggregate
+  *    pushdown and runtime filtering: both could change the planned
+  *    partition count/values AFTER the partitioning was reported.
   *  - **streaming read**: implements MICRO_BATCH_READ via an
   *    admission-controlled MicroBatchStream (`rowsPerBatch` ids per
   *    trigger through ReadLimit.maxRows, offsets = bare id positions);
@@ -91,11 +103,13 @@ class GraftSeqProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftseq"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftSeqTable.fullSchema
+    if (options.getBoolean("keyed", false)) GraftSeqTable.keyedSchema
+    else GraftSeqTable.fullSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val rows = GraftSeqTable.parseLong(properties, "rows")
+    val keyed = Option(properties.get("keyed")).exists(_.trim.equalsIgnoreCase("true"))
     val slices = Option(properties.get("slices"))
       .map(_ => GraftSeqTable.parseLong(properties, "slices").toInt).getOrElse(4)
     val rowsPerBatch = Option(properties.get("rowsPerBatch"))
@@ -104,7 +118,7 @@ class GraftSeqProvider extends TableProvider with DataSourceRegister {
     require(rows >= 0, s"rows must be >= 0, got $rows")
     require(slices >= 1, s"slices must be >= 1, got $slices")
     require(rowsPerBatch >= 1, s"rowsPerBatch must be >= 1, got $rowsPerBatch")
-    new GraftSeqTable(rows, slices, rowsPerBatch)
+    new GraftSeqTable(rows, slices, rowsPerBatch, keyed)
   }
 }
 
@@ -113,6 +127,11 @@ object GraftSeqTable {
     .add("id", LongType, nullable = false)
     .add("bucket", LongType, nullable = false)
     .add("tok", StringType, nullable = false)
+
+  /** keyed=true adds `grp = id div ceil(rows/slices)` — the slice
+    * index as a VALUE column, which is what lets the scan report
+    * KeyGroupedPartitioning over it (storage-partitioned joins). */
+  val keyedSchema: StructType = fullSchema.add("grp", LongType, nullable = false)
 
   /** Parse a required numeric option, naming the option in BOTH the
     * missing and the malformed case (a bare NumberFormatException from
@@ -127,24 +146,30 @@ object GraftSeqTable {
   }
 }
 
-class GraftSeqTable(rows: Long, slices: Int, rowsPerBatch: Long) extends Table with SupportsRead {
+class GraftSeqTable(rows: Long, slices: Int, rowsPerBatch: Long,
+    keyed: Boolean = false) extends Table with SupportsRead {
+  def this(rows: Long, slices: Int, rowsPerBatch: Long) = this(rows, slices, rowsPerBatch, false)
   def this(rows: Long, slices: Int) = this(rows, slices, rows)
   override def name(): String = s"graftseq(rows=$rows, slices=$slices)"
-  override def schema(): StructType = GraftSeqTable.fullSchema
+  override def schema(): StructType =
+    if (keyed) GraftSeqTable.keyedSchema else GraftSeqTable.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSeqScanBuilder(rows, slices, rowsPerBatch)
+    new GraftSeqScanBuilder(rows, slices, rowsPerBatch, keyed)
 }
 
-class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
+    keyed: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN
   with SupportsPushDownOffset {
 
-  def this(rows: Long, slices: Int) = this(rows, slices, rows)
+  def this(rows: Long, slices: Int, rowsPerBatch: Long) = this(rows, slices, rowsPerBatch, false)
+  def this(rows: Long, slices: Int) = this(rows, slices, rows, false)
 
-  private var required: StructType = GraftSeqTable.fullSchema
+  private var required: StructType =
+    if (keyed) GraftSeqTable.keyedSchema else GraftSeqTable.fullSchema
   private var lo: Long = 0L            // narrowed id-range [lo, hi)
   private var hi: Long = rows
   private var accepted: Array[Filter] = Array.empty
@@ -242,11 +267,15 @@ class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
     }
   }
 
+  // keyed mode refuses aggregate pushdown: the metadata-row scan has no
+  // per-key partitions, so it cannot honor the reported
+  // KeyGroupedPartitioning contract (partition count/value identity)
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    translateAgg(aggregation).isDefined
+    !keyed && translateAgg(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    translateAgg(aggregation) match {
+    if (keyed) false
+    else translateAgg(aggregation) match {
       case some @ Some(_) => aggFuncs = some; true
       case None => false
     }
@@ -276,7 +305,7 @@ class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
       new GraftSeqAggScan(math.max(0L, lo), math.max(math.max(0L, lo), hi), fs, accepted)
     case None =>
       new GraftSeqScan(rows, slices, required, math.max(0L, lo), math.max(lo, hi),
-        accepted, rowsPerBatch)
+        accepted, rowsPerBatch, keyed)
   }
 }
 
@@ -333,14 +362,43 @@ class GraftSeqAggReaderFactory(funcs: Array[String]) extends PartitionReaderFact
 }
 
 class GraftSeqScan(rows: Long, slices: Int, required: StructType,
-    lo: Long, hi: Long, val pushed: Array[Filter], rowsPerBatch: Long)
-  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    lo: Long, hi: Long, val pushed: Array[Filter], rowsPerBatch: Long,
+    keyed: Boolean = false)
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering
+  with SupportsReportPartitioning {
 
-  def this(rows: Long, slices: Int, required: StructType) =
-    this(rows, slices, required, 0L, rows, Array.empty, rows)
   def this(rows: Long, slices: Int, required: StructType,
       lo: Long, hi: Long, pushed: Array[Filter]) =
-    this(rows, slices, required, lo, hi, pushed, rows)
+    this(rows, slices, required, lo, hi, pushed, rows, false)
+  def this(rows: Long, slices: Int, required: StructType) =
+    this(rows, slices, required, 0L, rows, Array.empty, rows)
+
+  /** keyed grid: ceil(rows/slices)-wide stripes of the ORIGINAL table,
+    * so a row's grp column (id div sliceSize) equals its partition's
+    * reported key at any pushed-down narrowing. */
+  private val sliceSize: Long = math.max(1L, (rows + slices - 1) / slices.toLong)
+
+  private def keyedPartitions: Array[InputPartition] =
+    (0 until slices).flatMap { g =>
+      val start = math.max(rlo, g.toLong * sliceSize)
+      val end = math.min(rhi, math.min(rows, (g.toLong + 1) * sliceSize))
+      if (start < end) Some(KeyedGraftSeqPartition(start, end, g.toLong)) else None
+    }.toArray
+
+  /** Storage-partitioned-join surface: in keyed mode the scan DECLARES
+    * its output is value-grouped on `grp` (one InputPartition per grp
+    * value, each carrying its key via HasPartitionKey), so under
+    * spark.sql.sources.v2.bucketing.enabled Spark plans joins and
+    * aggregations keyed on `grp` WITHOUT a shuffle on this side — the
+    * Iceberg/Hive-bucketing mechanism that makes two 100 TB co-bucketed
+    * tables joinable with zero exchange. Non-keyed scans report
+    * UnknownPartitioning (the default Spark assumes anyway). */
+  override def outputPartitioning(): Partitioning =
+    if (keyed) {
+      val parts = keyedPartitions
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("grp")), parts.length)
+    } else new UnknownPartitioning(math.max(1, slices))
 
   /** Streaming read surface: the same deterministic id-range served as
     * admission-controlled microbatches (q325; recovery + batch-count
@@ -382,8 +440,11 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
     }
   }
 
+  // keyed mode opts out of runtime filtering: a post-planning range
+  // narrowing could drop key groups AFTER outputPartitioning was
+  // consulted, breaking the partition-count/value contract
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (keyed) Array.empty else Array(Expressions.column("id"))
 
   /** Runtime (DPP-shaped) filtering: Spark hands over the join-key
     * values observed on the broadcast side as `id IN (v...)`; contract
@@ -410,6 +471,10 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (keyed) {
+      val parts = keyedPartitions
+      return if (parts.isEmpty) Array(GraftSeqPartition(rlo, rlo)) else parts
+    }
     // even split of the PUSHED-DOWN and runtime-filtered range
     // [rlo, rhi) — filters narrow the range BEFORE partitions exist, so
     // pruned slices are never planned; the last slice absorbs the
@@ -427,10 +492,18 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSeqReaderFactory(required.fieldNames)
+    new GraftSeqReaderFactory(required.fieldNames, sliceSize)
 }
 
 case class GraftSeqPartition(start: Long, end: Long) extends InputPartition
+
+/** A value-keyed partition: one grp stripe, reporting its key so Spark
+  * can group co-partitioned scans (storage-partitioned joins). */
+case class KeyedGraftSeqPartition(start: Long, end: Long, grp: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](grp))
+}
 
 /** Watermark-free streaming offset: the next unread id. JSON form is
   * the bare number, so checkpointed offsets are human-readable and a
@@ -514,21 +587,27 @@ class GraftSeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
   * resolved ONCE per reader (not string-matched per row), and each
   * reader reuses a single values buffer — get() is two or three direct
   * function calls per row, no per-row closure or Array allocation. */
-class GraftSeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+class GraftSeqReaderFactory(cols: Array[String], sliceSize: Long = 1L)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftSeqPartition]
+    val (pStart, pEnd) = partition match {
+      case GraftSeqPartition(s0, e0) => (s0, e0)
+      case KeyedGraftSeqPartition(s0, e0, _) => (s0, e0)
+      case other => throw new IllegalArgumentException(s"unexpected partition $other")
+    }
     new PartitionReader[InternalRow] {
-      private var cur = p.start - 1
+      private var cur = pStart - 1
       private val extractors: Array[Long => Any] = cols.map {
         case "id" => (id: Long) => id
         case "bucket" => (id: Long) =>
           graft.functions.Md5Mod.hash(id.toString.getBytes("UTF-8"), 97L)
         case "tok" => (id: Long) => UTF8String.fromString("t" + (id % 50))
+        case "grp" => (id: Long) => id / sliceSize
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
       private val buf = new Array[Any](extractors.length)
 
-      override def next(): Boolean = { cur += 1; cur < p.end }
+      override def next(): Boolean = { cur += 1; cur < pEnd }
       override def get(): InternalRow = {
         var i = 0
         while (i < extractors.length) { buf(i) = extractors(i)(cur); i += 1 }

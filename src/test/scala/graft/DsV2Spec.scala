@@ -396,6 +396,52 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     r.getLong(0) should be > 0L
   }
 
+  test("storage-partitioned join: co-keyed scans join with ZERO exchange in the join subtree") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // partition keys [grp] are a SUBSET of the join keys (grp, id);
+    // subset-key co-partitioning is exactly what this conf gates
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // and partition-value alignment between the two sides rides the
+    // push-part-values path (without it EnsureRequirements refuses SPJ)
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    def rdk = spark.read.format("graftseq")
+      .option("rows", "8000").option("slices", "4").option("keyed", "true").load()
+    val a = rdk.select(col("grp"), col("id"))
+    val b = rdk.select(col("grp"), col("id"), (col("id") % 7).as("m"))
+    // hint forces a sort-merge join (stats would broadcast this small
+    // fixture); SPJ must then eliminate both shuffles under it
+    val j = a.join(b.hint("merge"), Seq("grp", "id"))
+    j.collect().length shouldBe 8000 // SPJ must not lose or duplicate rows
+    // the FINALIZED adaptive plan: a sort-merge join with ZERO shuffles
+    val planStr = j.queryExecution.executedPlan.toString
+    planStr should include("SortMergeJoin")
+    withClue(s"SPJ should make the join exchange-free:\n$planStr\n") {
+      planStr should not include "Exchange hashpartitioning"
+    }
+    // the scan really reports KeyGroupedPartitioning with per-key partitions
+    val scans = a.queryExecution.executedPlan.collect { case s: BatchScanExec => s }
+    scans should not be empty
+    scans.head.outputPartitioning.toString should include("keygroupedpartitioning")
+    scans.head.inputPartitions should have size 4
+    scans.head.inputPartitions.foreach(p =>
+      p.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey] shouldBe true)
+  }
+
+  test("keyed scan: grp column equals the partition key stripe; pushed filters keep keys consistent") {
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val df = spark.read.format("graftseq")
+      .option("rows", "100").option("slices", "4").option("keyed", "true").load()
+    // sliceSize = 25: grp = id div 25
+    df.select(col("id"), col("grp")).collect().foreach { r =>
+      r.getLong(1) shouldBe r.getLong(0) / 25
+    }
+    // a pushed range keeps each surviving partition's key == its rows' grp
+    val narrowed = df.filter(col("id") >= 30L && col("id") < 80L)
+    narrowed.select(col("grp")).distinct().collect()
+      .map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+    narrowed.count() shouldBe 50L
+  }
+
   test("sink: clusterBy+shards — connector-requested distribution yields key-disjoint sorted files") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._

@@ -75,7 +75,9 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q326_km_greenwood", // product-limit + Greenwood cumsums over <= #observation-days cells (q171's shape)
     "q328_periodogram",  // day-index row_number over <= #days daily cells (q259's shape)
     "q332_adf_test",     // lag window over <= #days daily cells (q23's shape)
-    "q337_holm_fwer"     // rank/min step-down windows over <= #event-type test cells (q212's shape)
+    "q337_holm_fwer",    // rank/min step-down windows over <= #event-type test cells (q212's shape)
+    "q346_forecast_backtest", // lag-1/lag-7 windows over <= #days daily cells (q23's shape)
+    "q349_knn_outliers"  // rank over the 10-row TakeOrdered tail (q92's shape)
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -285,7 +287,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q284_isotonic_calibration", // <= 11-row prefix frame triangular-joined to <= 55 (j,k) range cells, checkpointed
     "q300_rrf_fusion",     // probe = vec_id = 0: a single literal-keyed row
     "q336_ivf_probe_sweep",// probes = vec_id < 10 + k=10 checkpointed codebook + 4-row literal levels frame
-    "q338_mmr_rerank"      // query vec = vec_id = 0; greedy steps broadcast <= 5-row checkpointed pick frames
+    "q338_mmr_rerank",     // query vec = vec_id = 0; greedy steps broadcast <= 5-row checkpointed pick frames
+    "q348_hll_intersection"// literal 3-pair self-join of the checkpointed <= |event-type| sketch frame
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {
