@@ -266,9 +266,46 @@ object Behavior extends QueryPack {
           "round(v_full, 6) AS v_full", "round(v_base, 6) AS v_base")
         .orderBy(col("channel"))
     }),
+
+    // ------------------------------------------------------------------
+    // Exponential time-decay activity scoring (7-day half-life) — the
+    // feature-store recency weighting every ranking/CRM system
+    // computes (q168's RFM buckets recency; decay makes it continuous):
+    // score(u) = Σ value·2^(−age/7) with age = days before the
+    // corpus's LAST day (data-anchored, so the query is deterministic
+    // and re-runnable). The decay factor is exp(−ln2·age/7) — exp/ln
+    // only, cross-engine-identical doubles; per-event terms quantize
+    // DECIMAL(28,12) before the per-user sum; top-15 via TakeOrdered.
+    // ONE fact pass + a broadcast 1-row anchor.
+    "q352_decay_score" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("value").isNotNull)
+      val anchor = ev.agg(max(col("ts").cast("date")).as("d0"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("age", datediff(col("d0"), col("ts").cast("date")))
+        .withColumn("w", expr(
+          "cast(cast(value as decimal(18,2)) as double) * exp(-ln(2.0d) * age / 7.0d)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("cast(w as decimal(28,12))")).as("wq"),
+          min(col("age")).as("days_since_last"))
+        .select(col("user_id"), col("n_events"), col("days_since_last"),
+          round(expr("cast(wq as double)"), 6).as("decayed_score"))
+        .orderBy(col("decayed_score").desc, col("user_id"))
+        .limit(15)
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q352_decay_score" ->
+      ("WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events WHERE value IS NOT NULL), "
+        + "w AS (SELECT user_id, date_diff('day', CAST(ts AS DATE), d0) AS age, "
+        + "CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) * exp(-ln(2.0) * date_diff('day', CAST(ts AS DATE), d0) / 7.0) AS wv "
+        + "FROM events CROSS JOIN anchor WHERE value IS NOT NULL), "
+        + "per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + "CAST(sum(CAST(wv AS DECIMAL(28,12))) AS DOUBLE) AS wq, "
+        + "CAST(min(age) AS INT) AS days_since_last FROM w GROUP BY user_id) "
+        + "SELECT user_id, n_events, days_since_last, round(wq, 6) AS decayed_score FROM per "
+        + "ORDER BY decayed_score DESC, user_id LIMIT 15"),
     "q266_shapley_attribution" ->
       ("WITH per AS (SELECT user_id, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bv, "
         + "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bc, "

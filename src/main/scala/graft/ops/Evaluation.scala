@@ -1209,6 +1209,38 @@ object Evaluation extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Wilson score intervals for per-type conversion rates — the
+    // proportion CI that behaves at the boundaries the Wald interval
+    // botches (q192 tests a DIFFERENCE of proportions; dashboards need
+    // per-cell intervals, and Wald collapses to zero width at p̂∈{0,1}
+    // and undercovers at small n): center (p̂ + z²/2n)/(1 + z²/n),
+    // half-width z√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n), z = 1.959964.
+    // Closed form off ONE conditional contraction; the Wald interval
+    // is emitted beside it and wald_narrower pins the known pathology
+    // (Wald is tighter exactly when it undercovers).
+    "q353_wilson_ci" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).as("x"))
+        .withColumn("p", expr("cast(x as double) / n"))
+        .withColumn("z2", expr("1.959964d * 1.959964d"))
+        .withColumn("cen", expr("(p + z2 / (2.0d * n)) / (1.0d + z2 / n)"))
+        .withColumn("hw", expr(
+          "1.959964d * sqrt(p * (1.0d - p) / n + z2 / (4.0d * cast(n as double) * n)) / (1.0d + z2 / n)"))
+        .withColumn("wald_hw", expr("1.959964d * sqrt(p * (1.0d - p) / n)"))
+        .select(col("event_type"), col("n"), col("x"),
+          round(col("p"), 6).as("p_hat"),
+          round(expr("cen - hw"), 6).as("wilson_lo"),
+          round(expr("cen + hw"), 6).as("wilson_hi"),
+          round(expr("p - wald_hw"), 6).as("wald_lo"),
+          round(expr("p + wald_hw"), 6).as("wald_hi"),
+          (col("wald_hw") < col("hw")).as("wald_narrower"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ------------------------------------------------------------------
     // Inverse-propensity-weighted ATE with stratified propensities —
     // the OBSERVATIONAL causal estimator the experiment keys don't
     // need (q289 directly standardizes a stratified diff; q302 DiD
@@ -1425,6 +1457,18 @@ object Evaluation extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q353_wilson_ci" ->
+      ("WITH g AS (SELECT event_type, count(*) AS n, "
+        + "CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS x "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1), "
+        + "f AS (SELECT *, CAST(x AS DOUBLE) / n AS p, 1.959964 * 1.959964 AS z2 FROM g), "
+        + "h AS (SELECT *, (p + z2 / (2.0 * n)) / (1.0 + z2 / n) AS cen, "
+        + "1.959964 * sqrt(p * (1.0 - p) / n + z2 / (4.0 * CAST(n AS DOUBLE) * n)) / (1.0 + z2 / n) AS hw, "
+        + "1.959964 * sqrt(p * (1.0 - p) / n) AS wald_hw FROM f) "
+        + "SELECT event_type, CAST(n AS BIGINT) AS n, x, round(p, 6) AS p_hat, "
+        + "round(cen - hw, 6) AS wilson_lo, round(cen + hw, 6) AS wilson_hi, "
+        + "round(p - wald_hw, 6) AS wald_lo, round(p + wald_hw, 6) AS wald_hi, "
+        + "wald_hw < hw AS wald_narrower FROM h ORDER BY event_type"),
     "q344_ipw_ate" ->
       ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nu, "
         + "CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5 > count(*) THEN 1 ELSE 0 END AS t, "

@@ -445,9 +445,55 @@ object Sources extends QueryPack {
           sum(col("bucket_a")).as("sum_bucket"), sum(col("m_b")).as("sum_m"))
         .orderBy(col("grp"))
     }),
+
+    // ------------------------------------------------------------------
+    // TIME TRAVEL on the V2 sink — the snapshot-isolation read surface
+    // every real table format ships (Iceberg VERSION AS OF / Delta
+    // versionAsOf): each graftsink commit publishes an immutable
+    // `_manifest.vN` BEFORE updating the latest-pointer, so
+    // option("version", N) reads snapshot N exactly as committed even
+    // after later overwrites replaced the table. Here: v1 = the
+    // mod-3 customer slice, v2 = a full overwrite with +50 balances;
+    // both snapshots are read back THROUGH THE PINS and aggregated
+    // side-by-side — the audit/repro query shape ("what did the table
+    // say before the backfill?"). Oracle replays both versions from
+    // the parquet originals; DsV2Spec additionally pins stale reads,
+    // loud missing-version failure, and write-through-pin refusal.
+    "q351_dsv2_time_travel" -> ((s, dir) => {
+      val stage = Stage.dir("tt351")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 3 === 0)
+        .write.format("graftsink").mode("overwrite").option("path", stage).save()
+      cust.withColumn("bal",
+          (col("bal").cast("decimal(18,2)") + lit(50)).cast("double"))
+        .write.format("graftsink").mode("overwrite").option("path", stage).save()
+      def snap(v: Int) = s.read.format("graftsink")
+        .option("path", stage).option("version", v.toString).load()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+        .withColumn("version", lit(v))
+      snap(1).unionByName(snap(2))
+        .select(col("version"), col("c_mktsegment"), col("n"), col("sum_bal"))
+        .orderBy(col("version"), col("c_mktsegment"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q351_dsv2_time_travel" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "v1 AS (SELECT 1 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base WHERE c_custkey % 3 = 0 GROUP BY c_mktsegment), "
+        + "v2 AS (SELECT 2 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(bal AS DECIMAL(18,2)) + 50 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base GROUP BY c_mktsegment) "
+        + "SELECT version, c_mktsegment, n, sum_bal FROM v1 "
+        + "UNION ALL SELECT version, c_mktsegment, n, sum_bal FROM v2 "
+        + "ORDER BY version, c_mktsegment"),
     "q350_dsv2_spj" ->
       ("WITH t AS (SELECT id, id // 12500 AS grp, "
         + "CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "

@@ -43,9 +43,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    table format). `abort` deletes the staging tree.
   *  - **truncate**: `.mode("overwrite")` routes through
   *    SupportsTruncate; commit then REPLACES the manifest instead of
-  *    merging with it (old data files are dropped from the manifest
-  *    first, deleted best-effort after publish). Append mode merges,
-  *    requiring the incoming schema to match the published DDL.
+  *    merging with it. Append mode merges, requiring the incoming
+  *    schema to match the published DDL. Replaced data files stay on
+  *    disk — older snapshots reference them (see time travel); a real
+  *    format GCs them by snapshot-expiry policy.
+  *  - **time travel**: every commit publishes an IMMUTABLE
+  *    `_manifest.vN` before updating the `_manifest` latest-pointer,
+  *    so `option("version", N)` reads snapshot N exactly as committed
+  *    (schema AND file list) — the Iceberg/Delta snapshot-isolation
+  *    read surface (q351; DsV2Spec pins stale-snapshot reads after
+  *    overwrite, loud missing-version failure, and the write-through-
+  *    pinned-version refusal).
   *  - **read-back**: BATCH_READ serves the manifest's files one
   *    InputPartition each (split-per-file scan parallelism), with
   *    SupportsPushDownRequiredColumns — the TSV reader parses ONLY the
@@ -62,8 +70,9 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = GraftSink.pathOf(options.asCaseSensitiveMap())
-    GraftSink.readManifest(path)
+    val props = options.asCaseSensitiveMap()
+    val path = GraftSink.pathOf(props)
+    GraftSink.readManifest(path, GraftSink.versionOf(props))
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path (missing ${GraftSink.MANIFEST})"))
@@ -71,7 +80,8 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftSinkTable(GraftSink.pathOf(properties), schema)
+    new GraftSinkTable(GraftSink.pathOf(properties), schema,
+      GraftSink.versionOf(properties))
 }
 
 object GraftSink {
@@ -82,16 +92,42 @@ object GraftSink {
     Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graftsink requires option 'path'"))
 
+  /** Optional `version` read option (time travel): the snapshot number
+    * to read, 1-based in commit order. Absent = latest. */
+  def versionOf(properties: JMap[String, String]): Option[Int] =
+    Option(properties.get("version")).map { raw =>
+      val v = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graftsink: option 'version' must be an int, got '$raw'")
+      }
+      require(v >= 1, s"graftsink: option 'version' must be >= 1, got $v")
+      v
+    }
+
   def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(new Configuration())
 
   final case class Manifest(ddl: String, files: Seq[String])
 
-  def readManifest(path: String): Option[Manifest] = {
+  private def manifestName(version: Option[Int]): String =
+    version.fold(MANIFEST)(v => s"$MANIFEST.v$v")
+
+  def readManifest(path: String): Option[Manifest] = readManifest(path, None)
+
+  /** Read the latest manifest, or a pinned snapshot's (`_manifest.vN`).
+    * A pinned version that does not exist fails LOUDLY with the list of
+    * available snapshots — never silently serves the latest. */
+  def readManifest(path: String, version: Option[Int]): Option[Manifest] = {
     val f = fs(path)
-    val mp = new HPath(path, MANIFEST)
-    if (!f.exists(mp)) None
-    else {
+    val mp = new HPath(path, manifestName(version))
+    if (!f.exists(mp)) {
+      version.foreach { v =>
+        throw new IllegalArgumentException(
+          s"graftsink: no snapshot v$v at $path (available: " +
+            s"${listVersions(path).mkString(", ")})")
+      }
+      None
+    } else {
       val in = new BufferedReader(new InputStreamReader(f.open(mp), StandardCharsets.UTF_8))
       try {
         val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
@@ -101,11 +137,33 @@ object GraftSink {
     }
   }
 
-  def writeManifest(path: String, m: Manifest): Unit = {
+  /** Committed snapshot numbers, ascending (from `_manifest.vN` files). */
+  def listVersions(path: String): Seq[Int] = {
     val f = fs(path)
-    val out = f.create(new HPath(path, MANIFEST), true)
-    try out.write((m.ddl +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val root = new HPath(path)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(MANIFEST + ".v") =>
+        n.stripPrefix(MANIFEST + ".v").toInt }
+      .sorted
+  }
+
+  /** Publish a new snapshot: the immutable `_manifest.vN` FIRST, then
+    * the `_manifest` latest-pointer (readers that race see either the
+    * old or the new complete version — never a torn one). Returns the
+    * committed version number. */
+  def writeManifest(path: String, m: Manifest): Int = {
+    val f = fs(path)
+    val next = listVersions(path).lastOption.getOrElse(0) + 1
+    def put(name: String): Unit = {
+      val out = f.create(new HPath(path, name), true)
+      try out.write((m.ddl +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(manifestName(Some(next)))
+    put(MANIFEST)
+    next
   }
 
   def checkSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
@@ -159,21 +217,27 @@ object GraftSink {
   def splitLine(line: String): Array[String] = line.split("\t", -1)
 }
 
-class GraftSinkTable(path: String, declared: StructType)
+class GraftSinkTable(path: String, declared: StructType,
+    version: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite {
 
-  override def name(): String = s"graftsink($path)"
+  def this(path: String, declared: StructType) = this(path, declared, None)
+  override def name(): String = s"graftsink($path${version.fold("")(v => s"@v$v")})"
   override def schema(): StructType =
-    GraftSink.readManifest(path).map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
+    GraftSink.readManifest(path, version)
+      .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSinkScanBuilder(path, schema())
+    new GraftSinkScanBuilder(path, schema(), version)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      "graftsink: cannot write through a time-travel read (option 'version')")
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), info.options())
+  }
 }
 
 // --------------------------------------------------------------------
@@ -265,9 +329,9 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
     GraftSink.writeManifest(path, GraftSink.Manifest(schema.toDDL, files))
-    // 3) best-effort GC of replaced data + this query's staging tree
-    if (truncate) prior.foreach(_.files.foreach(n =>
-      f.delete(new HPath(path, n), false)))
+    // 3) staging GC only — replaced data files are NOT deleted: older
+    //    snapshots (`_manifest.vN`) still reference them (time travel);
+    //    a real table format GCs them by snapshot-expiry policy instead
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
 
@@ -317,7 +381,8 @@ class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String)
 // READ path (manifest-resolved, one InputPartition per committed file)
 // --------------------------------------------------------------------
 
-class GraftSinkScanBuilder(path: String, full: StructType)
+class GraftSinkScanBuilder(path: String, full: StructType,
+    version: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -325,11 +390,15 @@ class GraftSinkScanBuilder(path: String, full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftSinkScan(path, full, required)
+  override def build(): Scan = new GraftSinkScan(path, full, required, version)
 }
 
-class GraftSinkScan(path: String, full: StructType, required: StructType)
+class GraftSinkScan(path: String, full: StructType, required: StructType,
+    version: Option[Int] = None)
   extends Scan with Batch {
+
+  def this(path: String, full: StructType, required: StructType) =
+    this(path, full, required, None)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -337,7 +406,7 @@ class GraftSinkScan(path: String, full: StructType, required: StructType)
     s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftSink.readManifest(path).getOrElse(
+    val m = GraftSink.readManifest(path, version).getOrElse(
       throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
     m.files.map(n => GraftSinkFilePartition(s"$path/$n")).toArray
   }

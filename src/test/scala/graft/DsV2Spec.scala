@@ -442,6 +442,39 @@ class DsV2Spec extends AnyFunSuite with Matchers with SharedSpark {
     narrowed.count() shouldBe 50L
   }
 
+  test("sink time travel: pinned snapshots survive overwrite; bad pins fail loudly") {
+    import spark.implicits._
+    def messages(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val dir = graft.ops.Stage.fresh("dsv2tt").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    Seq((3L, "c")).toDF("k", "s")
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    Seq((4L, "d")).toDF("k", "s")
+      .write.format("graftsink").mode("append").option("path", dir).save()
+    graft.sources.GraftSink.listVersions(dir) shouldBe Seq(1, 2, 3)
+    // latest pointer = v3 (overwrite replaced v1, append extended v2)
+    spark.read.format("graftsink").option("path", dir).load()
+      .collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L)
+    def at(v: Int) = spark.read.format("graftsink")
+      .option("path", dir).option("version", v.toString).load()
+    // v1's data files were REPLACED in the live table but its snapshot
+    // still reads exactly as committed
+    at(1).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    at(2).collect().map(_.getLong(0)).sorted shouldBe Array(3L)
+    at(3).collect().map(_.getLong(0)).sorted shouldBe Array(3L, 4L)
+    // a missing snapshot names itself and the available versions
+    messages(intercept[Throwable] { at(9).collect() }) should include("no snapshot v9")
+    // writing through a pinned version is refused (no ambiguous branch)
+    val e2 = intercept[Throwable] {
+      Seq((9L, "z")).toDF("k", "s").write.format("graftsink")
+        .mode("append").option("path", dir).option("version", "1").save()
+    }
+    messages(e2) should include("cannot write through a time-travel read")
+    graft.ops.Stage.release(java.nio.file.Paths.get(dir))
+  }
+
   test("sink: clusterBy+shards — connector-requested distribution yields key-disjoint sorted files") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
