@@ -525,6 +525,43 @@ object Analysis extends QueryPack {
         .orderBy(col("gain").desc, col("ix"))
         .limit(5)
     }),
+
+    // ------------------------------------------------------------------
+    // Weight-of-Evidence + Information Value — the credit-scoring
+    // feature-strength table (q342 ranks features by MI; WoE/IV is the
+    // binned, sign-carrying form scorecard builders actually read, and
+    // each decile's WoE IS its encoding): target = purchase events,
+    // bins = global value deciles (6dp-rounded boundaries, q200's
+    // cross-engine convention), WoE_b = ln((g_b/G)/(b_b/B)), IV =
+    // Σ(g_b/G − b_b/B)·WoE_b (IV < 0.02 ⟹ the feature is useless —
+    // the classic rubric). One fact pass after the boundary agg;
+    // per-bin iv terms quantize DECIMAL(28,12) before the ≤10-cell
+    // total, which rides a broadcast 1-row crossJoin (no window).
+    "q356_woe_iv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("value"), (col("event_type") === "purchase").cast("long").as("good"))
+      val bs = ev.agg(
+        expr("transform(percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9)), b -> round(b, 6))").as("bs"),
+        sum(col("good")).as("gt"), sum(expr("1L - good")).as("bt"))
+      val cells = ev.crossJoin(broadcast(bs))
+        .withColumn("decile", expr("size(filter(bs, b -> value > b)) + 1"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("good")).as("g"),
+          sum(expr("1L - good")).as("b"), max(col("gt")).as("gt"), max(col("bt")).as("bt"))
+        .withColumn("woe", expr("ln((cast(g as double) / gt) / (cast(b as double) / bt))"))
+        .withColumn("ivt", expr(
+          "cast((cast(g as double) / gt - cast(b as double) / bt) * woe as decimal(28,12))"))
+        .localCheckpoint() // IV total + output rows
+      val iv = cells.agg(sum(col("ivt")).as("ivx"))
+      cells.crossJoin(broadcast(iv))
+        .select(col("decile").cast("int").as("decile"), col("n"),
+          col("g").as("n_good"), col("b").as("n_bad"),
+          round(col("woe"), 6).as("woe"),
+          round(expr("cast(ivt as double)"), 6).as("iv_term"),
+          round(expr("cast(ivx as double)"), 6).as("iv_total"))
+        .orderBy(col("decile"))
+    }),
   )
 
   /** Shared CTE chain of the q253/q262 oracles: transition matrix p0,
@@ -541,6 +578,20 @@ object Analysis extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q356_woe_iv" ->
+      ("WITH ev AS (SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS good "
+        + "FROM events WHERE value IS NOT NULL), "
+        + "bs AS (SELECT list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), b -> round(b, 6)) AS bs, "
+        + "CAST(sum(good) AS BIGINT) AS gt, CAST(sum(1 - good) AS BIGINT) AS bt FROM ev), "
+        + "cells AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS decile, count(*) AS n, "
+        + "CAST(sum(good) AS BIGINT) AS g, CAST(sum(1 - good) AS BIGINT) AS b, "
+        + "max(gt) AS gt, max(bt) AS bt FROM ev CROSS JOIN bs GROUP BY 1), "
+        + "w AS (SELECT *, ln((CAST(g AS DOUBLE) / gt) / (CAST(b AS DOUBLE) / bt)) AS woe FROM cells), "
+        + "w2 AS (SELECT *, CAST((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe AS DECIMAL(28,12)) AS ivt FROM w), "
+        + "t AS (SELECT CAST(sum(ivt) AS DOUBLE) AS ivx FROM w2) "
+        + "SELECT CAST(decile AS INT) AS decile, n, g AS n_good, b AS n_bad, round(woe, 6) AS woe, "
+        + "round(CAST(ivt AS DOUBLE), 6) AS iv_term, round(ivx, 6) AS iv_total "
+        + "FROM w2 CROSS JOIN t ORDER BY decile"),
     "q144_event_paths" ->
       ("WITH seq AS (SELECT event_type AS t1, "
         + "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2, "

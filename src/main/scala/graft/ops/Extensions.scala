@@ -363,6 +363,30 @@ object Extensions extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Multimodal TRANSFORM stage (2×2 average-pool downsample) — the
+    // resize/feature-extract step between q56's metadata pass and
+    // q57's decode: encode → decode the RASTER from bytes → floor-pool
+    // 2×2 → per-image pooled statistics, all inside ONE mapPartitions
+    // batch (iterator-in/iterator-out — the exact shape a Pandas-UDF
+    // media stage has at 100 TB: partition-local, no shuffle until the
+    // tiny stats rows). The oracle recomputes every pooled statistic
+    // from the pixel FORMULA, so it certifies byte-level decode AND
+    // the pooling arithmetic end-to-end (the Spark side never consults
+    // the formula). Odd trailing row/col drops (standard floor pool).
+    "q354_multimodal_pool" -> ((s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val p = MultimodalCodec.pool2x(MultimodalCodec.encode(id))
+          (id, p.w2.toLong, p.h2.toLong, p.nPx2, p.sumPx2, p.checksum2)
+        })
+        .toDF("doc_id", "w2", "h2", "n_px2", "sum_px2", "checksum2")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
     // MinHash estimator quality: for every q40 candidate pair (the
     // memoized blocked graph), compare the 16-hash signature agreement
     // rate against the exact Jaccard — the calibration a dedup pipeline
@@ -598,6 +622,20 @@ object Extensions extends QueryPack {
     // (dims and blocked LCG in MultimodalCodec's doc) — the Spark side
     // derives the SAME numbers by parsing the encoded bytes, so a
     // match certifies the encode→decode round trip, not shared code.
+    "q354_multimodal_pool" ->
+      ("WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 24) % 24 AS h FROM documents), "
+        + "d2 AS (SELECT doc_id, w, w // 2 AS w2, h // 2 AS h2 FROM d), "
+        + "u AS (SELECT doc_id, w, w2, h2, unnest(range(0, w2 * h2)) AS j FROM d2), "
+        + "pv AS (SELECT doc_id, w2, h2, j, "
+        + "((doc_id * 2654435761 + ((((j // w2) * 2) * w + (j % w2) * 2) // 7) * 40503) % 251 "
+        + "+ (doc_id * 2654435761 + ((((j // w2) * 2) * w + (j % w2) * 2 + 1) // 7) * 40503) % 251 "
+        + "+ (doc_id * 2654435761 + ((((j // w2) * 2 + 1) * w + (j % w2) * 2) // 7) * 40503) % 251 "
+        + "+ (doc_id * 2654435761 + ((((j // w2) * 2 + 1) * w + (j % w2) * 2 + 1) // 7) * 40503) % 251) // 4 AS v "
+        + "FROM u) "
+        + "SELECT doc_id, CAST(max(w2) AS BIGINT) AS w2, CAST(max(h2) AS BIGINT) AS h2, "
+        + "count(*) AS n_px2, CAST(sum(v) AS BIGINT) AS sum_px2, "
+        + "CAST(sum(v * (j + 1)) % 1000000007 AS BIGINT) AS checksum2 "
+        + "FROM pv GROUP BY doc_id ORDER BY doc_id"),
     "q57_multimodal_decode" ->
       ("WITH d AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id // 24) % 24 AS h FROM documents), "
         + "u AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d), "

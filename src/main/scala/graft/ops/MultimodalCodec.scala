@@ -83,4 +83,48 @@ object MultimodalCodec {
     require(nPx == w.toLong * h, s"decoded $nPx px for ${w}x$h")
     Decoded(w, h, nPx, nRuns, maxRun, sumPx, checksum)
   }
+
+  /** Full pixel expansion of a payload (row-major), for the transform
+    * stages that need the raster back (pooling q354). Bytes-only, like
+    * [[decode]] — the formula is never consulted. */
+  def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val d = decode(bytes) // validates magic/version/dims first
+    val px = new Array[Int](d.nPx.toInt)
+    var p = 9; var i = 0
+    while (p < bytes.length) {
+      val run = bytes(p) & 0xff
+      val v = bytes(p + 1) & 0xff
+      var k = 0
+      while (k < run) { px(i) = v; i += 1; k += 1 }
+      p += 2
+    }
+    (d.w, d.h, px)
+  }
+
+  final case class Pooled(w2: Int, h2: Int, nPx2: Long, sumPx2: Long,
+      checksum2: Long)
+
+  /** 2×2 average-pool (floor) of the decoded raster — the resize /
+    * feature-extract step of a media pipeline, on the real bytes: odd
+    * trailing row/column is dropped (standard floor pooling). The
+    * pooled checksum is position-sensitive like [[decode]]'s. */
+  def pool2x(bytes: Array[Byte]): Pooled = {
+    val (w, h, px) = decodePixels(bytes)
+    val w2 = w / 2; val h2 = h / 2
+    var sum = 0L; var checksum = 0L; var j = 0
+    var r = 0
+    while (r < h2) {
+      var c = 0
+      while (c < w2) {
+        val base = (2 * r) * w + 2 * c
+        val v = (px(base) + px(base + 1) + px(base + w) + px(base + w + 1)) / 4
+        j += 1
+        sum += v
+        checksum = (checksum + v.toLong * j) % 1000000007L
+        c += 1
+      }
+      r += 1
+    }
+    Pooled(w2, h2, w2.toLong * h2, sum, checksum)
+  }
 }

@@ -329,6 +329,27 @@ object Relational extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // BAG-semantics set operations (INTERSECT ALL / EXCEPT ALL,
+    // SQL:1999 multisets) — the half of the set-op surface q29's
+    // distinct-semantics intersect/except can't express: multiplicity
+    // MATTERS (intersect-all keeps min(count_L, count_R) copies per
+    // value, except-all subtracts counts clamped at 0) — the
+    // reconciliation shape for "how many of my rows survive in the
+    // other table, counting duplicates". Spark plans both as
+    // aggregate+join (no row explosion); the readout contracts each
+    // result to (value, multiplicity) so the hash pins the bag
+    // algebra, not an arbitrary row order.
+    "q355_setops_bag" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("k"))
+      val ia = c.intersectAll(su).groupBy(col("k")).agg(count(lit(1)).as("mult"))
+        .select(lit("intersect_all").as("tag"), col("k"), col("mult"))
+      val ea = c.exceptAll(su).groupBy(col("k")).agg(count(lit(1)).as("mult"))
+        .select(lit("except_all").as("tag"), col("k"), col("mult"))
+      ia.unionByName(ea).orderBy(col("tag"), col("k"))
+    }),
+
+    // ------------------------------------------------------------------
     // The SQL-string entry point (spark.sql over a registered view) with
     // the canonical warehouse query: TPC-H Q1 pricing summary. Same
     // Catalyst plan as the DataFrame form — this declares the textual
@@ -983,6 +1004,14 @@ object Relational extends QueryPack {
         + "TRUE AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
     // q240: sketch estimates can't cross-engine-match; the exact counts
     // + the accuracy-bound bool can (q13/q208's pattern).
+    "q355_setops_bag" ->
+      ("WITH c AS (SELECT c_nationkey AS k FROM customer), "
+        + "s AS (SELECT s_nationkey AS k FROM supplier), "
+        + "ia AS (SELECT 'intersect_all' AS tag, k, CAST(count(*) AS BIGINT) AS mult "
+        + "FROM (SELECT k FROM c INTERSECT ALL SELECT k FROM s) GROUP BY k), "
+        + "ea AS (SELECT 'except_all' AS tag, k, CAST(count(*) AS BIGINT) AS mult "
+        + "FROM (SELECT k FROM c EXCEPT ALL SELECT k FROM s) GROUP BY k) "
+        + "SELECT * FROM ia UNION ALL SELECT * FROM ea ORDER BY tag, k"),
     "q348_hll_intersection" ->
       ("WITH flags AS (SELECT user_id, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fv, "
         + "max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fc, "

@@ -416,6 +416,52 @@ object TimeWin extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Holt–Winters ADDITIVE (weekly m=7, α=0.5 β=0.25 γ=0.3) — the
+    // seasonal completion of q282's linear-trend Holt (q346's backtest
+    // showed the weekly cycle beats persistence; HW models it):
+    // l←α(y−s₋₇)+(1−α)(l+b), b←β(Δl)+(1−β)b, s←γ(y−l)+(1−γ)s₋₇. Init
+    // = textbook: l₀ = mean of week 1, s⁰ = week-1 deviations, b₀ = 0;
+    // the fold then runs from day 8. Same execution shape as q282: the
+    // bounded daily series folds IN-ROW (exact decimal-quantized state
+    // after every update — engine-order-proof), with the 7-slot
+    // seasonal vector ROTATING through the accumulator array so s₋₇ is
+    // always element 1; after the last day, element h is the season
+    // for horizon h. Oracle = the same fold as a recursive CTE with a
+    // DECIMAL list state (q282's idiom, list-valued).
+    "q357_holt_winters" -> ((s, dir) => {
+      val lNew = "CAST(round(0.5 * (y - element_at(a.s, 1)) + 0.5 * (a.l + a.b), 6) AS DECIMAL(28,6))"
+      val bNew = s"CAST(round(0.25 * ($lNew - a.l) + 0.75 * a.b, 6) AS DECIMAL(28,6))"
+      val sNew = s"CAST(round(0.3 * (y - $lNew) + 0.7 * element_at(a.s, 1), 6) AS DECIMAL(28,6))"
+      Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("y"))
+        .agg(sort_array(collect_list(struct(col("day"), col("y")))).as("ds"),
+          count(lit(1)).as("n_days"))
+        .selectExpr("n_days", "transform(ds, x -> x.y) AS ys")
+        .withColumn("l0", expr(
+          "CAST(round(aggregate(slice(ys, 1, 7), CAST(0 AS DECIMAL(28,6)), " +
+            "(a, y) -> CAST(a + y AS DECIMAL(28,6))) / 7.0, 6) AS DECIMAL(28,6))"))
+        .withColumn("s0", expr(
+          "transform(slice(ys, 1, 7), y -> CAST(round(y - l0, 6) AS DECIMAL(28,6)))"))
+        .withColumn("st", expr(
+          "aggregate(slice(ys, 8, size(ys) - 7), " +
+            "named_struct('l', l0, 'b', CAST(0 AS DECIMAL(28,6)), 's', s0, " +
+            "'sse', CAST(0 AS DECIMAL(38,12))), " +
+            s"(a, y) -> named_struct('l', $lNew, 'b', $bNew, " +
+            s"'s', concat(slice(a.s, 2, 6), array($sNew)), " +
+            "'sse', CAST(a.sse + CAST(y - (a.l + a.b + element_at(a.s, 1)) AS DECIMAL(18,6)) " +
+            "* CAST(y - (a.l + a.b + element_at(a.s, 1)) AS DECIMAL(18,6)) AS DECIMAL(38,12))))"))
+        .select(col("n_days"), col("st"), explode(expr("sequence(1, 7)")).as("h"))
+        .selectExpr("h", "n_days",
+          "cast(st.l as double) AS level",
+          "cast(st.b as double) AS trend",
+          "cast(round(st.sse, 6) as double) AS sse",
+          "cast(element_at(st.s, h) as double) AS season_h",
+          "cast(st.l + h * st.b + element_at(st.s, h) as double) AS forecast")
+        .orderBy(col("h"))
+    }),
+
+    // ------------------------------------------------------------------
     // One-step-ahead forecast BACKTEST (naive vs seasonal-naive) — the
     // evaluation discipline q282's fitted forecast lacks (a forecast
     // key without a backtest key invites silent model rot): for every
@@ -449,6 +495,28 @@ object TimeWin extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q357_holt_winters" ->
+      ("WITH RECURSIVE idx AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM ("
+        + "SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1)), "
+        + "n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx), "
+        + "init AS (SELECT CAST(round(sum(y) / 7.0, 6) AS DECIMAL(28,6)) AS l0 FROM idx WHERE i <= 7), "
+        + "sz AS (SELECT list(CAST(round(y - l0, 6) AS DECIMAL(28,6)) ORDER BY i) AS s FROM idx, init WHERE i <= 7), "
+        + "rec AS ("
+        + "SELECT 7 AS i, l0 AS l, CAST(0 AS DECIMAL(28,6)) AS b, s, CAST(0 AS DECIMAL(38,12)) AS sse FROM init, sz "
+        + "UNION ALL "
+        + "SELECT q.i, q.lp, "
+        + "CAST(round(0.25 * (q.lp - q.l0) + 0.75 * q.b0, 6) AS DECIMAL(28,6)), "
+        + "q.s1[2:7] || [CAST(round(0.3 * (q.y - q.lp) + 0.7 * q.sh, 6) AS DECIMAL(28,6))], "
+        + "CAST(q.sse0 + CAST(q.e AS DECIMAL(18,6)) * CAST(q.e AS DECIMAL(18,6)) AS DECIMAL(38,12)) "
+        + "FROM (SELECT x.i AS i, x.y AS y, r.l AS l0, r.b AS b0, r.s AS s1, r.s[1] AS sh, r.sse AS sse0, "
+        + "CAST(round(0.5 * (x.y - r.s[1]) + 0.5 * (r.l + r.b), 6) AS DECIMAL(28,6)) AS lp, "
+        + "x.y - (r.l + r.b + r.s[1]) AS e "
+        + "FROM rec r JOIN idx x ON x.i = r.i + 1) q), "
+        + "fin AS (SELECT l, b, s, sse FROM rec WHERE i = (SELECT max(i) FROM rec)) "
+        + "SELECT h, n_days, CAST(l AS DOUBLE) AS level, CAST(b AS DOUBLE) AS trend, "
+        + "CAST(round(sse, 6) AS DOUBLE) AS sse, CAST(s[h] AS DOUBLE) AS season_h, "
+        + "CAST(l + h * b + s[h] AS DOUBLE) AS forecast "
+        + "FROM fin CROSS JOIN n CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS INT) AS h) ORDER BY h"),
     "q346_forecast_backtest" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1), "
         + "lagged AS (SELECT y, lag(y, 1) OVER (ORDER BY day) AS l1, lag(y, 7) OVER (ORDER BY day) AS l7 FROM daily), "
