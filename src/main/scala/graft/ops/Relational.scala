@@ -350,6 +350,37 @@ object Relational extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Three-valued-logic semantics surface — the NULL traps every SQL
+    // engine must agree on and every migration audit checks: (a)
+    // `x = NULL` is UNKNOWN, never true; (b) NULL-SAFE equality (<=> /
+    // IS NOT DISTINCT FROM) does match NULLs; (c) the NOT IN trap — a
+    // single NULL in the IN-list makes NOT IN return ZERO rows (every
+    // comparison is at best UNKNOWN), while the equivalent NOT EXISTS
+    // correlates row-by-row and returns the real complement (a NULL is
+    // FORCED into the probe so the trap fires at every SF); (d) a
+    // null-safe join matches NULL keys to each other. One readout row
+    // of the five counts plus the trap gap — the regression pin for
+    // anyone refactoring NOT IN into a join.
+    "q358_null_semantics" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), expr("nullif(c_nationkey % 5, 4)").as("k5"))
+        .createOrReplaceTempView("nulls_cv")
+      s.sql("""
+        WITH pv AS (SELECT DISTINCT k5 FROM nulls_cv WHERE c_custkey % 100 = 0
+                    UNION ALL SELECT CAST(NULL AS INT))
+        SELECT
+          (SELECT count(*) FROM nulls_cv WHERE k5 = NULL) AS n_eq_null,
+          (SELECT count(*) FROM nulls_cv WHERE k5 <=> NULL) AS n_null_safe_null,
+          (SELECT count(*) FROM nulls_cv WHERE k5 NOT IN (SELECT k5 FROM pv)) AS n_not_in,
+          (SELECT count(*) FROM nulls_cv c
+             WHERE NOT EXISTS (SELECT 1 FROM pv p WHERE p.k5 = c.k5)) AS n_not_exists,
+          (SELECT count(*) FROM nulls_cv a JOIN pv b ON a.k5 <=> b.k5) AS n_null_safe_join,
+          (SELECT count(*) FROM nulls_cv c
+             WHERE NOT EXISTS (SELECT 1 FROM pv p WHERE p.k5 = c.k5))
+            - (SELECT count(*) FROM nulls_cv WHERE k5 NOT IN (SELECT k5 FROM pv)) AS trap_gap""")
+    }),
+
+    // ------------------------------------------------------------------
     // The SQL-string entry point (spark.sql over a registered view) with
     // the canonical warehouse query: TPC-H Q1 pricing summary. Same
     // Catalyst plan as the DataFrame form — this declares the textual
@@ -1004,6 +1035,17 @@ object Relational extends QueryPack {
         + "TRUE AS hll_ok FROM events GROUP BY event_type ORDER BY event_type"),
     // q240: sketch estimates can't cross-engine-match; the exact counts
     // + the accuracy-bound bool can (q13/q208's pattern).
+    "q358_null_semantics" ->
+      ("WITH cv AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS k5 FROM customer), "
+        + "pv AS (SELECT DISTINCT k5 FROM cv WHERE c_custkey % 100 = 0 UNION ALL SELECT CAST(NULL AS INT)) "
+        + "SELECT "
+        + "(SELECT count(*) FROM cv WHERE k5 = NULL) AS n_eq_null, "
+        + "(SELECT count(*) FROM cv WHERE k5 IS NOT DISTINCT FROM NULL) AS n_null_safe_null, "
+        + "(SELECT count(*) FROM cv WHERE k5 NOT IN (SELECT k5 FROM pv)) AS n_not_in, "
+        + "(SELECT count(*) FROM cv c WHERE NOT EXISTS (SELECT 1 FROM pv p WHERE p.k5 = c.k5)) AS n_not_exists, "
+        + "(SELECT count(*) FROM cv a JOIN pv b ON a.k5 IS NOT DISTINCT FROM b.k5) AS n_null_safe_join, "
+        + "(SELECT count(*) FROM cv c WHERE NOT EXISTS (SELECT 1 FROM pv p WHERE p.k5 = c.k5)) "
+        + "- (SELECT count(*) FROM cv WHERE k5 NOT IN (SELECT k5 FROM pv)) AS trap_gap"),
     "q355_setops_bag" ->
       ("WITH c AS (SELECT c_nationkey AS k FROM customer), "
         + "s AS (SELECT s_nationkey AS k FROM supplier), "
