@@ -51,7 +51,16 @@ object Bench {
     // "total" is duplicated as the LAST field: the driver's log window
     // keeps a fixed-size TAIL of stdout, and the leading "value" field is
     // outside it once the per-query map grows past the window size.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","total":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","total":$total}"""
+    println(line)
+    // Full per-key artifact: the driver's log window keeps only a
+    // 2,000-char stdout TAIL (the ~57 slowest keys), leaving the other
+    // ~300 per-key ratios unauditable; this file carries all of them.
+    // Committed per round as BENCH_SELF.json (VERDICT r9 task 7).
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // artifact is best-effort
     spark.stop()
   }
 }

@@ -549,7 +549,12 @@ object Analysis extends QueryPack {
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), sum(col("good")).as("g"),
           sum(expr("1L - good")).as("b"), max(col("gt")).as("gt"), max(col("bt")).as("bt"))
-        .withColumn("woe", expr("ln((cast(g as double) / gt) / (cast(b as double) / bt))"))
+        // pure decile (zero goods or zero bads) → NULL woe/iv_term in
+        // BOTH engines (Spark's ln(0) is NULL but DuckDB ABORTS on it —
+        // the guard mirrors q345's under-dispersion CASE, ADVICE r9)
+        .withColumn("woe", expr(
+          "CASE WHEN g = 0 OR b = 0 THEN CAST(NULL AS DOUBLE) " +
+            "ELSE ln((cast(g as double) / gt) / (cast(b as double) / bt)) END"))
         .withColumn("ivt", expr(
           "cast((cast(g as double) / gt - cast(b as double) / bt) * woe as decimal(28,12))"))
         .localCheckpoint() // IV total + output rows
@@ -586,7 +591,8 @@ object Analysis extends QueryPack {
         + "cells AS (SELECT len(list_filter(bs, b -> value > b)) + 1 AS decile, count(*) AS n, "
         + "CAST(sum(good) AS BIGINT) AS g, CAST(sum(1 - good) AS BIGINT) AS b, "
         + "max(gt) AS gt, max(bt) AS bt FROM ev CROSS JOIN bs GROUP BY 1), "
-        + "w AS (SELECT *, ln((CAST(g AS DOUBLE) / gt) / (CAST(b AS DOUBLE) / bt)) AS woe FROM cells), "
+        + "w AS (SELECT *, CASE WHEN g = 0 OR b = 0 THEN NULL "
+        + "ELSE ln((CAST(g AS DOUBLE) / gt) / (CAST(b AS DOUBLE) / bt)) END AS woe FROM cells), "
         + "w2 AS (SELECT *, CAST((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt) * woe AS DECIMAL(28,12)) AS ivt FROM w), "
         + "t AS (SELECT CAST(sum(ivt) AS DOUBLE) AS ivx FROM w2) "
         + "SELECT CAST(decile AS INT) AS decile, n, g AS n_good, b AS n_bad, round(woe, 6) AS woe, "

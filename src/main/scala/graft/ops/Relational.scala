@@ -366,8 +366,9 @@ object Relational extends QueryPack {
         .select(col("c_custkey"), expr("nullif(c_nationkey % 5, 4)").as("k5"))
         .createOrReplaceTempView("nulls_cv")
       s.sql("""
-        WITH pv AS (SELECT DISTINCT k5 FROM nulls_cv WHERE c_custkey % 100 = 0
-                    UNION ALL SELECT CAST(NULL AS INT))
+        WITH pv AS (SELECT DISTINCT k5 FROM (
+                      SELECT k5 FROM nulls_cv WHERE c_custkey % 100 = 0
+                      UNION ALL SELECT CAST(NULL AS INT)))
         SELECT
           (SELECT count(*) FROM nulls_cv WHERE k5 = NULL) AS n_eq_null,
           (SELECT count(*) FROM nulls_cv WHERE k5 <=> NULL) AS n_null_safe_null,
@@ -1037,7 +1038,7 @@ object Relational extends QueryPack {
     // + the accuracy-bound bool can (q13/q208's pattern).
     "q358_null_semantics" ->
       ("WITH cv AS (SELECT c_custkey, nullif(c_nationkey % 5, 4) AS k5 FROM customer), "
-        + "pv AS (SELECT DISTINCT k5 FROM cv WHERE c_custkey % 100 = 0 UNION ALL SELECT CAST(NULL AS INT)) "
+        + "pv AS (SELECT DISTINCT k5 FROM (SELECT k5 FROM cv WHERE c_custkey % 100 = 0 UNION ALL SELECT CAST(NULL AS INT))) "
         + "SELECT "
         + "(SELECT count(*) FROM cv WHERE k5 = NULL) AS n_eq_null, "
         + "(SELECT count(*) FROM cv WHERE k5 IS NOT DISTINCT FROM NULL) AS n_null_safe_null, "

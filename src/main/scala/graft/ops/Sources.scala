@@ -426,24 +426,40 @@ object Sources extends QueryPack {
     // SPJ condition — then a per-grp rollup. DsV2Spec asserts the join
     // subtree is exchange-free; the oracle replays from range().
     "q350_dsv2_spj" -> ((s, dir) => {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      // partition keys [grp] ⊂ join keys (grp, id): subset-key
-      // co-partitioning is gated by this conf (default-on requires
-      // ALL cluster keys, which would demand bucketing by id too)
-      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-      def rd = s.read.format("graftseq")
-        .option("rows", "100000").option("slices", "8").option("keyed", "true").load()
-      val a = rd.select(col("grp"), col("id"), col("bucket").as("bucket_a"))
-      val b = rd.select(col("grp"), col("id"), (col("id") % 50).as("m_b"))
-      // merge hint: the reported post-pruning stats are under the
-      // broadcast threshold at this fixture size; the hint forces the
-      // shuffle-join path SPJ exists to fix (a broadcast would hide it)
-      a.join(b.hint("merge"), Seq("grp", "id"))
-        .groupBy(col("grp"))
-        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
-          sum(col("bucket_a")).as("sum_bucket"), sum(col("m_b")).as("sum_m"))
-        .orderBy(col("grp"))
+      // SPJ confs are scoped to THIS query (snapshot/restore around the
+      // eager build): requireAllClusterKeysForCoPartition=false relaxes
+      // co-partitioning for every later join in the session, so leaking
+      // it would make other queries' physical plans depend on whether
+      // q350 ran first (ADVICE r9).
+      val spjConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        // partition keys [grp] ⊂ join keys (grp, id): subset-key
+        // co-partitioning is gated by this conf (default-on requires
+        // ALL cluster keys, which would demand bucketing by id too)
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true")
+      val saved = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def rd = s.read.format("graftseq")
+          .option("rows", "100000").option("slices", "8").option("keyed", "true").load()
+        val a = rd.select(col("grp"), col("id"), col("bucket").as("bucket_a"))
+        val b = rd.select(col("grp"), col("id"), (col("id") % 50).as("m_b"))
+        // merge hint: the reported post-pruning stats are under the
+        // broadcast threshold at this fixture size; the hint forces the
+        // shuffle-join path SPJ exists to fix (a broadcast would hide it)
+        a.join(b.hint("merge"), Seq("grp", "id"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+            sum(col("bucket_a")).as("sum_bucket"), sum(col("m_b")).as("sum_m"))
+          .orderBy(col("grp"))
+          // materialize WHILE the SPJ confs hold (the exchange-free plan
+          // is fixed here); downstream consumers re-read this plan-free
+          .localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     }),
 
     // ------------------------------------------------------------------

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -147,7 +147,8 @@ object GraftSeqTable {
 }
 
 class GraftSeqTable(rows: Long, slices: Int, rowsPerBatch: Long,
-    keyed: Boolean = false) extends Table with SupportsRead {
+    keyed: Boolean = false) extends Table with SupportsRead
+  with SupportsMetadataColumns {
   def this(rows: Long, slices: Int, rowsPerBatch: Long) = this(rows, slices, rowsPerBatch, false)
   def this(rows: Long, slices: Int) = this(rows, slices, rows)
   override def name(): String = s"graftseq(rows=$rows, slices=$slices)"
@@ -157,6 +158,24 @@ class GraftSeqTable(rows: Long, slices: Int, rowsPerBatch: Long,
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSeqScanBuilder(rows, slices, rowsPerBatch, keyed)
+
+  /** SupportsMetadataColumns — the read-side DSv2 surface for HIDDEN
+    * per-row provenance (`SELECT id, _slice FROM t` works; `SELECT *`
+    * never includes it): `_slice` is the ordinal of the InputPartition
+    * that served the row — the graftseq spelling of `_metadata.file_
+    * path`/`_partition` on a file/bucketed source, the column a skew
+    * audit or a reader-placement debug query joins on. Served only when
+    * the analyzer adds it to the pruned schema (DsV2Spec asserts absence
+    * otherwise); in keyed mode it equals `grp` (one partition per key).
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_slice"
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "ordinal of the InputPartition that served the row"
+    })
 }
 
 class GraftSeqScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
@@ -396,7 +415,12 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
   override def outputPartitioning(): Partitioning =
     if (keyed) {
       val parts = keyedPartitions
-      new KeyGroupedPartitioning(
+      // empty pushed-down range: planInputPartitions serves one plain
+      // (key-less) empty partition, so report the matching key-less
+      // 1-partition contract instead of a KeyGroupedPartitioning whose
+      // count (0) disagrees with the planned partitions (ADVICE r9)
+      if (parts.isEmpty) new UnknownPartitioning(1)
+      else new KeyGroupedPartitioning(
         Array(Expressions.identity("grp")), parts.length)
     } else new UnknownPartitioning(math.max(1, slices))
 
@@ -487,7 +511,7 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
     (0 until slices).flatMap { i =>
       val start = lo + i.toLong * per
       val end = if (i == slices - 1) hi else math.min(hi, start + per)
-      if (start < end) Some(GraftSeqPartition(start, end)) else None
+      if (start < end) Some(GraftSeqPartition(start, end, i.toLong)) else None
     }.toArray
   }
 
@@ -495,7 +519,11 @@ class GraftSeqScan(rows: Long, slices: Int, required: StructType,
     new GraftSeqReaderFactory(required.fieldNames, sliceSize)
 }
 
-case class GraftSeqPartition(start: Long, end: Long) extends InputPartition
+/** `slice` = the partition's planning ordinal, served as the `_slice`
+  * metadata column when requested (−1 on paths that never surface it:
+  * the agg-pushdown metadata row and empty-range placeholders). */
+case class GraftSeqPartition(start: Long, end: Long, slice: Long = -1L)
+  extends InputPartition
 
 /** A value-keyed partition: one grp stripe, reporting its key so Spark
   * can group co-partitioned scans (storage-partitioned joins). */
@@ -571,7 +599,7 @@ class GraftSeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
     (0 until slices).flatMap { i =>
       val from = s + i.toLong * per
       val to = if (i == slices - 1) e else math.min(e, from + per)
-      if (from < to) Some(GraftSeqPartition(from, to)) else None
+      if (from < to) Some(GraftSeqPartition(from, to, i.toLong)) else None
     }.toArray
   }
 
@@ -590,9 +618,9 @@ class GraftSeqMicroBatchStream(lo: Long, hi: Long, slices: Int,
 class GraftSeqReaderFactory(cols: Array[String], sliceSize: Long = 1L)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (pStart, pEnd) = partition match {
-      case GraftSeqPartition(s0, e0) => (s0, e0)
-      case KeyedGraftSeqPartition(s0, e0, _) => (s0, e0)
+    val (pStart, pEnd, pSlice) = partition match {
+      case GraftSeqPartition(s0, e0, sl) => (s0, e0, sl)
+      case KeyedGraftSeqPartition(s0, e0, g) => (s0, e0, g)
       case other => throw new IllegalArgumentException(s"unexpected partition $other")
     }
     new PartitionReader[InternalRow] {
@@ -603,6 +631,7 @@ class GraftSeqReaderFactory(cols: Array[String], sliceSize: Long = 1L)
           graft.functions.Md5Mod.hash(id.toString.getBytes("UTF-8"), 97L)
         case "tok" => (id: Long) => UTF8String.fromString("t" + (id % 50))
         case "grp" => (id: Long) => id / sliceSize
+        case "_slice" => (_: Long) => pSlice // partition-level metadata column
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }
       private val buf = new Array[Any](extractors.length)

@@ -10,12 +10,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => VSortOrder}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -175,6 +176,18 @@ object GraftSink {
     }
   }
 
+  /** Append-compatibility: same column names and types, nullability
+    * IGNORED — a NOT NULL query result appending into a nullable table
+    * (every `INSERT INTO t VALUES ...`) is the normal case, and the TSV
+    * codec stores NULL per-value anyway. The manifest keeps the TABLE's
+    * declared DDL, never the narrower write DDL. */
+  def schemaCompatible(tableDdl: String, write: StructType): Boolean = {
+    val t = StructType.fromDDL(tableDdl)
+    t.length == write.length && t.fields.zip(write.fields).forall {
+      case (a, b) => a.name == b.name && a.dataType == b.dataType
+    }
+  }
+
   // --- TSV field codec (escape-stable, null-safe, type-exact) ---------
   def encodeField(dt: DataType, row: InternalRow, i: Int): String =
     if (row.isNullAt(i)) "\\N"
@@ -219,7 +232,7 @@ object GraftSink {
 
 class GraftSinkTable(path: String, declared: StructType,
     version: Option[Int] = None)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
 
   def this(path: String, declared: StructType) = this(path, declared, None)
   override def name(): String = s"graftsink($path${version.fold("")(v => s"@v$v")})"
@@ -228,7 +241,7 @@ class GraftSinkTable(path: String, declared: StructType,
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftSinkScanBuilder(path, schema(), version)
@@ -238,6 +251,59 @@ class GraftSinkTable(path: String, declared: StructType,
       "graftsink: cannot write through a time-travel read (option 'version')")
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), info.options())
   }
+
+  /** Row-level SQL (`DELETE FROM` / `UPDATE` / `MERGE INTO`, resolved
+    * through a catalog identifier — GraftCatalog.scala): group-based
+    * COPY-ON-WRITE. Spark rewrites the statement into ReplaceData —
+    * scan the affected groups through the operation's scan, compute
+    * the surviving/updated/merged rows, write them back through the
+    * operation's write — and the commit publishes a manifest listing
+    * ONLY the rewritten files. graftsink keeps no per-file column
+    * stats, so the group granularity is the WHOLE committed snapshot
+    * (every file is an affected group and the table is rewritten);
+    * a stats-carrying manifest would narrow this to matching files,
+    * the same contract at finer grain. Replaced files stay on disk
+    * for the older `_manifest.vN` snapshots — a row-level mutation is
+    * just one more time-travelable commit.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      "graftsink: cannot mutate through a time-travel read (option 'version')")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftSinkRowLevelOperation(path, info.command())
+    }
+  }
+}
+
+/** Group-based copy-on-write row-level operation (DELETE/UPDATE/MERGE):
+  * the scan serves the current snapshot; the write REPLACES it (the
+  * truncate-mode commit — new manifest lists only the rewritten files).
+  */
+class GraftSinkRowLevelOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftSinkRowLevelOperation($cmd, $path)"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema = GraftSink.readManifest(path)
+      .map(m => StructType.fromDDL(m.ddl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftsink: no committed table at $path"))
+    new GraftSinkScanBuilder(path, schema, None)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = {
+          GraftSink.checkSchema(info.schema())
+          new GraftSinkBatchWrite(path, info.schema(), info.queryId(), truncate = true)
+        }
+      }
+    }
 }
 
 // --------------------------------------------------------------------
@@ -277,6 +343,12 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
       GraftSink.checkSchema(schema)
       new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
     }
+    // STREAMING_WRITE surface: the same staged-commit shape keyed by
+    // (queryId, epochId) — exactly-once without foreachBatch (q365)
+    def streaming: StreamingWrite = {
+      GraftSink.checkSchema(schema)
+      new GraftSinkStreamingWrite(path, schema, queryId, doTruncate)
+    }
     clusterBy match {
       case Some(colName) =>
         require(schema.fieldNames.contains(colName),
@@ -289,12 +361,16 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
           override def requiredOrdering(): Array[VSortOrder] =
             Array(Expressions.sort(Expressions.identity(colName), SortDirection.ASCENDING))
           override def toBatch: BatchWrite = batch
+          override def toStreaming: StreamingWrite = streaming
         }
       case None =>
         require(shards.isEmpty,
           "graftsink: option 'shards' requires 'clusterBy' (a partition count " +
             "without a distribution would repartition arbitrarily)")
-        new Write { override def toBatch: BatchWrite = batch }
+        new Write {
+          override def toBatch: BatchWrite = batch
+          override def toStreaming: StreamingWrite = streaming
+        }
     }
   }
 }
@@ -313,7 +389,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     val f = GraftSink.fs(path)
     val prior = GraftSink.readManifest(path)
     if (!truncate) prior.foreach { m =>
-      require(m.ddl == schema.toDDL,
+      require(GraftSink.schemaCompatible(m.ddl, schema),
         s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
           s"write is '${schema.toDDL}' (use overwrite to replace)")
     }
@@ -325,10 +401,12 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
       require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
       fin
     }.toSeq
-    // 2) manifest-last: only now do readers see the new version
+    // 2) manifest-last: only now do readers see the new version; an
+    // append preserves the TABLE's declared DDL (nullability included)
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    GraftSink.writeManifest(path, GraftSink.Manifest(schema.toDDL, files))
+    val ddl = if (truncate) schema.toDDL else prior.fold(schema.toDDL)(_.ddl)
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
     //    a real table format GCs them by snapshot-expiry policy instead
@@ -346,35 +424,134 @@ class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val staged =
-        s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv"
-      private val out = GraftSink.fs(path).create(new HPath(staged), true)
-      private val types = schema.fields.map(_.dataType)
-      private var n = 0L
+    new GraftSinkRowWriter(path, schema,
+      s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv", partitionId)
+}
 
-      override def write(row: InternalRow): Unit = {
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i < types.length) {
-          if (i > 0) sb.append('\t')
-          sb.append(GraftSink.encodeField(types(i), row, i))
-          i += 1
-        }
-        sb.append('\n')
-        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
-        n += 1
-      }
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        GraftSinkCommit(staged, partitionId, n)
-      }
-      override def abort(): Unit = {
-        out.close()
-        GraftSink.fs(path).delete(new HPath(staged), false)
-      }
-      override def close(): Unit = ()
+/** The shared task-side row writer: streams TSV rows into one staged
+  * file, returns (file, partition, rowcount) as its commit message.
+  * Batch and streaming factories differ only in the staged path. */
+class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
+    partitionId: Int) extends DataWriter[InternalRow] {
+
+  private val out = GraftSink.fs(path).create(new HPath(staged), true)
+  private val types = schema.fields.map(_.dataType)
+  private var n = 0L
+  private var skip = -1 // resolved on the first row
+
+  override def write(row: InternalRow): Unit = {
+    if (skip < 0) {
+      // Group-based row-level writes (ReplaceData for DELETE/UPDATE/
+      // MERGE) arrive with Spark's __row_operation column PREFIXED and
+      // un-projected: ReplaceDataExec applies its row projection only
+      // when the operation declares metadata attributes (ReplaceDataExec
+      // .writingTask), and graftsink has none. Every row of a
+      // ReplaceData output is a final table row, so the writer skips
+      // the marker and encodes the data columns; any other arity
+      // mismatch is a real contract breach and fails loudly.
+      skip = row.numFields - types.length
+      require(skip == 0 || skip == 1,
+        s"graftsink: writer got ${row.numFields}-field rows for a " +
+          s"${types.length}-column schema (${schema.toDDL})")
     }
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(GraftSink.encodeField(types(i), row, i + skip))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    n += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftSinkCommit(staged, partitionId, n)
+  }
+  override def abort(): Unit = {
+    out.close()
+    GraftSink.fs(path).delete(new HPath(staged), false)
+  }
+  override def close(): Unit = ()
+}
+
+// --------------------------------------------------------------------
+// STREAMING write path (epoch-keyed staged commits, exactly-once)
+// --------------------------------------------------------------------
+
+/** The connector's own exactly-once streaming sink (q365; recovery
+  * asserted in StreamRecoverySpec): each microbatch stages under
+  * `_staging/<queryId>/e<epoch>/`, and `commit(epochId, ...)` is
+  * IDEMPOTENT — published file names carry the `q-<queryId>-e<epoch>-`
+  * prefix, so a replayed epoch (a restart re-commits the last
+  * checkpointed batch) is detected in the manifest and dropped instead
+  * of double-published. This moves q285's foreachBatch merge-by-batchId
+  * recipe INSIDE the connector, where the Kafka/Delta sinks keep it:
+  * the user writes `.writeStream.format("graftsink")` and gets
+  * exactly-once without hand-rolled bookkeeping. `queryId` here is the
+  * STABLE streaming query id (Spark passes StreamingQuery.id, which
+  * survives restarts from the same checkpoint — asserted by the
+  * kill/resume spec), so the (queryId, epochId) key is durable.
+  * OutputMode complete routes through SupportsTruncate exactly like
+  * batch overwrite: each epoch's manifest lists only that epoch's
+  * files.
+  */
+class GraftSinkStreamingWrite(path: String, schema: StructType,
+    queryId: String, truncate: Boolean) extends StreamingWrite {
+
+  private def epochStaging(epochId: Long) =
+    new HPath(path, s"${GraftSink.STAGING}/$queryId/e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftSinkStreamingWriterFactory(path, schema, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftSink.fs(path)
+    val prior = GraftSink.readManifest(path)
+    val marker = s"q-$queryId-e$epochId-"
+    if (prior.exists(_.files.exists(_.startsWith(marker)))) {
+      // replayed epoch: the previous run committed this batch but died
+      // before checkpointing the commit — drop the duplicate output
+      f.delete(epochStaging(epochId), true)
+      return
+    }
+    if (!truncate) prior.foreach { m =>
+      require(GraftSink.schemaCompatible(m.ddl, schema),
+        s"graftsink: streaming append schema mismatch at $path — table is " +
+          s"'${m.ddl}', write is '${schema.toDDL}'")
+    }
+    val published = messages.collect { case c: GraftSinkCommit =>
+      val fin = s"${marker}part-${c.partitionId}.tsv"
+      val dest = new HPath(path, fin)
+      // a crash AFTER this rename but BEFORE the manifest write leaves
+      // an unreferenced ghost under the final name; the replayed epoch
+      // must be able to re-publish over it
+      if (f.exists(dest)) f.delete(dest, false)
+      require(f.rename(new HPath(c.stagedFile), dest),
+        s"graftsink: failed to publish ${c.stagedFile} -> $fin")
+      fin
+    }.toSeq
+    val files = if (truncate) published
+                else prior.map(_.files).getOrElse(Nil) ++ published
+    val ddl = if (truncate) schema.toDDL else prior.fold(schema.toDDL)(_.ddl)
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
+    f.delete(epochStaging(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftSink.fs(path).delete(epochStaging(epochId), true)
+}
+
+class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
+    queryId: String) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftSinkRowWriter(path, schema,
+      s"$path/${GraftSink.STAGING}/$queryId/e$epochId/part-$partitionId-$taskId.tsv",
+      partitionId)
 }
 
 // --------------------------------------------------------------------

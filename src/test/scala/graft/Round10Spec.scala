@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.{GraftSink, GraftSinkCommit, GraftSinkStreamingWrite}
+
+/** Round-10 connector surfaces: TableCatalog identifier resolution
+  * (+ SQL VERSION AS OF), row-level DELETE/UPDATE/MERGE (group-based
+  * copy-on-write), the `_slice` metadata column, catalog-resolved V2
+  * scalar functions, and the exactly-once DSv2 streaming write.
+  */
+class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private val cat = "g10"
+  private def ensureCatalog(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      graft.ops.Stage.dir("g10_warehouse"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+  }
+  private def tablePath(name: String): String =
+    s"${graft.ops.Stage.dir("g10_warehouse")}/ns/$name"
+
+  test("catalog: create / insert / select / VERSION AS OF / show / drop by identifier") {
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.t1")
+    spark.sql(s"CREATE TABLE $cat.ns.t1 (k BIGINT, s STRING)")
+    // create commits snapshot v1 = the EMPTY table (schema is durable)
+    spark.table(s"$cat.ns.t1").count() shouldBe 0
+    spark.sql(s"INSERT INTO $cat.ns.t1 VALUES (1, 'a'), (2, 'b'), (3, NULL)")
+    spark.sql(s"INSERT INTO $cat.ns.t1 VALUES (4, 'd')")
+    spark.table(s"$cat.ns.t1").count() shouldBe 4
+    spark.sql(s"SELECT sum(k) AS sk FROM $cat.ns.t1").head.getLong(0) shouldBe 10L
+    // SQL time travel: v1 empty, v2 first insert, v3 second
+    spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t1 VERSION AS OF 1")
+      .head.getLong(0) shouldBe 0L
+    spark.sql(s"SELECT count(*) AS n FROM $cat.ns.t1 VERSION AS OF 2")
+      .head.getLong(0) shouldBe 3L
+    spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getAs[String]("tableName")) should contain("t1")
+    // TIMESTAMP AS OF is refused loudly (snapshots are numbered)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.t1 TIMESTAMP AS OF '2024-01-01'").collect()
+    }
+    e.getMessage should include("VERSION AS OF")
+    spark.sql(s"DROP TABLE $cat.ns.t1")
+    intercept[Exception] { spark.table(s"$cat.ns.t1").collect() }
+  }
+
+  test("SQL DELETE FROM: copy-on-write publishes a new snapshot; the old one still serves pre-delete rows") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.d1")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5), (4L, "b", 4.5), (5L, "a", 5.5))
+      .toDF("k", "tag", "v").writeTo(s"$cat.ns.d1").create()
+    val path = tablePath("d1")
+    val preVersions = GraftSink.listVersions(path)
+    val preFiles = GraftSink.readManifest(path).get.files.toSet
+    spark.sql(s"DELETE FROM $cat.ns.d1 WHERE tag = 'a' AND k > 1")
+    spark.table(s"$cat.ns.d1").select("k").as[Long].collect().sorted shouldBe
+      Array(1L, 2L, 4L)
+    // the rewritten-manifest path: exactly one new snapshot, whose file
+    // list shares NOTHING with the pre-delete snapshot (full COW), and
+    // the pre-delete snapshot still reads intact through its pin
+    val versions = GraftSink.listVersions(path)
+    versions.length shouldBe preVersions.length + 1
+    val post = GraftSink.readManifest(path).get.files.toSet
+    post.intersect(preFiles) shouldBe empty
+    spark.sql(s"SELECT count(*) AS n FROM $cat.ns.d1 VERSION AS OF ${preVersions.last}")
+      .head.getLong(0) shouldBe 5L
+    // ghost invisibility: replaced data files are still on disk (older
+    // snapshots reference them) but the latest read never serves them
+    preFiles.foreach { f =>
+      GraftSink.fs(path).exists(new org.apache.hadoop.fs.Path(path, f)) shouldBe true
+    }
+  }
+
+  test("SQL UPDATE and MERGE INTO route through the row-level operation") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.m1")
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "v").writeTo(s"$cat.ns.m1").create()
+    spark.sql(s"UPDATE $cat.ns.m1 SET v = v + 1.0 WHERE tag <> 'b'")
+    spark.table(s"$cat.ns.m1").orderBy("k").select("v").as[Double].collect() shouldBe
+      Array(11.0, 20.0, 31.0)
+    Seq((2L, "U", 99.0), (3L, "D", 0.0), (7L, "I", 70.0), (8L, "X", 80.0))
+      .toDF("k", "op", "nv").createOrReplaceTempView("m1_chg")
+    spark.sql(s"""
+      MERGE INTO $cat.ns.m1 t USING m1_chg c ON t.k = c.k
+      WHEN MATCHED AND c.op = 'D' THEN DELETE
+      WHEN MATCHED AND c.op = 'U' THEN UPDATE SET v = c.nv
+      WHEN NOT MATCHED AND c.op = 'I' THEN INSERT (k, tag, v) VALUES (c.k, 'new', c.nv)""")
+    spark.table(s"$cat.ns.m1").orderBy("k")
+      .select("k", "tag", "v").as[(Long, String, Double)].collect() shouldBe
+      Array((1L, "a", 11.0), (2L, "b", 99.0), (7L, "new", 70.0))
+  }
+
+  test("metadata column _slice: served only when requested, equal to the planning ordinal") {
+    val df = spark.read.format("graftseq")
+      .option("rows", "1000").option("slices", "4").load()
+    // hidden: SELECT * / schema never include it
+    df.schema.fieldNames should not contain "_slice"
+    // requested: resolves by name, value = planning ordinal = id div 250
+    val w = df.select(col("id"), col("_slice"))
+    w.collect().foreach(r => r.getLong(1) shouldBe r.getLong(0) / 250)
+    // and it reaches the scan's readSchema ONLY when requested
+    def readSchemaOf(d: DataFrame): Seq[String] =
+      d.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .head.scan.readSchema().fieldNames.toSeq
+    readSchemaOf(w) should contain("_slice")
+    readSchemaOf(df.select(col("id"))) should not contain "_slice"
+  }
+
+  test("catalog functions: magic-method Invoke path, bit-parity with the session kernels") {
+    ensureCatalog()
+    org.apache.spark.sql.GraftFunctions.register(spark)
+    Tables.customer(spark, sf).createOrReplaceTempView("c10")
+    val viaCat = spark.sql(
+      s"SELECT c_custkey AS k, $cat.fns.md5_mod(CAST(c_custkey AS STRING), 97) AS b FROM c10")
+    val viaReg = spark.sql(
+      "SELECT c_custkey AS k, md5_mod(CAST(c_custkey AS STRING), 97) AS b FROM c10")
+    viaCat.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      viaReg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // the bound function compiles to the magic-method Invoke, not the
+    // row-boxing ApplyFunctionExpression wrapper
+    val invokes = viaCat.queryExecution.optimizedPlan.expressions.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.objects.Invoke => i
+    })
+    invokes should not be empty
+    viaCat.queryExecution.optimizedPlan.toString should not include "ApplyFunctionExpression"
+    spark.sql(s"SELECT $cat.fns.jaro_winkler('martha', 'marhta') AS s")
+      .head.getDouble(0) shouldBe 0.9611 +- 1e-3
+    // null propagation through the magic path
+    spark.sql(s"SELECT $cat.fns.md5_mod(CAST(NULL AS STRING), 97) AS b")
+      .head.isNullAt(0) shouldBe true
+  }
+
+  test("streaming write: kill/resume lands every epoch exactly once; replayed commits are no-ops") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
+      .localCheckpoint()
+    val b1 = 1704931200000000L // 2024-01-11 UTC, µs (the repo's tranche split)
+    val b2 = 1705795200000000L
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    def stage(in: java.nio.file.Path, from: Int, upTo: Int): Unit = {
+      val ts = Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2))
+      ts.slice(from, upTo).foreach { case (n, df) =>
+        df.coalesce(1).write.mode("overwrite").parquet(s"$in/$n")
+      }
+    }
+    def run(in: String, out: String, ck: String): Unit =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+        .writeStream.format("graftsink")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    def content(out: String): Seq[(Long, Long, Double)] =
+      spark.read.format("graftsink").option("path", out).load()
+        .select(col("user_id"), col("ts_us"), coalesce(col("value"), lit(-1.0)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+
+    // uninterrupted reference
+    val inA = ops.Stage.fresh("swrec_in_a")
+    val outA = ops.Stage.fresh("swrec_out_a").toString
+    stage(inA, 0, 3)
+    run(inA.toString, outA, ops.Stage.fresh("swrec_ck_a").toString)
+
+    // interrupted: two tranches drain, then resume with the third
+    val inB = ops.Stage.fresh("swrec_in_b")
+    val outB = ops.Stage.fresh("swrec_out_b").toString
+    val ckB = ops.Stage.fresh("swrec_ck_b").toString
+    stage(inB, 0, 2)
+    run(inB.toString, outB, ckB)
+    val mid = content(outB)
+    stage(inB, 2, 3)
+    run(inB.toString, outB, ckB)
+
+    val a = content(outA)
+    val b = content(outB)
+    a.length should be > 0
+    withClue("resume must only append, never re-publish a drained epoch: ") {
+      mid.length should be < b.length
+      b shouldBe a
+    }
+    // each microbatch landed as ONE epoch marker in the manifest
+    val files = GraftSink.readManifest(outB).get.files
+    val epochs = files.flatMap { f =>
+      val i = f.lastIndexOf("-e"); val j = f.indexOf("-part", i)
+      if (i >= 0 && j > i) Some(f.substring(i + 2, j).toLong) else None
+    }.distinct.sorted
+    epochs.length should be >= 3 // one per drained tranche (3 data batches)
+
+    // direct replay-window idempotence: re-committing an epoch whose
+    // files are already in the manifest must be a no-op
+    val p = ops.Stage.fresh("sw_idem").toString
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    val sw = new GraftSinkStreamingWrite(p, kSchema, "qX", truncate = false)
+    def staged(epoch: Long, rows: Seq[Long]): GraftSinkCommit = {
+      val f = s"$p/_staging/qX/e$epoch/part-0-0.tsv"
+      val o = GraftSink.fs(p).create(new org.apache.hadoop.fs.Path(f), true)
+      o.write(rows.map(_.toString + "\n").mkString.getBytes("UTF-8")); o.close()
+      GraftSinkCommit(f, 0, rows.length)
+    }
+    sw.commit(0L, Array(staged(0L, Seq(1L, 2L))))
+    sw.commit(1L, Array(staged(1L, Seq(3L))))
+    val before = GraftSink.readManifest(p).get
+    sw.commit(1L, Array(staged(1L, Seq(3L)))) // the replay
+    GraftSink.readManifest(p).get.files shouldBe before.files
+    GraftSink.listVersions(p).length shouldBe 2
+    spark.read.format("graftsink").option("path", p).load().count() shouldBe 3
+  }
+}
