@@ -1668,9 +1668,82 @@ object Science extends QueryPack {
         .select(col("event_type"), col("n"), col("med_v"), col("ci_lo"), col("ci_hi"))
         .orderBy(col("event_type"))
     }),
+
+    // ------------------------------------------------------------------
+    // BM25F — FIELD-WEIGHTED retrieval (q123 treats a document as one
+    // bag; real corpora are structured and a title hit should outrank a
+    // body hit): fields are synthesized positionally (title = first 5
+    // raw tokens, body = the rest — same slice both engines), each
+    // field gets its own weight and length normalization (title w=2
+    // b=0.5, body w=1 b=0.75), the per-field normalized tfs SUM into
+    // one pseudo-frequency, and ONE saturation k1=1.2 applies to the
+    // combined value — the defining BM25F property (per-field BM25
+    // scores added naively would saturate each field separately).
+    // Per-(doc,field,term) terms and the final per-doc score both
+    // quantize DECIMAL(28,12) pre-sum; top-15 via TakeOrdered, rank
+    // window on the 15-row tail (q123's plan shape).
+    "q366_bm25f" -> ((s, dir) => {
+      val raw = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+      val ft = raw.select(col("doc_id"), lit("title").as("fld"),
+          explode(expr("slice(arr, 1, 5)")).as("tok"))
+        .unionByName(raw.select(col("doc_id"), lit("body").as("fld"),
+          explode(expr("slice(arr, 6, greatest(size(arr) - 5, 0))")).as("tok")))
+        .filter(col("tok") =!= "")
+      val flen = ft.groupBy(col("doc_id"), col("fld")).agg(count(lit(1)).as("fl"))
+        .localCheckpoint() // field-length norm + per-field averages
+      val avgf = flen.groupBy(col("fld"))
+        .agg((sum(col("fl")).cast("double") / count(lit(1))).as("afl"))
+      val nd = raw.agg(count(lit(1)).as("n"))
+      val tf = ft.filter(col("tok").isin("spark", "join", "filter"))
+        .groupBy(col("doc_id"), col("fld"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // wtf terms + df
+      val df = tf.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+      val wtf = tf.join(flen, Seq("doc_id", "fld")).join(broadcast(avgf), "fld")
+        .withColumn("term", expr(
+          "cast((CASE WHEN fld = 'title' THEN 2.0 ELSE 1.0 END) * tf / "
+            + "((CASE WHEN fld = 'title' THEN 0.5 ELSE 0.25 END) + "
+            + "(CASE WHEN fld = 'title' THEN 0.5 ELSE 0.75 END) * fl / afl) as decimal(28,12))"))
+        .groupBy(col("doc_id"), col("tok")).agg(sum(col("term")).as("wtf"))
+      val scored = wtf.join(broadcast(df), "tok").crossJoin(broadcast(nd))
+        .withColumn("tscore", expr(
+          "cast(ln((n - df + 0.5) / (df + 0.5) + 1.0) * "
+            + "cast(wtf as double) / (1.2 + cast(wtf as double)) as decimal(28,12))"))
+        .groupBy(col("doc_id")).agg(sum(col("tscore")).as("sx"))
+      val top = scored.orderBy(col("sx").desc, col("doc_id")).limit(15)
+      top.withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("sx").desc, col("doc_id"))))
+        .select(col("rank"), col("doc_id"), round(col("sx").cast("double"), 6).as("score"))
+        .orderBy(col("rank"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    "q366_bm25f" ->
+      ("WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), "
+        + "ft AS (SELECT doc_id, fld, tok FROM ("
+        + "SELECT doc_id, 'title' AS fld, unnest(list_slice(a, 1, 5)) AS tok FROM arr "
+        + "UNION ALL SELECT doc_id, 'body' AS fld, unnest(list_slice(a, 6, len(a))) AS tok FROM arr"
+        + ") WHERE tok <> ''), "
+        + "flen AS (SELECT doc_id, fld, count(*) AS fl FROM ft GROUP BY 1, 2), "
+        + "avgf AS (SELECT fld, CAST(sum(fl) AS DOUBLE) / count(*) AS afl FROM flen GROUP BY 1), "
+        + "nd AS (SELECT count(*) AS n FROM arr), "
+        + "tf AS (SELECT doc_id, fld, tok, count(*) AS tf FROM ft "
+        + "WHERE tok IN ('spark', 'join', 'filter') GROUP BY 1, 2, 3), "
+        + "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), "
+        + "wtf AS (SELECT t.doc_id, t.tok, sum(CAST("
+        + "(CASE WHEN t.fld = 'title' THEN 2.0 ELSE 1.0 END) * t.tf / "
+        + "((CASE WHEN t.fld = 'title' THEN 0.5 ELSE 0.25 END) + "
+        + "(CASE WHEN t.fld = 'title' THEN 0.5 ELSE 0.75 END) * l.fl / g.afl) AS DECIMAL(28,12))) AS wtf "
+        + "FROM tf t JOIN flen l ON t.doc_id = l.doc_id AND t.fld = l.fld "
+        + "JOIN avgf g ON t.fld = g.fld GROUP BY 1, 2), "
+        + "scored AS (SELECT w.doc_id, sum(CAST(ln((nd.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * "
+        + "CAST(w.wtf AS DOUBLE) / (1.2 + CAST(w.wtf AS DOUBLE)) AS DECIMAL(28,12))) AS sx "
+        + "FROM wtf w JOIN df d ON w.tok = d.tok CROSS JOIN nd GROUP BY 1), "
+        + "top AS (SELECT doc_id, sx FROM scored ORDER BY sx DESC, doc_id LIMIT 15) "
+        + "SELECT row_number() OVER (ORDER BY sx DESC, doc_id) AS rank, doc_id, "
+        + "round(CAST(sx AS DOUBLE), 6) AS score FROM top ORDER BY rank"),
     "q328_periodogram" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1), "
         + "nn AS (SELECT count(*) AS n FROM daily), "

@@ -495,9 +495,373 @@ object Sources extends QueryPack {
         .select(col("version"), col("c_mktsegment"), col("n"), col("sum_bal"))
         .orderBy(col("version"), col("c_mktsegment"))
     }),
+
+    // ------------------------------------------------------------------
+    // Row-level SQL DELETE through the catalog identifier
+    // (sources/GraftCatalog.scala + SupportsRowLevelOperations in
+    // GraftSinkSource.scala): the statement Spark rewrites into a
+    // group-based copy-on-write ReplaceData — scan the snapshot, keep
+    // the survivors, publish a NEW manifest version (the deleted rows'
+    // files become time-travelable ghosts). This is the lakehouse verb
+    // q278 could only emulate with a DataFrame join; here the TEXT
+    // `DELETE FROM` runs against the connector. Oracle recomputes the
+    // post-delete content straight from parquet with the negated
+    // predicate, so a row lost, kept, or double-written anywhere in
+    // scan→filter→rewrite→commit breaks the hash.
+    "q359_dsv2_delete" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.cust359")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.cust359").create()
+      s.sql("DELETE FROM graft.g.cust359 WHERE c_custkey % 7 = 0 OR bal < 0.0")
+      s.table("graft.g.cust359")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
+    // SQL MERGE INTO through the catalog — the full upsert verb (q278's
+    // CDC semantics as the real statement): matched+D deletes,
+    // matched+U updates the balance, unmatched inserts under new keys.
+    // Spark rewrites it into ONE group-based ReplaceData over the
+    // target (scan ⟕ source, merge logic inline, rewrite commit) — the
+    // scale shape is the same single shuffled join as q278, now owned
+    // by the engine. Update arithmetic runs in DECIMAL(18,2) before
+    // the TSV round-trip (doubles re-read bit-exact). The oracle
+    // recomputes the merge INDEPENDENTLY as set algebra over parquet
+    // (base ∖ touched-keys ∪ upserts), never a join, so a merge bug
+    // cannot cancel out.
+    "q360_dsv2_merge" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.cust360")
+      val cust = Tables.customer(s, dir)
+      cust.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .writeTo("graft.g.cust360").create()
+      val upd = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("c_acctbal",
+          (col("c_acctbal").cast("decimal(18,2)") + lit(100)).cast("double"))
+        .withColumn("op", lit("U"))
+      val del = cust.filter(col("c_custkey") % 10 === 2).withColumn("op", lit("D"))
+      val ins = cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .withColumn("c_name", concat(lit("new|"), col("c_name")))
+        .withColumn("op", lit("I"))
+      upd.unionByName(del).unionByName(ins).createOrReplaceTempView("chg360")
+      s.sql("""
+        MERGE INTO graft.g.cust360 t USING chg360 c ON t.c_custkey = c.c_custkey
+        WHEN MATCHED AND c.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_acctbal = c.c_acctbal
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+          VALUES (c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment)""")
+      s.table("graft.g.cust360")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"),
+          sum(when(col("c_name").startsWith("new|"), 1L).otherwise(0L)).as("n_inserted"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
+    // TEXTUAL time travel — `SELECT ... FROM graft.g.t VERSION AS OF n`
+    // resolved through TableCatalog.loadTable(ident, version), the SQL
+    // surface q351 exposed only as a read option. CTAS commits v1 (the
+    // empty created table) + v2 (the mod-3 slice); the overwrite is v3
+    // (full table, +50 balances). Both pinned snapshots are read back
+    // via the statement and aggregated side by side; oracle replays
+    // them from parquet.
+    "q361_sql_time_travel" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.tt361")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 3 === 0).writeTo("graft.g.tt361").create()
+      cust.withColumn("bal",
+          (col("bal").cast("decimal(18,2)") + lit(50)).cast("double"))
+        .writeTo("graft.g.tt361").overwrite(lit(true))
+      s.sql("""
+        SELECT 2 AS version, c_mktsegment, count(*) AS n,
+          round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+        FROM graft.g.tt361 VERSION AS OF 2 GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 3 AS version, c_mktsegment, count(*) AS n,
+          round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+        FROM graft.g.tt361 VERSION AS OF 3 GROUP BY c_mktsegment
+        ORDER BY version, c_mktsegment""")
+    }),
+
+    // ------------------------------------------------------------------
+    // Row-level SQL UPDATE through the catalog: reprice one order slice
+    // (status flip + 10% uplift) via the same group-based
+    // copy-on-write rewrite as q359. The uplift runs entirely in
+    // DECIMAL (18,2 × 4,2 — exact in both engines) and the readback
+    // sums DECIMAL(18,3) so the 3-decimal updated prices and
+    // 2-decimal untouched ones are both represented exactly.
+    "q362_dsv2_update" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.ord362")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .writeTo("graft.g.ord362").create()
+      s.sql("""
+        UPDATE graft.g.ord362
+        SET price = CAST(CAST(price AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE),
+            o_orderstatus = 'R'
+        WHERE o_orderstatus = 'F' AND o_orderkey % 4 = 1""")
+      s.table("graft.g.ord362")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast("decimal(18,3)")).cast("double"), 3).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ------------------------------------------------------------------
+    // DSv2 METADATA COLUMN (SupportsMetadataColumns on graftseq): the
+    // hidden `_slice` column — which InputPartition served the row —
+    // resolves by NAME only (never via SELECT *), the `_metadata`
+    // surface a file source uses for provenance/skew audits. The
+    // rollup groups BY the metadata column, so the hash certifies both
+    // the hidden-column plumbing and the partition-planning grid
+    // (ids land in slice id div 25000 at rows=200000/slices=8);
+    // Round10Spec asserts it stays out of readSchema when unselected.
+    "q363_dsv2_metadata_col" -> ((s, dir) => {
+      s.read.format("graftseq")
+        .option("rows", "200000").option("slices", "8").load()
+        .select(col("id"), col("bucket"), col("_slice").as("slice"))
+        .groupBy(col("slice"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("bucket")).as("sum_bucket"))
+        .orderBy(col("slice"))
+    }),
+
+    // ------------------------------------------------------------------
+    // V2 FunctionCatalog: the native kernels invoked through their
+    // CATALOG-QUALIFIED names (graft.fns.md5_mod / jaro_winkler),
+    // bound via the magic-method Invoke path — no session registration,
+    // no row-boxing wrapper (Round10Spec asserts the Invoke plan and
+    // bit-parity with the registry route). The jw sum quantizes each
+    // similarity to DECIMAL(18,12) pre-sum (order-free exact total),
+    // the house convention for averaging irrational doubles.
+    "q364_catalog_function" -> ((s, dir) => {
+      ensureCatalog(s)
+      Tables.customer(s, dir).createOrReplaceTempView("cust364")
+      s.sql("""
+        SELECT graft.fns.md5_mod(CAST(c_custkey AS STRING), 64) AS bucket,
+          count(*) AS n,
+          round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal,
+          round(CAST(sum(CAST(graft.fns.jaro_winkler(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE)
+            / count(*), 6) AS avg_jw
+        FROM cust364 GROUP BY 1 ORDER BY 1""")
+    }),
+
+    // ------------------------------------------------------------------
+    // DSv2 STREAMING WRITE (StreamingWrite on graftsink): the graftseq
+    // microbatch stream lands in the sink through the connector's OWN
+    // epoch-keyed staged commits — `.writeStream.format("graftsink")`
+    // with no foreachBatch — and AvailableNow drains 100k ids in 4
+    // batches, each published exactly once (identical replayed epochs
+    // are detected in the manifest and dropped; kill/resume asserted
+    // in Round10Spec). Read back through the sink's BATCH_READ and
+    // rolled up per bucket, the oracle certifies no row lost or
+    // duplicated across epoch commits.
+    "q365_dsv2_stream_sink" -> ((s, dir) => {
+      val stage = Stage.fresh("sinkstream365")
+      s.readStream.format("graftseq")
+        .option("rows", "100000").option("slices", "4")
+        .option("rowsPerBatch", "25000").load()
+        .writeStream.format("graftsink")
+        .option("path", s"$stage/out").option("checkpointLocation", s"$stage/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val out = s.read.format("graftsink").option("path", s"$stage/out").load()
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("bucket"))
+        .localCheckpoint() // materialize before the staging tree is released
+      Stage.release(stage)
+      out
+    }),
+
+    // ------------------------------------------------------------------
+    // Streaming CDC INTO the lakehouse — the composition a real
+    // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
+    // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
+    // update %10=1 +100, delete %10=2; batch 2: re-insert %20=2 at
+    // bal 0, update %10=3 +7) stream through foreachBatch, and each
+    // microbatch applies ONE SQL `MERGE INTO` against the catalog
+    // table — every batch therefore lands as its own copy-on-write
+    // snapshot, so the table ends at exactly 4 versions (create + CTAS
+    // + 2 merges; the n_versions column pins the audit trail). An
+    // empty trailing batch is guarded out (it would commit a phantom
+    // version). Oracle recomputes the FINAL state closed-form from
+    // parquet — the change algebra, not the merge path.
+    "q369_stream_cdc_merge" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.cdc369")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.cdc369").create()
+      val t1 = cust.filter(col("c_custkey") % 10 === 1)
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(100)).cast("double"))
+        .withColumn("op", lit("U"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 2).withColumn("op", lit("D")))
+      val t2 = cust.filter(col("c_custkey") % 20 === 2)
+        .withColumn("bal", lit(0.0)).withColumn("op", lit("I"))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 3)
+          .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(7)).cast("double"))
+          .withColumn("op", lit("U")))
+      val in = Stage.fresh("cdc369")
+      // tranches under in/, checkpoint BESIDE them — the source glob
+      // must never see the checkpoint's own metadata files
+      t1.coalesce(1).write.mode("overwrite").parquet(s"$in/in/b0")
+      t2.coalesce(1).write.mode("overwrite").parquet(s"$in/in/b1")
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+        StructField("bal", DoubleType), StructField("op", StringType)))
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/in/*/")
+        .writeStream.option("checkpointLocation", s"$in/ck")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!b.isEmpty) {
+            b.createOrReplaceTempView("cdc369_batch")
+            b.sparkSession.sql("""
+              MERGE INTO graft.g.cdc369 t USING cdc369_batch c ON t.c_custkey = c.c_custkey
+              WHEN MATCHED AND c.op = 'D' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET bal = c.bal
+              WHEN NOT MATCHED AND c.op <> 'D' THEN
+                INSERT (c_custkey, c_mktsegment, bal) VALUES (c.c_custkey, c.c_mktsegment, c.bal)""")
+            ()
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val nv = graft.sources.GraftSink
+        .listVersions(s"${Stage.dir("graft_warehouse")}/g/cdc369").length
+      val out = s.table("graft.g.cdc369")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          sum(when(col("bal") === 0.0, 1L).otherwise(0L)).as("n_zero_bal"))
+        .withColumn("n_versions", lit(nv.toLong))
+        .orderBy(col("c_mktsegment"))
+        .localCheckpoint() // materialize before the staging tree is released
+      Stage.release(in)
+      out
+    }),
   )
 
+  /** Register the graft catalog once per session (idempotent): catalog
+    * instances are cached by name after first resolution, so the
+    * warehouse root must be the same every time — Stage.dir is stable
+    * per JVM. */
+  private def ensureCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", Stage.dir("graft_warehouse"))
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.g")
+  }
+
   def oracles: Map[String, String] = Map(
+    // q359: post-delete content = the negated predicate over parquet.
+    "q359_dsv2_delete" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+        + "FROM base WHERE NOT (c_custkey % 7 = 0 OR bal < 0.0) "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q360: the merge recomputed as set algebra (q278's convention).
+    "q360_dsv2_merge" ->
+      ("WITH upserts AS ("
+        + "SELECT c_custkey, c_name, c_nationkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS c_acctbal, c_mktsegment "
+        + "FROM customer WHERE c_custkey % 10 = 1 "
+        + "UNION ALL SELECT c_custkey + 1000000, 'new|' || c_name, c_nationkey, c_acctbal, c_mktsegment "
+        + "FROM customer WHERE c_custkey % 10 = 3), "
+        + "merged AS ("
+        + "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer "
+        + "WHERE c_custkey % 10 <> 1 AND c_custkey % 10 <> 2 "
+        + "UNION ALL SELECT * FROM upserts) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
+        + "CAST(sum(CASE WHEN c_name LIKE 'new|%' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted "
+        + "FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q361: CTAS = v1 empty + v2 slice; overwrite = v3 full +50.
+    "q361_sql_time_travel" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "v2 AS (SELECT 2 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base WHERE c_custkey % 3 = 0 GROUP BY c_mktsegment), "
+        + "v3 AS (SELECT 3 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(bal AS DECIMAL(18,2)) + 50 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base GROUP BY c_mktsegment) "
+        + "SELECT version, c_mktsegment, n, sum_bal FROM v2 "
+        + "UNION ALL SELECT version, c_mktsegment, n, sum_bal FROM v3 "
+        + "ORDER BY version, c_mktsegment"),
+    // q362: the update replayed as a CASE over parquet.
+    "q362_dsv2_update" ->
+      ("WITH base AS (SELECT o_orderkey, o_orderstatus, "
+        + "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders), "
+        + "upd AS (SELECT o_orderkey, "
+        + "CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 1 THEN 'R' ELSE o_orderstatus END AS o_orderstatus, "
+        + "CASE WHEN o_orderstatus = 'F' AND o_orderkey % 4 = 1 "
+        + "THEN CAST(CAST(price AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE) "
+        + "ELSE price END AS price FROM base) "
+        + "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(price AS DECIMAL(18,3))) AS DOUBLE), 3) AS sum_price, "
+        + "min(o_orderkey) AS min_key FROM upd GROUP BY 1 ORDER BY 1"),
+    // q363: _slice replays the planning grid (id div 25000); bucket the
+    // portable md5 chain.
+    "q363_dsv2_metadata_col" ->
+      ("SELECT i // 25000 AS slice, CAST(count(*) AS BIGINT) AS n, "
+        + "min(i) AS min_id, max(i) AS max_id, "
+        + "CAST(sum(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97) AS BIGINT) AS sum_bucket "
+        + "FROM (SELECT unnest(range(0, 200000)) AS i) GROUP BY 1 ORDER BY 1"),
+    // q364: catalog functions replayed via DuckDB's own md5 chain and
+    // jaro_winkler_similarity (bit-parity pinned since q281).
+    "q364_catalog_function" ->
+      ("SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 64 AS bucket, "
+        + "CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
+        + "/ count(*), 6) AS avg_jw "
+        + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q369: the CDC final state recomputed closed-form (the change
+    // algebra over parquet, not the merge path); n_versions pins the
+    // snapshot audit trail at create + CTAS + 2 merge commits.
+    "q369_stream_cdc_merge" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "fin AS ("
+        + "SELECT c_custkey, c_mktsegment, CAST(CAST(bal AS DECIMAL(18,2)) + 100 AS DOUBLE) AS bal "
+        + "FROM base WHERE c_custkey % 10 = 1 "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, CAST(CAST(bal AS DECIMAL(18,2)) + 7 AS DOUBLE) "
+        + "FROM base WHERE c_custkey % 10 = 3 "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, 0.0 FROM base WHERE c_custkey % 20 = 2 "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, bal FROM base WHERE c_custkey % 10 NOT IN (1, 2, 3)) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "CAST(sum(CASE WHEN bal = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_bal, "
+        + "CAST(4 AS BIGINT) AS n_versions "
+        + "FROM fin GROUP BY 1 ORDER BY 1"),
+    // q365: the streamed union of the 4 epochs is exactly range(100000).
+    "q365_dsv2_stream_sink" ->
+      ("SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sum_id, "
+        + "min(i) AS min_id, max(i) AS max_id "
+        + "FROM (SELECT unnest(range(100000)) AS i) GROUP BY 1 ORDER BY 1"),
     "q351_dsv2_time_travel" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "
         + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "

@@ -846,6 +846,126 @@ object Vectors extends QueryPack {
         .withColumn("separation", round(expr("within_mean_cos - between_mean_cos"), 6))
         .orderBy(col("label"))
     }),
+
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss random-projection audit (beside q247's int8
+    // audit: quantization compresses VALUES, projection compresses
+    // DIMENSIONS — 64 → 16 here, the shrink step before any distance
+    // sketch index): deterministic ±odd-integer projection planes
+    // (q295's md5 grid, E[w²]=85), vectors integer-quantized at 1e4 so
+    // every projection, norm, and pairwise distance is an EXACT BIGINT
+    // in both engines — the ratio grid is bit-identical and only the
+    // final ratios are doubles. Readout: norm preservation
+    // ‖y‖²/(16·85·‖x‖²) over the WHOLE corpus (the JL expectation is 1)
+    // and pairwise-distance preservation over the 190 bounded probe
+    // pairs — mean/min/max distortion per scope. At 100 TB the
+    // projection is one broadcast-planes pass (16 exact-int dots per
+    // vector); nothing pairwise ever touches the full corpus.
+    "q367_jl_audit" -> ((s, dir) => {
+      val planes = s.range(0, 16).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(1, 65).select(col("id").cast("int").as("d")))
+        .withColumn("w2", expr(
+          "2 * (position(substr(md5(cast(concat(cast(j as string), '_', cast(d as string)) as binary)), 1, 1), '0123456789abcdef') - 1) - 15"))
+      val xq = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), (col("pos") + 1).as("d"),
+          expr("cast(floor(cast(x as double) * 10000) as bigint)").as("xq"))
+        .localCheckpoint() // projections + norms + probe vectors
+      val proj = xq.join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("j")).agg(sum(col("xq") * col("w2")).as("y"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("y") * col("y")).as("py2"),
+          expr("transform(sort_array(collect_list(struct(j, y))), t -> t.y)").as("yv"))
+      val nrm = xq.groupBy(col("vec_id")).agg(sum(col("xq") * col("xq")).as("x2"))
+      val vecs = proj.join(nrm, "vec_id").localCheckpoint() // norm stats + probes
+      def stats(scope: String, df0: org.apache.spark.sql.DataFrame) =
+        df0.agg(count(lit(1)).as("n"),
+          round(expr("cast(sum(cast(r as decimal(28,12))) as double) / count(1)"), 6).as("mean_ratio"),
+          round(min(col("r")), 6).as("min_ratio"),
+          round(max(col("r")), 6).as("max_ratio"))
+          .select(lit(scope).as("scope"), col("n"), col("mean_ratio"),
+            col("min_ratio"), col("max_ratio"))
+      val normStats = stats("norms",
+        vecs.select(expr("cast(py2 as double) / (1360.0 * x2)").as("r")))
+      val probes = xq.filter(col("vec_id") < 20).groupBy(col("vec_id"))
+        .agg(expr("transform(sort_array(collect_list(struct(d, xq))), t -> t.xq)").as("xv"))
+        .join(vecs.select(col("vec_id"), col("yv")), "vec_id")
+        .localCheckpoint() // both sides of the bounded pair join
+      val a = probes.select(col("vec_id").as("va"), col("xv").as("xa"), col("yv").as("ya"))
+      val b = probes.select(col("vec_id").as("vb"), col("xv").as("xb"), col("yv").as("yb"))
+      val pairStats = stats("pairs",
+        a.join(broadcast(b), col("va") < col("vb"))
+          .withColumn("dx2", expr(
+            "aggregate(zip_with(xa, xb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)"))
+          .withColumn("dy2", expr(
+            "aggregate(zip_with(ya, yb, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)"))
+          .filter(col("dx2") > 0) // JL ratio undefined at zero distance
+          .select(expr("cast(dy2 as double) / (1360.0 * dx2)").as("r")))
+      normStats.unionByName(pairStats).orderBy(col("scope"))
+    }),
+
+    // ------------------------------------------------------------------
+    // ALS matrix-factorization sweep (k=2, λ=0.1) over the implicit
+    // user×event_type count matrix — one full alternation of the
+    // algorithm behind every large-scale recommender: item factors
+    // initialized deterministically (y=(1, md5-fraction−0.5), DECIMAL-
+    // quantized), then EXACT closed-form 2×2 normal equations solve the
+    // user factors ((YᵀY+λI)x = Yᵀr per user — one groupBy over rated
+    // cells, λ>0 guarantees invertibility by Cauchy–Schwarz), factors
+    // re-quantized, and the ITEM stage runs the same closed form back
+    // over the new user factors. Every Σ is a DECIMAL(38,12) exact sum
+    // (merge-order-free); only the 2×2 inverse arithmetic is IEEE —
+    // deterministic on exact inputs. Readout: per-item updated factors
+    // + observed-cell RMSE after the sweep. The scale shape is the real
+    // one: each stage is ONE shuffled groupBy over the rating cells
+    // with the k×k cells as partial-agg state; nothing materializes a
+    // dense matrix.
+    "q368_als_sweep" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val r = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("r"))
+        .localCheckpoint() // user stage + item stage + rmse
+      val y0 = r.select(col("event_type")).distinct()
+        .withColumn("y1", expr("cast(1.0 as decimal(18,6))"))
+        .withColumn("y2", expr(
+          "cast(md5_mod(event_type, 1000) / 1000.0 - 0.5 as decimal(18,6))"))
+      def solve(cells: org.apache.spark.sql.DataFrame, key: String,
+          f1: String, f2: String) =
+        cells.groupBy(col(key))
+          .agg(sum(expr(s"cast($f1 * $f1 as decimal(38,12))")).as("a11"),
+            sum(expr(s"cast($f1 * $f2 as decimal(38,12))")).as("a12"),
+            sum(expr(s"cast($f2 * $f2 as decimal(38,12))")).as("a22"),
+            sum(expr(s"cast(r * $f1 as decimal(38,12))")).as("b1"),
+            sum(expr(s"cast(r * $f2 as decimal(38,12))")).as("b2"))
+          .withColumn("det", expr(
+            "(cast(a11 as double) + 0.1) * (cast(a22 as double) + 0.1) "
+              + "- cast(a12 as double) * cast(a12 as double)"))
+          .select(col(key),
+            expr("cast(round(((cast(a22 as double) + 0.1) * cast(b1 as double) "
+              + "- cast(a12 as double) * cast(b2 as double)) / det, 6) as decimal(18,6))").as("n1"),
+            expr("cast(round((-cast(a12 as double) * cast(b1 as double) "
+              + "+ (cast(a11 as double) + 0.1) * cast(b2 as double)) / det, 6) as decimal(18,6))").as("n2"))
+      val ux = solve(r.join(broadcast(y0), "event_type"), "user_id", "y1", "y2")
+        .withColumnRenamed("n1", "x1").withColumnRenamed("n2", "x2")
+        .localCheckpoint() // item stage + rmse
+      val iy = solve(r.join(ux, "user_id"), "event_type", "x1", "x2")
+        .localCheckpoint() // rmse + readout
+      val fit = r.join(ux, "user_id").join(broadcast(iy), "event_type")
+        .select(expr(
+          "cast((r - (cast(x1 as double) * cast(n1 as double) + cast(x2 as double) * cast(n2 as double))) * "
+            + "(r - (cast(x1 as double) * cast(n1 as double) + cast(x2 as double) * cast(n2 as double))) "
+            + "as decimal(28,12))").as("se"))
+        .agg(sum(col("se")).as("sse"), count(lit(1)).as("n_obs"))
+        .select(round(expr("sqrt(cast(sse as double) / n_obs)"), 6).as("rmse"), col("n_obs"))
+      iy.join(r.groupBy(col("event_type")).agg(count(lit(1)).as("n_users")), "event_type")
+        .crossJoin(broadcast(fit))
+        .select(col("event_type"), col("n_users"),
+          round(col("n1").cast("double"), 6).as("y1_new"),
+          round(col("n2").cast("double"), 6).as("y2_new"),
+          col("rmse"), col("n_obs"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB cosine mirror of the native `cosine_sim` (q62's proven
@@ -955,6 +1075,61 @@ object Vectors extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q368_als_sweep" ->
+      ("WITH r AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS r FROM events GROUP BY 1, 2), "
+        + "y0 AS (SELECT DISTINCT event_type, CAST(1.0 AS DECIMAL(18,6)) AS y1, "
+        + "CAST(CAST('0x' || substr(md5(event_type), 1, 15) AS BIGINT) % 1000 / 1000.0 - 0.5 AS DECIMAL(18,6)) AS y2 FROM r), "
+        + "ua AS (SELECT user_id, sum(CAST(y1 * y1 AS DECIMAL(38,12))) AS a11, "
+        + "sum(CAST(y1 * y2 AS DECIMAL(38,12))) AS a12, sum(CAST(y2 * y2 AS DECIMAL(38,12))) AS a22, "
+        + "sum(CAST(r * y1 AS DECIMAL(38,12))) AS b1, sum(CAST(r * y2 AS DECIMAL(38,12))) AS b2 "
+        + "FROM r JOIN y0 USING (event_type) GROUP BY 1), "
+        + "ux AS (SELECT user_id, "
+        + "CAST(round(((CAST(a22 AS DOUBLE) + 0.1) * CAST(b1 AS DOUBLE) - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / "
+        + "((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1) - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x1, "
+        + "CAST(round((-CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE) + (CAST(a11 AS DOUBLE) + 0.1) * CAST(b2 AS DOUBLE)) / "
+        + "((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1) - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x2 "
+        + "FROM ua), "
+        + "ia AS (SELECT event_type, sum(CAST(x1 * x1 AS DECIMAL(38,12))) AS a11, "
+        + "sum(CAST(x1 * x2 AS DECIMAL(38,12))) AS a12, sum(CAST(x2 * x2 AS DECIMAL(38,12))) AS a22, "
+        + "sum(CAST(r * x1 AS DECIMAL(38,12))) AS b1, sum(CAST(r * x2 AS DECIMAL(38,12))) AS b2 "
+        + "FROM r JOIN ux USING (user_id) GROUP BY 1), "
+        + "iy AS (SELECT event_type, "
+        + "CAST(round(((CAST(a22 AS DOUBLE) + 0.1) * CAST(b1 AS DOUBLE) - CAST(a12 AS DOUBLE) * CAST(b2 AS DOUBLE)) / "
+        + "((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1) - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS n1, "
+        + "CAST(round((-CAST(a12 AS DOUBLE) * CAST(b1 AS DOUBLE) + (CAST(a11 AS DOUBLE) + 0.1) * CAST(b2 AS DOUBLE)) / "
+        + "((CAST(a11 AS DOUBLE) + 0.1) * (CAST(a22 AS DOUBLE) + 0.1) - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS n2 "
+        + "FROM ia), "
+        + "fit AS (SELECT round(sqrt(CAST(sum(CAST("
+        + "(r - (CAST(x1 AS DOUBLE) * CAST(n1 AS DOUBLE) + CAST(x2 AS DOUBLE) * CAST(n2 AS DOUBLE))) * "
+        + "(r - (CAST(x1 AS DOUBLE) * CAST(n1 AS DOUBLE) + CAST(x2 AS DOUBLE) * CAST(n2 AS DOUBLE))) "
+        + "AS DECIMAL(28,12))) AS DOUBLE) / count(*)), 6) AS rmse, CAST(count(*) AS BIGINT) AS n_obs "
+        + "FROM r JOIN ux USING (user_id) JOIN iy USING (event_type)), "
+        + "nu AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM r GROUP BY 1) "
+        + "SELECT i.event_type, u.n_users, round(CAST(i.n1 AS DOUBLE), 6) AS y1_new, "
+        + "round(CAST(i.n2 AS DOUBLE), 6) AS y2_new, f.rmse, f.n_obs "
+        + "FROM iy i JOIN nu u USING (event_type) CROSS JOIN fit f ORDER BY i.event_type"),
+    "q367_jl_audit" ->
+      ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
+        + "FROM (SELECT unnest(range(0, 16)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
+        + "expl AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d, "
+        + "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS xq FROM embeddings), "
+        + "proj AS (SELECT e.vec_id, p.j, CAST(sum(e.xq * p.w2) AS BIGINT) AS y FROM expl e JOIN planes p ON e.d = p.d GROUP BY 1, 2), "
+        + "pv AS (SELECT vec_id, CAST(sum(y * y) AS BIGINT) AS py2, list(y ORDER BY j) AS yv FROM proj GROUP BY vec_id), "
+        + "nrm AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS x2 FROM expl GROUP BY vec_id), "
+        + "normr AS (SELECT CAST(py2 AS DOUBLE) / (1360.0 * x2) AS r FROM pv JOIN nrm USING (vec_id)), "
+        + "xvs AS (SELECT vec_id, list(xq ORDER BY d) AS xv FROM expl WHERE vec_id < 20 GROUP BY vec_id), "
+        + "probes AS (SELECT x.vec_id, x.xv, p.yv FROM xvs x JOIN pv p USING (vec_id)), "
+        + "pr AS (SELECT CAST(list_sum(list_transform(range(1, len(a.yv) + 1), i -> (a.yv[i] - b.yv[i]) * (a.yv[i] - b.yv[i]))) AS BIGINT) AS dy2, "
+        + "CAST(list_sum(list_transform(range(1, len(a.xv) + 1), i -> (a.xv[i] - b.xv[i]) * (a.xv[i] - b.xv[i]))) AS BIGINT) AS dx2 "
+        + "FROM probes a JOIN probes b ON a.vec_id < b.vec_id), "
+        + "pairr AS (SELECT CAST(dy2 AS DOUBLE) / (1360.0 * dx2) AS r FROM pr WHERE dx2 > 0), "
+        + "st AS (SELECT 'norms' AS scope, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mean_ratio, "
+        + "round(min(r), 6) AS min_ratio, round(max(r), 6) AS max_ratio FROM normr "
+        + "UNION ALL SELECT 'pairs', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6), "
+        + "round(min(r), 6), round(max(r), 6) FROM pairr) "
+        + "SELECT scope, n, mean_ratio, min_ratio, max_ratio FROM st ORDER BY scope"),
     "q295_core_distance" ->
       ("WITH planes AS (SELECT j, d, 2 * (strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1)) - 1) - 15 AS w2 "
         + "FROM (SELECT unnest(range(0, 8)) AS j) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)), "
