@@ -966,6 +966,97 @@ object Vectors extends QueryPack {
           col("rmse"), col("n_obs"))
         .orderBy(col("event_type"))
     }),
+
+    // ------------------------------------------------------------------
+    // HDBSCAN stage 2 — the minimum spanning tree of the
+    // mutual-reachability graph (q295 built the stage-1 edges; the MST
+    // is the dendrogram every HDBSCAN cut descends, and its HEAVIEST
+    // edges are the cluster separations): Borůvka's algorithm run as
+    // DISTRIBUTED join+agg rounds — per component, min outgoing edge
+    // under the total order (w, a, b) via ONE struct-min partial agg;
+    // selected edges merge components through certified-fixpoint
+    // min-label propagation (q80's discipline, e149694); components at
+    // least halve per round so ⌈log₂n⌉ rounds complete the tree. Edge
+    // frame = mutual reachability (k=4 core distances) over the 32
+    // bounded probes, so the oracle can replay exactly; at corpus scale
+    // the SAME rounds run over q295's banded candidate edges — Borůvka
+    // is THE parallel MST algorithm precisely because each round is one
+    // partial-agg shuffle. Oracle computes the same MST by a DIFFERENT
+    // algorithm (Prim unrolled 31 steps under the same total order — a
+    // shared bug can't cancel); readout = the 5 heaviest MST edges
+    // (the top dendrogram splits) + exact DECIMAL total weight.
+    "q370_hdbscan_mst" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val probes = Tables.embeddings(s, dir).filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val pd = probes.select(col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(broadcast(probes.select(col("vec_id").as("vb"), col("embedding").as("eb"))),
+          col("va") < col("vb"))
+        .withColumn("d2", round(expr(sqdist.format("ea", "eb")), 6))
+        .select(col("va"), col("vb"), col("d2"))
+      val nbrs = pd.select(col("va").as("v"), col("d2"))
+        .unionByName(pd.select(col("vb").as("v"), col("d2")))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("d2"))
+      val core = nbrs.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 4).select(col("v"), col("d2").as("core4"))
+      val edges = pd
+        .join(core.select(col("v").as("va"), col("core4").as("core_a")), "va")
+        .join(core.select(col("v").as("vb"), col("core4").as("core_b")), "vb")
+        .select(col("va"), col("vb"),
+          greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
+        .localCheckpoint() // joined against the evolving labels each round
+      // Borůvka rounds to a certified single component
+      var comp = probes.select(col("vec_id").as("v"), col("vec_id").as("c"))
+        .localCheckpoint()
+      var mst = edges.filter(lit(false)) // empty (va, vb, w) accumulator
+      var nComp = comp.select(col("c")).distinct().count()
+      while (nComp > 1) {
+        val lab = edges
+          .join(comp.select(col("v").as("va"), col("c").as("ca")), "va")
+          .join(comp.select(col("v").as("vb"), col("c").as("cb")), "vb")
+          .filter(col("ca") =!= col("cb"))
+        // min outgoing edge per component, total order (w, va, vb)
+        val sel = lab.select(col("ca").as("comp"), struct(col("w"), col("va"),
+            col("vb"), col("ca"), col("cb")).as("e"))
+          .unionByName(lab.select(col("cb").as("comp"), struct(col("w"), col("va"),
+            col("vb"), col("ca"), col("cb")).as("e")))
+          .groupBy(col("comp")).agg(min(col("e")).as("e"))
+          .select(col("e.w").as("w"), col("e.va").as("va"), col("e.vb").as("vb"),
+            col("e.ca").as("ca"), col("e.cb").as("cb"))
+          .distinct().localCheckpoint()
+        mst = mst.unionByName(sel.select(col("va"), col("vb"), col("w")))
+          .localCheckpoint()
+        // merge: min-label propagation over the selected component pairs,
+        // iterated to a certified fixpoint (selected edges can chain)
+        val cp = sel.select(col("ca").as("c1"), col("cb").as("c2"))
+          .unionByName(sel.select(col("cb").as("c1"), col("ca").as("c2")))
+          .localCheckpoint()
+        var m = comp.select(col("c")).distinct().withColumn("l", col("c"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val nxt = m
+            .join(cp.withColumnRenamed("c1", "c"), Seq("c"), "left")
+            .join(m.select(col("c").as("c2"), col("l").as("l2")), Seq("c2"), "left")
+            .groupBy(col("c")).agg(least(min(col("l")), min(col("l2"))).as("ln"))
+            .localCheckpoint()
+          changed = m.join(nxt, "c").filter(col("ln") =!= col("l")).count()
+          m = nxt.withColumnRenamed("ln", "l")
+        }
+        comp = comp.join(m, "c").select(col("v"), col("l").as("c")).localCheckpoint()
+        nComp = comp.select(col("c")).distinct().count()
+      }
+      val tot = mst.agg(count(lit(1)).as("n_edges"),
+        round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6).as("total_w"))
+      val top = mst.orderBy(col("w").desc, col("va"), col("vb")).limit(5)
+      top.withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("w").desc, col("va"), col("vb"))))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("va"), col("vb"), col("w"),
+          col("n_edges"), col("total_w"))
+        .orderBy(col("rank"))
+    }),
   )
 
   /** DuckDB cosine mirror of the native `cosine_sim` (q62's proven
@@ -1074,7 +1165,40 @@ object Vectors extends QueryPack {
       + "row_number() OVER (PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM rr) WHERE rn <= 3 ORDER BY probe_id, rn")
   }
 
+  /** q370 oracle: Prim's algorithm unrolled to 31 single-edge CTE steps
+    * (q279's unrolled-CTE idiom) under the SAME total order (w, va, vb)
+    * as the Spark side's Borůvka — two different MST algorithms over
+    * the same tie-broken weights must produce the identical tree. */
+  private def mstOracleSql: String = {
+    // every CTE that is referenced more than once is MATERIALIZED —
+    // otherwise DuckDB inlines the whole chain back to the parquet scan
+    // per reference and the 31 unrolled steps exhaust file handles
+    val steps = (1 to 31).map { k =>
+      val t = s"t${k - 1}"
+      (s"e$k AS MATERIALIZED (SELECT va, vb, w FROM ed WHERE (va IN (SELECT v FROM $t)) <> (vb IN (SELECT v FROM $t)) "
+        + "ORDER BY w, va, vb LIMIT 1), "
+        + s"t$k AS MATERIALIZED (SELECT v FROM $t UNION ALL SELECT CASE WHEN va IN (SELECT v FROM $t) THEN vb ELSE va END FROM e$k), "
+        + s"m$k AS MATERIALIZED (SELECT * FROM m${k - 1} UNION ALL SELECT * FROM e$k)")
+    }.mkString(", ")
+    ("WITH probes AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32), "
+      + "pd AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb, round(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> "
+      + "(CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)) * (CAST(a.embedding[i] AS DOUBLE) - CAST(b.embedding[i] AS DOUBLE)))), 6) AS d2 "
+      + "FROM probes a JOIN probes b ON a.vec_id < b.vec_id), "
+      + "nb AS (SELECT va AS v, d2 FROM pd UNION ALL SELECT vb, d2 FROM pd), "
+      + "core AS MATERIALIZED (SELECT v, d2 AS core4 FROM (SELECT v, d2, row_number() OVER (PARTITION BY v ORDER BY d2) AS rn FROM nb) WHERE rn = 4), "
+      + "ed AS MATERIALIZED (SELECT pd.va, pd.vb, greatest(ca.core4, cb.core4, pd.d2) AS w "
+      + "FROM pd JOIN core ca ON ca.v = pd.va JOIN core cb ON cb.v = pd.vb), "
+      + "t0 AS (SELECT 0 AS v), m0 AS (SELECT va, vb, w FROM ed WHERE 1 = 0), "
+      + steps + ", "
+      + "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+      + "round(CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_w FROM m31), "
+      + "top AS (SELECT va, vb, w FROM m31 ORDER BY w DESC, va, vb LIMIT 5) "
+      + "SELECT row_number() OVER (ORDER BY w DESC, va, vb) AS rank, va, vb, w, n_edges, total_w "
+      + "FROM top CROSS JOIN tot ORDER BY rank")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q370_hdbscan_mst" -> mstOracleSql,
     "q368_als_sweep" ->
       ("WITH r AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS r FROM events GROUP BY 1, 2), "
         + "y0 AS (SELECT DISTINCT event_type, CAST(1.0 AS DECIMAL(18,6)) AS y1, "

@@ -78,7 +78,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q337_holm_fwer",    // rank/min step-down windows over <= #event-type test cells (q212's shape)
     "q346_forecast_backtest", // lag-1/lag-7 windows over <= #days daily cells (q23's shape)
     "q349_knn_outliers", // rank over the 10-row TakeOrdered tail (q92's shape)
-    "q366_bm25f"         // rank over the 15-row TakeOrdered tail (q123's shape)
+    "q366_bm25f",        // rank over the 15-row TakeOrdered tail (q123's shape)
+    "q370_hdbscan_mst"   // rank over the 5-row TakeOrdered MST tail
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -290,7 +291,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q336_ivf_probe_sweep",// probes = vec_id < 10 + k=10 checkpointed codebook + 4-row literal levels frame
     "q338_mmr_rerank",     // query vec = vec_id = 0; greedy steps broadcast <= 5-row checkpointed pick frames
     "q348_hll_intersection",// literal 3-pair self-join of the checkpointed <= |event-type| sketch frame
-    "q367_jl_audit"      // probe pair join: vec_id < 20 literal-keyed rows, checkpointed, both sides
+    "q367_jl_audit",     // probe pair join: vec_id < 20 literal-keyed rows, checkpointed, both sides
+    "q370_hdbscan_mst"   // probe pair join: vec_id < 32 literal-keyed rows, checkpointed, both sides
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

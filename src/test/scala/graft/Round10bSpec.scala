@@ -139,6 +139,43 @@ class Round10bSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows.head.getAs[Double]("rmse") should be <= sst * 1.5
   }
 
+  test("q370 HDBSCAN MST: Borůvka (Spark) = Kruskal (scalar) under the same total order") {
+    val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 32)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    e.length shouldBe 32
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      r6(a.indices.map(i => (a(i).toDouble - b(i).toDouble) * (a(i).toDouble - b(i).toDouble)).sum)
+    val pairs = for {
+      i <- e.indices; j <- (i + 1) until e.length
+    } yield (e(i)._1, e(j)._1, d2(e(i)._2, e(j)._2))
+    val core = e.map { case (v, _) =>
+      v -> pairs.collect { case (a, b, d) if a == v || b == v => d }.sorted.apply(3)
+    }.toMap
+    val edges = pairs.map { case (a, b, d) => (a, b, math.max(math.max(core(a), core(b)), d)) }
+      .sortBy { case (a, b, w) => (w, a, b) }
+    // Kruskal with union-find — a third algorithm, same total order
+    val parent = scala.collection.mutable.Map(e.map(x => x._1 -> x._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val mst = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    edges.foreach { case (a, b, w) =>
+      if (find(a) != find(b)) { parent(find(a)) = find(b); mst += ((a, b, w)) }
+    }
+    mst.length shouldBe 31
+    val totalW = r6(mst.map(x => BigDecimal(x._3).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    val expTop = mst.sortBy { case (a, b, w) => (-w, a, b) }.take(5)
+    val rows = SparkEntry.queries("q370_hdbscan_mst")(spark, sf).collect()
+    rows.length shouldBe 5
+    rows.zip(expTop).foreach { case (row, (a, b, w)) =>
+      row.getAs[Long]("va") shouldBe a
+      row.getAs[Long]("vb") shouldBe b
+      row.getAs[Double]("w") shouldBe w +- 1e-9
+      row.getAs[Long]("n_edges") shouldBe 31L
+      row.getAs[Double]("total_w") shouldBe totalW +- 1e-6
+    }
+  }
+
   test("q369 CDC merge stream: final state matches closed-form change algebra; 4 snapshots") {
     val base = Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment"),
