@@ -758,6 +758,45 @@ object Sources extends QueryPack {
       Stage.release(in)
       out
     }),
+
+    // ------------------------------------------------------------------
+    // CALL-able lakehouse MAINTENANCE (ProcedureCatalog on the graft
+    // catalog — the Iceberg-procedures surface): compact rewrites the
+    // live snapshot into one file AS A SPARK JOB (one more
+    // time-travelable commit), rollback republishes an old snapshot as
+    // a NEW version (history kept, never rewritten), expire_snapshots
+    // drops old manifests AND GCs the data files no surviving snapshot
+    // references — closing the "a real format GCs by snapshot-expiry
+    // policy" loop every write-path comment deferred. Chain here:
+    // CTAS evens (v1+v2) → append odds (v3) → compact (v4, 1 file) →
+    // rollback to v2 (v5 = evens) → expire keep 2 (v1–v3 dropped, the
+    // odds file GC'd, v5's even files survive because v5 references
+    // them). Readout = the post-rollback table + the procedures' audit
+    // numbers; Round10Spec pins the full chain including GC'd-file
+    // invisibility and loud expired-pin failure.
+    "q371_catalog_procedures" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.proc371")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 2 === 0).writeTo("graft.g.proc371").create()
+      cust.filter(col("c_custkey") % 2 === 1).writeTo("graft.g.proc371").append()
+      val c = s.sql("CALL graft.sys.compact('g.proc371', 1)").collect().head
+      s.sql("CALL graft.sys.rollback('g.proc371', 2)").collect()
+      val e = s.sql("CALL graft.sys.expire_snapshots('g.proc371', 2)").collect().head
+      val nLeft = graft.sources.GraftSink
+        .listVersions(s"${Stage.dir("graft_warehouse")}/g/proc371").length
+      s.table("graft.g.proc371")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+        .withColumn("n_versions_left", lit(nLeft.toLong))
+        .withColumn("compacted_files", lit(c.getLong(2)))
+        .withColumn("versions_removed", lit(e.getLong(0)))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -838,6 +877,17 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
         + "/ count(*), 6) AS avg_jw "
         + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q371: after compact+rollback+expire the table IS the even slice;
+    // the audit constants pin the snapshot chain (2 versions left of 5,
+    // 1 compacted file, 3 expired versions).
+    "q371_catalog_procedures" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, CAST(2 AS BIGINT) AS n_versions_left, "
+        + "CAST(1 AS BIGINT) AS compacted_files, CAST(3 AS BIGINT) AS versions_removed "
+        + "FROM base WHERE c_custkey % 2 = 0 GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q369: the CDC final state recomputed closed-form (the change
     // algebra over parquet, not the merge path); n_versions pins the
     // snapshot audit trail at create + CTAS + 2 merge commits.

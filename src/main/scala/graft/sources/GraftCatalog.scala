@@ -7,10 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructType}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -45,7 +48,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * restricted to [A-Za-z0-9_] — the catalog never lets an identifier
   * escape the warehouse root via `..` or separators.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+  with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -225,10 +229,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def functionExists(ident: Identifier): Boolean =
     GraftCatalog.functions.contains(ident.name())
+
+  // ------------------------------------------------------------------
+  // ProcedureCatalog: the CALL-able lakehouse maintenance verbs
+  // (`CALL graft.sys.compact(...)` — the Iceberg-procedures surface).
+  // Each procedure returns its audit row through a LocalScan.
+  // ------------------------------------------------------------------
+
+  /** Resolve a dotted 'ns.table' procedure argument to the table root,
+    * via the same sanitized parts as identifier resolution. */
+  private[sources] def procTablePath(dotted: String): String = {
+    val parts = dotted.split("\\.")
+    require(parts.length >= 2,
+      s"graft catalog: procedure table argument must be 'ns.table', got '$dotted'")
+    val p = tablePath(Identifier.of(parts.init, parts.last))
+    require(isTable(p), s"graft catalog: no table at $p")
+    p.toString
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.procedures.keysIterator
+      .map(n => Identifier.of(GraftCatalog.PROC_NS, n)).toArray
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftCatalog.procedures.get(ident.name()) match {
+      case Some(mk) => mk(this)
+      case None => throw new IllegalArgumentException(
+        s"graft catalog: no procedure '${ident.name()}' " +
+          s"(available: ${GraftCatalog.procedures.keys.mkString(", ")})")
+    }
 }
 
 object GraftCatalog {
   val FN_NS: Array[String] = Array("fns")
+  val PROC_NS: Array[String] = Array("sys")
+
+  /** The maintenance procedures (each constructed against the owning
+    * catalog so `procTablePath` resolves inside its warehouse):
+    *
+    *  - **compact(tbl, files)** — rewrite the CURRENT snapshot into
+    *    `files` data files via a REAL Spark job (read the connector,
+    *    coalesce, overwrite-commit), publishing one new snapshot; old
+    *    snapshots keep their files — compaction is just another
+    *    time-travelable commit (Iceberg's rewrite_data_files).
+    *  - **expire_snapshots(tbl, keep)** — drop all but the newest
+    *    `keep` snapshot manifests AND delete the data files no
+    *    surviving snapshot references — the GC half of the time-travel
+    *    contract (every prior commit noted "a real format GCs by
+    *    snapshot-expiry policy"; this is that policy).
+    *  - **rollback(tbl, version)** — republish snapshot N's manifest
+    *    as a NEW version (rollback-by-reapply, so the audit trail
+    *    keeps the mistake AND the revert; never rewrites history).
+    */
+  val procedures: Map[String, GraftCatalog => UnboundProcedure] = Map(
+    "compact" -> (cat => new GraftProcedure(cat, "compact",
+      "compact(tbl, files): rewrite the current snapshot into `files` data files",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("files", IntegerType).build()),
+      new StructType().add("new_version", LongType).add("files_before", LongType)
+        .add("files_after", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val n = args.getInt(1)
+        require(n >= 1, s"graft catalog: compact wants files >= 1, got $n")
+        val before = GraftSink.readManifest(p).get.files.size.toLong
+        val sp = org.apache.spark.sql.SparkSession.active
+        sp.read.format("graftsink").option("path", p).load()
+          .coalesce(n)
+          .write.format("graftsink").mode("overwrite").option("path", p).save()
+        val m = GraftSink.readManifest(p).get
+        Array[Any](GraftSink.listVersions(p).last.toLong, before, m.files.size.toLong)
+      })),
+    "expire_snapshots" -> (cat => new GraftProcedure(cat, "expire_snapshots",
+      "expire_snapshots(tbl, keep): drop all but the newest `keep` snapshots and GC unreferenced files",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("keep", IntegerType).build()),
+      new StructType().add("versions_removed", LongType)
+        .add("files_removed", LongType).add("versions_kept", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val keep = args.getInt(1)
+        require(keep >= 1, s"graft catalog: expire_snapshots wants keep >= 1, got $keep")
+        val f = GraftSink.fs(p)
+        val versions = GraftSink.listVersions(p)
+        val (drop, kept) = versions.splitAt(math.max(0, versions.size - keep))
+        val keptFiles = kept
+          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files).toSet
+        val dropFiles = drop
+          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files).toSet -- keptFiles
+        dropFiles.foreach(df => f.delete(new HPath(p, df), false))
+        drop.foreach(v => f.delete(new HPath(p, s"${GraftSink.MANIFEST}.v$v"), false))
+        Array[Any](drop.size.toLong, dropFiles.size.toLong, kept.size.toLong)
+      })),
+    "rollback" -> (cat => new GraftProcedure(cat, "rollback",
+      "rollback(tbl, version): republish snapshot `version` as a NEW version",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      new StructType().add("restored_version", LongType).add("new_version", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val v = args.getInt(1)
+        val m = GraftSink.readManifest(p, Some(v)).get // loud if missing
+        Array[Any](v.toLong, GraftSink.writeManifest(p, m).toLong)
+      })))
 
   /** V2 UnboundFunctions over the repo's native kernels. Each bound
     * function carries a magic `invoke` whose parameter types match its
@@ -276,6 +379,33 @@ object GraftCatalog {
     override def produceResult(input: InternalRow): java.lang.Long =
       if (input.isNullAt(0) || input.isNullAt(1)) null
       else invoke(input.getUTF8String(0), input.getLong(1))
+  }
+
+  /** One procedure = unbound + bound in one class (binding is a no-op:
+    * parameters are declared statically; Spark coerces arguments to the
+    * declared types). `call` runs the body and serves the single audit
+    * row through a LocalScan — the CALL statement's result set. */
+  class GraftProcedure(cat: GraftCatalog, procName: String, desc: String,
+      params: Array[ProcedureParameter], outSchema: StructType,
+      body: (GraftCatalog, InternalRow) => Array[Any])
+    extends UnboundProcedure with BoundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates table state
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val vals = body(cat, input)
+      val scan: Scan = new LocalScan {
+        override def readSchema(): StructType = outSchema
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(vals))
+        override def description(): String = s"GraftProcedureResult($procName)"
+      }
+      java.util.List.of(scan).iterator()
+    }
   }
 
   object JaroWinklerBound extends ScalarFunction[java.lang.Double] {

@@ -144,6 +144,46 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
       .head.isNullAt(0) shouldBe true
   }
 
+  test("catalog procedures: compact / rollback / expire_snapshots maintain the snapshot chain") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.p1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+      .writeTo(s"$cat.ns.p1").create()                      // v1 empty + v2 data
+    spark.sql(s"INSERT INTO $cat.ns.p1 VALUES (5, 'e'), (6, 'f')") // v3
+    val path = tablePath("p1")
+    val filesBefore = GraftSink.readManifest(path).get.files.size
+    filesBefore should be > 1
+    // compact → v4: one file, identical content
+    val c = spark.sql(s"CALL $cat.sys.compact('ns.p1', 1)").collect().head
+    (c.getLong(0), c.getLong(1), c.getLong(2)) shouldBe ((4L, filesBefore.toLong, 1L))
+    spark.table(s"$cat.ns.p1").count() shouldBe 6
+    GraftSink.readManifest(path).get.files should have size 1
+    // rollback to v2 → v5 republishes v2's manifest (history kept, not rewritten)
+    val r = spark.sql(s"CALL $cat.sys.rollback('ns.p1', 2)").collect().head
+    (r.getLong(0), r.getLong(1)) shouldBe ((2L, 5L))
+    spark.table(s"$cat.ns.p1").count() shouldBe 4
+    // expire all but the newest 2 → v1-v3 manifests dropped, the
+    // insert-only file (referenced ONLY by v3) GC'd; v5 still reads
+    // v2's files because v5 references them
+    val e = spark.sql(s"CALL $cat.sys.expire_snapshots('ns.p1', 2)").collect().head
+    (e.getLong(0), e.getLong(2)) shouldBe ((3L, 2L))
+    e.getLong(1) should be >= 1L // at least the insert file GC'd
+    GraftSink.listVersions(path) shouldBe Seq(4, 5)
+    spark.table(s"$cat.ns.p1").count() shouldBe 4
+    spark.sql(s"SELECT count(*) AS n FROM $cat.ns.p1 VERSION AS OF 4")
+      .head.getLong(0) shouldBe 6L
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.p1 VERSION AS OF 2").collect()
+    }
+    // unknown procedure fails loudly (Spark wraps the catalog's
+    // available-list message in FAILED_TO_LOAD_ROUTINE)
+    val ex = intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.vacuum('ns.p1', 1)").collect()
+    }
+    ex.getMessage should include("vacuum")
+  }
+
   test("streaming write: kill/resume lands every epoch exactly once; replayed commits are no-ops") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"),
