@@ -797,6 +797,47 @@ object Sources extends QueryPack {
         .withColumn("versions_removed", lit(e.getLong(0)))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // ------------------------------------------------------------------
+    // MERGE-ON-READ row-level DELETE (SupportsDelta + delete vectors —
+    // the other half of the row-level story; q359 is copy-on-write):
+    // with TBLPROPERTIES('write.mode'='merge-on-read') a DELETE records
+    // (file, position) DELETE VECTORS in the new manifest version and
+    // NEVER rewrites a data file — at 100 TB a one-row delete costs one
+    // manifest line, not a file rewrite; readers suppress the positions
+    // until `CALL graft.sys.compact` applies and drops them. Two
+    // successive deletes fold their DVs into the same entries; the
+    // audit columns pin BOTH mechanisms: files_added = 0 (nothing
+    // rewritten) and dv_positions = exactly the deleted row count
+    // (closed-form in the oracle). Round10Spec pins the rest: stable
+    // (_file,_pos) row ids, UPDATE/MERGE as DV+insert, DV-dropping
+    // compaction, pre-delete snapshot pins.
+    "q372_dsv2_mor_delete" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.mor372")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.mor372")
+        .tableProperty("write.mode", "merge-on-read").create()
+      val path = s"${Stage.dir("graft_warehouse")}/g/mor372"
+      val preNames = graft.sources.GraftSink.readManifest(path).get.files
+        .map(graft.sources.GraftSink.entryName).toSet
+      s.sql("DELETE FROM graft.g.mor372 WHERE c_custkey % 7 = 0")
+      s.sql("DELETE FROM graft.g.mor372 WHERE bal < 1000.0")
+      val m = graft.sources.GraftSink.readManifest(path).get
+      val added = m.files.map(graft.sources.GraftSink.entryName)
+        .count(n => !preNames(n))
+      val dvPositions = m.files.map(graft.sources.GraftSink.entryDeletes(_).length).sum
+      s.table("graft.g.mor372")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+        .withColumn("files_added", lit(added.toLong))
+        .withColumn("dv_positions", lit(dvPositions.toLong))
+        .orderBy(col("c_mktsegment"))
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -877,6 +918,19 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
         + "/ count(*), 6) AS avg_jw "
         + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q372: survivors of both deletes, plus the DV audit — zero files
+    // added and dv_positions = exactly the deleted row count.
+    "q372_dsv2_mor_delete" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "del AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM base "
+        + "WHERE c_custkey % 7 = 0 OR bal < 1000.0) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, CAST(0 AS BIGINT) AS files_added, "
+        + "max(nd) AS dv_positions "
+        + "FROM base CROSS JOIN del WHERE NOT (c_custkey % 7 = 0 OR bal < 1000.0) "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q371: after compact+rollback+expire the table IS the even slice;
     // the audit constants pin the snapshot chain (2 versions left of 5,
     // 1 compacted file, 3 expired versions).

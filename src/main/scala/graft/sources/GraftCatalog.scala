@@ -136,6 +136,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     GraftSink.checkSchema(schema)
+    // `write.*` TBLPROPERTIES become durable table state (_props) —
+    // write.mode=merge-on-read flips row-level SQL to delete vectors
+    val userProps = properties.asScala.filter(_._1.startsWith("write.")).toMap
+    userProps.get("write.mode").foreach { m =>
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"graft catalog: write.mode must be copy-on-write or merge-on-read, got '$m'")
+    }
+    GraftSink.writeProps(p.toString, userProps)
     // commit an EMPTY snapshot (v1 = DDL + zero files): the schema
     // becomes durable catalog state and a pre-insert read sees 0 rows
     GraftSink.writeManifest(p.toString, GraftSink.Manifest(schema.toDDL, Nil))
@@ -313,10 +321,13 @@ object GraftCatalog {
         val f = GraftSink.fs(p)
         val versions = GraftSink.listVersions(p)
         val (drop, kept) = versions.splitAt(math.max(0, versions.size - keep))
+        // GC by entry NAME (a manifest line may carry a delete vector)
         val keptFiles = kept
-          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files).toSet
+          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files)
+          .map(GraftSink.entryName).toSet
         val dropFiles = drop
-          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files).toSet -- keptFiles
+          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files)
+          .map(GraftSink.entryName).toSet -- keptFiles
         dropFiles.foreach(df => f.delete(new HPath(p, df), false))
         drop.foreach(v => f.delete(new HPath(p, s"${GraftSink.MANIFEST}.v$v"), false))
         Array[Any](drop.size.toLong, dropFiles.size.toLong, kept.size.toLong)

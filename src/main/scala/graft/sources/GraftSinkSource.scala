@@ -88,6 +88,28 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
 object GraftSink {
   val MANIFEST = "_manifest"
   val STAGING = "_staging"
+  val PROPS = "_props"
+
+  // --- manifest file entries -------------------------------------------
+  // A manifest line is `name` or `name\tp1,p2,...` — the optional tail is
+  // the file's DELETE VECTOR (ascending row positions suppressed on read,
+  // the merge-on-read mechanism: a row-level DELETE/UPDATE records
+  // positions instead of rewriting data files). Plain commits write bare
+  // names; appends carry prior lines through unchanged, so DVs survive.
+  def entryName(line: String): String = {
+    val i = line.indexOf('\t')
+    if (i < 0) line else line.substring(0, i)
+  }
+
+  def entryDeletes(line: String): Array[Long] = {
+    val i = line.indexOf('\t')
+    if (i < 0) Array.empty
+    else line.substring(i + 1).split(",").filter(_.nonEmpty).map(_.toLong)
+  }
+
+  def entry(name: String, deletes: Seq[Long]): String =
+    if (deletes.isEmpty) name
+    else s"$name\t${deletes.sorted.distinct.mkString(",")}"
 
   def pathOf(properties: JMap[String, String]): String =
     Option(properties.get("path")).getOrElse(
@@ -167,6 +189,32 @@ object GraftSink {
     next
   }
 
+  /** Durable table properties (`_props`, one `k=v` per line) — written
+    * by the catalog at CREATE TABLE; `write.mode=merge-on-read` routes
+    * row-level SQL through the delta (delete-vector) operation instead
+    * of copy-on-write. */
+  def readProps(path: String): Map[String, String] = {
+    val f = fs(path)
+    val pp = new HPath(path, PROPS)
+    if (!f.exists(pp)) Map.empty
+    else {
+      val in = new BufferedReader(new InputStreamReader(f.open(pp), StandardCharsets.UTF_8))
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.contains('=')).map { l =>
+          val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  def writeProps(path: String, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val out = fs(path).create(new HPath(path, PROPS), true)
+    try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   def checkSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
     fld.dataType match {
       case LongType | IntegerType | DoubleType | StringType => ()
@@ -232,10 +280,30 @@ object GraftSink {
 
 class GraftSinkTable(path: String, declared: StructType,
     version: Option[Int] = None)
-  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+  extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   def this(path: String, declared: StructType) = this(path, declared, None)
   override def name(): String = s"graftsink($path${version.fold("")(v => s"@v$v")})"
+
+  /** Hidden per-row provenance AND the merge-on-read row id: `_file`
+    * (manifest entry name) + `_pos` (original line position — stable
+    * under later deletes because suppressed rows still advance it).
+    * Resolved by NAME only, never via SELECT *. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "manifest entry name of the serving data file"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "original row position within the data file"
+      })
   override def schema(): StructType =
     GraftSink.readManifest(path, version)
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
@@ -270,9 +338,16 @@ class GraftSinkTable(path: String, declared: StructType,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(version.isEmpty,
       "graftsink: cannot mutate through a time-travel read (option 'version')")
+    // write.mode=merge-on-read (a durable _props table property) routes
+    // DELETE/UPDATE/MERGE through the DELTA operation: positions are
+    // recorded as delete vectors and inserts land in new files — data
+    // files are never rewritten (compact applies + drops the DVs).
+    // Default stays group-based copy-on-write.
+    val mor = GraftSink.readProps(path).get("write.mode").contains("merge-on-read")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftSinkRowLevelOperation(path, info.command())
+        if (mor) new GraftSinkDeltaOperation(path, info.command())
+        else new GraftSinkRowLevelOperation(path, info.command())
     }
   }
 }
@@ -477,6 +552,143 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
 }
 
 // --------------------------------------------------------------------
+// DELTA (merge-on-read) row-level path: delete vectors, not rewrites
+// --------------------------------------------------------------------
+
+/** Delta-based row-level operation (SupportsDelta — the merge-on-read
+  * half of the row-level story, Iceberg v2 delete files / Delta DVs):
+  * instead of rewriting affected files (copy-on-write, the default
+  * GraftSinkRowLevelOperation), a DELETE records (file, position)
+  * delete vectors in the NEW manifest version and an UPDATE/MERGE is
+  * represented as delete + insert (new rows land in ordinary staged
+  * files). Data files are NEVER rewritten — at 100 TB a one-row delete
+  * costs one manifest line, not a file rewrite; reads pay the DV
+  * suppression until `CALL graft.sys.compact` applies and drops them.
+  * Row id = the (_file, _pos) metadata columns the scan serves.
+  */
+class GraftSinkDeltaOperation(path: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftSinkDeltaOperation($cmd, $path)"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schema = GraftSink.readManifest(path)
+      .map(m => StructType.fromDDL(m.ddl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftsink: no committed table at $path"))
+    new GraftSinkScanBuilder(path, schema, None)
+  }
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+            // a pure DELETE carries NO data columns (DVs only): the
+            // write schema is empty and the insert checks don't apply
+            if (info.schema().nonEmpty) GraftSink.checkSchema(info.schema())
+            new GraftSinkDeltaBatchWrite(path, info.schema(), info.queryId())
+          }
+        }
+    }
+}
+
+/** Per-task delta result: optional staged insert file + the task's
+  * delete vectors keyed by manifest entry name. */
+case class GraftSinkDeltaCommit(stagedFile: String, partitionId: Int,
+    rows: Long, deletes: Map[String, Array[Long]]) extends WriterCommitMessage
+
+class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftSinkDeltaWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftSink.fs(path)
+    val prior = GraftSink.readManifest(path).getOrElse(
+      throw new IllegalStateException(s"graftsink: delta commit on empty table at $path"))
+    require(schema.isEmpty || GraftSink.schemaCompatible(prior.ddl, schema),
+      s"graftsink: delta write schema mismatch at $path — table is '${prior.ddl}', " +
+        s"write is '${schema.toDDL}'")
+    val cms = messages.collect { case c: GraftSinkDeltaCommit => c }
+    // merge the tasks' delete vectors per file
+    val delMap = cms.flatMap(_.deletes.toSeq).groupBy(_._1)
+      .map { case (n, xs) => n -> xs.flatMap(_._2) }
+    val names = prior.files.map(GraftSink.entryName).toSet
+    val unknown = delMap.keys.filterNot(names)
+    require(unknown.isEmpty,
+      s"graftsink: delete vector targets unknown files: ${unknown.mkString(", ")}")
+    // DVs fold into the EXISTING entries (data files untouched);
+    // inserts publish like an ordinary append
+    val lines = prior.files.map { line =>
+      val n = GraftSink.entryName(line)
+      GraftSink.entry(n,
+        (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq)
+    }
+    val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
+      val fin = s"$queryId-part-${c.partitionId}.tsv"
+      require(f.rename(new HPath(c.stagedFile), new HPath(path, fin)),
+        s"graftsink: failed to publish ${c.stagedFile} -> $fin")
+      fin
+    }.toSeq
+    GraftSink.writeManifest(path, GraftSink.Manifest(prior.ddl, lines ++ published))
+    f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftSink.fs(path).delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+}
+
+class GraftSinkDeltaWriterFactory(path: String, schema: StructType, queryId: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val dels = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+      private var ins: GraftSinkRowWriter = _
+
+      // id row layout = rowId() order: (_file STRING, _pos BIGINT)
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels.getOrElseUpdate(id.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id.getLong(1)
+
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        throw new UnsupportedOperationException(
+          "graftsink delta: updates are represented as delete + insert")
+
+      override def insert(row: InternalRow): Unit = {
+        if (ins == null) ins = new GraftSinkRowWriter(path, schema,
+          s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv",
+          partitionId)
+        ins.write(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val (sf, n) = if (ins == null) ("", 0L) else {
+          val m = ins.commit().asInstanceOf[GraftSinkCommit]
+          (m.stagedFile, m.rows)
+        }
+        GraftSinkDeltaCommit(sf, partitionId, n,
+          dels.map { case (k, v) => k -> v.toArray }.toMap)
+      }
+      override def abort(): Unit = if (ins != null) ins.abort()
+      override def close(): Unit = ()
+    }
+}
+
+// --------------------------------------------------------------------
 // STREAMING write path (epoch-keyed staged commits, exactly-once)
 // --------------------------------------------------------------------
 
@@ -585,36 +797,65 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val m = GraftSink.readManifest(path, version).getOrElse(
       throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
-    m.files.map(n => GraftSinkFilePartition(s"$path/$n")).toArray
+    m.files.map { line =>
+      val n = GraftSink.entryName(line)
+      GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // resolve once on the driver: for each REQUIRED column, its type and
-    // its field index in the full on-disk row
-    val srcIdx = required.fieldNames.map(full.fieldIndex)
+    // its field index in the full on-disk row; the metadata columns
+    // (_file/_pos — the row-id surface for merge-on-read deletes) get
+    // sentinel indexes served from the partition, not the line
+    val srcIdx = required.fieldNames.map {
+      case "_file" => -1
+      case "_pos" => -2
+      case n => full.fieldIndex(n)
+    }
     new GraftSinkReaderFactory(required.fields.map(_.dataType), srcIdx)
   }
 }
 
-case class GraftSinkFilePartition(file: String) extends InputPartition
+case class GraftSinkFilePartition(file: String, name: String = "",
+    deletes: Array[Long] = Array.empty) extends InputPartition
 
 class GraftSinkReaderFactory(types: Array[DataType], srcIdx: Array[Int])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[GraftSinkFilePartition].file
+    val p = partition.asInstanceOf[GraftSinkFilePartition]
+    val file = p.file
+    val fileName = UTF8String.fromString(p.name)
+    val dels = p.deletes // ascending by construction (entry() sorts)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new InputStreamReader(
         GraftSink.fs(file).open(new HPath(file)), StandardCharsets.UTF_8))
       private var line: String = _
+      private var pos = -1L   // original file position (stable row id)
+      private var di = 0      // next delete-vector pointer
 
-      override def next(): Boolean = { line = in.readLine(); line != null }
+      override def next(): Boolean = {
+        while (true) {
+          line = in.readLine()
+          if (line == null) return false
+          pos += 1
+          // suppress delete-vector positions (merge-on-read)
+          if (di < dels.length && dels(di) == pos) di += 1
+          else return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val fields = GraftSink.splitLine(line)
         val vals = new Array[Any](types.length)
         var i = 0
         while (i < types.length) {
-          vals(i) = GraftSink.decodeField(types(i), fields(srcIdx(i)))
+          vals(i) = srcIdx(i) match {
+            case -1 => fileName
+            case -2 => pos
+            case j => GraftSink.decodeField(types(i), fields(j))
+          }
           i += 1
         }
         new GenericInternalRow(vals)

@@ -144,6 +144,56 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
       .head.isNullAt(0) shouldBe true
   }
 
+  test("merge-on-read: DELETE writes delete vectors (no file rewrite); UPDATE/MERGE = DV + insert; compact applies them") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.mor1")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+        (4L, "d", 4.0), (5L, "e", 5.0), (6L, "f", 6.0))
+      .toDF("k", "s", "v").repartition(2)
+      .writeTo(s"$cat.ns.mor1").tableProperty("write.mode", "merge-on-read").create()
+    val path = tablePath("mor1")
+    val preNames = GraftSink.readManifest(path).get.files.map(GraftSink.entryName)
+    preNames.size shouldBe 2
+    // the sink's metadata columns resolve by name on a plain read
+    val meta = spark.table(s"$cat.ns.mor1")
+      .select(col("k"), col("_file"), col("_pos")).collect()
+    meta.map(_.getString(1)).toSet shouldBe preNames.toSet
+    meta.map(r => (r.getString(1), r.getLong(2))).distinct.length shouldBe 6
+    spark.table(s"$cat.ns.mor1").schema.fieldNames should not contain "_file"
+    // DELETE → delete vectors fold into the SAME entries; no rewrite
+    spark.sql(s"DELETE FROM $cat.ns.mor1 WHERE k IN (2, 5)")
+    val m1 = GraftSink.readManifest(path).get
+    m1.files.map(GraftSink.entryName) shouldBe preNames
+    m1.files.flatMap(GraftSink.entryDeletes) should have size 2
+    spark.table(s"$cat.ns.mor1").select("k").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 4L, 6L)
+    spark.sql(s"SELECT count(*) AS n FROM $cat.ns.mor1 VERSION AS OF 2")
+      .head.getLong(0) shouldBe 6L // pre-delete snapshot intact
+    // UPDATE = DV on the old row + the new row in a NEW file
+    spark.sql(s"UPDATE $cat.ns.mor1 SET v = v + 10.0 WHERE k = 3")
+    val m2 = GraftSink.readManifest(path).get
+    m2.files.map(GraftSink.entryName).take(2) shouldBe preNames
+    m2.files.size should be >= 3
+    spark.table(s"$cat.ns.mor1").filter(col("k") === 3)
+      .select("v").as[Double].head() shouldBe 13.0
+    // MERGE on the MOR table: matched delete + unmatched insert
+    Seq((4L, "D"), (7L, "I")).toDF("k", "op").createOrReplaceTempView("mor_chg")
+    spark.sql(s"""
+      MERGE INTO $cat.ns.mor1 t USING mor_chg c ON t.k = c.k
+      WHEN MATCHED AND c.op = 'D' THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (c.k, 'new', 0.0)""")
+    spark.table(s"$cat.ns.mor1").select("k").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 6L, 7L)
+    // compact applies the DVs and drops them
+    spark.sql(s"CALL $cat.sys.compact('ns.mor1', 1)")
+    val m3 = GraftSink.readManifest(path).get
+    m3.files should have size 1
+    m3.files.flatMap(GraftSink.entryDeletes) shouldBe empty
+    spark.table(s"$cat.ns.mor1").select("k").as[Long].collect().sorted shouldBe
+      Array(1L, 3L, 6L, 7L)
+  }
+
   test("catalog procedures: compact / rollback / expire_snapshots maintain the snapshot chain") {
     import spark.implicits._
     ensureCatalog()
