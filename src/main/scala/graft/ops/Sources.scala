@@ -838,6 +838,37 @@ object Sources extends QueryPack {
         .withColumn("dv_positions", lit(dvPositions.toLong))
         .orderBy(col("c_mktsegment"))
     }),
+
+    // ------------------------------------------------------------------
+    // CATALOG schema evolution — `ALTER TABLE ADD COLUMNS` as a
+    // VERSIONED manifest commit (q184 is the parquet mergeSchema form;
+    // this is the table-format form a lakehouse user runs): the DDL
+    // gains the nullable column, the file list is untouched, legacy
+    // rows back-fill NULL on read (short TSV lines pad), pre-evolution
+    // snapshot pins keep the OLD schema, and the post-evolution append
+    // writes the full width. The rollup keys on coalesce(tier,
+    // 'legacy') so the hash certifies the back-fill AND the mixed-
+    // generation union; Round10Spec pins the refusals (non-nullable,
+    // positioned, rename).
+    "q373_catalog_evolution" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.evo373")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.evo373").create()                        // v1+v2
+      s.sql("ALTER TABLE graft.g.evo373 ADD COLUMNS (tier STRING)")  // v3
+      cust.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+        .withColumn("tier", concat(lit("T"), (col("c_custkey") % 3).cast("string")))
+        .writeTo("graft.g.evo373").append()                          // v4
+      s.table("graft.g.evo373")
+        .groupBy(expr("coalesce(tier, 'legacy')").as("tier"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("tier"))
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -918,6 +949,20 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
         + "/ count(*), 6) AS avg_jw "
         + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q373: legacy rows carry NULL tier; the new generation replays the
+    // re-keyed slice with its computed tier.
+    "q373_catalog_evolution" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "newgen AS (SELECT c_custkey + 1000000 AS c_custkey, bal, "
+        + "'T' || CAST((c_custkey + 1000000) % 3 AS VARCHAR) AS tier "
+        + "FROM base WHERE c_custkey % 5 = 0), "
+        + "allr AS (SELECT c_custkey, bal, NULL AS tier FROM base "
+        + "UNION ALL SELECT c_custkey, bal, tier FROM newgen) "
+        + "SELECT coalesce(tier, 'legacy') AS tier, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+        + "FROM allr GROUP BY 1 ORDER BY 1"),
     // q372: survivors of both deletes, plus the DV audit — zero files
     // added and dv_positions = exactly the deleted row count.
     "q372_dsv2_mor_delete" ->

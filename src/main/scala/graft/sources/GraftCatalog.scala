@@ -150,9 +150,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSinkTable(p.toString, schema, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported")
+  /** Schema evolution as a VERSIONED COMMIT: `ALTER TABLE ADD COLUMNS`
+    * publishes a new manifest whose DDL appends the nullable column and
+    * whose file list is unchanged — existing files back-fill the new
+    * column as NULL on read (the reader pads short lines), older
+    * snapshot pins keep their OLD schema, and post-evolution appends
+    * write the full width. Columns are only ever appended, so file
+    * ordinals never shift; every other change kind is refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val m = GraftSink.readManifest(p.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft catalog: only top-level columns can be added")
+        require(a.isNullable,
+          "graft catalog: added columns must be nullable (existing rows back-fill NULL)")
+        require(a.position() == null,
+          "graft catalog: added columns always land LAST (file ordinals never shift)")
+        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+          "(only ADD COLUMNS is supported)")
+    }
+    val cur = StructType.fromDDL(m.ddl)
+    added.foreach { f =>
+      require(!cur.fieldNames.contains(f.name),
+        s"graft catalog: column '${f.name}' already exists")
+    }
+    val evolved = StructType(cur.fields ++ added)
+    GraftSink.checkSchema(evolved)
+    GraftSink.writeManifest(p.toString, GraftSink.Manifest(evolved.toDDL, m.files))
+    new GraftSinkTable(p.toString, evolved, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -854,6 +854,10 @@ class GraftSinkReaderFactory(types: Array[DataType], srcIdx: Array[Int])
           vals(i) = srcIdx(i) match {
             case -1 => fileName
             case -2 => pos
+            // files written BEFORE an ALTER TABLE ADD COLUMNS carry
+            // fewer fields; added columns back-fill as NULL (columns
+            // are only ever appended, so ordinals never shift)
+            case j if j >= fields.length => null
             case j => GraftSink.decodeField(types(i), fields(j))
           }
           i += 1

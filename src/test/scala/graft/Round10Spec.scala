@@ -234,6 +234,34 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
     ex.getMessage should include("vacuum")
   }
 
+  test("ALTER TABLE ADD COLUMNS: versioned schema evolution with NULL back-fill; old pins keep old schema") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.evo1")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v").writeTo(s"$cat.ns.evo1").create() // v1+v2
+    spark.sql(s"ALTER TABLE $cat.ns.evo1 ADD COLUMNS (tag STRING)") // v3: DDL-only commit
+    GraftSink.listVersions(tablePath("evo1")).last shouldBe 3
+    // legacy rows back-fill NULL; new-width rows append normally (v4)
+    spark.sql(s"INSERT INTO $cat.ns.evo1 VALUES (3, 30.0, 'x')")
+    spark.table(s"$cat.ns.evo1").orderBy("k")
+      .select(col("k"), col("v"), coalesce(col("tag"), lit("-")))
+      .as[(Long, Double, String)].collect() shouldBe
+      Array((1L, 10.0, "-"), (2L, 20.0, "-"), (3L, 30.0, "x"))
+    // the pre-evolution pin still serves the OLD schema
+    spark.sql(s"SELECT * FROM $cat.ns.evo1 VERSION AS OF 2")
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v")
+    // refused changes fail loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.evo1 ADD COLUMNS (nn BIGINT NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.evo1 RENAME COLUMN v TO val")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.evo1 ADD COLUMNS (pos_first INT FIRST)")
+    }
+  }
+
   test("streaming write: kill/resume lands every epoch exactly once; replayed commits are no-ops") {
     val evs = Tables.events(spark, sf)
       .select(col("user_id"),
