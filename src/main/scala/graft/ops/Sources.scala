@@ -869,6 +869,38 @@ object Sources extends QueryPack {
           min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
         .orderBy(col("tier"))
     }),
+
+    // ------------------------------------------------------------------
+    // FILE SKIPPING on the V2 sink — the read-side payoff of q335's
+    // clustered write: layout=range requests an ORDERED distribution
+    // (files become contiguous, non-overlapping key ranges), the task
+    // writers record each file's user_id min/max as manifest STATS, and
+    // the scan prunes whole files whose [min, max] misses the pushed
+    // range envelope BEFORE partitions are planned — the parquet
+    // row-group / Iceberg manifest-stats mechanism, now on the
+    // connector's own metadata (at 100 TB a keyed range query plans
+    // the one file holding the range, not the table). Pruning is an
+    // optimization, never a correctness transfer: every predicate
+    // comes back as a residual Spark re-evaluates; Round10Spec pins
+    // the planned-partition counts (head/tail/none) and the range
+    // layout's disjoint coverage. Oracle replays the slice from
+    // events straight off parquet.
+    "q374_sink_file_skipping" -> ((s, dir) => {
+      val stage = Stage.dir("skip374")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .write.format("graftsink").mode("overwrite")
+        .option("path", stage).option("clusterBy", "user_id")
+        .option("shards", "4").option("layout", "range").save()
+      s.read.format("graftsink").option("path", stage).load()
+        .filter(col("user_id") >= 2L && col("user_id") <= 9L)
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+          round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"),
+          min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -949,6 +981,16 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
         + "/ count(*), 6) AS avg_jw "
         + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q374: the pruned range slice must equal the same slice straight
+    // off parquet (pruning is an optimization, never a transfer).
+    "q374_sink_file_skipping" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + "CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_val "
+        + "FROM events GROUP BY user_id) "
+        + "SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events, "
+        + "round(CAST(sum(CAST(sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
+        + "min(user_id) AS min_u, max(user_id) AS max_u "
+        + "FROM per WHERE user_id >= 2 AND user_id <= 9"),
     // q373: legacy rows carry NULL tier; the new generation replays the
     // re-keyed slice with its computed tier.
     "q373_catalog_evolution" ->

@@ -91,25 +91,48 @@ object GraftSink {
   val PROPS = "_props"
 
   // --- manifest file entries -------------------------------------------
-  // A manifest line is `name` or `name\tp1,p2,...` — the optional tail is
-  // the file's DELETE VECTOR (ascending row positions suppressed on read,
-  // the merge-on-read mechanism: a row-level DELETE/UPDATE records
-  // positions instead of rewriting data files). Plain commits write bare
-  // names; appends carry prior lines through unchanged, so DVs survive.
+  // A manifest line is `name` plus optional tab-separated segments:
+  //   `dv:p1,p2,...`        — the file's DELETE VECTOR (ascending row
+  //                           positions suppressed on read — merge-on-read:
+  //                           row-level DELETE/UPDATE records positions
+  //                           instead of rewriting data files);
+  //   `stats:col=lo..hi`    — min/max of a BIGINT column across the
+  //                           file's rows (recorded by clustered writes),
+  //                           the FILE-SKIPPING index: a pushed range
+  //                           predicate prunes whole files at planning.
+  // Plain commits write bare names; appends carry prior lines through
+  // unchanged, so DVs and stats survive. Deleting rows never widens a
+  // min/max, so stats stay conservative under DVs.
   def entryName(line: String): String = {
     val i = line.indexOf('\t')
     if (i < 0) line else line.substring(0, i)
   }
 
-  def entryDeletes(line: String): Array[Long] = {
-    val i = line.indexOf('\t')
-    if (i < 0) Array.empty
-    else line.substring(i + 1).split(",").filter(_.nonEmpty).map(_.toLong)
-  }
+  private def segments(line: String): Array[String] = line.split("\t").drop(1)
 
-  def entry(name: String, deletes: Seq[Long]): String =
-    if (deletes.isEmpty) name
-    else s"$name\t${deletes.sorted.distinct.mkString(",")}"
+  def entryDeletes(line: String): Array[Long] =
+    segments(line).find(_.startsWith("dv:")) match {
+      case Some(s) => s.stripPrefix("dv:").split(",").filter(_.nonEmpty).map(_.toLong)
+      case None => Array.empty
+    }
+
+  /** (column, min, max) of the file's recorded stats, if any. */
+  def entryStats(line: String): Option[(String, Long, Long)] =
+    segments(line).find(_.startsWith("stats:")).map { s =>
+      val body = s.stripPrefix("stats:")
+      val eq = body.indexOf('=')
+      val dd = body.indexOf("..", eq)
+      (body.substring(0, eq), body.substring(eq + 1, dd).toLong,
+        body.substring(dd + 2).toLong)
+    }
+
+  def entry(name: String, deletes: Seq[Long],
+      stats: Option[(String, Long, Long)] = None): String = {
+    val dv = if (deletes.isEmpty) ""
+             else s"\tdv:${deletes.sorted.distinct.mkString(",")}"
+    val st = stats.fold("") { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }
+    s"$name$dv$st"
+  }
 
   def pathOf(properties: JMap[String, String]): String =
     Option(properties.get("path")).getOrElse(
@@ -414,10 +437,6 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
       require(n > 0, s"graftsink: option 'shards' must be positive, got $n")
       n
     }
-    def batch: BatchWrite = {
-      GraftSink.checkSchema(schema)
-      new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
-    }
     // STREAMING_WRITE surface: the same staged-commit shape keyed by
     // (queryId, epochId) — exactly-once without foreachBatch (q365)
     def streaming: StreamingWrite = {
@@ -429,9 +448,29 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         require(schema.fieldNames.contains(colName),
           s"graftsink: clusterBy column '$colName' not in write schema " +
             s"(${schema.fieldNames.mkString(", ")})")
+        // clustered writes on a BIGINT column record per-file min/max
+        // stats in the manifest — the file-skipping index read-side
+        // range predicates prune against (most useful with
+        // layout=range, where files are contiguous key ranges)
+        val statsCol = Some(colName)
+          .filter(c => schema(schema.fieldIndex(c)).dataType == LongType)
+        // layout=range requests an ORDERED (range) distribution: files
+        // become contiguous, non-overlapping key ranges — the layout
+        // that makes min/max skipping exact. Default "hash" clusters
+        // by hash (key-disjoint files, but ranges overlap).
+        val layout = Option(options.get("layout")).getOrElse("hash")
+        require(layout == "hash" || layout == "range",
+          s"graftsink: option 'layout' must be hash or range, got '$layout'")
+        def batch: BatchWrite = {
+          GraftSink.checkSchema(schema)
+          new GraftSinkBatchWrite(path, schema, queryId, doTruncate, statsCol)
+        }
         new Write with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
-            Distributions.clustered(Array(Expressions.identity(colName)))
+            if (layout == "range")
+              Distributions.ordered(Array(
+                Expressions.sort(Expressions.identity(colName), SortDirection.ASCENDING)))
+            else Distributions.clustered(Array(Expressions.identity(colName)))
           override def requiredNumPartitions(): Int = shards.getOrElse(0)
           override def requiredOrdering(): Array[VSortOrder] =
             Array(Expressions.sort(Expressions.identity(colName), SortDirection.ASCENDING))
@@ -443,22 +482,30 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
           "graftsink: option 'shards' requires 'clusterBy' (a partition count " +
             "without a distribution would repartition arbitrarily)")
         new Write {
-          override def toBatch: BatchWrite = batch
+          override def toBatch: BatchWrite = {
+            GraftSink.checkSchema(schema)
+            new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
+          }
           override def toStreaming: StreamingWrite = streaming
         }
     }
   }
 }
 
-/** One staged-commit message per successfully committed task. */
-case class GraftSinkCommit(stagedFile: String, partitionId: Int, rows: Long)
+/** One staged-commit message per successfully committed task; `stats`
+  * carries the task file's (min, max) of the clustered BIGINT column
+  * when one was declared — the file-skipping index entries. */
+case class GraftSinkCommit(stagedFile: String, partitionId: Int, rows: Long,
+    stats: Option[(Long, Long)] = None)
   extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, statsCol: Option[String] = None) extends BatchWrite {
+
+  private val statsIdx = statsCol.map(schema.fieldIndex)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkWriterFactory(path, schema, queryId)
+    new GraftSinkWriterFactory(path, schema, queryId, statsIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
@@ -474,7 +521,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
       val fin = s"$queryId-part-${c.partitionId}.tsv"
       val ok = f.rename(new HPath(c.stagedFile), new HPath(path, fin))
       require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      fin
+      GraftSink.entry(fin, Nil,
+        for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi))
     }.toSeq
     // 2) manifest-last: only now do readers see the new version; an
     // append preserves the TABLE's declared DDL (nullability included)
@@ -495,24 +543,32 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
   }
 }
 
-class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String)
+class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String,
+    statsIdx: Option[Int] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftSinkRowWriter(path, schema,
-      s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv", partitionId)
+      s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId.tsv", partitionId,
+      statsIdx)
 }
 
 /** The shared task-side row writer: streams TSV rows into one staged
-  * file, returns (file, partition, rowcount) as its commit message.
-  * Batch and streaming factories differ only in the staged path. */
+  * file, returns (file, partition, rowcount[, column min/max]) as its
+  * commit message. Batch and streaming factories differ only in the
+  * staged path; `statsIdx` (the clustered BIGINT column, when one was
+  * declared) turns on the per-file min/max tracking behind the
+  * manifest's file-skipping stats. */
 class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
-    partitionId: Int) extends DataWriter[InternalRow] {
+    partitionId: Int, statsIdx: Option[Int] = None) extends DataWriter[InternalRow] {
 
   private val out = GraftSink.fs(path).create(new HPath(staged), true)
   private val types = schema.fields.map(_.dataType)
   private var n = 0L
   private var skip = -1 // resolved on the first row
+  private val sIdx = statsIdx.getOrElse(-1)
+  private var sLo = Long.MaxValue
+  private var sHi = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
     if (skip < 0) {
@@ -539,10 +595,16 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
     sb.append('\n')
     out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     n += 1
+    if (sIdx >= 0 && !row.isNullAt(sIdx + skip)) {
+      val v = row.getLong(sIdx + skip)
+      if (v < sLo) sLo = v
+      if (v > sHi) sHi = v
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftSinkCommit(staged, partitionId, n)
+    GraftSinkCommit(staged, partitionId, n,
+      if (sLo <= sHi) Some((sLo, sHi)) else None)
   }
   override def abort(): Unit = {
     out.close()
@@ -633,7 +695,8 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
     val lines = prior.files.map { line =>
       val n = GraftSink.entryName(line)
       GraftSink.entry(n,
-        (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq)
+        (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
+        GraftSink.entryStats(line)) // deletes never widen a min/max
     }
     val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
@@ -772,36 +835,113 @@ class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
 
 class GraftSinkScanBuilder(path: String, full: StructType,
     version: Option[Int] = None)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = full
+  // conjunctive per-column [lo, hi] envelopes from pushed range
+  // predicates — consulted against manifest stats for FILE SKIPPING
+  private var envelopes = Map.empty[String, (Long, Long)]
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftSinkScan(path, full, required, version)
+  private def narrow(c: String, lo: Long, hi: Long): Unit = {
+    val (l0, h0) = envelopes.getOrElse(c, (Long.MinValue, Long.MaxValue))
+    envelopes += c -> (math.max(l0, lo), math.min(h0, hi))
+  }
+
+  /** File-skipping: range/equality predicates on BIGINT columns narrow
+    * the per-column envelope consulted against the manifest's per-file
+    * stats at partition planning — whole files whose [min, max] misses
+    * the envelope are never planned (the parquet row-group/Iceberg
+    * manifest-stats pruning shape). EVERY filter comes back as a
+    * residual: stats prune files, not rows, so Spark still evaluates
+    * the predicate over the survivors — pruning is an optimization,
+    * never a correctness transfer. */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    filters.foreach {
+      case GreaterThan(c, v: Long)        => narrow(c, v + 1, Long.MaxValue)
+      case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
+      case LessThan(c, v: Long)           => narrow(c, Long.MinValue, v - 1)
+      case LessThanOrEqual(c, v: Long)    => narrow(c, Long.MinValue, v)
+      case EqualTo(c, v: Long)            => narrow(c, v, v)
+      case _ => ()
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty // nothing is enforced exactly by the scan
+
+  override def build(): Scan =
+    new GraftSinkScan(path, full, required, version, envelopes)
 }
 
 class GraftSinkScan(path: String, full: StructType, required: StructType,
-    version: Option[Int] = None)
-  extends Scan with Batch {
+    version: Option[Int] = None,
+    envelopes: Map[String, (Long, Long)] = Map.empty)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  def this(path: String, full: StructType, required: StructType,
+      version: Option[Int]) = this(path, full, required, version, Map.empty)
   def this(path: String, full: StructType, required: StructType) =
     this(path, full, required, None)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")})"
+    s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")}" +
+      (if (envelopes.isEmpty) ")" else s", skip=${envelopes.mkString(",")})")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The SURVIVING manifest lines after stats-envelope file skipping. */
+  private def plannedLines: Seq[String] = {
     val m = GraftSink.readManifest(path, version).getOrElse(
       throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
-    m.files.map { line =>
+    m.files.filter { line =>
+      // FILE SKIPPING: a file whose recorded [min, max] misses the
+      // pushed envelope for that column is never planned (files with
+      // no stats, or stats on other columns, always survive)
+      GraftSink.entryStats(line) match {
+        case Some((col, lo, hi)) => envelopes.get(col) match {
+          case Some((elo, ehi)) => hi >= elo && lo <= ehi
+          case None => true
+        }
+        case None => true
+      }
+    }
+  }
+
+  /** Post-pruning size estimate from REAL file lengths (manifest files
+    * statused once at planning), scaled by the column-pruning ratio —
+    * what lets Catalyst auto-broadcast a small (or well-pruned) sink
+    * side with no hint, exactly like graftseq's reported stats (q312).
+    * numRows stays absent: the manifest records no row counts, and a
+    * fabricated number would mislead the planner worse than none. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val f = GraftSink.fs(path)
+    val raw = plannedLines.map { line =>
+      val p = new HPath(path, GraftSink.entryName(line))
+      if (f.exists(p)) f.getFileStatus(p).getLen else 0L
+    }.sum
+    val ratio =
+      if (full.fields.isEmpty) 1.0
+      else math.max(1, required.fields.length).toDouble / full.fields.length
+    val bytes = math.max(1L, (raw * ratio).toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedLines.map { line =>
       val n = GraftSink.entryName(line)
       GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line))
     }.toArray
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // resolve once on the driver: for each REQUIRED column, its type and

@@ -194,6 +194,55 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
       Array(1L, 3L, 6L, 7L)
   }
 
+  test("file skipping: range-layout clustered writes record stats; pushed ranges prune whole files") {
+    import spark.implicits._
+    val stage = graft.ops.Stage.fresh("skip10").toString
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("m"))
+      .write.format("graftsink").mode("overwrite")
+      .option("path", stage).option("clusterBy", "k")
+      .option("shards", "4").option("layout", "range").save()
+    val m = GraftSink.readManifest(stage).get
+    m.files should have size 4
+    val stats = m.files.flatMap(GraftSink.entryStats)
+    stats should have size 4
+    stats.foreach(_._1 shouldBe "k")
+    // range layout: contiguous, non-overlapping, covering [0, 999]
+    val sorted = stats.map(s => (s._2, s._3)).sortBy(_._1)
+    sorted.head._1 shouldBe 0L
+    sorted.last._2 shouldBe 999L
+    sorted.sliding(2).foreach { case Seq((_, h1), (l2, _)) => l2 should be > h1 }
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // finalize AQE
+      df.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.inputPartitions.size
+    }
+    val t = spark.read.format("graftsink").option("path", stage).load()
+    plannedFiles(t.filter(col("k") <= 0L)) shouldBe 1         // only the head file
+    plannedFiles(t.filter(col("k") >= sorted.last._1)) shouldBe 1 // only the tail file
+    plannedFiles(t) shouldBe 4                                 // no envelope, no skip
+    // and pruning is never a correctness transfer: residual filter still applies
+    t.filter(col("k") >= 990L && col("k") % 2 === 0L)
+      .select("k").as[Long].collect().sorted shouldBe (990L to 998L by 2).toArray
+    // a contradictory envelope plans ZERO files
+    plannedFiles(t.filter(col("k") > 5000L)) shouldBe 0
+  }
+
+  test("sink reported statistics: a small sink side auto-broadcasts with no hint") {
+    val dir = graft.ops.Stage.fresh("sinkstats").toString
+    spark.range(0, 500).select(col("id").as("sid"), (col("id") % 9).as("tag"))
+      .coalesce(1)
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    val small = spark.read.format("graftsink").option("path", dir).load()
+    // big side: ~80 MB estimated, far over the auto-broadcast threshold
+    val big = spark.range(0, 5000000L).select(col("id"), (col("id") % 500).as("j"))
+    val joined = big.join(small, col("j") === col("sid"))
+    joined.count() shouldBe 5000000L
+    val planStr = joined.queryExecution.executedPlan.toString
+    withClue(s"small sink side should broadcast from REPORTED stats:\n$planStr\n") {
+      planStr should include("BroadcastHashJoin")
+    }
+  }
+
   test("catalog procedures: compact / rollback / expire_snapshots maintain the snapshot chain") {
     import spark.implicits._
     ensureCatalog()
