@@ -901,6 +901,36 @@ object Sources extends QueryPack {
           round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"),
           min(col("user_id")).as("min_u"), max(col("user_id")).as("max_u"))
     }),
+
+    // ------------------------------------------------------------------
+    // METADATA-ONLY count(*) on the V2 sink (SupportsPushDownAggregates
+    // + the manifest's `rows:` segments, which every commit records):
+    // a global unfiltered COUNT is answered as Σ(rows − |dv|) straight
+    // from the manifest — ZERO data files opened, the parquet-footer /
+    // Iceberg-manifest count shape on the connector's own metadata (at
+    // 100 TB, "how many rows?" costs one small-file read). The second
+    // half composes with merge-on-read: after a DV delete the metadata
+    // count subtracts the vectors EXACTLY — no scan, still right.
+    // Round10Spec pins the mechanics (GraftSinkCountScan in the plan,
+    // no aggregate exec, one metadata partition, filter fallback);
+    // this oracle certifies both values.
+    "q375_sink_metadata_count" -> ((s, dir) => {
+      ensureCatalog(s)
+      val stage = Stage.dir("cnt375")
+      Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .write.format("graftsink").mode("overwrite")
+        .option("path", stage).option("clusterBy", "user_id")
+        .option("shards", "4").save()
+      val users = s.read.format("graftsink").option("path", stage).load()
+        .agg(expr("count(*)").as("n_users"))
+      s.sql("DROP TABLE IF EXISTS graft.g.cnt375")
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo("graft.g.cnt375").tableProperty("write.mode", "merge-on-read").create()
+      s.sql("DELETE FROM graft.g.cnt375 WHERE c_custkey % 4 = 1")
+      val custs = s.table("graft.g.cnt375").agg(expr("count(*)").as("n_custs"))
+      users.crossJoin(custs)
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -981,6 +1011,12 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(jaro_winkler_similarity(c_name, c_mktsegment) AS DECIMAL(18,12))) AS DOUBLE) "
         + "/ count(*), 6) AS avg_jw "
         + "FROM customer GROUP BY 1 ORDER BY 1"),
+    // q375: the metadata counts must equal the real ones — distinct
+    // users for the rollup table, the post-delete complement for the
+    // merge-on-read table.
+    "q375_sink_metadata_count" ->
+      ("SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 4 <> 1) AS n_custs"),
     // q374: the pruned range slice must equal the same slice straight
     // off parquet (pruning is an optimization, never a transfer).
     "q374_sink_file_skipping" ->

@@ -99,10 +99,16 @@ object GraftSink {
   //   `stats:col=lo..hi`    — min/max of a BIGINT column across the
   //                           file's rows (recorded by clustered writes),
   //                           the FILE-SKIPPING index: a pushed range
-  //                           predicate prunes whole files at planning.
-  // Plain commits write bare names; appends carry prior lines through
-  // unchanged, so DVs and stats survive. Deleting rows never widens a
-  // min/max, so stats stay conservative under DVs.
+  //                           predicate prunes whole files at planning;
+  //   `rows:n`              — the file's ORIGINAL row count (every
+  //                           commit records it), the metadata-count
+  //                           index: a global count(*) is answered as
+  //                           Σ(rows − |dv|) with zero data reads.
+  // Plain commits write bare names + rows; appends carry prior lines
+  // through unchanged, so DVs, stats and counts survive. Deleting rows
+  // never widens a min/max, so stats stay conservative under DVs; the
+  // DV length is subtracted from `rows` at count time, so counts stay
+  // exact under them.
   def entryName(line: String): String = {
     val i = line.indexOf('\t')
     if (i < 0) line else line.substring(0, i)
@@ -126,12 +132,18 @@ object GraftSink {
         body.substring(dd + 2).toLong)
     }
 
+  /** The file's recorded ORIGINAL row count, if any. */
+  def entryRows(line: String): Option[Long] =
+    segments(line).find(_.startsWith("rows:")).map(_.stripPrefix("rows:").toLong)
+
   def entry(name: String, deletes: Seq[Long],
-      stats: Option[(String, Long, Long)] = None): String = {
+      stats: Option[(String, Long, Long)] = None,
+      rows: Option[Long] = None): String = {
     val dv = if (deletes.isEmpty) ""
              else s"\tdv:${deletes.sorted.distinct.mkString(",")}"
     val st = stats.fold("") { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }
-    s"$name$dv$st"
+    val rc = rows.fold("")(n => s"\trows:$n")
+    s"$name$dv$st$rc"
   }
 
   def pathOf(properties: JMap[String, String]): String =
@@ -522,7 +534,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
       val ok = f.rename(new HPath(c.stagedFile), new HPath(path, fin))
       require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
       GraftSink.entry(fin, Nil,
-        for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi))
+        for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi),
+        Some(c.rows))
     }.toSeq
     // 2) manifest-last: only now do readers see the new version; an
     // append preserves the TABLE's declared DDL (nullability included)
@@ -696,13 +709,14 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
       val n = GraftSink.entryName(line)
       GraftSink.entry(n,
         (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
-        GraftSink.entryStats(line)) // deletes never widen a min/max
+        GraftSink.entryStats(line), // deletes never widen a min/max
+        GraftSink.entryRows(line))  // rows stay ORIGINAL; counts subtract |dv|
     }
     val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
       require(f.rename(new HPath(c.stagedFile), new HPath(path, fin)),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      fin
+      GraftSink.entry(fin, Nil, None, Some(c.rows))
     }.toSeq
     GraftSink.writeManifest(path, GraftSink.Manifest(prior.ddl, lines ++ published))
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
@@ -806,7 +820,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
       if (f.exists(dest)) f.delete(dest, false)
       require(f.rename(new HPath(c.stagedFile), dest),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      fin
+      GraftSink.entry(fin, Nil, None, Some(c.rows))
     }.toSeq
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
@@ -836,15 +850,45 @@ class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
 class GraftSinkScanBuilder(path: String, full: StructType,
     version: Option[Int] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   // conjunctive per-column [lo, hi] envelopes from pushed range
   // predicates — consulted against manifest stats for FILE SKIPPING
   private var envelopes = Map.empty[String, (Long, Long)]
+  private var countPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** METADATA-ONLY count(*): a global unfiltered COUNT is answered as
+    * Σ(rows − |dv|) straight from the manifest — zero data files opened
+    * (the parquet-footer / Iceberg-manifest count shape; `rows:` is
+    * recorded by every commit and DVs subtract exactly). Pushed only
+    * when EVERY entry carries a row count (tables written before the
+    * segment existed fall back to scanning) and no filter narrows the
+    * rows — Spark only attempts aggregate pushdown when all filters
+    * were themselves pushed, and this scan pushes none. */
+  private def canPushCount(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      envelopes.isEmpty &&
+      GraftSink.readManifest(path, version)
+        .exists(m => m.files.forall(l => GraftSink.entryRows(l).isDefined))
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!canPushCount(agg)) false
+    else { countPushed = true; true }
+  }
 
   private def narrow(c: String, lo: Long, hi: Long): Unit = {
     val (l0, h0) = envelopes.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -877,8 +921,56 @@ class GraftSinkScanBuilder(path: String, full: StructType,
     Array.empty // nothing is enforced exactly by the scan
 
   override def build(): Scan =
-    new GraftSinkScan(path, full, required, version, envelopes)
+    if (countPushed) new GraftSinkCountScan(path, version)
+    else new GraftSinkScan(path, full, required, version, envelopes)
 }
+
+/** Completely-pushed-down count(*) "scan": one partition, one row,
+  * the value = Σ(rows − |dv|) over the manifest — no data file is ever
+  * opened (q305's metadata-row shape, now on the write-side table). */
+class GraftSinkCountScan(path: String, version: Option[Int])
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def total: Long = {
+    val m = GraftSink.readManifest(path, version).getOrElse(
+      throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
+    m.files.map { l =>
+      GraftSink.entryRows(l).getOrElse(
+        throw new IllegalStateException(
+          s"graftsink: count pushdown on an entry without rows: $l")) -
+        GraftSink.entryDeletes(l).length
+    }.sum
+  }
+
+  override def readSchema(): StructType =
+    new StructType().add("count_star", LongType, nullable = false)
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftSinkCountScan($path)"
+
+  /** One row, eight bytes — reported so joins against the metadata
+    * count broadcast it instead of degenerating to a cartesian. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(8L)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(1L)
+    }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftSinkCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = new GenericInternalRow(
+            Array[Any](p.asInstanceOf[GraftSinkCountPartition].n))
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class GraftSinkCountPartition(n: Long) extends InputPartition
 
 class GraftSinkScan(path: String, full: StructType, required: StructType,
     version: Option[Int] = None,

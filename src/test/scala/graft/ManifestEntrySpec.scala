@@ -30,22 +30,28 @@ object ManifestEntryProps extends Properties("manifest-entry") {
     span <- Gen.chooseNum(0L, 1000000L)
   } yield (c, lo, lo + span))
 
-  property("entry round-trips name + sorted-deduped DV + stats; canonical form is a fixpoint") =
-    forAllNoShrink(nameGen, delsGen, statsGen) { (name, dels, stats) =>
-      val line = GraftSink.entry(name, dels, stats)
+  private val rowsGen: Gen[Option[Long]] =
+    Gen.option(Gen.chooseNum(0L, Long.MaxValue / 2))
+
+  property("entry round-trips name + sorted-deduped DV + stats + rows; canonical form is a fixpoint") =
+    forAllNoShrink(nameGen, delsGen, statsGen, rowsGen) { (name, dels, stats, rows) =>
+      val line = GraftSink.entry(name, dels, stats, rows)
       val again = GraftSink.entry(GraftSink.entryName(line),
-        GraftSink.entryDeletes(line).toSeq, GraftSink.entryStats(line))
+        GraftSink.entryDeletes(line).toSeq, GraftSink.entryStats(line),
+        GraftSink.entryRows(line))
       (GraftSink.entryName(line) == name) :| "name" &&
         (GraftSink.entryDeletes(line).toSeq == dels.sorted.distinct) :| "dv" &&
         (GraftSink.entryStats(line) == stats) :| "stats" &&
+        (GraftSink.entryRows(line) == rows) :| "rows" &&
         (again == line) :| "fixpoint"
     }
 
-  property("legacy bare-name lines parse as themselves with no deletes and no stats") =
+  property("legacy bare-name lines parse as themselves with no deletes, stats, or rows") =
     forAllNoShrink(nameGen) { name =>
       GraftSink.entryName(name) == name &&
         GraftSink.entryDeletes(name).isEmpty &&
-        GraftSink.entryStats(name).isEmpty
+        GraftSink.entryStats(name).isEmpty &&
+        GraftSink.entryRows(name).isEmpty
     }
 }
 

@@ -292,7 +292,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q338_mmr_rerank",     // query vec = vec_id = 0; greedy steps broadcast <= 5-row checkpointed pick frames
     "q348_hll_intersection",// literal 3-pair self-join of the checkpointed <= |event-type| sketch frame
     "q367_jl_audit",     // probe pair join: vec_id < 20 literal-keyed rows, checkpointed, both sides
-    "q370_hdbscan_mst"   // probe pair join: vec_id < 32 literal-keyed rows, checkpointed, both sides
+    "q370_hdbscan_mst",  // probe pair join: vec_id < 32 literal-keyed rows, checkpointed, both sides
+    "q375_sink_metadata_count" // cross of two 1-row metadata count scans (stats-reported)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

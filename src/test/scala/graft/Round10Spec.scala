@@ -79,7 +79,8 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
     // ghost invisibility: replaced data files are still on disk (older
     // snapshots reference them) but the latest read never serves them
     preFiles.foreach { f =>
-      GraftSink.fs(path).exists(new org.apache.hadoop.fs.Path(path, f)) shouldBe true
+      GraftSink.fs(path).exists(
+        new org.apache.hadoop.fs.Path(path, GraftSink.entryName(f))) shouldBe true
     }
   }
 
@@ -225,6 +226,46 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
       .select("k").as[Long].collect().sorted shouldBe (990L to 998L by 2).toArray
     // a contradictory envelope plans ZERO files
     plannedFiles(t.filter(col("k") > 5000L)) shouldBe 0
+  }
+
+  test("metadata-only count(*): answered from manifest row counts, DV-aware, zero data reads") {
+    import spark.implicits._
+    val dir = graft.ops.Stage.fresh("cnt10").toString
+    spark.range(0, 777).select(col("id").as("k"), (col("id") % 5).as("m"))
+      .repartition(3)
+      .write.format("graftsink").mode("overwrite").option("path", dir).save()
+    val t = spark.read.format("graftsink").option("path", dir).load()
+    def finalPlan(d: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+      d.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+    val q = t.agg(expr("count(*)").as("n"))
+    q.head.getLong(0) shouldBe 777L
+    // COMPLETE pushdown: the count scan replaces both scan and aggregate
+    val scans = finalPlan(q).collect { case b: BatchScanExec => b }
+    scans.head.scan.isInstanceOf[graft.sources.GraftSinkCountScan] shouldBe true
+    scans.head.inputPartitions should have size 1
+    finalPlan(q).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    } shouldBe empty
+    // a FILTER blocks pushdown (residual filters force a real scan) but
+    // values stay right
+    val f = t.filter(col("m") === 1L).agg(expr("count(*)").as("n"))
+    f.head.getLong(0) shouldBe 156L // ids ≡ 1 mod 5 in [0, 777)
+    finalPlan(f).collect { case b: BatchScanExec => b }
+      .head.scan.isInstanceOf[graft.sources.GraftSinkCountScan] shouldBe false
+    // and merge-on-read delete vectors subtract EXACTLY
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.cnt2")
+    Seq.tabulate(50)(i => (i.toLong, s"s$i")).toDF("k", "s")
+      .writeTo(s"$cat.ns.cnt2").tableProperty("write.mode", "merge-on-read").create()
+    spark.sql(s"DELETE FROM $cat.ns.cnt2 WHERE k % 10 = 3")
+    val c2 = spark.table(s"$cat.ns.cnt2").agg(expr("count(*)").as("n"))
+    c2.head.getLong(0) shouldBe 45L
+    finalPlan(c2).collect { case b: BatchScanExec => b }
+      .head.scan.isInstanceOf[graft.sources.GraftSinkCountScan] shouldBe true
   }
 
   test("sink reported statistics: a small sink side auto-broadcasts with no hint") {
