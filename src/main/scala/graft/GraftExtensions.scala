@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.md5ModInfo, GraftFunctions.md5ModBuilder))
     ext.injectFunction((GraftFunctions.jaroWinklerIdent,
       GraftFunctions.jaroWinklerInfo, GraftFunctions.jaroWinklerBuilder))
+    ext.injectFunction((GraftFunctions.bloomAggIdent,
+      GraftFunctions.bloomAggInfo, GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((GraftFunctions.mightContainIdent,
+      GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
     // portable md5-chain SQL → native Md5Mod (literal non-zero modulus
     // only; see the rule's scaladoc for the ANSI zero-divisor caveat)
     ext.injectOptimizerRule(_ => graft.plans.RewriteMd5Chain)

@@ -121,11 +121,18 @@ object Analysis extends QueryPack {
     // ------------------------------------------------------------------
     // Bloom-pruned join: revenue of BUILDING-segment customers' line
     // items. The key set (orders of those customers) builds a Bloom
-    // filter (~1% fpp) that prunes lineitem AT THE SCAN, before any
-    // shuffle; the exact equi-join afterwards removes false positives,
-    // so the result is identical to the plain join the oracle runs.
-    // At 100 TB this is the difference between shuffling the whole
-    // fact table and shuffling the ~20% that can match.
+    // filter (Spark's native `bloom_filter_agg` over xxhash64'd keys —
+    // a mergeable partial agg, so the sketch builds map-side) served
+    // through a SCALAR SUBQUERY: exactly the plan shape Spark's own
+    // injected runtime row-level filters use — the subquery executes
+    // once, the sketch becomes a literal, and the codegen'd
+    // `might_contain` probe prunes lineitem AT THE SCAN with no
+    // serialized-closure udf in the hot path (PlanGuardSpec pins
+    // ScalaUDF out of the plan), before any shuffle; the exact
+    // equi-join afterwards removes false positives, so the result is
+    // identical to the plain join the oracle runs. At 100 TB this is
+    // the difference between shuffling the whole fact table and
+    // shuffling the ~20% that can match.
     "q103_bloom_join" -> ((s, dir) => {
       val okeys = Tables.orders(s, dir)
         .join(broadcast(Tables.customer(s, dir)
@@ -134,10 +141,14 @@ object Analysis extends QueryPack {
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"))
         .localCheckpoint() // consumed twice: bloom build + exact join
-      val bf = okeys.stat.bloomFilter("o_orderkey", math.max(okeys.count(), 100L), 0.01)
-      val might = udf((k: Long) => bf.mightContain(k))
-      Tables.lineitem(s, dir)
-        .filter(might(col("l_orderkey")))       // sketch prune, no shuffle
+      val nKeys = math.max(okeys.count(), 100L)
+      okeys.createOrReplaceTempView("okeys103")
+      Tables.lineitem(s, dir).createOrReplaceTempView("li103")
+      s.sql(
+        s"""SELECT * FROM li103 WHERE might_contain(
+           |  (SELECT bloom_filter_agg(xxhash64(o_orderkey), ${nKeys}L, ${nKeys * 10}L)
+           |   FROM okeys103),
+           |  xxhash64(l_orderkey))""".stripMargin) // sketch prune, no shuffle
         .join(okeys, col("l_orderkey") === col("o_orderkey")) // exact
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),

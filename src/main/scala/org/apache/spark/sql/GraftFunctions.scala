@@ -83,6 +83,36 @@ object GraftFunctions {
 
   val jaroWinklerIdent: FunctionIdentifier = FunctionIdentifier("jaro_winkler")
 
+  /** Spark's OWN Bloom pair (the engine's runtime row-level-filtering
+    * kernels, not registered for SQL by default): `bloom_filter_agg`
+    * builds a sketch over xxhash64'd keys as a mergeable partial agg,
+    * `might_contain` probes it with full codegen — together they keep a
+    * sketch-pruned join (q103) entirely inside whole-stage codegen,
+    * where a closure udf would force per-row serialized calls. */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) => new catalyst.expressions.aggregate.BloomFilterAggregate(c)
+    case Seq(c, n) => new catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+    case Seq(c, n, b) => new catalyst.expressions.aggregate.BloomFilterAggregate(c, n, b)
+    case other =>
+      throw new IllegalArgumentException(s"bloom_filter_agg expects 1-3 args, got ${other.size}")
+  }
+
+  val bloomAggInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[catalyst.expressions.aggregate.BloomFilterAggregate].getName, "bloom_filter_agg")
+
+  val bloomAggIdent: FunctionIdentifier = FunctionIdentifier("bloom_filter_agg")
+
+  val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bf, v) => catalyst.expressions.BloomFilterMightContain(bf, v)
+    case other =>
+      throw new IllegalArgumentException(s"might_contain expects 2 args, got ${other.size}")
+  }
+
+  val mightContainInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[catalyst.expressions.BloomFilterMightContain].getName, "might_contain")
+
+  val mightContainIdent: FunctionIdentifier = FunctionIdentifier("might_contain")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
@@ -99,5 +129,7 @@ object GraftFunctions {
     once("sliding_gen", slidingBuilder)
     once("md5_mod", md5ModBuilder)
     once("jaro_winkler", jaroWinklerBuilder)
+    once("bloom_filter_agg", bloomAggBuilder)
+    once("might_contain", mightContainBuilder)
   }
 }
