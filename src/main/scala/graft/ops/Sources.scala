@@ -931,6 +931,91 @@ object Sources extends QueryPack {
       val custs = s.table("graft.g.cnt375").agg(expr("count(*)").as("n_custs"))
       users.crossJoin(custs)
     }),
+
+    // ------------------------------------------------------------------
+    // CHANGELOG read OUT of the sink (the consumption half of q369's
+    // CDC-in loop — Delta CDF / Iceberg incremental-scan shape): a
+    // version-range scan (`changesFrom`=base exclusive, `changesTo`=
+    // target inclusive) serves EXACTLY the delta between snapshots —
+    // files that entered a commit as `insert` rows, files that left
+    // plus new DELETE-VECTOR positions as `delete` rows — each tagged
+    // `_change` / `_commit_version`, planned entirely from the
+    // immutable manifests: a week's changelog costs the week's files,
+    // never the q114-style two-full-scan diff. History here: CTAS (v1
+    // empty + v2 all rows) → merge-on-read DELETE (v3 = DV positions
+    // only, nothing rewritten) → append (v4). The rollup per (commit,
+    // change) pins insert AND delete row content; oracle recomputes
+    // each commit's delta closed-form from parquet. Round11Spec
+    // asserts the scan plans ONLY delta files and the refusal matrix.
+    "q376_sink_changelog" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.chg376")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.chg376")
+        .tableProperty("write.mode", "merge-on-read").create() // v1 + v2
+      s.sql("DELETE FROM graft.g.chg376 WHERE c_custkey % 5 = 0") // v3: DVs only
+      cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(2000000L))
+        .writeTo("graft.g.chg376").append() // v4: new file(s)
+      s.read.format("graftsink")
+        .option("path", s"${Stage.dir("graft_warehouse")}/g/chg376")
+        .option("changesFrom", "0").load()
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("commit_version"), col("change"))
+    }),
+
+    // ------------------------------------------------------------------
+    // STREAMING changelog source (MICRO_BATCH_READ on graftsink —
+    // composing q376's delta scan with snapshot numbers as stream
+    // OFFSETS): `readStream.option("changesFrom", 0)` tails the table's
+    // commits, each microbatch serving the snapshots committed since
+    // the last offset; the checkpoint pins the commit boundary, so a
+    // restart resumes mid-history without re-serving or skipping a
+    // commit. AvailableNow drains create → two MOR deletes → append
+    // (v1..v5) into a memory sink; the per-(commit, change) rollup over
+    // the collected feed must equal the batch changelog — the oracle
+    // recomputes it closed-form. This is the pipeline a downstream
+    // consumer runs hourly: state feeds off deltas, never a re-scan.
+    "q377_sink_changelog_stream" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.chg377")
+      s.catalog.dropTempView("q377_mem")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.chg377")
+        .tableProperty("write.mode", "merge-on-read").create() // v1 + v2
+      s.sql("DELETE FROM graft.g.chg377 WHERE c_custkey % 4 = 1") // v3
+      s.sql("DELETE FROM graft.g.chg377 WHERE c_custkey % 4 = 2") // v4
+      cust.filter(col("c_custkey") % 9 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(3000000L))
+        .writeTo("graft.g.chg377").append() // v5
+      val ck = Stage.fresh("chg377ck")
+      s.readStream.format("graftsink")
+        .option("path", s"${Stage.dir("graft_warehouse")}/g/chg377")
+        .option("changesFrom", "0").load()
+        .writeStream.format("memory").queryName("q377_mem")
+        .option("checkpointLocation", s"$ck/ck")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      val out = s.table("q377_mem")
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change").as("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("commit_version"), col("change"))
+        .localCheckpoint() // materialize before the checkpoint tree is released
+      Stage.release(ck)
+      out
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -1017,6 +1102,43 @@ object Sources extends QueryPack {
     "q375_sink_metadata_count" ->
       ("SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_users, "
         + "(SELECT CAST(count(*) AS BIGINT) FROM customer WHERE c_custkey % 4 <> 1) AS n_custs"),
+    // q376: each commit's delta replayed closed-form — v2 inserts all
+    // rows, v3 deletes the %5 slice (DV content), v4 inserts the
+    // re-keyed %7 slice; v1 is the empty created table (no delta row).
+    "q376_sink_changelog" ->
+      ("WITH base AS (SELECT c_custkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change, "
+        + "CAST(count(*) AS BIGINT) AS n_rows, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM base "
+        + "UNION ALL SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
+        + "min(c_custkey), max(c_custkey) FROM base WHERE c_custkey % 5 = 0 "
+        + "UNION ALL SELECT CAST(4 AS BIGINT), 'insert', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
+        + "min(c_custkey + 2000000), max(c_custkey + 2000000) FROM base WHERE c_custkey % 7 = 0 "
+        + "ORDER BY commit_version, change"),
+    // q377: the streamed feed must equal the batch changelog — v2
+    // inserts all, v3/v4 delete the %4=1 / %4=2 slices, v5 inserts the
+    // re-keyed %9 slice.
+    "q377_sink_changelog_stream" ->
+      ("WITH base AS (SELECT c_custkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT CAST(2 AS BIGINT) AS commit_version, 'insert' AS change, "
+        + "CAST(count(*) AS BIGINT) AS n_rows, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key FROM base "
+        + "UNION ALL SELECT CAST(3 AS BIGINT), 'delete', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
+        + "min(c_custkey), max(c_custkey) FROM base WHERE c_custkey % 4 = 1 "
+        + "UNION ALL SELECT CAST(4 AS BIGINT), 'delete', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
+        + "min(c_custkey), max(c_custkey) FROM base WHERE c_custkey % 4 = 2 "
+        + "UNION ALL SELECT CAST(5 AS BIGINT), 'insert', CAST(count(*) AS BIGINT), "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
+        + "min(c_custkey + 3000000), max(c_custkey + 3000000) FROM base WHERE c_custkey % 9 = 0 "
+        + "ORDER BY commit_version, change"),
     // q374: the pruned range slice must equal the same slice straight
     // off parquet (pruning is an optimization, never a transfer).
     "q374_sink_file_skipping" ->

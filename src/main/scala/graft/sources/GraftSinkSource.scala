@@ -73,16 +73,28 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val props = options.asCaseSensitiveMap()
     val path = GraftSink.pathOf(props)
-    GraftSink.readManifest(path, GraftSink.versionOf(props))
+    val version = GraftSink.versionOf(props)
+    val changes = GraftSink.changesOf(props)
+    require(version.isEmpty || changes.isEmpty,
+      "graftsink: options 'version' and 'changesFrom' are mutually exclusive")
+    // changelog mode reads rows through the RANGE-END snapshot's schema
+    // (older files pad missing columns NULL, exactly like a plain read)
+    val pin = changes.fold(version) { case (_, to) => to }
+    val base = GraftSink.readManifest(path, pin)
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path (missing ${GraftSink.MANIFEST})"))
+    changes.fold(base)(_ => GraftSink.changeSchema(base))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    require(partitioning.isEmpty,
+      "graftsink: partitioning is not supported on the path-based write " +
+        "(use the 'clusterBy' write option for clustered files)")
     new GraftSinkTable(GraftSink.pathOf(properties), schema,
-      GraftSink.versionOf(properties))
+      GraftSink.versionOf(properties), GraftSink.changesOf(properties))
+  }
 }
 
 object GraftSink {
@@ -161,6 +173,89 @@ object GraftSink {
       require(v >= 1, s"graftsink: option 'version' must be >= 1, got $v")
       v
     }
+
+  // --- changelog (incremental version-range) read ----------------------
+
+  /** The change-feed's two extra columns: what happened to the row
+    * (`insert` when its file entered a snapshot, `delete` when its file
+    * left one or a delete vector claimed its position) and at which
+    * commit. */
+  val CHANGE_COL = "_change"
+  val CHANGE_VERSION_COL = "_commit_version"
+
+  def changeSchema(base: StructType): StructType =
+    StructType(base.fields.toSeq
+      :+ org.apache.spark.sql.types.StructField(CHANGE_COL, StringType, nullable = false)
+      :+ org.apache.spark.sql.types.StructField(CHANGE_VERSION_COL, LongType, nullable = false))
+
+  /** Changelog read options: `changesFrom` = the BASE snapshot the
+    * delta is measured against (EXCLUSIVE — 0 means "before the first
+    * commit", i.e. the full history), `changesTo` = the last snapshot
+    * whose changes are served (inclusive; absent = latest at scan
+    * planning). Mutually exclusive with `version`. */
+  def changesOf(properties: JMap[String, String]): Option[(Int, Option[Int])] =
+    Option(properties.get("changesFrom")).map { raw =>
+      val from = try raw.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graftsink: option 'changesFrom' must be an int, got '$raw'")
+      }
+      require(from >= 0, s"graftsink: option 'changesFrom' must be >= 0, got $from")
+      val to = Option(properties.get("changesTo")).map { t =>
+        val v = try t.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graftsink: option 'changesTo' must be an int, got '$t'")
+        }
+        require(v > from,
+          s"graftsink: option 'changesTo' ($v) must be > changesFrom ($from)")
+        v
+      }
+      (from, to)
+    }
+
+  /** One changelog work unit: serve `name`'s contribution to commit
+    * `commitVersion` as `change` rows. `onlyPositions` non-empty =
+    * positions mode (ONLY those row positions — the delete-vector diff);
+    * otherwise survivors mode (all rows except `skipDeletes`). */
+  final case class ChangeFile(name: String, commitVersion: Int, change: String,
+      skipDeletes: Array[Long], onlyPositions: Array[Long])
+
+  /** The file-grain delta of every commit in (from, to]: per consecutive
+    * snapshot pair, files that entered serve their surviving rows as
+    * inserts, files that left serve the rows that were live at the
+    * prior snapshot as deletes, and files in both serve their NEW
+    * delete-vector positions as deletes. Planned entirely from the
+    * immutable `_manifest.vN` metadata (the Iceberg/Delta incremental-
+    * scan shape: a week's changelog costs the week's files, never a
+    * full-table diff); an expired snapshot in the range fails loudly
+    * through readManifest. */
+  def changelog(path: String, from: Int, to: Int): Seq[ChangeFile] = {
+    require(from >= 0 && to >= from,
+      s"graftsink: changelog range ($from, $to] is invalid")
+    def manifest(v: Int): Manifest =
+      if (v == 0) Manifest("", Nil)
+      else readManifest(path, Some(v)).get // loud on missing/expired
+    (from + 1 to to).flatMap { v =>
+      val prev = manifest(v - 1)
+      val cur = manifest(v)
+      val prevMap = prev.files.map(l => entryName(l) -> l).toMap
+      val curNames = cur.files.map(entryName).toSet
+      val added = cur.files.filterNot(l => prevMap.contains(entryName(l))).map { l =>
+        ChangeFile(entryName(l), v, "insert", entryDeletes(l), Array.empty)
+      }
+      val removed = prev.files.filterNot(l => curNames(entryName(l))).map { l =>
+        ChangeFile(entryName(l), v, "delete", entryDeletes(l), Array.empty)
+      }
+      val dvDeletes = cur.files.flatMap { l =>
+        prevMap.get(entryName(l)).flatMap { pl =>
+          val newDels = entryDeletes(l).toSet -- entryDeletes(pl)
+          if (newDels.isEmpty) None
+          else Some(ChangeFile(entryName(l), v, "delete", Array.empty,
+            newDels.toArray.sorted))
+        }
+      }
+      added ++ removed ++ dvDeletes
+    }
+  }
 
   def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(new Configuration())
@@ -250,7 +345,17 @@ object GraftSink {
     finally out.close()
   }
 
+  /** Column names the connector itself serves: the metadata/row-id pair
+    * and the changelog pair. A data column under one of these names
+    * would be silently shadowed on read (Spark resolves the name to the
+    * data column but the reader would serve the sentinel), so creation
+    * rejects them outright. */
+  val RESERVED_COLS: Set[String] = Set("_file", "_pos", CHANGE_COL, CHANGE_VERSION_COL)
+
   def checkSchema(schema: StructType): Unit = schema.fields.foreach { fld =>
+    require(!RESERVED_COLS(fld.name),
+      s"graftsink: column name '${fld.name}' is reserved " +
+        s"(${RESERVED_COLS.toSeq.sorted.mkString(", ")} are connector-served)")
     fld.dataType match {
       case LongType | IntegerType | DoubleType | StringType => ()
       case dt => throw new IllegalArgumentException(
@@ -263,12 +368,28 @@ object GraftSink {
     * IGNORED — a NOT NULL query result appending into a nullable table
     * (every `INSERT INTO t VALUES ...`) is the normal case, and the TSV
     * codec stores NULL per-value anyway. The manifest keeps the TABLE's
-    * declared DDL, never the narrower write DDL. */
+    * declared DDL — except that a NULLABLE write appending into a NOT
+    * NULL column WIDENS the published DDL to nullable (see
+    * [[widenedDdl]]): the write may genuinely contain NULLs, and
+    * serving them through a non-nullable schema would mislead
+    * downstream null-aware optimizations. */
   def schemaCompatible(tableDdl: String, write: StructType): Boolean = {
     val t = StructType.fromDDL(tableDdl)
     t.length == write.length && t.fields.zip(write.fields).forall {
       case (a, b) => a.name == b.name && a.dataType == b.dataType
     }
+  }
+
+  /** The table DDL an append publishes: the TABLE's declared fields,
+    * with any column the incoming write declares nullable widened to
+    * nullable (nullability only ever loosens — the safe direction). */
+  def widenedDdl(tableDdl: String, write: StructType): String = {
+    val t = StructType.fromDDL(tableDdl)
+    if (t.length != write.length) tableDdl
+    else StructType(t.fields.zip(write.fields).map {
+      case (a, b) if b.nullable && !a.nullable => a.copy(nullable = true)
+      case (a, _) => a
+    }).toDDL
   }
 
   // --- TSV field codec (escape-stable, null-safe, type-exact) ---------
@@ -314,12 +435,16 @@ object GraftSink {
 }
 
 class GraftSinkTable(path: String, declared: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    changes: Option[(Int, Option[Int])] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  def this(path: String, declared: StructType) = this(path, declared, None)
-  override def name(): String = s"graftsink($path${version.fold("")(v => s"@v$v")})"
+  def this(path: String, declared: StructType) = this(path, declared, None, None)
+  def this(path: String, declared: StructType, version: Option[Int]) =
+    this(path, declared, version, None)
+  override def name(): String = s"graftsink($path${version.fold("")(v => s"@v$v")}" +
+    changes.fold("") { case (f, t) => s"@changes($f,${t.fold("latest")(_.toString)})" } + ")"
 
   /** Hidden per-row provenance AND the merge-on-read row id: `_file`
     * (manifest entry name) + `_pos` (original line position — stable
@@ -340,18 +465,26 @@ class GraftSinkTable(path: String, declared: StructType,
         override def comment(): String = "original row position within the data file"
       })
   override def schema(): StructType =
-    GraftSink.readManifest(path, version)
+    if (changes.isDefined) declared // provider-built: range-end schema + change cols
+    else GraftSink.readManifest(path, version)
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSinkScanBuilder(path, schema(), version)
+    changes match {
+      case Some((from, to)) =>
+        new GraftSinkChangelogScanBuilder(path, schema(), from, to)
+      case None => new GraftSinkScanBuilder(path, schema(), version)
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       "graftsink: cannot write through a time-travel read (option 'version')")
+    require(changes.isEmpty,
+      "graftsink: cannot write through a changelog read (option 'changesFrom')")
     new GraftSinkWriteBuilder(path, info.schema(), info.queryId(), info.options())
   }
 
@@ -373,6 +506,8 @@ class GraftSinkTable(path: String, declared: StructType,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(version.isEmpty,
       "graftsink: cannot mutate through a time-travel read (option 'version')")
+    require(changes.isEmpty,
+      "graftsink: cannot mutate through a changelog read (option 'changesFrom')")
     // write.mode=merge-on-read (a durable _props table property) routes
     // DELETE/UPDATE/MERGE through the DELTA operation: positions are
     // recorded as delete vectors and inserts land in new files — data
@@ -541,7 +676,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     // append preserves the TABLE's declared DDL (nullability included)
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) schema.toDDL else prior.fold(schema.toDDL)(_.ddl)
+    val ddl = if (truncate) schema.toDDL
+              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
     GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
@@ -597,6 +733,22 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
       require(skip == 0 || skip == 1,
         s"graftsink: writer got ${row.numFields}-field rows for a " +
           s"${types.length}-column schema (${schema.toDDL})")
+      if (skip == 1) {
+        // the skipped field must BE the operation marker, not a shifted
+        // data column: a Spark upgrade that appends the marker instead
+        // of prefixing it (or changes the projection contract) would
+        // otherwise encode every column off by one, silently for
+        // type-compatible layouts. Checked once on the first row
+        // against Spark's own marker constants.
+        import org.apache.spark.sql.catalyst.util.RowDeltaUtils._
+        val marker = try row.getInt(0) catch { case _: Throwable => Int.MinValue }
+        require(Seq(DELETE_OPERATION, UPDATE_OPERATION, INSERT_OPERATION,
+            REINSERT_OPERATION, WRITE_OPERATION, WRITE_WITH_METADATA_OPERATION)
+            .contains(marker),
+          s"graftsink: expected a prefixed row-operation marker, found $marker " +
+            "in field 0 — the ReplaceData row layout changed; refusing to " +
+            "encode potentially shifted columns")
+      }
     }
     val sb = new java.lang.StringBuilder(64)
     var i = 0
@@ -718,7 +870,9 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
       GraftSink.entry(fin, Nil, None, Some(c.rows))
     }.toSeq
-    GraftSink.writeManifest(path, GraftSink.Manifest(prior.ddl, lines ++ published))
+    val ddl = if (schema.isEmpty) prior.ddl
+              else GraftSink.widenedDdl(prior.ddl, schema)
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, lines ++ published))
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
 
@@ -824,7 +978,8 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
     }.toSeq
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) schema.toDDL else prior.fold(schema.toDDL)(_.ddl)
+    val ddl = if (truncate) schema.toDDL
+              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
     GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
     f.delete(epochStaging(epochId), true)
   }
@@ -1039,18 +1194,218 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     // resolve once on the driver: for each REQUIRED column, its type and
     // its field index in the full on-disk row; the metadata columns
     // (_file/_pos — the row-id surface for merge-on-read deletes) get
-    // sentinel indexes served from the partition, not the line
-    val srcIdx = required.fieldNames.map {
-      case "_file" => -1
-      case "_pos" => -2
-      case n => full.fieldIndex(n)
+    // sentinel indexes served from the partition, not the line. DATA
+    // columns win over the sentinels (matching Spark's metadataOutput
+    // conflict rule) — checkSchema rejects the reserved names for new
+    // tables, but a pre-restriction table may legitimately carry them.
+    val srcIdx = required.fieldNames.map { n =>
+      val j = full.fieldNames.indexOf(n)
+      if (j >= 0) j
+      else n match {
+        case "_file" => -1
+        case "_pos" => -2
+        case other => throw new IllegalArgumentException(
+          s"graftsink: unknown column '$other'")
+      }
     }
     new GraftSinkReaderFactory(required.fields.map(_.dataType), srcIdx)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new IllegalArgumentException(
+      "graftsink: streaming read serves the CHANGE FEED — set option " +
+        "'changesFrom' (0 = full history) to stream snapshot deltas")
 }
 
 case class GraftSinkFilePartition(file: String, name: String = "",
     deletes: Array[Long] = Array.empty) extends InputPartition
+
+// --------------------------------------------------------------------
+// CHANGELOG read path (incremental version-range scan + change stream)
+// --------------------------------------------------------------------
+
+/** Changelog scan builder: serves the delta between snapshot `from`
+  * (exclusive) and `to` (inclusive; None = latest) as rows tagged with
+  * `_change` (insert/delete) and `_commit_version`. Column pruning
+  * reaches the TSV parse exactly like the plain scan. */
+class GraftSinkChangelogScanBuilder(path: String, full: StructType,
+    from: Int, to: Option[Int])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftSinkChangelogScan(path, full, required, from, to)
+}
+
+/** The changelog scan: one InputPartition per (file, commit) change
+  * unit, planned ENTIRELY from the immutable `_manifest.vN` metadata —
+  * a week's changelog reads the week's files, never a full-table diff
+  * (q114's reconcile costs two full scans; this costs the delta). Batch
+  * serves the whole (from, to] range at once; `toMicroBatchStream`
+  * serves the SAME partitions version-by-version with snapshot numbers
+  * as offsets — the readStream surface over sink commits. */
+class GraftSinkChangelogScan(path: String, full: StructType,
+    required: StructType, from: Int, to: Option[Int])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftSinkChangelogScan($path, from=v$from, to=${to.fold("latest")(v => s"v$v")}, " +
+      s"cols=${required.fieldNames.mkString(",")})"
+
+  /** For each required column: ordinal in the on-disk TSV row, or a
+    * sentinel for the connector-served columns. Data columns that
+    * predate the reserved-name restriction win over sentinels. */
+  private def srcIdx: Array[Int] = {
+    val data = StructType(full.fields.filterNot(f =>
+      f.name == GraftSink.CHANGE_COL || f.name == GraftSink.CHANGE_VERSION_COL))
+    required.fieldNames.map { n =>
+      val j = data.fieldNames.indexOf(n)
+      if (j >= 0) j
+      else n match {
+        case GraftSink.CHANGE_COL => -3
+        case GraftSink.CHANGE_VERSION_COL => -4
+        case "_file" => -1
+        case "_pos" => -2
+        case other => throw new IllegalArgumentException(
+          s"graftsink: unknown column '$other'")
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val end = to.orElse(GraftSink.listVersions(path).lastOption).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftsink: no committed snapshots at $path"))
+    GraftSink.changelog(path, from, end).map { c =>
+      GraftSinkChangePartition(s"$path/${c.name}", c.name, c.commitVersion,
+        c.change, c.skipDeletes, c.onlyPositions)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkChangeReaderFactory(required.fields.map(_.dataType), srcIdx)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftSinkChangelogStream(path, required.fields.map(_.dataType), srcIdx, from)
+}
+
+case class GraftSinkChangePartition(file: String, name: String,
+    commitVersion: Int, change: String, skipDeletes: Array[Long],
+    onlyPositions: Array[Long]) extends InputPartition
+
+/** Changelog row reader: survivors mode (all rows except the skip
+  * list — inserts of an added file, deletes of a removed one) or
+  * positions mode (ONLY the listed positions — the delete-vector diff).
+  * Both walk the file once with a sorted-pointer merge, no per-row set
+  * lookups. */
+class GraftSinkChangeReaderFactory(types: Array[DataType], srcIdx: Array[Int])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftSinkChangePartition]
+    val fileName = UTF8String.fromString(p.name)
+    val change = UTF8String.fromString(p.change)
+    val version = p.commitVersion.toLong
+    val skips = p.skipDeletes  // ascending (entry() sorts)
+    val onlys = p.onlyPositions // ascending by construction
+    val positionsMode = onlys.nonEmpty
+    new PartitionReader[InternalRow] {
+      private val in = new BufferedReader(new InputStreamReader(
+        GraftSink.fs(p.file).open(new HPath(p.file)), StandardCharsets.UTF_8))
+      private var line: String = _
+      private var pos = -1L
+      private var si = 0 // skip-list pointer
+      private var oi = 0 // only-list pointer
+
+      override def next(): Boolean = {
+        while (true) {
+          if (positionsMode && oi >= onlys.length) return false
+          line = in.readLine()
+          if (line == null) return false
+          pos += 1
+          if (positionsMode) {
+            if (onlys(oi) == pos) { oi += 1; return true }
+          } else {
+            if (si < skips.length && skips(si) == pos) si += 1
+            else return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val fields = GraftSink.splitLine(line)
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = srcIdx(i) match {
+            case -1 => fileName
+            case -2 => pos
+            case -3 => change
+            case -4 => version
+            case j if j >= fields.length => null // pre-evolution short line
+            case j => GraftSink.decodeField(types(i), fields(j))
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = in.close()
+    }
+  }
+}
+
+/** Snapshot numbers ARE the stream offsets. */
+case class GraftVersionOffset(v: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** MicroBatchStream over sink commits: each microbatch serves the
+  * changelog of the snapshots committed since the last batch (offset =
+  * snapshot number, durable in the checkpoint — restart resumes at the
+  * exact commit boundary). AvailableNow drains to the latest snapshot
+  * and stops; a live trigger keeps tailing new commits. This is the
+  * "consume the table's changelog" surface: downstream state (q285's
+  * merge, q95's incremental agg) feeds off deltas without ever
+  * re-scanning the table. */
+class GraftSinkChangelogStream(path: String, types: Array[DataType],
+    srcIdx: Array[Int], from: Int)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftVersionOffset(from)
+
+  override def latestOffset(): Offset =
+    GraftVersionOffset(math.max(from,
+      GraftSink.listVersions(path).lastOption.getOrElse(0)))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    GraftSink.changelog(path, s, e).map { c =>
+      GraftSinkChangePartition(s"$path/${c.name}", c.name, c.commitVersion,
+        c.change, c.skipDeletes, c.onlyPositions)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkChangeReaderFactory(types, srcIdx)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class GraftSinkReaderFactory(types: Array[DataType], srcIdx: Array[Int])
   extends PartitionReaderFactory {
