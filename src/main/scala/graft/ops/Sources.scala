@@ -1016,6 +1016,96 @@ object Sources extends QueryPack {
       Stage.release(ck)
       out
     }),
+
+    // ------------------------------------------------------------------
+    // RENAME/DROP COLUMN evolution via STABLE FIELD IDS (q373 could
+    // only ADD; this is the rest of the evolution verb set, Iceberg's
+    // column-mapping semantics): the first rename/drop MIGRATES
+    // explicit ids into the manifest (positional 1..n, exact for any
+    // add-only history) and stamps every file's `cols:` layout; from
+    // then on the reader resolves columns BY ID per file — a rename is
+    // one metadata commit (old files keep serving the renamed column
+    // from their original ordinal), a drop hides the ordinal without
+    // touching data, and a later ADD allocates a FRESH id so dropped
+    // ids never resurface. Chain: CTAS → RENAME bal→balance → DROP
+    // c_nationkey (a MIDDLE column — ordinals shift vs schema) →
+    // append at the narrowed width → ADD tier → append at full width.
+    // files_rewritten pins the no-rewrite contract; Round11Spec pins
+    // old-pin schemas, id non-reuse, and the refusal matrix. Oracle
+    // replays the three generations closed-form.
+    "q378_catalog_rename_drop" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.evo378")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.evo378").create()                          // v1+v2
+      val path = s"${Stage.dir("graft_warehouse")}/g/evo378"
+      val preNames = graft.sources.GraftSink.readManifest(path).get.files
+        .map(graft.sources.GraftSink.entryName).toSet
+      s.sql("ALTER TABLE graft.g.evo378 RENAME COLUMN bal TO balance") // v3: id migration
+      s.sql("ALTER TABLE graft.g.evo378 DROP COLUMN c_nationkey")      // v4: middle column
+      cust.filter(col("c_custkey") % 6 === 0)
+        .select((col("c_custkey") + lit(4000000L)).as("c_custkey"),
+          col("c_mktsegment"), col("bal").as("balance"))
+        .writeTo("graft.g.evo378").append()                            // v5: narrowed width
+      s.sql("ALTER TABLE graft.g.evo378 ADD COLUMNS (tier STRING)")    // v6: fresh id
+      cust.filter(col("c_custkey") % 11 === 0)
+        .select((col("c_custkey") + lit(5000000L)).as("c_custkey"),
+          col("c_mktsegment"), col("bal").as("balance"),
+          concat(lit("T"), (col("c_custkey") % 2).cast("string")).as("tier"))
+        .writeTo("graft.g.evo378").append()                            // v7
+      val nowNames = graft.sources.GraftSink.readManifest(path).get.files
+        .map(graft.sources.GraftSink.entryName).toSet
+      val rewritten = preNames.count(n => !nowNames(n)).toLong
+      s.table("graft.g.evo378")
+        .groupBy(expr("coalesce(tier, 'legacy')").as("tier"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("balance").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .withColumn("files_rewritten", lit(rewritten))
+        .orderBy(col("tier"))
+    }),
+
+    // ------------------------------------------------------------------
+    // SQL `TIMESTAMP AS OF` — the wall-clock half of the time-travel
+    // surface (q361 is VERSION AS OF): every writeManifest stamps a
+    // STRICTLY MONOTONE commit timestamp (`ts:` on the manifest head,
+    // max(now, prev+1) — unique even for same-millisecond commits), and
+    // the catalog resolves `TIMESTAMP AS OF t` to the newest snapshot
+    // committed ≤ t, loudly refusing a t before the first commit. The
+    // query pins BOTH snapshots of an overwrite chain by their exact
+    // commit stamps (read back from the manifests — no sleeps, no
+    // wall-clock races); Round11Spec pins monotonicity, the
+    // micros→millis conversion, and the before-first-commit refusal.
+    // Oracle replays both snapshots closed-form (q361's algebra).
+    "q380_sql_timestamp_travel" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.tt380")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 3 === 0).writeTo("graft.g.tt380").create()
+      cust.withColumn("bal",
+          (col("bal").cast("decimal(18,2)") + lit(50)).cast("double"))
+        .writeTo("graft.g.tt380").overwrite(lit(true)) // v3
+      val path = s"${Stage.dir("graft_warehouse")}/g/tt380"
+      def at(v: Int): String = {
+        val ms = graft.sources.GraftSink.readManifest(path, Some(v)).get.ts.get
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(ms))
+      }
+      s.sql(s"""
+        SELECT 2 AS version, c_mktsegment, count(*) AS n,
+          round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+        FROM graft.g.tt380 TIMESTAMP AS OF '${at(2)}' GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 3 AS version, c_mktsegment, count(*) AS n,
+          round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+        FROM graft.g.tt380 TIMESTAMP AS OF '${at(3)}' GROUP BY c_mktsegment
+        ORDER BY version, c_mktsegment""")
+    }),
   )
 
   /** Register the graft catalog once per session (idempotent): catalog
@@ -1119,6 +1209,36 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2), "
         + "min(c_custkey + 2000000), max(c_custkey + 2000000) FROM base WHERE c_custkey % 7 = 0 "
         + "ORDER BY commit_version, change"),
+    // q378: the three generations replayed — legacy rows (full width,
+    // bal/c_nationkey under old names), the narrowed-width append, the
+    // full-width tiered append; zero files rewritten.
+    "q378_catalog_rename_drop" ->
+      ("WITH base AS (SELECT c_custkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS balance FROM customer), "
+        + "allrows AS ("
+        + "SELECT c_custkey, balance, NULL AS tier FROM base "
+        + "UNION ALL SELECT c_custkey + 4000000, balance, NULL FROM base WHERE c_custkey % 6 = 0 "
+        + "UNION ALL SELECT c_custkey + 5000000, balance, "
+        + "'T' || CAST(c_custkey % 2 AS VARCHAR) FROM base WHERE c_custkey % 11 = 0) "
+        + "SELECT coalesce(tier, 'legacy') AS tier, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
+        + "CAST(0 AS BIGINT) AS files_rewritten "
+        + "FROM allrows GROUP BY 1 ORDER BY 1"),
+    // q380: both timestamp pins replayed closed-form (q361's algebra —
+    // v2 = the mod-3 CTAS slice, v3 = the +50 overwrite).
+    "q380_sql_timestamp_travel" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "v2 AS (SELECT 2 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base WHERE c_custkey % 3 = 0 GROUP BY c_mktsegment), "
+        + "v3 AS (SELECT 3 AS version, c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(bal AS DECIMAL(18,2)) + 50 AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base GROUP BY c_mktsegment) "
+        + "SELECT version, c_mktsegment, n, sum_bal FROM v2 "
+        + "UNION ALL SELECT version, c_mktsegment, n, sum_bal FROM v3 "
+        + "ORDER BY version, c_mktsegment"),
     // q377: the streamed feed must equal the batch changelog — v2
     // inserts all, v3/v4 delete the %4=1 / %4=2 slices, v5 inserts the
     // re-keyed %9 slice.

@@ -29,8 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SELECT ... FROM cat.ns.t VERSION AS OF n` routes through
   *    `loadTable(ident, version)` to the immutable `_manifest.vN`
   *    snapshots — the TEXTUAL time-travel surface over q351's
-  *    mechanism (`TIMESTAMP AS OF` is refused: manifests record no
-  *    wall-clock, and serving "nearest version" would silently lie);
+  *    mechanism; `TIMESTAMP AS OF t` resolves through the monotone
+  *    commit stamps every writeManifest publishes (newest snapshot
+  *    committed ≤ t, loud refusal before the first commit);
   *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` resolve through the
   *    identifier to the table's SupportsRowLevelOperations
   *    implementation (GraftSinkSource.scala);
@@ -114,13 +115,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSinkTable(p.toString, loadSchema(p, Some(v)), Some(v))
   }
 
-  /** SQL `TIMESTAMP AS OF` — refused loudly: manifests record no
-    * wall-clock, and silently serving "some nearby version" would make
-    * audit queries lie. */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: TIMESTAMP AS OF is not supported (snapshots are " +
-        "numbered, not timestamped) — use VERSION AS OF n")
+  /** SQL `TIMESTAMP AS OF t` — resolves to the NEWEST snapshot whose
+    * commit wall-clock (the `ts:` stamp every writeManifest publishes,
+    * strictly monotone across commits) is ≤ t; a t before the first
+    * commit fails loudly instead of serving "some nearby version".
+    * Spark passes t in MICROSECONDS since epoch; stamps are millis.
+    * Pre-stamp manifests (written before the `ts:` segment existed)
+    * count as timestamp 0 — they predate any queryable instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val tMillis = timestamp / 1000L
+    val versions = GraftSink.listVersions(p.toString)
+    val at = versions.reverse.find { v =>
+      GraftSink.readManifest(p.toString, Some(v)).flatMap(_.ts).getOrElse(0L) <= tMillis
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: no snapshot of ${ident} committed at or before " +
+        s"timestamp $tMillis ms (earliest: v${versions.headOption.getOrElse(0)})"))
+    new GraftSinkTable(p.toString, loadSchema(p, Some(at)), Some(at))
+  }
 
   private def loadSchema(p: HPath, version: Option[Int]): StructType =
     GraftSink.readManifest(p.toString, version)
@@ -150,40 +163,93 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSinkTable(p.toString, schema, None)
   }
 
-  /** Schema evolution as a VERSIONED COMMIT: `ALTER TABLE ADD COLUMNS`
-    * publishes a new manifest whose DDL appends the nullable column and
-    * whose file list is unchanged — existing files back-fill the new
-    * column as NULL on read (the reader pads short lines), older
-    * snapshot pins keep their OLD schema, and post-evolution appends
-    * write the full width. Columns are only ever appended, so file
-    * ordinals never shift; every other change kind is refused loudly.
-    */
+  /** Schema evolution as a VERSIONED COMMIT — every change is a
+    * metadata-only manifest write; data files are NEVER rewritten:
+    *
+    *  - **ADD COLUMNS** appends the nullable column; existing files
+    *    back-fill NULL on read (short lines pad). On an id-migrated
+    *    table the new column is allocated a FRESH field id (never
+    *    reusing a dropped id still referenced by old files).
+    *  - **RENAME COLUMN** is metadata-only through STABLE FIELD IDS:
+    *    the first rename/drop migrates explicit ids into the manifest
+    *    (1..n positional, exact for any add-only history) and stamps
+    *    every existing file entry's `cols:` layout; after that the
+    *    reader resolves columns BY ID per file, so old files keep
+    *    serving the renamed column from their original ordinal.
+    *  - **DROP COLUMN** removes the field + id from the table schema;
+    *    old files still physically carry the ordinal (ignored on
+    *    read), and the id is never reallocated while any file
+    *    references it.
+    *
+    * Older snapshot pins keep their OLD schema and ids. Everything
+    * else (retype, reposition, nested fields) is refused loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val m = GraftSink.readManifest(p.toString)
       .getOrElse(throw new NoSuchTableException(ident))
-    val added = changes.map {
+    val before = StructType.fromDDL(m.ddl)
+    var fields: Seq[(org.apache.spark.sql.types.StructField, Int)] =
+      before.fields.toSeq.zip(GraftSink.manifestIds(m))
+    // ids never reused while ANY file still references them (dropped
+    // columns linger in old files' cols: lists)
+    var maxId = (fields.map(_._2) ++
+      m.files.flatMap(l => GraftSink.entryCols(l).fold(Seq.empty[Int])(_.toSeq)))
+      .foldLeft(0)(math.max)
+    var needIds = m.ids.isDefined
+    def single(name: Array[String], what: String): String = {
+      require(name.length == 1,
+        s"graft catalog: only top-level columns can be ${what} (got ${name.mkString(".")})")
+      name(0)
+    }
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft catalog: only top-level columns can be added")
+        val n = single(a.fieldNames, "added")
         require(a.isNullable,
           "graft catalog: added columns must be nullable (existing rows back-fill NULL)")
         require(a.position() == null,
           "graft catalog: added columns always land LAST (file ordinals never shift)")
-        org.apache.spark.sql.types.StructField(a.fieldNames()(0), a.dataType())
+        require(!fields.exists(_._1.name == n),
+          s"graft catalog: column '$n' already exists")
+        maxId += 1
+        fields = fields :+ (org.apache.spark.sql.types.StructField(n, a.dataType()), maxId)
+      case r: TableChange.RenameColumn =>
+        val from = single(r.fieldNames, "renamed")
+        require(fields.exists(_._1.name == from),
+          s"graft catalog: no column '$from' to rename")
+        require(!fields.exists(_._1.name == r.newName),
+          s"graft catalog: rename target '${r.newName}' already exists")
+        fields = fields.map {
+          case (f, id) if f.name == from => (f.copy(name = r.newName), id)
+          case other => other
+        }
+        needIds = true
+      case d: TableChange.DeleteColumn =>
+        val n = single(d.fieldNames, "dropped")
+        require(fields.exists(_._1.name == n),
+          s"graft catalog: no column '$n' to drop")
+        require(fields.length > 1,
+          "graft catalog: cannot drop the only column")
+        fields = fields.filterNot(_._1.name == n)
+        needIds = true
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(only ADD COLUMNS is supported)")
+          "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN)")
     }
-    val cur = StructType.fromDDL(m.ddl)
-    added.foreach { f =>
-      require(!cur.fieldNames.contains(f.name),
-        s"graft catalog: column '${f.name}' already exists")
-    }
-    val evolved = StructType(cur.fields ++ added)
+    val evolved = StructType(fields.map(_._1))
     GraftSink.checkSchema(evolved)
-    GraftSink.writeManifest(p.toString, GraftSink.Manifest(evolved.toDDL, m.files))
+    // first rename/drop MIGRATES: stamp every pre-migration file's
+    // positional layout so id-resolution stays exact from here on
+    val files =
+      if (needIds && m.ids.isEmpty) m.files.map { line =>
+        if (GraftSink.entryCols(line).isDefined) line
+        else GraftSink.entry(GraftSink.entryName(line),
+          GraftSink.entryDeletes(line).toSeq, GraftSink.entryStats(line),
+          GraftSink.entryRows(line), Some(1 to before.length))
+      }
+      else m.files
+    GraftSink.writeManifest(p.toString, GraftSink.Manifest(evolved.toDDL, files,
+      if (needIds) Some(fields.map(_._2)) else None))
     new GraftSinkTable(p.toString, evolved, None)
   }
 

@@ -148,15 +148,52 @@ object GraftSink {
   def entryRows(line: String): Option[Long] =
     segments(line).find(_.startsWith("rows:")).map(_.stripPrefix("rows:").toLong)
 
+  /** The file's recorded FIELD-ID list (`cols:` segment): which stable
+    * column ids its TSV ordinals hold, in order. Absent = positional
+    * (ordinal j holds id j+1) — exact for any table that never renamed
+    * or dropped a column. Written by every commit once the table has
+    * explicit ids (i.e. after its first rename/drop migration). */
+  def entryCols(line: String): Option[Array[Int]] =
+    segments(line).find(_.startsWith("cols:"))
+      .map(_.stripPrefix("cols:").split(",").filter(_.nonEmpty).map(_.toInt))
+
   def entry(name: String, deletes: Seq[Long],
       stats: Option[(String, Long, Long)] = None,
-      rows: Option[Long] = None): String = {
+      rows: Option[Long] = None,
+      cols: Option[Seq[Int]] = None): String = {
     val dv = if (deletes.isEmpty) ""
              else s"\tdv:${deletes.sorted.distinct.mkString(",")}"
     val st = stats.fold("") { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }
     val rc = rows.fold("")(n => s"\trows:$n")
-    s"$name$dv$st$rc"
+    val cl = cols.fold("")(ids => s"\tcols:${ids.mkString(",")}")
+    s"$name$dv$st$rc$cl"
   }
+
+  /** Sentinel ordinal for "this file never carried the column" (reader
+    * serves NULL — any ordinal past the physical line length does). */
+  val MISSING_ORDINAL: Int = Int.MaxValue
+
+  /** The manifest's data-column FIELD IDS, aligned with its DDL fields
+    * (positional 1..n until a rename/drop migrated explicit ids in). */
+  def manifestIds(m: Manifest): Seq[Int] =
+    m.ids.getOrElse(1 to StructType.fromDDL(m.ddl).length)
+
+  /** Resolve requested field ids to TSV ordinals for ONE file:
+    * negative sentinels pass through (connector-served columns);
+    * explicit `cols:` files map id → position; implicit files are
+    * positional (ordinal = id − 1); an id the file never carried maps
+    * to [[MISSING_ORDINAL]] (NULL back-fill — the column was added,
+    * renamed around, or the file predates it). */
+  def fileOrdinals(reqIds: Array[Int], fileCols: Option[Array[Int]]): Array[Int] =
+    reqIds.map {
+      case s if s < 0 => s
+      case id => fileCols match {
+        case Some(cols) =>
+          val j = cols.indexOf(id)
+          if (j < 0) MISSING_ORDINAL else j
+        case None => id - 1
+      }
+    }
 
   def pathOf(properties: JMap[String, String]): String =
     Option(properties.get("path")).getOrElse(
@@ -217,7 +254,8 @@ object GraftSink {
     * positions mode (ONLY those row positions — the delete-vector diff);
     * otherwise survivors mode (all rows except `skipDeletes`). */
   final case class ChangeFile(name: String, commitVersion: Int, change: String,
-      skipDeletes: Array[Long], onlyPositions: Array[Long])
+      skipDeletes: Array[Long], onlyPositions: Array[Long],
+      cols: Option[Array[Int]] = None)
 
   /** The file-grain delta of every commit in (from, to]: per consecutive
     * snapshot pair, files that entered serve their surviving rows as
@@ -240,17 +278,19 @@ object GraftSink {
       val prevMap = prev.files.map(l => entryName(l) -> l).toMap
       val curNames = cur.files.map(entryName).toSet
       val added = cur.files.filterNot(l => prevMap.contains(entryName(l))).map { l =>
-        ChangeFile(entryName(l), v, "insert", entryDeletes(l), Array.empty)
+        ChangeFile(entryName(l), v, "insert", entryDeletes(l), Array.empty,
+          entryCols(l))
       }
       val removed = prev.files.filterNot(l => curNames(entryName(l))).map { l =>
-        ChangeFile(entryName(l), v, "delete", entryDeletes(l), Array.empty)
+        ChangeFile(entryName(l), v, "delete", entryDeletes(l), Array.empty,
+          entryCols(l))
       }
       val dvDeletes = cur.files.flatMap { l =>
         prevMap.get(entryName(l)).flatMap { pl =>
           val newDels = entryDeletes(l).toSet -- entryDeletes(pl)
           if (newDels.isEmpty) None
           else Some(ChangeFile(entryName(l), v, "delete", Array.empty,
-            newDels.toArray.sorted))
+            newDels.toArray.sorted, entryCols(l)))
         }
       }
       added ++ removed ++ dvDeletes
@@ -260,7 +300,14 @@ object GraftSink {
   def fs(path: String): FileSystem =
     new HPath(path).getFileSystem(new Configuration())
 
-  final case class Manifest(ddl: String, files: Seq[String])
+  /** A committed snapshot's metadata. `ids` = the stable FIELD IDS of
+    * the DDL's columns, in order (absent = positional 1..n — the state
+    * of any table that never renamed or dropped a column; the first
+    * rename/drop migrates ids in). `ts` = the commit wall-clock in
+    * epoch millis, stamped MONOTONE at publish (the `TIMESTAMP AS OF`
+    * resolution key). */
+  final case class Manifest(ddl: String, files: Seq[String],
+      ids: Option[Seq[Int]] = None, ts: Option[Long] = None)
 
   private def manifestName(version: Option[Int]): String =
     version.fold(MANIFEST)(v => s"$MANIFEST.v$v")
@@ -285,7 +332,14 @@ object GraftSink {
       try {
         val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
         require(lines.nonEmpty, s"graftsink: empty manifest at $mp")
-        Some(Manifest(lines.head, lines.tail.filter(_.nonEmpty)))
+        // the head line is `ddl` plus optional tab-separated `ids:` and
+        // `ts:` segments (a DDL never contains a literal tab)
+        val head = lines.head.split("\t")
+        val ids = head.drop(1).find(_.startsWith("ids:"))
+          .map(_.stripPrefix("ids:").split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
+        val ts = head.drop(1).find(_.startsWith("ts:"))
+          .map(_.stripPrefix("ts:").toLong)
+        Some(Manifest(head(0), lines.tail.filter(_.nonEmpty), ids, ts))
       } finally in.close()
     }
   }
@@ -305,13 +359,22 @@ object GraftSink {
   /** Publish a new snapshot: the immutable `_manifest.vN` FIRST, then
     * the `_manifest` latest-pointer (readers that race see either the
     * old or the new complete version — never a torn one). Returns the
-    * committed version number. */
+    * committed version number. The commit wall-clock is stamped
+    * STRICTLY MONOTONE (max(now, prev + 1)) so `TIMESTAMP AS OF` always
+    * resolves a unique snapshot even for commits in the same
+    * millisecond. */
   def writeManifest(path: String, m: Manifest): Int = {
     val f = fs(path)
-    val next = listVersions(path).lastOption.getOrElse(0) + 1
+    val prev = listVersions(path).lastOption
+    val next = prev.getOrElse(0) + 1
+    val prevTs = prev.flatMap(v => readManifest(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    val head = m.ddl +
+      m.ids.fold("")(ids => s"\tids:${ids.mkString(",")}") +
+      s"\tts:$ts"
     def put(name: String): Unit = {
       val out = f.create(new HPath(path, name), true)
-      try out.write((m.ddl +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      try out.write((head +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
       finally out.close()
     }
     put(manifestName(Some(next)))
@@ -662,6 +725,10 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
         s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
           s"write is '${schema.toDDL}' (use overwrite to replace)")
     }
+    // appends into an id-migrated table stamp each new file's layout
+    // (write schema == table schema in order, so cols = the table ids);
+    // a truncate replaces the table — ids reset to positional
+    val ids = if (truncate) None else prior.flatMap(_.ids)
     // 1) move committed tasks' staged files into the table root, named
     //    uniquely per (queryId, partition) so appends never collide
     val published = messages.collect { case c: GraftSinkCommit =>
@@ -670,7 +737,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
       require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
       GraftSink.entry(fin, Nil,
         for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi),
-        Some(c.rows))
+        Some(c.rows), ids)
     }.toSeq
     // 2) manifest-last: only now do readers see the new version; an
     // append preserves the TABLE's declared DDL (nullability included)
@@ -678,7 +745,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
                 else prior.map(_.files).getOrElse(Nil) ++ published
     val ddl = if (truncate) schema.toDDL
               else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
     //    a real table format GCs them by snapshot-expiry policy instead
@@ -862,17 +929,19 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
       GraftSink.entry(n,
         (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
         GraftSink.entryStats(line), // deletes never widen a min/max
-        GraftSink.entryRows(line))  // rows stay ORIGINAL; counts subtract |dv|
+        GraftSink.entryRows(line),  // rows stay ORIGINAL; counts subtract |dv|
+        GraftSink.entryCols(line).map(_.toSeq)) // file layout carries through
     }
     val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
       require(f.rename(new HPath(c.stagedFile), new HPath(path, fin)),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      GraftSink.entry(fin, Nil, None, Some(c.rows))
+      GraftSink.entry(fin, Nil, None, Some(c.rows), prior.ids)
     }.toSeq
     val ddl = if (schema.isEmpty) prior.ddl
               else GraftSink.widenedDdl(prior.ddl, schema)
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, lines ++ published))
+    GraftSink.writeManifest(path,
+      GraftSink.Manifest(ddl, lines ++ published, prior.ids))
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
 
@@ -965,6 +1034,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
         s"graftsink: streaming append schema mismatch at $path — table is " +
           s"'${m.ddl}', write is '${schema.toDDL}'")
     }
+    val ids = if (truncate) None else prior.flatMap(_.ids)
     val published = messages.collect { case c: GraftSinkCommit =>
       val fin = s"${marker}part-${c.partitionId}.tsv"
       val dest = new HPath(path, fin)
@@ -974,13 +1044,13 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
       if (f.exists(dest)) f.delete(dest, false)
       require(f.rename(new HPath(c.stagedFile), dest),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      GraftSink.entry(fin, Nil, None, Some(c.rows))
+      GraftSink.entry(fin, Nil, None, Some(c.rows), ids)
     }.toSeq
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
     val ddl = if (truncate) schema.toDDL
               else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files))
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
     f.delete(epochStaging(epochId), true)
   }
 
@@ -1144,10 +1214,13 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")}" +
       (if (envelopes.isEmpty) ")" else s", skip=${envelopes.mkString(",")})")
 
+  private lazy val manifest: GraftSink.Manifest =
+    GraftSink.readManifest(path, version).getOrElse(
+      throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
+
   /** The SURVIVING manifest lines after stats-envelope file skipping. */
   private def plannedLines: Seq[String] = {
-    val m = GraftSink.readManifest(path, version).getOrElse(
-      throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
+    val m = manifest
     m.files.filter { line =>
       // FILE SKIPPING: a file whose recorded [min, max] misses the
       // pushed envelope for that column is never planned (files with
@@ -1184,23 +1257,17 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedLines.map { line =>
-      val n = GraftSink.entryName(line)
-      GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line))
-    }.toArray
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // resolve once on the driver: for each REQUIRED column, its type and
-    // its field index in the full on-disk row; the metadata columns
-    // (_file/_pos — the row-id surface for merge-on-read deletes) get
-    // sentinel indexes served from the partition, not the line. DATA
-    // columns win over the sentinels (matching Spark's metadataOutput
-    // conflict rule) — checkSchema rejects the reserved names for new
-    // tables, but a pre-restriction table may legitimately carry them.
-    val srcIdx = required.fieldNames.map { n =>
+  /** For each REQUIRED column: its stable FIELD ID in the table, or a
+    * negative sentinel for the connector-served columns (_file/_pos —
+    * the row-id surface for merge-on-read deletes). DATA columns win
+    * over the sentinels (matching Spark's metadataOutput conflict
+    * rule) — checkSchema rejects the reserved names for new tables,
+    * but a pre-restriction table may legitimately carry them. */
+  private def requiredIds: Array[Int] = {
+    val tableIds = GraftSink.manifestIds(manifest)
+    required.fieldNames.map { n =>
       val j = full.fieldNames.indexOf(n)
-      if (j >= 0) j
+      if (j >= 0) tableIds(j)
       else n match {
         case "_file" => -1
         case "_pos" => -2
@@ -1208,8 +1275,22 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
           s"graftsink: unknown column '$other'")
       }
     }
-    new GraftSinkReaderFactory(required.fields.map(_.dataType), srcIdx)
   }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // id → ordinal resolved PER FILE at planning (renames/drops make the
+    // table-schema position diverge from the file ordinal; `cols:`
+    // entries carry each file's actual layout)
+    val reqIds = requiredIds
+    plannedLines.map { line =>
+      val n = GraftSink.entryName(line)
+      GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line),
+        GraftSink.fileOrdinals(reqIds, GraftSink.entryCols(line)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSinkReaderFactory(required.fields.map(_.dataType))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1219,7 +1300,8 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
 }
 
 case class GraftSinkFilePartition(file: String, name: String = "",
-    deletes: Array[Long] = Array.empty) extends InputPartition
+    deletes: Array[Long] = Array.empty,
+    srcIdx: Array[Int] = Array.empty) extends InputPartition
 
 // --------------------------------------------------------------------
 // CHANGELOG read path (incremental version-range scan + change stream)
@@ -1259,15 +1341,19 @@ class GraftSinkChangelogScan(path: String, full: StructType,
     s"GraftSinkChangelogScan($path, from=v$from, to=${to.fold("latest")(v => s"v$v")}, " +
       s"cols=${required.fieldNames.mkString(",")})"
 
-  /** For each required column: ordinal in the on-disk TSV row, or a
-    * sentinel for the connector-served columns. Data columns that
-    * predate the reserved-name restriction win over sentinels. */
-  private def srcIdx: Array[Int] = {
+  /** For each required column: its stable FIELD ID in the range-end
+    * schema, or a negative sentinel for the connector-served columns.
+    * Data columns that predate the reserved-name restriction win over
+    * sentinels; per-file ordinals resolve at planning (renames/drops). */
+  private def requiredIds: Array[Int] = {
     val data = StructType(full.fields.filterNot(f =>
       f.name == GraftSink.CHANGE_COL || f.name == GraftSink.CHANGE_VERSION_COL))
+    val tableIds = GraftSink.readManifest(path, to)
+      .map(GraftSink.manifestIds)
+      .getOrElse(1 to data.length)
     required.fieldNames.map { n =>
       val j = data.fieldNames.indexOf(n)
-      if (j >= 0) j
+      if (j >= 0) tableIds(j)
       else n match {
         case GraftSink.CHANGE_COL => -3
         case GraftSink.CHANGE_VERSION_COL => -4
@@ -1283,34 +1369,39 @@ class GraftSinkChangelogScan(path: String, full: StructType,
     val end = to.orElse(GraftSink.listVersions(path).lastOption).getOrElse(
       throw new IllegalArgumentException(
         s"graftsink: no committed snapshots at $path"))
+    val reqIds = requiredIds
     GraftSink.changelog(path, from, end).map { c =>
       GraftSinkChangePartition(s"$path/${c.name}", c.name, c.commitVersion,
-        c.change, c.skipDeletes, c.onlyPositions)
+        c.change, c.skipDeletes, c.onlyPositions,
+        GraftSink.fileOrdinals(reqIds, c.cols))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkChangeReaderFactory(required.fields.map(_.dataType), srcIdx)
+    new GraftSinkChangeReaderFactory(required.fields.map(_.dataType))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftSinkChangelogStream(path, required.fields.map(_.dataType), srcIdx, from)
+    new GraftSinkChangelogStream(path, required.fields.map(_.dataType),
+      requiredIds, from)
 }
 
 case class GraftSinkChangePartition(file: String, name: String,
     commitVersion: Int, change: String, skipDeletes: Array[Long],
-    onlyPositions: Array[Long]) extends InputPartition
+    onlyPositions: Array[Long], srcIdx: Array[Int] = Array.empty)
+  extends InputPartition
 
 /** Changelog row reader: survivors mode (all rows except the skip
   * list — inserts of an added file, deletes of a removed one) or
   * positions mode (ONLY the listed positions — the delete-vector diff).
   * Both walk the file once with a sorted-pointer merge, no per-row set
   * lookups. */
-class GraftSinkChangeReaderFactory(types: Array[DataType], srcIdx: Array[Int])
+class GraftSinkChangeReaderFactory(types: Array[DataType])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftSinkChangePartition]
+    val srcIdx = p.srcIdx // per-file ordinals (field-id resolved at planning)
     val fileName = UTF8String.fromString(p.name)
     val change = UTF8String.fromString(p.change)
     val version = p.commitVersion.toLong
@@ -1377,7 +1468,7 @@ case class GraftVersionOffset(v: Int)
   * merge, q95's incremental agg) feeds off deltas without ever
   * re-scanning the table. */
 class GraftSinkChangelogStream(path: String, types: Array[DataType],
-    srcIdx: Array[Int], from: Int)
+    reqIds: Array[Int], from: Int)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1393,12 +1484,13 @@ class GraftSinkChangelogStream(path: String, types: Array[DataType],
     val e = end.asInstanceOf[GraftVersionOffset].v
     GraftSink.changelog(path, s, e).map { c =>
       GraftSinkChangePartition(s"$path/${c.name}", c.name, c.commitVersion,
-        c.change, c.skipDeletes, c.onlyPositions)
+        c.change, c.skipDeletes, c.onlyPositions,
+        GraftSink.fileOrdinals(reqIds, c.cols))
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkChangeReaderFactory(types, srcIdx)
+    new GraftSinkChangeReaderFactory(types)
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.trim.toInt)
@@ -1407,13 +1499,14 @@ class GraftSinkChangelogStream(path: String, types: Array[DataType],
   override def stop(): Unit = ()
 }
 
-class GraftSinkReaderFactory(types: Array[DataType], srcIdx: Array[Int])
+class GraftSinkReaderFactory(types: Array[DataType])
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftSinkFilePartition]
     val file = p.file
     val fileName = UTF8String.fromString(p.name)
+    val srcIdx = p.srcIdx // per-file ordinals (field-id resolved at planning)
     val dels = p.deletes // ascending by construction (entry() sorts)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new InputStreamReader(

@@ -46,11 +46,12 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
       .head.getLong(0) shouldBe 3L
     spark.sql(s"SHOW TABLES IN $cat.ns").collect()
       .map(_.getAs[String]("tableName")) should contain("t1")
-    // TIMESTAMP AS OF is refused loudly (snapshots are numbered)
+    // a TIMESTAMP AS OF before the first commit is refused loudly
+    // (resolution itself is Round11Spec's surface)
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.ns.t1 TIMESTAMP AS OF '2024-01-01'").collect()
     }
-    e.getMessage should include("VERSION AS OF")
+    e.getMessage should include("no snapshot")
     spark.sql(s"DROP TABLE $cat.ns.t1")
     intercept[Exception] { spark.table(s"$cat.ns.t1").collect() }
   }
@@ -340,12 +341,10 @@ class Round10Spec extends AnyFunSuite with Matchers with SharedSpark {
     // the pre-evolution pin still serves the OLD schema
     spark.sql(s"SELECT * FROM $cat.ns.evo1 VERSION AS OF 2")
       .schema.fieldNames.toSeq shouldBe Seq("k", "v")
-    // refused changes fail loudly
+    // refused changes fail loudly (RENAME/DROP are supported since the
+    // field-id migration landed — Round11Spec covers them)
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ns.evo1 ADD COLUMNS (nn BIGINT NOT NULL)")
-    }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ns.evo1 RENAME COLUMN v TO val")
     }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ns.evo1 ADD COLUMNS (pos_first INT FIRST)")

@@ -201,4 +201,109 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
     all.count(_._2 == 2L) shouldBe 5
     all.count(_._2 == 1L) shouldBe 20
   }
+
+  // ------------------------------------------------------------------
+  // RENAME/DROP COLUMN via field ids + TIMESTAMP AS OF
+  // ------------------------------------------------------------------
+
+  private val cat = "g11"
+  private def ensureCatalog(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      graft.ops.Stage.dir("g11_warehouse"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+  }
+  private def tablePath(name: String): String =
+    s"${graft.ops.Stage.dir("g11_warehouse")}/ns/$name"
+
+  test("RENAME COLUMN is metadata-only: zero rewrites, old files serve the new name by id") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ren1")
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "s")
+      .writeTo(s"$cat.ns.ren1").create() // v1+v2
+    val pre = GraftSink.readManifest(tablePath("ren1")).get
+    pre.ids shouldBe None // add-only history: positional ids
+    spark.sql(s"ALTER TABLE $cat.ns.ren1 RENAME COLUMN v TO val") // v3: migration
+    val m = GraftSink.readManifest(tablePath("ren1")).get
+    m.ids shouldBe Some(Seq(1, 2, 3))
+    m.files.map(GraftSink.entryName) shouldBe pre.files.map(GraftSink.entryName) // no rewrite
+    m.files.foreach(l => GraftSink.entryCols(l).map(_.toSeq) shouldBe Some(Seq(1, 2, 3)))
+    spark.table(s"$cat.ns.ren1").orderBy("k")
+      .select(col("k"), col("val"), col("s")).as[(Long, Double, String)]
+      .collect() shouldBe Array((1L, 10.0, "a"), (2L, 20.0, "b"))
+    // the pre-rename pin still serves the OLD name
+    spark.sql(s"SELECT * FROM $cat.ns.ren1 VERSION AS OF 2")
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v", "s")
+  }
+
+  test("DROP of a middle column shifts schema position but never file ordinals; dropped ids never resurface") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.drp1")
+    Seq((1L, 7L, 10.0), (2L, 8L, 20.0)).toDF("k", "dead", "v")
+      .writeTo(s"$cat.ns.drp1").create()                       // v1+v2
+    spark.sql(s"ALTER TABLE $cat.ns.drp1 DROP COLUMN dead")    // v3: ids (1,3)
+    GraftSink.readManifest(tablePath("drp1")).get.ids shouldBe Some(Seq(1, 3))
+    // v (id 3) still reads from old-file ordinal 2
+    spark.table(s"$cat.ns.drp1").orderBy("k").as[(Long, Double)]
+      .collect() shouldBe Array((1L, 10.0), (2L, 20.0))
+    // a later ADD allocates id 4 — NOT the dropped 2 — so old 'dead'
+    // values can never leak into the new column
+    spark.sql(s"ALTER TABLE $cat.ns.drp1 ADD COLUMNS (fresh BIGINT)") // v4
+    GraftSink.readManifest(tablePath("drp1")).get.ids shouldBe Some(Seq(1, 3, 4))
+    spark.table(s"$cat.ns.drp1").orderBy("k")
+      .select(col("k"), col("v"), col("fresh")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.isNullAt(2))) shouldBe
+      Array((1L, 10.0, true), (2L, 20.0, true))
+    // appends at the evolved width stamp their cols: layout
+    spark.sql(s"INSERT INTO $cat.ns.drp1 VALUES (3, 30.0, 99)")  // v5
+    val m = GraftSink.readManifest(tablePath("drp1")).get
+    m.files.flatMap(GraftSink.entryCols(_)).map(_.toSeq) should contain(Seq(1, 3, 4))
+    spark.table(s"$cat.ns.drp1").filter(col("k") === 3)
+      .select(col("fresh")).collect().head.getLong(0) shouldBe 99L
+  }
+
+  test("evolution refusal matrix: duplicate/missing/last-column/reserved targets") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ref1")
+    Seq((1L, 1.0)).toDF("k", "v").writeTo(s"$cat.ns.ref1").create()
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.ref1 RENAME COLUMN v TO k") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.ref1 RENAME COLUMN gone TO x") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.ref1 RENAME COLUMN v TO _file") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.ref1 DROP COLUMN gone") }
+    spark.sql(s"ALTER TABLE $cat.ns.ref1 DROP COLUMN v")
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.ref1 DROP COLUMN k") } // last column
+  }
+
+  test("TIMESTAMP AS OF: monotone stamps, exact pins, before-first-commit refusal") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ts1")
+    Seq((1L, "a")).toDF("k", "s").writeTo(s"$cat.ns.ts1").create()   // v1+v2
+    spark.sql(s"INSERT INTO $cat.ns.ts1 VALUES (2, 'b')")            // v3
+    val p = tablePath("ts1")
+    val stamps = GraftSink.listVersions(p)
+      .map(v => GraftSink.readManifest(p, Some(v)).get.ts.get)
+    stamps shouldBe stamps.sorted
+    stamps.distinct.length shouldBe stamps.length // strictly monotone
+    def fmt(ms: Long) = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    // each commit's exact stamp resolves exactly that snapshot
+    spark.sql(s"SELECT count(*) FROM $cat.ns.ts1 TIMESTAMP AS OF '${fmt(stamps(1))}'")
+      .collect().head.getLong(0) shouldBe 1L
+    spark.sql(s"SELECT count(*) FROM $cat.ns.ts1 TIMESTAMP AS OF '${fmt(stamps(2))}'")
+      .collect().head.getLong(0) shouldBe 2L
+    // a later timestamp never resolves an earlier version
+    spark.sql(s"SELECT count(*) FROM $cat.ns.ts1 TIMESTAMP AS OF '${fmt(stamps(2) + 60000)}'")
+      .collect().head.getLong(0) shouldBe 2L
+    // before the first commit: loud refusal, never "nearest version"
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.ts1 TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    e.toString should include("no snapshot")
+  }
 }
