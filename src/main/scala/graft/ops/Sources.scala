@@ -1068,6 +1068,47 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // IDENTITY PARTITION transforms on the sink (`PARTITIONED BY
+    // (c_mktsegment)` — q374 skips by value RANGES; this is the exact
+    // directory-grain layout a 100 TB store keys on): the write
+    // declares a clustered distribution on the partition columns
+    // (Spark inserts the shuffle — each tuple lands in ONE writer
+    // task), each task routes rows into one staged file PER TUPLE, and
+    // the manifest records the tuple as the file's `part:` segment; a
+    // pushed equality/IN on the partition column then prunes whole
+    // files at planning, EXACTLY (every row in a file shares the
+    // tuple). The copy-on-write DELETE in the middle proves row-level
+    // rewrites stay partition-aware (part: segments survive). The
+    // n_partitions column pins one-file-per-tuple; Round11Spec pins
+    // planned-partition counts, residual re-evaluation, and the
+    // refusal matrix (non-identity transforms, clusterBy conflicts,
+    // partition-column rename/drop). Oracle replays the slice from
+    // parquet.
+    "q379_dsv2_partitioned" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.part379")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.part379")
+        .partitionedBy(col("c_mktsegment")).create()          // v1+v2
+      s.sql("DELETE FROM graft.g.part379 WHERE c_custkey % 8 = 3") // v3: partition-aware rewrite
+      val m = graft.sources.GraftSink
+        .readManifest(s"${Stage.dir("graft_warehouse")}/g/part379").get
+      val untagged = m.files.count(l => graft.sources.GraftSink.entryPart(l).isEmpty)
+      val nParts = m.files.flatMap(l => graft.sources.GraftSink.entryPart(l)).distinct.size
+      s.table("graft.g.part379")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .withColumn("n_partitions", lit(nParts.toLong))
+        .withColumn("n_untagged_files", lit(untagged.toLong))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // SQL `TIMESTAMP AS OF` — the wall-clock half of the time-travel
     // surface (q361 is VERSION AS OF): every writeManifest stamps a
     // STRICTLY MONOTONE commit timestamp (`ts:` on the manifest head,
@@ -1225,6 +1266,20 @@ object Sources extends QueryPack {
         + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
         + "CAST(0 AS BIGINT) AS files_rewritten "
         + "FROM allrows GROUP BY 1 ORDER BY 1"),
+    // q379: the post-delete two-segment slice replayed from parquet;
+    // n_partitions = the segment count (one file per tuple), zero
+    // untagged files (the rewrite stayed partition-aware).
+    "q379_dsv2_partitioned" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer "
+        + "WHERE c_custkey % 8 <> 3) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key, "
+        + "(SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM customer) AS n_partitions, "
+        + "CAST(0 AS BIGINT) AS n_untagged_files "
+        + "FROM base WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q380: both timestamp pins replayed closed-form (q361's algebra —
     // v2 = the mod-3 CTAS slice, v3 = the +50 overwrite).
     "q380_sql_timestamp_travel" ->

@@ -143,15 +143,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog: PARTITIONED BY is not supported (use the sink's " +
-        "clusterBy write option for clustered files)")
+    // IDENTITY partition transforms only (`PARTITIONED BY (col)` /
+    // `.partitionedBy(col(...))`): every data file then belongs to ONE
+    // partition tuple, recorded as its manifest `part:` segment — the
+    // directory-grain pruning index. Bucket/time transforms are
+    // refused loudly (the clusterBy write option covers hash layouts).
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity") throw new UnsupportedOperationException(
+        s"graft catalog: unsupported partition transform $t " +
+          "(only identity columns; use the clusterBy write option for hash layouts)")
+      val ref = t.references()(0).fieldNames()
+      require(ref.length == 1,
+        "graft catalog: PARTITIONED BY wants a top-level column, got " +
+          ref.mkString("."))
+      ref(0)
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: partition column '$c' not in the table schema")
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.StringType,
+        s"graft catalog: partition column '$c' must be BIGINT/INT/STRING, got ${dt.sql}")
+    }
+    require(partCols.distinct.length == partCols.length,
+      "graft catalog: duplicate partition column")
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     GraftSink.checkSchema(schema)
     // `write.*` TBLPROPERTIES become durable table state (_props) —
     // write.mode=merge-on-read flips row-level SQL to delete vectors
-    val userProps = properties.asScala.filter(_._1.startsWith("write.")).toMap
+    val userProps = properties.asScala.filter(_._1.startsWith("write.")).toMap ++
+      (if (partCols.isEmpty) Map.empty
+       else Map(GraftSink.PARTITION_PROP -> partCols.mkString(",")))
     userProps.get("write.mode").foreach { m =>
       require(m == "copy-on-write" || m == "merge-on-read",
         s"graft catalog: write.mode must be copy-on-write or merge-on-read, got '$m'")
@@ -215,6 +240,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         fields = fields :+ (org.apache.spark.sql.types.StructField(n, a.dataType()), maxId)
       case r: TableChange.RenameColumn =>
         val from = single(r.fieldNames, "renamed")
+        require(!GraftSink.partitionColsOf(p.toString).contains(from),
+          s"graft catalog: cannot rename partition column '$from' " +
+            "(file part: segments are keyed by name)")
         require(fields.exists(_._1.name == from),
           s"graft catalog: no column '$from' to rename")
         require(!fields.exists(_._1.name == r.newName),
@@ -226,6 +254,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         needIds = true
       case d: TableChange.DeleteColumn =>
         val n = single(d.fieldNames, "dropped")
+        require(!GraftSink.partitionColsOf(p.toString).contains(n),
+          s"graft catalog: cannot drop partition column '$n'")
         require(fields.exists(_._1.name == n),
           s"graft catalog: no column '$n' to drop")
         require(fields.length > 1,

@@ -148,6 +148,26 @@ object GraftSink {
   def entryRows(line: String): Option[Long] =
     segments(line).find(_.startsWith("rows:")).map(_.stripPrefix("rows:").toLong)
 
+  /** The file's PARTITION TUPLE (`part:` segment): `col=enc(,col=enc)*`
+    * — the identity-transform values every row in the file shares,
+    * URL-encoded (so values with separators round-trip; NULL = the
+    * unencodable marker `\N`). The directory-grain pruning index:
+    * an equality/IN predicate on a partition column skips whole files
+    * at planning, exactly. */
+  def entryPart(line: String): Option[String] =
+    segments(line).find(_.startsWith("part:")).map(_.stripPrefix("part:"))
+
+  def encodePartValue(v: Any): String =
+    if (v == null) "\\N"
+    else java.net.URLEncoder.encode(v.toString, "UTF-8")
+
+  /** Parse a `part:` body into col → encoded-value. */
+  def partPairs(body: String): Map[String, String] =
+    body.split(",").filter(_.contains('=')).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
   /** The file's recorded FIELD-ID list (`cols:` segment): which stable
     * column ids its TSV ordinals hold, in order. Absent = positional
     * (ordinal j holds id j+1) — exact for any table that never renamed
@@ -160,14 +180,24 @@ object GraftSink {
   def entry(name: String, deletes: Seq[Long],
       stats: Option[(String, Long, Long)] = None,
       rows: Option[Long] = None,
-      cols: Option[Seq[Int]] = None): String = {
+      cols: Option[Seq[Int]] = None,
+      part: Option[String] = None): String = {
     val dv = if (deletes.isEmpty) ""
              else s"\tdv:${deletes.sorted.distinct.mkString(",")}"
     val st = stats.fold("") { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }
     val rc = rows.fold("")(n => s"\trows:$n")
     val cl = cols.fold("")(ids => s"\tcols:${ids.mkString(",")}")
-    s"$name$dv$st$rc$cl"
+    val pt = part.fold("")(p => s"\tpart:$p")
+    s"$name$dv$st$rc$cl$pt"
   }
+
+  /** Durable table-property key holding the identity partition columns
+    * (comma-joined, in declaration order). */
+  val PARTITION_PROP = "partition.columns"
+
+  def partitionColsOf(path: String): Seq[String] =
+    readProps(path).get(PARTITION_PROP)
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Sentinel ordinal for "this file never carried the column" (reader
     * serves NULL — any ordinal past the physical line length does). */
@@ -531,6 +561,12 @@ class GraftSinkTable(path: String, declared: StructType,
     if (changes.isDefined) declared // provider-built: range-end schema + change cols
     else GraftSink.readManifest(path, version)
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
+
+  /** The table's declared identity partitioning (durable `_props`
+    * state, set at CREATE TABLE ... PARTITIONED BY). Reported so the
+    * planner sees the layout; enforced by the partitioned write path. */
+  override def partitioning(): Array[Transform] =
+    GraftSink.partitionColsOf(path).map(Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -608,7 +644,15 @@ class GraftSinkRowLevelOperation(path: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
           GraftSink.checkSchema(info.schema())
-          new GraftSinkBatchWrite(path, info.schema(), info.queryId(), truncate = true)
+          // a copy-on-write rewrite of a PARTITIONED table must keep
+          // the per-file part: segments (the pruning index) intact
+          val partCols = GraftSink.partitionColsOf(path)
+          if (partCols.nonEmpty)
+            new GraftSinkPartitionedBatchWrite(path, info.schema(),
+              info.queryId(), truncate = true, partCols,
+              partCols.map(info.schema().fieldIndex).toArray)
+          else
+            new GraftSinkBatchWrite(path, info.schema(), info.queryId(), truncate = true)
         }
       }
     }
@@ -652,6 +696,38 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
     def streaming: StreamingWrite = {
       GraftSink.checkSchema(schema)
       new GraftSinkStreamingWrite(path, schema, queryId, doTruncate)
+    }
+    // IDENTITY-PARTITIONED table (durable _props state from CREATE
+    // TABLE ... PARTITIONED BY): the write DECLARES a clustered
+    // distribution on the partition columns — Spark inserts the hash
+    // shuffle, so each partition tuple lands in exactly one writer
+    // task, which routes its rows into one staged file PER TUPLE and
+    // records the tuple as the file's manifest `part:` segment (the
+    // pruning index the read side consults).
+    val partCols = GraftSink.partitionColsOf(path)
+    if (partCols.nonEmpty) {
+      require(clusterBy.isEmpty,
+        "graftsink: clusterBy is not supported on a partitioned table " +
+          "(the partition layout owns file routing)")
+      partCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"graftsink: partition column '$c' missing from the write schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+      val partIdx = partCols.map(schema.fieldIndex).toArray
+      return new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(partCols.map(Expressions.identity).toArray)
+        override def requiredNumPartitions(): Int = shards.getOrElse(0)
+        override def requiredOrdering(): Array[VSortOrder] = Array.empty
+        override def toBatch: BatchWrite = {
+          GraftSink.checkSchema(schema)
+          new GraftSinkPartitionedBatchWrite(path, schema, queryId, doTruncate,
+            partCols, partIdx)
+        }
+        override def toStreaming: StreamingWrite =
+          throw new UnsupportedOperationException(
+            "graftsink: streaming writes into a partitioned table are not " +
+              "supported yet (use foreachBatch)")
+      }
     }
     clusterBy match {
       case Some(colName) =>
@@ -846,6 +922,99 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
 }
 
 // --------------------------------------------------------------------
+// PARTITIONED write path (identity transforms → per-tuple files +
+// manifest `part:` segments, the read-side pruning index)
+// --------------------------------------------------------------------
+
+/** One partitioned task's commit: each element = (staged file, encoded
+  * partition tuple, row count). With the clustered distribution the
+  * builder requests, each tuple appears in exactly ONE task — so the
+  * table ends with one file per partition value per commit. */
+case class GraftSinkPartitionedCommit(partitionId: Int,
+    files: Seq[(String, String, Long)]) extends WriterCommitMessage
+
+class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
+    queryId: String, truncate: Boolean, partCols: Seq[String],
+    partIdx: Array[Int]) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftSinkPartitionedWriterFactory(path, schema, queryId, partCols, partIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftSink.fs(path)
+    val prior = GraftSink.readManifest(path)
+    if (!truncate) prior.foreach { m =>
+      require(GraftSink.schemaCompatible(m.ddl, schema),
+        s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
+          s"write is '${schema.toDDL}' (use overwrite to replace)")
+    }
+    val ids = if (truncate) None else prior.flatMap(_.ids)
+    val published = messages.collect { case c: GraftSinkPartitionedCommit =>
+      c.files.zipWithIndex.map { case ((staged, part, rows), i) =>
+        val fin = s"$queryId-part-${c.partitionId}-$i.tsv"
+        require(f.rename(new HPath(staged), new HPath(path, fin)),
+          s"graftsink: failed to publish $staged -> $fin")
+        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+      }
+    }.toSeq.flatten
+    val files = if (truncate) published
+                else prior.map(_.files).getOrElse(Nil) ++ published
+    val ddl = if (truncate) schema.toDDL
+              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftSink.fs(path).delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
+}
+
+class GraftSinkPartitionedWriterFactory(path: String, schema: StructType,
+    queryId: String, partCols: Seq[String], partIdx: Array[Int])
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val types = schema.fields.map(_.dataType)
+      private val writers =
+        scala.collection.mutable.LinkedHashMap.empty[String, GraftSinkRowWriter]
+      private var skip = -1
+      private var seq = 0
+
+      override def write(row: InternalRow): Unit = {
+        if (skip < 0) skip = row.numFields - types.length // marker validated by the sub-writer
+        val key = partCols.zip(partIdx).map { case (c, i) =>
+          val j = i + math.max(skip, 0)
+          val enc =
+            if (row.isNullAt(j)) "\\N"
+            else GraftSink.encodePartValue(types(i) match {
+              case LongType => row.getLong(j)
+              case IntegerType => row.getInt(j)
+              case _ => row.getUTF8String(j).toString
+            })
+          s"$c=$enc"
+        }.mkString(",")
+        writers.getOrElseUpdate(key, {
+          val w = new GraftSinkRowWriter(path, schema,
+            s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId-$seq.tsv",
+            partitionId)
+          seq += 1
+          w
+        }).write(row)
+      }
+
+      override def commit(): WriterCommitMessage =
+        GraftSinkPartitionedCommit(partitionId,
+          writers.toSeq.map { case (key, w) =>
+            val m = w.commit().asInstanceOf[GraftSinkCommit]
+            (m.stagedFile, key, m.rows)
+          })
+      override def abort(): Unit = writers.values.foreach(_.abort())
+      override def close(): Unit = ()
+    }
+}
+
+// --------------------------------------------------------------------
 // DELTA (merge-on-read) row-level path: delete vectors, not rewrites
 // --------------------------------------------------------------------
 
@@ -930,7 +1099,8 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
         (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
         GraftSink.entryStats(line), // deletes never widen a min/max
         GraftSink.entryRows(line),  // rows stay ORIGINAL; counts subtract |dv|
-        GraftSink.entryCols(line).map(_.toSeq)) // file layout carries through
+        GraftSink.entryCols(line).map(_.toSeq), // file layout carries through
+        GraftSink.entryPart(line))              // partition tuple too
     }
     val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
@@ -1082,7 +1252,17 @@ class GraftSinkScanBuilder(path: String, full: StructType,
   // conjunctive per-column [lo, hi] envelopes from pushed range
   // predicates — consulted against manifest stats for FILE SKIPPING
   private var envelopes = Map.empty[String, (Long, Long)]
+  // allowed ENCODED values per partition column from pushed equality/IN
+  // predicates — consulted against manifest `part:` segments (exact
+  // directory-grain pruning; conjunctive = set intersection)
+  private val partCols = GraftSink.partitionColsOf(path).toSet
+  private var partAllowed = Map.empty[String, Set[String]]
   private var countPushed = false
+
+  private def allowPart(c: String, vs: Seq[Any]): Unit = {
+    val enc = vs.map(v => if (v == null) "\\N" else GraftSink.encodePartValue(v)).toSet
+    partAllowed += c -> partAllowed.get(c).fold(enc)(_ intersect enc)
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1131,13 +1311,20 @@ class GraftSinkScanBuilder(path: String, full: StructType,
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
-    filters.foreach {
-      case GreaterThan(c, v: Long)        => narrow(c, v + 1, Long.MaxValue)
-      case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
-      case LessThan(c, v: Long)           => narrow(c, Long.MinValue, v - 1)
-      case LessThanOrEqual(c, v: Long)    => narrow(c, Long.MinValue, v)
-      case EqualTo(c, v: Long)            => narrow(c, v, v)
-      case _ => ()
+    filters.foreach { f =>
+      f match {
+        case GreaterThan(c, v: Long)        => narrow(c, v + 1, Long.MaxValue)
+        case GreaterThanOrEqual(c, v: Long) => narrow(c, v, Long.MaxValue)
+        case LessThan(c, v: Long)           => narrow(c, Long.MinValue, v - 1)
+        case LessThanOrEqual(c, v: Long)    => narrow(c, Long.MinValue, v)
+        case EqualTo(c, v: Long)            => narrow(c, v, v)
+        case _ => ()
+      }
+      f match {
+        case EqualTo(c, v) if partCols(c) => allowPart(c, Seq(v))
+        case In(c, vs) if partCols(c)     => allowPart(c, vs.toSeq)
+        case _ => ()
+      }
     }
     filters
   }
@@ -1147,7 +1334,7 @@ class GraftSinkScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     if (countPushed) new GraftSinkCountScan(path, version)
-    else new GraftSinkScan(path, full, required, version, envelopes)
+    else new GraftSinkScan(path, full, required, version, envelopes, partAllowed)
 }
 
 /** Completely-pushed-down count(*) "scan": one partition, one row,
@@ -1199,7 +1386,8 @@ case class GraftSinkCountPartition(n: Long) extends InputPartition
 
 class GraftSinkScan(path: String, full: StructType, required: StructType,
     version: Option[Int] = None,
-    envelopes: Map[String, (Long, Long)] = Map.empty)
+    envelopes: Map[String, (Long, Long)] = Map.empty,
+    partAllowed: Map[String, Set[String]] = Map.empty)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -1212,7 +1400,9 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSinkScan($path, cols=${required.fieldNames.mkString(",")}" +
-      (if (envelopes.isEmpty) ")" else s", skip=${envelopes.mkString(",")})")
+      (if (envelopes.isEmpty) "" else s", skip=${envelopes.mkString(",")}") +
+      (if (partAllowed.isEmpty) ")"
+       else s", partprune=${partAllowed.keys.mkString(",")})")
 
   private lazy val manifest: GraftSink.Manifest =
     GraftSink.readManifest(path, version).getOrElse(
@@ -1225,13 +1415,26 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
       // FILE SKIPPING: a file whose recorded [min, max] misses the
       // pushed envelope for that column is never planned (files with
       // no stats, or stats on other columns, always survive)
-      GraftSink.entryStats(line) match {
+      val statsOk = GraftSink.entryStats(line) match {
         case Some((col, lo, hi)) => envelopes.get(col) match {
           case Some((elo, ehi)) => hi >= elo && lo <= ehi
           case None => true
         }
         case None => true
       }
+      // PARTITION PRUNING: a file whose part: tuple misses any pushed
+      // equality/IN allowed-set is never planned — exact (every row in
+      // the file shares the tuple), so this is the directory-grain
+      // prune; files without a tuple (unpartitioned history) survive
+      val partOk = partAllowed.isEmpty || (GraftSink.entryPart(line) match {
+        case Some(body) =>
+          val pairs = GraftSink.partPairs(body)
+          partAllowed.forall { case (c, allowed) =>
+            pairs.get(c).forall(allowed)
+          }
+        case None => true
+      })
+      statsOk && partOk
     }
   }
 

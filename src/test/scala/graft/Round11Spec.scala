@@ -306,4 +306,80 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
     e.toString should include("no snapshot")
   }
+
+  // ------------------------------------------------------------------
+  // Identity partition transforms
+  // ------------------------------------------------------------------
+
+  private def plannedSinkFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case f: graft.sources.GraftSinkFilePartition => f.name
+        }
+    }.flatten
+
+  test("partitioned table: equality predicate plans ONLY the matching partition's files") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.pt1")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "c", 4.0),
+        (5L, "b", 5.0), (6L, "a", 6.0))
+      .toDF("k", "grp", "v").writeTo(s"$cat.ns.pt1")
+      .partitionedBy(col("grp")).create()
+    val m = GraftSink.readManifest(tablePath("pt1")).get
+    // one file per tuple; every file tagged
+    m.files.flatMap(GraftSink.entryPart).sorted shouldBe Seq("grp=a", "grp=b", "grp=c")
+    // equality prunes to the single matching file...
+    val one = spark.table(s"$cat.ns.pt1").filter(col("grp") === "a")
+    plannedSinkFiles(one).length shouldBe 1
+    one.agg(count(lit(1)), sum(col("v"))).collect().head.toSeq shouldBe Seq(3L, 10.0)
+    // ...IN prunes to two; an unconstrained scan plans all three
+    val two = spark.table(s"$cat.ns.pt1").filter(col("grp").isin("a", "c"))
+    plannedSinkFiles(two).length shouldBe 2
+    plannedSinkFiles(spark.table(s"$cat.ns.pt1")).length shouldBe 3
+    // pruning is not a correctness transfer: a residual predicate the
+    // tuple can't answer still evaluates row-level
+    spark.table(s"$cat.ns.pt1").filter(col("grp") === "a" && col("k") > 2)
+      .select(col("k")).collect().map(_.getLong(0)).sorted shouldBe Array(3L, 6L)
+    // appends stay partition-routed and tagged
+    spark.sql(s"INSERT INTO $cat.ns.pt1 VALUES (7, 'a', 7.0), (8, 'd', 8.0)")
+    val m2 = GraftSink.readManifest(tablePath("pt1")).get
+    m2.files.flatMap(GraftSink.entryPart).sorted shouldBe
+      Seq("grp=a", "grp=a", "grp=b", "grp=c", "grp=d")
+    plannedSinkFiles(spark.table(s"$cat.ns.pt1").filter(col("grp") === "a"))
+      .length shouldBe 2
+  }
+
+  test("partitioned table: copy-on-write DELETE keeps part tuples; refusal matrix") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.pt2")
+    Seq((1L, 10L, 1.0), (2L, 20L, 2.0), (3L, 10L, 3.0))
+      .toDF("k", "bucket", "v").writeTo(s"$cat.ns.pt2")
+      .partitionedBy(col("bucket")).create()
+    spark.sql(s"DELETE FROM $cat.ns.pt2 WHERE k = 1")
+    val m = GraftSink.readManifest(tablePath("pt2")).get
+    m.files.foreach(l => GraftSink.entryPart(l) should not be empty) // rewrite stayed tagged
+    spark.table(s"$cat.ns.pt2").filter(col("bucket") === 10L)
+      .select(col("k")).collect().map(_.getLong(0)) shouldBe Array(3L)
+    plannedSinkFiles(spark.table(s"$cat.ns.pt2").filter(col("bucket") === 10L))
+      .length shouldBe 1
+    // refusals: non-identity transform, partition-column rename/drop,
+    // clusterBy on a partitioned table
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.ptbad (k BIGINT, g STRING) PARTITIONED BY (bucket(4, g))")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.pt2 RENAME COLUMN bucket TO b2")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.pt2 DROP COLUMN bucket")
+    }
+    intercept[Exception] {
+      spark.table(s"$cat.ns.pt2").write.format("graftsink")
+        .option("path", tablePath("pt2")).option("clusterBy", "k")
+        .mode("append").save()
+    }
+  }
 }
