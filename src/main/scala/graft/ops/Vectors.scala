@@ -1057,6 +1057,116 @@ object Vectors extends QueryPack {
           col("n_edges"), col("total_w"))
         .orderBy(col("rank"))
     }),
+
+    // ------------------------------------------------------------------
+    // HDBSCAN MST at CORPUS scale — q370's mutual-reachability tree
+    // over q339's WITHIN-IVF-CELL contraction instead of the 32-probe
+    // cap (the verdict's residual: the cap bounded coverage; this
+    // scales it): every vector of the FULL embeddings table is
+    // assigned to its IVF cell (shared memoized codebook), the
+    // mutual-reachability graph is built ONLY within cells (pair cost
+    // Σ|cell|², never N² — SemDeDup's own scale contract: grow k with
+    // N so cells stay bounded), core distance = min(4, |cell|−1)-NN
+    // within the cell, and every cell's MST is built in ONE shuffle:
+    // repartition by cell + sortWithinPartitions((cell, w, va, vb))
+    // + a streaming KRUSKAL union-find per cell — the secondary-sort
+    // pattern, memory O(|cell|) per reducer (the union-find array),
+    // never O(|cell|²) (edges stream through in weight order). q370
+    // keeps the distributed-Borůvka showcase; at corpus scale the
+    // sorted-stream Kruskal is strictly cheaper: zero driver rounds,
+    // one exchange, and the cell-size cap bounds reducer state. The
+    // result is the per-cell MST FOREST — the dendrogram skeleton each
+    // HDBSCAN cut descends; readout = each cell's tree bill (n_vecs,
+    // n_edges = n−1, DECIMAL-exact total weight, heaviest edge = the
+    // cell's top split). The oracle recomputes every tree by a
+    // DIFFERENT algorithm (recursive Prim under the same (w, va, vb)
+    // total order) — identical totals because all MSTs of a graph
+    // share the same weight multiset.
+    "q381_hdbscan_cells" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val cb = trainedCodebook(s, dir)
+      val a = assign(e, cb)
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .localCheckpoint() // pairs (both sides) + sizes
+      val pd = a.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(a.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb")),
+          "cell")
+        .filter(col("va") < col("vb"))
+        .withColumn("d2", round(expr(sqdist.format("ea", "eb")), 6))
+        .select(col("cell"), col("va"), col("vb"), col("d2"))
+        .localCheckpoint() // consumed by core ranks AND the edge build
+      val sizes = a.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+      val nbrs = pd.select(col("cell"), col("va").as("v"), col("d2"))
+        .unionByName(pd.select(col("cell"), col("vb").as("v"), col("d2")))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("d2"))
+      val core = nbrs.withColumn("rn", row_number().over(wv))
+        .join(broadcast(sizes), "cell")
+        .filter(col("rn") === least(lit(4), col("n_cell") - 1))
+        .select(col("v"), col("d2").as("core"))
+      val edges = pd
+        .join(core.select(col("v").as("va"), col("core").as("core_a")), "va")
+        .join(core.select(col("v").as("vb"), col("core").as("core_b")), "vb")
+        .select(col("cell"), col("va"), col("vb"),
+          greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
+      // ONE exchange: cells co-locate, edges arrive in (w, va, vb)
+      // order, Kruskal consumes the stream with an O(|cell|) union-find
+      val mst = edges
+        .select(col("cell").cast("long").as("cell"), col("va").cast("long").as("va"),
+          col("vb").cast("long").as("vb"), col("w"))
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("w"), col("va"), col("vb"))
+        .as[(Long, Long, Long, Double)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, java.math.BigDecimal, Double)]
+          var curCell = Long.MinValue
+          var parent: scala.collection.mutable.HashMap[Long, Long] = null
+          var nEdges = 0L
+          var tot: java.math.BigDecimal = null
+          var maxW = 0.0
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          def flush(): Unit = if (curCell != Long.MinValue)
+            out += ((curCell, nEdges, tot, maxW))
+          it.foreach { case (cell, va, vb, w) =>
+            if (cell != curCell) {
+              flush()
+              curCell = cell
+              parent = scala.collection.mutable.HashMap.empty
+              nEdges = 0L
+              tot = java.math.BigDecimal.ZERO.setScale(6)
+              maxW = 0.0
+            }
+            val (ra, rb) = (find(va), find(vb))
+            if (ra != rb) { // Kruskal accept: first (lightest) crossing edge
+              parent(math.max(ra, rb)) = math.min(ra, rb)
+              nEdges += 1
+              tot = tot.add(java.math.BigDecimal.valueOf(w).setScale(6, java.math.RoundingMode.HALF_UP))
+              if (w > maxW) maxW = w
+            }
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("cell", "n_edges", "tot", "max_w")
+        .select(col("cell"), col("n_edges"),
+          round(col("tot").cast("decimal(18,6)").cast("double"), 6).as("total_w"),
+          col("max_w"))
+      sizes
+        .join(mst, Seq("cell"), "left")
+        .select(col("cell"), col("n_cell").as("n_vecs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("total_w"), lit(0.0)).as("total_w"),
+          coalesce(col("max_w"), lit(0.0)).as("max_w"))
+        .orderBy(col("cell"))
+    }),
   )
 
   /** DuckDB cosine mirror of the native `cosine_sim` (q62's proven
@@ -1199,6 +1309,45 @@ object Vectors extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q370_hdbscan_mst" -> mstOracleSql,
+    // q381: every cell's MST recomputed by RECURSIVE PRIM under the
+    // same (w, va, vb) total order — a different algorithm from the
+    // Spark side's Borůvka, so a shared bug can't cancel; totals agree
+    // because all MSTs of a graph share the same weight multiset, and
+    // the accumulator is DECIMAL(18,6) in both engines.
+    "q381_hdbscan_cells" ->
+      (s"WITH RECURSIVE $trainSql, "
+        + distSql("cent1", "dhc", "ahc") + ", "
+        + "av AS (SELECT a.vec_id, a.cid AS cell, e.embedding FROM ahc a JOIN embeddings e USING (vec_id)), "
+        + "pd AS (SELECT hi.cell, lo.vec_id AS va, hi.vec_id AS vb, "
+        + "round(list_sum(list_transform(range(1, len(lo.embedding) + 1), i -> "
+        + "(CAST(lo.embedding[i] AS DOUBLE) - CAST(hi.embedding[i] AS DOUBLE)) * "
+        + "(CAST(lo.embedding[i] AS DOUBLE) - CAST(hi.embedding[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM av lo JOIN av hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id), "
+        + "sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM av GROUP BY cell), "
+        + "nbrs AS (SELECT cell, va AS v, d2 FROM pd UNION ALL SELECT cell, vb AS v, d2 FROM pd), "
+        + "core AS (SELECT v, d2 AS core FROM (SELECT n.v, n.d2, "
+        + "row_number() OVER (PARTITION BY n.v ORDER BY n.d2) AS rn, s.n_vecs "
+        + "FROM nbrs n JOIN sizes s USING (cell)) WHERE rn = least(4, n_vecs - 1)), "
+        + "edges AS (SELECT pd.cell, pd.va, pd.vb, greatest(ca.core, cb.core, pd.d2) AS w "
+        + "FROM pd JOIN core ca ON ca.v = pd.va JOIN core cb ON cb.v = pd.vb), "
+        + "starts AS (SELECT cell, min(vec_id) AS v0 FROM av GROUP BY cell), "
+        + "prim AS ("
+        + "SELECT cell, [v0] AS vis, CAST(0 AS DECIMAL(18,6)) AS tot, "
+        + "CAST(0 AS DOUBLE) AS maxw, 0 AS step FROM starts "
+        + "UNION ALL "
+        + "SELECT cell, list_append(vis, CASE WHEN list_contains(vis, me.va) THEN me.vb ELSE me.va END), "
+        + "CAST(tot + CAST(me.w AS DECIMAL(18,6)) AS DECIMAL(18,6)), "
+        + "greatest(maxw, me.w), step + 1 FROM ("
+        + "SELECT p.cell AS cell, p.vis AS vis, p.tot AS tot, p.maxw AS maxw, p.step AS step, "
+        + "min(struct_pack(w := e0.w, va := e0.va, vb := e0.vb)) AS me "
+        + "FROM prim p JOIN edges e0 ON e0.cell = p.cell "
+        + "AND (list_contains(p.vis, e0.va) <> list_contains(p.vis, e0.vb)) "
+        + "GROUP BY 1, 2, 3, 4, 5)) "
+        + "SELECT CAST(s.cell AS BIGINT) AS cell, s.n_vecs, CAST(p.step AS BIGINT) AS n_edges, "
+        + "round(CAST(p.tot AS DOUBLE), 6) AS total_w, p.maxw AS max_w "
+        + "FROM sizes s JOIN (SELECT * FROM prim "
+        + "QUALIFY row_number() OVER (PARTITION BY cell ORDER BY step DESC) = 1) p USING (cell) "
+        + "ORDER BY s.cell"),
     "q368_als_sweep" ->
       ("WITH r AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS r FROM events GROUP BY 1, 2), "
         + "y0 AS (SELECT DISTINCT event_type, CAST(1.0 AS DECIMAL(18,6)) AS y1, "

@@ -308,6 +308,24 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // Corpus-scale HDBSCAN MST (q381)
+  // ------------------------------------------------------------------
+
+  test("q381: every IVF cell yields a spanning tree (n_edges = n_vecs - 1, max <= total)") {
+    val rows = SparkEntry.queries("q381_hdbscan_cells")(spark, sf).collect()
+    rows.length should be > 1 // multiple cells — the contraction actually split the corpus
+    rows.foreach { r =>
+      val (n, e) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_edges"))
+      e shouldBe n - 1 // within-cell graphs are complete → one tree per cell
+      r.getAs[Double]("max_w") should be <= r.getAs[Double]("total_w")
+      r.getAs[Double]("total_w") should be > 0.0
+    }
+    // full coverage: cells partition the corpus, nothing dropped by a cap
+    rows.map(_.getAs[Long]("n_vecs")).sum shouldBe
+      graft.Tables.embeddings(spark, sf).count()
+  }
+
+  // ------------------------------------------------------------------
   // Identity partition transforms
   // ------------------------------------------------------------------
 
