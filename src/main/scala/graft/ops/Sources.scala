@@ -1109,6 +1109,51 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // WRITE-AUDIT-PUBLISH via branch/tag refs (Iceberg's WAP workflow —
+    // the staging surface every production ingestion gate runs): a
+    // `toBranch` write commits its snapshot into the SAME immutable
+    // global version chain but advances only the `_ref.branch.audit`
+    // pointer — main readers see NOTHING; the audit step reads the
+    // branch head (`option("ref", ...)` / `VERSION AS OF 'audit'`) and
+    // validates; `CALL graft.sys.publish_branch` then fast-forwards
+    // main to the branch head (a pointer move, never a data copy), and
+    // `create_tag` pins the approved snapshot as an IMMUTABLE named
+    // ref that also PROTECTS it from expire_snapshots GC. The readout
+    // pins all three phases: main-before-publish (evens only), the
+    // staged audit count, and the post-publish tag read. Round11Spec
+    // pins branch isolation, tag immutability, ref-protected expiry,
+    // and the refusal matrix. Oracle replays the phases closed-form.
+    "q382_sink_wap" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.wap382")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 2 === 0)
+        .writeTo("graft.g.wap382").create()                         // v1+v2 on main
+      cust.filter(col("c_custkey") % 2 === 1)
+        .writeTo("graft.g.wap382").option("toBranch", "audit").append() // v3, branch only
+      val path = s"${Stage.dir("graft_warehouse")}/g/wap382"
+      val mainPre = s.table("graft.g.wap382").count() // evens only — staged rows invisible
+      val auditCnt = s.read.format("graftsink").option("path", path)
+        .option("ref", "audit").load().count()        // full table on the branch
+      s.sql("CALL graft.sys.publish_branch('g.wap382', 'audit')").collect()
+      s.sql("CALL graft.sys.create_tag('g.wap382', 'approved', 3)").collect()
+      val tagCnt = s.sql(
+        "SELECT count(*) FROM graft.g.wap382 VERSION AS OF 'approved'")
+        .collect().head.getLong(0)
+      s.table("graft.g.wap382")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+        .withColumn("main_pre_publish", lit(mainPre))
+        .withColumn("audit_staged", lit(auditCnt))
+        .withColumn("tag_read", lit(tagCnt))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // SQL `TIMESTAMP AS OF` — the wall-clock half of the time-travel
     // surface (q361 is VERSION AS OF): every writeManifest stamps a
     // STRICTLY MONOTONE commit timestamp (`ts:` on the manifest head,
@@ -1280,6 +1325,18 @@ object Sources extends QueryPack {
         + "CAST(0 AS BIGINT) AS n_untagged_files "
         + "FROM base WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q382: the published table = ALL customers; the phase pins are
+    // closed-form (evens before publish, full count staged + tagged).
+    "q382_sink_wap" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE c_custkey % 2 = 0) AS main_pre_publish, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base) AS audit_staged, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base) AS tag_read "
+        + "FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q380: both timestamp pins replayed closed-form (q361's algebra —
     // v2 = the mod-3 CTAS slice, v3 = the +50 overwrite).
     "q380_sql_timestamp_travel" ->

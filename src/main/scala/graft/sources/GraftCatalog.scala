@@ -104,13 +104,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   /** SQL `VERSION AS OF n` — the identifier-path spelling of the
-    * connector's `option("version", n)` snapshot pin. */
+    * connector's `option("version", n)` snapshot pin. A non-numeric
+    * argument resolves as a NAMED REF (`VERSION AS OF 'audit'` reads
+    * the branch/tag head — Iceberg's branch-read spelling). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val v = try version.trim.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF wants an integer snapshot, got '$version'")
+      case _: NumberFormatException => GraftSink.resolveRef(p.toString, version.trim)
     }
     new GraftSinkTable(p.toString, loadSchema(p, Some(v)), Some(v))
   }
@@ -449,7 +450,12 @@ object GraftCatalog {
         require(keep >= 1, s"graft catalog: expire_snapshots wants keep >= 1, got $keep")
         val f = GraftSink.fs(p)
         val versions = GraftSink.listVersions(p)
-        val (drop, kept) = versions.splitAt(math.max(0, versions.size - keep))
+        // named refs PROTECT their snapshots from expiry — a tag/branch
+        // must stay readable until the ref itself is dropped
+        val pinned = GraftSink.listRefs(p).map(_._3).toSet
+        val cut = versions.drop(math.max(0, versions.size - keep)).headOption
+          .getOrElse(Int.MaxValue)
+        val (drop, kept) = versions.partition(v => v < cut && !pinned(v))
         // GC by entry NAME (a manifest line may carry a delete vector)
         val keptFiles = kept
           .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files)
@@ -460,6 +466,59 @@ object GraftCatalog {
         dropFiles.foreach(df => f.delete(new HPath(p, df), false))
         drop.foreach(v => f.delete(new HPath(p, s"${GraftSink.MANIFEST}.v$v"), false))
         Array[Any](drop.size.toLong, dropFiles.size.toLong, kept.size.toLong)
+      })),
+    "create_tag" -> (cat => new GraftProcedure(cat, "create_tag",
+      "create_tag(tbl, name, version): pin an IMMUTABLE named ref to snapshot `version`",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      new StructType().add("tag", StringType).add("version", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val v = args.getInt(2)
+        GraftSink.readManifest(p, Some(v)) // loud if the snapshot is gone
+        require(GraftSink.readRef(p, "tag", name).isEmpty,
+          s"graft catalog: tag '$name' already exists (tags are immutable)")
+        GraftSink.writeRef(p, "tag", name, v)
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(name), v.toLong)
+      })),
+    "publish_branch" -> (cat => new GraftProcedure(cat, "publish_branch",
+      "publish_branch(tbl, branch): fast-forward main to the branch head (write-audit-publish)",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      new StructType().add("published_version", LongType)
+        .add("versions_total", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val b = args.getUTF8String(1).toString
+        val head = GraftSink.readRef(p, "branch", b).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: no branch '$b' to publish"))
+        GraftSink.readManifest(p, Some(head)) // loud if the snapshot expired
+        // fast-forward = rewrite the main pointer to the branch head's
+        // IMMUTABLE snapshot (no new version number — the snapshot
+        // already sits in the chain; publish is a pointer move)
+        val f = GraftSink.fs(p)
+        val out = f.create(new HPath(p, GraftSink.MANIFEST), true)
+        try {
+          val in = f.open(new HPath(p, s"${GraftSink.MANIFEST}.v$head"))
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          finally in.close()
+        } finally out.close()
+        Array[Any](head.toLong, GraftSink.listVersions(p).size.toLong)
+      })),
+    "drop_ref" -> (cat => new GraftProcedure(cat, "drop_ref",
+      "drop_ref(tbl, name): delete a named branch or tag (snapshots stay)",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("name", StringType).build()),
+      new StructType().add("dropped", LongType),
+      (cat0, args) => {
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val name = args.getUTF8String(1).toString
+        val n = Seq("branch", "tag").count(k => GraftSink.dropRef(p, k, name))
+        require(n > 0, s"graft catalog: no branch or tag '$name' to drop")
+        Array[Any](n.toLong)
       })),
     "rollback" -> (cat => new GraftProcedure(cat, "rollback",
       "rollback(tbl, version): republish snapshot `version` as a NEW version",

@@ -70,13 +70,23 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
+  /** The effective snapshot pin: explicit `version`, or a named `ref`
+    * (branch/tag) resolved to its version. Mutually exclusive. */
+  private def pinOf(props: JMap[String, String], path: String): Option[Int] = {
+    val version = GraftSink.versionOf(props)
+    val ref = GraftSink.refOf(props)
+    require(version.isEmpty || ref.isEmpty,
+      "graftsink: options 'version' and 'ref' are mutually exclusive")
+    version.orElse(ref.map(GraftSink.resolveRef(path, _)))
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val props = options.asCaseSensitiveMap()
     val path = GraftSink.pathOf(props)
-    val version = GraftSink.versionOf(props)
+    val version = pinOf(props, path)
     val changes = GraftSink.changesOf(props)
     require(version.isEmpty || changes.isEmpty,
-      "graftsink: options 'version' and 'changesFrom' are mutually exclusive")
+      "graftsink: a snapshot pin ('version'/'ref') and 'changesFrom' are mutually exclusive")
     // changelog mode reads rows through the RANGE-END snapshot's schema
     // (older files pad missing columns NULL, exactly like a plain read)
     val pin = changes.fold(version) { case (_, to) => to }
@@ -92,8 +102,9 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
     require(partitioning.isEmpty,
       "graftsink: partitioning is not supported on the path-based write " +
         "(use the 'clusterBy' write option for clustered files)")
-    new GraftSinkTable(GraftSink.pathOf(properties), schema,
-      GraftSink.versionOf(properties), GraftSink.changesOf(properties))
+    val path = GraftSink.pathOf(properties)
+    new GraftSinkTable(path, schema,
+      pinOf(properties, path), GraftSink.changesOf(properties))
   }
 }
 
@@ -393,7 +404,15 @@ object GraftSink {
     * STRICTLY MONOTONE (max(now, prev + 1)) so `TIMESTAMP AS OF` always
     * resolves a unique snapshot even for commits in the same
     * millisecond. */
-  def writeManifest(path: String, m: Manifest): Int = {
+  def writeManifest(path: String, m: Manifest): Int =
+    writeManifestTo(path, m, None)
+
+  /** Like [[writeManifest]], but `branch = Some(b)` advances the BRANCH
+    * pointer `_ref.branch.<b>` instead of the `_manifest` main pointer:
+    * the snapshot joins the same immutable global version chain, but
+    * main readers never see it until `CALL graft.sys.publish_branch`
+    * fast-forwards main — the write-audit-publish staging surface. */
+  def writeManifestTo(path: String, m: Manifest, branch: Option[String]): Int = {
     val f = fs(path)
     val prev = listVersions(path).lastOption
     val next = prev.getOrElse(0) + 1
@@ -408,9 +427,67 @@ object GraftSink {
       finally out.close()
     }
     put(manifestName(Some(next)))
-    put(MANIFEST)
+    branch match {
+      case Some(b) => writeRef(path, "branch", b, next)
+      case None => put(MANIFEST)
+    }
     next
   }
+
+  // --- named refs (tags = immutable, branches = movable pointers) -----
+
+  private def refName(kind: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"graftsink: ref name '$name' (allowed: letters, digits, _)")
+    s"_ref.$kind.$name"
+  }
+
+  def writeRef(path: String, kind: String, name: String, version: Int): Unit = {
+    val out = fs(path).create(new HPath(path, refName(kind, name)), true)
+    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readRef(path: String, kind: String, name: String): Option[Int] = {
+    val f = fs(path)
+    val p = new HPath(path, refName(kind, name))
+    if (!f.exists(p)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+      try Some(in.readLine().trim.toInt) finally in.close()
+    }
+  }
+
+  def dropRef(path: String, kind: String, name: String): Boolean =
+    fs(path).delete(new HPath(path, refName(kind, name)), false)
+
+  /** Resolve a ref NAME (branch first, then tag) to its pinned snapshot
+    * version; loud when neither exists. */
+  def resolveRef(path: String, name: String): Int =
+    readRef(path, "branch", name).orElse(readRef(path, "tag", name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftsink: no branch or tag '$name' at $path (refs: " +
+          s"${listRefs(path).map { case (k, n, v) => s"$k.$n->v$v" }.mkString(", ")})"))
+
+  /** All (kind, name, version) refs of the table. */
+  def listRefs(path: String): Seq[(String, String, Int)] = {
+    val f = fs(path)
+    val root = new HPath(path)
+    if (!f.exists(root)) return Nil
+    f.listStatus(root).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_ref.") =>
+        val parts = n.split("\\.", 3)
+        (parts(1), parts(2), readRef(path, parts(1), parts(2)).getOrElse(-1))
+      }.sortBy(r => (r._1, r._2))
+  }
+
+  /** Optional `ref` read option: pin the read to a named branch/tag. */
+  def refOf(properties: JMap[String, String]): Option[String] =
+    Option(properties.get("ref"))
+
+  /** Optional `toBranch` write option: stage commits on a branch. */
+  def branchOf(properties: JMap[String, String]): Option[String] =
+    Option(properties.get("toBranch"))
 
   /** Durable table properties (`_props`, one `k=v` per line) — written
     * by the catalog at CREATE TABLE; `write.mode=merge-on-read` routes
@@ -683,6 +760,11 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
     */
   override def build(): Write = {
     val clusterBy = Option(options.get("clusterBy"))
+    // `toBranch` stages the commit on a named branch: the snapshot
+    // joins the global version chain but only the branch pointer
+    // advances — main readers see nothing until publish_branch
+    // fast-forwards (write-audit-publish)
+    val branch = Option(options.get("toBranch"))
     val shards = Option(options.get("shards")).map { raw =>
       val n = try raw.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -709,6 +791,8 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
       require(clusterBy.isEmpty,
         "graftsink: clusterBy is not supported on a partitioned table " +
           "(the partition layout owns file routing)")
+      require(branch.isEmpty,
+        "graftsink: branch writes into a partitioned table are not supported yet")
       partCols.foreach(c => require(schema.fieldNames.contains(c),
         s"graftsink: partition column '$c' missing from the write schema " +
           s"(${schema.fieldNames.mkString(", ")})"))
@@ -731,6 +815,8 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
     }
     clusterBy match {
       case Some(colName) =>
+        require(branch.isEmpty,
+          "graftsink: 'toBranch' cannot combine with 'clusterBy'")
         require(schema.fieldNames.contains(colName),
           s"graftsink: clusterBy column '$colName' not in write schema " +
             s"(${schema.fieldNames.mkString(", ")})")
@@ -770,9 +856,14 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         new Write {
           override def toBatch: BatchWrite = {
             GraftSink.checkSchema(schema)
-            new GraftSinkBatchWrite(path, schema, queryId, doTruncate)
+            new GraftSinkBatchWrite(path, schema, queryId, doTruncate,
+              None, branch)
           }
-          override def toStreaming: StreamingWrite = streaming
+          override def toStreaming: StreamingWrite = {
+            require(branch.isEmpty,
+              "graftsink: streaming writes cannot target a branch")
+            streaming
+          }
         }
     }
   }
@@ -786,7 +877,8 @@ case class GraftSinkCommit(stagedFile: String, partitionId: Int, rows: Long,
   extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
-    truncate: Boolean, statsCol: Option[String] = None) extends BatchWrite {
+    truncate: Boolean, statsCol: Option[String] = None,
+    branch: Option[String] = None) extends BatchWrite {
 
   private val statsIdx = statsCol.map(schema.fieldIndex)
 
@@ -795,7 +887,11 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    val prior = GraftSink.readManifest(path)
+    // a branch write appends onto the BRANCH HEAD (first write forks
+    // from main); main's pointer is never consulted again until publish
+    val prior = branch.flatMap(b => GraftSink.readRef(path, "branch", b))
+      .map(v => GraftSink.readManifest(path, Some(v)))
+      .getOrElse(GraftSink.readManifest(path))
     if (!truncate) prior.foreach { m =>
       require(GraftSink.schemaCompatible(m.ddl, schema),
         s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
@@ -821,7 +917,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
                 else prior.map(_.files).getOrElse(Nil) ++ published
     val ddl = if (truncate) schema.toDDL
               else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    GraftSink.writeManifestTo(path, GraftSink.Manifest(ddl, files, ids), branch)
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
     //    a real table format GCs them by snapshot-expiry policy instead
@@ -1442,11 +1538,16 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     * statused once at planning), scaled by the column-pruning ratio —
     * what lets Catalyst auto-broadcast a small (or well-pruned) sink
     * side with no hint, exactly like graftseq's reported stats (q312).
-    * numRows stays absent: the manifest records no row counts, and a
-    * fabricated number would mislead the planner worse than none. */
+    * numRows is the EXACT post-pruning row count Σ(rows − |dv|) when
+    * every planned entry carries a `rows:` segment (every commit
+    * records one — the table-stats surface an ANALYZE would provide,
+    * served straight from the manifest); absent on pre-segment tables,
+    * where a fabricated number would mislead the planner worse than
+    * none. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val f = GraftSink.fs(path)
-    val raw = plannedLines.map { line =>
+    val lines = plannedLines
+    val raw = lines.map { line =>
       val p = new HPath(path, GraftSink.entryName(line))
       if (f.exists(p)) f.getFileStatus(p).getLen else 0L
     }.sum
@@ -1454,9 +1555,14 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
       if (full.fields.isEmpty) 1.0
       else math.max(1, required.fields.length).toDouble / full.fields.length
     val bytes = math.max(1L, (raw * ratio).toLong)
+    val rows: java.util.OptionalLong =
+      if (lines.nonEmpty && lines.forall(l => GraftSink.entryRows(l).isDefined))
+        java.util.OptionalLong.of(lines.map(l =>
+          GraftSink.entryRows(l).get - GraftSink.entryDeletes(l).length).sum)
+      else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 

@@ -308,6 +308,65 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // Branch/tag refs + write-audit-publish
+  // ------------------------------------------------------------------
+
+  test("branch writes stage invisibly; publish fast-forwards; tags are immutable and GC-protected") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.wap1")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").writeTo(s"$cat.ns.wap1").create() // v1+v2
+    val p = tablePath("wap1")
+    // stage two commits on the branch — main stays at v2 throughout
+    Seq((3L, "c")).toDF("k", "s")
+      .writeTo(s"$cat.ns.wap1").option("toBranch", "audit").append() // v3
+    Seq((4L, "d")).toDF("k", "s")
+      .writeTo(s"$cat.ns.wap1").option("toBranch", "audit").append() // v4 (on top of v3)
+    spark.table(s"$cat.ns.wap1").count() shouldBe 2
+    GraftSink.readRef(p, "branch", "audit") shouldBe Some(4)
+    // branch reads see the staged chain (path option AND SQL ref spelling)
+    spark.read.format("graftsink").option("path", p)
+      .option("ref", "audit").load().count() shouldBe 4
+    spark.sql(s"SELECT count(*) FROM $cat.ns.wap1 VERSION AS OF 'audit'")
+      .collect().head.getLong(0) shouldBe 4
+    // publish = pointer move; main now serves the branch head
+    spark.sql(s"CALL $cat.sys.publish_branch('ns.wap1', 'audit')")
+      .collect().head.getLong(0) shouldBe 4L
+    spark.table(s"$cat.ns.wap1").count() shouldBe 4
+    // tags: immutable, resolvable, protect their snapshot from expiry
+    spark.sql(s"CALL $cat.sys.create_tag('ns.wap1', 'approved', 2)").collect()
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.create_tag('ns.wap1', 'approved', 4)").collect()
+    }
+    spark.sql(s"SELECT count(*) FROM $cat.ns.wap1 VERSION AS OF 'approved'")
+      .collect().head.getLong(0) shouldBe 2
+    spark.sql(s"CALL $cat.sys.expire_snapshots('ns.wap1', 1)").collect()
+    // v2 survived the expiry because the tag pins it (v1/v3 dropped)
+    spark.sql(s"SELECT count(*) FROM $cat.ns.wap1 VERSION AS OF 'approved'")
+      .collect().head.getLong(0) shouldBe 2
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.wap1 VERSION AS OF 1").collect()
+    }
+    // drop_ref removes the name, not the snapshot
+    spark.sql(s"CALL $cat.sys.drop_ref('ns.wap1', 'approved')").collect()
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.wap1 VERSION AS OF 'approved'").collect()
+    }
+    spark.sql(s"SELECT count(*) FROM $cat.ns.wap1 VERSION AS OF 2")
+      .collect().head.getLong(0) shouldBe 2
+    // refusals: ref+version exclusive; toBranch + clusterBy
+    intercept[Exception] {
+      spark.read.format("graftsink").option("path", p)
+        .option("ref", "audit").option("version", "2").load().collect()
+    }
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("k", "s").write.format("graftsink")
+        .option("path", p).option("toBranch", "x").option("clusterBy", "k")
+        .mode("append").save()
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Corpus-scale HDBSCAN MST (q381)
   // ------------------------------------------------------------------
 
