@@ -1109,6 +1109,40 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // RUNTIME (dynamic) partition pruning on the sink
+    // (SupportsRuntimeV2Filtering — q313 is the graftseq range form;
+    // this is the partitioned-table form every star schema lives on):
+    // the fact table is partitioned by segment, the dim side carries
+    // the selective predicate, and Spark hands the dim's observed join
+    // keys to the fact SCAN as `c_mktsegment IN (...)` AFTER the
+    // broadcast side executes but BEFORE fact partitions are planned —
+    // only the dim's partitions' files are ever read, with no segment
+    // predicate anywhere in the query text. At 100 TB this is the
+    // difference between scanning 5 partitions and scanning the table.
+    // Round11Spec pins the mechanism (runtime allowed-sets received,
+    // planned-file count, exactness); the oracle replays the join from
+    // parquet — pruning must never change the result.
+    "q383_sink_runtime_prune" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.dpp383")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.dpp383")
+        .partitionedBy(col("c_mktsegment")).create()
+      val dim = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 40 === 7)
+        .select(col("c_mktsegment")).distinct()
+      s.table("graft.g.dpp383")
+        .join(dim, "c_mktsegment")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // WRITE-AUDIT-PUBLISH via branch/tag refs (Iceberg's WAP workflow —
     // the staging surface every production ingestion gate runs): a
     // `toBranch` write commits its snapshot into the SAME immutable
@@ -1325,6 +1359,17 @@ object Sources extends QueryPack {
         + "CAST(0 AS BIGINT) AS n_untagged_files "
         + "FROM base WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q383: the pruned star join must equal the plain join — DPP is an
+    // optimization, never a correctness transfer.
+    "q383_sink_runtime_prune" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "dim AS (SELECT DISTINCT c_mktsegment FROM customer WHERE c_custkey % 40 = 7) "
+        + "SELECT b.c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(b.bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(b.c_custkey) AS min_key "
+        + "FROM base b JOIN dim d USING (c_mktsegment) "
+        + "GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment"),
     // q382: the published table = ALL customers; the phase pins are
     // closed-form (evens before publish, full count staged + tagged).
     "q382_sink_wap" ->

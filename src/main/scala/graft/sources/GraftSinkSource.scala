@@ -713,7 +713,10 @@ class GraftSinkRowLevelOperation(path: String,
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path"))
-    new GraftSinkScanBuilder(path, schema, None)
+    // runtime group filtering OFF: the COW write replaces the WHOLE
+    // snapshot, so a group-narrowed rewrite scan would silently drop
+    // the unmatched partitions' files at commit
+    new GraftSinkScanBuilder(path, schema, None, runtimeFiltering = false)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1339,7 +1342,8 @@ class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
 // --------------------------------------------------------------------
 
 class GraftSinkScanBuilder(path: String, full: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    runtimeFiltering: Boolean = true)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1430,7 +1434,11 @@ class GraftSinkScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     if (countPushed) new GraftSinkCountScan(path, version)
-    else new GraftSinkScan(path, full, required, version, envelopes, partAllowed)
+    else {
+      val s = new GraftSinkScan(path, full, required, version, envelopes, partAllowed)
+      s.allowRuntimeFiltering = runtimeFiltering
+      s
+    }
 }
 
 /** Completely-pushed-down count(*) "scan": one partition, one row,
@@ -1485,12 +1493,61 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     envelopes: Map[String, (Long, Long)] = Map.empty,
     partAllowed: Map[String, Set[String]] = Map.empty)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   def this(path: String, full: StructType, required: StructType,
       version: Option[Int]) = this(path, full, required, version, Map.empty)
   def this(path: String, full: StructType, required: StructType) =
     this(path, full, required, None)
+
+  // --- runtime (dynamic) partition pruning -------------------------
+  // Spark's DPP hands over the join-key values observed on the
+  // broadcast side AFTER that side executed but BEFORE this scan's
+  // partitions are planned (BatchScanExec.filteredPartitions re-plans
+  // post-filter): `col IN (v...)` on a partition column intersects
+  // into the allowed-set the planner consults — at 100 TB a star join
+  // keyed on the partition column scans only the dimension's
+  // partitions, with no predicate in the query text. An optimization,
+  // never a correctness transfer (the join still filters rows).
+  private val partitionCols = GraftSink.partitionColsOf(path)
+  @volatile private var runtimeAllowed = Map.empty[String, Set[String]]
+
+  /** Row-level operations OPT OUT (set false): the COW write replaces
+    * the WHOLE snapshot, so a group-filtered rewrite scan (Spark's
+    * RowLevelOperationRuntimeGroupFiltering narrows the scan to
+    * matched groups when the scan is runtime-filterable) would commit
+    * only the matched partitions and silently DROP the rest — caught
+    * by q379's oracle the moment DPP landed. Plain reads keep it. */
+  private[sources] var allowRuntimeFiltering: Boolean = true
+
+  /** Post-execution spec hook: the runtime-received allowed-sets. */
+  def runtimeFilters: Map[String, Set[String]] = runtimeAllowed
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (allowRuntimeFiltering) partitionCols.map(Expressions.column).toArray
+    else Array.empty // empty ⇒ Spark never invokes filter()
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        p.children()(0) match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames().length == 1 &&
+                partitionCols.contains(nr.fieldNames()(0)) =>
+            val c = nr.fieldNames()(0)
+            val vals = p.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value() != null =>
+                GraftSink.encodePartValue(l.value())
+            }.toSet
+            runtimeAllowed += c -> runtimeAllowed.get(c).fold(vals)(_ intersect vals)
+          case _ => ()
+        }
+      }
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1519,14 +1576,17 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
         case None => true
       }
       // PARTITION PRUNING: a file whose part: tuple misses any pushed
-      // equality/IN allowed-set is never planned — exact (every row in
-      // the file shares the tuple), so this is the directory-grain
-      // prune; files without a tuple (unpartitioned history) survive
-      val partOk = partAllowed.isEmpty || (GraftSink.entryPart(line) match {
+      // (compile-time) or runtime-received (DPP) allowed-set is never
+      // planned — exact (every row in the file shares the tuple), so
+      // this is the directory-grain prune; files without a tuple
+      // (unpartitioned history) survive
+      val allowed = (partAllowed.toSeq ++ runtimeAllowed.toSeq)
+        .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) }
+      val partOk = allowed.isEmpty || (GraftSink.entryPart(line) match {
         case Some(body) =>
           val pairs = GraftSink.partPairs(body)
-          partAllowed.forall { case (c, allowed) =>
-            pairs.get(c).forall(allowed)
+          allowed.forall { case (c, set) =>
+            pairs.get(c).forall(set)
           }
         case None => true
       })

@@ -308,6 +308,63 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // Runtime (dynamic) partition pruning on the sink
+  // ------------------------------------------------------------------
+
+  test("DPP: the dim's join keys reach the partitioned sink scan and prune files at runtime") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dpp1")
+    // the fact must NOT be broadcastable itself (a broadcast build side
+    // degenerates the pruning filter to `true`): 20k rows ≈ 400 KB TSV,
+    // with the threshold pinned between dim and fact sizes below
+    spark.range(0, 20000)
+      .selectExpr("id AS k", "concat('g', id % 5) AS grp", "cast(id as double) AS v")
+      .writeTo(s"$cat.ns.dpp1").partitionedBy(col("grp")).create() // 5 partition files
+    // mechanism, unit-level: an IN predicate on the partition column
+    // intersects into the planning allowed-set
+    val scan0 = spark.table(s"$cat.ns.dpp1").queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if rel.scan.isInstanceOf[graft.sources.GraftSinkScan] =>
+        rel.scan.asInstanceOf[graft.sources.GraftSinkScan]
+    }.head
+    scan0.planInputPartitions().length shouldBe 5
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan0.filter(Array(new Predicate("IN", Array(
+      Expressions.column("grp"),
+      Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString("g1")),
+      Expressions.literal(org.apache.spark.unsafe.types.UTF8String.fromString("g3"))))))
+    scan0.planInputPartitions().length shouldBe 2
+    // end-to-end: a star join with a selective predicate on a
+    // file-backed dim side (DPP's trigger shape — LocalRelations don't
+    // qualify) delivers the keys to the fact scan with no predicate in
+    // the query text; the result equals the unpruned join
+    val dimDir = graft.ops.Stage.fresh("dpp11_dim").toString
+    Seq(("g2", 1), ("g4", 1), ("g0", 0), ("g1", 0))
+      .toDF("grp", "keep").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("keep") === 1).select(col("grp"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (100 * 1024).toString)
+    val (joined, r) = try {
+      val j = spark.table(s"$cat.ns.dpp1").join(dim, "grp")
+        .agg(count(lit(1)), sum(col("v")))
+      (j, j.collect().head)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    r.getLong(0) shouldBe 8000 // the g2+g4 slices of 20k rows
+    val scan = joined.queryExecution.optimizedPlan.collect {
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if rel.scan.isInstanceOf[graft.sources.GraftSinkScan] =>
+        rel.scan.asInstanceOf[graft.sources.GraftSinkScan]
+    }.head
+    withClue("runtime filter never reached the sink scan: ") {
+      scan.runtimeFilters.get("grp").map(_.size) shouldBe Some(2)
+    }
+    scan.planInputPartitions().length shouldBe 2
+  }
+
+  // ------------------------------------------------------------------
   // Branch/tag refs + write-audit-publish
   // ------------------------------------------------------------------
 
@@ -438,6 +495,12 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
     spark.sql(s"DELETE FROM $cat.ns.pt2 WHERE k = 1")
     val m = GraftSink.readManifest(tablePath("pt2")).get
     m.files.foreach(l => GraftSink.entryPart(l) should not be empty) // rewrite stayed tagged
+    // the UNMATCHED partition must survive the rewrite: the COW scan
+    // opts OUT of runtime group filtering (a group-narrowed rewrite +
+    // whole-snapshot commit would silently drop bucket 20's file —
+    // the exact regression q379's oracle caught when DPP landed)
+    spark.table(s"$cat.ns.pt2").count() shouldBe 2
+    m.files.flatMap(GraftSink.entryPart).sorted shouldBe Seq("bucket=10", "bucket=20")
     spark.table(s"$cat.ns.pt2").filter(col("bucket") === 10L)
       .select(col("k")).collect().map(_.getLong(0)) shouldBe Array(3L)
     plannedSinkFiles(spark.table(s"$cat.ns.pt2").filter(col("bucket") === 10L))
