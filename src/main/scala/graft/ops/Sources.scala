@@ -1109,6 +1109,63 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // STORAGE-PARTITIONED JOIN on the sink (q350 is the graftseq form;
+    // this is the table-format form — two tables PARTITIONED BY the
+    // same column join with ZERO exchange): `grouped=true` scans serve
+    // one InputPartition per partition TUPLE, each reporting its typed
+    // key (HasPartitionKey + KeyGroupedPartitioning), so under the V2
+    // bucketing confs EnsureRequirements plans the sort-merge join
+    // with no shuffle on EITHER side — at 100 TB, two co-partitioned
+    // fact tables join at file-read cost, the Iceberg/Hive-bucketing
+    // economics on the connector's own layout. The dim here is the
+    // per-segment stats table (1 row per partition) enriching every
+    // customer row; the merge hint forces the shuffle-join path SPJ
+    // exists to eliminate (a broadcast would hide it); confs are
+    // snapshot/restored and the result materializes while they hold
+    // (q350's discipline). Round11Spec pins zero exchanges in the
+    // finalized join subtree; oracle replays the enrichment closed-
+    // form from parquet.
+    "q384_sink_spj" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.spjf384")
+      s.sql("DROP TABLE IF EXISTS graft.g.spjd384")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.spjf384")
+        .partitionedBy(col("c_mktsegment")).create()
+      cust.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_seg"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double").as("seg_sum"))
+        .writeTo("graft.g.spjd384")
+        .partitionedBy(col("c_mktsegment")).create()
+      val wh = Stage.dir("graft_warehouse")
+      def grp(t: String) = s.read.format("graftsink")
+        .option("path", s"$wh/g/$t").option("grouped", "true").load()
+      val spjConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val saved = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        grp("spjf384").join(grp("spjd384").hint("merge"), "c_mktsegment")
+          .withColumn("above",
+            (col("bal") > col("seg_sum") / col("n_seg")).cast("long"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("above")).as("n_above"),
+            round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+          .orderBy(col("c_mktsegment"))
+          // materialize WHILE the SPJ confs hold (the exchange-free
+          // plan is fixed here)
+          .localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // ------------------------------------------------------------------
     // RUNTIME (dynamic) partition pruning on the sink
     // (SupportsRuntimeV2Filtering — q313 is the graftseq range form;
     // this is the partitioned-table form every star schema lives on):
@@ -1359,6 +1416,19 @@ object Sources extends QueryPack {
         + "CAST(0 AS BIGINT) AS n_untagged_files "
         + "FROM base WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q384: the co-partitioned enrichment replayed closed-form; the
+    // seg average division is the same IEEE double in both engines
+    // (exact DECIMAL sum cast to double, divided by the exact count).
+    "q384_sink_spj" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "seg AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_seg, "
+        + "CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS seg_sum FROM base GROUP BY 1) "
+        + "SELECT b.c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "CAST(sum(CASE WHEN b.bal > s.seg_sum / s.n_seg THEN 1 ELSE 0 END) AS BIGINT) AS n_above, "
+        + "round(CAST(sum(CAST(b.bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base b JOIN seg s USING (c_mktsegment) "
+        + "GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment"),
     // q383: the pruned star join must equal the plain join — DPP is an
     // optimization, never a correctness transfer.
     "q383_sink_runtime_prune" ->

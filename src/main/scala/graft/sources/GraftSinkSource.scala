@@ -179,6 +179,19 @@ object GraftSink {
       kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
 
+  /** Decode an encoded partition value back to its CATALYST value (the
+    * HasPartitionKey currency for storage-partitioned joins). */
+  def decodePartValue(dt: DataType, enc: String): Any =
+    if (enc == "\\N") null
+    else {
+      val raw = java.net.URLDecoder.decode(enc, "UTF-8")
+      dt match {
+        case LongType => raw.toLong
+        case IntegerType => raw.toInt
+        case _ => UTF8String.fromString(raw)
+      }
+    }
+
   /** The file's recorded FIELD-ID list (`cols:` segment): which stable
     * column ids its TSV ordinals hold, in order. Absent = positional
     * (ordinal j holds id j+1) — exact for any table that never renamed
@@ -653,7 +666,19 @@ class GraftSinkTable(path: String, declared: StructType,
     changes match {
       case Some((from, to)) =>
         new GraftSinkChangelogScanBuilder(path, schema(), from, to)
-      case None => new GraftSinkScanBuilder(path, schema(), version)
+      case None =>
+        // `grouped=true` (on a partitioned table) requests a KEY-GROUPED
+        // scan: one InputPartition per partition tuple, each reporting
+        // its key — the storage-partitioned-join surface (q384)
+        val grouped = options.getBoolean("grouped", false)
+        if (grouped) require(GraftSink.partitionColsOf(path).nonEmpty,
+          "graftsink: option 'grouped' requires a partitioned table")
+        new GraftSinkScanBuilder(path, schema(), version,
+          // grouped scans opt out of runtime filtering: a post-planning
+          // narrowing would change the reported partition-value list
+          // AFTER outputPartitioning was consulted (graftseq's keyed
+          // contract, ADVICE r9)
+          runtimeFiltering = !grouped, grouped = grouped)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1343,7 +1368,8 @@ class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
 
 class GraftSinkScanBuilder(path: String, full: StructType,
     version: Option[Int] = None,
-    runtimeFiltering: Boolean = true)
+    runtimeFiltering: Boolean = true,
+    grouped: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -1435,7 +1461,8 @@ class GraftSinkScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     if (countPushed) new GraftSinkCountScan(path, version)
     else {
-      val s = new GraftSinkScan(path, full, required, version, envelopes, partAllowed)
+      val s = new GraftSinkScan(path, full, required, version, envelopes,
+        partAllowed, grouped)
       s.allowRuntimeFiltering = runtimeFiltering
       s
     }
@@ -1491,10 +1518,12 @@ case class GraftSinkCountPartition(n: Long) extends InputPartition
 class GraftSinkScan(path: String, full: StructType, required: StructType,
     version: Option[Int] = None,
     envelopes: Map[String, (Long, Long)] = Map.empty,
-    partAllowed: Map[String, Set[String]] = Map.empty)
+    partAllowed: Map[String, Set[String]] = Map.empty,
+    grouped: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   def this(path: String, full: StructType, required: StructType,
       version: Option[Int]) = this(path, full, required, version, Map.empty)
@@ -1651,11 +1680,48 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     // table-schema position diverge from the file ordinal; `cols:`
     // entries carry each file's actual layout)
     val reqIds = requiredIds
-    plannedLines.map { line =>
+    val files = plannedLines.map { line =>
       val n = GraftSink.entryName(line)
-      GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line),
-        GraftSink.fileOrdinals(reqIds, GraftSink.entryCols(line)))
-    }.toArray
+      (GraftSinkFilePartition(s"$path/$n", n, GraftSink.entryDeletes(line),
+        GraftSink.fileOrdinals(reqIds, GraftSink.entryCols(line))),
+        GraftSink.entryPart(line))
+    }
+    if (!grouped) files.map(_._1: InputPartition).toArray
+    else {
+      // KEY-GROUPED: one InputPartition per partition TUPLE (all the
+      // tuple's files ride together), each reporting its typed key —
+      // what lets EnsureRequirements plan a co-partitioned join with
+      // ZERO exchange on this side (SPJ). Untagged files (pre-partition
+      // history) are illegal here: their rows have no key.
+      val partTypes = partitionCols
+        .map(c => full(full.fieldIndex(c)).dataType).toArray
+      files.groupBy(_._2.getOrElse(throw new IllegalStateException(
+          "graftsink: grouped scan over an untagged (pre-partitioning) file")))
+        .toSeq.sortBy(_._1)
+        .map { case (body, members) =>
+          val pairs = GraftSink.partPairs(body)
+          val key = partitionCols.zip(partTypes).map { case (c, dt) =>
+            GraftSink.decodePartValue(dt, pairs(c))
+          }.toArray
+          GraftSinkTuplePartition(members.map(_._1).toArray,
+            new GenericInternalRow(key)): InputPartition
+        }.toArray
+    }
+  }
+
+  /** SPJ surface: a grouped scan DECLARES its output value-grouped on
+    * the partition columns; a non-grouped (or empty) scan reports the
+    * key-less contract Spark assumes anyway. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (grouped) {
+      val n = planInputPartitions().length
+      if (n > 0)
+        return new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partitionCols.map(Expressions.identity).toArray, n)
+    }
+    new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      math.max(1, planInputPartitions().length))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1671,6 +1737,14 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
 case class GraftSinkFilePartition(file: String, name: String = "",
     deletes: Array[Long] = Array.empty,
     srcIdx: Array[Int] = Array.empty) extends InputPartition
+
+/** One partition TUPLE's files as a single key-reporting partition —
+  * the storage-partitioned-join unit. */
+case class GraftSinkTuplePartition(files: Array[GraftSinkFilePartition],
+    key: InternalRow) extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 // --------------------------------------------------------------------
 // CHANGELOG read path (incremental version-range scan + change stream)
@@ -1871,8 +1945,31 @@ class GraftSinkChangelogStream(path: String, types: Array[DataType],
 class GraftSinkReaderFactory(types: Array[DataType])
   extends PartitionReaderFactory {
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftSinkFilePartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case t: GraftSinkTuplePartition =>
+        // a tuple partition chains its member files through one reader
+        new PartitionReader[InternalRow] {
+          private var i = 0
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (i >= t.files.length) return false
+                cur = fileReader(t.files(i)); i += 1
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case f: GraftSinkFilePartition => fileReader(f)
+    }
+
+  private def fileReader(p: GraftSinkFilePartition): PartitionReader[InternalRow] = {
     val file = p.file
     val fileName = UTF8String.fromString(p.name)
     val srcIdx = p.srcIdx // per-file ordinals (field-id resolved at planning)

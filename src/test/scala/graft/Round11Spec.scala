@@ -365,6 +365,63 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // Storage-partitioned join on the sink (q384)
+  // ------------------------------------------------------------------
+
+  test("SPJ: two co-partitioned sink tables sort-merge join with ZERO exchange") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.spja")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.spjb")
+    Seq.tabulate(40)(i => (i.toLong, s"g${i % 4}", i * 1.0))
+      .toDF("k", "grp", "v").writeTo(s"$cat.ns.spja")
+      .partitionedBy(col("grp")).create()
+    Seq.tabulate(4)(i => (s"g$i", i * 100L))
+      .toDF("grp", "w").writeTo(s"$cat.ns.spjb")
+      .partitionedBy(col("grp")).create()
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def grp(t: String) = spark.read.format("graftsink")
+        .option("path", tablePath(t)).option("grouped", "true").load()
+      val a = grp("spja")
+      val j = a.join(grp("spjb").hint("merge"), "grp")
+        .agg(count(lit(1)), sum(col("v") + col("w")))
+      j.collect().head.toSeq shouldBe Seq(40L, 40 * 39 / 2 * 1.0 + 10 * (0 + 100 + 200 + 300))
+      val planStr = j.queryExecution.executedPlan.toString
+      planStr should include("SortMergeJoin")
+      withClue(s"SPJ should make the join exchange-free:\n$planStr\n") {
+        planStr should not include "Exchange hashpartitioning"
+      }
+      // the grouped scan reports key-grouped output: one partition per
+      // tuple, each carrying its typed key
+      val scans = a.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+      }
+      scans should not be empty
+      scans.head.outputPartitioning.toString.toLowerCase should include("keygroupedpartitioning")
+      scans.head.inputPartitions should have size 4
+      scans.head.inputPartitions.foreach(p =>
+        p.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey] shouldBe true)
+      // grouped + unpartitioned table / untagged files are refused
+      intercept[Exception] {
+        val up = freshSink("spj11c")
+        spark.range(0, 3).selectExpr("id AS k").write.format("graftsink")
+          .option("path", up).mode("overwrite").save()
+        spark.read.format("graftsink").option("path", up)
+          .option("grouped", "true").load().collect()
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Branch/tag refs + write-audit-publish
   // ------------------------------------------------------------------
 
