@@ -1109,6 +1109,50 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // METADATA TABLES (`t.files` / `t.snapshots` / `t.refs` — the
+    // Iceberg inspection surface): the catalog resolves a trailing
+    // `files`/`snapshots`/`refs` identifier part against the parent
+    // table and serves its MANIFEST metadata as a read-only relation
+    // (LocalScan — the manifest IS driver-side planning metadata), the
+    // audit queries an operator runs before compaction, expiry, or a
+    // publish: per-file original/live/DV row counts + layout segments,
+    // per-snapshot file/row totals + monotone commit stamps, and the
+    // named refs. History here: MOR create (v1+v2, 2 files) → DV
+    // delete (v3, no new files) → append (v4, 1 file) → tag. The
+    // readout folds all three metadata tables into one row of pinned
+    // counts — every value is closed-form from the change algebra, so
+    // the oracle recomputes it without touching a manifest.
+    "q385_sink_metadata_tables" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.meta385")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.repartition(2).writeTo("graft.g.meta385")
+        .tableProperty("write.mode", "merge-on-read").create()       // v1+v2: 2 files
+      s.sql("DELETE FROM graft.g.meta385 WHERE c_custkey % 6 = 1")   // v3: DVs only
+      cust.filter(col("c_custkey") % 9 === 0)
+        .withColumn("c_custkey", col("c_custkey") + lit(7000000L))
+        .coalesce(1).writeTo("graft.g.meta385").append()             // v4: 1 file
+      s.sql("CALL graft.sys.create_tag('g.meta385', 'approved', 4)").collect()
+      val files = s.table("graft.g.meta385.files")
+        .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("total_rows"),
+          sum(col("live_rows")).as("total_live"),
+          sum(col("dv_positions")).as("total_dv"))
+      val snaps = s.table("graft.g.meta385.snapshots")
+        .agg(count(lit(1)).as("n_snapshots"), max(col("version")).as("head_version"))
+      val head = s.table("graft.g.meta385.snapshots")
+        .orderBy(col("version").desc).limit(1)
+        .select(col("n_live_rows").as("live_at_head"),
+          col("n_files").as("files_at_head"))
+      val refs = s.table("graft.g.meta385.refs")
+        .select(col("kind").as("ref_kind"), col("name").as("ref_name"),
+          col("version").as("ref_version"))
+      files.crossJoin(broadcast(snaps)).crossJoin(broadcast(head))
+        .crossJoin(broadcast(refs))
+    }),
+
+    // ------------------------------------------------------------------
     // STORAGE-PARTITIONED JOIN on the sink (q350 is the graftseq form;
     // this is the table-format form — two tables PARTITIONED BY the
     // same column join with ZERO exchange): `grouped=true` scans serve
@@ -1416,6 +1460,18 @@ object Sources extends QueryPack {
         + "CAST(0 AS BIGINT) AS n_untagged_files "
         + "FROM base WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
         + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q385: every metadata-table value recomputed from the change
+    // algebra (2-file create + DV delete + 1-file append + tag).
+    "q385_sink_metadata_tables" ->
+      ("WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer), "
+        + "dels AS (SELECT CAST(count(*) AS BIGINT) AS d FROM customer WHERE c_custkey % 6 = 1), "
+        + "app AS (SELECT CAST(count(*) AS BIGINT) AS a FROM customer WHERE c_custkey % 9 = 0) "
+        + "SELECT CAST(3 AS BIGINT) AS n_files, n + a AS total_rows, "
+        + "n + a - d AS total_live, d AS total_dv, "
+        + "CAST(4 AS BIGINT) AS n_snapshots, CAST(4 AS BIGINT) AS head_version, "
+        + "n + a - d AS live_at_head, CAST(3 AS BIGINT) AS files_at_head, "
+        + "'tag' AS ref_kind, 'approved' AS ref_name, CAST(4 AS BIGINT) AS ref_version "
+        + "FROM agg, dels, app"),
     // q384: the co-partitioned enrichment replayed closed-form; the
     // seg average division is the same IEEE double in both engines
     // (exact DECIMAL sum cast to double, divided by the exact count).

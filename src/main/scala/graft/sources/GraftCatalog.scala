@@ -99,7 +99,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    if (!isTable(p)) {
+      // METADATA TABLES (`SELECT * FROM cat.ns.t.files` — the Iceberg
+      // inspection surface): when the identifier's LAST namespace part
+      // is itself a table, `files`/`snapshots`/`refs` serve that
+      // table's manifest metadata as a read-only relation.
+      if (ident.namespace().nonEmpty &&
+          GraftCatalog.METADATA_TABLES(ident.name())) {
+        val parent = nsPath(ident.namespace())
+        if (isTable(parent))
+          return new GraftCatalog.GraftMetadataTable(parent.toString, ident.name())
+      }
+      throw new NoSuchTableException(ident)
+    }
     new GraftSinkTable(p.toString, loadSchema(p, None), None)
   }
 
@@ -401,6 +413,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 object GraftCatalog {
   val FN_NS: Array[String] = Array("fns")
   val PROC_NS: Array[String] = Array("sys")
+  val METADATA_TABLES: Set[String] = Set("files", "snapshots", "refs")
 
   /** The maintenance procedures (each constructed against the owning
     * catalog so `procTablePath` resolves inside its warehouse):
@@ -605,6 +618,82 @@ object GraftCatalog {
       }
       java.util.List.of(scan).iterator()
     }
+  }
+
+  /** A read-only metadata relation over one table's manifests — the
+    * audit surface (`t.files` / `t.snapshots` / `t.refs`) an operator
+    * queries before compaction, expiry, or a publish. Served through a
+    * LocalScan: the manifest IS driver-side metadata (Iceberg's
+    * metadata tables are the same planning-time read), and every
+    * column is derived, never data. */
+  class GraftMetadataTable(path: String, kind: String)
+    extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+    import org.apache.spark.sql.connector.catalog.TableCapability
+
+    override def name(): String = s"graftsink($path).$kind"
+
+    override def schema(): StructType = kind match {
+      case "files" => new StructType()
+        .add("file", StringType).add("rows", LongType)
+        .add("live_rows", LongType).add("dv_positions", LongType)
+        .add("part", StringType).add("stats", StringType).add("cols", StringType)
+      case "snapshots" => new StructType()
+        .add("version", LongType).add("committed_at_ms", LongType)
+        .add("n_files", LongType).add("n_live_rows", LongType)
+        .add("ddl", StringType)
+      case _ => new StructType()
+        .add("kind", StringType).add("name", StringType).add("version", LongType)
+    }
+
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.Set.of(TableCapability.BATCH_READ)
+
+    private def utf(s: String): UTF8String = UTF8String.fromString(s)
+
+    private def rows(): Array[InternalRow] = kind match {
+      case "files" =>
+        val m = GraftSink.readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no table at $path"))
+        m.files.map { l =>
+          val r = GraftSink.entryRows(l)
+          val dv = GraftSink.entryDeletes(l).length.toLong
+          new GenericInternalRow(Array[Any](
+            utf(GraftSink.entryName(l)),
+            r.map(Long.box).orNull,
+            r.map(n => Long.box(n - dv)).orNull,
+            dv,
+            GraftSink.entryPart(l).map(utf).orNull,
+            GraftSink.entryStats(l)
+              .map { case (c, lo, hi) => utf(s"$c=$lo..$hi") }.orNull,
+            GraftSink.entryCols(l).map(cs => utf(cs.mkString(","))).orNull
+          )): InternalRow
+        }.toArray
+      case "snapshots" =>
+        GraftSink.listVersions(path).map { v =>
+          val m = GraftSink.readManifest(path, Some(v)).get
+          val live = if (m.files.forall(l => GraftSink.entryRows(l).isDefined))
+            Long.box(m.files.map(l =>
+              GraftSink.entryRows(l).get - GraftSink.entryDeletes(l).length).sum)
+          else null
+          new GenericInternalRow(Array[Any](
+            v.toLong, m.ts.map(Long.box).orNull,
+            m.files.size.toLong, live, utf(m.ddl))): InternalRow
+        }.toArray
+      case _ =>
+        GraftSink.listRefs(path).map { case (k, n, v) =>
+          new GenericInternalRow(Array[Any](utf(k), utf(n), v.toLong)): InternalRow
+        }.toArray
+    }
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+      new org.apache.spark.sql.connector.read.ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = schema()
+          override def rows(): Array[InternalRow] = GraftMetadataTable.this.rows()
+          override def description(): String = name()
+        }
+      }
   }
 
   object JaroWinklerBound extends ScalarFunction[java.lang.Double] {

@@ -365,6 +365,35 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // Metadata tables (q385)
+  // ------------------------------------------------------------------
+
+  test("metadata tables: files/snapshots/refs serve manifest state; name collisions resolve to real tables") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.mt1")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .coalesce(1).writeTo(s"$cat.ns.mt1").create() // v1+v2
+    val files = spark.table(s"$cat.ns.mt1.files").collect()
+    files.length shouldBe 1
+    files.head.getAs[Long]("rows") shouldBe 3L
+    files.head.getAs[Long]("live_rows") shouldBe 3L
+    files.head.getAs[Long]("dv_positions") shouldBe 0L
+    val snaps = spark.table(s"$cat.ns.mt1.snapshots")
+      .orderBy(col("version")).collect()
+    snaps.map(_.getAs[Long]("version")) shouldBe Array(1L, 2L)
+    snaps.map(_.getAs[Long]("n_files")) shouldBe Array(0L, 1L)
+    snaps.foreach(_.getAs[Long]("committed_at_ms") should be > 0L)
+    spark.table(s"$cat.ns.mt1.refs").count() shouldBe 0
+    // a REAL table named like a metadata table wins resolution
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.files")
+    Seq((9L, "x")).toDF("k", "s").writeTo(s"$cat.ns.files").create()
+    spark.table(s"$cat.ns.files").columns.toSeq shouldBe Seq("k", "s")
+    // and a missing parent still fails loudly
+    intercept[Exception] { spark.table(s"$cat.ns.nosuch.files").collect() }
+  }
+
+  // ------------------------------------------------------------------
   // Storage-partitioned join on the sink (q384)
   // ------------------------------------------------------------------
 
