@@ -1717,9 +1717,80 @@ object Science extends QueryPack {
         .select(col("rank"), col("doc_id"), round(col("sx").cast("double"), 6).as("score"))
         .orderBy(col("rank"))
     }),
+
+    // ------------------------------------------------------------------
+    // Maximum Mean Discrepancy (RBF kernel, unbiased estimator) — the
+    // kernel two-sample test that sees distribution differences the
+    // 1-D closed forms (q330 energy distance, q124 KS) can miss in
+    // higher moments. Samples = daily value sums per event_type (view
+    // vs click): the corpus contracts to ≤2·#days rows in ONE shuffle,
+    // so the m·n / m(m−1) kernel pair stage is day²-bounded — never a
+    // row-level pair join — and both sides broadcast. Bandwidth = the
+    // median-heuristic stand-in every large-scale MMD uses when a
+    // second pass is too dear: the pooled sample variance of the
+    // combined daily series, computed from EXACT decimal power sums.
+    // Each kernel term exp(−(vᵢ−vⱼ)²/2σ²) is quantized to
+    // DECIMAL(28,12) pre-sum (§4.3: associativity-proof), and
+    // MMD² = Sxx/m(m−1) + Syy/n(n−1) − 2·Sxy/mn from raw ratios.
+    "q386_mmd_rbf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click") && col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type").as("t"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .localCheckpoint() // consumed by σ², the counts, and the pair join
+      val sig = daily.agg(count(lit(1)).as("nn"),
+          sum(col("v").cast("decimal(28,2)")).as("sv"),
+          sum(expr("cast(v * v as decimal(38,6))")).as("sv2"))
+        .withColumn("sigma2", expr(
+          "(cast(sv2 as double) - cast(sv as double) * cast(sv as double) / nn) / (nn - 1)"))
+        .select("sigma2")
+      val cnt = daily.agg(
+        sum(when(col("t") === "view", 1L).otherwise(0L)).as("m"),
+        sum(when(col("t") === "click", 1L).otherwise(0L)).as("n"))
+      val b = daily.select(col("t").as("tb"), col("day").as("db"), col("v").as("vb"))
+      daily.join(broadcast(b), col("day") =!= col("db") || col("t") =!= col("tb"))
+        .crossJoin(broadcast(sig))
+        .withColumn("k", expr(
+          "cast(exp(-((v - vb) * (v - vb)) / (2.0d * sigma2)) as decimal(28,12))"))
+        .agg(max(col("sigma2")).as("sigma2"),
+          sum(when(col("t") === "view" && col("tb") === "view", col("k"))).as("sxx"),
+          sum(when(col("t") === "click" && col("tb") === "click", col("k"))).as("syy"),
+          sum(when(col("t") === "view" && col("tb") === "click", col("k"))).as("sxy"))
+        .crossJoin(broadcast(cnt))
+        .selectExpr("m", "n", "round(sigma2, 4) AS sigma2",
+          "round(cast(sxx as double) / (m * (m - 1)), 8) AS kxx",
+          "round(cast(syy as double) / (n * (n - 1)), 8) AS kyy",
+          "round(cast(sxy as double) / (m * n), 8) AS kxy",
+          ("round(cast(sxx as double) / (m * (m - 1)) + cast(syy as double) / (n * (n - 1)) "
+            + "- 2.0d * cast(sxy as double) / (m * n), 8) AS mmd2"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q386: same contraction, same quantized kernel terms, same raw
+    // ratios — the pair stage is the identical day-bounded self-join.
+    "q386_mmd_rbf" ->
+      ("WITH daily AS (SELECT date_trunc('day', ts) AS day, event_type AS t, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v "
+        + "FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL GROUP BY 1, 2), "
+        + "sig AS (SELECT (CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) "
+        + "- CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) * CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) / count(*)) "
+        + "/ (count(*) - 1) AS sigma2 FROM daily), "
+        + "cnt AS (SELECT CAST(sum(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS m, "
+        + "CAST(sum(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n FROM daily), "
+        + "pairs AS (SELECT a.t AS ta, b.t AS tb, "
+        + "CAST(exp(-((a.v - b.v) * (a.v - b.v)) / (2.0 * sigma2)) AS DECIMAL(28,12)) AS k "
+        + "FROM daily a CROSS JOIN daily b CROSS JOIN sig WHERE a.day <> b.day OR a.t <> b.t), "
+        + "agg AS (SELECT sum(CASE WHEN ta = 'view' AND tb = 'view' THEN k END) AS sxx, "
+        + "sum(CASE WHEN ta = 'click' AND tb = 'click' THEN k END) AS syy, "
+        + "sum(CASE WHEN ta = 'view' AND tb = 'click' THEN k END) AS sxy FROM pairs) "
+        + "SELECT m, n, round(sigma2, 4) AS sigma2, "
+        + "round(CAST(sxx AS DOUBLE) / (m * (m - 1)), 8) AS kxx, "
+        + "round(CAST(syy AS DOUBLE) / (n * (n - 1)), 8) AS kyy, "
+        + "round(CAST(sxy AS DOUBLE) / (m * n), 8) AS kxy, "
+        + "round(CAST(sxx AS DOUBLE) / (m * (m - 1)) + CAST(syy AS DOUBLE) / (n * (n - 1)) "
+        + "- 2.0 * CAST(sxy AS DOUBLE) / (m * n), 8) AS mmd2 "
+        + "FROM agg CROSS JOIN cnt CROSS JOIN sig"),
     "q366_bm25f" ->
       ("WITH arr AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents), "
         + "ft AS (SELECT doc_id, fld, tok FROM ("

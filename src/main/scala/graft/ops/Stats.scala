@@ -1105,6 +1105,47 @@ object Stats extends QueryPack {
           "round(1.0 - (ssqd / n) * (ssqd / n) / mu, 6) AS atkinson_05",
           "round(cast(hq as double) / (2.0 * n * mu), 6) AS hoover")
     }),
+
+    // ------------------------------------------------------------------
+    // Yule–Walker AR(2) fit + one-step forecast on the daily value
+    // series — the classical autoregressive companion to q23's ACF and
+    // q332's ADF: φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) from
+    // the lag-1/lag-2 autocovariances, v̂_{T+1} = μ + φ₁(v_T−μ) +
+    // φ₂(v_{T−1}−μ). The corpus contracts to ≤#days rows in one
+    // shuffle; the lag window is BOUNDED by that contraction (q87's
+    // allowlisted idiom) and every covariance term is quantized to
+    // DECIMAL(38,6) pre-sum, so the ACF vector is order-exact; the
+    // last-two-values probe is a sort+limit(1), a 1-row broadcast.
+    "q387_yule_walker" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(col("value").isNotNull) // an all-null day must not emit a NULL v
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+        .localCheckpoint() // consumed by μ, the lag pass, and the tail probe
+      val mean = daily.agg(count(lit(1)).as("n_days"),
+          sum(col("v").cast("decimal(28,2)")).as("sv"))
+        .withColumn("mu", expr("cast(sv as double) / n_days"))
+        .select("n_days", "mu")
+      val w = Window.orderBy(col("day")) // bounded: ≤ #days rows post-contraction
+      val lagged = daily
+        .withColumn("v1", lag(col("v"), 1).over(w))
+        .withColumn("v2", lag(col("v"), 2).over(w))
+      val acf = lagged.crossJoin(broadcast(mean)).agg(
+        sum(expr("cast((v - mu) * (v - mu) as decimal(38,6))")).as("c0"),
+        sum(expr("cast((v - mu) * (v1 - mu) as decimal(38,6))")).as("c1"),
+        sum(expr("cast((v - mu) * (v2 - mu) as decimal(38,6))")).as("c2"))
+      val tail2 = lagged.orderBy(col("day").desc).limit(1)
+        .select(col("v").as("vT"), col("v1").as("vT1"))
+      acf.crossJoin(broadcast(mean)).crossJoin(broadcast(tail2))
+        .withColumn("r1", expr("cast(c1 as double) / cast(c0 as double)"))
+        .withColumn("r2", expr("cast(c2 as double) / cast(c0 as double)"))
+        .withColumn("phi1", expr("r1 * (1.0d - r2) / (1.0d - r1 * r1)"))
+        .withColumn("phi2", expr("(r2 - r1 * r1) / (1.0d - r1 * r1)"))
+        .selectExpr("n_days", "round(mu, 4) AS mean_v",
+          "round(r1, 6) AS r1", "round(r2, 6) AS r2",
+          "round(phi1, 6) AS phi1", "round(phi2, 6) AS phi2",
+          "round(mu + phi1 * (vT - mu) + phi2 * (vT1 - mu), 4) AS forecast")
+    }),
   )
 
   /** q63's raw GK estimates (l_returnflag, p25..p90, n) — the frame
@@ -1126,6 +1167,28 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    // q387: identical contraction + quantized covariance terms; the
+    // oracle's lag window runs over the same ≤#days frame.
+    "q387_yule_walker" ->
+      ("WITH daily AS (SELECT date_trunc('day', ts) AS day, "
+        + "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM events "
+        + "WHERE value IS NOT NULL GROUP BY 1), "
+        + "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, "
+        + "CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS mu FROM daily), "
+        + "lagged AS (SELECT day, v, lag(v, 1) OVER (ORDER BY day) AS v1, "
+        + "lag(v, 2) OVER (ORDER BY day) AS v2 FROM daily), "
+        + "acf AS (SELECT sum(CAST((v - mu) * (v - mu) AS DECIMAL(38,6))) AS c0, "
+        + "sum(CAST((v - mu) * (v1 - mu) AS DECIMAL(38,6))) AS c1, "
+        + "sum(CAST((v - mu) * (v2 - mu) AS DECIMAL(38,6))) AS c2 FROM lagged CROSS JOIN m), "
+        + "tail2 AS (SELECT v AS vT, v1 AS vT1 FROM lagged ORDER BY day DESC LIMIT 1), "
+        + "r AS (SELECT CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1, "
+        + "CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2 FROM acf), "
+        + "p AS (SELECT r1, r2, r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1, "
+        + "(r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2 FROM r) "
+        + "SELECT n_days, round(mu, 4) AS mean_v, round(r1, 6) AS r1, round(r2, 6) AS r2, "
+        + "round(phi1, 6) AS phi1, round(phi2, 6) AS phi2, "
+        + "round(mu + phi1 * (vT - mu) + phi2 * (vT1 - mu), 4) AS forecast "
+        + "FROM p CROSS JOIN m CROSS JOIN tail2"),
     "q332_adf_test" ->
       ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1), "
         + "lagged AS (SELECT y, lag(y) OVER (ORDER BY day) AS y1 FROM daily), "

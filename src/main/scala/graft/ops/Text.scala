@@ -1235,9 +1235,73 @@ object Text extends QueryPack {
           "min_jw", "max_jw")
         .orderBy(col("p_brand"))
     }),
+
+    // ------------------------------------------------------------------
+    // Readability scoring (Flesch reading-ease + Flesch–Kincaid grade)
+    // — the curation signal quality pipelines gate on alongside q52's
+    // ratio score: words / sentences / vowel-group syllables counted
+    // per document by pure regexp COLLAPSE-THEN-COUNT (each token run
+    // collapses to one marker char outside the residual alphabet, then
+    // everything else strips — exact integer counts, no tokenizer UDF,
+    // fully codegen'd). One narrow projection over documents, one
+    // group-by-lang shuffle of per-doc rows; per-doc scores quantized
+    // to DECIMAL(28,6) pre-sum (§4.3). This corpus is unpunctuated
+    // (synthetic token streams) so sentences degenerates to 1/doc —
+    // the formula's plumbing is what the key certifies; the oracle
+    // recomputes every count with the same regexes in RE2.
+    "q388_readability" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("t", regexp_replace(lower(col("text")), "[^a-z ]", " "))
+        .withColumn("words", length(regexp_replace(
+          regexp_replace(col("t"), "[a-z]+", "W"), "[^W]", "")).cast("long"))
+        .withColumn("syllables", length(regexp_replace(
+          regexp_replace(col("t"), "[aeiouy]+", "V"), "[^V]", "")).cast("long"))
+        .withColumn("sentences", greatest(lit(1L), length(regexp_replace(
+          regexp_replace(regexp_replace(col("text"), "[^.!?]+", "x"), "[.!?]+", "S"),
+          "[^S]", "")).cast("long")))
+        .filter(col("words") >= 1)
+        .withColumn("ease", expr(
+          "206.835d - 1.015d * (cast(words as double) / sentences) "
+            + "- 84.6d * (cast(syllables as double) / words)"))
+        .withColumn("grade", expr(
+          "0.39d * (cast(words as double) / sentences) "
+            + "+ 11.8d * (cast(syllables as double) / words) - 15.59d"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("words")).as("n_words"),
+          sum(col("syllables")).as("n_syllables"),
+          sum(expr("cast(ease as decimal(28,6))")).as("se"),
+          sum(expr("cast(grade as decimal(28,6))")).as("sg"))
+        .selectExpr("lang", "n_docs", "n_words", "n_syllables",
+          "round(cast(se as double) / n_docs, 4) AS mean_ease",
+          "round(cast(sg as double) / n_docs, 4) AS mean_grade")
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q388: identical collapse-then-count regexes (RE2 needs the 'g'
+    // flag Spark applies implicitly); same pre-sum quantization.
+    "q388_readability" ->
+      ("WITH scored AS (SELECT lang, "
+        + "length(regexp_replace(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), "
+        + "'[a-z]+', 'W', 'g'), '[^W]', '', 'g')) AS words, "
+        + "length(regexp_replace(regexp_replace(regexp_replace(lower(text), '[^a-z ]', ' ', 'g'), "
+        + "'[aeiouy]+', 'V', 'g'), '[^V]', '', 'g')) AS syllables, "
+        + "greatest(1, length(regexp_replace(regexp_replace(regexp_replace(text, '[^.!?]+', 'x', 'g'), "
+        + "'[.!?]+', 'S', 'g'), '[^S]', '', 'g'))) AS sentences "
+        + "FROM documents), "
+        + "f AS (SELECT lang, words, syllables, sentences, "
+        + "206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) "
+        + "- 84.6 * (CAST(syllables AS DOUBLE) / words) AS ease, "
+        + "0.39 * (CAST(words AS DOUBLE) / sentences) "
+        + "+ 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59 AS grade "
+        + "FROM scored WHERE words >= 1) "
+        + "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        + "CAST(sum(words) AS BIGINT) AS n_words, CAST(sum(syllables) AS BIGINT) AS n_syllables, "
+        + "round(CAST(sum(CAST(ease AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS mean_ease, "
+        + "round(CAST(sum(CAST(grade AS DECIMAL(28,6))) AS DOUBLE) / count(*), 4) AS mean_grade "
+        + "FROM f GROUP BY lang ORDER BY lang"),
     // q280: segments grouped by TEXT here vs 60-bit md5 keys in Spark —
     // identical df counts unless the hash collides (~#segs²/2⁶¹).
     "q280_line_dedup" ->

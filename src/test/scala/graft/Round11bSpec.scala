@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Scalar recomputes for the round-11 second-widening keys
+  * (q386 MMD, q387 Yule–Walker, q388 readability).
+  */
+class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def q2(x: Double): Double =
+    BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The daily (type, sum-of-2dp-values) contraction both q386 and the
+    * spec recompute from raw events — 2dp rounding applied per value
+    * exactly like CAST(value AS DECIMAL(18,2)).
+    */
+  private def dailySums(types: Set[String]): Map[(String, String), Double] =
+    Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type").as("t"), col("value"))
+      .collect()
+      .filter(r => types.isEmpty || types(r.getString(1)))
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(rs => rs.map(r => BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .toMap
+
+  test("q386 MMD² matches a scalar recompute of the RBF kernel sums") {
+    val daily = dailySums(Set("view", "click"))
+    val xs = daily.collect { case ((_, "view"), v) => v }.toSeq
+    val ys = daily.collect { case ((_, "click"), v) => v }.toSeq
+    val all = xs ++ ys
+    val nn = all.size
+    val sv = all.map(BigDecimal(_)).sum.toDouble
+    val sv2 = all.map(v => BigDecimal(v * v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val sigma2 = (sv2 - sv * sv / nn) / (nn - 1)
+    def q12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def kern(a: Double, b: Double) = q12(math.exp(-((a - b) * (a - b)) / (2.0 * sigma2)))
+    val sxx = (for (i <- xs.indices; j <- xs.indices if i != j) yield kern(xs(i), xs(j))).sum
+    val syy = (for (i <- ys.indices; j <- ys.indices if i != j) yield kern(ys(i), ys(j))).sum
+    val sxy = (for (x <- xs; y <- ys) yield kern(x, y)).sum
+    val m = xs.size.toDouble
+    val n = ys.size.toDouble
+    val mmd2 = sxx.toDouble / (m * (m - 1)) + syy.toDouble / (n * (n - 1)) -
+      2.0 * sxy.toDouble / (m * n)
+
+    val row = SparkEntry.queries("q386_mmd_rbf")(spark, sf).collect().head
+    row.getAs[Long]("m") shouldBe xs.size.toLong
+    row.getAs[Long]("n") shouldBe ys.size.toLong
+    row.getAs[Double]("sigma2") shouldBe sigma2 +- 1e-3
+    row.getAs[Double]("kxx") shouldBe sxx.toDouble / (m * (m - 1)) +- 1e-7
+    row.getAs[Double]("kyy") shouldBe syy.toDouble / (n * (n - 1)) +- 1e-7
+    row.getAs[Double]("kxy") shouldBe sxy.toDouble / (m * n) +- 1e-7
+    row.getAs[Double]("mmd2") shouldBe mmd2 +- 1e-7
+    // kernel sanity: each normalized kernel mean sits in (0, 1]
+    Seq("kxx", "kyy", "kxy").foreach { c =>
+      row.getAs[Double](c) should be > 0.0
+      row.getAs[Double](c) should be <= 1.0
+    }
+  }
+
+  test("q387 Yule–Walker AR(2) matches the closed form over the daily series") {
+    val daily = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(rs => rs.map(r => BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .toSeq.sortBy(_._1).map(_._2)
+    val n = daily.size
+    val mu = daily.map(BigDecimal(_)).sum.toDouble / n
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def cov(k: Int): Double =
+      (k until n).map(t => q6((daily(t) - mu) * (daily(t - k) - mu))).sum.toDouble
+    val (c0, c1, c2) = (cov(0), cov(1), cov(2))
+    val r1 = c1 / c0
+    val r2 = c2 / c0
+    val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val forecast = mu + phi1 * (daily(n - 1) - mu) + phi2 * (daily(n - 2) - mu)
+
+    val row = SparkEntry.queries("q387_yule_walker")(spark, sf).collect().head
+    row.getAs[Long]("n_days") shouldBe n.toLong
+    row.getAs[Double]("mean_v") shouldBe mu +- 1e-3
+    row.getAs[Double]("r1") shouldBe r1 +- 1e-5
+    row.getAs[Double]("r2") shouldBe r2 +- 1e-5
+    row.getAs[Double]("phi1") shouldBe phi1 +- 1e-5
+    row.getAs[Double]("phi2") shouldBe phi2 +- 1e-5
+    row.getAs[Double]("forecast") shouldBe forecast +- 1e-2
+    // stationarity sanity on a mixing daily series: |r1| < 1, AR(2)
+    // coefficients inside the stationary triangle
+    math.abs(row.getAs[Double]("r1")) should be < 1.0
+    (row.getAs[Double]("phi2") + row.getAs[Double]("phi1")) should be < 1.0
+    (row.getAs[Double]("phi2") - row.getAs[Double]("phi1")) should be < 1.0
+  }
+
+  test("q388 readability matches per-document regex counts recomputed in Scala") {
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def countGroups(s: String, pat: String): Long =
+      pat.r.findAllIn(s).size.toLong
+    case class D(lang: String, words: Long, syl: Long, sent: Long)
+    val per = docs.map { case (lang, text) =>
+      val t = text.toLowerCase.replaceAll("[^a-z ]", " ")
+      D(lang, countGroups(t, "[a-z]+"), countGroups(t, "[aeiouy]+"),
+        math.max(1L, countGroups(text, "[.!?]+")))
+    }.filter(_.words >= 1)
+    def q6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val exp = per.groupBy(_.lang).map { case (lang, ds) =>
+      val ease = ds.map(d => q6(206.835 - 1.015 * (d.words.toDouble / d.sent)
+        - 84.6 * (d.syl.toDouble / d.words))).sum.toDouble / ds.size
+      val grade = ds.map(d => q6(0.39 * (d.words.toDouble / d.sent)
+        + 11.8 * (d.syl.toDouble / d.words) - 15.59)).sum.toDouble / ds.size
+      lang -> (ds.size.toLong, ds.map(_.words).sum, ds.map(_.syl).sum, ease, grade)
+    }
+    val rows = SparkEntry.queries("q388_readability")(spark, sf).collect()
+    rows.length shouldBe exp.size
+    rows.foreach { r =>
+      val (nd, w, syl, ease, grade) = exp(r.getAs[String]("lang"))
+      r.getAs[Long]("n_docs") shouldBe nd
+      r.getAs[Long]("n_words") shouldBe w
+      r.getAs[Long]("n_syllables") shouldBe syl
+      r.getAs[Double]("mean_ease") shouldBe ease +- 1e-3
+      r.getAs[Double]("mean_grade") shouldBe grade +- 1e-3
+      // unpunctuated corpus: the degenerate sentence count is exactly
+      // the documented behavior, not an accident
+      per.filter(_.lang == r.getAs[String]("lang")).forall(_.sent == 1L) shouldBe true
+    }
+  }
+}
