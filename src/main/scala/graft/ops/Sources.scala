@@ -1153,6 +1153,156 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // ANALYZE on the sink (`CALL graft.sys.analyze_table` — the
+    // Iceberg/Delta ANALYZE TABLE surface): ONE real Spark job computes
+    // per-column NDV + null-count over the CURRENT snapshot (DV-aware,
+    // since it reads the connector), stamps them with that snapshot
+    // into `_colstats`, and from then on GraftSinkScan serves them via
+    // Statistics.columnStats() — the CBO's join-selectivity and
+    // broadcast-decision feed. Freshness is structural: stats carry
+    // the snapshot they describe, the scan serves them only while that
+    // snapshot is current, and the `t.column_stats` metadata table
+    // exposes both the values and the staleness bit. NDV is the exact
+    // count(distinct) — deterministic and oracle-replayable (at 100 TB
+    // the same readout feeds from the repo's mergeable sketches, q13/
+    // q245). Round11cSpec pins the scan-served columnStats, the
+    // stale-after-append refusal, and the pruned-scan refusal; the
+    // oracle recomputes every NDV/null pair straight from parquet.
+    "q389_sink_analyze" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.an389")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"),
+          expr("CASE WHEN c_custkey % 4 = 0 THEN NULL "
+            + "ELSE concat('T', cast(c_custkey % 3 as string)) END").as("tier"))
+        .writeTo("graft.g.an389").create()                           // v1+v2
+      val audit = s.sql("CALL graft.sys.analyze_table('g.an389')")
+        .select(col("analyzed_version"), col("n_cols"), col("n_rows"))
+      s.table("graft.g.an389.column_stats")
+        .select(col("col_name"), col("ndv"), col("nulls"), col("stale"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("col_name"))
+    }),
+
+    // ------------------------------------------------------------------
+    // ATOMIC CTAS / RTAS (StagingTableCatalog — the all-or-nothing half
+    // of the DDL surface): CTAS writes v1+v2 into a HIDDEN stage dir
+    // and publishes by ONE directory rename (a failed CTAS leaves no
+    // table at all, not a half-written one); `REPLACE TABLE ... AS
+    // SELECT` stages the same way but commits into the table's
+    // EXISTING version chain as one truncate snapshot — old snapshots
+    // stay time-travelable (Iceberg RTAS semantics), and an aborted
+    // RTAS never flickers the live table. The readout proves the chain:
+    // the pre-replace snapshot read back via VERSION AS OF alongside
+    // the post-replace content and the snapshot count (v1 empty + v2
+    // rows + v3 RTAS). Round11cSpec pins the failure paths (a CTAS/
+    // RTAS whose SELECT throws leaves no table / the old content) and
+    // the stage-dir invisibility; oracle replays both snapshots.
+    "q390_ctas_atomic" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.rtas390")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.rtas390").create()                        // v1+v2 (staged)
+      Tables.customer(s, dir).createOrReplaceTempView("cust390")
+      s.sql("""REPLACE TABLE graft.g.rtas390 AS
+        SELECT c_mktsegment, count(*) AS n_cust,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+        FROM cust390 GROUP BY c_mktsegment""")                      // v3 (staged RTAS)
+      val before = s.read.format("graftsink")
+        .option("path", s"${Stage.dir("graft_warehouse")}/g/rtas390")
+        .option("version", "2").load()
+        .agg(count(lit(1)).as("rows_v2"), min(col("c_custkey")).as("min_key_v2"))
+      val snaps = s.table("graft.g.rtas390.snapshots")
+        .agg(count(lit(1)).as("n_snapshots"), max(col("version")).as("head_version"))
+      s.table("graft.g.rtas390")
+        .orderBy(col("c_mktsegment"))
+        .crossJoin(broadcast(before)).crossJoin(broadcast(snaps))
+    }),
+
+    // ------------------------------------------------------------------
+    // BUCKET partition transform on the sink (`PARTITIONED BY
+    // (bucket(8, user_id))` — the Iceberg/Hive hash layout q379's
+    // identity transforms stop short of): files are routed and tagged
+    // by the PORTABLE md5 bucket of the column (the repo's md5_mod
+    // chain — replayable in DuckDB, so bucket placement is verifiable
+    // outside the engine), and a pushed equality/IN on the column
+    // hashes its values and plans ONLY the matching buckets' files —
+    // point lookups on a 100 TB fact touch 1/n of the files with no
+    // value-grain directory explosion (the identity-transform
+    // trade-off bucket() exists to beat for high-NDV keys). The
+    // readout joins the DATA rollup per computed bucket (via the
+    // catalog's md5_mod function — the same kernel) against the
+    // MANIFEST's per-bucket file tags: equal row counts certify every
+    // file tag matches the hash of every row inside it. Round11cSpec
+    // pins planned-file counts under =/IN/none and the DPP mapping;
+    // oracle replays buckets via DuckDB's own md5 chain.
+    "q391_sink_bucket" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.bkt391")
+      s.sql("""CREATE TABLE graft.g.bkt391
+        (user_id BIGINT, n_events BIGINT, sum_val DOUBLE)
+        PARTITIONED BY (bucket(8, user_id))""")
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .writeTo("graft.g.bkt391").append()
+      val data = s.table("graft.g.bkt391")
+        .withColumn("bucket", expr("graft.fns.md5_mod(cast(user_id as string), 8)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"),
+          round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"))
+      val manifest = s.table("graft.g.bkt391.files")
+        .select(expr("cast(split(part, '=')[1] as bigint)").as("bucket"),
+          col("live_rows"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("live_rows")).as("n_users_manifest"))
+      data.join(broadcast(manifest), Seq("bucket"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
+    // ORPHAN-FILE cleanup (`CALL graft.sys.remove_orphans` — Iceberg's
+    // remove_orphan_files): a data file is LIVE iff some snapshot's
+    // manifest names it; everything else in the table root (aborted
+    // tasks' leftovers, crashed-commit strays) plus the whole _staging
+    // tree is unreachable garbage — manifest-last publishing GUARANTEES
+    // an orphan can never be served, so deleting it is pure space
+    // reclamation, complementing expire_snapshots (which GCs by
+    // DE-referencing; this GCs the never-referenced). The query plants
+    // one fake orphan + one staging stray next to a live table, sweeps,
+    // and pins (1, 1) removed with the table content byte-identical
+    // after; oracle replays the content and the literal counts.
+    "q392_remove_orphans" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.orph392")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.orph392").create()
+      val tbl = s"${Stage.dir("graft_warehouse")}/g/orph392"
+      val f = graft.sources.GraftSink.fs(tbl)
+      def plant(rel: String): Unit = {
+        val out = f.create(new org.apache.hadoop.fs.Path(tbl, rel), true)
+        try out.write("stray\n".getBytes("UTF-8")) finally out.close()
+      }
+      plant("crashed-task-leftover.tsv")
+      plant("_staging/dead-query/part-0-0.tsv")
+      val audit = s.sql("CALL graft.sys.remove_orphans('g.orph392')")
+        .select(col("orphans_removed"), col("staging_removed"))
+      s.table("graft.g.orph392")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // STORAGE-PARTITIONED JOIN on the sink (q350 is the graftseq form;
     // this is the table-format form — two tables PARTITIONED BY the
     // same column join with ZERO exchange): `grouped=true` scans serve
@@ -1340,6 +1490,57 @@ object Sources extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    // q389: every NDV/null pair recomputed per column from parquet;
+    // CTAS = v1 empty + v2 data, so analyzed_version pins at 2 and the
+    // freshly-analyzed stats are not stale.
+    "q389_sink_analyze" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal, "
+        + "CASE WHEN c_custkey % 4 = 0 THEN NULL "
+        + "ELSE 'T' || CAST(c_custkey % 3 AS VARCHAR) END AS tier FROM customer), "
+        + "a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base), "
+        + "s AS ("
+        + "SELECT 'bal' AS col_name, CAST(count(DISTINCT bal) AS BIGINT) AS ndv, "
+        + "CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls FROM base "
+        + "UNION ALL SELECT 'c_custkey', CAST(count(DISTINCT c_custkey) AS BIGINT), "
+        + "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM base "
+        + "UNION ALL SELECT 'c_mktsegment', CAST(count(DISTINCT c_mktsegment) AS BIGINT), "
+        + "CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM base "
+        + "UNION ALL SELECT 'tier', CAST(count(DISTINCT tier) AS BIGINT), "
+        + "CAST(sum(CASE WHEN tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM base) "
+        + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(2 AS BIGINT) AS analyzed_version, "
+        + "CAST(4 AS BIGINT) AS n_cols, n_rows FROM s CROSS JOIN a ORDER BY col_name"),
+    // q390: v2 = full customer rows; v3 = the RTAS rollup; 3 snapshots.
+    "q390_ctas_atomic" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "v2 AS (SELECT CAST(count(*) AS BIGINT) AS rows_v2, min(c_custkey) AS min_key_v2 FROM base) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "rows_v2, min_key_v2, CAST(3 AS BIGINT) AS n_snapshots, CAST(3 AS BIGINT) AS head_version "
+        + "FROM base CROSS JOIN v2 GROUP BY c_mktsegment, rows_v2, min_key_v2 "
+        + "ORDER BY c_mktsegment"),
+    // q391: buckets replayed via DuckDB's own md5 chain (q363's
+    // convention); n_users_manifest ≡ n_users because every file tag
+    // must match the hash of every row it holds.
+    "q391_sink_bucket" ->
+      ("WITH peruser AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + "CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_val "
+        + "FROM events GROUP BY user_id), "
+        + "b AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS bucket, "
+        + "n_events, sum_val FROM peruser) "
+        + "SELECT bucket, CAST(count(*) AS BIGINT) AS n_users, "
+        + "CAST(sum(n_events) AS BIGINT) AS n_events, "
+        + "round(CAST(sum(CAST(sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
+        + "CAST(count(*) AS BIGINT) AS n_users_manifest "
+        + "FROM b GROUP BY bucket ORDER BY bucket"),
+    // q392: the sweep removes exactly the two planted strays and the
+    // table content replays unchanged from parquet.
+    "q392_remove_orphans" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "CAST(1 AS BIGINT) AS orphans_removed, CAST(1 AS BIGINT) AS staging_removed "
+        + "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     // q359: post-delete content = the negated predicate over parquet.
     "q359_dsv2_delete" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "

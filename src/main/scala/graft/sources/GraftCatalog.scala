@@ -50,7 +50,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * escape the warehouse root via `..` or separators.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-  with ProcedureCatalog {
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -90,7 +91,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = nsPath(namespace)
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
     fs.listStatus(dir).collect {
-      case st if st.isDirectory && isTable(st.getPath) =>
+      // dot-prefixed dirs are in-flight CTAS/RTAS stages, never tables
+      case st if st.isDirectory && !st.getPath.getName.startsWith(".") &&
+          isTable(st.getPath) =>
         Identifier.of(namespace, st.getPath.getName)
     }
   }
@@ -154,47 +157,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .getOrElse(throw new IllegalArgumentException(
         s"graft catalog: no committed snapshot at $p"))
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: JMap[String, String]): Table = {
-    // IDENTITY partition transforms only (`PARTITIONED BY (col)` /
-    // `.partitionedBy(col(...))`): every data file then belongs to ONE
-    // partition tuple, recorded as its manifest `part:` segment — the
-    // directory-grain pruning index. Bucket/time transforms are
-    // refused loudly (the clusterBy write option covers hash layouts).
-    val partCols = partitions.toSeq.map { t =>
+  // IDENTITY partition transforms only (`PARTITIONED BY (col)` /
+  // `.partitionedBy(col(...))`): every data file then belongs to ONE
+  // partition tuple, recorded as its manifest `part:` segment — the
+  // directory-grain pruning index. Bucket/time transforms are
+  // refused loudly (the clusterBy write option covers hash layouts).
+  private def validatedPartCols(schema: StructType,
+      partitions: Array[Transform]): (Seq[String], Option[(String, Int)]) = {
+    def checkCol(c: String, what: String): Unit = {
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: $what column '$c' not in the table schema")
+      val dt = schema(schema.fieldIndex(c)).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType ||
+          dt == org.apache.spark.sql.types.StringType,
+        s"graft catalog: $what column '$c' must be BIGINT/INT/STRING, got ${dt.sql}")
+    }
+    // BUCKET transform (`PARTITIONED BY (bucket(n, col))`): exactly one,
+    // never mixed with identity columns — the hash layout owns routing.
+    val buckets = partitions.toSeq.filter(_.name == "bucket").map { t =>
+      require(partitions.length == 1,
+        "graft catalog: bucket(n, col) cannot combine with other partition transforms")
+      val ref = t.references()(0).fieldNames()
+      require(ref.length == 1,
+        "graft catalog: bucket() wants a top-level column, got " + ref.mkString("."))
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: bucket transform $t carries no bucket count"))
+      require(n >= 2 && n <= 4096,
+        s"graft catalog: bucket count must be in [2, 4096], got $n")
+      checkCol(ref(0), "bucket")
+      (ref(0), n)
+    }.headOption
+    val partCols = partitions.toSeq.filter(_.name != "bucket").map { t =>
       if (t.name != "identity") throw new UnsupportedOperationException(
         s"graft catalog: unsupported partition transform $t " +
-          "(only identity columns; use the clusterBy write option for hash layouts)")
+          "(identity columns or bucket(n, col); use the clusterBy write option for sorted layouts)")
       val ref = t.references()(0).fieldNames()
       require(ref.length == 1,
         "graft catalog: PARTITIONED BY wants a top-level column, got " +
           ref.mkString("."))
       ref(0)
     }
-    partCols.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"graft catalog: partition column '$c' not in the table schema")
-      val dt = schema(schema.fieldIndex(c)).dataType
-      require(dt == org.apache.spark.sql.types.LongType ||
-          dt == org.apache.spark.sql.types.IntegerType ||
-          dt == org.apache.spark.sql.types.StringType,
-        s"graft catalog: partition column '$c' must be BIGINT/INT/STRING, got ${dt.sql}")
-    }
+    partCols.foreach(checkCol(_, "partition"))
     require(partCols.distinct.length == partCols.length,
       "graft catalog: duplicate partition column")
-    val p = tablePath(ident)
-    if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    GraftSink.checkSchema(schema)
-    // `write.*` TBLPROPERTIES become durable table state (_props) —
-    // write.mode=merge-on-read flips row-level SQL to delete vectors
+    (partCols, buckets)
+  }
+
+  // `write.*` TBLPROPERTIES become durable table state (_props) —
+  // write.mode=merge-on-read flips row-level SQL to delete vectors
+  private def validatedProps(properties: JMap[String, String],
+      partCols: Seq[String], buckets: Option[(String, Int)] = None): Map[String, String] = {
     val userProps = properties.asScala.filter(_._1.startsWith("write.")).toMap ++
       (if (partCols.isEmpty) Map.empty
-       else Map(GraftSink.PARTITION_PROP -> partCols.mkString(",")))
+       else Map(GraftSink.PARTITION_PROP -> partCols.mkString(","))) ++
+      buckets.map { case (c, n) => GraftSink.BUCKETS_PROP -> s"$c:$n" }
     userProps.get("write.mode").foreach { m =>
       require(m == "copy-on-write" || m == "merge-on-read",
         s"graft catalog: write.mode must be copy-on-write or merge-on-read, got '$m'")
     }
-    GraftSink.writeProps(p.toString, userProps)
+    userProps
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val (partCols, buckets) = validatedPartCols(schema, partitions)
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    GraftSink.checkSchema(schema)
+    GraftSink.writeProps(p.toString, validatedProps(properties, partCols, buckets))
     // commit an EMPTY snapshot (v1 = DDL + zero files): the schema
     // becomes durable catalog state and a pre-insert read sees 0 rows
     GraftSink.writeManifest(p.toString, GraftSink.Manifest(schema.toDDL, Nil))
@@ -253,7 +287,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         fields = fields :+ (org.apache.spark.sql.types.StructField(n, a.dataType()), maxId)
       case r: TableChange.RenameColumn =>
         val from = single(r.fieldNames, "renamed")
-        require(!GraftSink.partitionColsOf(p.toString).contains(from),
+        require(!GraftSink.partitionColsOf(p.toString).contains(from) &&
+            !GraftSink.bucketSpecOf(p.toString).exists(_._1 == from),
           s"graft catalog: cannot rename partition column '$from' " +
             "(file part: segments are keyed by name)")
         require(fields.exists(_._1.name == from),
@@ -267,7 +302,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         needIds = true
       case d: TableChange.DeleteColumn =>
         val n = single(d.fieldNames, "dropped")
-        require(!GraftSink.partitionColsOf(p.toString).contains(n),
+        require(!GraftSink.partitionColsOf(p.toString).contains(n) &&
+            !GraftSink.bucketSpecOf(p.toString).exists(_._1 == n),
           s"graft catalog: cannot drop partition column '$n'")
         require(fields.exists(_._1.name == n),
           s"graft catalog: no column '$n' to drop")
@@ -295,6 +331,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       if (needIds) Some(fields.map(_._2)) else None))
     new GraftSinkTable(p.toString, evolved, None)
   }
+
+  // ------------------------------------------------------------------
+  // StagingTableCatalog — ATOMIC CTAS / RTAS. The staged table is a
+  // fully-functional graftsink table in a HIDDEN sibling directory
+  // (`.staged_<name>_<queryId-ish>`): the CTAS/RTAS write runs the
+  // normal two-phase connector write INTO THE STAGE (v1 empty + v2
+  // data — byte-identical history to the non-atomic path), and only
+  // commitStagedChanges makes anything visible:
+  //  - CREATE publishes by ONE atomic directory rename into the table
+  //    path — a failed/aborted CTAS leaves NO table, only hidden
+  //    staging garbage (swept by remove_orphans);
+  //  - REPLACE keeps the table's EXISTING version chain: the staged
+  //    data files move into the table root (names are queryId-unique)
+  //    and one TRUNCATE manifest commits them as the next snapshot —
+  //    Iceberg's RTAS semantics, old snapshots stay time-travelable;
+  //    abort deletes the stage and the live table never flickers.
+  // ------------------------------------------------------------------
+
+  private def stagePath(ident: Identifier): HPath =
+    new HPath(nsPath(ident.namespace()),
+      s".staged_${checkPart(ident.name())}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (partCols, buckets) = validatedPartCols(schema, partitions)
+    val p = tablePath(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    GraftSink.checkSchema(schema)
+    val stage = stagePath(ident)
+    GraftSink.writeProps(stage.toString, validatedProps(properties, partCols, buckets))
+    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(schema.toDDL, Nil))
+    new GraftStagedTable(fs, stage, p, schema, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (partCols, buckets) = validatedPartCols(schema, partitions)
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    GraftSink.checkSchema(schema)
+    val stage = stagePath(ident)
+    GraftSink.writeProps(stage.toString, validatedProps(properties, partCols, buckets))
+    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(schema.toDDL, Nil))
+    new GraftStagedTable(fs, stage, p, schema, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.StagedTable =
+    if (isTable(tablePath(ident))) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -410,10 +499,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
 }
 
+/** One in-flight atomic CTAS/RTAS: a real graftsink table at a hidden
+  * stage path; `commitStagedChanges` is the ONLY visibility point.
+  * Reads/writes during staging address the stage (Spark holds this
+  * handle internally — the identifier still resolves to the old state
+  * through the catalog, which is the isolation contract). */
+class GraftStagedTable(fsys: org.apache.hadoop.fs.FileSystem, stage: HPath,
+    real: HPath, declared: StructType, replace: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private val inner = new GraftSinkTable(stage.toString, declared)
+
+  override def name(): String = s"graftsink(staged:$real)"
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] = inner.partitioning()
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit =
+    if (!replace) {
+      // CREATE: one atomic directory move — table appears whole or not
+      // at all (v1 empty + v2 data already committed inside the stage,
+      // byte-identical history to the non-atomic CTAS path)
+      require(fsys.rename(stage, real),
+        s"graft catalog: staged CTAS publish failed ($stage -> $real)")
+    } else {
+      // REPLACE: the staged data files join the table's EXISTING
+      // version chain as ONE truncate snapshot — manifest-last, so a
+      // crash mid-move leaves orphan files, never a torn table; old
+      // snapshots stay time-travelable (Iceberg RTAS semantics)
+      val m = GraftSink.readManifest(stage.toString).getOrElse(
+        throw new IllegalStateException(s"graft catalog: staged RTAS lost its manifest at $stage"))
+      m.files.foreach { line =>
+        val n = GraftSink.entryName(line)
+        require(fsys.rename(new HPath(stage, n), new HPath(real, n)),
+          s"graft catalog: staged RTAS failed to move $n into $real")
+      }
+      val props = GraftSink.readProps(stage.toString)
+      if (props.nonEmpty) GraftSink.writeProps(real.toString, props)
+      else fsys.delete(new HPath(real, GraftSink.PROPS), false)
+      GraftSink.writeManifest(real.toString, GraftSink.Manifest(m.ddl, m.files, m.ids))
+      fsys.delete(stage, true)
+    }
+
+  override def abortStagedChanges(): Unit = {
+    fsys.delete(stage, true)
+    ()
+  }
+}
+
 object GraftCatalog {
   val FN_NS: Array[String] = Array("fns")
   val PROC_NS: Array[String] = Array("sys")
-  val METADATA_TABLES: Set[String] = Set("files", "snapshots", "refs")
+  val METADATA_TABLES: Set[String] = Set("files", "snapshots", "refs", "column_stats")
 
   /** The maintenance procedures (each constructed against the owning
     * catalog so `procTablePath` resolves inside its warehouse):
@@ -543,6 +685,70 @@ object GraftCatalog {
         val v = args.getInt(1)
         val m = GraftSink.readManifest(p, Some(v)).get // loud if missing
         Array[Any](v.toLong, GraftSink.writeManifest(p, m).toLong)
+      })),
+    "remove_orphans" -> (cat => new GraftProcedure(cat, "remove_orphans",
+      "remove_orphans(tbl): delete data files referenced by NO snapshot plus all staging leftovers",
+      Array(ProcedureParameter.in("tbl", StringType).build()),
+      new StructType().add("orphans_removed", LongType)
+        .add("staging_removed", LongType).add("files_kept", LongType),
+      (cat0, args) => {
+        // The GC half aborted/crashed writes leave behind: a data file
+        // is LIVE iff some snapshot's manifest names it (expire-proof:
+        // pinned refs keep their snapshots, so their files stay named);
+        // everything else in the table root that isn't `_`-internal is
+        // an orphan, and the whole `_staging` tree is by definition
+        // in-flight garbage once no write is running. Manifest-last
+        // publishing makes this safe: an orphan can never be reachable.
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val f = GraftSink.fs(p)
+        val referenced = GraftSink.listVersions(p).flatMap(v =>
+          GraftSink.readManifest(p, Some(v)).get.files.map(GraftSink.entryName)).toSet
+        val entries = f.listStatus(new HPath(p)).toSeq
+        val names = entries.filter(_.isFile).map(_.getPath.getName)
+          .filterNot(_.startsWith("_")) // manifests/props/refs/stats are internal
+        val (kept, orphans) = names.partition(referenced)
+        orphans.foreach(n => f.delete(new HPath(p, n), false))
+        val stagingDir = new HPath(p, GraftSink.STAGING)
+        val staged =
+          if (!f.exists(stagingDir)) 0L
+          else {
+            val it = f.listFiles(stagingDir, true)
+            var n = 0L
+            while (it.hasNext) { it.next(); n += 1 }
+            f.delete(stagingDir, true)
+            n
+          }
+        Array[Any](orphans.size.toLong, staged, kept.size.toLong)
+      })),
+    "analyze_table" -> (cat => new GraftProcedure(cat, "analyze_table",
+      "analyze_table(tbl): compute per-column NDV/null-count for the CURRENT snapshot and store them for the planner",
+      Array(ProcedureParameter.in("tbl", StringType).build()),
+      new StructType().add("analyzed_version", LongType).add("n_cols", LongType)
+        .add("n_rows", LongType),
+      (cat0, args) => {
+        // ANALYZE = ONE real Spark job over the connector (DV-aware by
+        // construction: the read merges delete vectors), stats stamped
+        // with the snapshot they describe — the scan serves them only
+        // while that snapshot is current (GraftSinkScan). NDV here is
+        // the EXACT count(distinct) — deterministic and oracle-
+        // replayable; at 100 TB the same readout is fed by the repo's
+        // mergeable sketches (q13 HLL / q245 KMV) instead, the Iceberg
+        // puffin-sketch economics.
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val sp = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, sum, when}
+        val df = sp.read.format("graftsink").option("path", p).load()
+        val cols = df.schema.fieldNames.toSeq
+        val aggs = cols.flatMap(c => Seq(
+          countDistinct(col(c)).as(s"__ndv_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c")
+        )) :+ count(lit(1)).as("__n_rows")
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val stats = cols.map(c =>
+          (c, row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c")))
+        val v = GraftSink.listVersions(p).last
+        GraftSink.writeColStats(p, v, stats)
+        Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))
       })))
 
   /** V2 UnboundFunctions over the repo's native kernels. Each bound
@@ -642,6 +848,9 @@ object GraftCatalog {
         .add("version", LongType).add("committed_at_ms", LongType)
         .add("n_files", LongType).add("n_live_rows", LongType)
         .add("ddl", StringType)
+      case "column_stats" => new StructType()
+        .add("col_name", StringType).add("ndv", LongType).add("nulls", LongType)
+        .add("stats_version", LongType).add("stale", org.apache.spark.sql.types.BooleanType)
       case _ => new StructType()
         .add("kind", StringType).add("name", StringType).add("version", LongType)
     }
@@ -680,6 +889,17 @@ object GraftCatalog {
             v.toLong, m.ts.map(Long.box).orNull,
             m.files.size.toLong, live, utf(m.ddl))): InternalRow
         }.toArray
+      case "column_stats" =>
+        // ANALYZE output + its freshness: `stale` compares the stats'
+        // stamped snapshot with the table's current one — the audit a
+        // user runs before trusting (or re-running) analyze_table.
+        val current = GraftSink.listVersions(path).lastOption.getOrElse(-1)
+        GraftSink.readColStats(path).fold(Array.empty[InternalRow]) {
+          case (v, stats) => stats.map { case (c, ndv, nulls) =>
+            new GenericInternalRow(Array[Any](
+              utf(c), ndv, nulls, v.toLong, v != current)): InternalRow
+          }.toArray
+        }
       case _ =>
         GraftSink.listRefs(path).map { case (k, n, v) =>
           new GenericInternalRow(Array[Any](utf(k), utf(n), v.toLong)): InternalRow

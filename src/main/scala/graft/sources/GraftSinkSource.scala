@@ -112,6 +112,7 @@ object GraftSink {
   val MANIFEST = "_manifest"
   val STAGING = "_staging"
   val PROPS = "_props"
+  val COLSTATS = "_colstats"
 
   // --- manifest file entries -------------------------------------------
   // A manifest line is `name` plus optional tab-separated segments:
@@ -222,6 +223,31 @@ object GraftSink {
   def partitionColsOf(path: String): Seq[String] =
     readProps(path).get(PARTITION_PROP)
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Durable table-property key for a BUCKET partition transform
+    * (`PARTITIONED BY (bucket(n, col))`), stored as `col:n`. Mutually
+    * exclusive with identity partitioning. */
+  val BUCKETS_PROP = "partition.buckets"
+
+  def bucketSpecOf(path: String): Option[(String, Int)] =
+    readProps(path).get(BUCKETS_PROP).map { raw =>
+      val i = raw.lastIndexOf(':')
+      (raw.substring(0, i), raw.substring(i + 1).toInt)
+    }
+
+  /** The file-routing key of a bucketed row: the PORTABLE 60-bit md5
+    * hash of the value's canonical string, mod n — the same chain the
+    * repo's md5_mod kernel and every DuckDB oracle replays
+    * (`CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15) AS BIGINT)
+    * % n`), so bucket placement is verifiable OUTSIDE the engine.
+    * NULLs route to the dedicated `\N` bucket, never hashed. */
+  def bucketIdOf(v: Any, n: Int): String =
+    if (v == null) "\\N"
+    else graft.functions.Md5Mod.hash(
+      v.toString.getBytes(StandardCharsets.UTF_8), n.toLong).toString
+
+  /** The manifest `part:` key a bucketed file is tagged with. */
+  def bucketKey(col: String): String = s"bucket($col)"
 
   /** Sentinel ordinal for "this file never carried the column" (reader
     * serves NULL — any ordinal past the physical line length does). */
@@ -528,6 +554,37 @@ object GraftSink {
     finally out.close()
   }
 
+  /** ANALYZE output (`_colstats`, one file): line 1 = `v:N` (the
+    * snapshot the stats describe), then one `name\tndv\tnulls` line per
+    * column. Stats are valid ONLY for snapshot N — any later commit
+    * leaves them version-stale and the scan stops serving them, the
+    * cheap invalidation every stats catalog uses (re-ANALYZE to
+    * refresh; the old file is simply overwritten). */
+  def writeColStats(path: String, version: Int,
+      stats: Seq[(String, Long, Long)]): Unit = {
+    val out = fs(path).create(new HPath(path, COLSTATS), true)
+    try out.write((s"v:$version" +: stats.map { case (n, d, u) => s"$n\t$d\t$u" })
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readColStats(path: String): Option[(Int, Seq[(String, Long, Long)])] = {
+    val f = fs(path)
+    val pp = new HPath(path, COLSTATS)
+    if (!f.exists(pp)) None
+    else {
+      val in = new BufferedReader(new InputStreamReader(f.open(pp), StandardCharsets.UTF_8))
+      try {
+        val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+        val v = lines.head.stripPrefix("v:").trim.toInt
+        Some(v -> lines.tail.filter(_.nonEmpty).map { l =>
+          val p = l.split("\t")
+          (p(0), p(1).toLong, p(2).toLong)
+        })
+      } finally in.close()
+    }
+  }
+
   /** Column names the connector itself serves: the metadata/row-id pair
     * and the changelog pair. A data column under one of these names
     * would be silently shadowed on read (Spark resolves the name to the
@@ -652,11 +709,15 @@ class GraftSinkTable(path: String, declared: StructType,
     else GraftSink.readManifest(path, version)
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
 
-  /** The table's declared identity partitioning (durable `_props`
-    * state, set at CREATE TABLE ... PARTITIONED BY). Reported so the
-    * planner sees the layout; enforced by the partitioned write path. */
+  /** The table's declared partitioning (durable `_props` state, set at
+    * CREATE TABLE ... PARTITIONED BY): identity columns, or the bucket
+    * transform. Reported so the planner sees the layout; enforced by
+    * the partitioned write path. */
   override def partitioning(): Array[Transform] =
-    GraftSink.partitionColsOf(path).map(Expressions.identity).toArray
+    GraftSink.bucketSpecOf(path) match {
+      case Some((c, n)) => Array(Expressions.bucket(n, c))
+      case None => GraftSink.partitionColsOf(path).map(Expressions.identity).toArray
+    }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -838,6 +899,40 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         override def toStreaming: StreamingWrite =
           throw new UnsupportedOperationException(
             "graftsink: streaming writes into a partitioned table are not " +
+              "supported yet (use foreachBatch)")
+      }
+    }
+    // BUCKET-partitioned table (PARTITIONED BY (bucket(n, col))): same
+    // partitioned write machinery, but files are routed and tagged by
+    // the portable md5 bucket of the column, not its raw value. The
+    // write clusters by the COLUMN (identity): every raw value lands in
+    // one task, a bucket may span tasks → several files per bucket, all
+    // tagged — pruning is per-file, so that costs nothing.
+    val bucketSpec = GraftSink.bucketSpecOf(path)
+    if (bucketSpec.isDefined) {
+      val (bc, n) = bucketSpec.get
+      require(clusterBy.isEmpty,
+        "graftsink: clusterBy is not supported on a bucketed table " +
+          "(the bucket layout owns file routing)")
+      require(branch.isEmpty,
+        "graftsink: branch writes into a bucketed table are not supported yet")
+      require(schema.fieldNames.contains(bc),
+        s"graftsink: bucket column '$bc' missing from the write schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      val partIdx = Array(schema.fieldIndex(bc))
+      return new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(Expressions.identity(bc)))
+        override def requiredNumPartitions(): Int = shards.getOrElse(0)
+        override def requiredOrdering(): Array[VSortOrder] = Array.empty
+        override def toBatch: BatchWrite = {
+          GraftSink.checkSchema(schema)
+          new GraftSinkPartitionedBatchWrite(path, schema, queryId, doTruncate,
+            Seq(bc), partIdx, Some(n))
+        }
+        override def toStreaming: StreamingWrite =
+          throw new UnsupportedOperationException(
+            "graftsink: streaming writes into a bucketed table are not " +
               "supported yet (use foreachBatch)")
       }
     }
@@ -1059,10 +1154,11 @@ case class GraftSinkPartitionedCommit(partitionId: Int,
 
 class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, partCols: Seq[String],
-    partIdx: Array[Int]) extends BatchWrite {
+    partIdx: Array[Int], buckets: Option[Int] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftSinkPartitionedWriterFactory(path, schema, queryId, partCols, partIdx)
+    new GraftSinkPartitionedWriterFactory(path, schema, queryId, partCols, partIdx,
+      buckets)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
@@ -1094,7 +1190,8 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
 }
 
 class GraftSinkPartitionedWriterFactory(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String], partIdx: Array[Int])
+    queryId: String, partCols: Seq[String], partIdx: Array[Int],
+    buckets: Option[Int] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1109,14 +1206,21 @@ class GraftSinkPartitionedWriterFactory(path: String, schema: StructType,
         if (skip < 0) skip = row.numFields - types.length // marker validated by the sub-writer
         val key = partCols.zip(partIdx).map { case (c, i) =>
           val j = i + math.max(skip, 0)
-          val enc =
-            if (row.isNullAt(j)) "\\N"
-            else GraftSink.encodePartValue(types(i) match {
+          val v: Any =
+            if (row.isNullAt(j)) null
+            else types(i) match {
               case LongType => row.getLong(j)
               case IntegerType => row.getInt(j)
               case _ => row.getUTF8String(j).toString
-            })
-          s"$c=$enc"
+            }
+          buckets match {
+            // bucket transform: files tag the PORTABLE hash bucket, not
+            // the raw value (one tag per file; several files per bucket
+            // are fine — pruning is per-file)
+            case Some(n) => s"${GraftSink.bucketKey(c)}=${GraftSink.bucketIdOf(v, n)}"
+            case None =>
+              s"$c=${if (v == null) "\\N" else GraftSink.encodePartValue(v)}"
+          }
         }.mkString(",")
         writers.getOrElseUpdate(key, {
           val w = new GraftSinkRowWriter(path, schema,
@@ -1382,12 +1486,24 @@ class GraftSinkScanBuilder(path: String, full: StructType,
   // predicates — consulted against manifest `part:` segments (exact
   // directory-grain pruning; conjunctive = set intersection)
   private val partCols = GraftSink.partitionColsOf(path).toSet
+  private val bucketSpec = GraftSink.bucketSpecOf(path)
   private var partAllowed = Map.empty[String, Set[String]]
   private var countPushed = false
 
   private def allowPart(c: String, vs: Seq[Any]): Unit = {
     val enc = vs.map(v => if (v == null) "\\N" else GraftSink.encodePartValue(v)).toSet
     partAllowed += c -> partAllowed.get(c).fold(enc)(_ intersect enc)
+  }
+
+  /** Bucket pruning: a pushed equality/IN on the bucket column maps
+    * each value through the portable hash to its bucket id — the
+    * allowed-set then prunes against the files' `bucket(col)=k` tags
+    * exactly like identity pruning (range predicates can't prune a
+    * hash layout and are left alone). */
+  private def allowBucket(c: String, n: Int, vs: Seq[Any]): Unit = {
+    val enc = vs.map(v => GraftSink.bucketIdOf(v, n)).toSet
+    val k = GraftSink.bucketKey(c)
+    partAllowed += k -> partAllowed.get(k).fold(enc)(_ intersect enc)
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1449,6 +1565,10 @@ class GraftSinkScanBuilder(path: String, full: StructType,
       f match {
         case EqualTo(c, v) if partCols(c) => allowPart(c, Seq(v))
         case In(c, vs) if partCols(c)     => allowPart(c, vs.toSeq)
+        case EqualTo(c, v) if bucketSpec.exists(_._1 == c) =>
+          allowBucket(c, bucketSpec.get._2, Seq(v))
+        case In(c, vs) if bucketSpec.exists(_._1 == c) =>
+          allowBucket(c, bucketSpec.get._2, vs.toSeq)
         case _ => ()
       }
     }
@@ -1540,6 +1660,7 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   // partitions, with no predicate in the query text. An optimization,
   // never a correctness transfer (the join still filters rows).
   private val partitionCols = GraftSink.partitionColsOf(path)
+  private val bucketSpecRt = GraftSink.bucketSpecOf(path)
   @volatile private var runtimeAllowed = Map.empty[String, Set[String]]
 
   /** Row-level operations OPT OUT (set false): the COW write replaces
@@ -1555,7 +1676,8 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (allowRuntimeFiltering) partitionCols.map(Expressions.column).toArray
+    if (allowRuntimeFiltering)
+      (partitionCols ++ bucketSpecRt.map(_._1)).map(Expressions.column).toArray
     else Array.empty // empty ⇒ Spark never invokes filter()
 
   override def filter(
@@ -1571,6 +1693,19 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
               case l: org.apache.spark.sql.connector.expressions.Literal[_]
                   if l.value() != null =>
                 GraftSink.encodePartValue(l.value())
+            }.toSet
+            runtimeAllowed += c -> runtimeAllowed.get(c).fold(vals)(_ intersect vals)
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames().length == 1 &&
+                bucketSpecRt.exists(_._1 == nr.fieldNames()(0)) =>
+            // runtime values on the BUCKET column map through the hash —
+            // DPP prunes a bucketed fact to the dim's observed buckets
+            val c = GraftSink.bucketKey(nr.fieldNames()(0))
+            val n = bucketSpecRt.get._2
+            val vals = p.children().drop(1).collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value() != null =>
+                GraftSink.bucketIdOf(l.value(), n)
             }.toSet
             runtimeAllowed += c -> runtimeAllowed.get(c).fold(vals)(_ intersect vals)
           case _ => ()
@@ -1649,9 +1784,39 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
         java.util.OptionalLong.of(lines.map(l =>
           GraftSink.entryRows(l).get - GraftSink.entryDeletes(l).length).sum)
       else java.util.OptionalLong.empty()
+    // ANALYZE-computed per-column NDV/null-count (q389) — served ONLY
+    // when the stored stats describe exactly what this scan reads: the
+    // stats' snapshot must BE the scan's snapshot (any later commit
+    // stales them) and no file skipping / partition pruning may be
+    // active (pruning shrinks the served rows; the whole-snapshot NDV
+    // would then overstate — conservative refusal beats a wrong hint).
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val pruned = envelopes.nonEmpty || partAllowed.nonEmpty || runtimeAllowed.nonEmpty
+      if (!pruned) GraftSink.readColStats(path).foreach { case (v, stats) =>
+        val current = version.getOrElse(GraftSink.listVersions(path).lastOption.getOrElse(-1))
+        if (v == current) {
+          val wanted = required.fieldNames.toSet
+          stats.foreach { case (name, ndv, nulls) =>
+            if (wanted(name)) out.put(Expressions.column(name),
+              new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(ndv)
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.of(nulls)
+              })
+          }
+        }
+      }
+      out
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = rows
+      override def columnStats(): java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

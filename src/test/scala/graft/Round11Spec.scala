@@ -591,10 +591,11 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
       .select(col("k")).collect().map(_.getLong(0)) shouldBe Array(3L)
     plannedSinkFiles(spark.table(s"$cat.ns.pt2").filter(col("bucket") === 10L))
       .length shouldBe 1
-    // refusals: non-identity transform, partition-column rename/drop,
-    // clusterBy on a partitioned table
+    // refusals: unsupported transform (bucket() is supported since
+    // r11's second widening — truncate() is the still-refused probe),
+    // partition-column rename/drop, clusterBy on a partitioned table
     intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.ns.ptbad (k BIGINT, g STRING) PARTITIONED BY (bucket(4, g))")
+      spark.sql(s"CREATE TABLE $cat.ns.ptbad (k BIGINT, g STRING) PARTITIONED BY (truncate(4, g))")
     }
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.ns.pt2 RENAME COLUMN bucket TO b2")

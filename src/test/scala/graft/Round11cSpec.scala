@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.GraftSink
+
+/** Round-11 second-widening connector surfaces: ANALYZE column stats
+  * (q389), atomic CTAS/RTAS (q390), bucket transforms (q391), orphan
+  * cleanup (q392).
+  */
+class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private val cat = "g11c"
+  private def ensureCatalog(): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      graft.ops.Stage.dir("g11c_warehouse"))
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+  }
+  private def tablePath(name: String): String =
+    s"${graft.ops.Stage.dir("g11c_warehouse")}/ns/$name"
+
+  private def plannedSinkFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case f: graft.sources.GraftSinkFilePartition => f.name
+        }
+    }.flatten
+
+  // ------------------------------------------------------------------
+  // q389 — ANALYZE column stats
+  // ------------------------------------------------------------------
+
+  test("analyze_table: scan serves columnStats only while its snapshot is current") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.an1")
+    Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "a"))
+      .toDF("k", "g").writeTo(s"$cat.ns.an1").create() // v1+v2
+    spark.sql(s"CALL $cat.sys.analyze_table('ns.an1')").collect()
+      .head.toSeq shouldBe Seq(2L, 2L, 4L)
+    val p = tablePath("an1")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      GraftSink.readManifest(p).get.ddl)
+    def stats(scan: graft.sources.GraftSinkScan) =
+      scan.estimateStatistics().columnStats()
+    val fresh = stats(new graft.sources.GraftSinkScan(p, schema, schema, None))
+    fresh.size() shouldBe 2
+    val byName = fresh.entrySet().toArray.map { e0 =>
+      val e = e0.asInstanceOf[java.util.Map.Entry[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]]
+      e.getKey.fieldNames()(0) -> e.getValue
+    }.toMap
+    byName("k").distinctCount().getAsLong shouldBe 4L
+    byName("k").nullCount().getAsLong shouldBe 0L
+    byName("g").distinctCount().getAsLong shouldBe 2L // NULL is not a value
+    byName("g").nullCount().getAsLong shouldBe 1L
+    // a pinned-version scan of the analyzed snapshot also serves them
+    stats(new graft.sources.GraftSinkScan(p, schema, schema, Some(2))).size() shouldBe 2
+    // column pruning serves only the required column's stats
+    val kOnly = org.apache.spark.sql.types.StructType(schema.fields.filter(_.name == "k"))
+    stats(new graft.sources.GraftSinkScan(p, schema, kOnly, None)).size() shouldBe 1
+    // a PRUNED scan refuses stats (whole-snapshot NDV would overstate)
+    stats(new graft.sources.GraftSinkScan(p, schema, schema, None,
+      Map("k" -> (1L, 2L)), Map.empty, false)).size() shouldBe 0
+    // any later commit stales them — the scan stops serving
+    spark.sql(s"INSERT INTO $cat.ns.an1 VALUES (5, 'c')") // v3
+    stats(new graft.sources.GraftSinkScan(p, schema, schema, None)).size() shouldBe 0
+    // ...but the pinned analyzed snapshot still serves
+    stats(new graft.sources.GraftSinkScan(p, schema, schema, Some(2))).size() shouldBe 2
+    // the metadata table reports the staleness bit
+    spark.table(s"$cat.ns.an1.column_stats")
+      .select(col("stale")).distinct().collect().map(_.getBoolean(0)) shouldBe Array(true)
+  }
+
+  // ------------------------------------------------------------------
+  // q390 — atomic CTAS / RTAS
+  // ------------------------------------------------------------------
+
+  test("staged CTAS: a failing SELECT leaves NO table; staged RTAS failure keeps old content") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.at1")
+    // ANSI out-of-bounds access fails the write job mid-CTAS
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.ns.at1 AS
+        SELECT element_at(array(1L), CAST(id AS INT) + 10) AS k FROM range(5)""")
+    }
+    spark.catalog.tableExists(s"$cat.ns.at1") shouldBe false
+    GraftSink.readManifest(tablePath("at1")) shouldBe None
+    // a healthy CTAS publishes v1+v2 — byte-identical history to the
+    // non-atomic path
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g").writeTo(s"$cat.ns.at1").create()
+    GraftSink.listVersions(tablePath("at1")) shouldBe Seq(1, 2)
+    // failed RTAS: old content intact, no new version
+    intercept[Exception] {
+      spark.sql(s"""REPLACE TABLE $cat.ns.at1 AS
+        SELECT element_at(array(1L), CAST(id AS INT) + 10) AS k FROM range(5)""")
+    }
+    GraftSink.listVersions(tablePath("at1")) shouldBe Seq(1, 2)
+    spark.table(s"$cat.ns.at1").count() shouldBe 2L
+    // healthy RTAS: ONE new truncate snapshot in the SAME chain,
+    // old snapshot still time-travelable
+    spark.sql(s"REPLACE TABLE $cat.ns.at1 AS SELECT 9L AS n")
+    GraftSink.listVersions(tablePath("at1")) shouldBe Seq(1, 2, 3)
+    spark.table(s"$cat.ns.at1").collect().map(_.getLong(0)) shouldBe Array(9L)
+    spark.sql(s"SELECT count(*) FROM $cat.ns.at1 VERSION AS OF 2")
+      .collect().head.getLong(0) shouldBe 2L
+    // no stage garbage is listed as a table
+    spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).count(_.startsWith(".")) shouldBe 0
+  }
+
+  // ------------------------------------------------------------------
+  // q391 — bucket transform
+  // ------------------------------------------------------------------
+
+  test("bucketed table: equality/IN plan only the matching buckets' files; DPP maps through the hash") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.bk1")
+    spark.sql(s"""CREATE TABLE $cat.ns.bk1 (k BIGINT, v DOUBLE)
+      PARTITIONED BY (bucket(4, k))""")
+    spark.range(0, 64).selectExpr("id AS k", "cast(id as double) AS v")
+      .writeTo(s"$cat.ns.bk1").append()
+    val p = tablePath("bk1")
+    val m = GraftSink.readManifest(p).get
+    // every file carries a bucket tag; ids live in [0, 4)
+    val tags = m.files.flatMap(GraftSink.entryPart)
+    tags.length shouldBe m.files.length
+    tags.foreach { t =>
+      t should startWith("bucket(k)=")
+      t.split("=")(1).toInt should (be >= 0 and be < 4)
+    }
+    // every row sits in the file matching ITS OWN hash — replay one key
+    def bucketOf(k: Long): String = GraftSink.bucketIdOf(k, 4)
+    val all = plannedSinkFiles(spark.table(s"$cat.ns.bk1"))
+    val eq = plannedSinkFiles(spark.table(s"$cat.ns.bk1").filter(col("k") === 7L))
+    eq.length should be < all.length
+    // the planned files are exactly those tagged with k=7's bucket
+    val wantTag = s"bucket(k)=${bucketOf(7L)}"
+    m.files.filter(l => eq.contains(GraftSink.entryName(l)))
+      .flatMap(GraftSink.entryPart).distinct shouldBe Seq(wantTag)
+    spark.table(s"$cat.ns.bk1").filter(col("k") === 7L)
+      .select(col("v")).collect().map(_.getDouble(0)) shouldBe Array(7.0)
+    // IN over two keys plans at most the two buckets' files
+    val in2 = plannedSinkFiles(
+      spark.table(s"$cat.ns.bk1").filter(col("k").isin(7L, 13L)))
+    val okTags = Set(bucketOf(7L), bucketOf(13L)).map(b => s"bucket(k)=$b")
+    m.files.filter(l => in2.contains(GraftSink.entryName(l)))
+      .flatMap(GraftSink.entryPart).toSet.subsetOf(okTags) shouldBe true
+    // runtime (DPP) values map through the hash the same way
+    val scan = new graft.sources.GraftSinkScan(p,
+      org.apache.spark.sql.types.StructType.fromDDL(m.ddl),
+      org.apache.spark.sql.types.StructType.fromDDL(m.ddl), None)
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan.filter(Array(new Predicate("IN", Array(E.column("k"),
+      E.literal(java.lang.Long.valueOf(7L))))))
+    scan.runtimeFilters shouldBe Map(s"bucket(k)" -> Set(bucketOf(7L)))
+    // refusals: bucket+identity mix, clusterBy write, rename/drop of
+    // the bucket column, grouped scan on a hash layout
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.bkbad (k BIGINT, g STRING) " +
+        "PARTITIONED BY (g, bucket(4, k))")
+    }
+    intercept[Exception] {
+      spark.table(s"$cat.ns.bk1").write.format("graftsink")
+        .option("path", p).option("clusterBy", "k").mode("append").save()
+    }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 RENAME COLUMN k TO k2") }
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 DROP COLUMN k") }
+    intercept[Exception] {
+      spark.read.format("graftsink").option("path", p)
+        .option("grouped", "true").load().collect()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // q392 — orphan cleanup
+  // ------------------------------------------------------------------
+
+  test("remove_orphans keeps every snapshot-referenced file and is idempotent") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.or1")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").writeTo(s"$cat.ns.or1").create() // v1+v2
+    spark.sql(s"INSERT INTO $cat.ns.or1 VALUES (3, 3.0)")                     // v3
+    val p = tablePath("or1")
+    val f = GraftSink.fs(p)
+    def plant(rel: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(p, rel), true)
+      try out.write("x\n".getBytes("UTF-8")) finally out.close()
+    }
+    plant("stray-a.tsv"); plant("stray-b.tsv"); plant("_staging/dead/x.tsv")
+    val referenced = GraftSink.listVersions(p).flatMap(v =>
+      GraftSink.readManifest(p, Some(v)).get.files.map(GraftSink.entryName)).toSet
+    val r1 = spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1')").collect().head
+    r1.getLong(0) shouldBe 2L // both strays
+    r1.getLong(1) shouldBe 1L // the staging leftover
+    r1.getLong(2) shouldBe referenced.size.toLong
+    // every referenced file survived — all snapshots still read
+    referenced.foreach(n => f.exists(new org.apache.hadoop.fs.Path(p, n)) shouldBe true)
+    spark.table(s"$cat.ns.or1").count() shouldBe 3L
+    spark.read.format("graftsink").option("path", p).option("version", "2")
+      .load().count() shouldBe 2L
+    // idempotent: a second sweep finds nothing
+    spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1')").collect()
+      .head.toSeq.take(2) shouldBe Seq(0L, 0L)
+  }
+}
