@@ -539,6 +539,39 @@ object Vectors extends QueryPack {
     // 6-dp-rounded distances. Per iteration: one broadcast of k
     // centroids + one shuffle — the training loop a real IVF index
     // build runs, expressed declaratively (q61 is the search side).
+    // ------------------------------------------------------------------
+    // Simplified (centroid) SILHOUETTE over the trained IVF codebook —
+    // the cluster-quality readout that tells you whether q61/q339's
+    // cells are worth probing before you ship the index: s(i) =
+    // (b−a)/max(a,b) with a = distance to the OWN centroid and b = the
+    // runner-up centroid (exact silhouette is pairwise-N² — the
+    // centroid form is the standard scale substitute, one N×k pass).
+    // One broadcast crossJoin against the k-row codebook, a per-vector
+    // window (keyed, never global) keeps the two nearest cells, and
+    // per-row scores quantize to DECIMAL(28,12) pre-sum. b=0 (twin
+    // centroids) nulls out instead of NaN-ing, both engines.
+    "q394_silhouette" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2c"), col("cid"))
+      Tables.embeddings(s, dir)
+        .crossJoin(broadcast(trainedCodebook(s, dir)))
+        .withColumn("d2c", round(expr(sqdist.format("embedding", "cvec")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy(col("vec_id"))
+        .agg(min(when(col("rn") === 1, col("cid"))).as("cid"),
+          min(when(col("rn") === 1, col("d2c"))).as("a2"),
+          min(when(col("rn") === 2, col("d2c"))).as("b2"))
+        .withColumn("sil", expr(
+          "cast((sqrt(b2) - sqrt(a2)) / nullif(greatest(sqrt(a2), sqrt(b2)), 0.0d) as decimal(28,12))"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sil")).cast("double") / count(lit(1)), 6).as("mean_sil"),
+          round(min(col("sil")).cast("double"), 6).as("min_sil"),
+          round(max(col("sil")).cast("double"), 6).as("max_sil"))
+        .orderBy(col("cid"))
+    }),
+
     "q65_kmeans_train" -> ((s, dir) => {
       org.apache.spark.sql.GraftFunctions.register(s)
       val e = Tables.embeddings(s, dir)
@@ -1547,6 +1580,24 @@ object Vectors extends QueryPack {
         + "WHERE round(list_sum(list_transform(range(1, len(ea.embedding) + 1), i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) / "
         + "(sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.4 "
         + "ORDER BY vec_a, vec_b"),
+    // q394: cent1 replayed via trainSql; the two nearest cells per
+    // vector via the same (d2, cid)-ordered window; identical decimal
+    // choreography.
+    "q394_silhouette" ->
+      (s"WITH $trainSql, "
+        + "dall AS (SELECT e.vec_id, c.cid, round(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> "
+        + "(CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS d2c "
+        + "FROM embeddings e CROSS JOIN cent1 c), "
+        + "two AS (SELECT vec_id, min(CASE WHEN rn = 1 THEN cid END) AS cid, "
+        + "min(CASE WHEN rn = 1 THEN d2c END) AS a2, min(CASE WHEN rn = 2 THEN d2c END) AS b2 "
+        + "FROM (SELECT vec_id, cid, d2c, row_number() OVER (PARTITION BY vec_id ORDER BY d2c, cid) AS rn FROM dall) "
+        + "WHERE rn <= 2 GROUP BY vec_id), "
+        + "sc AS (SELECT cid, CAST((sqrt(b2) - sqrt(a2)) / nullif(greatest(sqrt(a2), sqrt(b2)), 0.0) AS DECIMAL(28,12)) AS sil FROM two) "
+        + "SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs, "
+        + "round(CAST(sum(sil) AS DOUBLE) / count(*), 6) AS mean_sil, "
+        + "round(CAST(min(sil) AS DOUBLE), 6) AS min_sil, "
+        + "round(CAST(max(sil) AS DOUBLE), 6) AS max_sil "
+        + "FROM sc GROUP BY cid ORDER BY cid"),
     "q65_kmeans_train" ->
       (s"WITH $trainSql, "
         + distSql("cent1", "d2t", "a2") + " "

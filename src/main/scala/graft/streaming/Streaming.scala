@@ -696,6 +696,58 @@ object Streaming extends QueryPack {
         .orderBy(col("bucket"))
       out
     }),
+
+    // ------------------------------------------------------------------
+    // STREAM–STREAM LEFT SEMI join — the "which views converted?" read
+    // q90's inner join answers with pair EXPANSION; semi answers it
+    // with pair SUPPRESSION: each view row is emitted AT MOST ONCE (on
+    // its first matching click inside the 30-min window) and never
+    // duplicated however many clicks follow — at 100 TB the state is
+    // the same watermark-bounded store as q90's, but the OUTPUT stays
+    // view-sized instead of pair-sized, which is exactly why semi is
+    // the funnel-entry operator of choice. Same 3 event-time-ordered
+    // tranches; batch equivalence = EXISTS, the DuckDB oracle.
+    "q393_stream_semi_join" -> ((s, dir) => {
+      s.catalog.dropTempView("q393_mem")
+      val inP = graft.ops.Stage.fresh("q393")
+      val in = inP.toString
+      val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81/q90)
+      val b2 = 1705795200000000L // 2024-01-21 UTC, µs
+      val evs = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .localCheckpoint()
+      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
+      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
+      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      val schema = StructType(Seq(StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      def src() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*/")
+      val views = src().filter(col("event_type") === "view")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("vts"),
+          col("event_id").as("view_id"), col("value").as("v_value"))
+        .withWatermark("vts", "1 hour")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("cts"))
+        .withWatermark("cts", "1 hour")
+      val q = withStateParts(s)(views.join(clicks,
+          col("user_id") === col("c_user")
+            && col("cts") > col("vts")
+            && col("cts") <= col("vts") + expr("INTERVAL 30 MINUTES"),
+          "left_semi")
+        .writeStream.format("memory").queryName("q393_mem")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+      q.awaitTermination()
+      graft.ops.Stage.release(inP)
+      s.table("q393_mem")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view"),
+          round(sum(col("v_value").cast("decimal(18,2)")).cast("double"), 6).as("view_value"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -767,6 +819,15 @@ object Streaming extends QueryPack {
         + "FROM events v JOIN events c ON v.user_id = c.user_id "
         + "AND v.event_type = 'view' AND c.event_type = 'click' "
         + "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE "
+        + "GROUP BY 1 ORDER BY 1"),
+    // q393: semi-join emission ≡ EXISTS over the batch — at most one
+    // output row per view, however many clicks land in its window.
+    "q393_stream_semi_join" ->
+      ("SELECT v.user_id, count(*) AS n_views, min(v.event_id) AS first_view, "
+        + "round(CAST(sum(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE), 6) AS view_value "
+        + "FROM events v WHERE v.event_type = 'view' AND EXISTS ("
+        + "SELECT 1 FROM events c WHERE c.user_id = v.user_id AND c.event_type = 'click' "
+        + "AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE) "
         + "GROUP BY 1 ORDER BY 1"),
     "q81_stream_sessionize" -> closedSessionsSql,
     // same emission contract, same oracle: closed sessions are an API-

@@ -98,6 +98,42 @@ class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
     (row.getAs[Double]("phi2") - row.getAs[Double]("phi1")) should be < 1.0
   }
 
+  test("q393 stream semi join ≡ batch EXISTS, and is pair-suppressing vs q90's inner join") {
+    val semi = SparkEntry.queries("q393_stream_semi_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_views")).toMap
+    // batch EXISTS ground truth recomputed in Spark over the same table
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getString(2)))
+    val clicks = ev.filter(_._3 == "click").groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val exp = ev.filter(_._3 == "view").filter { case (u, t, _) =>
+      clicks.getOrElse(u, Array.empty[java.time.LocalDateTime]).exists(c =>
+        c.isAfter(t) && !c.isAfter(t.plusMinutes(30)))
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    semi shouldBe exp
+    // semi emits each view at most once → per-user count ≤ the inner
+    // join's pair count (pair suppression, the operator's point)
+    val pairs = SparkEntry.queries("q90_stream_join")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_pairs")).toMap
+    semi.foreach { case (u, n) => n should be <= pairs(u) }
+  }
+
+  test("q394 silhouette: full corpus coverage, scores in [0, 1), runner-up beats own cell") {
+    val rows = SparkEntry.queries("q394_silhouette")(spark, sf).collect()
+    rows.map(_.getAs[Long]("n_vecs")).sum shouldBe
+      Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      // centroid-form silhouette: a = own (min) distance, so s ∈ [0, 1)
+      r.getAs[Double]("min_sil") should be >= 0.0
+      r.getAs[Double]("max_sil") should be < 1.0
+      r.getAs[Double]("mean_sil") should (be >= r.getAs[Double]("min_sil")
+        and be <= r.getAs[Double]("max_sil"))
+    }
+    // k = 10 trained cells, all non-empty on this corpus
+    rows.length shouldBe 10
+  }
+
   test("q388 readability matches per-document regex counts recomputed in Scala") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
