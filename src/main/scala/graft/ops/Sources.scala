@@ -1303,6 +1303,36 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // COLUMN DEFAULT values (SUPPORT_COLUMN_DEFAULT_VALUE — the SQL
+    // DEFAULT surface Iceberg v3 / Delta ship): `ALTER TABLE ... ADD
+    // COLUMNS (tier STRING DEFAULT 'legacy', score BIGINT DEFAULT 100)`
+    // is ONE metadata commit — existing files are NEVER rewritten, the
+    // reader serves the INITIAL default for pre-column files (instead
+    // of q373's NULL back-fill), and INSERTs that omit the column (or
+    // write the DEFAULT keyword) get the CURRENT default filled by
+    // Spark from the schema metadata the table publishes. The rollup
+    // pins all three populations: back-filled legacy rows, an explicit
+    // DEFAULT-keyword insert, and a column-list insert. Round11cSpec
+    // pins zero-rewrite, the metadata round-trip, and prop hygiene
+    // under RENAME/DROP; oracle replays every population from parquet.
+    "q395_column_defaults" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.def395")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .writeTo("graft.g.def395").create()                          // v1+v2
+      s.sql("""ALTER TABLE graft.g.def395 ADD COLUMNS
+        (tier STRING DEFAULT 'legacy', score BIGINT DEFAULT 100)""") // v3, zero rewrite
+      s.sql("INSERT INTO graft.g.def395 VALUES (9000001, 'AUTO1', DEFAULT, 7)")
+      s.sql("INSERT INTO graft.g.def395 (c_custkey, c_mktsegment) VALUES (9000002, 'AUTO2')")
+      s.table("graft.g.def395")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("sum_score"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("tier"))
+    }),
+
+    // ------------------------------------------------------------------
     // STORAGE-PARTITIONED JOIN on the sink (q350 is the graftseq form;
     // this is the table-format form — two tables PARTITIONED BY the
     // same column join with ZERO exchange): `grouped=true` scans serve
@@ -1541,6 +1571,17 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
         + "CAST(1 AS BIGINT) AS orphans_removed, CAST(1 AS BIGINT) AS staging_removed "
         + "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q395: every customer row back-fills (tier='legacy', score=100);
+    // the AUTO1 insert takes the tier default but writes score=7
+    // explicitly; AUTO2 takes both defaults.
+    "q395_column_defaults" ->
+      ("WITH rows395 AS ("
+        + "SELECT c_custkey, 'legacy' AS tier, CAST(100 AS BIGINT) AS score FROM customer "
+        + "UNION ALL SELECT 9000001, 'legacy', 7 "
+        + "UNION ALL SELECT 9000002, 'legacy', 100) "
+        + "SELECT tier, CAST(count(*) AS BIGINT) AS n, CAST(sum(score) AS BIGINT) AS sum_score, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+        + "FROM rows395 GROUP BY tier ORDER BY tier"),
     // q359: post-delete content = the negated predicate over parquet.
     "q359_dsv2_delete" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "

@@ -66,6 +66,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def name(): String = catalogName
 
+  /** Column DEFAULT values are supported (initial + current — q395):
+    * declared so the analyzer lets `DEFAULT` clauses through to
+    * createTable/alterTable, where they become durable `default.<col>`
+    * props. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.Set.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Literal defaults carried in CREATE TABLE schema metadata
+    * (CURRENT_DEFAULT), parsed with Catalyst's own parser and cast to
+    * the column type — anything non-literal is refused loudly. */
+  private def defaultsFromMetadata(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (!f.metadata.contains("CURRENT_DEFAULT")) None
+      else {
+        val sql = f.metadata.getString("CURRENT_DEFAULT")
+        val lit = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql) match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+          case other => throw new IllegalArgumentException(
+            s"graft catalog: default for '${f.name}' must be a literal, got $sql")
+        }
+        val casted = org.apache.spark.sql.catalyst.expressions.Cast(
+          lit, f.dataType, Some("UTC")).eval(null)
+        Some(f.name -> GraftSink.encodeDefault(casted))
+      }
+    }.toMap
+
   private def checkPart(p: String): String = {
     require(p.nonEmpty && p.forall(c => c.isLetterOrDigit || c == '_'),
       s"graft catalog: identifier part '$p' (allowed: letters, digits, _)")
@@ -210,11 +238,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   // `write.*` TBLPROPERTIES become durable table state (_props) —
   // write.mode=merge-on-read flips row-level SQL to delete vectors
   private def validatedProps(properties: JMap[String, String],
-      partCols: Seq[String], buckets: Option[(String, Int)] = None): Map[String, String] = {
+      partCols: Seq[String], buckets: Option[(String, Int)] = None,
+      defaults: Map[String, String] = Map.empty): Map[String, String] = {
     val userProps = properties.asScala.filter(_._1.startsWith("write.")).toMap ++
       (if (partCols.isEmpty) Map.empty
        else Map(GraftSink.PARTITION_PROP -> partCols.mkString(","))) ++
-      buckets.map { case (c, n) => GraftSink.BUCKETS_PROP -> s"$c:$n" }
+      buckets.map { case (c, n) => GraftSink.BUCKETS_PROP -> s"$c:$n" } ++
+      defaults.map { case (c, enc) => s"${GraftSink.DEFAULT_PROP_PREFIX}$c" -> enc }
     userProps.get("write.mode").foreach { m =>
       require(m == "copy-on-write" || m == "merge-on-read",
         s"graft catalog: write.mode must be copy-on-write or merge-on-read, got '$m'")
@@ -228,10 +258,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     GraftSink.checkSchema(schema)
-    GraftSink.writeProps(p.toString, validatedProps(properties, partCols, buckets))
+    GraftSink.writeProps(p.toString,
+      validatedProps(properties, partCols, buckets, defaultsFromMetadata(schema)))
     // commit an EMPTY snapshot (v1 = DDL + zero files): the schema
     // becomes durable catalog state and a pre-insert read sees 0 rows
-    GraftSink.writeManifest(p.toString, GraftSink.Manifest(schema.toDDL, Nil))
+    GraftSink.writeManifest(p.toString, GraftSink.Manifest(GraftSink.cleanDdl(schema), Nil))
     new GraftSinkTable(p.toString, schema, None)
   }
 
@@ -274,6 +305,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"graft catalog: only top-level columns can be ${what} (got ${name.mkString(".")})")
       name(0)
     }
+    // default.<col> prop maintenance: adds attach, renames rekey,
+    // drops remove — applied in one props rewrite after the manifest
+    var propAdd = Map.empty[String, String]
+    var propDrop = Set.empty[String]
+    def defKey(c: String) = s"${GraftSink.DEFAULT_PROP_PREFIX}$c"
     changes.foreach {
       case a: TableChange.AddColumn =>
         val n = single(a.fieldNames, "added")
@@ -285,6 +321,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"graft catalog: column '$n' already exists")
         maxId += 1
         fields = fields :+ (org.apache.spark.sql.types.StructField(n, a.dataType()), maxId)
+        // INITIAL/CURRENT default (q395): pre-column files read the
+        // default back (zero rewrite); inserts omitting the column get
+        // it filled by Spark from the schema metadata
+        Option(a.defaultValue()).foreach { dv =>
+          val lit = dv.getValue()
+          require(lit != null,
+            s"graft catalog: default for '$n' must be a foldable literal")
+          propAdd += defKey(n) -> GraftSink.encodeDefault(lit.value())
+        }
       case r: TableChange.RenameColumn =>
         val from = single(r.fieldNames, "renamed")
         require(!GraftSink.partitionColsOf(p.toString).contains(from) &&
@@ -299,6 +344,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case (f, id) if f.name == from => (f.copy(name = r.newName), id)
           case other => other
         }
+        GraftSink.columnDefaults(p.toString).get(from).foreach { enc =>
+          propDrop += defKey(from); propAdd += defKey(r.newName) -> enc
+        }
         needIds = true
       case d: TableChange.DeleteColumn =>
         val n = single(d.fieldNames, "dropped")
@@ -310,6 +358,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(fields.length > 1,
           "graft catalog: cannot drop the only column")
         fields = fields.filterNot(_._1.name == n)
+        propDrop += defKey(n)
         needIds = true
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
@@ -327,8 +376,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           GraftSink.entryRows(line), Some(1 to before.length))
       }
       else m.files
-    GraftSink.writeManifest(p.toString, GraftSink.Manifest(evolved.toDDL, files,
+    GraftSink.writeManifest(p.toString, GraftSink.Manifest(GraftSink.cleanDdl(evolved), files,
       if (needIds) Some(fields.map(_._2)) else None))
+    if (propAdd.nonEmpty || propDrop.nonEmpty) {
+      val next = GraftSink.readProps(p.toString) -- propDrop ++ propAdd
+      if (next.nonEmpty) GraftSink.writeProps(p.toString, next)
+      else GraftSink.fs(p.toString).delete(new HPath(p, GraftSink.PROPS), false)
+    }
     new GraftSinkTable(p.toString, evolved, None)
   }
 
@@ -361,8 +415,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     GraftSink.checkSchema(schema)
     val stage = stagePath(ident)
-    GraftSink.writeProps(stage.toString, validatedProps(properties, partCols, buckets))
-    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(schema.toDDL, Nil))
+    GraftSink.writeProps(stage.toString,
+      validatedProps(properties, partCols, buckets, defaultsFromMetadata(schema)))
+    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(GraftSink.cleanDdl(schema), Nil))
     new GraftStagedTable(fs, stage, p, schema, replace = false)
   }
 
@@ -374,8 +429,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!isTable(p)) throw new NoSuchTableException(ident)
     GraftSink.checkSchema(schema)
     val stage = stagePath(ident)
-    GraftSink.writeProps(stage.toString, validatedProps(properties, partCols, buckets))
-    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(schema.toDDL, Nil))
+    GraftSink.writeProps(stage.toString,
+      validatedProps(properties, partCols, buckets, defaultsFromMetadata(schema)))
+    GraftSink.writeManifest(stage.toString, GraftSink.Manifest(GraftSink.cleanDdl(schema), Nil))
     new GraftStagedTable(fs, stage, p, schema, replace = true)
   }
 

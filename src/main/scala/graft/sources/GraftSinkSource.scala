@@ -554,6 +554,52 @@ object GraftSink {
     finally out.close()
   }
 
+  /** Column-default props (`default.<col>` — SQL initial/current
+    * defaults, Iceberg/Delta parity): the value is stored TSV-encoded
+    * (same escape codec as row fields), typed by the table schema at
+    * read time. Semantics: files written BEFORE the column existed
+    * serve the default on read (initial default, zero rewrite);
+    * INSERTs that omit the column get it filled by Spark from the
+    * CURRENT_DEFAULT metadata the table schema carries. Defaults are
+    * only ever attached at ADD COLUMN / CREATE time — SET/DROP DEFAULT
+    * would fork initial vs current and is refused. */
+  val DEFAULT_PROP_PREFIX = "default."
+
+  def columnDefaults(path: String): Map[String, String] =
+    readProps(path).collect {
+      case (k, v) if k.startsWith(DEFAULT_PROP_PREFIX) =>
+        k.stripPrefix(DEFAULT_PROP_PREFIX) -> v
+    }
+
+  def encodeDefault(v: Any): String = v match {
+    case null => "\\N"
+    case u: UTF8String => encodeStringField(u.toString)
+    case s: String => encodeStringField(s)
+    case other => other.toString
+  }
+
+  /** The SQL-literal text of a stored default (for the CURRENT_DEFAULT
+    * / EXISTS_DEFAULT schema metadata Spark's insert-path resolution
+    * reads). Doubles round-trip through a string CAST — exact for any
+    * Java shortest-round-trip rendering. */
+  def defaultSql(dt: DataType, enc: String): String = {
+    val v = decodeField(dt, enc)
+    if (v == null) "NULL"
+    else dt match {
+      case StringType => "'" + v.toString.replace("'", "''") + "'"
+      case DoubleType => s"CAST('${v.toString}' AS DOUBLE)"
+      case _ => v.toString
+    }
+  }
+
+  /** The CATALYST value of a stored default (what the reader back-fills
+    * for pre-column files). */
+  def defaultCatalystValue(dt: DataType, enc: String): Any =
+    decodeField(dt, enc) match {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }
+
   /** ANALYZE output (`_colstats`, one file): line 1 = `v:N` (the
     * snapshot the stats describe), then one `name\tndv\tnulls` line per
     * column. Stats are valid ONLY for snapshot N — any later commit
@@ -604,6 +650,14 @@ object GraftSink {
     }
   }
 
+  /** The DDL a manifest stores: field METADATA stripped — a schema
+    * carrying CURRENT_DEFAULT metadata would render `... DEFAULT 'x'`
+    * clauses that StructType.fromDDL cannot parse back (defaults are
+    * durable `default.<col>` props, never DDL). */
+  def cleanDdl(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(
+      metadata = org.apache.spark.sql.types.Metadata.empty))).toDDL
+
   /** Append-compatibility: same column names and types, nullability
     * IGNORED — a NOT NULL query result appending into a nullable table
     * (every `INSERT INTO t VALUES ...`) is the normal case, and the TSV
@@ -639,10 +693,12 @@ object GraftSink {
       case LongType    => row.getLong(i).toString
       case IntegerType => row.getInt(i).toString
       case DoubleType  => row.getDouble(i).toString // Java shortest round-trip
-      case StringType  => row.getUTF8String(i).toString
-        .replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+      case StringType  => encodeStringField(row.getUTF8String(i).toString)
       case dt => throw new IllegalArgumentException(s"graftsink: unsupported type $dt")
     }
+
+  def encodeStringField(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
 
   def decodeField(dt: DataType, raw: String): Any =
     if (raw == "\\N") null
@@ -672,6 +728,28 @@ object GraftSink {
     * the encoder rewrites literal tab characters to the 2-char escape,
     * so every 0x09 byte in the file is a field separator). */
   def splitLine(line: String): Array[String] = line.split("\t", -1)
+}
+
+object GraftSinkTable {
+  /** Attach CURRENT_DEFAULT / EXISTS_DEFAULT metadata from the stored
+    * `default.<col>` props — what Spark's insert-path default
+    * resolution reads (an INSERT omitting the column gets the current
+    * default; the reader serves the initial default for pre-column
+    * files itself). */
+  def withDefaultMetadata(path: String, st: StructType): StructType = {
+    val defs = GraftSink.columnDefaults(path)
+    if (defs.isEmpty) st
+    else StructType(st.fields.map { f =>
+      defs.get(f.name).fold(f) { enc =>
+        val sql = GraftSink.defaultSql(f.dataType, enc)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", sql)
+          .putString("EXISTS_DEFAULT", sql)
+          .build())
+      }
+    })
+  }
 }
 
 class GraftSinkTable(path: String, declared: StructType,
@@ -706,8 +784,9 @@ class GraftSinkTable(path: String, declared: StructType,
       })
   override def schema(): StructType =
     if (changes.isDefined) declared // provider-built: range-end schema + change cols
-    else GraftSink.readManifest(path, version)
-      .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared)
+    else GraftSinkTable.withDefaultMetadata(path,
+      GraftSink.readManifest(path, version)
+        .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared))
 
   /** The table's declared partitioning (durable `_props` state, set at
     * CREATE TABLE ... PARTITIONED BY): identity columns, or the bucket
@@ -1038,8 +1117,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     // append preserves the TABLE's declared DDL (nullability included)
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) schema.toDDL
-              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
+    val ddl = if (truncate) GraftSink.cleanDdl(schema)
+              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
     GraftSink.writeManifestTo(path, GraftSink.Manifest(ddl, files, ids), branch)
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
@@ -1179,8 +1258,8 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     }.toSeq.flatten
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) schema.toDDL
-              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
+    val ddl = if (truncate) GraftSink.cleanDdl(schema)
+              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
     GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
@@ -1446,8 +1525,8 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
     }.toSeq
     val files = if (truncate) published
                 else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) schema.toDDL
-              else prior.fold(schema.toDDL)(m => GraftSink.widenedDdl(m.ddl, schema))
+    val ddl = if (truncate) GraftSink.cleanDdl(schema)
+              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
     GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
     f.delete(epochStaging(epochId), true)
   }
@@ -1890,7 +1969,11 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSinkReaderFactory(required.fields.map(_.dataType))
+    new GraftSinkReaderFactory(required.fields.map(_.dataType), {
+      val defs = GraftSink.columnDefaults(path)
+      required.fields.map(f => defs.get(f.name)
+        .map(GraftSink.defaultCatalystValue(f.dataType, _)).orNull): Array[Any]
+    })
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -2107,8 +2190,14 @@ class GraftSinkChangelogStream(path: String, types: Array[DataType],
   override def stop(): Unit = ()
 }
 
-class GraftSinkReaderFactory(types: Array[DataType])
+class GraftSinkReaderFactory(types: Array[DataType],
+    defaults: Array[Any] = Array.empty)
   extends PartitionReaderFactory {
+
+  // per-required-column back-fill for files predating the column:
+  // its stored default when one exists, else NULL
+  private val fill: Array[Any] =
+    if (defaults.nonEmpty) defaults else new Array[Any](types.length)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
@@ -2166,9 +2255,10 @@ class GraftSinkReaderFactory(types: Array[DataType])
             case -1 => fileName
             case -2 => pos
             // files written BEFORE an ALTER TABLE ADD COLUMNS carry
-            // fewer fields; added columns back-fill as NULL (columns
-            // are only ever appended, so ordinals never shift)
-            case j if j >= fields.length => null
+            // fewer fields; added columns back-fill their INITIAL
+            // DEFAULT when one was declared, else NULL (columns are
+            // only ever appended, so ordinals never shift)
+            case j if j >= fields.length => fill(i)
             case j => GraftSink.decodeField(types(i), fields(j))
           }
           i += 1

@@ -79,7 +79,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q346_forecast_backtest", // lag-1/lag-7 windows over <= #days daily cells (q23's shape)
     "q349_knn_outliers", // rank over the 10-row TakeOrdered tail (q92's shape)
     "q366_bm25f",        // rank over the 15-row TakeOrdered tail (q123's shape)
-    "q370_hdbscan_mst"   // rank over the 5-row TakeOrdered MST tail
+    "q370_hdbscan_mst",  // rank over the 5-row TakeOrdered MST tail
+    "q387_yule_walker"   // lag-1/lag-2 window over <= #days daily cells (q23's shape)
   )
 
   private def sparkPlanOf(key: String): SparkPlan =
@@ -293,7 +294,11 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q348_hll_intersection",// literal 3-pair self-join of the checkpointed <= |event-type| sketch frame
     "q367_jl_audit",     // probe pair join: vec_id < 20 literal-keyed rows, checkpointed, both sides
     "q370_hdbscan_mst",  // probe pair join: vec_id < 32 literal-keyed rows, checkpointed, both sides
-    "q375_sink_metadata_count" // cross of two 1-row metadata count scans (stats-reported)
+    "q375_sink_metadata_count", // cross of two 1-row metadata count scans (stats-reported)
+    "q386_mmd_rbf",      // daily cells <= #days, checkpointed, both pair-join sides (q136's shape)
+    "q389_sink_analyze", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q392_remove_orphans", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q394_silhouette"    // broadcast k=10 trained codebook, checkpointed (q61's shape)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

@@ -182,6 +182,54 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // q395 — column defaults
+  // ------------------------------------------------------------------
+
+  test("column defaults: zero-rewrite initial default, current default on insert, prop hygiene") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.cd1")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "g").writeTo(s"$cat.ns.cd1").create() // v1+v2
+    val p = tablePath("cd1")
+    val filesBefore = GraftSink.readManifest(p).get.files
+    spark.sql(s"ALTER TABLE $cat.ns.cd1 ADD COLUMNS (t STRING DEFAULT 'L', n BIGINT DEFAULT 5)")
+    // metadata-only: not one data file rewritten
+    GraftSink.readManifest(p).get.files shouldBe filesBefore
+    // pre-column files serve the INITIAL defaults, not NULL
+    spark.table(s"$cat.ns.cd1").orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))) shouldBe
+      Array((1L, "L", 5L), (2L, "L", 5L))
+    // the published schema carries CURRENT_DEFAULT metadata
+    val meta = spark.table(s"$cat.ns.cd1").schema("t").metadata
+    meta.getString("CURRENT_DEFAULT") shouldBe "'L'"
+    // inserts: DEFAULT keyword and omitted-column both fill
+    spark.sql(s"INSERT INTO $cat.ns.cd1 VALUES (3, 'z', DEFAULT, 9)")
+    spark.sql(s"INSERT INTO $cat.ns.cd1 (k, g) VALUES (4, 'w')")
+    spark.table(s"$cat.ns.cd1").filter(col("k") >= 3).orderBy(col("k")).collect()
+      .map(r => (r.getString(2), r.getLong(3))) shouldBe Array(("L", 9L), ("L", 5L))
+    // a snapshot pinned BEFORE the alter has no such column at all
+    spark.read.format("graftsink").option("path", p).option("version", "2")
+      .load().schema.fieldNames shouldBe Array("k", "g")
+    // RENAME rekeys the default; DROP removes it
+    spark.sql(s"ALTER TABLE $cat.ns.cd1 RENAME COLUMN t TO tier")
+    GraftSink.columnDefaults(p).keySet should contain("tier")
+    GraftSink.columnDefaults(p).keySet should not contain "t"
+    spark.table(s"$cat.ns.cd1").filter(col("k") === 1).select(col("tier"))
+      .collect().head.getString(0) shouldBe "L"
+    spark.sql(s"ALTER TABLE $cat.ns.cd1 DROP COLUMN n")
+    GraftSink.columnDefaults(p).keySet should not contain "n"
+    // a re-added same-name column WITHOUT a default back-fills NULL
+    spark.sql(s"ALTER TABLE $cat.ns.cd1 ADD COLUMNS (n BIGINT)")
+    spark.table(s"$cat.ns.cd1").filter(col("k") === 1).select(col("n"))
+      .collect().head.isNullAt(0) shouldBe true
+    // CREATE TABLE with a default also lands (capability-gated path)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.cd2")
+    spark.sql(s"CREATE TABLE $cat.ns.cd2 (k BIGINT, s STRING DEFAULT 'init')")
+    spark.sql(s"INSERT INTO $cat.ns.cd2 (k) VALUES (1)")
+    spark.table(s"$cat.ns.cd2").collect().head.getString(1) shouldBe "init"
+  }
+
+  // ------------------------------------------------------------------
   // q392 — orphan cleanup
   // ------------------------------------------------------------------
 
