@@ -1115,6 +1115,102 @@ object Vectors extends QueryPack {
     // DIFFERENT algorithm (recursive Prim under the same (w, va, vb)
     // total order) — identical totals because all MSTs of a graph
     // share the same weight multiset.
+    // ------------------------------------------------------------------
+    // HDBSCAN stage 3 — CLUSTER EXTRACTION (DBSCAN* cut of the mutual-
+    // reachability graph, min-cluster-size = 3): q295 built core
+    // distances, q381 the per-cell MSTs; this key extracts the actual
+    // clusters a dedup/curation pipeline consumes. Per cell: ε = 0.8 ×
+    // the mean mutual-reachability weight (exact decimal mean — a
+    // deterministic, data-derived λ cut), keep edges w ≤ ε, connected
+    // components via the SAME one-exchange streaming union-find as
+    // q381 (roots = min vec_id, so component identity is order-free),
+    // components < 3 and edge-less vectors are NOISE. The pair stage
+    // stays Σ|cell|² (SemDeDup's contract); the oracle replays the cut
+    // and a RECURSIVE min-label propagation in DuckDB.
+    "q396_hdbscan_clusters" -> ((s, dir) => {
+      org.apache.spark.sql.GraftFunctions.register(s)
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val a = assign(e, trainedCodebook(s, dir))
+        .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+        .localCheckpoint() // pairs (both sides) + sizes
+      val pd = a.select(col("cell"), col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(a.select(col("cell"), col("vec_id").as("vb"), col("embedding").as("eb")),
+          "cell")
+        .filter(col("va") < col("vb"))
+        .withColumn("d2", round(expr(sqdist.format("ea", "eb")), 6))
+        .select(col("cell"), col("va"), col("vb"), col("d2"))
+        .localCheckpoint() // core ranks + edge build
+      val sizes = a.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      val nbrs = pd.select(col("cell"), col("va").as("v"), col("d2"))
+        .unionByName(pd.select(col("cell"), col("vb").as("v"), col("d2")))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("v")).orderBy(col("d2"))
+      val core = nbrs.withColumn("rn", row_number().over(wv))
+        .join(broadcast(sizes.withColumnRenamed("n_vecs", "n_cell")), "cell")
+        .filter(col("rn") === least(lit(4), col("n_cell") - 1))
+        .select(col("v"), col("d2").as("core"))
+      val edges = pd
+        .join(core.select(col("v").as("va"), col("core").as("core_a")), "va")
+        .join(core.select(col("v").as("vb"), col("core").as("core_b")), "vb")
+        .select(col("cell"), col("va"), col("vb"),
+          greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
+        .localCheckpoint() // ε aggregate + the cut both consume it
+      val eps = edges.groupBy(col("cell")).agg(
+        (sum(col("w").cast("decimal(28,6)")).cast("double") / count(lit(1)) * 0.8d)
+          .as("eps"))
+      val roots = edges.join(broadcast(eps), "cell")
+        .filter(col("w") <= col("eps"))
+        .select(col("cell").cast("long").as("cell"),
+          col("va").cast("long").as("va"), col("vb").cast("long").as("vb"))
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"), col("va"), col("vb"))
+        .as[(Long, Long, Long)]
+        .mapPartitions { it =>
+          // per-cell union-find (min-root, path-compressed): memory
+          // O(|cell|), edges stream through — q381's reducer shape
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var curCell = Long.MinValue
+          var parent: scala.collection.mutable.HashMap[Long, Long] = null
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          def flush(): Unit = if (curCell != Long.MinValue)
+            parent.keysIterator.foreach(v => out += ((curCell, v, find(v))))
+          it.foreach { case (cell, va, vb) =>
+            if (cell != curCell) {
+              flush()
+              curCell = cell
+              parent = scala.collection.mutable.HashMap.empty
+            }
+            parent.getOrElseUpdate(va, va)
+            parent.getOrElseUpdate(vb, vb)
+            val (ra, rb) = (find(va), find(vb))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("cell", "v", "root")
+      val clusters = roots.groupBy(col("cell"), col("root"))
+        .agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 3)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_clusters"), max(col("sz")).as("max_cluster"),
+          sum(col("sz")).as("clustered"))
+      sizes.withColumn("cell", col("cell").cast("long"))
+        .join(broadcast(clusters), Seq("cell"), "left")
+        .select(col("cell"), col("n_vecs"),
+          coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+          (col("n_vecs") - coalesce(col("clustered"), lit(0L))).as("n_noise"),
+          coalesce(col("max_cluster"), lit(0L)).as("max_cluster"))
+        .orderBy(col("cell"))
+    }),
+
     "q381_hdbscan_cells" -> ((s, dir) => {
       org.apache.spark.sql.GraftFunctions.register(s)
       import s.implicits._
@@ -1347,6 +1443,41 @@ object Vectors extends QueryPack {
     // Spark side's Borůvka, so a shared bug can't cancel; totals agree
     // because all MSTs of a graph share the same weight multiset, and
     // the accumulator is DECIMAL(18,6) in both engines.
+    // q396: same prefix as q381 up to `edges`; the ε cut + a RECURSIVE
+    // min-label reachability closure give the components; sizes ≥ 3
+    // are clusters, the rest (incl. edge-less vectors) noise.
+    "q396_hdbscan_clusters" ->
+      (s"WITH RECURSIVE $trainSql, "
+        + distSql("cent1", "dhx", "ahx") + ", "
+        + "av AS (SELECT a.vec_id, a.cid AS cell, e.embedding FROM ahx a JOIN embeddings e USING (vec_id)), "
+        + "pd AS (SELECT hi.cell, lo.vec_id AS va, hi.vec_id AS vb, "
+        + "round(list_sum(list_transform(range(1, len(lo.embedding) + 1), i -> "
+        + "(CAST(lo.embedding[i] AS DOUBLE) - CAST(hi.embedding[i] AS DOUBLE)) * "
+        + "(CAST(lo.embedding[i] AS DOUBLE) - CAST(hi.embedding[i] AS DOUBLE)))), 6) AS d2 "
+        + "FROM av lo JOIN av hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id), "
+        + "sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM av GROUP BY cell), "
+        + "nbrs AS (SELECT cell, va AS v, d2 FROM pd UNION ALL SELECT cell, vb AS v, d2 FROM pd), "
+        + "core AS (SELECT v, d2 AS core FROM (SELECT n.v, n.d2, "
+        + "row_number() OVER (PARTITION BY n.v ORDER BY n.d2) AS rn, s.n_vecs "
+        + "FROM nbrs n JOIN sizes s USING (cell)) WHERE rn = least(4, n_vecs - 1)), "
+        + "edges AS (SELECT pd.cell, pd.va, pd.vb, greatest(ca.core, cb.core, pd.d2) AS w "
+        + "FROM pd JOIN core ca ON ca.v = pd.va JOIN core cb ON cb.v = pd.vb), "
+        + "eps AS (SELECT cell, CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) / count(*) * 0.8 AS eps "
+        + "FROM edges GROUP BY cell), "
+        + "cut AS (SELECT e.cell, e.va, e.vb FROM edges e JOIN eps USING (cell) WHERE e.w <= eps.eps), "
+        + "adj AS (SELECT cell, va AS v, vb AS u FROM cut UNION ALL SELECT cell, vb AS v, va AS u FROM cut), "
+        + "verts AS (SELECT DISTINCT cell, v FROM adj), "
+        + "lab AS (SELECT cell, v, v AS l FROM verts "
+        + "UNION SELECT a2.cell, a2.v, lab.l FROM lab JOIN adj a2 ON a2.cell = lab.cell AND a2.u = lab.v), "
+        + "comp AS (SELECT cell, v, min(l) AS root FROM lab GROUP BY 1, 2), "
+        + "cs AS (SELECT cell, root, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY 1, 2), "
+        + "cl AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_clusters, max(sz) AS max_cluster, "
+        + "CAST(sum(sz) AS BIGINT) AS clustered FROM cs WHERE sz >= 3 GROUP BY cell) "
+        + "SELECT CAST(s.cell AS BIGINT) AS cell, s.n_vecs, "
+        + "coalesce(cl.n_clusters, 0) AS n_clusters, "
+        + "s.n_vecs - coalesce(cl.clustered, 0) AS n_noise, "
+        + "coalesce(cl.max_cluster, 0) AS max_cluster "
+        + "FROM sizes s LEFT JOIN cl USING (cell) ORDER BY cell"),
     "q381_hdbscan_cells" ->
       (s"WITH RECURSIVE $trainSql, "
         + distSql("cent1", "dhc", "ahc") + ", "

@@ -134,6 +134,32 @@ class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows.length shouldBe 10
   }
 
+  test("q396 cluster extraction is consistent with q381's cells and conserves vectors") {
+    val rows = SparkEntry.queries("q396_hdbscan_clusters")(spark, sf).collect()
+    val mst = SparkEntry.queries("q381_hdbscan_cells")(spark, sf).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_vecs")).toMap
+    rows.length shouldBe mst.size // same cells, nothing dropped
+    rows.foreach { r =>
+      val (cell, n) = (r.getAs[Long]("cell"), r.getAs[Long]("n_vecs"))
+      n shouldBe mst(cell) // identical cell assignment across both stages
+      val (k, noise, maxc) = (r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_noise"), r.getAs[Long]("max_cluster"))
+      // conservation: clustered + noise = cell population; min size 3
+      (n - noise) should be >= 3L * k
+      if (k > 0) {
+        maxc should be >= 3L
+        maxc should be <= n - noise
+      } else {
+        noise shouldBe n
+        maxc shouldBe 0L
+      }
+    }
+    // the ε cut must actually split: not every cell may be one cluster
+    // covering everything, and at least one real cluster must exist
+    rows.map(_.getAs[Long]("n_clusters")).sum should be >= 1L
+    rows.map(_.getAs[Long]("n_noise")).sum should be >= 1L
+  }
+
   test("q388 readability matches per-document regex counts recomputed in Scala") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
