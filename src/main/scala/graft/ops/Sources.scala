@@ -693,6 +693,49 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // STREAMING write into a PARTITIONED table (q379 × q365 — the
+    // refusal this composition replaces): each epoch's tasks route
+    // rows through the shared tuple router, so every published file
+    // carries its `part:` tag and the streamed table prunes EXACTLY
+    // like a batch-written one; commits stay epoch-keyed exactly-once
+    // (replayed epochs drop whole). The readout certifies the tags the
+    // hard way: the per-bucket DATA rollup joins the per-bucket
+    // MANIFEST live-row rollup — equality means every streamed file's
+    // tag matches every row inside it. Round11cSpec pins the pruning
+    // (planned files for one bucket) and per-file tag presence; oracle
+    // replays graftseq's deterministic md5 stream.
+    "q397_stream_partitioned_sink" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.psk397")
+      s.sql("""CREATE TABLE graft.g.psk397 (bucket BIGINT, id BIGINT)
+        PARTITIONED BY (bucket)""")
+      val stage = Stage.fresh("pstream397")
+      val tbl = s"${Stage.dir("graft_warehouse")}/g/psk397"
+      s.readStream.format("graftseq")
+        .option("rows", "100000").option("slices", "4")
+        .option("rowsPerBatch", "25000").load()
+        .select(col("bucket"), col("id"))
+        .writeStream.format("graftsink")
+        .option("path", tbl).option("checkpointLocation", s"$stage/ck")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val data = s.table("graft.g.psk397")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      val manifest = s.table("graft.g.psk397.files")
+        .select(expr("cast(split(part, '=')[1] as bigint)").as("bucket"),
+          col("live_rows"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("live_rows")).as("n_manifest"))
+      val out = data.join(broadcast(manifest), Seq("bucket"))
+        .orderBy(col("bucket"))
+        .localCheckpoint() // materialize before the staging tree is released
+      Stage.release(stage)
+      out
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1851,6 +1894,13 @@ object Sources extends QueryPack {
         + "CAST(4 AS BIGINT) AS n_versions "
         + "FROM fin GROUP BY 1 ORDER BY 1"),
     // q365: the streamed union of the 4 epochs is exactly range(100000).
+    // q397: the streamed content replays from the deterministic md5
+    // stream; n_manifest ≡ n certifies every file tag.
+    "q397_stream_partitioned_sink" ->
+      ("SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
+        + "CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sum_id, "
+        + "min(i) AS min_id, max(i) AS max_id, CAST(count(*) AS BIGINT) AS n_manifest "
+        + "FROM (SELECT unnest(range(100000)) AS i) GROUP BY 1 ORDER BY 1"),
     "q365_dsv2_stream_sink" ->
       ("SELECT CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 97 AS bucket, "
         + "CAST(count(*) AS BIGINT) AS n, CAST(sum(i) AS BIGINT) AS sum_id, "

@@ -975,10 +975,11 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
           new GraftSinkPartitionedBatchWrite(path, schema, queryId, doTruncate,
             partCols, partIdx)
         }
-        override def toStreaming: StreamingWrite =
-          throw new UnsupportedOperationException(
-            "graftsink: streaming writes into a partitioned table are not " +
-              "supported yet (use foreachBatch)")
+        override def toStreaming: StreamingWrite = {
+          GraftSink.checkSchema(schema)
+          new GraftSinkPartitionedStreamingWrite(path, schema, queryId,
+            doTruncate, partCols, partIdx)
+        }
       }
     }
     // BUCKET-partitioned table (PARTITIONED BY (bucket(n, col))): same
@@ -1268,57 +1269,67 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     GraftSink.fs(path).delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
 }
 
+/** The per-task tuple router both partitioned write surfaces share:
+  * one staged sub-file per partition tuple (identity value or hash
+  * bucket), commit message = every tuple's staged file + row count. */
+class GraftSinkTupleRouter(path: String, schema: StructType,
+    stagedPrefix: String, partitionId: Int, partCols: Seq[String],
+    partIdx: Array[Int], buckets: Option[Int])
+  extends DataWriter[InternalRow] {
+
+  private val types = schema.fields.map(_.dataType)
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, GraftSinkRowWriter]
+  private var skip = -1
+  private var seq = 0
+
+  override def write(row: InternalRow): Unit = {
+    if (skip < 0) skip = row.numFields - types.length // marker validated by the sub-writer
+    val key = partCols.zip(partIdx).map { case (c, i) =>
+      val j = i + math.max(skip, 0)
+      val v: Any =
+        if (row.isNullAt(j)) null
+        else types(i) match {
+          case LongType => row.getLong(j)
+          case IntegerType => row.getInt(j)
+          case _ => row.getUTF8String(j).toString
+        }
+      buckets match {
+        // bucket transform: files tag the PORTABLE hash bucket, not
+        // the raw value (one tag per file; several files per bucket
+        // are fine — pruning is per-file)
+        case Some(n) => s"${GraftSink.bucketKey(c)}=${GraftSink.bucketIdOf(v, n)}"
+        case None =>
+          s"$c=${if (v == null) "\\N" else GraftSink.encodePartValue(v)}"
+      }
+    }.mkString(",")
+    writers.getOrElseUpdate(key, {
+      val w = new GraftSinkRowWriter(path, schema,
+        s"$stagedPrefix-$seq.tsv", partitionId)
+      seq += 1
+      w
+    }).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    GraftSinkPartitionedCommit(partitionId,
+      writers.toSeq.map { case (key, w) =>
+        val m = w.commit().asInstanceOf[GraftSinkCommit]
+        (m.stagedFile, key, m.rows)
+      })
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = ()
+}
+
 class GraftSinkPartitionedWriterFactory(path: String, schema: StructType,
     queryId: String, partCols: Seq[String], partIdx: Array[Int],
     buckets: Option[Int] = None)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val types = schema.fields.map(_.dataType)
-      private val writers =
-        scala.collection.mutable.LinkedHashMap.empty[String, GraftSinkRowWriter]
-      private var skip = -1
-      private var seq = 0
-
-      override def write(row: InternalRow): Unit = {
-        if (skip < 0) skip = row.numFields - types.length // marker validated by the sub-writer
-        val key = partCols.zip(partIdx).map { case (c, i) =>
-          val j = i + math.max(skip, 0)
-          val v: Any =
-            if (row.isNullAt(j)) null
-            else types(i) match {
-              case LongType => row.getLong(j)
-              case IntegerType => row.getInt(j)
-              case _ => row.getUTF8String(j).toString
-            }
-          buckets match {
-            // bucket transform: files tag the PORTABLE hash bucket, not
-            // the raw value (one tag per file; several files per bucket
-            // are fine — pruning is per-file)
-            case Some(n) => s"${GraftSink.bucketKey(c)}=${GraftSink.bucketIdOf(v, n)}"
-            case None =>
-              s"$c=${if (v == null) "\\N" else GraftSink.encodePartValue(v)}"
-          }
-        }.mkString(",")
-        writers.getOrElseUpdate(key, {
-          val w = new GraftSinkRowWriter(path, schema,
-            s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId-$seq.tsv",
-            partitionId)
-          seq += 1
-          w
-        }).write(row)
-      }
-
-      override def commit(): WriterCommitMessage =
-        GraftSinkPartitionedCommit(partitionId,
-          writers.toSeq.map { case (key, w) =>
-            val m = w.commit().asInstanceOf[GraftSinkCommit]
-            (m.stagedFile, key, m.rows)
-          })
-      override def abort(): Unit = writers.values.foreach(_.abort())
-      override def close(): Unit = ()
-    }
+    new GraftSinkTupleRouter(path, schema,
+      s"$path/${GraftSink.STAGING}/$queryId/part-$partitionId-$taskId",
+      partitionId, partCols, partIdx, buckets)
 }
 
 // --------------------------------------------------------------------
@@ -1543,6 +1554,72 @@ class GraftSinkStreamingWriterFactory(path: String, schema: StructType,
     new GraftSinkRowWriter(path, schema,
       s"$path/${GraftSink.STAGING}/$queryId/e$epochId/part-$partitionId-$taskId.tsv",
       partitionId)
+}
+
+class GraftSinkPartitionedStreamingWriterFactory(path: String,
+    schema: StructType, queryId: String, partCols: Seq[String],
+    partIdx: Array[Int]) extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftSinkTupleRouter(path, schema,
+      s"$path/${GraftSink.STAGING}/$queryId/e$epochId/part-$partitionId-$taskId",
+      partitionId, partCols, partIdx, None)
+}
+
+/** STREAMING write into a PARTITIONED table (q397): the same epoch-
+  * keyed exactly-once commit as [[GraftSinkStreamingWrite]], but each
+  * task routes rows through the shared [[GraftSinkTupleRouter]] so
+  * every published file carries its `part:` tuple — a streamed table
+  * prunes exactly like a batch-written one. Epoch replay detection is
+  * by the `q-<qid>-e<epoch>-` marker, identical to the unpartitioned
+  * path; a replayed epoch's staging is dropped whole. */
+class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
+    queryId: String, truncate: Boolean, partCols: Seq[String],
+    partIdx: Array[Int]) extends StreamingWrite {
+
+  private def epochStaging(epochId: Long) =
+    new HPath(path, s"${GraftSink.STAGING}/$queryId/e$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftSinkPartitionedStreamingWriterFactory(path, schema, queryId,
+      partCols, partIdx)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val f = GraftSink.fs(path)
+    val prior = GraftSink.readManifest(path)
+    val marker = s"q-$queryId-e$epochId-"
+    if (prior.exists(_.files.exists(_.startsWith(marker)))) {
+      f.delete(epochStaging(epochId), true) // replayed epoch: drop duplicates
+      return
+    }
+    if (!truncate) prior.foreach { m =>
+      require(GraftSink.schemaCompatible(m.ddl, schema),
+        s"graftsink: streaming append schema mismatch at $path — table is " +
+          s"'${m.ddl}', write is '${schema.toDDL}'")
+    }
+    val ids = if (truncate) None else prior.flatMap(_.ids)
+    val published = messages.collect { case c: GraftSinkPartitionedCommit =>
+      c.files.zipWithIndex.map { case ((staged, part, rows), i) =>
+        val fin = s"${marker}part-${c.partitionId}-$i.tsv"
+        val dest = new HPath(path, fin)
+        if (f.exists(dest)) f.delete(dest, false) // ghost from a crashed publish
+        require(f.rename(new HPath(staged), dest),
+          s"graftsink: failed to publish $staged -> $fin")
+        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+      }
+    }.toSeq.flatten
+    val files = if (truncate) published
+                else prior.map(_.files).getOrElse(Nil) ++ published
+    val ddl = if (truncate) GraftSink.cleanDdl(schema)
+              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
+    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    f.delete(epochStaging(epochId), true)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    GraftSink.fs(path).delete(epochStaging(epochId), true)
 }
 
 // --------------------------------------------------------------------

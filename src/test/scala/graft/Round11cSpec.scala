@@ -230,6 +230,45 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // q397 — streaming write into a partitioned table
+  // ------------------------------------------------------------------
+
+  test("streamed partitioned table: every file tagged, equality prunes, epochs exactly-once") {
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ps1")
+    spark.sql(s"CREATE TABLE $cat.ns.ps1 (bucket BIGINT, id BIGINT) PARTITIONED BY (bucket)")
+    val p = tablePath("ps1")
+    val stage = graft.ops.Stage.fresh("ps1_spec")
+    spark.readStream.format("graftseq")
+      .option("rows", "2000").option("slices", "2")
+      .option("rowsPerBatch", "500").load()
+      .select(col("bucket"), col("id"))
+      .writeStream.format("graftsink")
+      .option("path", p).option("checkpointLocation", s"$stage/ck")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    val m = GraftSink.readManifest(p).get
+    // every published file carries its bucket tag and an epoch marker
+    m.files.foreach { l =>
+      GraftSink.entryPart(l) should not be empty
+      GraftSink.entryName(l) should include("-e")
+    }
+    // 4 epochs committed exactly once: one snapshot per non-empty batch
+    GraftSink.listVersions(p).size should be >= 4
+    // equality on the partition column plans only that bucket's files
+    val one = spark.table(s"$cat.ns.ps1").filter(col("bucket") === 7L)
+    val planned = plannedSinkFiles(one)
+    planned should not be empty
+    m.files.filter(l => planned.contains(GraftSink.entryName(l)))
+      .flatMap(GraftSink.entryPart).distinct shouldBe Seq("bucket=7")
+    // and the content is complete: 2000 rows total, no dup, no loss
+    spark.table(s"$cat.ns.ps1").count() shouldBe 2000L
+    spark.table(s"$cat.ns.ps1").select(col("id")).distinct().count() shouldBe 2000L
+    graft.ops.Stage.release(stage)
+  }
+
+  // ------------------------------------------------------------------
   // q392 — orphan cleanup
   // ------------------------------------------------------------------
 
