@@ -90,6 +90,45 @@ object Evaluation extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // PR-AUC (area under the precision–recall curve, trapezoid over
+    // tied-score blocks) — the imbalanced-class companion to q198's
+    // ROC (a 1% positive rate keeps ROC-AUC high while PR collapses;
+    // retrieval/filter tuning reads THIS curve). Pure closed form per
+    // distinct-value block of the SAME cumCounts contraction as q198 —
+    // no global window, no second pass: in descending-score order a
+    // block contributes Δrecall × (prec_before + prec_after)/2, and
+    // both precisions derive from the ascending prefix sums
+    // (tp≥v = n₂−cum₂+c₂, fp≥v likewise); the virtual start is
+    // (recall 0, precision 1). FP-only blocks contribute zero area
+    // (recall unchanged) exactly as the trapezoid demands. Terms
+    // quantized DECIMAL(28,12) pre-sum; lift = PR-AUC / prevalence.
+    "q399_pr_auc" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      Science.cumCounts(s, g)
+        .withColumn("tp", expr("n2 - cum2 + c2"))       // positives scoring >= v
+        .withColumn("fp", expr("n1 - cum1 + c1"))       // negatives scoring >= v
+        .withColumn("tp0", expr("n2 - cum2"))           // strictly > v
+        .withColumn("fp0", expr("n1 - cum1"))
+        .withColumn("prec", expr("cast(tp as double) / (tp + fp)"))
+        .withColumn("prec0", expr(
+          "CASE WHEN tp0 + fp0 = 0 THEN 1.0d ELSE cast(tp0 as double) / (tp0 + fp0) END"))
+        .withColumn("term", expr(
+          "cast((cast(c2 as double) / n2) * (prec + prec0) / 2.0d as decimal(28,12))"))
+        .agg(max(col("n2")).as("n_pos"), max(col("n1")).as("n_neg"),
+          sum(col("term")).as("area"))
+        .withColumn("prevalence", expr(
+          "cast(n_pos as double) / (n_pos + n_neg)"))
+        .selectExpr("n_pos", "n_neg",
+          "round(cast(area as double), 6) AS pr_auc",
+          "round(prevalence, 6) AS prevalence",
+          "round(cast(area as double) / prevalence, 4) AS lift")
+    }),
+
+    // ------------------------------------------------------------------
     // Inter-rater agreement between two deterministic document labelers
     // (rater A: n_chars >= 300; rater B: >= 55 whitespace tokens — two
     // correlated-but-distinct length heuristics): confusion cells,
@@ -1754,6 +1793,26 @@ object Evaluation extends QueryPack {
         + "a AS (SELECT n_pos, n_neg, (CAST(rp AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) / "
         + "(CAST(n_pos AS DOUBLE) * n_neg) AS auc_raw FROM agg) "
         + "SELECT n_pos, n_neg, round(auc_raw, 6) AS auc, round(2.0 * auc_raw - 1.0, 6) AS gini_idx FROM a"),
+    // q399: identical per-block closed form; the ascending cumsums ride
+    // a plain window over the distinct-value frame.
+    "q399_pr_auc" ->
+      ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL GROUP BY value), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
+        + "cums AS (SELECT c1, c2, n1, n2, "
+        + "CAST(sum(c1) OVER w AS BIGINT) AS cum1, CAST(sum(c2) OVER w AS BIGINT) AS cum2 "
+        + "FROM g CROSS JOIN t WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "b AS (SELECT n1, n2, n2 - cum2 + c2 AS tp, n1 - cum1 + c1 AS fp, "
+        + "n2 - cum2 AS tp0, n1 - cum1 AS fp0, c2 FROM cums), "
+        + "terms AS (SELECT n1, n2, CAST((CAST(c2 AS DOUBLE) / n2) * "
+        + "(CAST(tp AS DOUBLE) / (tp + fp) + "
+        + "CASE WHEN tp0 + fp0 = 0 THEN 1.0 ELSE CAST(tp0 AS DOUBLE) / (tp0 + fp0) END) / 2.0 AS DECIMAL(28,12)) AS term FROM b), "
+        + "a AS (SELECT max(n2) AS n_pos, max(n1) AS n_neg, sum(term) AS area FROM terms), "
+        + "f AS (SELECT n_pos, n_neg, CAST(area AS DOUBLE) AS area, "
+        + "CAST(n_pos AS DOUBLE) / (n_pos + n_neg) AS prevalence FROM a) "
+        + "SELECT n_pos, n_neg, round(area, 6) AS pr_auc, round(prevalence, 6) AS prevalence, "
+        + "round(area / prevalence, 4) AS lift FROM f"),
     "q199_rater_agreement" ->
       ("WITH r AS (SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a, "
         + "CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 55 THEN 1 ELSE 0 END AS b FROM documents), "

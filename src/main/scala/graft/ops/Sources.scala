@@ -736,6 +736,47 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // CHANGELOG over BRANCH REFS (q376 × q382 — the audit-side read of
+    // write-audit-publish): `changesFrom`/`changesTo` accept NAMED refs,
+    // so the auditor tails exactly the staged branch's commits —
+    // `changesFrom='base'` (a tag pinned at the main head) to
+    // `changesTo='audit'` (the branch head) — without knowing any
+    // snapshot number; works because branch commits join the SAME
+    // immutable global version chain. Two branch appends = two
+    // attributed insert deltas; main readers still see the pre-branch
+    // table (pinned in the readout alongside the deltas). Oracle
+    // replays both slices closed-form; Round11cSpec pins the ref
+    // resolution equivalence and the bad-ref refusal.
+    "q398_branch_changelog" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.bch398")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.bch398").create()                        // v1+v2
+      s.sql("CALL graft.sys.create_tag('g.bch398', 'base', 2)").collect()
+      val tbl = s"${Stage.dir("graft_warehouse")}/g/bch398"
+      cust.filter(col("c_custkey") % 4 === 0)
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(10)).cast("double"))
+        .write.format("graftsink").mode("append")
+        .option("path", tbl).option("toBranch", "audit").save()      // v3 (branch)
+      cust.filter(col("c_custkey") % 4 === 1)
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(20)).cast("double"))
+        .write.format("graftsink").mode("append")
+        .option("path", tbl).option("toBranch", "audit").save()      // v4 (branch)
+      val deltas = s.read.format("graftsink").option("path", tbl)
+        .option("changesFrom", "base").option("changesTo", "audit").load()
+        .groupBy(col("_commit_version"), col("_change"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+      val mainRows = s.table("graft.g.bch398")
+        .agg(count(lit(1)).as("rows_main")) // main untouched by the staging
+      deltas.crossJoin(broadcast(mainRows))
+        .orderBy(col("_commit_version"), col("_change"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1894,6 +1935,23 @@ object Sources extends QueryPack {
         + "CAST(4 AS BIGINT) AS n_versions "
         + "FROM fin GROUP BY 1 ORDER BY 1"),
     // q365: the streamed union of the 4 epochs is exactly range(100000).
+    // q398: the two branch deltas replay closed-form; rows_main = the
+    // untouched pre-branch customer count.
+    "q398_branch_changelog" ->
+      ("WITH base AS (SELECT c_custkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "a AS (SELECT CAST(count(*) AS BIGINT) AS rows_main FROM base), "
+        + "d3 AS (SELECT CAST(3 AS BIGINT) AS _commit_version, 'insert' AS _change, "
+        + "CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(CAST(bal AS DECIMAL(18,2)) + 10 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key FROM base WHERE c_custkey % 4 = 0), "
+        + "d4 AS (SELECT CAST(4 AS BIGINT) AS _commit_version, 'insert' AS _change, "
+        + "CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(CAST(CAST(bal AS DECIMAL(18,2)) + 20 AS DOUBLE) AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key FROM base WHERE c_custkey % 4 = 1) "
+        + "SELECT * FROM (SELECT d3.*, a.rows_main FROM d3 CROSS JOIN a "
+        + "UNION ALL SELECT d4.*, a.rows_main FROM d4 CROSS JOIN a) "
+        + "ORDER BY _commit_version, _change"),
     // q397: the streamed content replays from the deterministic md5
     // stream; n_manifest ≡ n certifies every file tag.
     "q397_stream_partitioned_sink" ->

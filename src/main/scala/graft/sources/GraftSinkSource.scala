@@ -84,7 +84,7 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
     val props = options.asCaseSensitiveMap()
     val path = GraftSink.pathOf(props)
     val version = pinOf(props, path)
-    val changes = GraftSink.changesOf(props)
+    val changes = GraftSink.changesOf(props, path)
     require(version.isEmpty || changes.isEmpty,
       "graftsink: a snapshot pin ('version'/'ref') and 'changesFrom' are mutually exclusive")
     // changelog mode reads rows through the RANGE-END snapshot's schema
@@ -104,7 +104,7 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
         "(use the 'clusterBy' write option for clustered files)")
     val path = GraftSink.pathOf(properties)
     new GraftSinkTable(path, schema,
-      pinOf(properties, path), GraftSink.changesOf(properties))
+      pinOf(properties, path), GraftSink.changesOf(properties, path))
   }
 }
 
@@ -310,18 +310,29 @@ object GraftSink {
     * commit", i.e. the full history), `changesTo` = the last snapshot
     * whose changes are served (inclusive; absent = latest at scan
     * planning). Mutually exclusive with `version`. */
-  def changesOf(properties: JMap[String, String]): Option[(Int, Option[Int])] =
+  /** Changelog range: `changesFrom` (exclusive base) / `changesTo`
+    * (inclusive target, default latest). Either bound may be a NAMED
+    * REF (branch/tag) — `changesTo=audit` tails a staged branch's
+    * commits without knowing its head number (Iceberg's incremental
+    * scan over a branch), which works because branch commits join the
+    * SAME immutable global version chain. */
+  def changesOf(properties: JMap[String, String], path: String): Option[(Int, Option[Int])] =
     Option(properties.get("changesFrom")).map { raw =>
-      val from = try raw.trim.toInt catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graftsink: option 'changesFrom' must be an int, got '$raw'")
+      def resolve(opt: String, v: String): Int = {
+        val t = v.trim
+        try t.toInt catch {
+          case _: NumberFormatException =>
+            try resolveRef(path, t) catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"graftsink: option '$opt' must be a snapshot number or a " +
+                  s"branch/tag name — ${e.getMessage}")
+            }
+        }
       }
+      val from = resolve("changesFrom", raw)
       require(from >= 0, s"graftsink: option 'changesFrom' must be >= 0, got $from")
       val to = Option(properties.get("changesTo")).map { t =>
-        val v = try t.trim.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graftsink: option 'changesTo' must be an int, got '$t'")
-        }
+        val v = resolve("changesTo", t)
         require(v > from,
           s"graftsink: option 'changesTo' ($v) must be > changesFrom ($from)")
         v

@@ -160,6 +160,38 @@ class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows.map(_.getAs[Long]("n_noise")).sum should be >= 1L
   }
 
+  test("q399 PR-AUC matches a scalar trapezoid over the tied-score curve") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val blocks = ev.groupBy(_._1).view
+      .mapValues(rs => (rs.count(!_._2), rs.count(_._2)))
+      .toSeq.sortBy(-_._1) // descending score
+    val nPos = blocks.map(_._2._2).sum.toDouble
+    val nNeg = blocks.map(_._2._1).sum.toDouble
+    var (tp, fp) = (0L, 0L)
+    var (prevPrec, area) = (1.0, BigDecimal(0))
+    blocks.foreach { case (_, (c1, c2)) =>
+      tp += c2; fp += c1
+      val prec = tp.toDouble / (tp + fp)
+      area += BigDecimal((c2 / nPos) * (prec + prevPrec) / 2.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      prevPrec = prec
+    }
+    val row = SparkEntry.queries("q399_pr_auc")(spark, sf).collect().head
+    row.getAs[Long]("n_pos") shouldBe nPos.toLong
+    row.getAs[Long]("n_neg") shouldBe nNeg.toLong
+    row.getAs[Double]("pr_auc") shouldBe area.toDouble +- 1e-5
+    // PR-AUC of a random scorer ≈ prevalence; the curve must dominate
+    // chance here and lift must agree with the ratio
+    row.getAs[Double]("prevalence") shouldBe nPos / (nPos + nNeg) +- 1e-6
+    row.getAs[Double]("lift") shouldBe
+      (area.toDouble / (nPos / (nPos + nNeg))) +- 1e-3
+    row.getAs[Double]("pr_auc") should be > 0.0
+    row.getAs[Double]("pr_auc") should be <= 1.0
+  }
+
   test("q388 readability matches per-document regex counts recomputed in Scala") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

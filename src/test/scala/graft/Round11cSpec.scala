@@ -269,6 +269,32 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // q398 — changelog bounds as refs
+  // ------------------------------------------------------------------
+
+  test("changelog bounds accept branch/tag refs and resolve to the same delta as numbers") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.bc1")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").writeTo(s"$cat.ns.bc1").create() // v1+v2
+    spark.sql(s"CALL $cat.sys.create_tag('ns.bc1', 'base', 2)").collect()
+    val p = tablePath("bc1")
+    Seq((3L, 3.0)).toDF("k", "v").write.format("graftsink").mode("append")
+      .option("path", p).option("toBranch", "stage").save()                   // v3
+    def delta(from: String, to: String) =
+      spark.read.format("graftsink").option("path", p)
+        .option("changesFrom", from).option("changesTo", to).load()
+        .select(col("k"), col("_change"), col("_commit_version"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+    delta("base", "stage") shouldBe delta("2", "3")
+    delta("base", "stage").map(_.head) shouldBe Array(3L)
+    intercept[Exception] {
+      spark.read.format("graftsink").option("path", p)
+        .option("changesFrom", "no_such_ref").load()
+    }
+  }
+
+  // ------------------------------------------------------------------
   // q392 — orphan cleanup
   // ------------------------------------------------------------------
 
