@@ -777,6 +777,50 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // SIZE-AWARE COMPACTION (`CALL graft.sys.compact_bins` — Iceberg's
+    // binpack rewrite strategy; q371's compact() rewrites the WHOLE
+    // table, this packs small files into ~max_rows bins WITHIN each
+    // partition tuple and leaves right-sized files alone): files sort
+    // by rows DESC and pack by floor(exclusive-cumsum / max_rows) — a
+    // rule whose bin COUNT is invariant under tie order, so the oracle
+    // replays it from parquet row counts alone; multi-file bins
+    // rewrite through one connector read each (DVs absorb), singles
+    // pass through untouched, `part:` tuples survive (bins never cross
+    // them), and everything commits as ONE snapshot. Input = 3 keyed
+    // appends per tuple (3 files/tuple, one per append — clustered
+    // identity writes); readout joins data and manifest rollups per
+    // tuple + the audit row. Round11cSpec pins DV absorption, stats
+    // merging, single-snapshot commit, and pass-through bins.
+    "q400_compact_bins" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.bins400")
+      s.sql("""CREATE TABLE graft.g.bins400
+        (o_orderkey BIGINT, o_orderpriority STRING, price DOUBLE)
+        PARTITIONED BY (o_orderpriority)""")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+      (0 until 3).foreach(i => base.filter(col("o_orderkey") % 3 === i)
+        .writeTo("graft.g.bins400").append())
+      val audit = s.sql("CALL graft.sys.compact_bins('g.bins400', 2500)")
+        .select(col("files_before"), col("files_after"), col("bins_rewritten"))
+      val files = s.table("graft.g.bins400.files")
+        // part values are URL-encoded; the priorities' only special
+        // char is the space ('4-NOT SPECIFIED' → '+')
+        .select(expr("replace(split(part, '=')[1], '+', ' ')").as("pr"),
+          col("live_rows"))
+        .groupBy(col("pr"))
+        .agg(count(lit(1)).as("n_files"), sum(col("live_rows")).as("rows_manifest"))
+      val data = s.table("graft.g.bins400")
+        .groupBy(col("o_orderpriority").as("pr"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
+      data.join(broadcast(files), Seq("pr"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("pr"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1935,6 +1979,26 @@ object Sources extends QueryPack {
         + "CAST(4 AS BIGINT) AS n_versions "
         + "FROM fin GROUP BY 1 ORDER BY 1"),
     // q365: the streamed union of the 4 epochs is exactly range(100000).
+    // q400: the packing rule replays from parquet row counts alone —
+    // per (priority, slice) counts sort desc and bin by exclusive-
+    // cumsum integer division; bin counts are tie-order invariant.
+    "q400_compact_bins" ->
+      ("WITH base AS (SELECT o_orderkey, o_orderpriority AS pr, "
+        + "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders), "
+        + "c AS (SELECT pr, o_orderkey % 3 AS sl, CAST(count(*) AS BIGINT) AS r FROM base GROUP BY 1, 2), "
+        + "o AS (SELECT pr, r, coalesce(CAST(sum(r) OVER (PARTITION BY pr ORDER BY r DESC, sl "
+        + "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cumx FROM c), "
+        + "b AS (SELECT pr, cumx // 2500 AS bin, CAST(count(*) AS BIGINT) AS members FROM o GROUP BY 1, 2), "
+        + "f AS (SELECT pr, CAST(count(*) AS BIGINT) AS n_files, "
+        + "CAST(sum(CASE WHEN members > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nrw FROM b GROUP BY pr), "
+        + "aud AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS files_before, "
+        + "(SELECT CAST(sum(n_files) AS BIGINT) FROM f) AS files_after, "
+        + "(SELECT CAST(sum(nrw) AS BIGINT) FROM f) AS bins_rewritten), "
+        + "d AS (SELECT pr, CAST(count(*) AS BIGINT) AS n_rows, "
+        + "round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price FROM base GROUP BY pr) "
+        + "SELECT d.pr, d.n_rows, d.sum_price, f.n_files, d.n_rows AS rows_manifest, "
+        + "aud.files_before, aud.files_after, aud.bins_rewritten "
+        + "FROM d JOIN f USING (pr) CROSS JOIN aud ORDER BY d.pr"),
     // q398: the two branch deltas replay closed-form; rows_main = the
     // untouched pre-branch customer count.
     "q398_branch_changelog" ->

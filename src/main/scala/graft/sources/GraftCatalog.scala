@@ -776,6 +776,91 @@ object GraftCatalog {
           }
         Array[Any](orphans.size.toLong, staged, kept.size.toLong)
       })),
+    "compact_bins" -> (cat => new GraftProcedure(cat, "compact_bins",
+      "compact_bins(tbl, max_rows): bin-pack small files into ~max_rows outputs WITHIN each partition tuple",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("max_rows", IntegerType).build()),
+      new StructType().add("files_before", LongType).add("files_after", LongType)
+        .add("bins_rewritten", LongType),
+      (cat0, args) => {
+        // SIZE-AWARE compaction (Iceberg's binpack strategy, rows as the
+        // size proxy the manifest already carries): within each
+        // partition tuple, files sort by rows DESC and pack by the
+        // floor(exclusive-cumsum / max_rows) rule — deterministic for
+        // any tie order (equal-row swaps leave every cumsum unchanged),
+        // so the bin COUNT is replayable outside the engine. Multi-file
+        // bins rewrite through ONE connector read each (delete vectors
+        // apply and vanish — compaction is also DV absorption); single-
+        // file bins pass through untouched, keeping their DVs. Commits
+        // as ONE new snapshot; `part:` tuples survive because bins
+        // never cross them. At 1000-executor scale the per-bin jobs
+        // run concurrently (Iceberg's rewrite groups); the driver loop
+        // here is the local[32] rendering of the same plan.
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val maxRows = args.getInt(1)
+        require(maxRows >= 1, s"graft catalog: compact_bins wants max_rows >= 1, got $maxRows")
+        val m = GraftSink.readManifest(p).get
+        m.files.foreach(l => require(GraftSink.entryRows(l).isDefined,
+          s"graft catalog: compact_bins needs rows: segments on every entry (missing on ${GraftSink.entryName(l)})"))
+        val sp = org.apache.spark.sql.SparkSession.active
+        val schema = StructType.fromDDL(m.ddl)
+        val ids = GraftSink.manifestIds(m)
+        val groups = m.files.groupBy(GraftSink.entryPart)
+        var untouched = Seq.empty[String]
+        var rewritten = Seq.empty[String]
+        var binsRewritten = 0L
+        groups.toSeq.sortBy(_._1.toString).foreach { case (part, entries) =>
+          val ordered = entries.sortBy(l =>
+            (-GraftSink.entryRows(l).get, GraftSink.entryName(l)))
+          var cum = 0L
+          val binned = ordered.map { l =>
+            val bin = cum / maxRows
+            cum += GraftSink.entryRows(l).get
+            (bin, l)
+          }.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+          binned.foreach { bin =>
+            if (bin.length == 1) untouched :+= bin.head
+            else {
+              val names = bin.map(GraftSink.entryName)
+              val liveRows = bin.map(l =>
+                GraftSink.entryRows(l).get - GraftSink.entryDeletes(l).length).sum
+              val scratch = graft.ops.Stage.fresh("compact_bins").toString + "/bin"
+              import org.apache.spark.sql.functions.col
+              sp.read.format("graftsink").option("path", p).load()
+                .select((schema.fieldNames.map(col) :+ col("_file")).toIndexedSeq: _*)
+                .filter(col("_file").isin(names: _*))
+                .drop("_file")
+                .coalesce(1)
+                .write.format("graftsink").mode("overwrite")
+                .option("path", scratch).save()
+              val sm = GraftSink.readManifest(scratch).get
+              require(sm.files.length == 1,
+                s"graft catalog: compact_bins expected 1 staged file, got ${sm.files.length}")
+              val f = GraftSink.fs(p)
+              val fin = s"compact-bin-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
+              require(f.rename(
+                new HPath(scratch, GraftSink.entryName(sm.files.head)),
+                new HPath(p, fin)),
+                s"graft catalog: compact_bins failed to publish $fin")
+              // merged stats: the union envelope when every member has
+              // stats on the SAME column (conservative; else none)
+              val stats = {
+                val ss = bin.map(GraftSink.entryStats)
+                if (ss.forall(_.isDefined) && ss.flatMap(_.map(_._1)).distinct.length == 1)
+                  Some((ss.head.get._1, ss.flatMap(_.map(_._2)).min, ss.flatMap(_.map(_._3)).max))
+                else None
+              }
+              rewritten :+= GraftSink.entry(fin, Nil, stats, Some(liveRows),
+                if (m.ids.isDefined) Some(ids) else None, part)
+              binsRewritten += 1
+            }
+          }
+        }
+        GraftSink.writeManifest(p, GraftSink.Manifest(m.ddl,
+          untouched ++ rewritten, m.ids))
+        Array[Any](m.files.size.toLong,
+          (untouched.size + rewritten.size).toLong, binsRewritten)
+      })),
     "analyze_table" -> (cat => new GraftProcedure(cat, "analyze_table",
       "analyze_table(tbl): compute per-column NDV/null-count for the CURRENT snapshot and store them for the planner",
       Array(ProcedureParameter.in("tbl", StringType).build()),

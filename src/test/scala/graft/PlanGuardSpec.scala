@@ -299,7 +299,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q389_sink_analyze", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
     "q392_remove_orphans", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
     "q394_silhouette",   // broadcast k=10 trained codebook, checkpointed (q61's shape)
-    "q398_branch_changelog" // cross vs the 1-row main-count agg off the V2 sink (not stats-provable)
+    "q398_branch_changelog", // cross vs the 1-row main-count agg off the V2 sink (not stats-provable)
+    "q400_compact_bins"  // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

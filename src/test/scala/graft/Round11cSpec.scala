@@ -295,6 +295,50 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // q400 — size-aware compaction bins
+  // ------------------------------------------------------------------
+
+  test("compact_bins: one snapshot, DV absorption, pass-through singles, merged stats") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.cb1")
+    spark.sql(s"CREATE TABLE $cat.ns.cb1 (g STRING, k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (g) TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    // tuple 'a': three small files (12 rows); tuple 'b': one big file
+    // (right-sized, must pass through untouched)
+    (0 until 3).foreach { i =>
+      (0 until 4).map(j => ("a", (i * 4 + j).toLong, 1.0)).toDF("g", "k", "v")
+        .writeTo(s"$cat.ns.cb1").append()
+    }
+    (100L until 150L).map(k => ("b", k, 2.0)).toDF("g", "k", "v")
+      .writeTo(s"$cat.ns.cb1").append()
+    spark.sql(s"DELETE FROM $cat.ns.cb1 WHERE g = 'a' AND k % 4 = 0") // DVs, no rewrite
+    val p = tablePath("cb1")
+    val mBefore = GraftSink.readManifest(p).get
+    mBefore.files.count(l => GraftSink.entryDeletes(l).nonEmpty) should be >= 1
+    val vBefore = GraftSink.listVersions(p).size
+    val bName = mBefore.files.find(l =>
+      GraftSink.entryPart(l).contains("g=b")).map(GraftSink.entryName).get
+    val audit = spark.sql(s"CALL $cat.sys.compact_bins('ns.cb1', 40)").collect().head
+    audit.toSeq shouldBe Seq(4L, 2L, 1L) // 4 files -> a-bin + untouched b
+    // exactly ONE new snapshot; 'b' passed through under its old name
+    GraftSink.listVersions(p).size shouldBe vBefore + 1
+    val mAfter = GraftSink.readManifest(p).get
+    mAfter.files.map(GraftSink.entryName) should contain(bName)
+    // the rewritten bin absorbed its delete vectors
+    mAfter.files.foreach(l => GraftSink.entryDeletes(l) shouldBe empty)
+    mAfter.files.flatMap(GraftSink.entryPart).sorted shouldBe Seq("g=a", "g=b")
+    // content byte-identical: 9 live 'a' rows + 50 'b' rows
+    spark.table(s"$cat.ns.cb1").groupBy(col("g")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe Map("a" -> 9L, "b" -> 50L)
+    // old snapshot still serves the pre-compaction state
+    spark.read.format("graftsink").option("path", p)
+      .option("version", (vBefore).toString).load().count() shouldBe 59L
+    // rows: segments on the bin reflect post-DV counts (metadata count intact)
+    mAfter.files.flatMap(GraftSink.entryRows).sum shouldBe 59L
+  }
+
+  // ------------------------------------------------------------------
   // q392 — orphan cleanup
   // ------------------------------------------------------------------
 
