@@ -129,6 +129,65 @@ object Evaluation extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DECISION-THRESHOLD TUNING (expected-profit argmax over the score
+    // curve) — the step that turns q198/q399's curves into an
+    // operating point: predict positive when value ≥ t, profit(t) =
+    // 5·TP(t) − 1·FP(t) (benefit/cost constants documented — the
+    // asymmetric-cost setting where "just use 0.5" fails). Every
+    // candidate threshold is a distinct score, and TP/FP at ≥t fall
+    // out of the SAME ascending cumCounts prefix sums as q399 — the
+    // whole curve is one contraction pass, the argmax a TakeOrdered
+    // limit(1) (profit desc, then smallest t), never a global sort.
+    // Profit is exact integer algebra; P/R/F1 are raw ratios at t*.
+    "q401_threshold_tuning" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+        .groupBy(col("value").as("v"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+      Science.cumCounts(s, g)
+        .withColumn("tp", expr("n2 - cum2 + c2"))
+        .withColumn("fp", expr("n1 - cum1 + c1"))
+        .withColumn("profit", expr("5 * tp - fp"))
+        .orderBy(col("profit").desc, col("v"))
+        .limit(1)
+        .selectExpr("round(v, 2) AS threshold", "tp", "fp", "profit",
+          "n2 - tp AS fn", "n1 - fp AS tn",
+          "round(cast(tp as double) / (tp + fp), 6) AS precision_at_t",
+          "round(cast(tp as double) / n2, 6) AS recall_at_t",
+          ("round(2.0d * (cast(tp as double) / (tp + fp)) * (cast(tp as double) / n2) "
+            + "/ (cast(tp as double) / (tp + fp) + cast(tp as double) / n2), 6) AS f1_at_t"))
+    }),
+
+    // ------------------------------------------------------------------
+    // FLEISS' KAPPA — multi-rater agreement (q199's Cohen handles TWO
+    // raters; a labeling pipeline audits THREE+): raters are three
+    // deterministic binary document judges (A: n_chars ≥ 300; B: ≥ 55
+    // tokens; C: ≥ 45 DISTINCT tokens — correlated-but-distinct length
+    // lenses), n = 3, k = 2. With c = positive votes per doc,
+    // P_i = (c(c−1) + (3−c)(2−c))/6, P̄e = p₊² + p₋², κ =
+    // (P̄ − P̄e)/(1 − P̄e) — every term exact integer algebra over the
+    // 4-cell vote histogram, one partial-agg pass, zero windows.
+    "q402_fleiss_kappa" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(((col("n_chars") >= 300).cast("int")
+          + (size(filter(split(col("text"), " "), t => t =!= "")) >= 55).cast("int")
+          + (size(array_distinct(filter(split(col("text"), " "), t => t =!= ""))) >= 45).cast("int"))
+          .as("c"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("c")).cast("long").as("votes_pos"),
+          sum(expr("c * (c - 1) + (3 - c) * (2 - c)")).cast("long").as("agree6"),
+          sum(when(col("c") === 3, 1L).otherwise(0L)).as("n_unanimous_pos"),
+          sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_unanimous_neg"))
+        .withColumn("p_pos", expr("cast(votes_pos as double) / (3 * n_docs)"))
+        .withColumn("p_bar", expr("cast(agree6 as double) / (6 * n_docs)"))
+        .withColumn("p_e", expr("p_pos * p_pos + (1.0d - p_pos) * (1.0d - p_pos)"))
+        .selectExpr("n_docs", "n_unanimous_pos", "n_unanimous_neg",
+          "round(p_pos, 6) AS p_pos", "round(p_bar, 6) AS p_bar",
+          "round((p_bar - p_e) / (1.0d - p_e), 6) AS fleiss_kappa")
+    }),
+
+    // ------------------------------------------------------------------
     // Inter-rater agreement between two deterministic document labelers
     // (rater A: n_chars >= 300; rater B: >= 55 whitespace tokens — two
     // correlated-but-distinct length heuristics): confusion cells,
@@ -1793,6 +1852,40 @@ object Evaluation extends QueryPack {
         + "a AS (SELECT n_pos, n_neg, (CAST(rp AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0) / "
         + "(CAST(n_pos AS DOUBLE) * n_neg) AS auc_raw FROM agg) "
         + "SELECT n_pos, n_neg, round(auc_raw, 6) AS auc, round(2.0 * auc_raw - 1.0, 6) AS gini_idx FROM a"),
+    // q401: the same cumsum frame as q399; argmax = ORDER BY + LIMIT 1
+    // with the identical (profit desc, v asc) tie-break.
+    "q401_threshold_tuning" ->
+      ("WITH g AS (SELECT value AS v, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c1, "
+        + "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2 "
+        + "FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL GROUP BY value), "
+        + "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM g), "
+        + "cums AS (SELECT v, c1, c2, n1, n2, "
+        + "CAST(sum(c1) OVER w AS BIGINT) AS cum1, CAST(sum(c2) OVER w AS BIGINT) AS cum2 "
+        + "FROM g CROSS JOIN t WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+        + "b AS (SELECT v, n1, n2, n2 - cum2 + c2 AS tp, n1 - cum1 + c1 AS fp, "
+        + "5 * (n2 - cum2 + c2) - (n1 - cum1 + c1) AS profit FROM cums) "
+        + "SELECT round(v, 2) AS threshold, tp, fp, profit, n2 - tp AS fn, n1 - fp AS tn, "
+        + "round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_at_t, "
+        + "round(CAST(tp AS DOUBLE) / n2, 6) AS recall_at_t, "
+        + "round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / n2) "
+        + "/ (CAST(tp AS DOUBLE) / (tp + fp) + CAST(tp AS DOUBLE) / n2), 6) AS f1_at_t "
+        + "FROM b ORDER BY profit DESC, v LIMIT 1"),
+    // q402: exact integer vote-histogram algebra; the three judges
+    // replay with DuckDB's own list functions.
+    "q402_fleiss_kappa" ->
+      ("WITH r AS (SELECT (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) >= 55 THEN 1 ELSE 0 END) "
+        + "+ (CASE WHEN len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) >= 45 THEN 1 ELSE 0 END) AS c "
+        + "FROM documents), "
+        + "m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(c) AS BIGINT) AS votes_pos, "
+        + "CAST(sum(c * (c - 1) + (3 - c) * (2 - c)) AS BIGINT) AS agree6, "
+        + "CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous_pos, "
+        + "CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous_neg FROM r), "
+        + "k AS (SELECT *, CAST(votes_pos AS DOUBLE) / (3 * n_docs) AS p_pos, "
+        + "CAST(agree6 AS DOUBLE) / (6 * n_docs) AS p_bar FROM m), "
+        + "k2 AS (SELECT *, p_pos * p_pos + (1.0 - p_pos) * (1.0 - p_pos) AS p_e FROM k) "
+        + "SELECT n_docs, n_unanimous_pos, n_unanimous_neg, round(p_pos, 6) AS p_pos, "
+        + "round(p_bar, 6) AS p_bar, round((p_bar - p_e) / (1.0 - p_e), 6) AS fleiss_kappa FROM k2"),
     // q399: identical per-block closed form; the ascending cumsums ride
     // a plain window over the distinct-value frame.
     "q399_pr_auc" ->

@@ -192,6 +192,54 @@ class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
     row.getAs[Double]("pr_auc") should be <= 1.0
   }
 
+  test("q401 threshold tuning matches a scalar profit sweep over every cutoff") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "purchase") && col("value").isNotNull)
+      .select(col("value"), col("event_type")).collect()
+      .map(r => (r.getDouble(0), r.getString(1) == "purchase"))
+    val cutoffs = ev.map(_._1).distinct.sorted
+    val best = cutoffs.map { t =>
+      val tp = ev.count { case (v, p) => p && v >= t }
+      val fp = ev.count { case (v, p) => !p && v >= t }
+      (t, tp, fp, 5L * tp - fp)
+    }.maxBy { case (t, _, _, pr) => (pr, -t) }
+    val row = SparkEntry.queries("q401_threshold_tuning")(spark, sf).collect().head
+    row.getAs[Double]("threshold") shouldBe
+      BigDecimal(best._1).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    row.getAs[Long]("tp") shouldBe best._2.toLong
+    row.getAs[Long]("fp") shouldBe best._3.toLong
+    row.getAs[Long]("profit") shouldBe best._4
+    // the chosen point must beat the trivial all-positive/none policies
+    val nPos = ev.count(_._2).toLong
+    val nNeg = ev.size - nPos
+    best._4 should be >= 5L * nPos - nNeg
+    best._4 should be >= 0L
+    row.getAs[Long]("fn") shouldBe nPos - best._2
+    row.getAs[Long]("tn") shouldBe nNeg - best._3
+  }
+
+  test("q402 Fleiss kappa matches the closed form over hand-computed votes") {
+    val docs = Tables.documents(spark, sf).select("n_chars", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        Seq(r.getAs[Number]("n_chars").longValue >= 300,
+          toks.length >= 55, toks.distinct.length >= 45).count(identity)
+      }
+    val n = docs.length.toDouble
+    val pPos = docs.sum / (3 * n)
+    val pBar = docs.map(c => c * (c - 1) + (3 - c) * (2 - c)).sum / (6 * n)
+    val pE = pPos * pPos + (1 - pPos) * (1 - pPos)
+    val row = SparkEntry.queries("q402_fleiss_kappa")(spark, sf).collect().head
+    row.getAs[Long]("n_docs") shouldBe docs.length.toLong
+    row.getAs[Long]("n_unanimous_pos") shouldBe docs.count(_ == 3).toLong
+    row.getAs[Long]("n_unanimous_neg") shouldBe docs.count(_ == 0).toLong
+    row.getAs[Double]("p_pos") shouldBe pPos +- 1e-6
+    row.getAs[Double]("p_bar") shouldBe pBar +- 1e-6
+    row.getAs[Double]("fleiss_kappa") shouldBe (pBar - pE) / (1 - pE) +- 1e-5
+    // correlated length lenses must agree above chance on this corpus
+    row.getAs[Double]("fleiss_kappa") should be > 0.0
+  }
+
   test("q388 readability matches per-document regex counts recomputed in Scala") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
