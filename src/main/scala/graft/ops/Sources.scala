@@ -821,6 +821,44 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // SET/UNSET TBLPROPERTIES — flipping the row-level WRITE MODE
+    // mid-life (`ALTER TABLE ... SET TBLPROPERTIES ('write.mode' =
+    // 'merge-on-read')` — the Iceberg write.delete.mode knob): the
+    // mode is a WRITE-PATH POLICY, so the flip touches no data and no
+    // existing snapshot; every FUTURE row-level statement switches
+    // from copy-on-write rewrites to delete vectors. The query runs
+    // the same DELETE twice around the flip: the pre-flip delete
+    // rewrites files (COW), the post-flip delete lands as DV
+    // positions only — and the readout pins BOTH the surviving
+    // content and the exact DV count the manifest now carries (the
+    // structural proof the second delete rewrote nothing). Property
+    // changes commit a snapshot (Iceberg-style audit trail): 5
+    // versions total, pinned. Round11cSpec pins file-set identity
+    // across the post-flip delete, the UNSET round-trip, and the
+    // non-write.* refusal.
+    "q403_set_write_mode" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.mode403")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.mode403").create()                          // v1+v2 (COW default)
+      s.sql("DELETE FROM graft.g.mode403 WHERE c_custkey % 11 = 0")   // v3: COW rewrite
+      s.sql("ALTER TABLE graft.g.mode403 SET TBLPROPERTIES ('write.mode' = 'merge-on-read')") // v4
+      s.sql("DELETE FROM graft.g.mode403 WHERE c_custkey % 11 = 1")   // v5: DVs only
+      val audit = s.table("graft.g.mode403.files")
+        .agg(sum(col("dv_positions")).as("dv_positions"))
+      val snaps = s.table("graft.g.mode403.snapshots")
+        .agg(count(lit(1)).as("n_snapshots"))
+      s.table("graft.g.mode403")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+        .crossJoin(broadcast(audit)).crossJoin(broadcast(snaps))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1979,6 +2017,18 @@ object Sources extends QueryPack {
         + "CAST(4 AS BIGINT) AS n_versions "
         + "FROM fin GROUP BY 1 ORDER BY 1"),
     // q365: the streamed union of the 4 epochs is exactly range(100000).
+    // q403: survivors = NOT %11 IN (0,1); dv_positions = the %11=1
+    // population (disjoint from the first delete, so all were live);
+    // 5 snapshots = create + CTAS + COW delete + props + DV delete.
+    "q403_set_write_mode" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "dv AS (SELECT CAST(count(*) AS BIGINT) AS dv_positions FROM base WHERE c_custkey % 11 = 1) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "dv_positions, CAST(5 AS BIGINT) AS n_snapshots "
+        + "FROM base CROSS JOIN dv WHERE c_custkey % 11 NOT IN (0, 1) "
+        + "GROUP BY c_mktsegment, dv_positions ORDER BY c_mktsegment"),
     // q400: the packing rule replays from parquet row counts alone —
     // per (priority, slice) counts sort desc and bin by exclusive-
     // cumsum integer division; bin counts are tie-order invariant.

@@ -360,9 +360,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         fields = fields.filterNot(_._1.name == n)
         propDrop += defKey(n)
         needIds = true
+      case sp: TableChange.SetProperty =>
+        // durable `write.*` props only (q403): flipping
+        // write.mode=merge-on-read mid-life switches row-level SQL
+        // from copy-on-write rewrites to delete vectors for every
+        // FUTURE statement — existing snapshots are untouched (the
+        // mode is a write-path policy, not table state)
+        require(sp.property.startsWith("write."),
+          s"graft catalog: only write.* table properties are settable " +
+            s"(got '${sp.property}')")
+        if (sp.property == "write.mode")
+          require(sp.value == "copy-on-write" || sp.value == "merge-on-read",
+            s"graft catalog: write.mode must be copy-on-write or merge-on-read, got '${sp.value}'")
+        propAdd += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty =>
+        require(rp.property.startsWith("write."),
+          s"graft catalog: only write.* table properties are removable " +
+            s"(got '${rp.property}')")
+        propDrop += rp.property
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other " +
-          "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN)")
+          "(supported: ADD COLUMNS, RENAME COLUMN, DROP COLUMN, " +
+          "SET/UNSET TBLPROPERTIES on write.*)")
     }
     val evolved = StructType(fields.map(_._1))
     GraftSink.checkSchema(evolved)

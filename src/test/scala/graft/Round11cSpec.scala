@@ -339,6 +339,43 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   // ------------------------------------------------------------------
+  // q403 — SET/UNSET TBLPROPERTIES (write-mode flip)
+  // ------------------------------------------------------------------
+
+  test("write.mode flip: post-flip DELETE adds DVs without touching any file; UNSET restores COW") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.wm1")
+    Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("k", "v")
+      .writeTo(s"$cat.ns.wm1").create() // COW default
+    val p = tablePath("wm1")
+    spark.sql(s"ALTER TABLE $cat.ns.wm1 SET TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    val before = GraftSink.readManifest(p).get.files.map(GraftSink.entryName)
+    spark.sql(s"DELETE FROM $cat.ns.wm1 WHERE k = 2")
+    val after = GraftSink.readManifest(p).get
+    // merge-on-read: identical file set, one DV position, content right
+    after.files.map(GraftSink.entryName) shouldBe before
+    after.files.map(l => GraftSink.entryDeletes(l).length).sum shouldBe 1
+    spark.table(s"$cat.ns.wm1").count() shouldBe 3L
+    // UNSET returns to copy-on-write: the next DELETE rewrites files
+    spark.sql(s"ALTER TABLE $cat.ns.wm1 UNSET TBLPROPERTIES ('write.mode')")
+    spark.sql(s"DELETE FROM $cat.ns.wm1 WHERE k = 3")
+    val cow = GraftSink.readManifest(p).get
+    cow.files.map(GraftSink.entryName).toSet
+      .intersect(before.toSet) shouldBe Set.empty
+    cow.files.flatMap(l => GraftSink.entryDeletes(l)) shouldBe empty // DVs absorbed
+    spark.table(s"$cat.ns.wm1").select(col("k")).collect()
+      .map(_.getLong(0)).sorted shouldBe Array(1L, 4L)
+    // refusals: non-write.* property, bad write.mode value
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.wm1 SET TBLPROPERTIES ('owner' = 'me')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ns.wm1 SET TBLPROPERTIES ('write.mode' = 'banana')")
+    }
+  }
+
+  // ------------------------------------------------------------------
   // q392 — orphan cleanup
   // ------------------------------------------------------------------
 
