@@ -599,7 +599,12 @@ class GraftStagedTable(fsys: org.apache.hadoop.fs.FileSystem, stage: HPath,
     if (!replace) {
       // CREATE: one atomic directory move — table appears whole or not
       // at all (v1 empty + v2 data already committed inside the stage,
-      // byte-identical history to the non-atomic CTAS path)
+      // byte-identical history to the non-atomic CTAS path). A rename
+      // onto an EXISTING directory would nest the stage inside it on
+      // some filesystems instead of failing — re-check and refuse
+      // loudly (a concurrent CREATE won the race).
+      require(!fsys.exists(real),
+        s"graft catalog: staged CTAS publish lost a create race — $real already exists")
       require(fsys.rename(stage, real),
         s"graft catalog: staged CTAS publish failed ($stage -> $real)")
     } else {
