@@ -492,9 +492,89 @@ object TimeWin extends QueryPack {
           "round(sqrt(cast(ss2 as double) / n_eval), 6) AS rmse_snaive",
           "round(cast(ss as double) / cast(sn as double), 6) AS mase_snaive")
     }),
+
+    // ------------------------------------------------------------------
+    // WEIBULL fit of INTER-EVENT gaps by median-rank regression — the
+    // parametric completion of the renewal-process family (q234 reads
+    // the gap distribution's moments, q288 tests Poisson dispersion;
+    // this FITS the generalizing law: k = 1 recovers the exponential/
+    // Poisson case, k < 1 means bursty clustering): per-user gaps in
+    // whole minutes (keyed lag window, never global; sub-minute gaps
+    // can't feed ln t — counted and reported, never silently dropped),
+    // the Bernard median rank F̂ = (i − 0.3)/(n + 0.4) at each gap's
+    // cumulative index linearizes Weibull as ln(−ln(1−F̂)) = k·ln t −
+    // k·ln λ, and one OLS pass over the per-gap-value cells gives
+    // shape k, scale λ and the fit's r². The cumulative index rides
+    // cumCounts' range-partitioned prefix sums (the cell frame is
+    // data-derived, so no global window is allowed); OLS sums
+    // quantized DECIMAL(28,12).
+    "q404_weibull_fit" -> ((s, dir) => {
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val cells = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(wU))
+        .filter(col("prev").isNotNull)
+        .withColumn("t", expr("cast(floor((us - prev) / 60000000.0d) as bigint)"))
+        .groupBy(col("t")).agg(count(lit(1)).as("d"))
+        .localCheckpoint() // dropped-count + the rank frame
+      val drop = cells.agg(
+        coalesce(sum(when(col("t") === 0, col("d"))), lit(0L)).as("n_dropped"))
+      val pts = Science.cumCounts(s,
+        cells.filter(col("t") >= 1)
+          .select(col("t").cast("double").as("v"), col("d").as("c1"),
+            lit(0L).as("c2")))
+      pts
+        .withColumn("x", expr("ln(v)"))
+        .withColumn("y", expr(
+          "ln(-ln(1.0d - (cast(cum1 as double) - 0.3d) / (n1 + 0.4d)))"))
+        .agg(max(col("n1")).as("n_gaps"), count(lit(1)).as("m"),
+          sum(expr("cast(x as decimal(28,12))")).as("sx"),
+          sum(expr("cast(y as decimal(28,12))")).as("sy"),
+          sum(expr("cast(x * y as decimal(28,12))")).as("sxy"),
+          sum(expr("cast(x * x as decimal(28,12))")).as("sxx"),
+          sum(expr("cast(y * y as decimal(28,12))")).as("syy"))
+        .withColumn("k", expr(
+          "(m * cast(sxy as double) - cast(sx as double) * cast(sy as double)) / "
+            + "(m * cast(sxx as double) - cast(sx as double) * cast(sx as double))"))
+        .withColumn("b", expr("(cast(sy as double) - k * cast(sx as double)) / m"))
+        .crossJoin(broadcast(drop))
+        .selectExpr("n_gaps", "n_dropped", "m AS n_cells",
+          "round(k, 6) AS shape_k", "round(exp(-b / k), 4) AS scale_lambda",
+          ("round(pow(m * cast(sxy as double) - cast(sx as double) * cast(sy as double), 2) / "
+            + "((m * cast(sxx as double) - cast(sx as double) * cast(sx as double)) * "
+            + "(m * cast(syy as double) - cast(sy as double) * cast(sy as double))), 6) AS r2"))
+    }),
   )
 
   def oracles: Map[String, String] = Map(
+    // q404: same per-user lag gaps, same Bernard ranks, same quantized
+    // OLS sums; the cumsum rides a plain window over the cell frame.
+    "q404_weibull_fit" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
+        + "g AS (SELECT user_id, us - lag(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e), "
+        + "gm AS (SELECT CAST(floor(gap / 60000000.0) AS BIGINT) AS t FROM g WHERE gap IS NOT NULL), "
+        + "cells AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM gm GROUP BY t), "
+        + "drp AS (SELECT CAST(coalesce(sum(CASE WHEN t = 0 THEN d END), 0) AS BIGINT) AS n_dropped FROM cells), "
+        + "byt AS (SELECT t, d FROM cells WHERE t >= 1), "
+        + "tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM byt), "
+        + "pts AS (SELECT t, n, CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i "
+        + "FROM byt CROSS JOIN tot), "
+        + "xy AS (SELECT n, ln(CAST(t AS DOUBLE)) AS x, "
+        + "ln(-ln(1.0 - (CAST(i AS DOUBLE) - 0.3) / (n + 0.4))) AS y FROM pts), "
+        + "ols AS (SELECT max(n) AS n_gaps, CAST(count(*) AS BIGINT) AS m, "
+        + "sum(CAST(x AS DECIMAL(28,12))) AS sx, sum(CAST(y AS DECIMAL(28,12))) AS sy, "
+        + "sum(CAST(x * y AS DECIMAL(28,12))) AS sxy, sum(CAST(x * x AS DECIMAL(28,12))) AS sxx, "
+        + "sum(CAST(y * y AS DECIMAL(28,12))) AS syy FROM xy), "
+        + "fit AS (SELECT *, (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        + "(m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k FROM ols), "
+        + "fit2 AS (SELECT *, (CAST(sy AS DOUBLE) - k * CAST(sx AS DOUBLE)) / m AS b FROM fit) "
+        + "SELECT n_gaps, n_dropped, m AS n_cells, round(k, 6) AS shape_k, "
+        + "round(exp(-b / k), 4) AS scale_lambda, "
+        + "round(pow(m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2) / "
+        + "((m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        + "(m * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2 "
+        + "FROM fit2 CROSS JOIN drp"),
     "q357_holt_winters" ->
       ("WITH RECURSIVE idx AS (SELECT row_number() OVER (ORDER BY day) AS i, y FROM ("
         + "SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1)), "

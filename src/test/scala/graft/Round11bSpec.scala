@@ -240,6 +240,44 @@ class Round11bSpec extends AnyFunSuite with Matchers with SharedSpark {
     row.getAs[Double]("fleiss_kappa") should be > 0.0
   }
 
+  test("q404 Weibull fit matches a scalar median-rank regression over inter-event gaps") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rs =>
+      val o = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      o.sliding(2).collect { case Array(a, b) => (b - a) / 60000000L }
+    }.toSeq
+    val dropped = gaps.count(_ == 0L)
+    val cells = gaps.filter(_ >= 1).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy(_._1)
+    val n = cells.map(_._2).sum.toDouble
+    def q12(v: Double) = BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    var i = 0L
+    val pts = cells.map { case (t, d) =>
+      i += d
+      (math.log(t.toDouble), math.log(-math.log(1.0 - (i - 0.3) / (n + 0.4))))
+    }
+    val m = pts.size.toDouble
+    val sx = pts.map(p => q12(p._1)).sum.toDouble
+    val sy = pts.map(p => q12(p._2)).sum.toDouble
+    val sxy = pts.map(p => q12(p._1 * p._2)).sum.toDouble
+    val sxx = pts.map(p => q12(p._1 * p._1)).sum.toDouble
+    val k = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    val b = (sy - k * sx) / m
+    val row = SparkEntry.queries("q404_weibull_fit")(spark, sf).collect().head
+    row.getAs[Long]("n_gaps") shouldBe n.toLong
+    row.getAs[Long]("n_dropped") shouldBe dropped.toLong
+    row.getAs[Long]("n_cells") shouldBe pts.size.toLong
+    row.getAs[Double]("shape_k") shouldBe k +- 1e-5
+    row.getAs[Double]("scale_lambda") shouldBe math.exp(-b / k) +- 1e-2
+    // a sane renewal fit: positive shape near the exponential regime
+    // and a linearization that explains most of the variance
+    row.getAs[Double]("shape_k") should be > 0.0
+    row.getAs[Double]("r2") should be > 0.9
+  }
+
   test("q388 readability matches per-document regex counts recomputed in Scala") {
     val docs = Tables.documents(spark, sf).select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
