@@ -859,6 +859,67 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // BUCKETED storage-partitioned join (q384 is the identity-transform
+    // form; this is the HASH-layout form two co-bucketed FACT tables
+    // live on — Iceberg bucket SPJ / Hive bucketed-join economics): both
+    // tables are PARTITIONED BY (bucket(8, user_id)), their grouped
+    // scans report one InputPartition per bucket id keyed by the
+    // TRANSFORM's output, and the catalog's `bucket` function (the same
+    // portable md5_mod kernel the write path routes files with) lets
+    // Spark verify the two sides hash compatibly — so the sort-merge
+    // join plans with ZERO exchange on either side. At 100 TB this is
+    // the one join shape that co-locates two UNBOUNDED-cardinality fact
+    // tables (identity partitioning can't: per-user directories would
+    // explode); the merge hint forces the shuffle-join path SPJ
+    // eliminates. Round12Spec pins the exchange-free plan + the
+    // key/kernel agreement; oracle replays both aggregates and the
+    // join closed-form from parquet — bucketing must never change the
+    // result.
+    "q405_sink_bucket_spj" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.bspjf405")
+      s.sql("DROP TABLE IF EXISTS graft.g.bspjd405")
+      s.sql("""CREATE TABLE graft.g.bspjf405
+        (user_id BIGINT, n_events BIGINT, sum_val DOUBLE)
+        PARTITIONED BY (bucket(8, user_id))""")
+      s.sql("""CREATE TABLE graft.g.bspjd405
+        (user_id BIGINT, n_types BIGINT, max_val DOUBLE)
+        PARTITIONED BY (bucket(8, user_id))""")
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("value").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).cast("double").as("sum_val"))
+        .writeTo("graft.g.bspjf405").append()
+      ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          max(col("value").cast("decimal(18,2)")).cast("double").as("max_val"))
+        .writeTo("graft.g.bspjd405").append()
+      val spjConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val saved = spjConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+      spjConfs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val f = s.read.option("grouped", "true").table("graft.g.bspjf405")
+        val d = s.read.option("grouped", "true").table("graft.g.bspjd405")
+        f.join(d.hint("merge"), "user_id")
+          .groupBy(col("n_types"), (col("user_id") % 7).as("cohort"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_events")).as("n_events"),
+            round(sum(col("sum_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_val"),
+            round(sum(col("max_val").cast("decimal(18,2)")).cast("double"), 2).as("sum_max"))
+          .orderBy(col("n_types"), col("cohort"))
+          // materialize WHILE the SPJ confs hold (q384's discipline)
+          .localCheckpoint()
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1893,6 +1954,21 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(b.bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
         + "FROM base b JOIN seg s USING (c_mktsegment) "
         + "GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment"),
+    // q405: both per-user aggregates and the join replayed closed-form
+    // — the bucket layout and the exchange-free plan must never change
+    // the result (sums DECIMAL-quantized on both sides).
+    "q405_sink_bucket_spj" ->
+      ("WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + "CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_val "
+        + "FROM events GROUP BY 1), "
+        + "d AS (SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, "
+        + "CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_val "
+        + "FROM events GROUP BY 1) "
+        + "SELECT d.n_types, f.user_id % 7 AS cohort, CAST(count(*) AS BIGINT) AS n_users, "
+        + "CAST(sum(f.n_events) AS BIGINT) AS n_events, "
+        + "round(CAST(sum(CAST(f.sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
+        + "round(CAST(sum(CAST(d.max_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_max "
+        + "FROM f JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     // q383: the pruned star join must equal the plain join — DPP is an
     // optimization, never a correctness transfer.
     "q383_sink_runtime_prune" ->

@@ -930,7 +930,55 @@ object GraftCatalog {
       Md5ModBound),
     "jaro_winkler" -> unbound("jaro_winkler",
       "jaro_winkler(a, b): Jaro-Winkler similarity in [0, 1]",
-      JaroWinklerBound))
+      JaroWinklerBound),
+    "bucket" -> BucketUnbound)
+
+  /** The `bucket(n, col)` PARTITION TRANSFORM as a catalog function —
+    * what lets Spark resolve a grouped bucket scan's reported
+    * KeyGroupedPartitioning into a TransformExpression and verify that
+    * BOTH sides of a join hash through the same kernel (canonicalName
+    * equality + bucket-count equality), the gate for a zero-exchange
+    * storage-partitioned join on bucketed sink tables. The kernel is
+    * the repo's portable md5_mod chain — the exact function the write
+    * path routes files with (GraftSink.bucketIdOf), so the reported
+    * partition ids, the file tags, and this function agree bit for
+    * bit. Column type is echoed from the bind site (the transform is
+    * declared over STRING and BIGINT columns alike). */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): portable md5_mod(canonical-string(col)) % n bucket id"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.fields.length != 2)
+        throw new UnsupportedOperationException(
+          s"bucket expects (numBuckets, col), got ${inputType.fields.length} arguments")
+      new BucketBound(inputType.fields.map(_.dataType))
+    }
+  }
+
+  class BucketBound(types: Array[DataType]) extends ScalarFunction[java.lang.Integer] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def inputTypes(): Array[DataType] = types
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    /** NULL in → NULL out (the write path routes nulls to the
+      * dedicated `\N` bucket; the grouped scan reports that tuple's
+      * key as null — same contract). */
+    override def produceResult(input: InternalRow): java.lang.Integer = {
+      if (input.isNullAt(0) || input.isNullAt(1)) return null
+      val n = types(0) match {
+        case LongType => input.getLong(0)
+        case _ => input.getInt(0).toLong
+      }
+      val v: Any = types(1) match {
+        case LongType => input.getLong(1)
+        case IntegerType => input.getInt(1)
+        case _ => input.getUTF8String(1)
+      }
+      java.lang.Integer.valueOf(GraftSink.bucketIdOf(v, n.toInt).toInt)
+    }
+  }
 
   private def unbound(fname: String, desc: String, bound: BoundFunction): UnboundFunction =
     new UnboundFunction {

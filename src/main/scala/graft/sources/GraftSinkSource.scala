@@ -822,7 +822,8 @@ class GraftSinkTable(path: String, declared: StructType,
         // scan: one InputPartition per partition tuple, each reporting
         // its key — the storage-partitioned-join surface (q384)
         val grouped = options.getBoolean("grouped", false)
-        if (grouped) require(GraftSink.partitionColsOf(path).nonEmpty,
+        if (grouped) require(GraftSink.partitionColsOf(path).nonEmpty ||
+          GraftSink.bucketSpecOf(path).isDefined,
           "graftsink: option 'grouped' requires a partitioned table")
         new GraftSinkScanBuilder(path, schema(), version,
           // grouped scans opt out of runtime filtering: a post-planning
@@ -2025,19 +2026,36 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
       // what lets EnsureRequirements plan a co-partitioned join with
       // ZERO exchange on this side (SPJ). Untagged files (pre-partition
       // history) are illegal here: their rows have no key.
-      val partTypes = partitionCols
-        .map(c => full(full.fieldIndex(c)).dataType).toArray
-      files.groupBy(_._2.getOrElse(throw new IllegalStateException(
+      val tagged = files.groupBy(_._2.getOrElse(throw new IllegalStateException(
           "graftsink: grouped scan over an untagged (pre-partitioning) file")))
         .toSeq.sortBy(_._1)
-        .map { case (body, members) =>
-          val pairs = GraftSink.partPairs(body)
-          val key = partitionCols.zip(partTypes).map { case (c, dt) =>
-            GraftSink.decodePartValue(dt, pairs(c))
+      bucketSpecRt match {
+        case Some((bc, _)) =>
+          // BUCKET layout: the tuple key is the TRANSFORM's output —
+          // the portable md5_mod bucket id (IntegerType), never the
+          // raw column value; the `\N` null-routing bucket reports a
+          // null key (what Spark's own bucket transform yields on
+          // null input). Both sides of a same-(n, col) join hash
+          // through the identical kernel, so equal ids ⇔ equal key
+          // sets and the SMJ needs no exchange.
+          tagged.map { case (body, members) =>
+            val enc = GraftSink.partPairs(body)(GraftSink.bucketKey(bc))
+            val key: Any = if (enc == "\\N") null else enc.toInt
+            GraftSinkTuplePartition(members.map(_._1).toArray,
+              new GenericInternalRow(Array(key))): InputPartition
           }.toArray
-          GraftSinkTuplePartition(members.map(_._1).toArray,
-            new GenericInternalRow(key)): InputPartition
-        }.toArray
+        case None =>
+          val partTypes = partitionCols
+            .map(c => full(full.fieldIndex(c)).dataType).toArray
+          tagged.map { case (body, members) =>
+            val pairs = GraftSink.partPairs(body)
+            val key = partitionCols.zip(partTypes).map { case (c, dt) =>
+              GraftSink.decodePartValue(dt, pairs(c))
+            }.toArray
+            GraftSinkTuplePartition(members.map(_._1).toArray,
+              new GenericInternalRow(key)): InputPartition
+          }.toArray
+      }
     }
   }
 
@@ -2048,9 +2066,21 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     if (grouped) {
       val n = planInputPartitions().length
-      if (n > 0)
+      if (n > 0) {
+        // identity layout → identity transforms over the partition
+        // columns; bucket layout → the bucket(n, col) transform, which
+        // Spark resolves through the catalog's `bucket` function
+        // (GraftCatalog.BucketBound) to check both join sides hash
+        // compatibly (same canonical kernel, same bucket count)
+        val exprs = bucketSpecRt match {
+          case Some((bc, b)) => Array(Expressions.bucket(b, bc)
+            : org.apache.spark.sql.connector.expressions.Expression)
+          case None => partitionCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray
+        }
         return new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partitionCols.map(Expressions.identity).toArray, n)
+          exprs, n)
+      }
     }
     new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
       math.max(1, planInputPartitions().length))
