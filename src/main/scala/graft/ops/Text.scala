@@ -652,18 +652,19 @@ object Text extends QueryPack {
       val docs = Tables.documents(s, dir)
         .select(expr("filter(split(text, ' '), x -> x <> '')").as("w"))
         .filter(size(col("w")) >= 2)
-        .localCheckpoint() // consumed twice: pair stream + unigrams
       val allPairs = docs.select(explode(expr(
           "flatten(transform(sequence(1, size(w) - 1), i -> " +
             "transform(sequence(i + 1, least(i + 4, size(w))), j -> " +
             "struct(least(w[i-1], w[j-1]) as ta, greatest(w[i-1], w[j-1]) as tb))))")).as("p"))
         .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("c_ab"))
-        .localCheckpoint() // consumed twice: grand total + survivors
+        // consumed twice (grand total + survivors); vocab-bounded,
+        // so ReuseExchange serves both consumers from the ONE pair-agg
+        // shuffle inside a single job (no block-manager round-trip)
       val ptot = allPairs.agg(sum(col("c_ab")).as("np"))
       val uni = docs.select(explode(col("w")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
-        .localCheckpoint() // consumed thrice: total + both pair sides
+        // consumed thrice (total + both pair sides) — same reuse
       val ttot = uni.agg(sum(col("cu")).as("nt"))
       allPairs.filter(col("c_ab") >= 5)
         .join(broadcast(uni.select(col("tok").as("ta"), col("cu").as("ca"))), "ta")
