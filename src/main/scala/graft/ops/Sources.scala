@@ -920,6 +920,43 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // BINARY + ARRAY<FLOAT> columns IN the lakehouse (the multimodal /
+    // embedding payload types q56/q57 and q41/q61 process, now as
+    // first-class sink columns): payloads encode as base64 (bit-exact,
+    // escape-layer-proof), vectors as base64 of the packed little-
+    // endian IEEE lanes — so a training-data table can carry its raw
+    // bytes and its embeddings THROUGH the snapshot/time-travel/DV
+    // machinery instead of beside it. The query writes the embeddings
+    // table (id, label, a derived binary payload, the vector) into a
+    // sink table and recomputes everything FROM THE ROUND-TRIP: byte
+    // lengths, base64 extrema, and the per-row vector norm² — any
+    // lane-level bit drift moves the DECIMAL-quantized norm sum.
+    // Oracle replays from parquet; Round12Spec pins the bit-exact
+    // codec round-trip per type (incl. empty payload/vector and the
+    // escape-hostile byte patterns).
+    "q406_sink_binary_vectors" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.mm406")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("int").as("label"),
+          expr("cast(concat('v', cast(vec_id as string), ':', " +
+            "cast(coalesce(label, -1) as string)) as binary)").as("payload"),
+          col("embedding"))
+        .writeTo("graft.g.mm406").create()
+      s.table("graft.g.mm406")
+        .groupBy((col("vec_id") % 5).as("cohort"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("payload"))).as("payload_bytes"),
+          min(base64(col("payload"))).as("min_b64"),
+          max(base64(col("payload"))).as("max_b64"),
+          round(sum(expr(
+            "cast(aggregate(embedding, cast(0.0 as double), " +
+              "(acc, x) -> acc + cast(x as double) * cast(x as double)) " +
+              "as decimal(28,12))")).cast("double"), 4).as("norm2_sum"))
+        .orderBy(col("cohort"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1519,7 +1556,10 @@ object Sources extends QueryPack {
       }
       plant("crashed-task-leftover.tsv")
       plant("_staging/dead-query/part-0-0.tsv")
-      val audit = s.sql("CALL graft.sys.remove_orphans('g.orph392')")
+      // older_than_min = 0: this session provably has no write in
+      // flight on the table (production sweeps keep the default 10-min
+      // guard so a concurrent write's staged files survive)
+      val audit = s.sql("CALL graft.sys.remove_orphans('g.orph392', 0)")
         .select(col("orphans_removed"), col("staging_removed"))
       s.table("graft.g.orph392")
         .groupBy(col("c_mktsegment"))
@@ -1969,6 +2009,17 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(f.sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
         + "round(CAST(sum(CAST(d.max_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_max "
         + "FROM f JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q406: the round-tripped payload/vector stats replayed from
+    // parquet — the sink codec must be invisible to every readout.
+    "q406_sink_binary_vectors" ->
+      ("WITH src AS (SELECT vec_id, encode('v' || CAST(vec_id AS VARCHAR) || ':' || "
+        + "CAST(coalesce(label, -1) AS VARCHAR)) AS payload, embedding FROM embeddings) "
+        + "SELECT vec_id % 5 AS cohort, CAST(count(*) AS BIGINT) AS n, "
+        + "CAST(sum(octet_length(payload)) AS BIGINT) AS payload_bytes, "
+        + "min(to_base64(payload)) AS min_b64, max(to_base64(payload)) AS max_b64, "
+        + "round(CAST(sum(CAST(list_sum(list_transform(embedding, x -> "
+        + "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,12))) AS DOUBLE), 4) AS norm2_sum "
+        + "FROM src GROUP BY 1 ORDER BY 1"),
     // q383: the pruned star join must equal the plain join — DPP is an
     // optimization, never a correctness transfer.
     "q383_sink_runtime_prune" ->

@@ -767,8 +767,10 @@ object GraftCatalog {
         Array[Any](v.toLong, GraftSink.writeManifest(p, m).toLong)
       })),
     "remove_orphans" -> (cat => new GraftProcedure(cat, "remove_orphans",
-      "remove_orphans(tbl): delete data files referenced by NO snapshot plus all staging leftovers",
-      Array(ProcedureParameter.in("tbl", StringType).build()),
+      "remove_orphans(tbl, older_than_min=10): delete data files referenced by NO snapshot plus staging leftovers older than the cutoff",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("older_than_min", IntegerType)
+          .defaultValue("10").build()),
       new StructType().add("orphans_removed", LongType)
         .add("staging_removed", LongType).add("files_kept", LongType),
       (cat0, args) => {
@@ -776,28 +778,53 @@ object GraftCatalog {
         // is LIVE iff some snapshot's manifest names it (expire-proof:
         // pinned refs keep their snapshots, so their files stay named);
         // everything else in the table root that isn't `_`-internal is
-        // an orphan, and the whole `_staging` tree is by definition
-        // in-flight garbage once no write is running. Manifest-last
-        // publishing makes this safe: an orphan can never be reachable.
+        // an orphan; `_staging` subtrees and `.staged_<table>_*`
+        // NAMESPACE-LEVEL siblings (a crashed-driver CTAS whose
+        // abortStagedChanges never ran) are in-flight garbage ONCE NO
+        // WRITE IS RUNNING — the `older_than_min` cutoff (Iceberg's
+        // remove_orphan_files older_than contract, default 10 min) is
+        // what keeps a concurrent write's staged-but-uncommitted files
+        // out of the sweep; pass 0 only when provably quiescent.
+        // Manifest-last publishing makes the data-file half safe
+        // unconditionally: an orphan can never be reachable.
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val olderMin = args.getInt(1)
+        require(olderMin >= 0,
+          s"graft catalog: remove_orphans wants older_than_min >= 0, got $olderMin")
+        // 0 = no guard (explicitly quiescent — tests, single-writer
+        // maintenance windows); avoids ms-resolution races against
+        // just-planted strays
+        val cutoff = if (olderMin == 0) Long.MaxValue
+                     else System.currentTimeMillis() - olderMin * 60000L
         val f = GraftSink.fs(p)
         val referenced = GraftSink.listVersions(p).flatMap(v =>
           GraftSink.readManifest(p, Some(v)).get.files.map(GraftSink.entryName)).toSet
         val entries = f.listStatus(new HPath(p)).toSeq
-        val names = entries.filter(_.isFile).map(_.getPath.getName)
+        val names = entries.filter(e => e.isFile && e.getModificationTime < cutoff)
+          .map(_.getPath.getName)
           .filterNot(_.startsWith("_")) // manifests/props/refs/stats are internal
         val (kept, orphans) = names.partition(referenced)
         orphans.foreach(n => f.delete(new HPath(p, n), false))
-        val stagingDir = new HPath(p, GraftSink.STAGING)
-        val staged =
-          if (!f.exists(stagingDir)) 0L
-          else {
-            val it = f.listFiles(stagingDir, true)
-            var n = 0L
-            while (it.hasNext) { it.next(); n += 1 }
-            f.delete(stagingDir, true)
-            n
+        var staged = 0L
+        def sweepTree(dir: HPath): Unit =
+          if (f.exists(dir) && f.getFileStatus(dir).getModificationTime < cutoff) {
+            val it = f.listFiles(dir, true)
+            while (it.hasNext) { it.next(); staged += 1 }
+            f.delete(dir, true)
           }
+        // the table's own staging tree, per write-id subdir (age-guarded
+        // individually so a running write's fresh stage survives)
+        val stagingDir = new HPath(p, GraftSink.STAGING)
+        if (f.exists(stagingDir))
+          f.listStatus(stagingDir).foreach(s => sweepTree(s.getPath))
+        // abandoned CTAS/RTAS stages: hidden `.staged_<table>_<uuid>`
+        // SIBLINGS of the table at the namespace level
+        val parent = new HPath(p).getParent
+        val tbl = new HPath(p).getName
+        f.listStatus(parent).foreach { s =>
+          if (s.isDirectory && s.getPath.getName.startsWith(s".staged_${tbl}_"))
+            sweepTree(s.getPath)
+        }
         Array[Any](orphans.size.toLong, staged, kept.size.toLong)
       })),
     "compact_bins" -> (cat => new GraftProcedure(cat, "compact_bins",
@@ -848,7 +875,8 @@ object GraftCatalog {
               val names = bin.map(GraftSink.entryName)
               val liveRows = bin.map(l =>
                 GraftSink.entryRows(l).get - GraftSink.entryDeletes(l).length).sum
-              val scratch = graft.ops.Stage.fresh("compact_bins").toString + "/bin"
+              val scratchRoot = graft.ops.Stage.fresh("compact_bins")
+              val scratch = scratchRoot.toString + "/bin"
               import org.apache.spark.sql.functions.col
               sp.read.format("graftsink").option("path", p).load()
                 .select((schema.fieldNames.map(col) :+ col("_file")).toIndexedSeq: _*)
@@ -866,6 +894,11 @@ object GraftCatalog {
                 new HPath(scratch, GraftSink.entryName(sm.files.head)),
                 new HPath(p, fin)),
                 s"graft catalog: compact_bins failed to publish $fin")
+              // the bin file moved out — drop the scratch table's
+              // leftover manifest/_staging NOW instead of holding one
+              // tree per rewritten bin until JVM exit (long-lived
+              // sessions compact repeatedly)
+              graft.ops.Stage.release(scratchRoot)
               // merged stats: the union envelope when every member has
               // stats on the SAME column (conservative; else none)
               val stats = {

@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, S
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -320,12 +320,16 @@ object GraftSink {
     Option(properties.get("changesFrom")).map { raw =>
       def resolve(opt: String, v: String): Int = {
         val t = v.trim
-        try t.toInt catch {
-          case _: NumberFormatException =>
-            try resolveRef(path, t) catch {
-              case e: IllegalArgumentException => throw new IllegalArgumentException(
+        // REFS RESOLVE FIRST: create_tag/create_branch allow digit-only
+        // names, so a numeric-first parse would make such a ref
+        // unaddressable here (silently read as a snapshot number);
+        // a bound with no matching ref falls back to the number
+        try resolveRef(path, t) catch {
+          case refErr: IllegalArgumentException =>
+            try t.toInt catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
                 s"graftsink: option '$opt' must be a snapshot number or a " +
-                  s"branch/tag name — ${e.getMessage}")
+                  s"branch/tag name — ${refErr.getMessage}")
             }
         }
       }
@@ -397,8 +401,14 @@ object GraftSink {
     * rename/drop migrates ids in). `ts` = the commit wall-clock in
     * epoch millis, stamped MONOTONE at publish (the `TIMESTAMP AS OF`
     * resolution key). */
+  /** `ref` = which pointer the commit originally advanced ("main" or
+    * "branch.<b>"), stamped immutably in the version file at claim
+    * time; None on snapshots written before the optimistic-concurrency
+    * protocol landed. Attribution only — reads resolve through the
+    * pointers/refs as before. */
   final case class Manifest(ddl: String, files: Seq[String],
-      ids: Option[Seq[Int]] = None, ts: Option[Long] = None)
+      ids: Option[Seq[Int]] = None, ts: Option[Long] = None,
+      ref: Option[String] = None)
 
   private def manifestName(version: Option[Int]): String =
     version.fold(MANIFEST)(v => s"$MANIFEST.v$v")
@@ -430,7 +440,9 @@ object GraftSink {
           .map(_.stripPrefix("ids:").split(",").filter(_.nonEmpty).map(_.toInt).toSeq)
         val ts = head.drop(1).find(_.startsWith("ts:"))
           .map(_.stripPrefix("ts:").toLong)
-        Some(Manifest(head(0), lines.tail.filter(_.nonEmpty), ids, ts))
+        val ref = head.drop(1).find(_.startsWith("ref:"))
+          .map(_.stripPrefix("ref:"))
+        Some(Manifest(head(0), lines.tail.filter(_.nonEmpty), ids, ts, ref))
       } finally in.close()
     }
   }
@@ -461,27 +473,87 @@ object GraftSink {
     * pointer `_ref.branch.<b>` instead of the `_manifest` main pointer:
     * the snapshot joins the same immutable global version chain, but
     * main readers never see it until `CALL graft.sys.publish_branch`
-    * fast-forwards main — the write-audit-publish staging surface. */
-  def writeManifestTo(path: String, m: Manifest, branch: Option[String]): Int = {
+    * fast-forwards main — the write-audit-publish staging surface.
+    *
+    * Publishes through [[commitManifest]] with a constant plan: the
+    * version SLOT is claimed atomically (no two commits can ever share
+    * a `_manifest.vN` or a timestamp), but the CONTENT is not re-read
+    * on retry — callers that compute `m` from the current table state
+    * and need lost-update protection (appends, delete vectors) go
+    * through [[commitManifest]] with a re-planning closure instead.
+    * DDL/procedure writers keep this last-writer-wins surface. */
+  def writeManifestTo(path: String, m: Manifest, branch: Option[String]): Int =
+    commitManifest(path, branch)(() => m)
+
+  /** OPTIMISTIC-CONCURRENCY commit (the Iceberg/Delta commit loop on a
+    * filesystem chain): `plan` computes the manifest to publish from
+    * the CURRENT table state; the publish then claims the next version
+    * slot `_manifest.v(last+1)` with an ATOMIC create-if-absent. If
+    * another writer claimed the slot first, the claim fails, the head
+    * has provably moved, and `plan` re-runs against the NEW state — an
+    * append re-plans as base'.files ++ its published entries (the
+    * REBASE), a delete-vector commit re-folds its positions (refusing
+    * if a concurrent rewrite removed a target file), and a replace
+    * REFUSES on any base change (a replace computed from a stale
+    * snapshot must never clobber an unseen commit). The slot file is
+    * the lock token: two commits can never share a version or drop one
+    * another's entries by racing the same slot. Residual window,
+    * documented: a planner that reads the `_manifest` pointer between
+    * a winner's slot claim and its pointer move still sees the
+    * pre-commit base and will claim the NEXT slot cleanly — closing it
+    * needs a CAS'd head (a catalog service, or Iceberg's rename-based
+    * version-hint), not a filesystem pointer; the backoff below keeps
+    * the window at pointer-move latency. Claims rely on the
+    * filesystem's atomic create-if-absent (HDFS/ABFS native; local FS
+    * best-effort; S3 would need the catalog to arbitrate). */
+  def commitManifest(path: String, branch: Option[String],
+      maxAttempts: Int = 8)(plan: () => Manifest): Int = {
     val f = fs(path)
-    val prev = listVersions(path).lastOption
-    val next = prev.getOrElse(0) + 1
-    val prevTs = prev.flatMap(v => readManifest(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
-    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
-    val head = m.ddl +
-      m.ids.fold("")(ids => s"\tids:${ids.mkString(",")}") +
-      s"\tts:$ts"
-    def put(name: String): Unit = {
-      val out = f.create(new HPath(path, name), true)
-      try out.write((head +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      // chain-state read FIRST, plan second: anything that commits
+      // after this read takes (or already took) the slot we are about
+      // to claim, so our claim fails and we re-plan — a stale plan can
+      // never land on a later slot
+      val prev = listVersions(path).lastOption
+      val m = plan()
+      val next = prev.getOrElse(0) + 1
+      val prevTs = prev.flatMap(v => readManifest(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val head = m.ddl +
+        m.ids.fold("")(ids => s"\tids:${ids.mkString(",")}") +
+        s"\tts:$ts" +
+        s"\tref:${branch.fold("main")(b => s"branch.$b")}"
+      val body = (head +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8)
+      val claimed =
+        try {
+          // overwrite=false: the CLAIM — exactly one writer can create
+          // the slot file; a loser sees FileAlreadyExists and re-plans
+          val out = f.create(new HPath(path, manifestName(Some(next))), false)
+          try out.write(body) finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      if (claimed) {
+        branch match {
+          case Some(b) => writeRef(path, "branch", b, next)
+          case None =>
+            val out = f.create(new HPath(path, MANIFEST), true)
+            try out.write(body) finally out.close()
+        }
+        return next
+      }
+      if (attempt >= maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink: lost the commit race $maxAttempts times at $path " +
+            s"(version $next kept being claimed by concurrent writers)")
+      // let the winner's pointer move land before re-planning
+      Thread.sleep(math.min(50L * attempt, 200L))
     }
-    put(manifestName(Some(next)))
-    branch match {
-      case Some(b) => writeRef(path, "branch", b, next)
-      case None => put(MANIFEST)
-    }
-    next
+    -1 // unreachable
   }
 
   // --- named refs (tags = immutable, branches = movable pointers) -----
@@ -597,7 +669,12 @@ object GraftSink {
     val v = decodeField(dt, enc)
     if (v == null) "NULL"
     else dt match {
-      case StringType => "'" + v.toString.replace("'", "''") + "'"
+      // Spark's literal parser treats backslash as an escape inside
+      // single quotes — escape it FIRST or a default like 'C:\temp'
+      // is mangled on the INSERT path while the read-path back-fill
+      // (which decodes the stored prop directly) serves it verbatim
+      case StringType =>
+        "'" + v.toString.replace("\\", "\\\\").replace("'", "''") + "'"
       case DoubleType => s"CAST('${v.toString}' AS DOUBLE)"
       case _ => v.toString
     }
@@ -654,10 +731,17 @@ object GraftSink {
       s"graftsink: column name '${fld.name}' is reserved " +
         s"(${RESERVED_COLS.toSeq.sorted.mkString(", ")} are connector-served)")
     fld.dataType match {
-      case LongType | IntegerType | DoubleType | StringType => ()
+      case LongType | IntegerType | DoubleType | StringType | BinaryType => ()
+      // ARRAY<FLOAT> — the embedding-column type (q41/q61's vectors).
+      // Declared containsNull is accepted either way (Scala encoders
+      // default it true), but a row with an actual NULL LANE refuses at
+      // encode time — a vector with null lanes has no dot-product
+      // semantics and no packed representation.
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
       case dt => throw new IllegalArgumentException(
         s"graftsink: unsupported column type ${dt.sql} for '${fld.name}' " +
-          "(supported: BIGINT, INT, DOUBLE, STRING)")
+          "(supported: BIGINT, INT, DOUBLE, STRING, BINARY, ARRAY<FLOAT>)")
     }
   }
 
@@ -679,9 +763,18 @@ object GraftSink {
     * serving them through a non-nullable schema would mislead
     * downstream null-aware optimizations. */
   def schemaCompatible(tableDdl: String, write: StructType): Boolean = {
+    // array element containsNull is IGNORED like field nullability:
+    // the codec stores lanes per value (and refuses null lanes), so a
+    // containsNull=false writer into a declared-true column (or vice
+    // versa) is the normal encoder-vs-DDL drift, not a type change
+    def norm(dt: DataType): DataType = dt match {
+      case org.apache.spark.sql.types.ArrayType(e, _) =>
+        org.apache.spark.sql.types.ArrayType(norm(e), containsNull = true)
+      case other => other
+    }
     val t = StructType.fromDDL(tableDdl)
     t.length == write.length && t.fields.zip(write.fields).forall {
-      case (a, b) => a.name == b.name && a.dataType == b.dataType
+      case (a, b) => a.name == b.name && norm(a.dataType) == norm(b.dataType)
     }
   }
 
@@ -705,6 +798,30 @@ object GraftSink {
       case IntegerType => row.getInt(i).toString
       case DoubleType  => row.getDouble(i).toString // Java shortest round-trip
       case StringType  => encodeStringField(row.getUTF8String(i).toString)
+      // BINARY: base64 — the alphabet contains no tab/newline/backslash,
+      // so the escape layer never touches it (multimodal payloads —
+      // images/audio as opaque bytes — round-trip bit-exactly)
+      case BinaryType  =>
+        java.util.Base64.getEncoder.encodeToString(row.getBinary(i))
+      // ARRAY<FLOAT>: the IEEE bit patterns packed little-endian, then
+      // base64 — 4 bytes/lane, bit-exact round-trip, no per-lane string
+      // rendering (an embedding column costs ~5.4 chars/lane, vs ~13
+      // for decimal text)
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        val arr = row.getArray(i)
+        val n = arr.numElements()
+        val bb = java.nio.ByteBuffer.allocate(n * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var j = 0
+        while (j < n) {
+          if (arr.isNullAt(j)) throw new IllegalArgumentException(
+            s"graftsink: ARRAY<FLOAT> value has a NULL lane at index $j " +
+              "— vectors with null lanes have no packed representation")
+          bb.putFloat(arr.getFloat(j))
+          j += 1
+        }
+        java.util.Base64.getEncoder.encodeToString(bb.array())
       case dt => throw new IllegalArgumentException(s"graftsink: unsupported type $dt")
     }
 
@@ -732,6 +849,16 @@ object GraftSink {
           } else { sb.append(c); i += 1 }
         }
         UTF8String.fromString(sb.toString)
+      case BinaryType => java.util.Base64.getDecoder.decode(raw)
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) =>
+        val bytes = java.util.Base64.getDecoder.decode(raw)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val fs = new Array[Float](bytes.length / 4)
+        var j = 0
+        while (j < fs.length) { fs(j) = bb.getFloat(); j += 1 }
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(fs)
       case dt => throw new IllegalArgumentException(s"graftsink: unsupported type $dt")
     }
 
@@ -1102,37 +1229,56 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    // a branch write appends onto the BRANCH HEAD (first write forks
-    // from main); main's pointer is never consulted again until publish
-    val prior = branch.flatMap(b => GraftSink.readRef(path, "branch", b))
-      .map(v => GraftSink.readManifest(path, Some(v)))
-      .getOrElse(GraftSink.readManifest(path))
-    if (!truncate) prior.foreach { m =>
-      require(GraftSink.schemaCompatible(m.ddl, schema),
-        s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
-          s"write is '${schema.toDDL}' (use overwrite to replace)")
-    }
-    // appends into an id-migrated table stamp each new file's layout
-    // (write schema == table schema in order, so cols = the table ids);
-    // a truncate replaces the table — ids reset to positional
-    val ids = if (truncate) None else prior.flatMap(_.ids)
     // 1) move committed tasks' staged files into the table root, named
-    //    uniquely per (queryId, partition) so appends never collide
+    //    uniquely per (queryId, partition) so appends never collide —
+    //    ONCE, before the commit loop (entries below re-plan; renames
+    //    don't)
     val published = messages.collect { case c: GraftSinkCommit =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
       val ok = f.rename(new HPath(c.stagedFile), new HPath(path, fin))
       require(ok, s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      GraftSink.entry(fin, Nil,
-        for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi),
-        Some(c.rows), ids)
+      c.copy(stagedFile = fin)
     }.toSeq
-    // 2) manifest-last: only now do readers see the new version; an
-    // append preserves the TABLE's declared DDL (nullability included)
-    val files = if (truncate) published
-                else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) GraftSink.cleanDdl(schema)
-              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifestTo(path, GraftSink.Manifest(ddl, files, ids), branch)
+    // 2) manifest-last, through the optimistic-concurrency loop: the
+    //    plan re-reads the base EVERY attempt, so a lost slot race
+    //    REBASES this append onto the interloper's commit (its files
+    //    survive; ours add on top); a REPLACE whose base moved refuses
+    //    instead — it was computed from a snapshot that no longer is
+    //    the table.
+    var seenBase: Option[Option[Long]] = None
+    GraftSink.commitManifest(path, branch) { () =>
+      // a branch write appends onto the BRANCH HEAD (first write forks
+      // from main); main's pointer is never consulted until publish
+      val prior = branch.flatMap(b => GraftSink.readRef(path, "branch", b))
+        .map(v => GraftSink.readManifest(path, Some(v)))
+        .getOrElse(GraftSink.readManifest(path))
+      val baseTs = prior.flatMap(_.ts)
+      if (truncate && seenBase.exists(_ != baseTs))
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink: concurrent commit during a replace at $path — " +
+            "the replace was computed from a stale snapshot; re-run it")
+      seenBase = Some(baseTs)
+      if (!truncate) prior.foreach { m =>
+        require(GraftSink.schemaCompatible(m.ddl, schema),
+          s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
+            s"write is '${schema.toDDL}' (use overwrite to replace)")
+      }
+      // appends into an id-migrated table stamp each new file's layout
+      // (write schema == table schema in order, so cols = the table
+      // ids); a truncate replaces the table — ids reset to positional
+      val ids = if (truncate) None else prior.flatMap(_.ids)
+      val entries = published.map { c =>
+        GraftSink.entry(c.stagedFile, Nil,
+          for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi),
+          Some(c.rows), ids)
+      }
+      // an append preserves the TABLE's declared DDL (nullability incl.)
+      val files = if (truncate) entries
+                  else prior.map(_.files).getOrElse(Nil) ++ entries
+      val ddl = if (truncate) GraftSink.cleanDdl(schema)
+                else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
+      GraftSink.Manifest(ddl, files, ids)
+    }
     // 3) staging GC only — replaced data files are NOT deleted: older
     //    snapshots (`_manifest.vN`) still reference them (time travel);
     //    a real table format GCs them by snapshot-expiry policy instead
@@ -1254,26 +1400,40 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    val prior = GraftSink.readManifest(path)
-    if (!truncate) prior.foreach { m =>
-      require(GraftSink.schemaCompatible(m.ddl, schema),
-        s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
-          s"write is '${schema.toDDL}' (use overwrite to replace)")
-    }
-    val ids = if (truncate) None else prior.flatMap(_.ids)
+    // renames once; entries re-plan per commit attempt (see the
+    // unpartitioned commit for the rebase/refuse contract)
     val published = messages.collect { case c: GraftSinkPartitionedCommit =>
       c.files.zipWithIndex.map { case ((staged, part, rows), i) =>
         val fin = s"$queryId-part-${c.partitionId}-$i.tsv"
         require(f.rename(new HPath(staged), new HPath(path, fin)),
           s"graftsink: failed to publish $staged -> $fin")
-        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+        (fin, part, rows)
       }
     }.toSeq.flatten
-    val files = if (truncate) published
-                else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) GraftSink.cleanDdl(schema)
-              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    var seenBase: Option[Option[Long]] = None
+    GraftSink.commitManifest(path, None) { () =>
+      val prior = GraftSink.readManifest(path)
+      val baseTs = prior.flatMap(_.ts)
+      if (truncate && seenBase.exists(_ != baseTs))
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink: concurrent commit during a replace at $path — " +
+            "the replace was computed from a stale snapshot; re-run it")
+      seenBase = Some(baseTs)
+      if (!truncate) prior.foreach { m =>
+        require(GraftSink.schemaCompatible(m.ddl, schema),
+          s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
+            s"write is '${schema.toDDL}' (use overwrite to replace)")
+      }
+      val ids = if (truncate) None else prior.flatMap(_.ids)
+      val entries = published.map { case (fin, part, rows) =>
+        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+      }
+      val files = if (truncate) entries
+                  else prior.map(_.files).getOrElse(Nil) ++ entries
+      val ddl = if (truncate) GraftSink.cleanDdl(schema)
+                else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
+      GraftSink.Manifest(ddl, files, ids)
+    }
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
 
@@ -1408,40 +1568,51 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    val prior = GraftSink.readManifest(path).getOrElse(
-      throw new IllegalStateException(s"graftsink: delta commit on empty table at $path"))
-    require(schema.isEmpty || GraftSink.schemaCompatible(prior.ddl, schema),
-      s"graftsink: delta write schema mismatch at $path — table is '${prior.ddl}', " +
-        s"write is '${schema.toDDL}'")
     val cms = messages.collect { case c: GraftSinkDeltaCommit => c }
     // merge the tasks' delete vectors per file
     val delMap = cms.flatMap(_.deletes.toSeq).groupBy(_._1)
       .map { case (n, xs) => n -> xs.flatMap(_._2) }
-    val names = prior.files.map(GraftSink.entryName).toSet
-    val unknown = delMap.keys.filterNot(names)
-    require(unknown.isEmpty,
-      s"graftsink: delete vector targets unknown files: ${unknown.mkString(", ")}")
-    // DVs fold into the EXISTING entries (data files untouched);
-    // inserts publish like an ordinary append
-    val lines = prior.files.map { line =>
-      val n = GraftSink.entryName(line)
-      GraftSink.entry(n,
-        (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
-        GraftSink.entryStats(line), // deletes never widen a min/max
-        GraftSink.entryRows(line),  // rows stay ORIGINAL; counts subtract |dv|
-        GraftSink.entryCols(line).map(_.toSeq), // file layout carries through
-        GraftSink.entryPart(line))              // partition tuple too
-    }
-    val published = cms.filter(_.stagedFile.nonEmpty).map { c =>
+    // insert files rename once; entries re-plan per attempt
+    val inserts = cms.filter(_.stagedFile.nonEmpty).map { c =>
       val fin = s"$queryId-part-${c.partitionId}.tsv"
       require(f.rename(new HPath(c.stagedFile), new HPath(path, fin)),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      GraftSink.entry(fin, Nil, None, Some(c.rows), prior.ids)
+      (fin, c.rows)
     }.toSeq
-    val ddl = if (schema.isEmpty) prior.ddl
-              else GraftSink.widenedDdl(prior.ddl, schema)
-    GraftSink.writeManifest(path,
-      GraftSink.Manifest(ddl, lines ++ published, prior.ids))
+    // optimistic commit: a lost slot race re-folds the delete vectors
+    // onto the NEW base (a concurrent append's files survive untouched;
+    // our positions target the same files they always did). If a
+    // concurrent REWRITE removed a DV-target file, the unknown-files
+    // require below refuses the rebase — those positions were computed
+    // against rows that no longer exist under that name.
+    GraftSink.commitManifest(path, None) { () =>
+      val prior = GraftSink.readManifest(path).getOrElse(
+        throw new IllegalStateException(s"graftsink: delta commit on empty table at $path"))
+      require(schema.isEmpty || GraftSink.schemaCompatible(prior.ddl, schema),
+        s"graftsink: delta write schema mismatch at $path — table is '${prior.ddl}', " +
+          s"write is '${schema.toDDL}'")
+      val names = prior.files.map(GraftSink.entryName).toSet
+      val unknown = delMap.keys.filterNot(names)
+      require(unknown.isEmpty,
+        s"graftsink: delete vector targets unknown files: ${unknown.mkString(", ")}")
+      // DVs fold into the EXISTING entries (data files untouched);
+      // inserts publish like an ordinary append
+      val lines = prior.files.map { line =>
+        val n = GraftSink.entryName(line)
+        GraftSink.entry(n,
+          (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
+          GraftSink.entryStats(line), // deletes never widen a min/max
+          GraftSink.entryRows(line),  // rows stay ORIGINAL; counts subtract |dv|
+          GraftSink.entryCols(line).map(_.toSeq), // file layout carries through
+          GraftSink.entryPart(line))              // partition tuple too
+      }
+      val published = inserts.map { case (fin, rows) =>
+        GraftSink.entry(fin, Nil, None, Some(rows), prior.ids)
+      }
+      val ddl = if (schema.isEmpty) prior.ddl
+                else GraftSink.widenedDdl(prior.ddl, schema)
+      GraftSink.Manifest(ddl, lines ++ published, prior.ids)
+    }
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }
 
@@ -1529,12 +1700,6 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
       f.delete(epochStaging(epochId), true)
       return
     }
-    if (!truncate) prior.foreach { m =>
-      require(GraftSink.schemaCompatible(m.ddl, schema),
-        s"graftsink: streaming append schema mismatch at $path — table is " +
-          s"'${m.ddl}', write is '${schema.toDDL}'")
-    }
-    val ids = if (truncate) None else prior.flatMap(_.ids)
     val published = messages.collect { case c: GraftSinkCommit =>
       val fin = s"${marker}part-${c.partitionId}.tsv"
       val dest = new HPath(path, fin)
@@ -1544,13 +1709,34 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
       if (f.exists(dest)) f.delete(dest, false)
       require(f.rename(new HPath(c.stagedFile), dest),
         s"graftsink: failed to publish ${c.stagedFile} -> $fin")
-      GraftSink.entry(fin, Nil, None, Some(c.rows), ids)
+      (fin, c.rows)
     }.toSeq
-    val files = if (truncate) published
-                else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) GraftSink.cleanDdl(schema)
-              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    // optimistic commit loop: a concurrent BATCH append onto a streamed
+    // table rebases cleanly under this epoch's commit (same contract as
+    // the batch append path)
+    var seenBase: Option[Option[Long]] = None
+    GraftSink.commitManifest(path, None) { () =>
+      val base = GraftSink.readManifest(path)
+      val baseTs = base.flatMap(_.ts)
+      if (truncate && seenBase.exists(_ != baseTs))
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink: concurrent commit during a complete-mode epoch at $path")
+      seenBase = Some(baseTs)
+      if (!truncate) base.foreach { m =>
+        require(GraftSink.schemaCompatible(m.ddl, schema),
+          s"graftsink: streaming append schema mismatch at $path — table is " +
+            s"'${m.ddl}', write is '${schema.toDDL}'")
+      }
+      val ids = if (truncate) None else base.flatMap(_.ids)
+      val entries = published.map { case (fin, rows) =>
+        GraftSink.entry(fin, Nil, None, Some(rows), ids)
+      }
+      val files = if (truncate) entries
+                  else base.map(_.files).getOrElse(Nil) ++ entries
+      val ddl = if (truncate) GraftSink.cleanDdl(schema)
+                else base.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
+      GraftSink.Manifest(ddl, files, ids)
+    }
     f.delete(epochStaging(epochId), true)
   }
 
@@ -1606,12 +1792,6 @@ class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
       f.delete(epochStaging(epochId), true) // replayed epoch: drop duplicates
       return
     }
-    if (!truncate) prior.foreach { m =>
-      require(GraftSink.schemaCompatible(m.ddl, schema),
-        s"graftsink: streaming append schema mismatch at $path — table is " +
-          s"'${m.ddl}', write is '${schema.toDDL}'")
-    }
-    val ids = if (truncate) None else prior.flatMap(_.ids)
     val published = messages.collect { case c: GraftSinkPartitionedCommit =>
       c.files.zipWithIndex.map { case ((staged, part, rows), i) =>
         val fin = s"${marker}part-${c.partitionId}-$i.tsv"
@@ -1619,14 +1799,32 @@ class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
         if (f.exists(dest)) f.delete(dest, false) // ghost from a crashed publish
         require(f.rename(new HPath(staged), dest),
           s"graftsink: failed to publish $staged -> $fin")
-        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+        (fin, part, rows)
       }
     }.toSeq.flatten
-    val files = if (truncate) published
-                else prior.map(_.files).getOrElse(Nil) ++ published
-    val ddl = if (truncate) GraftSink.cleanDdl(schema)
-              else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
-    GraftSink.writeManifest(path, GraftSink.Manifest(ddl, files, ids))
+    var seenBase: Option[Option[Long]] = None
+    GraftSink.commitManifest(path, None) { () =>
+      val base = GraftSink.readManifest(path)
+      val baseTs = base.flatMap(_.ts)
+      if (truncate && seenBase.exists(_ != baseTs))
+        throw new java.util.ConcurrentModificationException(
+          s"graftsink: concurrent commit during a complete-mode epoch at $path")
+      seenBase = Some(baseTs)
+      if (!truncate) base.foreach { m =>
+        require(GraftSink.schemaCompatible(m.ddl, schema),
+          s"graftsink: streaming append schema mismatch at $path — table is " +
+            s"'${m.ddl}', write is '${schema.toDDL}'")
+      }
+      val ids = if (truncate) None else base.flatMap(_.ids)
+      val entries = published.map { case (fin, part, rows) =>
+        GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
+      }
+      val files = if (truncate) entries
+                  else base.map(_.files).getOrElse(Nil) ++ entries
+      val ddl = if (truncate) GraftSink.cleanDdl(schema)
+                else base.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
+      GraftSink.Manifest(ddl, files, ids)
+    }
     f.delete(epochStaging(epochId), true)
   }
 

@@ -175,10 +175,10 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
     intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 RENAME COLUMN k TO k2") }
     intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 DROP COLUMN k") }
-    intercept[Exception] {
-      spark.read.format("graftsink").option("path", p)
-        .option("grouped", "true").load().collect()
-    }
+    // grouped scans on a hash layout are SUPPORTED since round 12
+    // (bucketed SPJ — Round12Spec): one partition per bucket id
+    spark.read.format("graftsink").option("path", p)
+      .option("grouped", "true").load().count() should be > 0L
   }
 
   // ------------------------------------------------------------------
@@ -394,7 +394,13 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
     plant("stray-a.tsv"); plant("stray-b.tsv"); plant("_staging/dead/x.tsv")
     val referenced = GraftSink.listVersions(p).flatMap(v =>
       GraftSink.readManifest(p, Some(v)).get.files.map(GraftSink.entryName)).toSet
-    val r1 = spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1')").collect().head
+    // default cutoff first: the just-planted strays are YOUNGER than
+    // the 10-min guard, so nothing is swept (a concurrent write's
+    // staged files would survive the same way)
+    spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1')").collect()
+      .head.toSeq.take(2) shouldBe Seq(0L, 0L)
+    f.exists(new org.apache.hadoop.fs.Path(p, "stray-a.tsv")) shouldBe true
+    val r1 = spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1', 0)").collect().head
     r1.getLong(0) shouldBe 2L // both strays
     r1.getLong(1) shouldBe 1L // the staging leftover
     r1.getLong(2) shouldBe referenced.size.toLong
@@ -404,7 +410,7 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.format("graftsink").option("path", p).option("version", "2")
       .load().count() shouldBe 2L
     // idempotent: a second sweep finds nothing
-    spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1')").collect()
+    spark.sql(s"CALL $cat.sys.remove_orphans('ns.or1', 0)").collect()
       .head.toSeq.take(2) shouldBe Seq(0L, 0L)
   }
 }

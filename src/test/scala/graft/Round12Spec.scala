@@ -127,6 +127,252 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
       GraftSink.bucketIdOf("v7", 5).toInt
   }
 
+  // ------------------------------------------------------------------
+  // Optimistic-concurrency commit protocol
+  // ------------------------------------------------------------------
+
+  private def freshSink(prefix: String): String =
+    graft.ops.Stage.fresh(prefix).toString + "/t"
+
+  test("commit race: a lost slot claim rebases the append onto the interloper's commit") {
+    val p = freshSink("occ12a")
+    spark.range(0, 10).selectExpr("id AS k")
+      .write.format("graftsink").option("path", p).mode("overwrite").save() // v1
+    val base = GraftSink.readManifest(p).get
+    val v0 = GraftSink.listVersions(p).last
+    // plant a data file for each writer outside the manifest
+    val f = GraftSink.fs(p)
+    def plant(name: String): Unit = {
+      val out = f.create(new org.apache.hadoop.fs.Path(p, name), true)
+      try out.write("99\n".getBytes("UTF-8")) finally out.close()
+    }
+    plant("interloper.tsv"); plant("mine.tsv")
+    // writer B plans from the v1 base; its FIRST plan invocation lets
+    // writer A commit in between (the deterministic interleave) — B's
+    // claim then fails and its second plan rebases onto A's commit
+    var calls = 0
+    val committed = GraftSink.commitManifest(p, None) { () =>
+      calls += 1
+      val prior = GraftSink.readManifest(p).get
+      if (calls == 1)
+        GraftSink.writeManifest(p, GraftSink.Manifest(base.ddl,
+          base.files :+ GraftSink.entry("interloper.tsv", Nil, None, Some(1L)), base.ids))
+      GraftSink.Manifest(prior.ddl,
+        prior.files :+ GraftSink.entry("mine.tsv", Nil, None, Some(1L)), prior.ids)
+    }
+    calls shouldBe 2
+    committed shouldBe v0 + 2
+    val names = GraftSink.readManifest(p).get.files.map(GraftSink.entryName)
+    names should contain("interloper.tsv")
+    names should contain("mine.tsv")
+    // the chain is gap-free and every new snapshot carries attribution
+    GraftSink.listVersions(p) shouldBe (1 to v0 + 2)
+    GraftSink.readManifest(p, Some(v0 + 1)).get.ref shouldBe Some("main")
+    GraftSink.readManifest(p, Some(v0 + 2)).get.ref shouldBe Some("main")
+    // ts stamps stay strictly monotone across the race
+    val stamps = GraftSink.listVersions(p)
+      .map(v => GraftSink.readManifest(p, Some(v)).get.ts.get)
+    stamps shouldBe stamps.sorted
+    stamps.distinct.size shouldBe stamps.size
+  }
+
+  test("commit race: two concurrent appends through the public API both survive") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.occ2")
+    Seq((0L, "base")).toDF("k", "s").writeTo(s"$cat.ns.occ2").create() // v1+v2
+    val vBase = GraftSink.listVersions(tablePath("occ2")).last
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new Runnable {
+        def run(): Unit = Seq.tabulate(50)(i => (100L + i, "a")).toDF("k", "s")
+          .writeTo(s"$cat.ns.occ2").append()
+      })
+      val fb = pool.submit(new Runnable {
+        def run(): Unit = Seq.tabulate(50)(i => (200L + i, "b")).toDF("k", "s")
+          .writeTo(s"$cat.ns.occ2").append()
+      })
+      fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val got = spark.table(s"$cat.ns.occ2")
+      .groupBy(col("s")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe Map("base" -> 1L, "a" -> 50L, "b" -> 50L)
+    // both commits claimed their own slots: exactly two new versions
+    GraftSink.listVersions(tablePath("occ2")).last shouldBe vBase + 2
+  }
+
+  test("commit race: a replace computed from a stale snapshot refuses instead of clobbering") {
+    val p = freshSink("occ12c")
+    spark.range(0, 5).selectExpr("id AS k")
+      .write.format("graftsink").option("path", p).mode("overwrite").save() // v1
+    // replica of the write path's truncate guard: base moves between
+    // plan invocations → ConcurrentModificationException, never a
+    // silent clobber of the interloper's commit
+    var calls = 0
+    var seenBase: Option[Option[Long]] = None
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      GraftSink.commitManifest(p, None) { () =>
+        calls += 1
+        val prior = GraftSink.readManifest(p)
+        val baseTs = prior.flatMap(_.ts)
+        if (seenBase.exists(_ != baseTs))
+          throw new java.util.ConcurrentModificationException(
+            s"graftsink: concurrent commit during a replace at $p")
+        seenBase = Some(baseTs)
+        if (calls == 1) // interloper lands after the stale plan's base read
+          GraftSink.writeManifest(p, prior.get.copy(
+            files = prior.get.files :+ GraftSink.entry("x.tsv", Nil, None, Some(1L))))
+        GraftSink.Manifest("k BIGINT", Nil) // the (stale) replacement
+      }
+    }
+    ex.getMessage should include("concurrent commit")
+    // the interloper's commit is intact
+    GraftSink.readManifest(p).get.files.map(GraftSink.entryName) should contain("x.tsv")
+  }
+
+  test("branch commits carry branch attribution in the version chain") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.occ4")
+    Seq((1L, "m")).toDF("k", "s").writeTo(s"$cat.ns.occ4").create()
+    Seq((2L, "b")).toDF("k", "s")
+      .writeTo(s"$cat.ns.occ4").option("toBranch", "audit").append()
+    val p = tablePath("occ4")
+    val head = GraftSink.listVersions(p).last
+    GraftSink.readManifest(p, Some(head)).get.ref shouldBe Some("branch.audit")
+    GraftSink.readManifest(p).get.ref shouldBe Some("main")
+  }
+
+  // ------------------------------------------------------------------
+  // ReplaceData marker guard (negative shape)
+  // ------------------------------------------------------------------
+
+  test("ReplaceData marker guard: a shifted row layout refuses loudly; the real marker encodes clean") {
+    val p = freshSink("marker12")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    // 3-field row whose field 0 is NOT a row-operation marker — a
+    // shifted data layout (int data column prefixed) must refuse
+    // instead of silently encoding every column off by one
+    val w = new graft.sources.GraftSinkRowWriter(p, schema, s"$p/_staging/q/x.tsv", 0)
+    val ex = intercept[IllegalArgumentException] {
+      w.write(InternalRow(123456, 1L, UTF8String.fromString("a")))
+    }
+    ex.getMessage should include("row-operation marker")
+    w.abort()
+    // the genuine prefixed-marker layout encodes the DATA columns
+    val w2 = new graft.sources.GraftSinkRowWriter(p, schema, s"$p/_staging/q/y.tsv", 0)
+    w2.write(InternalRow(
+      org.apache.spark.sql.catalyst.util.RowDeltaUtils.WRITE_OPERATION,
+      7L, UTF8String.fromString("z")))
+    w2.commit()
+    val f = GraftSink.fs(p)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      f.open(new org.apache.hadoop.fs.Path(s"$p/_staging/q/y.tsv")), "UTF-8"))
+    try in.readLine() shouldBe "7\tz" finally in.close()
+  }
+
+  // ------------------------------------------------------------------
+  // remove_orphans: age guard + namespace-level CTAS stage sweep
+  // ------------------------------------------------------------------
+
+  test("remove_orphans sweeps abandoned CTAS stages at the namespace level, age-guarded") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.gc1")
+    Seq((1L, "a")).toDF("k", "s").writeTo(s"$cat.ns.gc1").create()
+    val wh = graft.ops.Stage.dir("g12_warehouse")
+    val f = GraftSink.fs(wh)
+    // an abandoned CTAS stage: hidden .staged_<table>_<uuid> SIBLING of
+    // the table (a crashed driver never ran abortStagedChanges)
+    val stage = new org.apache.hadoop.fs.Path(s"$wh/ns/.staged_gc1_deadbeef")
+    val out = f.create(new org.apache.hadoop.fs.Path(stage, "_manifest"), true)
+    try out.write("k BIGINT\n".getBytes("UTF-8")) finally out.close()
+    // default 10-min guard: the just-created stage is YOUNG — survives
+    spark.sql(s"CALL $cat.sys.remove_orphans('ns.gc1')").collect()
+    f.exists(stage) shouldBe true
+    // quiescent sweep (older_than_min = 0) removes it
+    val r = spark.sql(s"CALL $cat.sys.remove_orphans('ns.gc1', 0)").collect().head
+    f.exists(stage) shouldBe false
+    r.getLong(1) should be >= 1L
+    // the live table is untouched
+    spark.table(s"$cat.ns.gc1").count() shouldBe 1L
+  }
+
+  test("digit-only ref names resolve before snapshot numbers in changelog bounds") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dref")
+    Seq((1L, "a")).toDF("k", "s").writeTo(s"$cat.ns.dref").create()   // v1+v2
+    Seq((2L, "b")).toDF("k", "s").writeTo(s"$cat.ns.dref").append()   // v3
+    val p = tablePath("dref")
+    spark.sql(s"CALL $cat.sys.create_tag('ns.dref', '2', 3)")
+    // changesFrom='2' must mean TAG '2' (→ v3, exclusive → empty),
+    // never snapshot 2 (which would serve v3's insert)
+    spark.read.format("graftsink").option("path", p)
+      .option("changesFrom", "2").load().count() shouldBe 0L
+    // a bound with no matching ref still reads as a snapshot number
+    spark.read.format("graftsink").option("path", p)
+      .option("changesFrom", "1").load().count() should be >= 1L
+  }
+
+  test("string DEFAULT containing backslashes round-trips on BOTH the back-fill and insert paths") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.bsd")
+    Seq((1L, "old")).toDF("k", "s").writeTo(s"$cat.ns.bsd").create()
+    spark.sql(s"ALTER TABLE $cat.ns.bsd ADD COLUMNS (dir STRING DEFAULT 'C:\\\\temp')")
+    spark.sql(s"INSERT INTO $cat.ns.bsd (k, s) VALUES (2, 'new')")
+    val got = spark.table(s"$cat.ns.bsd").select(col("k"), col("dir"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "C:\\temp", 2L -> "C:\\temp")
+  }
+
+  // ------------------------------------------------------------------
+  // BINARY + ARRAY<FLOAT> codec
+  // ------------------------------------------------------------------
+
+  test("BINARY and ARRAY<FLOAT> columns round-trip bit-exactly through the sink") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.blob1")
+    // escape-hostile payloads: tabs, newlines, backslashes, NUL, the
+    // \N null sentinel as literal bytes, empty bytes, and null; vectors
+    // incl. negative zero, subnormals, extremes, empty, and null
+    val rows = Seq(
+      (1L, "a\tb\nc\\d".getBytes("UTF-8"), Array(1.0f, -0.0f, Float.MinPositiveValue)),
+      (2L, Array[Byte](0, 1, 2, -1, -128), Array(Float.MaxValue, -1.5e-30f)),
+      (3L, "\\N".getBytes("UTF-8"), Array.empty[Float]),
+      (4L, Array.empty[Byte], Array(3.14159f)),
+      (5L, null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Float]]))
+    rows.toDF("k", "payload", "vec").writeTo(s"$cat.ns.blob1").create()
+    val got = spark.table(s"$cat.ns.blob1").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Array[Byte]]),
+        Option(r.get(2)).map(_.asInstanceOf[scala.collection.Seq[Float]].toArray)))
+      .sortBy(_._1)
+    got.zip(rows).foreach { case ((k, p, v), (k0, p0, v0)) =>
+      k shouldBe k0
+      p.map(_.toSeq) shouldBe Option(p0).map(_.toSeq)
+      // bit-exact lanes (floatToRawIntBits catches -0.0 vs 0.0 drift)
+      v.map(_.map(java.lang.Float.floatToRawIntBits).toSeq) shouldBe
+        Option(v0).map(_.map(java.lang.Float.floatToRawIntBits).toSeq)
+    }
+    // DVs and time travel work over the new types like any other column
+    spark.sql(s"DELETE FROM $cat.ns.blob1 WHERE k = 2")
+    spark.table(s"$cat.ns.blob1").count() shouldBe 4L
+    val p = tablePath("blob1")
+    spark.read.format("graftsink").option("path", p)
+      .option("version", "2").load().count() shouldBe 5L
+    // partitioning by a BINARY column is refused (no canonical string)
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.blob2 (k BIGINT, b BINARY) PARTITIONED BY (b)")
+    }
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
