@@ -957,6 +957,39 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // Z-ORDER clustered rewrite (`CALL graft.sys.zorder` — Delta's
+    // OPTIMIZE ZORDER BY; q250 AUDITS the layout, this WRITES it): the
+    // orders table rewrites into 16 Z-curve range files keyed on
+    // (custkey, order-day), every file carrying tight min/max stats on
+    // BOTH dims — so the 2-dim range query below prunes on either
+    // column at planning time (Round12Spec pins the planned-file
+    // count; the readout pins that pruning never changes the result).
+    // At 100 TB this layout is the difference between scanning the
+    // table and scanning the predicate's Z blocks. Oracle replays the
+    // filtered rollup from parquet; the audit columns (files_after =
+    // the requested range-partition count, version = create+CTAS+
+    // rewrite) are deterministic.
+    "q407_sink_zorder" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.zo407")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("d"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+        .writeTo("graft.g.zo407").create()
+      val audit = s.sql("CALL graft.sys.zorder('g.zo407', 'c, d', 16)")
+        .select(col("files_after"), col("version"))
+      s.table("graft.g.zo407")
+        .filter(col("c").between(10, 120) && col("d").between(9500, 10000))
+        .groupBy((col("c") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -2020,6 +2053,19 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(list_sum(list_transform(embedding, x -> "
         + "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,12))) AS DOUBLE), 4) AS norm2_sum "
         + "FROM src GROUP BY 1 ORDER BY 1"),
+    // q407: the Z-ordered table must serve the 2-dim range rollup
+    // byte-identically to parquet — file pruning is an optimization,
+    // never a correctness transfer; audit columns are closed-form.
+    "q407_sink_zorder" ->
+      ("WITH src AS (SELECT o_orderkey AS k, o_custkey AS c, "
+        + "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, "
+        + "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price FROM orders) "
+        + "SELECT c % 8 AS bucket, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price, "
+        + "min(k) AS min_key, max(k) AS max_key, "
+        + "CAST(16 AS BIGINT) AS files_after, CAST(3 AS BIGINT) AS version "
+        + "FROM src WHERE c BETWEEN 10 AND 120 AND d BETWEEN 9500 AND 10000 "
+        + "GROUP BY 1 ORDER BY 1"),
     // q383: the pruned star join must equal the plain join — DPP is an
     // optimization, never a correctness transfer.
     "q383_sink_runtime_prune" ->

@@ -655,6 +655,104 @@ object GraftCatalog {
     *    keeps the mistake AND the revert; never rewrites history).
     */
   val procedures: Map[String, GraftCatalog => UnboundProcedure] = Map(
+    "zorder" -> (cat => new GraftProcedure(cat, "zorder",
+      "zorder(tbl, cols, files): rewrite the table Z-ORDERED on two BIGINT columns into ~files range files, per-dim min/max stats on every file",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("files", IntegerType).build()),
+      new StructType().add("files_before", LongType).add("files_after", LongType)
+        .add("version", LongType),
+      (cat0, args) => {
+        // Z-ORDER rewrite (Delta's OPTIMIZE ZORDER BY / Iceberg's
+        // sort rewrite with a Z curve — q250 AUDITS this layout; this
+        // procedure WRITES it): each row's two dims quantize to 16
+        // bits against the table's min/max and bit-interleave into a
+        // 32-bit Morton code (in-row HOF fold, no UDF); ONE range
+        // repartition on the code makes every output file a compact
+        // Z-curve segment, so each file's [min, max] on BOTH dims is
+        // tight and a range predicate on EITHER column skips most
+        // files — the layout 2-dim selective queries on a 100 TB
+        // table live or die by. Per-file stats come from one extra
+        // metadata-scale agg over the SAME pinned partitioning (at
+        // cluster scale both consumers read the one shuffle). Commits
+        // as ONE snapshot through the optimistic loop; DVs absorb
+        // (the rewrite reads through the connector).
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val colSpec = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty)
+        require(colSpec.length == 2,
+          s"graft catalog: zorder wants exactly 2 columns, got '${colSpec.mkString(",")}'")
+        val nFiles = args.getInt(2)
+        require(nFiles >= 1 && nFiles <= 4096,
+          s"graft catalog: zorder file count must be in [1, 4096], got $nFiles")
+        require(GraftSink.partitionColsOf(p).isEmpty && GraftSink.bucketSpecOf(p).isEmpty,
+          "graft catalog: zorder on a partitioned/bucketed table is not supported " +
+            "(the partition layout owns file routing)")
+        val m = GraftSink.readManifest(p).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
+        val schema = StructType.fromDDL(m.ddl)
+        val Array(ca, cb) = colSpec
+        colSpec.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"graft catalog: zorder column '$c' not in the table schema")
+          require(schema(schema.fieldIndex(c)).dataType == LongType,
+            s"graft catalog: zorder columns must be BIGINT, '$c' is " +
+              schema(schema.fieldIndex(c)).dataType.sql)
+        }
+        val sp = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, max, min, spark_partition_id}
+        val df = sp.read.format("graftsink").option("path", p).load()
+        val bounds = df.agg(min(col(ca)).as("__mina"), max(col(ca)).as("__maxa"),
+          min(col(cb)).as("__minb"), max(col(cb)).as("__maxb"))
+        val ordered = df.crossJoin(broadcast(bounds))
+          .withColumn("__ax", expr(
+            s"cast(floor(65536.0 * ($ca - __mina) / (__maxa - __mina + 1.0)) as bigint)"))
+          .withColumn("__bx", expr(
+            s"cast(floor(65536.0 * ($cb - __minb) / (__maxb - __minb + 1.0)) as bigint)"))
+          .withColumn("__z", expr(
+            "aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> " +
+              "acc + shiftleft(shiftright(__ax, j) & 1, 2 * j + 1) + " +
+              "shiftleft(shiftright(__bx, j) & 1, 2 * j))"))
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          // pin the partition layout: the stats job and the file write
+          // below must see the SAME row→partition mapping
+          .localCheckpoint()
+        val statRows = ordered.groupBy(spark_partition_id().as("__pid"))
+          .agg(count(lit(1)).as("__n"),
+            min(col(ca)).as("__mina"), max(col(ca)).as("__maxa"),
+            min(col(cb)).as("__minb"), max(col(cb)).as("__maxb"))
+          .collect() // ≤ nFiles rows — file-grain metadata, never data
+        val statsByPid = statRows.map { r =>
+          val both = Seq(
+            (ca, Option(r.getAs[Any]("__mina")), Option(r.getAs[Any]("__maxa"))),
+            (cb, Option(r.getAs[Any]("__minb")), Option(r.getAs[Any]("__maxb"))))
+            .collect { case (c, Some(lo), Some(hi)) =>
+              (c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
+          r.getAs[Int]("__pid") -> both
+        }.toMap
+        val scratchRoot = graft.ops.Stage.fresh("zorder")
+        val scratch = scratchRoot.toString + "/t"
+        ordered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .write.format("graftsink").mode("overwrite")
+          .option("path", scratch).save()
+        val sm = GraftSink.readManifest(scratch).get
+        val f = GraftSink.fs(p)
+        val entries = sm.files.map { line =>
+          val n = GraftSink.entryName(line)
+          // scratch names end "part-<pid>.tsv" — the pid keys the stats
+          val pid = n.stripSuffix(".tsv").split("-").last.toInt
+          val fin = s"zorder-$pid-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
+          require(f.rename(new HPath(scratch, n), new HPath(p, fin)),
+            s"graft catalog: zorder failed to publish $fin")
+          GraftSink.entry(fin, Nil, None, GraftSink.entryRows(line),
+            if (m.ids.isDefined) Some(GraftSink.manifestIds(m)) else None,
+            None, statsByPid.getOrElse(pid, Nil))
+        }
+        graft.ops.Stage.release(scratchRoot)
+        val v = GraftSink.writeManifest(p, GraftSink.Manifest(m.ddl, entries, m.ids))
+        Array[Any](m.files.size.toLong, entries.size.toLong, v.toLong)
+      })),
     "compact" -> (cat => new GraftProcedure(cat, "compact",
       "compact(tbl, files): rewrite the current snapshot into `files` data files",
       Array(ProcedureParameter.in("tbl", StringType).build(),
@@ -899,16 +997,18 @@ object GraftCatalog {
               // tree per rewritten bin until JVM exit (long-lived
               // sessions compact repeatedly)
               graft.ops.Stage.release(scratchRoot)
-              // merged stats: the union envelope when every member has
-              // stats on the SAME column (conservative; else none)
-              val stats = {
-                val ss = bin.map(GraftSink.entryStats)
-                if (ss.forall(_.isDefined) && ss.flatMap(_.map(_._1)).distinct.length == 1)
-                  Some((ss.head.get._1, ss.flatMap(_.map(_._2)).min, ss.flatMap(_.map(_._3)).max))
-                else None
-              }
-              rewritten :+= GraftSink.entry(fin, Nil, stats, Some(liveRows),
-                if (m.ids.isDefined) Some(ids) else None, part)
+              // merged stats: per column, the union envelope — kept
+              // only for columns EVERY member carries (conservative: a
+              // member without stats could widen the true range)
+              val perCol = bin.map(l => GraftSink.entryStatsAll(l).groupBy(_._1))
+              val mergedStats = perCol.head.keys.toSeq.sorted
+                .filter(c => perCol.forall(_.contains(c)))
+                .map { c =>
+                  val es = perCol.flatMap(_(c))
+                  (c, es.map(_._2).min, es.map(_._3).max)
+                }
+              rewritten :+= GraftSink.entry(fin, Nil, None, Some(liveRows),
+                if (m.ids.isDefined) Some(ids) else None, part, mergedStats)
               binsRewritten += 1
             }
           }

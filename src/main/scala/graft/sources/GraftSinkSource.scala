@@ -148,7 +148,14 @@ object GraftSink {
 
   /** (column, min, max) of the file's recorded stats, if any. */
   def entryStats(line: String): Option[(String, Long, Long)] =
-    segments(line).find(_.startsWith("stats:")).map { s =>
+    entryStatsAll(line).headOption
+
+  /** ALL recorded per-column [min, max] envelopes of a file (one
+    * `stats:` segment per column — a Z-ordered file carries one per
+    * interleaved dimension, which is what makes a 2-dim range query
+    * prune on EITHER column). */
+  def entryStatsAll(line: String): Seq[(String, Long, Long)] =
+    segments(line).filter(_.startsWith("stats:")).map { s =>
       val body = s.stripPrefix("stats:")
       val eq = body.indexOf('=')
       val dd = body.indexOf("..", eq)
@@ -206,10 +213,12 @@ object GraftSink {
       stats: Option[(String, Long, Long)] = None,
       rows: Option[Long] = None,
       cols: Option[Seq[Int]] = None,
-      part: Option[String] = None): String = {
+      part: Option[String] = None,
+      moreStats: Seq[(String, Long, Long)] = Nil): String = {
     val dv = if (deletes.isEmpty) ""
              else s"\tdv:${deletes.sorted.distinct.mkString(",")}"
-    val st = stats.fold("") { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }
+    val st = (stats.toSeq ++ moreStats)
+      .map { case (c, lo, hi) => s"\tstats:$c=$lo..$hi" }.mkString
     val rc = rows.fold("")(n => s"\trows:$n")
     val cl = cols.fold("")(ids => s"\tcols:${ids.mkString(",")}")
     val pt = part.fold("")(p => s"\tpart:$p")
@@ -1601,10 +1610,11 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
         val n = GraftSink.entryName(line)
         GraftSink.entry(n,
           (GraftSink.entryDeletes(line) ++ delMap.getOrElse(n, Array.empty)).toSeq,
-          GraftSink.entryStats(line), // deletes never widen a min/max
+          None,
           GraftSink.entryRows(line),  // rows stay ORIGINAL; counts subtract |dv|
           GraftSink.entryCols(line).map(_.toSeq), // file layout carries through
-          GraftSink.entryPart(line))              // partition tuple too
+          GraftSink.entryPart(line),              // partition tuple too
+          GraftSink.entryStatsAll(line)) // deletes never widen a min/max
       }
       val published = inserts.map { case (fin, rows) =>
         GraftSink.entry(fin, Nil, None, Some(rows), prior.ids)
@@ -2098,12 +2108,14 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
       // FILE SKIPPING: a file whose recorded [min, max] misses the
       // pushed envelope for that column is never planned (files with
       // no stats, or stats on other columns, always survive)
-      val statsOk = GraftSink.entryStats(line) match {
-        case Some((col, lo, hi)) => envelopes.get(col) match {
+      // EVERY recorded per-column envelope must overlap its pushed
+      // envelope — a Z-ordered file (stats on both interleaved dims)
+      // is skippable by a predicate on EITHER column
+      val statsOk = GraftSink.entryStatsAll(line).forall { case (col, lo, hi) =>
+        envelopes.get(col) match {
           case Some((elo, ehi)) => hi >= elo && lo <= ehi
           case None => true
         }
-        case None => true
       }
       // PARTITION PRUNING: a file whose part: tuple misses any pushed
       // (compile-time) or runtime-received (DPP) allowed-set is never

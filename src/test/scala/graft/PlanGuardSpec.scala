@@ -300,7 +300,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q392_remove_orphans", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
     "q394_silhouette",   // broadcast k=10 trained codebook, checkpointed (q61's shape)
     "q398_branch_changelog", // cross vs the 1-row main-count agg off the V2 sink (not stats-provable)
-    "q400_compact_bins"  // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q400_compact_bins", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q407_sink_zorder"   // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

@@ -373,6 +373,56 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Z-order rewrite
+  // ------------------------------------------------------------------
+
+  test("zorder rewrite: per-dim stats on every file; a 2-dim range query provably plans fewer files") {
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.zo1")
+    // a 64x64 grid: the adversarial case for any single-column sort
+    spark.range(0, 4096)
+      .selectExpr("id AS k", "id % 64 AS c", "id div 64 AS d")
+      .writeTo(s"$cat.ns.zo1").create()
+    val audit = spark.sql(s"CALL $cat.sys.zorder('ns.zo1', 'c, d', 16)").collect().head
+    audit.getLong(1) shouldBe 16L
+    val p = tablePath("zo1")
+    val mf = GraftSink.readManifest(p).get
+    mf.files should have size 16
+    // every file carries a min/max envelope on BOTH interleaved dims
+    mf.files.foreach { l =>
+      GraftSink.entryStatsAll(l).map(_._1).toSet shouldBe Set("c", "d")
+    }
+    // the 16x16 corner (1/16 of the grid) is ONE Z block — planning
+    // must prune to a couple of files, not scan all 16
+    val q = spark.table(s"$cat.ns.zo1")
+      .filter(col("c") <= 15 && col("d") <= 15)
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    scans should not be empty
+    val planned = scans.head.inputPartitions.size
+    withClue(s"2-dim range query planned $planned of ${mf.files.size} files: ") {
+      planned should be <= 4
+    }
+    // pruning never changes the result
+    q.count() shouldBe 256L
+    q.agg(sum(col("k"))).collect().head.getLong(0) shouldBe
+      (0 until 64).flatMap(d => (0 until 16).map(c => if (d <= 15) d * 64L + c else -1L))
+        .filter(_ >= 0).sum
+    // a single-dim predicate prunes too (the Z property)
+    val q2 = spark.table(s"$cat.ns.zo1").filter(col("c") === 3)
+    val s2 = q2.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.size
+    s2 should be < 16
+    q2.count() shouldBe 64L
+    // DVs absorb through the rewrite; zorder on partitioned tables refuses
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.zorder('ns.zo1', 'c', 4)") // 1 column
+    }
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
