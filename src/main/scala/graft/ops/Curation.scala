@@ -18,6 +18,60 @@ object Curation extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
+    // EXACT-SUBSTRING span dedup (the Lee et al. "Deduplicating
+    // Training Data" ExactSubstr shape, at fixed token grain — the
+    // SPAN-level complement of q39's doc-level and q40's near-dup
+    // passes: it finds the boilerplate/quote REGIONS shared across
+    // otherwise-distinct documents): every doc emits its k=7-token
+    // shingles WITH POSITIONS via one in-row HOF (one posexplode —
+    // O(total tokens) rows, never O(docs²)); a shingle whose corpus
+    // count exceeds 1 is duplicated text; a doc's duplicated-token
+    // COVERAGE is the union of its hit intervals [p, p+k), computed
+    // closed-form from one keyed lead() window (equal-length intervals:
+    // each hit contributes min(k, next_p − p)). The reference method
+    // builds a suffix array for all lengths ≥ 50 chars; the fixed-k
+    // shingle grain is its standard distributed rendering — at 100 TB
+    // you'd group on xxhash64(shingle) with a verify pass instead of
+    // raw strings (same plan, 8-byte shuffle keys). Readout: per-source
+    // duplication profile (docs hit, covered/total tokens, dup rate).
+    "q408_exact_substr" -> ((s, dir) => {
+      val k = 7
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), x -> x <> '')").as("w"))
+        .filter(size(col("w")) >= k)
+      val sh = docs.select(col("doc_id"), col("source"), size(col("w")).as("n"),
+          posexplode(expr(
+            s"transform(sequence(1, size(w) - ${k - 1}), i -> array_join(slice(w, i, $k), ' '))"))
+            .as(Seq("pos0", "sh")))
+        .select(col("doc_id"), col("source"), col("n"),
+          (col("pos0") + 1).as("pos"), col("sh"))
+      val dup = sh.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("sh"))
+      val hits = sh.join(dup, "sh")
+        .select(col("doc_id"), col("source"), col("n"), col("pos"))
+      val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val cov = hits
+        .withColumn("nxt", lead(col("pos"), 1).over(wD))
+        .withColumn("contrib", least(lit(k), coalesce(col("nxt") - col("pos"), lit(k))))
+        .groupBy(col("doc_id"), col("source"), col("n"))
+        .agg(sum(col("contrib")).as("covered"))
+      val tot = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(size(col("w"))).as("total_tokens"))
+      cov.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs_with_dup"),
+          sum(col("covered")).as("covered_tokens"))
+        .join(tot, Seq("source"), "right")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("docs_with_dup"), lit(0L)).as("docs_with_dup"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          col("total_tokens"))
+        .withColumn("dup_rate",
+          round(expr("cast(covered_tokens as double) / total_tokens"), 6))
+        .orderBy(col("source"))
+    }),
+
+    // ------------------------------------------------------------------
     // Benchmark decontamination: docs in the "eval set" (deterministic
     // doc_id % 101 == 7 membership here; a real pipeline loads its eval
     // suites) contribute their distinct 8-gram set; every OTHER doc
@@ -561,6 +615,26 @@ object Curation extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    // q408: the shingle→dup→interval-union chain replayed with
+    // DuckDB's list slicing and the same lead() union identity.
+    "q408_exact_substr" ->
+      ("WITH t AS (SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w "
+        + "FROM documents), td AS (SELECT * FROM t WHERE len(w) >= 7), "
+        + "sh AS (SELECT doc_id, source, len(w) AS n, i AS pos, array_to_string(w[i:i+6], ' ') AS s "
+        + "FROM td, UNNEST(range(1, len(w) - 5)) AS g(i)), "
+        + "dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1), "
+        + "hits AS (SELECT doc_id, source, n, pos FROM sh JOIN dup USING (s)), "
+        + "contrib AS (SELECT doc_id, source, n, least(7, coalesce(lead(pos) OVER "
+        + "(PARTITION BY doc_id ORDER BY pos), pos + 7) - pos) AS c FROM hits), "
+        + "cov AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS covered FROM contrib GROUP BY 1, 2), "
+        + "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len(w)) AS BIGINT) AS total_tokens "
+        + "FROM td GROUP BY 1), "
+        + "agg AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_with_dup, "
+        + "CAST(sum(covered) AS BIGINT) AS covered_tokens FROM cov GROUP BY 1) "
+        + "SELECT tot.source, n_docs, coalesce(docs_with_dup, 0) AS docs_with_dup, "
+        + "coalesce(covered_tokens, 0) AS covered_tokens, total_tokens, "
+        + "round(CAST(coalesce(covered_tokens, 0) AS DOUBLE) / total_tokens, 6) AS dup_rate "
+        + "FROM tot LEFT JOIN agg USING (source) ORDER BY tot.source"),
     "q322_dsir_weights" ->
       ("WITH db AS (SELECT doc_id, source, unnest(list_transform(range(1, len(w)), i -> "
         + "CAST('0x' || substr(md5(array_to_string(w[i:i+1], ' ')), 1, 15) AS BIGINT) % 512)) AS b "

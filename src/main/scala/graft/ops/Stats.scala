@@ -56,6 +56,46 @@ object Stats extends QueryPack {
 
   def queries: Map[String, Q] = Map(
     // ------------------------------------------------------------------
+    // KENDALL'S TAU-B — the rank-concordance coefficient (the third
+    // classic correlation after q16's Pearson and q22's Spearman;
+    // robust to monotone transforms AND ties): the corpus first
+    // CONTRACTS to (value-decile, hour-of-day) cells with counts — the
+    // only corpus-sized pass — then every ordered cell pair contributes
+    // c1·c2 concordant (y rises with x) or discordant (y falls) pairs,
+    // and the tie terms n1/n2 come from the marginals:
+    // τ_b = (nc − nd) / √((n0 − n1)(n0 − n2)), n0 = n(n−1)/2. The cell
+    // pair join is a broadcast over the checkpointed ≤(deciles×24)
+    // frame — the same bounded-frame shape as q136/q386; every term is
+    // exact integer algebra until the final ratio. At 100 TB the cell
+    // grid is unchanged (it's value-range × 24), so the pair join cost
+    // is constant while the contraction scales linearly.
+    "q409_kendall_tau" -> ((s, dir) => {
+      val cells = Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .select(expr("cast(floor(value / 10.0) as bigint)").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // pair join (both sides) + three marginal aggs
+      val a = cells.select(col("x").as("x1"), col("y").as("y1"), col("c").as("c1"))
+      val b = cells.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+      val pairs = a.join(broadcast(b), col("x1") < col("x2"))
+        .agg(coalesce(sum(when(col("y1") < col("y2"),
+            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("nc"),
+          coalesce(sum(when(col("y1") > col("y2"),
+            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("nd"))
+      val totals = cells.agg(sum(col("c")).as("n"))
+      val tx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+        .agg(sum(expr("cx * (cx - 1) div 2")).as("n1"))
+      val ty = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+        .agg(sum(expr("cy * (cy - 1) div 2")).as("n2"))
+      pairs.crossJoin(broadcast(totals))
+        .crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .select(col("n"), col("nc"), col("nd"), col("n1"), col("n2"),
+          round(expr("(nc - nd) / (sqrt(cast(n * (n - 1) div 2 - n1 as double)) * " +
+            "sqrt(cast(n * (n - 1) div 2 - n2 as double)))"), 6).as("tau_b"))
+    }),
+
+    // ------------------------------------------------------------------
     // Flagship: Pearson correlation of two measures (also SparkEntry.entry).
     "q16_corr_pair" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1167,6 +1207,24 @@ object Stats extends QueryPack {
         col("n"))
 
   def oracles: Map[String, String] = Map(
+    // q409: the identical cell contraction + exact integer pair/tie
+    // algebra; the final ratio is the same double expression.
+    "q409_kendall_tau" ->
+      ("WITH cells AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS x, "
+        + "CAST(hour(ts) AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS c "
+        + "FROM events WHERE value IS NOT NULL GROUP BY 1, 2), "
+        + "pairs AS (SELECT CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END), 0) AS BIGINT) AS nc, "
+        + "CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END), 0) AS BIGINT) AS nd "
+        + "FROM cells a JOIN cells b ON a.x < b.x), "
+        + "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells), "
+        + "tx AS (SELECT CAST(sum(cx * (cx - 1) // 2) AS BIGINT) AS n1 FROM "
+        + "(SELECT CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x)), "
+        + "ty AS (SELECT CAST(sum(cy * (cy - 1) // 2) AS BIGINT) AS n2 FROM "
+        + "(SELECT CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y)) "
+        + "SELECT n, nc, nd, n1, n2, "
+        + "round((nc - nd) / (sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) * "
+        + "sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE))), 6) AS tau_b "
+        + "FROM pairs, tot, tx, ty"),
     // q387: identical contraction + quantized covariance terms; the
     // oracle's lag window runs over the same ≤#days frame.
     "q387_yule_walker" ->

@@ -423,6 +423,60 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  // ------------------------------------------------------------------
+  // q408 / q409 formula replication
+  // ------------------------------------------------------------------
+
+  test("q408 exact-substring coverage: invariants hold and the interval-union identity is exact") {
+    val rows = SparkEntry.queries("q408_exact_substr")(spark, sf).collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val (nDocs, withDup, covered, total) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      withDup should be <= nDocs
+      covered should be <= total
+      r.getDouble(5) shouldBe (covered.toDouble / total) +- 1e-6
+    }
+    // the equal-length interval-union identity on a hand case: hits at
+    // positions 1,3,10 with k=7 cover [1,8)∪[3,10)∪[10,17) = 2+7+7 = 16
+    val ps = Seq(1L, 3L, 10L)
+    val k = 7L
+    val contrib = ps.zip(ps.drop(1).map(Some(_)) :+ None).map {
+      case (p, Some(n)) => math.min(k, n - p)
+      case (p, None) => k
+    }
+    contrib.sum shouldBe 16L
+    // against the brute-force union
+    ps.flatMap(p => p until p + k).distinct.size shouldBe 16
+  }
+
+  test("q409 Kendall tau-b matches a scalar recomputation from the same cells") {
+    import org.apache.spark.sql.functions.{floor => sfloor}
+    val cells = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(sfloor(col("value") / 10.0).cast("long").as("x"),
+        hour(col("ts")).cast("long").as("y"))
+      .groupBy("x", "y").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var nc = 0L; var nd = 0L
+    for ((x1, y1, c1) <- cells; (x2, y2, c2) <- cells if x1 < x2) {
+      if (y1 < y2) nc += c1 * c2 else if (y1 > y2) nd += c1 * c2
+    }
+    val n = cells.map(_._3).sum
+    val n1 = cells.groupBy(_._1).values.map(_.map(_._3).sum).map(c => c * (c - 1) / 2).sum
+    val n2 = cells.groupBy(_._2).values.map(_.map(_._3).sum).map(c => c * (c - 1) / 2).sum
+    val n0 = n * (n - 1) / 2
+    val tau = (nc - nd) / (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+    val got = SparkEntry.queries("q409_kendall_tau")(spark, sf).collect().head
+    got.getLong(0) shouldBe n
+    got.getLong(1) shouldBe nc
+    got.getLong(2) shouldBe nd
+    got.getLong(3) shouldBe n1
+    got.getLong(4) shouldBe n2
+    got.getDouble(5) shouldBe (math.rint(tau * 1e6) / 1e6) +- 1e-9
+    // tau must be a genuine correlation: bounded
+    math.abs(got.getDouble(5)) should be <= 1.0
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
