@@ -569,6 +569,47 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // MERGE with NOT MATCHED BY SOURCE — the TABLE-SYNC verb (q360
+    // covers matched/not-matched; this adds the third clause family
+    // SQL:2023 / Delta's "apply changes" ship): rows the SOURCE no
+    // longer carries are aged out — conditionally DELETEd (even keys)
+    // or flagged STALE (odd keys) — in the SAME single statement that
+    // upserts the live feed, so one engine-owned ReplaceData pass
+    // replaces per-key anti-join housekeeping pipelines. Update
+    // arithmetic in DECIMAL(18,2); oracle recomputes the final state
+    // INDEPENDENTLY as set algebra over parquet (live ∪ inserts ∪
+    // aged), never a merge, so a clause-routing bug cannot cancel out.
+    "q410_merge_by_source" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.sync410")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.sync410").create()
+      // today's feed: the %3==2 cohort churned away, the rest re-arrive
+      // with +7 balances, and a fresh cohort appears under new keys
+      cust.filter(col("c_custkey") % 3 =!= 2)
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(7)).cast("double"))
+        .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + lit(2000000L))
+          .withColumn("c_mktsegment", lit("FRESH")))
+        .createOrReplaceTempView("feed410")
+      s.sql("""
+        MERGE INTO graft.g.sync410 t USING feed410 f ON t.c_custkey = f.c_custkey
+        WHEN MATCHED THEN UPDATE SET bal = f.bal
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_mktsegment, bal)
+          VALUES (f.c_custkey, f.c_mktsegment, f.bal)
+        WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 2 = 0 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET c_mktsegment = 'STALE'""")
+      s.table("graft.g.sync410")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // TEXTUAL time travel — `SELECT ... FROM graft.g.t VERSION AS OF n`
     // resolved through TableCatalog.loadTable(ident, version), the SQL
     // surface q351 exposed only as a read option. CTAS commits v1 (the
@@ -2042,6 +2083,21 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(f.sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
         + "round(CAST(sum(CAST(d.max_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_max "
         + "FROM f JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q410: final state recomputed as set algebra — live cohort (+7),
+    // fresh inserts, aged-out evens deleted, aged-out odds STALE.
+    "q410_merge_by_source" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "final AS ("
+        + "SELECT c_custkey, c_mktsegment, CAST(CAST(bal AS DECIMAL(18,2)) + 7 AS DOUBLE) AS bal "
+        + "FROM base WHERE c_custkey % 3 <> 2 "
+        + "UNION ALL SELECT c_custkey + 2000000, 'FRESH', bal FROM base WHERE c_custkey % 7 = 0 "
+        + "UNION ALL SELECT c_custkey, 'STALE', bal FROM base "
+        + "WHERE c_custkey % 3 = 2 AND c_custkey % 2 = 1) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+        + "FROM final GROUP BY 1 ORDER BY 1"),
     // q406: the round-tripped payload/vector stats replayed from
     // parquet — the sink codec must be invisible to every readout.
     "q406_sink_binary_vectors" ->

@@ -477,6 +477,34 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     math.abs(got.getDouble(5)) should be <= 1.0
   }
 
+  test("MERGE with NOT MATCHED BY SOURCE works under merge-on-read: DVs only, no rewrite") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.sync1")
+    Seq((1L, "live", 10.0), (2L, "gone-even", 20.0), (3L, "gone-odd", 30.0),
+      (4L, "live", 40.0)).toDF("k", "s", "v").writeTo(s"$cat.ns.sync1").create()
+    spark.sql(s"ALTER TABLE $cat.ns.sync1 SET TBLPROPERTIES ('write.mode' = 'merge-on-read')")
+    val p = tablePath("sync1")
+    val filesBefore = GraftSink.readManifest(p).get.files.map(GraftSink.entryName).toSet
+    Seq((1L, "live", 11.0), (4L, "live", 44.0), (9L, "new", 99.0))
+      .toDF("k", "s", "v").createOrReplaceTempView("feed12")
+    spark.sql(s"""
+      MERGE INTO $cat.ns.sync1 t USING feed12 f ON t.k = f.k
+      WHEN MATCHED THEN UPDATE SET v = f.v
+      WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (f.k, f.s, f.v)
+      WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = 'STALE'""")
+    val got = spark.table(s"$cat.ns.sync1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    got shouldBe Array((1L, "live", 11.0), (3L, "STALE", 30.0),
+      (4L, "live", 44.0), (9L, "new", 99.0))
+    // merge-on-read: the original data files survive under their names
+    // (updates = DV + re-insert; deletes = DV only)
+    val after = GraftSink.readManifest(p).get
+    filesBefore.subsetOf(after.files.map(GraftSink.entryName).toSet) shouldBe true
+    after.files.flatMap(GraftSink.entryDeletes).length should be >= 4 // 1,3,4 updated + 2 deleted
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
