@@ -610,6 +610,75 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DYNAMIC PARTITION OVERWRITE (`writeTo(t).overwritePartitions()` /
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic — the
+    // daily-reload verb every partitioned warehouse job runs): exactly
+    // the partitions the INCOMING data touches are replaced in ONE
+    // commit; untouched partitions survive byte-identically, and the
+    // pre-reload state stays one `VERSION AS OF` away. Here two
+    // segments restate (BUILDING +1000 balances; MACHINERY keeps only
+    // even keys) while the other segments never move. Round12Spec pins
+    // exact-touch replacement, the refusals, and time travel across
+    // the reload; oracle recomputes the final state as set algebra.
+    "q411_sink_dynamic_overwrite" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.dyn412")
+      s.sql("""CREATE TABLE graft.g.dyn412
+        (c_custkey BIGINT, c_mktsegment STRING, bal DOUBLE)
+        PARTITIONED BY (c_mktsegment)""")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.dyn412").append()
+      cust.filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") + lit(1000)).cast("double"))
+        .unionByName(cust.filter(col("c_mktsegment") === "MACHINERY" &&
+          col("c_custkey") % 2 === 0))
+        .writeTo("graft.g.dyn412").overwritePartitions()
+      val snaps = s.table("graft.g.dyn412.snapshots")
+        .agg(count(lit(1)).as("n_snapshots"))
+      s.table("graft.g.dyn412")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"))
+        .crossJoin(broadcast(snaps))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
+    // OVERWRITE BY FILTER (`writeTo(t).overwrite(cond)` — Iceberg's
+    // REPLACE WHERE / the static INSERT OVERWRITE PARTITION spec): the
+    // condition names the partitions to replace UP FRONT (equality/IN
+    // on identity partition columns), and the write REFUSES any
+    // incoming row outside it — without that guard a stray row would
+    // silently ADD instead of replace, the classic static-overwrite
+    // footgun. BUILDING restates to halved balances on even keys only;
+    // every other partition survives untouched. Oracle = set algebra;
+    // Round12Spec pins the row-containment refusal and the
+    // non-partition-predicate refusal.
+    "q412_sink_replace_where" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.rw413")
+      s.sql("""CREATE TABLE graft.g.rw413
+        (c_custkey BIGINT, c_mktsegment STRING, bal DOUBLE)
+        PARTITIONED BY (c_mktsegment)""")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.rw413").append()
+      cust.filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") % 2 === 0)
+        .withColumn("bal", (col("bal").cast("decimal(18,2)") - lit(100)).cast("double"))
+        .writeTo("graft.g.rw413").overwrite(col("c_mktsegment") === "BUILDING")
+      s.table("graft.g.rw413")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
     // TEXTUAL time travel — `SELECT ... FROM graft.g.t VERSION AS OF n`
     // resolved through TableCatalog.loadTable(ident, version), the SQL
     // surface q351 exposed only as a read option. CTAS commits v1 (the
@@ -2083,6 +2152,36 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(f.sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
         + "round(CAST(sum(CAST(d.max_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_max "
         + "FROM f JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q411: set algebra — BUILDING restated (+1000), MACHINERY keeps
+    // even keys, every other partition unchanged; 3 snapshots.
+    "q411_sink_dynamic_overwrite" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "final AS ("
+        + "SELECT c_custkey, c_mktsegment, bal FROM base "
+        + "WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY') "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(bal AS DECIMAL(18,2)) + 1000 AS DOUBLE) FROM base WHERE c_mktsegment = 'BUILDING' "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, bal FROM base "
+        + "WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 2 = 0) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, CAST(3 AS BIGINT) AS n_snapshots "
+        + "FROM final GROUP BY 1 ORDER BY 1"),
+    // q412: set algebra — BUILDING replaced by its even-key rows at
+    // −100 balances; every other partition unchanged.
+    "q412_sink_replace_where" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "final AS ("
+        + "SELECT c_custkey, c_mktsegment, bal FROM base WHERE c_mktsegment <> 'BUILDING' "
+        + "UNION ALL SELECT c_custkey, c_mktsegment, "
+        + "CAST(CAST(bal AS DECIMAL(18,2)) - 100 AS DOUBLE) FROM base "
+        + "WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "min(c_custkey) AS min_key, max(c_custkey) AS max_key "
+        + "FROM final GROUP BY 1 ORDER BY 1"),
     // q410: final state recomputed as set algebra — live cohort (+7),
     // fresh inserts, aged-out evens deleted, aged-out odds STALE.
     "q410_merge_by_source" ->

@@ -947,6 +947,7 @@ class GraftSinkTable(path: String, declared: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1057,10 +1058,66 @@ class GraftSinkRowLevelOperation(path: String,
 
 class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var doTruncate = false
+  private var dynamicOverwrite = false
+  // REPLACE WHERE: allowed ENCODED values per identity partition column
+  private var replaceWhere: Option[Map[String, Set[String]]] = None
+
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** Dynamic partition overwrite (`writeTo(t).overwritePartitions()` /
+    * INSERT OVERWRITE under partitionOverwriteMode=dynamic — the
+    * daily-reload verb): exactly the partitions the INCOMING data
+    * touches are replaced; everything else survives untouched. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
+
+  /** Filter overwrite (`writeTo(t).overwrite(cond)` / INSERT OVERWRITE
+    * with a static PARTITION spec — Iceberg's REPLACE WHERE): the
+    * condition must resolve to partition-grain equality/IN constraints
+    * on identity partition columns; matching partitions are replaced,
+    * and every incoming row must itself satisfy the condition (a row
+    * outside it would silently ADD instead of replace — refused).
+    * A true-literal condition is a plain truncate. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources._
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      doTruncate = true; return this
+    }
+    val partCols = GraftSink.partitionColsOf(path).toSet
+    def enc(v: Any): String =
+      if (v == null) "\\N" else GraftSink.encodePartValue(v)
+    def constraintsOf(f: Filter): Map[String, Set[String]] = f match {
+      case EqualTo(c, v) if partCols(c) => Map(c -> Set(enc(v)))
+      case EqualNullSafe(c, v) if partCols(c) => Map(c -> Set(enc(v)))
+      case In(c, vs) if partCols(c) => Map(c -> vs.map(enc).toSet)
+      case And(l, r) =>
+        val (a, b) = (constraintsOf(l), constraintsOf(r))
+        (a.keySet ++ b.keySet).map(c => c -> {
+          (a.get(c), b.get(c)) match {
+            case (Some(x), Some(y)) => x intersect y
+            case (x, y) => x.orElse(y).get
+          }
+        }).toMap
+      case other => throw new IllegalArgumentException(
+        "graftsink: overwrite-by-filter supports equality/IN on identity " +
+          s"partition columns only, got $other (use DELETE FROM + append, " +
+          "or overwritePartitions() for data-driven replacement)")
+    }
+    replaceWhere = Some(filters.map(constraintsOf)
+      .reduce((a, b) => (a.keySet ++ b.keySet).map(c => c -> {
+        (a.get(c), b.get(c)) match {
+          case (Some(x), Some(y)) => x intersect y
+          case (x, y) => x.orElse(y).get
+        }
+      }).toMap))
+    this
+  }
 
   /** Connector-requested write layout (`RequiresDistributionAndOrdering`
     * — the scale-critical half of the V2 write contract): with option
@@ -1121,15 +1178,22 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         override def toBatch: BatchWrite = {
           GraftSink.checkSchema(schema)
           new GraftSinkPartitionedBatchWrite(path, schema, queryId, doTruncate,
-            partCols, partIdx)
+            partCols, partIdx, None, dynamicOverwrite, replaceWhere)
         }
         override def toStreaming: StreamingWrite = {
+          require(!dynamicOverwrite && replaceWhere.isEmpty,
+            "graftsink: streaming writes support append/complete only")
           GraftSink.checkSchema(schema)
           new GraftSinkPartitionedStreamingWrite(path, schema, queryId,
             doTruncate, partCols, partIdx)
         }
       }
     }
+    require(!dynamicOverwrite,
+      "graftsink: dynamic partition overwrite requires an identity-partitioned " +
+        "table (an unpartitioned/bucketed table has no partition tuples to replace)")
+    require(replaceWhere.isEmpty,
+      "graftsink: overwrite-by-filter requires an identity-partitioned table")
     // BUCKET-partitioned table (PARTITIONED BY (bucket(n, col))): same
     // partitioned write machinery, but files are routed and tagged by
     // the portable md5 bucket of the column, not its raw value. The
@@ -1401,7 +1465,16 @@ case class GraftSinkPartitionedCommit(partitionId: Int,
 
 class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, partCols: Seq[String],
-    partIdx: Array[Int], buckets: Option[Int] = None) extends BatchWrite {
+    partIdx: Array[Int], buckets: Option[Int] = None,
+    dynamicOverwrite: Boolean = false,
+    replaceWhere: Option[Map[String, Set[String]]] = None) extends BatchWrite {
+
+  /** Does a manifest entry's partition tuple satisfy every REPLACE
+    * WHERE constraint? (Conjunctive; a missing column never matches.) */
+  private def tupleMatches(body: String, allowed: Map[String, Set[String]]): Boolean = {
+    val pairs = GraftSink.partPairs(body)
+    allowed.forall { case (c, set) => pairs.get(c).exists(set) }
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSinkPartitionedWriterFactory(path, schema, queryId, partCols, partIdx,
@@ -1419,11 +1492,27 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
         (fin, part, rows)
       }
     }.toSeq.flatten
+    // REPLACE WHERE validation is WRITE-side, not commit-side: every
+    // incoming row's tuple must satisfy the condition, or the statement
+    // would silently ADD rows outside the partitions it replaces
+    replaceWhere.foreach { allowed =>
+      val bad = published.collect {
+        case (_, part, _) if !tupleMatches(part, allowed) => part
+      }
+      require(bad.isEmpty,
+        s"graftsink: overwrite-by-filter got rows OUTSIDE the replaced " +
+          s"partitions (${bad.distinct.mkString("; ")}) — the condition must " +
+          "cover every incoming row")
+    }
+    val partial = dynamicOverwrite || replaceWhere.isDefined
     var seenBase: Option[Option[Long]] = None
     GraftSink.commitManifest(path, None) { () =>
       val prior = GraftSink.readManifest(path)
       val baseTs = prior.flatMap(_.ts)
-      if (truncate && seenBase.exists(_ != baseTs))
+      // full AND partial replaces refuse on a moved base: which
+      // partitions survive was decided against a snapshot that no
+      // longer is the table
+      if ((truncate || partial) && seenBase.exists(_ != baseTs))
         throw new java.util.ConcurrentModificationException(
           s"graftsink: concurrent commit during a replace at $path — " +
             "the replace was computed from a stale snapshot; re-run it")
@@ -1437,11 +1526,23 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
       val entries = published.map { case (fin, part, rows) =>
         GraftSink.entry(fin, Nil, None, Some(rows), ids, Some(part))
       }
-      val files = if (truncate) entries
-                  else prior.map(_.files).getOrElse(Nil) ++ entries
+      val survivors =
+        if (truncate) Nil
+        else if (dynamicOverwrite) {
+          // replace EXACTLY the tuples the incoming data touches;
+          // untagged (pre-partitioning) entries always survive
+          val touched = published.map(_._2).toSet
+          prior.map(_.files).getOrElse(Nil)
+            .filterNot(l => GraftSink.entryPart(l).exists(touched))
+        } else replaceWhere match {
+          case Some(allowed) =>
+            prior.map(_.files).getOrElse(Nil)
+              .filterNot(l => GraftSink.entryPart(l).exists(tupleMatches(_, allowed)))
+          case None => prior.map(_.files).getOrElse(Nil)
+        }
       val ddl = if (truncate) GraftSink.cleanDdl(schema)
                 else prior.fold(GraftSink.cleanDdl(schema))(m => GraftSink.widenedDdl(m.ddl, schema))
-      GraftSink.Manifest(ddl, files, ids)
+      GraftSink.Manifest(ddl, survivors ++ entries, ids)
     }
     f.delete(new HPath(path, s"${GraftSink.STAGING}/$queryId"), true)
   }

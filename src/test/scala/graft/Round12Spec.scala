@@ -505,6 +505,66 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     after.files.flatMap(GraftSink.entryDeletes).length should be >= 4 // 1,3,4 updated + 2 deleted
   }
 
+  // ------------------------------------------------------------------
+  // Dynamic partition overwrite + REPLACE WHERE
+  // ------------------------------------------------------------------
+
+  test("dynamic partition overwrite replaces exactly the touched partitions") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dyn1")
+    spark.sql(s"CREATE TABLE $cat.ns.dyn1 (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)")
+    Seq((1L, "g0", 1.0), (2L, "g1", 2.0), (3L, "g2", 3.0), (4L, "g1", 4.0))
+      .toDF("k", "g", "v").writeTo(s"$cat.ns.dyn1").append()
+    val p = tablePath("dyn1")
+    val vBefore = GraftSink.listVersions(p).last
+    // the reload touches ONLY g1 — g0/g2 survive untouched
+    Seq((20L, "g1", 20.0)).toDF("k", "g", "v")
+      .writeTo(s"$cat.ns.dyn1").overwritePartitions()
+    val got = spark.table(s"$cat.ns.dyn1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    got shouldBe Array((1L, "g0", 1.0), (3L, "g2", 3.0), (20L, "g1", 20.0))
+    // one more time-travelable snapshot; the old state is intact
+    GraftSink.listVersions(p).last shouldBe vBefore + 1
+    spark.read.format("graftsink").option("path", p)
+      .option("version", vBefore.toString).load().count() shouldBe 4L
+    // dynamic overwrite on an unpartitioned table refuses
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dyn2")
+      Seq((1L, "x")).toDF("k", "s").writeTo(s"$cat.ns.dyn2").create()
+      Seq((2L, "y")).toDF("k", "s").writeTo(s"$cat.ns.dyn2").overwritePartitions()
+    }
+  }
+
+  test("REPLACE WHERE: matching partitions replaced; out-of-predicate rows refuse") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.rw1")
+    spark.sql(s"CREATE TABLE $cat.ns.rw1 (k BIGINT, g STRING, v DOUBLE) PARTITIONED BY (g)")
+    Seq((1L, "g0", 1.0), (2L, "g1", 2.0), (3L, "g2", 3.0))
+      .toDF("k", "g", "v").writeTo(s"$cat.ns.rw1").append()
+    Seq((30L, "g2", 30.0)).toDF("k", "g", "v")
+      .writeTo(s"$cat.ns.rw1").overwrite(col("g") === "g2")
+    spark.table(s"$cat.ns.rw1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted shouldBe
+      Array((1L, "g0"), (2L, "g1"), (30L, "g2"))
+    // a row OUTSIDE the replaced partition refuses loudly
+    val ex = intercept[Exception] {
+      Seq((9L, "g1", 9.0)).toDF("k", "g", "v")
+        .writeTo(s"$cat.ns.rw1").overwrite(col("g") === "g0")
+    }
+    ex.getMessage should include("OUTSIDE")
+    // a non-partition predicate refuses loudly
+    intercept[Exception] {
+      Seq((9L, "g0", 9.0)).toDF("k", "g", "v")
+        .writeTo(s"$cat.ns.rw1").overwrite(col("v") > 1.0)
+    }
+    // a true-literal condition is a plain truncate
+    Seq((7L, "g7", 7.0)).toDF("k", "g", "v")
+      .writeTo(s"$cat.ns.rw1").overwrite(lit(true))
+    spark.table(s"$cat.ns.rw1").count() shouldBe 1L
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
