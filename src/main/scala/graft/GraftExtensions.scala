@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // portable md5-chain SQL → native Md5Mod (literal non-zero modulus
     // only; see the rule's scaladoc for the ANSI zero-divisor caveat)
     ext.injectOptimizerRule(_ => graft.plans.RewriteMd5Chain)
+    // fully-qualified GraftCatalog VIEW references substitute their
+    // stored SQL (Spark's analyzer doesn't consult V2 ViewCatalogs)
+    ext.injectResolutionRule(session => graft.plans.ResolveGraftViews(session))
   }
 }

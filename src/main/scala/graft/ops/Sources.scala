@@ -679,6 +679,41 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // DURABLE SQL VIEWS (V2 ViewCatalog + the ResolveGraftViews
+    // analyzer rule): `CALL graft.sys.create_view` stores the SQL (+
+    // analysis context) as a `_view` definition next to the tables,
+    // and any fully-qualified reference re-resolves it at READ time —
+    // so the view tracks its base table across inserts, unlike a
+    // materialized snapshot. Spark 4.1 has no SQL route into a V2
+    // ViewCatalog (ResolveSessionCatalog refuses), so DDL rides the
+    // CALL surface — the same split Iceberg's view support makes with
+    // its extensions. create_view enforces context-freedom (every
+    // referenced relation catalog-qualified). The query creates the
+    // view over a sink table, INSERTS MORE ROWS AFTER, and reads
+    // through the view — the readout can only match if the view
+    // re-resolved. ViewCatalogSpec drives the full DDL matrix
+    // (collisions, rename, alter, nested views, fresh-catalog reload).
+    "q413_catalog_views" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("CALL graft.sys.drop_view('g.v413')")
+      s.sql("DROP TABLE IF EXISTS graft.g.vbase413")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.vbase413").create()
+      s.sql("CALL graft.sys.create_view('g.v413', " +
+        "'SELECT c_mktsegment AS seg, count(1) AS n, " +
+        "round(cast(sum(cast(bal as decimal(18,2))) as double), 2) AS sum_bal " +
+        "FROM graft.g.vbase413 GROUP BY c_mktsegment')")
+      // rows landing AFTER the view was defined — visible iff the view
+      // re-resolves its base instead of freezing a snapshot
+      s.sql("INSERT INTO graft.g.vbase413 VALUES " +
+        "(9000001, 'ZVIEW', cast(12.34 as double)), " +
+        "(9000002, 'ZVIEW', cast(0.66 as double))")
+      s.table("graft.g.v413").orderBy(col("seg"))
+    }),
+
+    // ------------------------------------------------------------------
     // TEXTUAL time travel — `SELECT ... FROM graft.g.t VERSION AS OF n`
     // resolved through TableCatalog.loadTable(ident, version), the SQL
     // surface q351 exposed only as a read option. CTAS commits v1 (the
@@ -2152,6 +2187,16 @@ object Sources extends QueryPack {
         + "round(CAST(sum(CAST(f.sum_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_val, "
         + "round(CAST(sum(CAST(d.max_val AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_max "
         + "FROM f JOIN d USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
+    // q413: the view's rollup over base ∪ post-view inserts, replayed
+    // from parquet — a frozen-snapshot view would miss ZVIEW.
+    "q413_catalog_views" ->
+      ("WITH base AS (SELECT c_mktsegment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer "
+        + "UNION ALL SELECT 'ZVIEW', CAST(12.34 AS DOUBLE) "
+        + "UNION ALL SELECT 'ZVIEW', CAST(0.66 AS DOUBLE)) "
+        + "SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal "
+        + "FROM base GROUP BY 1 ORDER BY 1"),
     // q411: set algebra — BUILDING restated (+1000), MACHINERY keeps
     // even keys, every other partition unchanged; 3 snapshots.
     "q411_sink_dynamic_overwrite" ->

@@ -51,7 +51,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
   with ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -257,6 +258,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val (partCols, buckets) = validatedPartCols(schema, partitions)
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    require(!isView(p),
+      s"graft catalog: a VIEW already exists at ${ident.namespace().mkString(".")}.${ident.name()}")
     GraftSink.checkSchema(schema)
     GraftSink.writeProps(p.toString,
       validatedProps(properties, partCols, buckets, defaultsFromMetadata(schema)))
@@ -528,6 +531,135 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   // ------------------------------------------------------------------
+  // ViewCatalog: durable SQL VIEWS in the warehouse (the V2 view
+  // surface — `CREATE/ALTER/DROP VIEW cat.ns.v`, `SHOW VIEWS`): a view
+  // is a directory holding a `_view` definition file (vs `_manifest` =
+  // table), so views and tables share the namespace tree and collide
+  // loudly. The file stores the ORIGINAL SQL plus the analysis context
+  // Spark needs to re-resolve it faithfully later (current catalog/
+  // namespace, declared schema, query column names, aliases, comments,
+  // properties) — the Iceberg-view storage contract. Values are
+  // escaped by the sink's own TSV codec; nothing here is executable
+  // state, so no snapshot machinery applies (ALTER VIEW property
+  // changes overwrite in place; the view's QUERY is immutable — only
+  // CREATE OR REPLACE swaps it).
+  // ------------------------------------------------------------------
+
+  private val ViewFile = "_view"
+
+  private def isView(p: HPath): Boolean = fs.exists(new HPath(p, ViewFile))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val dir = nsPath(ns)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && isView(s.getPath))
+      .map(s => Identifier.of(ns, s.getPath.getName))
+      .sortBy(_.name())
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    try isView(tablePath(ident)) catch { case _: IllegalArgumentException => false }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    val p = tablePath(ident)
+    if (!isView(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(new HPath(p, ViewFile)), java.nio.charset.StandardCharsets.UTF_8))
+    val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
+                finally in.close()
+    def dec(s: String): String =
+      GraftSink.decodeField(org.apache.spark.sql.types.StringType, s)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    def one(key: String): String = lines.collectFirst {
+      case l if l.startsWith(key + "\t") => dec(l.substring(key.length + 1))
+    }.getOrElse(throw new IllegalStateException(
+      s"graft catalog: corrupt view file at $p — missing '$key'"))
+    def many(key: String): Array[String] = lines.collect {
+      case l if l.startsWith(key + "\t") => l.substring(key.length + 1)
+    }.map(raw => if (raw == "\\N") null else dec(raw)).toArray
+    val props = lines.collect { case l if l.startsWith("prop\t") =>
+      val parts = l.split("\t", 3)
+      dec(parts(1)) -> dec(parts(2))
+    }.toMap
+    new GraftCatalog.GraftView(ident.name(), one("sql"), one("catalog"),
+      one("ns").split('.').filter(_.nonEmpty),
+      StructType.fromDDL(one("schema")), many("qcol"), many("alias"),
+      many("comment"), props.asJava)
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val p = tablePath(ident)
+    if (isView(p))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    def enc(s: String): String = GraftSink.encodeStringField(s)
+    val sb = new StringBuilder
+    sb ++= s"sql\t${enc(info.sql())}\n"
+    sb ++= s"catalog\t${enc(info.currentCatalog())}\n"
+    sb ++= s"ns\t${enc(info.currentNamespace().mkString("."))}\n"
+    sb ++= s"schema\t${enc(GraftSink.cleanDdl(info.schema()))}\n"
+    Option(info.queryColumnNames()).getOrElse(Array.empty[String])
+      .foreach(c => sb ++= s"qcol\t${enc(c)}\n")
+    Option(info.columnAliases()).getOrElse(Array.empty[String])
+      .foreach(c => sb ++= s"alias\t${enc(c)}\n")
+    Option(info.columnComments()).getOrElse(Array.empty[String])
+      .foreach(c => sb ++= (if (c == null) "comment\t\\N\n" else s"comment\t${enc(c)}\n"))
+    Option(info.properties()).map(_.asScala).getOrElse(Map.empty)
+      .foreach { case (k, v) => sb ++= s"prop\t${enc(k)}\t${enc(v)}\n" }
+    val out = fs.create(new HPath(p, ViewFile), false) // create-if-absent: view DDL races lose loudly
+    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val v = loadView(ident) // loud if missing
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props.put(sp.property(), sp.value())
+      case rp: ViewChange.RemoveProperty => props.remove(rp.property())
+      case other => throw new IllegalArgumentException(
+        s"graft catalog: unsupported view change $other")
+    }
+    // rewrite the definition file with the new properties (the QUERY
+    // and analysis context are immutable here)
+    fs.delete(new HPath(tablePath(ident), ViewFile), false)
+    createView(new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
+      v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+      v.queryColumnNames(), v.columnAliases(), v.columnComments(), props))
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isView(p)) false
+    else fs.delete(p, true)
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val pf = tablePath(from)
+    if (!isView(pf))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val pt = tablePath(to)
+    if (isView(pt))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
+    require(!isTable(pt), s"graft catalog: a table already exists at $pt")
+    require(fs.exists(nsPath(to.namespace())),
+      s"graft catalog: namespace ${to.namespace().mkString(".")} does not exist")
+    require(fs.rename(pf, pt), s"graft catalog: failed to rename view $pf -> $pt")
+  }
+
+  // ------------------------------------------------------------------
   // FunctionCatalog: the native kernels behind catalog-qualified names
   // ------------------------------------------------------------------
 
@@ -633,6 +765,24 @@ class GraftStagedTable(fsys: org.apache.hadoop.fs.FileSystem, stage: HPath,
 }
 
 object GraftCatalog {
+
+  /** A loaded V2 view: the stored SQL + the analysis context Spark
+    * re-resolves it under. */
+  class GraftView(viewName: String, viewSql: String, cat: String,
+      ns: Array[String], viewSchema: StructType, qcols: Array[String],
+      aliases: Array[String], comments: Array[String],
+      props: JMap[String, String])
+    extends org.apache.spark.sql.connector.catalog.View {
+    override def name(): String = viewName
+    override def query(): String = viewSql
+    override def currentCatalog(): String = cat
+    override def currentNamespace(): Array[String] = ns
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = qcols
+    override def columnAliases(): Array[String] = aliases
+    override def columnComments(): Array[String] = comments
+    override def properties(): JMap[String, String] = props
+  }
   val FN_NS: Array[String] = Array("fns")
   val PROC_NS: Array[String] = Array("sys")
   val METADATA_TABLES: Set[String] = Set("files", "snapshots", "refs", "column_stats")
@@ -655,6 +805,56 @@ object GraftCatalog {
     *    keeps the mistake AND the revert; never rewrites history).
     */
   val procedures: Map[String, GraftCatalog => UnboundProcedure] = Map(
+    "create_view" -> (cat => new GraftProcedure(cat, "create_view",
+      "create_view(view, sql): store a durable SQL view (every relation in sql must be catalog-qualified)",
+      Array(ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build()),
+      new StructType().add("view", StringType).add("n_columns", LongType),
+      (cat0, args) => {
+        // The CREATE VIEW verb, as a procedure: Spark 4.1 has no SQL
+        // route into a V2 ViewCatalog (ResolveSessionCatalog refuses),
+        // so the DDL rides the CALL surface and READS ride the
+        // ResolveGraftViews analyzer rule. The context-freedom contract
+        // is enforced HERE: every relation the view's SQL references
+        // must be catalog-qualified (3+ parts), so re-parsing under any
+        // future session context resolves identically — the property
+        // that makes the stored text a durable definition rather than
+        // a session-relative macro.
+        val dotted = args.getUTF8String(0).toString
+        val sql = args.getUTF8String(1).toString
+        val parts = dotted.split("\\.")
+        require(parts.length >= 2,
+          s"graft catalog: view argument must be 'ns.view', got '$dotted'")
+        val sp = org.apache.spark.sql.SparkSession.active
+        val parsed = sp.sessionState.sqlParser.parsePlan(sql)
+        val unqualified = parsed.collectWithSubqueries {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+              if u.multipartIdentifier.length < 3 =>
+            u.multipartIdentifier.mkString(".")
+        }
+        require(unqualified.isEmpty,
+          "graft catalog: a view's SQL must reference catalog-qualified " +
+            s"relations only (cat.ns.t) — got: ${unqualified.mkString(", ")}")
+        val schema = sp.sql(sql).schema // analysis only, nothing executes
+        val ident = Identifier.of(parts.init, parts.last)
+        cat0.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          ident, sql, cat0.name(), parts.init, schema,
+          schema.fieldNames, schema.fieldNames,
+          Array.fill(schema.length)(null: String),
+          java.util.Map.of()))
+        Array[Any](UTF8String.fromString(dotted), schema.length.toLong)
+      })),
+    "drop_view" -> (cat => new GraftProcedure(cat, "drop_view",
+      "drop_view(view): drop a stored view if it exists",
+      Array(ProcedureParameter.in("view", StringType).build()),
+      new StructType().add("dropped", LongType),
+      (cat0, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        require(parts.length >= 2,
+          "graft catalog: view argument must be 'ns.view'")
+        val ok = cat0.dropView(Identifier.of(parts.init, parts.last))
+        Array[Any](if (ok) 1L else 0L)
+      })),
     "zorder" -> (cat => new GraftProcedure(cat, "zorder",
       "zorder(tbl, cols, files): rewrite the table Z-ORDERED on two BIGINT columns into ~files range files, per-dim min/max stats on every file",
       Array(ProcedureParameter.in("tbl", StringType).build(),

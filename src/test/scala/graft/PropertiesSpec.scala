@@ -107,6 +107,10 @@ object SparkQueryProps extends Properties("graft-queries") {
     p.withMinSuccessfulTests(5).withWorkers(1)
 
   private lazy val spark = org.apache.spark.sql.SparkSession.builder()
+    // same extensions as SharedSpark/prod — whichever suite builds the
+    // JVM-wide session first must install them (getOrCreate ignores
+    // the builder's extensions for an existing session)
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -8,6 +8,10 @@ import org.scalatest.{BeforeAndAfterAll, Suite}
   */
 trait SharedSpark extends BeforeAndAfterAll { this: Suite =>
   lazy val spark: SparkSession = SparkSession.builder()
+    // the same extensions every shipped entrypoint installs
+    // (Verify/Bench/Smoke) — native functions, the md5-chain rewrite,
+    // and the view-resolution rule, so specs analyze exactly like prod
+    .withExtensions(new GraftExtensions)
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
