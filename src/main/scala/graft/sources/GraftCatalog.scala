@@ -1028,18 +1028,20 @@ object GraftCatalog {
         val head = GraftSink.readRef(p, "branch", b).getOrElse(
           throw new IllegalArgumentException(
             s"graft catalog: no branch '$b' to publish"))
-        GraftSink.readManifest(p, Some(head)) // loud if the snapshot expired
-        // fast-forward = rewrite the main pointer to the branch head's
-        // IMMUTABLE snapshot (no new version number — the snapshot
-        // already sits in the chain; publish is a pointer move)
-        val f = GraftSink.fs(p)
-        val out = f.create(new HPath(p, GraftSink.MANIFEST), true)
-        try {
-          val in = f.open(new HPath(p, s"${GraftSink.MANIFEST}.v$head"))
-          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-          finally in.close()
-        } finally out.close()
-        Array[Any](head.toLong, GraftSink.listVersions(p).size.toLong)
+        val m = GraftSink.readManifest(p, Some(head)).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft catalog: branch '$b' head snapshot v$head has expired"))
+        // fast-forward = REPUBLISH the branch head's content as a new
+        // MAIN-attributed snapshot through the optimistic commit loop
+        // (metadata-only — data files are shared, never copied). The
+        // extra version is what keeps main-head resolution
+        // CHAIN-DERIVED (GraftSink.mainHead): a pointer-copy publish
+        // would leave main pointing at a branch-attributed snapshot,
+        // reopening the claim-to-pointer-move race window the round-12
+        // commit protocol closed.
+        val v = GraftSink.writeManifest(p,
+          GraftSink.Manifest(m.ddl, m.files, m.ids))
+        Array[Any](v.toLong, GraftSink.listVersions(p).size.toLong)
       })),
     "drop_ref" -> (cat => new GraftProcedure(cat, "drop_ref",
       "drop_ref(tbl, name): delete a named branch or tag (snapshots stay)",

@@ -506,15 +506,16 @@ object GraftSink {
     * REFUSES on any base change (a replace computed from a stale
     * snapshot must never clobber an unseen commit). The slot file is
     * the lock token: two commits can never share a version or drop one
-    * another's entries by racing the same slot. Residual window,
-    * documented: a planner that reads the `_manifest` pointer between
-    * a winner's slot claim and its pointer move still sees the
-    * pre-commit base and will claim the NEXT slot cleanly — closing it
-    * needs a CAS'd head (a catalog service, or Iceberg's rename-based
-    * version-hint), not a filesystem pointer; the backoff below keeps
-    * the window at pointer-move latency. Claims rely on the
-    * filesystem's atomic create-if-absent (HDFS/ABFS native; local FS
-    * best-effort; S3 would need the catalog to arbitrate). */
+    * another's entries by racing the same slot. Planners read their
+    * base CHAIN-DERIVED ([[mainHead]]/[[branchHead]]): a claimed slot
+    * carries its full content and `ref:` attribution atomically, so it
+    * is visible to the next plan BEFORE the winner's pointer move lands
+    * — there is no claim-to-pointer-move window on the write path
+    * (readers resolving through the pointer may briefly serve the
+    * previous snapshot, the same read-side semantics pointer-last
+    * publishing always had). Claims rely on the filesystem's atomic
+    * create-if-absent (HDFS/ABFS native; local FS best-effort; S3
+    * would need the catalog to arbitrate). */
   def commitManifest(path: String, branch: Option[String],
       maxAttempts: Int = 8)(plan: () => Manifest): Int = {
     val f = fs(path)
@@ -563,6 +564,46 @@ object GraftSink {
       Thread.sleep(math.min(50L * attempt, 200L))
     }
     -1 // unreachable
+  }
+
+  /** CHAIN-ATTRIBUTED head resolution (closes [[commitManifest]]'s
+    * documented claim-to-pointer-move window for PLANNERS): the head of
+    * a pointer is the newest `_manifest.vN` whose immutable `ref:`
+    * segment names it, reconciled with the pointer's own target by
+    * commit timestamp — whichever is NEWER wins. A freshly CLAIMED slot
+    * is therefore visible to the next commit's plan immediately, before
+    * the winner's pointer/ref move lands; legacy snapshots (no `ref:`)
+    * and old-style pointer-copy publishes resolve through the pointer
+    * as before. Cost: the walk reads manifests newest-down and stops at
+    * the first attribution hit — one or two metadata reads. */
+  def mainHead(path: String): Option[Manifest] =
+    headOf(path, "main", readManifest(path))
+
+  def branchHead(path: String, b: String): Option[Manifest] =
+    headOf(path, s"branch.$b",
+      readRef(path, "branch", b).flatMap(v => readManifest(path, Some(v))))
+
+  private def headOf(path: String, refName: String,
+      ptr: Option[Manifest]): Option[Manifest] = {
+    val vs = listVersions(path)
+    var i = vs.length - 1
+    var chain: Option[Manifest] = None
+    var scanning = true
+    while (i >= 0 && scanning) {
+      readManifest(path, Some(vs(i))) match {
+        case None => scanning = false // expired below here
+        case Some(m) => m.ref match {
+          case Some(r) if r == refName => chain = Some(m); scanning = false
+          case Some(_) => i -= 1 // another pointer's commit — keep walking
+          case None => scanning = false // legacy, unattributed: pointer rules
+        }
+      }
+    }
+    (ptr, chain) match {
+      case (Some(a), Some(b)) =>
+        if (b.ts.getOrElse(0L) > a.ts.getOrElse(0L)) Some(b) else Some(a)
+      case (a, b) => a.orElse(b)
+    }
   }
 
   // --- named refs (tags = immutable, branches = movable pointers) -----
@@ -1321,10 +1362,13 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     var seenBase: Option[Option[Long]] = None
     GraftSink.commitManifest(path, branch) { () =>
       // a branch write appends onto the BRANCH HEAD (first write forks
-      // from main); main's pointer is never consulted until publish
-      val prior = branch.flatMap(b => GraftSink.readRef(path, "branch", b))
-        .map(v => GraftSink.readManifest(path, Some(v)))
-        .getOrElse(GraftSink.readManifest(path))
+      // from main); bases are CHAIN-ATTRIBUTED (mainHead/branchHead) so
+      // a racer's claimed-but-not-yet-pointed commit is already visible
+      val prior = branch match {
+        case Some(b) => GraftSink.branchHead(path, b)
+          .orElse(GraftSink.mainHead(path))
+        case None => GraftSink.mainHead(path)
+      }
       val baseTs = prior.flatMap(_.ts)
       if (truncate && seenBase.exists(_ != baseTs))
         throw new java.util.ConcurrentModificationException(
@@ -1507,7 +1551,7 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     val partial = dynamicOverwrite || replaceWhere.isDefined
     var seenBase: Option[Option[Long]] = None
     GraftSink.commitManifest(path, None) { () =>
-      val prior = GraftSink.readManifest(path)
+      val prior = GraftSink.mainHead(path)
       val baseTs = prior.flatMap(_.ts)
       // full AND partial replaces refuse on a moved base: which
       // partitions survive was decided against a snapshot that no
@@ -1696,7 +1740,7 @@ class GraftSinkDeltaBatchWrite(path: String, schema: StructType, queryId: String
     // require below refuses the rebase — those positions were computed
     // against rows that no longer exist under that name.
     GraftSink.commitManifest(path, None) { () =>
-      val prior = GraftSink.readManifest(path).getOrElse(
+      val prior = GraftSink.mainHead(path).getOrElse(
         throw new IllegalStateException(s"graftsink: delta commit on empty table at $path"))
       require(schema.isEmpty || GraftSink.schemaCompatible(prior.ddl, schema),
         s"graftsink: delta write schema mismatch at $path — table is '${prior.ddl}', " +
@@ -1803,7 +1847,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    val prior = GraftSink.readManifest(path)
+    val prior = GraftSink.mainHead(path)
     val marker = s"q-$queryId-e$epochId-"
     if (prior.exists(_.files.exists(_.startsWith(marker)))) {
       // replayed epoch: the previous run committed this batch but died
@@ -1827,7 +1871,7 @@ class GraftSinkStreamingWrite(path: String, schema: StructType,
     // the batch append path)
     var seenBase: Option[Option[Long]] = None
     GraftSink.commitManifest(path, None) { () =>
-      val base = GraftSink.readManifest(path)
+      val base = GraftSink.mainHead(path)
       val baseTs = base.flatMap(_.ts)
       if (truncate && seenBase.exists(_ != baseTs))
         throw new java.util.ConcurrentModificationException(
@@ -1897,7 +1941,7 @@ class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val f = GraftSink.fs(path)
-    val prior = GraftSink.readManifest(path)
+    val prior = GraftSink.mainHead(path)
     val marker = s"q-$queryId-e$epochId-"
     if (prior.exists(_.files.exists(_.startsWith(marker)))) {
       f.delete(epochStaging(epochId), true) // replayed epoch: drop duplicates
@@ -1915,7 +1959,7 @@ class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
     }.toSeq.flatten
     var seenBase: Option[Option[Long]] = None
     GraftSink.commitManifest(path, None) { () =>
-      val base = GraftSink.readManifest(path)
+      val base = GraftSink.mainHead(path)
       val baseTs = base.flatMap(_.ts)
       if (truncate && seenBase.exists(_ != baseTs))
         throw new java.util.ConcurrentModificationException(

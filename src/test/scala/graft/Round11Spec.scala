@@ -472,9 +472,10 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
       .option("ref", "audit").load().count() shouldBe 4
     spark.sql(s"SELECT count(*) FROM $cat.ns.wap1 VERSION AS OF 'audit'")
       .collect().head.getLong(0) shouldBe 4
-    // publish = pointer move; main now serves the branch head
+    // publish = a metadata republish COMMIT (v5 = v4's content,
+    // main-attributed; data files shared) — main now serves the head
     spark.sql(s"CALL $cat.sys.publish_branch('ns.wap1', 'audit')")
-      .collect().head.getLong(0) shouldBe 4L
+      .collect().head.getLong(0) shouldBe 5L
     spark.table(s"$cat.ns.wap1").count() shouldBe 4
     // tags: immutable, resolvable, protect their snapshot from expiry
     spark.sql(s"CALL $cat.sys.create_tag('ns.wap1', 'approved', 2)").collect()

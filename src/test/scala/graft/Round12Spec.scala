@@ -565,6 +565,33 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     spark.table(s"$cat.ns.rw1").count() shouldBe 1L
   }
 
+  test("commit race: a claimed-but-not-yet-pointed snapshot is already the next commit's base") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.lag1")
+    Seq((1L, "a")).toDF("k", "s").writeTo(s"$cat.ns.lag1").create()
+    val p = tablePath("lag1")
+    val f = GraftSink.fs(p)
+    // simulate a racer that CLAIMED its slot (full content, main
+    // attribution, newer ts) but has NOT moved the `_manifest` pointer
+    // yet — the exact window a pointer-based base read would miss
+    val m = GraftSink.readManifest(p).get
+    val next = GraftSink.listVersions(p).last + 1
+    val out1 = f.create(new org.apache.hadoop.fs.Path(p, "ghost.tsv"), true)
+    try out1.write("77\t\\N\n".getBytes("UTF-8")) finally out1.close()
+    val claimed = (s"${m.ddl}\tts:${m.ts.get + 1000}\tref:main" +:
+      (m.files :+ GraftSink.entry("ghost.tsv", Nil, None, Some(1L))))
+      .mkString("\n")
+    val out2 = f.create(new org.apache.hadoop.fs.Path(p, s"_manifest.v$next"), false)
+    try out2.write(claimed.getBytes("UTF-8")) finally out2.close()
+    // an append planned NOW must base on the claimed snapshot — the
+    // chain-derived mainHead sees it even though the pointer lags
+    Seq((2L, "b")).toDF("k", "s").writeTo(s"$cat.ns.lag1").append()
+    val names = GraftSink.readManifest(p).get.files.map(GraftSink.entryName)
+    names should contain("ghost.tsv")
+    spark.table(s"$cat.ns.lag1").count() shouldBe 3L // base + ghost + append
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
