@@ -592,6 +592,51 @@ class Round12Spec extends AnyFunSuite with Matchers with SharedSpark {
     spark.table(s"$cat.ns.lag1").count() shouldBe 3L // base + ghost + append
   }
 
+  // ------------------------------------------------------------------
+  // Inventory bijection (the driver's own mechanical check)
+  // ------------------------------------------------------------------
+
+  test("SURVEY §2 rows, SparkEntry.queries, oracleSql, and golden/ are in exact bijection") {
+    val surveyKeys = scala.io.Source.fromFile("SURVEY.md")(scala.io.Codec.UTF8).getLines()
+      .filter(_.startsWith("| q"))
+      .map(_.drop(2).takeWhile(_ != ' '))
+      .filter(_.matches("q\\d+_\\w+"))
+      .toSet
+    val queryKeys = SparkEntry.queries.keySet
+    val oracleKeys = SparkEntry.oracleSql.keySet
+    val goldenKeys = new java.io.File("golden").listFiles()
+      .map(_.getName.stripSuffix(".csv")).toSet
+    withClue("declared queries missing a SURVEY §2 row: ") {
+      (queryKeys -- surveyKeys) shouldBe empty
+    }
+    withClue("SURVEY §2 rows with no declared query: ") {
+      (surveyKeys -- queryKeys) shouldBe empty
+    }
+    withClue("declared queries missing an oracle: ") {
+      (queryKeys -- oracleKeys) shouldBe empty
+    }
+    withClue("oracles with no declared query: ") {
+      (oracleKeys -- queryKeys) shouldBe empty
+    }
+    withClue("declared queries missing a golden file: ") {
+      (queryKeys -- goldenKeys) shouldBe empty
+    }
+    withClue("golden files with no declared query: ") {
+      (goldenKeys -- queryKeys) shouldBe empty
+    }
+  }
+
+  test("every declared query has a BASELINE.md row") {
+    val baseKeys = scala.io.Source.fromFile("BASELINE.md")(scala.io.Codec.UTF8).getLines()
+      .filter(_.startsWith("| q"))
+      .map(_.drop(2).takeWhile(_ != ' '))
+      .filter(_.matches("q\\d+_\\w+"))
+      .toSet
+    withClue("declared queries missing a baseline row: ") {
+      (SparkEntry.queries.keySet -- baseKeys) shouldBe empty
+    }
+  }
+
   test("grouped scan on an unpartitioned table is still refused") {
     import spark.implicits._
     ensureCatalog()
