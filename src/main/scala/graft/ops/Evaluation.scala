@@ -815,12 +815,21 @@ object Evaluation extends QueryPack {
         .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
           expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 3)).as("part"))
       val coef = olsCoef(li.filter(col("part") === 0))
-      val scored = li.filter(col("part") =!= 0).crossJoin(broadcast(coef))
+      // contract FIRST: both the calibration order statistic and the
+      // test coverage only need per-(part, rounded-residual) COUNTS, so
+      // the fact never materializes — one pruned scan feeds one partial-
+      // agg shuffle of (part, r, c) triples, and the two consumers below
+      // share that exchange via ReuseExchange (the q181 recipe; replaces
+      // a fact-sized localCheckpoint that cost 1.5x the baseline row and
+      // would be an executor-storage pin of 2/3 of the fact at 100 TB)
+      val rc = li.filter(col("part") =!= 0).crossJoin(broadcast(coef))
         .withColumn("r", round(abs(expr("y - (icept + slope * x)")), 6))
-        .localCheckpoint() // calibration contraction + test coverage
-      val g = scored.filter(col("part") === 1)
-        .groupBy(col("r").as("v")).agg(count(lit(1)).as("c1"))
-        .withColumn("c2", lit(0L))
+        .groupBy(col("part"), col("r"))
+        .agg(count(lit(1)).as("c"), max(col("n_train")).as("n_train"))
+      // rc is unique per (part, r) — the calibration cell frame is a
+      // straight projection
+      val g = rc.filter(col("part") === 1)
+        .select(col("r").as("v"), col("c").as("c1"), lit(0L).as("c2"))
       // conditional min so n_cal survives even when no value reaches k
       // (n_cal < ⌈(n_cal+1)·0.9⌉ ⇒ the 90% conformal radius does not
       // exist at this calibration size — q̂ and coverage are NULL, not 0)
@@ -831,10 +840,10 @@ object Evaluation extends QueryPack {
       // oracle's grand aggregate yields one row even when the md5
       // split leaves the test part empty — a grouped agg would yield
       // zero rows there and fail shape parity on degenerate inputs
-      scored.filter(col("part") === 2).crossJoin(broadcast(qhat))
+      rc.filter(col("part") === 2).crossJoin(broadcast(qhat))
         .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
-          count(lit(1)).as("n_test"), max(col("qhat")).as("qhat_x"),
-          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+          coalesce(sum(col("c")), lit(0L)).as("n_test"), max(col("qhat")).as("qhat_x"),
+          sum(when(col("r") <= col("qhat"), col("c")).otherwise(0L)).as("n_covered"))
         .select(col("n_train"), col("n_cal"), col("n_test"),
           round(col("qhat_x"), 6).as("qhat"),
           round(expr("CASE WHEN qhat_x IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),

@@ -591,15 +591,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       many("comment"), props.asJava)
   }
 
-  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
-      : org.apache.spark.sql.connector.catalog.View = {
-    val ident = info.ident()
-    val p = tablePath(ident)
-    if (isView(p))
-      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
-    if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    if (!fs.exists(nsPath(ident.namespace())))
-      throw new NoSuchNamespaceException(ident.namespace())
+  private def viewFileBody(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo): Array[Byte] = {
     def enc(s: String): String = GraftSink.encodeStringField(s)
     val sb = new StringBuilder
     sb ++= s"sql\t${enc(info.sql())}\n"
@@ -614,8 +607,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       .foreach(c => sb ++= (if (c == null) "comment\t\\N\n" else s"comment\t${enc(c)}\n"))
     Option(info.properties()).map(_.asScala).getOrElse(Map.empty)
       .foreach { case (k, v) => sb ++= s"prop\t${enc(k)}\t${enc(v)}\n" }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val p = tablePath(ident)
+    if (isView(p))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    if (!fs.exists(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
     val out = fs.create(new HPath(p, ViewFile), false) // create-if-absent: view DDL races lose loudly
-    try out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(viewFileBody(info))
     finally out.close()
     loadView(ident)
   }
@@ -632,12 +637,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case other => throw new IllegalArgumentException(
         s"graft catalog: unsupported view change $other")
     }
-    // rewrite the definition file with the new properties (the QUERY
-    // and analysis context are immutable here)
-    fs.delete(new HPath(tablePath(ident), ViewFile), false)
-    createView(new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
-      v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
-      v.queryColumnNames(), v.columnAliases(), v.columnComments(), props))
+    // rewrite the definition file ATOMICALLY (tmp + rename): a
+    // delete-then-create gap would let a crash permanently drop the
+    // view and a concurrent reader observe it as missing mid-alter
+    GraftSink.atomicOverwrite(fs, new HPath(tablePath(ident), ViewFile),
+      viewFileBody(new org.apache.spark.sql.connector.catalog.ViewInfo(ident,
+        v.query(), v.currentCatalog(), v.currentNamespace(), v.schema(),
+        v.queryColumnNames(), v.columnAliases(), v.columnComments(), props)))
+    loadView(ident)
   }
 
   override def dropView(ident: Identifier): Boolean = {
@@ -827,9 +834,21 @@ object GraftCatalog {
           s"graft catalog: view argument must be 'ns.view', got '$dotted'")
         val sp = org.apache.spark.sql.SparkSession.active
         val parsed = sp.sessionState.sqlParser.parsePlan(sql)
+        // CTE-defined names are CONTEXT-FREE by construction (they
+        // resolve inside the view text itself, never against a session
+        // catalog), but on the unresolved parse tree their references
+        // are 1-part UnresolvedRelations — collect them from the WITH
+        // clauses and exempt them, or any view containing a CTE would
+        // be refused as "unqualified"
+        val cteNames = parsed.collectWithSubqueries {
+          case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+            w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+        }.flatten.toSet
         val unqualified = parsed.collectWithSubqueries {
           case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-              if u.multipartIdentifier.length < 3 =>
+              if u.multipartIdentifier.length < 3 &&
+                !(u.multipartIdentifier.length == 1 && cteNames.contains(
+                  u.multipartIdentifier.head.toLowerCase(java.util.Locale.ROOT))) =>
             u.multipartIdentifier.mkString(".")
         }
         require(unqualified.isEmpty,
@@ -856,7 +875,7 @@ object GraftCatalog {
         Array[Any](if (ok) 1L else 0L)
       })),
     "zorder" -> (cat => new GraftProcedure(cat, "zorder",
-      "zorder(tbl, cols, files): rewrite the table Z-ORDERED on two BIGINT columns into ~files range files, per-dim min/max stats on every file",
+      "zorder(tbl, cols, files): rewrite the table Z-ORDERED on 2-4 BIGINT columns into ~files range files, per-dim min/max stats on every file",
       Array(ProcedureParameter.in("tbl", StringType).build(),
         ProcedureParameter.in("cols", StringType).build(),
         ProcedureParameter.in("files", IntegerType).build()),
@@ -865,33 +884,38 @@ object GraftCatalog {
       (cat0, args) => {
         // Z-ORDER rewrite (Delta's OPTIMIZE ZORDER BY / Iceberg's
         // sort rewrite with a Z curve — q250 AUDITS this layout; this
-        // procedure WRITES it): each row's two dims quantize to 16
-        // bits against the table's min/max and bit-interleave into a
-        // 32-bit Morton code (in-row HOF fold, no UDF); ONE range
+        // procedure WRITES it): each row's k ∈ [2,4] dims quantize to
+        // ⌊32/k⌋ bits against the table's min/max and bit-interleave
+        // into a Morton code (in-row HOF fold, no UDF); ONE range
         // repartition on the code makes every output file a compact
-        // Z-curve segment, so each file's [min, max] on BOTH dims is
-        // tight and a range predicate on EITHER column skips most
-        // files — the layout 2-dim selective queries on a 100 TB
+        // Z-curve segment, so each file's [min, max] on EVERY dim is
+        // tight and a range predicate on ANY column skips most
+        // files — the layout multi-dim selective queries on a 100 TB
         // table live or die by. Per-file stats come from one extra
-        // metadata-scale agg over the SAME pinned partitioning (at
         // cluster scale both consumers read the one shuffle). Commits
         // as ONE snapshot through the optimistic loop; DVs absorb
-        // (the rewrite reads through the connector).
+        // (the rewrite reads through the connector). Round 13: per-file
+        // stats moved INTO the writer tasks (the `statsCols` write
+        // option) — no table-sized localCheckpoint, no second stats
+        // job, no pid-keyed rename dance; and the publish is GUARDED by
+        // the base captured below (`expectedBaseTs`), so a concurrent
+        // append/DV commit landing mid-rewrite refuses instead of
+        // being silently dropped from the rewritten snapshot.
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
         val colSpec = args.getUTF8String(1).toString
           .split(",").map(_.trim).filter(_.nonEmpty)
-        require(colSpec.length == 2,
-          s"graft catalog: zorder wants exactly 2 columns, got '${colSpec.mkString(",")}'")
+        val k = colSpec.length
+        require(k >= 2 && k <= 4,
+          s"graft catalog: zorder wants 2-4 columns, got '${colSpec.mkString(",")}'")
         val nFiles = args.getInt(2)
         require(nFiles >= 1 && nFiles <= 4096,
           s"graft catalog: zorder file count must be in [1, 4096], got $nFiles")
         require(GraftSink.partitionColsOf(p).isEmpty && GraftSink.bucketSpecOf(p).isEmpty,
           "graft catalog: zorder on a partitioned/bucketed table is not supported " +
             "(the partition layout owns file routing)")
-        val m = GraftSink.readManifest(p).getOrElse(
+        val m = GraftSink.mainHead(p).getOrElse(
           throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
         val schema = StructType.fromDDL(m.ddl)
-        val Array(ca, cb) = colSpec
         colSpec.foreach { c =>
           require(schema.fieldNames.contains(c),
             s"graft catalog: zorder column '$c' not in the table schema")
@@ -900,58 +924,43 @@ object GraftCatalog {
               schema(schema.fieldIndex(c)).dataType.sql)
         }
         val sp = org.apache.spark.sql.SparkSession.active
-        import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit, max, min, spark_partition_id}
+        import org.apache.spark.sql.functions.{broadcast, col, expr, max, min}
         val df = sp.read.format("graftsink").option("path", p).load()
-        val bounds = df.agg(min(col(ca)).as("__mina"), max(col(ca)).as("__maxa"),
-          min(col(cb)).as("__minb"), max(col(cb)).as("__maxb"))
-        val ordered = df.crossJoin(broadcast(bounds))
-          .withColumn("__ax", expr(
-            s"cast(floor(65536.0 * ($ca - __mina) / (__maxa - __mina + 1.0)) as bigint)"))
-          .withColumn("__bx", expr(
-            s"cast(floor(65536.0 * ($cb - __minb) / (__maxb - __minb + 1.0)) as bigint)"))
+        val boundAggs = colSpec.toSeq.zipWithIndex.flatMap { case (c, d) =>
+          Seq(min(col(c)).as(s"__min$d"), max(col(c)).as(s"__max$d")) }
+        val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+        // k dims × ⌊32/k⌋ bits each: 2→16, 3→10, 4→8 — the Morton code
+        // always fits well inside a BIGINT. Dim 0 takes the highest bit
+        // of each interleave group (matching the 2-dim layout q407/q250
+        // pinned: a=2j+1, b=2j).
+        val bits = 32 / k
+        val scale = (1L << bits).toDouble
+        val withDims = colSpec.toSeq.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
+          case (acc, (c, d)) => acc.withColumn(s"__x$d", expr(
+            s"cast(floor($scale * ($c - __min$d) / (__max$d - __min$d + 1.0)) as bigint)"))
+        }
+        val terms = colSpec.indices.map(d =>
+          s"shiftleft(shiftright(__x$d, j) & 1, $k * j + ${k - 1 - d})").mkString(" + ")
+        val ordered = withDims
           .withColumn("__z", expr(
-            "aggregate(sequence(0, 15), cast(0 as bigint), (acc, j) -> " +
-              "acc + shiftleft(shiftright(__ax, j) & 1, 2 * j + 1) + " +
-              "shiftleft(shiftright(__bx, j) & 1, 2 * j))"))
+            s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, j) -> acc + $terms)"))
           .repartitionByRange(nFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
-          // pin the partition layout: the stats job and the file write
-          // below must see the SAME row→partition mapping
-          .localCheckpoint()
-        val statRows = ordered.groupBy(spark_partition_id().as("__pid"))
-          .agg(count(lit(1)).as("__n"),
-            min(col(ca)).as("__mina"), max(col(ca)).as("__maxa"),
-            min(col(cb)).as("__minb"), max(col(cb)).as("__maxb"))
-          .collect() // ≤ nFiles rows — file-grain metadata, never data
-        val statsByPid = statRows.map { r =>
-          val both = Seq(
-            (ca, Option(r.getAs[Any]("__mina")), Option(r.getAs[Any]("__maxa"))),
-            (cb, Option(r.getAs[Any]("__minb")), Option(r.getAs[Any]("__maxb"))))
-            .collect { case (c, Some(lo), Some(hi)) =>
-              (c, lo.asInstanceOf[Long], hi.asInstanceOf[Long]) }
-          r.getAs[Int]("__pid") -> both
-        }.toMap
-        val scratchRoot = graft.ops.Stage.fresh("zorder")
-        val scratch = scratchRoot.toString + "/t"
+        // ONE job, ONE guarded commit: each writer task streams its
+        // Z-range once, tracking every dim's min/max as it goes
+        // (statsCols) — at 100 TB there is no second pass and no
+        // executor-storage pin; and the truncate guard is seeded with
+        // the base read above, so a commit racing the rewrite refuses
+        // loudly instead of vanishing from the new snapshot.
         ordered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .write.format("graftsink").mode("overwrite")
-          .option("path", scratch).save()
-        val sm = GraftSink.readManifest(scratch).get
-        val f = GraftSink.fs(p)
-        val entries = sm.files.map { line =>
-          val n = GraftSink.entryName(line)
-          // scratch names end "part-<pid>.tsv" — the pid keys the stats
-          val pid = n.stripSuffix(".tsv").split("-").last.toInt
-          val fin = s"zorder-$pid-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
-          require(f.rename(new HPath(scratch, n), new HPath(p, fin)),
-            s"graft catalog: zorder failed to publish $fin")
-          GraftSink.entry(fin, Nil, None, GraftSink.entryRows(line),
-            if (m.ids.isDefined) Some(GraftSink.manifestIds(m)) else None,
-            None, statsByPid.getOrElse(pid, Nil))
-        }
-        graft.ops.Stage.release(scratchRoot)
-        val v = GraftSink.writeManifest(p, GraftSink.Manifest(m.ddl, entries, m.ids))
-        Array[Any](m.files.size.toLong, entries.size.toLong, v.toLong)
+          .option("path", p)
+          .option("statsCols", colSpec.mkString(","))
+          .option("expectedBaseTs", m.ts.map(_.toString).getOrElse("none"))
+          .save()
+        val after = GraftSink.mainHead(p).get
+        Array[Any](m.files.size.toLong, after.files.size.toLong,
+          GraftSink.listVersions(p).last.toLong)
       })),
     "compact" -> (cat => new GraftProcedure(cat, "compact",
       "compact(tbl, files): rewrite the current snapshot into `files` data files",
@@ -963,13 +972,19 @@ object GraftCatalog {
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
         val n = args.getInt(1)
         require(n >= 1, s"graft catalog: compact wants files >= 1, got $n")
-        val before = GraftSink.readManifest(p).get.files.size.toLong
+        val base = GraftSink.mainHead(p).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
         val sp = org.apache.spark.sql.SparkSession.active
         sp.read.format("graftsink").option("path", p).load()
           .coalesce(n)
-          .write.format("graftsink").mode("overwrite").option("path", p).save()
-        val m = GraftSink.readManifest(p).get
-        Array[Any](GraftSink.listVersions(p).last.toLong, before, m.files.size.toLong)
+          .write.format("graftsink").mode("overwrite").option("path", p)
+          // same lost-update guard as zorder: the rewrite's content is
+          // the base snapshot; a commit landing mid-compact refuses
+          .option("expectedBaseTs", base.ts.map(_.toString).getOrElse("none"))
+          .save()
+        val m = GraftSink.mainHead(p).get
+        Array[Any](GraftSink.listVersions(p).last.toLong,
+          base.files.size.toLong, m.files.size.toLong)
       })),
     "expire_snapshots" -> (cat => new GraftProcedure(cat, "expire_snapshots",
       "expire_snapshots(tbl, keep): drop all but the newest `keep` snapshots and GC unreferenced files",

@@ -531,29 +531,11 @@ object GraftSink {
       val next = prev.getOrElse(0) + 1
       val prevTs = prev.flatMap(v => readManifest(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
-      val head = m.ddl +
-        m.ids.fold("")(ids => s"\tids:${ids.mkString(",")}") +
-        s"\tts:$ts" +
-        s"\tref:${branch.fold("main")(b => s"branch.$b")}"
-      val body = (head +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8)
-      val claimed =
-        try {
-          // overwrite=false: the CLAIM — exactly one writer can create
-          // the slot file; a loser sees FileAlreadyExists and re-plans
-          val out = f.create(new HPath(path, manifestName(Some(next))), false)
-          try out.write(body) finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      if (claimed) {
-        branch match {
-          case Some(b) => writeRef(path, "branch", b, next)
-          case None =>
-            val out = f.create(new HPath(path, MANIFEST), true)
-            try out.write(body) finally out.close()
-        }
+      val stamped = m.copy(ts = Some(ts),
+        ref = Some(branch.fold("main")(b => s"branch.$b")))
+      if (claimSlot(f, new HPath(path, manifestName(Some(next))),
+          serializeManifest(stamped))) {
+        advancePointer(path, branch)
         return next
       }
       if (attempt >= maxAttempts)
@@ -564,6 +546,136 @@ object GraftSink {
       Thread.sleep(math.min(50L * attempt, 200L))
     }
     -1 // unreachable
+  }
+
+  /** The exact on-disk manifest encoding (head line = ddl + optional
+    * tab-separated `ids:`/`ts:`/`ref:` segments, then one file entry per
+    * line) — the single serializer the slot claim AND the pointer
+    * repair share, so a re-published pointer is byte-identical to the
+    * slot it mirrors. */
+  private def serializeManifest(m: Manifest): Array[Byte] = {
+    val head = m.ddl +
+      m.ids.fold("")(ids => s"\tids:${ids.mkString(",")}") +
+      m.ts.fold("")(t => s"\tts:$t") +
+      m.ref.fold("")(r => s"\tref:$r")
+    (head +: m.files).mkString("\n").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** The atomic slot claim. Hadoop's `create(path, overwrite = false)`
+    * is only atomic where the filesystem makes it so (HDFS/ABFS);
+    * RawLocalFileSystem implements it as exists-check-then-create — a
+    * TOCTOU window in which two local writers both "win" the same slot
+    * and one body silently truncates the other. On the `file:` scheme
+    * the claim therefore stages the full body in a temp file and
+    * hard-links it to the slot name — POSIX link(2) is atomic and fails
+    * EEXIST, so the claim carries its COMPLETE content in the same
+    * atomic step (a racing reader lists the slot only once every byte
+    * is readable; an O_EXCL create-then-write would expose a partial
+    * file). ChecksumFileSystem tolerates the missing .crc on read.
+    * Everything else keeps the filesystem's native create-if-absent. */
+  private def claimSlot(f: FileSystem, slot: HPath, body: Array[Byte]): Boolean =
+    try {
+      if (f.getScheme == "file") {
+        val nio = java.nio.file.Paths.get(
+          f.makeQualified(slot).toUri.getPath)
+        // Hadoop's create() mkdirs parents implicitly; nio does not
+        Option(nio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        val tmp = nio.resolveSibling(
+          s".${nio.getFileName}.claim.${java.util.UUID.randomUUID().toString.take(8)}")
+        java.nio.file.Files.write(tmp, body)
+        try { java.nio.file.Files.createLink(nio, tmp); true }
+        finally java.nio.file.Files.deleteIfExists(tmp)
+      } else {
+        val out = f.create(slot, false)
+        try out.write(body) finally out.close()
+        true
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+
+  /** ATOMIC pointer overwrite. `create(path, overwrite = true)` on the
+    * local filesystem truncates the destination before writing — a
+    * reader racing the overwrite sees an EMPTY or torn pointer and
+    * fails loudly ("empty manifest"). Pointer/ref moves therefore stage
+    * the new body in a sibling temp file and rename it into place
+    * (POSIX rename is atomic: readers see the old complete body or the
+    * new complete body, never a torn one). The rename bypasses
+    * ChecksumFileSystem, so any stale sibling .crc from an older
+    * checksummed write is dropped first — a leftover would otherwise
+    * fail verification against the new bytes. Non-local filesystems
+    * keep the native overwrite (HDFS leases serialize it). */
+  private[sources] def atomicOverwrite(f: FileSystem, dst: HPath, body: Array[Byte]): Unit =
+    if (f.getScheme == "file") {
+      val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+      Option(dstNio.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      val tmp = dstNio.resolveSibling(
+        s".${dstNio.getFileName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, body)
+      java.nio.file.Files.deleteIfExists(
+        dstNio.resolveSibling(s".${dstNio.getFileName}.crc"))
+      java.nio.file.Files.move(tmp, dstNio,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = f.create(dst, true)
+      try out.write(body) finally out.close()
+    }
+
+  /** GUARDED, FIX-FORWARD pointer move (closes the pointer-regression
+    * race): a winner that stalls between its slot claim and its pointer
+    * write must never overwrite a NEWER commit's pointer with its older
+    * body. Instead of publishing its own snapshot unconditionally, every
+    * committer advances the pointer to the NEWEST chain slot attributed
+    * to this ref, and only when the pointer is older than that slot —
+    * so a late writer either lands its own commit (the common case) or
+    * repairs the pointer forward on the racer's behalf; it can never
+    * move it back. The verify loop re-reads after writing: if a newer
+    * slot appeared mid-write, the next iteration (ours or the other
+    * writer's — both run this) fixes forward again. Planner reads were
+    * already regression-proof via [[mainHead]]'s chain reconciliation;
+    * this extends the guarantee to plain pointer readers. */
+  private def advancePointer(path: String, branch: Option[String]): Unit = {
+    val f = fs(path)
+    val refStr = branch.fold("main")(b => s"branch.$b")
+    var i = 0
+    var settled = false
+    while (!settled && i < 4) {
+      i += 1
+      // newest chain slot attributed to this pointer (same walk-and-stop
+      // rules as headOf: legacy unattributed snapshots end the walk —
+      // they were published pointer-first and own the pointer)
+      val vs = listVersions(path)
+      var j = vs.length - 1
+      var newest: Option[(Int, Manifest)] = None
+      var scanning = true
+      while (j >= 0 && scanning) {
+        readManifest(path, Some(vs(j))) match {
+          case None => scanning = false
+          case Some(mm) => mm.ref match {
+            case Some(r) if r == refStr => newest = Some((vs(j), mm)); scanning = false
+            case Some(_) => j -= 1
+            case None => scanning = false
+          }
+        }
+      }
+      newest match {
+        case None => settled = true
+        case Some((v, mm)) =>
+          val ptrTs = branch match {
+            case Some(b) => readRef(path, "branch", b)
+              .flatMap(pv => readManifest(path, Some(pv))).flatMap(_.ts)
+            case None => readManifest(path).flatMap(_.ts)
+          }
+          if (ptrTs.exists(_ >= mm.ts.getOrElse(0L))) settled = true
+          else branch match {
+            case Some(b) => writeRef(path, "branch", b, v)
+            case None =>
+              atomicOverwrite(f, new HPath(path, MANIFEST), serializeManifest(mm))
+          }
+      }
+    }
   }
 
   /** CHAIN-ATTRIBUTED head resolution (closes [[commitManifest]]'s
@@ -614,11 +726,9 @@ object GraftSink {
     s"_ref.$kind.$name"
   }
 
-  def writeRef(path: String, kind: String, name: String, version: Int): Unit = {
-    val out = fs(path).create(new HPath(path, refName(kind, name)), true)
-    try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  def writeRef(path: String, kind: String, name: String, version: Int): Unit =
+    atomicOverwrite(fs(path), new HPath(path, refName(kind, name)),
+      version.toString.getBytes(StandardCharsets.UTF_8))
 
   def readRef(path: String, kind: String, name: String): Option[Int] = {
     val f = fs(path)
@@ -1063,7 +1173,17 @@ class GraftSinkRowLevelOperation(path: String,
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"GraftSinkRowLevelOperation($cmd, $path)"
 
+  // the base snapshot the rewrite's scan was PLANNED against, captured
+  // BEFORE the scan builder reads the manifest: any commit landing after
+  // this point moves the head ts, and the write-side guard (seeded with
+  // this value) refuses the replace on its FIRST attempt — closing the
+  // scan-to-first-commit-attempt window, not just the between-retries
+  // one. Capture-before-read errs toward a spurious refusal (safe)
+  // rather than a silent lost update.
+  @volatile private var scanBaseTs: Option[Option[Long]] = None
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    scanBaseTs = Some(GraftSink.mainHead(path).flatMap(_.ts))
     val schema = GraftSink.readManifest(path)
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
@@ -1085,9 +1205,11 @@ class GraftSinkRowLevelOperation(path: String,
           if (partCols.nonEmpty)
             new GraftSinkPartitionedBatchWrite(path, info.schema(),
               info.queryId(), truncate = true, partCols,
-              partCols.map(info.schema().fieldIndex).toArray)
+              partCols.map(info.schema().fieldIndex).toArray,
+              scanBaseTs = scanBaseTs)
           else
-            new GraftSinkBatchWrite(path, info.schema(), info.queryId(), truncate = true)
+            new GraftSinkBatchWrite(path, info.schema(), info.queryId(),
+              truncate = true, scanBaseTs = scanBaseTs)
         }
       }
     }
@@ -1280,8 +1402,9 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         // stats in the manifest — the file-skipping index read-side
         // range predicates prune against (most useful with
         // layout=range, where files are contiguous key ranges)
-        val statsCol = Some(colName)
+        val statsCols = Some(colName)
           .filter(c => schema(schema.fieldIndex(c)).dataType == LongType)
+          .toSeq
         // layout=range requests an ORDERED (range) distribution: files
         // become contiguous, non-overlapping key ranges — the layout
         // that makes min/max skipping exact. Default "hash" clusters
@@ -1291,7 +1414,7 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
           s"graftsink: option 'layout' must be hash or range, got '$layout'")
         def batch: BatchWrite = {
           GraftSink.checkSchema(schema)
-          new GraftSinkBatchWrite(path, schema, queryId, doTruncate, statsCol)
+          new GraftSinkBatchWrite(path, schema, queryId, doTruncate, statsCols)
         }
         new Write with RequiresDistributionAndOrdering {
           override def requiredDistribution(): Distribution =
@@ -1309,11 +1432,38 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
         require(shards.isEmpty,
           "graftsink: option 'shards' requires 'clusterBy' (a partition count " +
             "without a distribution would repartition arbitrarily)")
+        // `statsCols=c1,c2,...` (all BIGINT): record per-file min/max
+        // envelopes for several columns WITHOUT a clustered
+        // distribution — the caller owns the layout (the zorder
+        // procedure range-partitions on the Morton code itself), the
+        // writer tasks just track what they stream. Stats are computed
+        // in-writer: zero extra jobs, zero materialization.
+        val statsCols = Option(options.get("statsCols")).toSeq
+          .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        statsCols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"graftsink: statsCols column '$c' not in write schema " +
+              s"(${schema.fieldNames.mkString(", ")})")
+          require(schema(schema.fieldIndex(c)).dataType == LongType,
+            s"graftsink: statsCols columns must be BIGINT, '$c' is " +
+              schema(schema.fieldIndex(c)).dataType.sql)
+        }
+        // `expectedBaseTs=<millis|none>`: seed the replace guard with
+        // the base snapshot the CALLER planned this rewrite against
+        // (the zorder/compact procedures read table state well before
+        // the job's own commit) — the commit then refuses on the FIRST
+        // attempt if anything landed in between, instead of silently
+        // dropping the interloper's commit from the rewritten snapshot.
+        val expectedBase: Option[Option[Long]] =
+          Option(options.get("expectedBaseTs")).map {
+            case "none" => None
+            case raw => Some(raw.toLong)
+          }
         new Write {
           override def toBatch: BatchWrite = {
             GraftSink.checkSchema(schema)
             new GraftSinkBatchWrite(path, schema, queryId, doTruncate,
-              None, branch)
+              statsCols, branch, expectedBase)
           }
           override def toStreaming: StreamingWrite = {
             require(branch.isEmpty,
@@ -1326,17 +1476,21 @@ class GraftSinkWriteBuilder(path: String, schema: StructType, queryId: String,
 }
 
 /** One staged-commit message per successfully committed task; `stats`
-  * carries the task file's (min, max) of the clustered BIGINT column
-  * when one was declared — the file-skipping index entries. */
+  * carries the task file's per-column (col, min, max) of every declared
+  * stats BIGINT column — the file-skipping index entries, computed
+  * INSIDE the writer task (one pass over the rows it streams anyway;
+  * at 100 TB this is what makes stats free vs a second table-sized
+  * job). */
 case class GraftSinkCommit(stagedFile: String, partitionId: Int, rows: Long,
-    stats: Option[(Long, Long)] = None)
+    stats: Seq[(String, Long, Long)] = Nil)
   extends WriterCommitMessage
 
 class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
-    truncate: Boolean, statsCol: Option[String] = None,
-    branch: Option[String] = None) extends BatchWrite {
+    truncate: Boolean, statsCols: Seq[String] = Nil,
+    branch: Option[String] = None,
+    scanBaseTs: Option[Option[Long]] = None) extends BatchWrite {
 
-  private val statsIdx = statsCol.map(schema.fieldIndex)
+  private val statsIdx = statsCols.map(c => (c, schema.fieldIndex(c)))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftSinkWriterFactory(path, schema, queryId, statsIdx)
@@ -1358,8 +1512,11 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
     //    REBASES this append onto the interloper's commit (its files
     //    survive; ours add on top); a REPLACE whose base moved refuses
     //    instead — it was computed from a snapshot that no longer is
-    //    the table.
-    var seenBase: Option[Option[Long]] = None
+    //    the table. `scanBaseTs` (set by the row-level operation at
+    //    SCAN-PLAN time) seeds the guard so the very first attempt also
+    //    refuses on a commit that landed between the rewrite's scan and
+    //    this commit — not just between retry attempts.
+    var seenBase: Option[Option[Long]] = scanBaseTs
     GraftSink.commitManifest(path, branch) { () =>
       // a branch write appends onto the BRANCH HEAD (first write forks
       // from main); bases are CHAIN-ATTRIBUTED (mainHead/branchHead) so
@@ -1385,9 +1542,8 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
       // ids); a truncate replaces the table — ids reset to positional
       val ids = if (truncate) None else prior.flatMap(_.ids)
       val entries = published.map { c =>
-        GraftSink.entry(c.stagedFile, Nil,
-          for { col <- statsCol; (lo, hi) <- c.stats } yield (col, lo, hi),
-          Some(c.rows), ids)
+        GraftSink.entry(c.stagedFile, Nil, c.stats.headOption,
+          Some(c.rows), ids, None, c.stats.drop(1))
       }
       // an append preserves the TABLE's declared DDL (nullability incl.)
       val files = if (truncate) entries
@@ -1410,7 +1566,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, queryId: String,
 }
 
 class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String,
-    statsIdx: Option[Int] = None)
+    statsIdx: Seq[(String, Int)] = Nil)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1422,19 +1578,19 @@ class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String,
 /** The shared task-side row writer: streams TSV rows into one staged
   * file, returns (file, partition, rowcount[, column min/max]) as its
   * commit message. Batch and streaming factories differ only in the
-  * staged path; `statsIdx` (the clustered BIGINT column, when one was
-  * declared) turns on the per-file min/max tracking behind the
-  * manifest's file-skipping stats. */
+  * staged path; `statsIdx` (the declared stats BIGINT columns — the
+  * clustered column and/or Z-order dims) turns on the per-file min/max
+  * tracking behind the manifest's file-skipping stats. */
 class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
-    partitionId: Int, statsIdx: Option[Int] = None) extends DataWriter[InternalRow] {
+    partitionId: Int, statsIdx: Seq[(String, Int)] = Nil) extends DataWriter[InternalRow] {
 
   private val out = GraftSink.fs(path).create(new HPath(staged), true)
   private val types = schema.fields.map(_.dataType)
   private var n = 0L
   private var skip = -1 // resolved on the first row
-  private val sIdx = statsIdx.getOrElse(-1)
-  private var sLo = Long.MaxValue
-  private var sHi = Long.MinValue
+  private val sIdx = statsIdx.map(_._2).toArray
+  private val sLo = Array.fill(sIdx.length)(Long.MaxValue)
+  private val sHi = Array.fill(sIdx.length)(Long.MinValue)
 
   override def write(row: InternalRow): Unit = {
     if (skip < 0) {
@@ -1477,16 +1633,22 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
     sb.append('\n')
     out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
     n += 1
-    if (sIdx >= 0 && !row.isNullAt(sIdx + skip)) {
-      val v = row.getLong(sIdx + skip)
-      if (v < sLo) sLo = v
-      if (v > sHi) sHi = v
+    var j = 0
+    while (j < sIdx.length) {
+      if (!row.isNullAt(sIdx(j) + skip)) {
+        val v = row.getLong(sIdx(j) + skip)
+        if (v < sLo(j)) sLo(j) = v
+        if (v > sHi(j)) sHi(j) = v
+      }
+      j += 1
     }
   }
   override def commit(): WriterCommitMessage = {
     out.close()
     GraftSinkCommit(staged, partitionId, n,
-      if (sLo <= sHi) Some((sLo, sHi)) else None)
+      statsIdx.indices.collect {
+        case j if sLo(j) <= sHi(j) => (statsIdx(j)._1, sLo(j), sHi(j))
+      })
   }
   override def abort(): Unit = {
     out.close()
@@ -1511,7 +1673,8 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, partCols: Seq[String],
     partIdx: Array[Int], buckets: Option[Int] = None,
     dynamicOverwrite: Boolean = false,
-    replaceWhere: Option[Map[String, Set[String]]] = None) extends BatchWrite {
+    replaceWhere: Option[Map[String, Set[String]]] = None,
+    scanBaseTs: Option[Option[Long]] = None) extends BatchWrite {
 
   /** Does a manifest entry's partition tuple satisfy every REPLACE
     * WHERE constraint? (Conjunctive; a missing column never matches.) */
@@ -1549,7 +1712,9 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
           "cover every incoming row")
     }
     val partial = dynamicOverwrite || replaceWhere.isDefined
-    var seenBase: Option[Option[Long]] = None
+    // seeded with the rewrite's scan-plan-time base (when one exists) —
+    // see the unpartitioned commit for the first-attempt guard contract
+    var seenBase: Option[Option[Long]] = scanBaseTs
     GraftSink.commitManifest(path, None) { () =>
       val prior = GraftSink.mainHead(path)
       val baseTs = prior.flatMap(_.ts)
