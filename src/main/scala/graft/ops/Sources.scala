@@ -1135,6 +1135,36 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // k-DIMENSIONAL Z-order (q407 generalized — Delta's OPTIMIZE ZORDER
+    // BY accepts any arity): three BIGINT dims quantize to ⌊32/3⌋ = 10
+    // bits each and interleave into a 30-bit Morton code; the per-file
+    // min/max envelopes (now computed INSIDE the writer tasks via the
+    // statsCols option — no checkpoint, no second stats job) let a
+    // 3-dim corner predicate prune on ALL THREE columns at planning.
+    // Round13Spec pins the planned-file count for the corner query;
+    // the oracle replays the filtered rollup from parquet (pruning is
+    // an optimization, never a correctness transfer).
+    "q414_zorder_kdim" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.zo414")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+          expr("cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)").as("d"),
+          expr("cast(floor(cast(o_totalprice as decimal(18,2))) as bigint)").as("t"))
+        .writeTo("graft.g.zo414").create()
+      val audit = s.sql("CALL graft.sys.zorder('g.zo414', 'c, d, t', 27)")
+        .select(col("files_after"), col("version"))
+      s.table("graft.g.zo414")
+        .filter(col("c").between(10, 120) && col("d").between(9500, 10000) &&
+          col("t").between(50000, 150000))
+        .groupBy((col("c") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("sum_t"),
+          min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("bucket"))
+    }),
+
+    // ------------------------------------------------------------------
     // Streaming CDC INTO the lakehouse — the composition a real
     // ingestion pipeline runs hourly (q285's foreachBatch discipline ×
     // q360's MERGE × q351's snapshots): two CDC tranches (batch 1:
@@ -1628,6 +1658,35 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // SKETCH-backed ANALYZE (`CALL graft.sys.analyze_sketch` — the
+    // incremental-stats path q389's doc promises at 100 TB): NDV per
+    // column from the bottom-64 KMV of the portable md5 hash (q245's
+    // sketch) in ONE pass — 512 bytes of state per column instead of
+    // count(distinct)'s Expand ×#cols — stored through the SAME
+    // `_colstats` contract (snapshot-stamped, stale after any commit,
+    // served to the CBO via Statistics.columnStats). md5-determinism
+    // makes the ESTIMATE itself oracle-exact: <64 survivors → the
+    // sketch is the distinct set; at 64 → floor(63·2^60/kth_min),
+    // replayed bit-for-bit by DuckDB's own md5 + row_number chain.
+    // o_custkey exercises the estimation path (150+ distinct), the
+    // priority/status columns the exact path, `pri` the null handling.
+    "q415_analyze_sketch" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.an415")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"),
+          expr("CASE WHEN o_orderkey % 4 = 0 THEN NULL "
+            + "ELSE concat('P', cast(o_custkey % 7 as string)) END").as("pri"))
+        .writeTo("graft.g.an415").create()
+      val audit = s.sql("CALL graft.sys.analyze_sketch('g.an415')")
+        .select(col("analyzed_version"), col("n_cols"), col("n_rows"))
+      s.table("graft.g.an415.column_stats")
+        .select(col("col_name"), col("ndv"), col("nulls"), col("stale"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("col_name"))
+    }),
+
+    // ------------------------------------------------------------------
     // ATOMIC CTAS / RTAS (StagingTableCatalog — the all-or-nothing half
     // of the DDL surface): CTAS writes v1+v2 into a HIDDEN stage dir
     // and publishes by ONE directory rename (a failed CTAS leaves no
@@ -1985,6 +2044,41 @@ object Sources extends QueryPack {
         + "CAST(sum(CASE WHEN tier IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM base) "
         + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(2 AS BIGINT) AS analyzed_version, "
         + "CAST(4 AS BIGINT) AS n_cols, n_rows FROM s CROSS JOIN a ORDER BY col_name"),
+    // q415: the KMV estimate replayed EXACTLY — per column, hash the
+    // distinct non-null values through DuckDB's own md5 chain, rank
+    // ascending; <64 distinct → the true count, else floor(63·2^60 /
+    // 64th-smallest hash). Null counts exact; analyze stamps v2.
+    "q415_analyze_sketch" ->
+      ("WITH base AS (SELECT o_custkey, o_orderpriority, "
+        + "CASE WHEN o_orderkey % 4 = 0 THEN NULL "
+        + "ELSE 'P' || CAST(o_custkey % 7 AS VARCHAR) END AS pri FROM orders), "
+        + "a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base), "
+        + "ck AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd "
+        + "FROM (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h "
+        + "FROM base WHERE o_custkey IS NOT NULL)), "
+        + "ce AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) "
+        + "ELSE CAST(floor((63.0 * 1152921504606846976.0) / "
+        + "CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT) END AS ndv FROM ck), "
+        + "pk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd "
+        + "FROM (SELECT DISTINCT CAST('0x' || substr(md5(o_orderpriority), 1, 15) AS BIGINT) AS h "
+        + "FROM base WHERE o_orderpriority IS NOT NULL)), "
+        + "pe AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) "
+        + "ELSE CAST(floor((63.0 * 1152921504606846976.0) / "
+        + "CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT) END AS ndv FROM pk), "
+        + "rk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd "
+        + "FROM (SELECT DISTINCT CAST('0x' || substr(md5(pri), 1, 15) AS BIGINT) AS h "
+        + "FROM base WHERE pri IS NOT NULL)), "
+        + "re AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) "
+        + "ELSE CAST(floor((63.0 * 1152921504606846976.0) / "
+        + "CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT) END AS ndv FROM rk), "
+        + "s AS (SELECT 'o_custkey' AS col_name, (SELECT ndv FROM ce) AS ndv, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_custkey IS NULL) AS nulls "
+        + "UNION ALL SELECT 'o_orderpriority', (SELECT ndv FROM pe), "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_orderpriority IS NULL) "
+        + "UNION ALL SELECT 'pri', (SELECT ndv FROM re), "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE pri IS NULL)) "
+        + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(2 AS BIGINT) AS analyzed_version, "
+        + "CAST(3 AS BIGINT) AS n_cols, n_rows FROM s CROSS JOIN a ORDER BY col_name"),
     // q390: v2 = full customer rows; v3 = the RTAS rollup; 3 snapshots.
     "q390_ctas_atomic" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "
@@ -2265,6 +2359,19 @@ object Sources extends QueryPack {
         + "min(k) AS min_key, max(k) AS max_key, "
         + "CAST(16 AS BIGINT) AS files_after, CAST(3 AS BIGINT) AS version "
         + "FROM src WHERE c BETWEEN 10 AND 120 AND d BETWEEN 9500 AND 10000 "
+        + "GROUP BY 1 ORDER BY 1"),
+    // q414: the 3-dim Z-ordered table serves the corner rollup
+    // byte-identically to parquet; 27 range partitions → 27 files,
+    // create(v1+v2) + zorder = version 3.
+    "q414_zorder_kdim" ->
+      ("WITH src AS (SELECT o_orderkey AS k, o_custkey AS c, "
+        + "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d, "
+        + "CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS t FROM orders) "
+        + "SELECT c % 8 AS bucket, CAST(count(*) AS BIGINT) AS n, "
+        + "CAST(sum(t) AS BIGINT) AS sum_t, min(k) AS min_key, max(k) AS max_key, "
+        + "CAST(27 AS BIGINT) AS files_after, CAST(3 AS BIGINT) AS version "
+        + "FROM src WHERE c BETWEEN 10 AND 120 AND d BETWEEN 9500 AND 10000 "
+        + "AND t BETWEEN 50000 AND 150000 "
         + "GROUP BY 1 ORDER BY 1"),
     // q383: the pruned star join must equal the plain join — DPP is an
     // optimization, never a correctness transfer.

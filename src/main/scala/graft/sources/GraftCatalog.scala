@@ -932,18 +932,24 @@ object GraftCatalog {
         // k dims × ⌊32/k⌋ bits each: 2→16, 3→10, 4→8 — the Morton code
         // always fits well inside a BIGINT. Dim 0 takes the highest bit
         // of each interleave group (matching the 2-dim layout q407/q250
-        // pinned: a=2j+1, b=2j).
+        // pinned: a=2j+1, b=2j). The interleave is UNROLLED into plain
+        // shift/mask arithmetic (k·bits ≤ 32 codegen'd terms): a
+        // `aggregate(sequence(...))` HOF here is interpreted per row —
+        // measured ~25 µs/row, ~5x the whole rest of the quantize
+        // pipeline — and the range exchange evaluates the expression
+        // TWICE (sampling pass + map pass), exactly the hot path a
+        // 100 TB rewrite cannot afford outside whole-stage codegen.
         val bits = 32 / k
         val scale = (1L << bits).toDouble
         val withDims = colSpec.toSeq.zipWithIndex.foldLeft(df.crossJoin(broadcast(bounds))) {
           case (acc, (c, d)) => acc.withColumn(s"__x$d", expr(
             s"cast(floor($scale * ($c - __min$d) / (__max$d - __min$d + 1.0)) as bigint)"))
         }
-        val terms = colSpec.indices.map(d =>
-          s"shiftleft(shiftright(__x$d, j) & 1, $k * j + ${k - 1 - d})").mkString(" + ")
+        val terms = for {
+          j <- 0 until bits; d <- colSpec.indices
+        } yield s"shiftleft(shiftright(__x$d, $j) & 1, ${k * j + (k - 1 - d)})"
         val ordered = withDims
-          .withColumn("__z", expr(
-            s"aggregate(sequence(0, ${bits - 1}), cast(0 as bigint), (acc, j) -> acc + $terms)"))
+          .withColumn("__z", expr(terms.mkString(" + ")))
           .repartitionByRange(nFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
         // ONE job, ONE guarded commit: each writer task streams its
@@ -1005,15 +1011,87 @@ object GraftCatalog {
           .getOrElse(Int.MaxValue)
         val (drop, kept) = versions.partition(v => v < cut && !pinned(v))
         // GC by entry NAME (a manifest line may carry a delete vector)
-        val keptFiles = kept
-          .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files)
+        val keptMs = kept.map(v => v -> GraftSink.readManifest(p, Some(v)).get)
+        val keptFiles = keptMs.flatMap(_._2.files)
           .map(GraftSink.entryName).toSet
         val dropFiles = drop
           .flatMap(v => GraftSink.readManifest(p, Some(v)).get.files)
           .map(GraftSink.entryName).toSet -- keptFiles
         dropFiles.foreach(df => f.delete(new HPath(p, df), false))
         drop.foreach(v => f.delete(new HPath(p, s"${GraftSink.MANIFEST}.v$v"), false))
-        Array[Any](drop.size.toLong, dropFiles.size.toLong, kept.size.toLong)
+        // DV-aware half: once expiry narrows history, a file whose
+        // EVERY surviving reference carries the SAME delete vector can
+        // be rewritten with those rows physically dropped — the dead
+        // position list leaves the retained manifests (metadata
+        // shrink) and every kept snapshot's VISIBLE rows are
+        // byte-identical (the positions were invisible in all of them
+        // anyway). A file referenced with DIFFERENT DVs (or none) in
+        // some kept snapshot keeps its lists — that snapshot still
+        // serves the un-deleted rows. The in-place snapshot rewrite is
+        // legitimate exactly because it is a GC: version numbers, ts
+        // stamps, and attribution are preserved and no visible row
+        // changes in ANY surviving snapshot.
+        val sigByName = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.Set[String]]
+        keptMs.foreach { case (_, m) => m.files.foreach { l =>
+          sigByName.getOrElseUpdate(GraftSink.entryName(l),
+            scala.collection.mutable.Set.empty) +=
+            GraftSink.entryDeletes(l).mkString(",")
+        } }
+        val rewritable: Seq[(String, Array[Long])] = sigByName.toSeq.collect {
+          case (n, sigs) if sigs.size == 1 && sigs.head.nonEmpty =>
+            n -> sigs.head.split(",").map(_.toLong)
+        }
+        if (rewritable.nonEmpty) {
+          val sp = org.apache.spark.sql.SparkSession.active
+          val tasks = rewritable.map { case (n, dels) =>
+            (p, n, s"${n.stripSuffix(".tsv")}-dvless-" +
+              s"${java.util.UUID.randomUUID().toString.take(8)}.tsv", dels)
+          }
+          // executor-side per-file stream (one task per file, the
+          // remove_orphans economics): read once, skip the ascending
+          // dv positions, write the clean twin
+          val renames = sp.sparkContext
+            .parallelize(tasks, math.min(tasks.size, 32))
+            .map { case (root, n, fin, dels) =>
+              val ffs = GraftSink.fs(root)
+              val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+                ffs.open(new org.apache.hadoop.fs.Path(root, n)),
+                java.nio.charset.StandardCharsets.UTF_8))
+              val out = ffs.create(new org.apache.hadoop.fs.Path(root, fin), true)
+              try {
+                var pos = 0L; var di = 0; var line = in.readLine()
+                while (line != null) {
+                  if (di < dels.length && dels(di) == pos) di += 1
+                  else out.write((line + "\n").getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                  pos += 1; line = in.readLine()
+                }
+              } finally { in.close(); out.close() }
+              n -> fin
+            }.collect().toMap
+          // swap the line in every kept manifest (atomic per snapshot
+          // file), refresh the pointer copy, delete the originals LAST
+          // so a racing reader always finds whichever twin its
+          // manifest names
+          keptMs.foreach { case (v, m) =>
+            val newFiles = m.files.map { l =>
+              val n = GraftSink.entryName(l)
+              renames.get(n).fold(l) { fin =>
+                GraftSink.entry(fin, Nil, None,
+                  GraftSink.entryRows(l).map(_ - GraftSink.entryDeletes(l).length),
+                  GraftSink.entryCols(l).map(_.toSeq), GraftSink.entryPart(l),
+                  GraftSink.entryStatsAll(l))
+              }
+            }
+            if (newFiles != m.files)
+              GraftSink.rewriteManifestInPlace(p, v, m.copy(files = newFiles))
+          }
+          GraftSink.refreshPointerContent(p)
+          renames.keys.foreach(n => f.delete(new HPath(p, n), false))
+        }
+        Array[Any](drop.size.toLong,
+          (dropFiles.size + rewritable.size).toLong, kept.size.toLong)
       })),
     "create_tag" -> (cat => new GraftProcedure(cat, "create_tag",
       "create_tag(tbl, name, version): pin an IMMUTABLE named ref to snapshot `version`",
@@ -1261,6 +1339,55 @@ object GraftCatalog {
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val stats = cols.map(c =>
           (c, row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c")))
+        val v = GraftSink.listVersions(p).last
+        GraftSink.writeColStats(p, v, stats)
+        Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))
+      })),
+    "analyze_sketch" -> (cat => new GraftProcedure(cat, "analyze_sketch",
+      "analyze_sketch(tbl): approximate ANALYZE — per-column KMV(64) NDV estimates + exact null counts in one pass, stored for the planner",
+      Array(ProcedureParameter.in("tbl", StringType).build()),
+      new StructType().add("analyzed_version", LongType).add("n_cols", LongType)
+        .add("n_rows", LongType),
+      (cat0, args) => {
+        // Sketch-backed ANALYZE (the Iceberg puffin-sketch economics
+        // analyze_table's doc promises at 100 TB): per-column NDV from
+        // the bottom-64 KMV of the portable md5 hash — the SAME
+        // mergeable sketch q245 oracles — so a stats refresh is one
+        // pass of cheap hashing with 512 bytes of state per column
+        // (and per-FILE sketches would merge incrementally at cluster
+        // scale; exact count(distinct) re-expands every value through
+        // an Expand ×#cols). The estimate is md5-DETERMINISTIC, so the
+        // DuckDB oracle replays it EXACTLY: <64 surviving hashes →
+        // the sketch IS the distinct set (estimate exact by
+        // construction); at 64 → floor(63·2^60 / kth_min). NULL rows
+        // hash to the Long.MaxValue sentinel — real hashes are 60-bit,
+        // so the sentinel survives only in a <64-value sketch and is
+        // dropped before sizing. Null counts stay exact. Serving,
+        // staleness, and the pruned-scan refusal ride the identical
+        // `_colstats` contract as analyze_table.
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val sp = org.apache.spark.sql.SparkSession.active
+        import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, udaf, when}
+        val kmv = udaf(graft.functions.KmvAggregator,
+          org.apache.spark.sql.Encoders.scalaLong)
+        val df = sp.read.format("graftsink").option("path", p).load()
+        val cols = df.schema.fieldNames.toSeq
+        val sentinel = Long.MaxValue
+        val aggs = cols.flatMap(c => Seq(
+          kmv(coalesce(
+            expr(s"md5_mod(cast(`$c` as string), ${sentinel}L)"),
+            lit(sentinel))).as(s"__sk_$c"),
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c")
+        )) :+ count(lit(1)).as("__n_rows")
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val stats = cols.map { c =>
+          val sk = row.getAs[scala.collection.Seq[Long]](s"__sk_$c")
+            .filter(_ != sentinel)
+          val ndv =
+            if (sk.length < 64) sk.length.toLong
+            else math.floor(63.0 * 1152921504606846976.0 / sk(63).toDouble).toLong
+          (c, ndv, row.getAs[Long](s"__nulls_$c"))
+        }
         val v = GraftSink.listVersions(p).last
         GraftSink.writeColStats(p, v, stats)
         Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))

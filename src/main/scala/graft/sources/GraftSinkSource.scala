@@ -623,6 +623,28 @@ object GraftSink {
       try out.write(body) finally out.close()
     }
 
+  /** In-place ATOMIC rewrite of an existing snapshot file. Reserved for
+    * expire-time GC surgery that provably preserves every kept
+    * snapshot's VISIBLE rows (applying a delete vector that every
+    * surviving reference agrees on) — never a commit path: the
+    * version number, ts, and ref attribution are preserved verbatim. */
+  private[sources] def rewriteManifestInPlace(path: String, v: Int, m: Manifest): Unit =
+    atomicOverwrite(fs(path), new HPath(path, manifestName(Some(v))),
+      serializeManifest(m))
+
+  /** Re-sync the main pointer's COPIED body with the version it
+    * mirrors (matched by commit ts) after an in-place snapshot
+    * rewrite — without this, pointer readers would keep serving
+    * manifest lines that name since-GC'd files. */
+  private[sources] def refreshPointerContent(path: String): Unit =
+    for (ptr <- readManifest(path); pts <- ptr.ts) {
+      listVersions(path).reverseIterator
+        .flatMap(v => readManifest(path, Some(v)))
+        .find(_.ts.contains(pts))
+        .foreach(m => atomicOverwrite(fs(path), new HPath(path, MANIFEST),
+          serializeManifest(m)))
+    }
+
   /** GUARDED, FIX-FORWARD pointer move (closes the pointer-regression
     * race): a winner that stalls between its slot claim and its pointer
     * write must never overwrite a NEWER commit's pointer with its older

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -157,5 +158,173 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     spark.sql(s"DELETE FROM $cat.ns.cow13 WHERE k = 2")
     spark.table(s"$cat.ns.cow13").orderBy("k").as[(Long, String)].collect() shouldBe
       Seq((1L, "a"), (3L, "c"), (9L, "z"))
+  }
+
+  test("expectedBaseTs write option: a rewrite planned against a moved base refuses on its first attempt") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ebt13")
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").writeTo(s"$cat.ns.ebt13").create()
+    val p = tablePath("ebt13")
+    val plannedBase = GraftSink.mainHead(p).flatMap(_.ts).get
+    // interloper: the head moves after the rewrite "planned"
+    Seq((3L, 30L)).toDF("k", "v").writeTo(s"$cat.ns.ebt13").append()
+    val ex = intercept[Exception] {
+      spark.table(s"$cat.ns.ebt13")
+        .write.format("graftsink").mode("overwrite")
+        .option("path", p).option("expectedBaseTs", plannedBase.toString)
+        .save()
+    }
+    ex.getMessage should include("concurrent commit")
+    // the interloper's row survives — nothing was clobbered
+    spark.table(s"$cat.ns.ebt13").count() shouldBe 3L
+    // with a FRESH base the same rewrite commits
+    val fresh = GraftSink.mainHead(p).flatMap(_.ts).get
+    spark.table(s"$cat.ns.ebt13").filter(col("k") =!= 2)
+      .write.format("graftsink").mode("overwrite")
+      .option("path", p).option("expectedBaseTs", fresh.toString).save()
+    spark.table(s"$cat.ns.ebt13").orderBy("k").as[(Long, Long)].collect() shouldBe
+      Seq((1L, 10L), (3L, 30L))
+  }
+
+  // ------------------------------------------------------------------
+  // k-dimensional Z-order with write-path stats (q414 / q407 engine)
+  // ------------------------------------------------------------------
+
+  test("3-dim zorder: per-dim in-writer stats on every file; a 3-dim corner query provably plans fewer files") {
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.zo3")
+    // a 16x16x16 cube: adversarial for any single-column sort
+    spark.range(0, 4096)
+      .selectExpr("id AS k", "id % 16 AS c", "(id div 16) % 16 AS d", "id div 256 AS e")
+      .writeTo(s"$cat.ns.zo3").create()
+    val audit = spark.sql(s"CALL $cat.sys.zorder('ns.zo3', 'c, d, e', 16)").collect().head
+    audit.getLong(1) shouldBe 16L
+    val p = tablePath("zo3")
+    val mf = GraftSink.readManifest(p).get
+    mf.files should have size 16
+    // every file carries min/max envelopes on ALL THREE dims — written
+    // by the writer tasks themselves (statsCols), no stats job ran
+    mf.files.foreach { l =>
+      GraftSink.entryStatsAll(l).map(_._1).toSet shouldBe Set("c", "d", "e")
+    }
+    // the 8x8x8 corner (1/8 of the cube) is one Z block: planning must
+    // prune most of the 16 files
+    val q = spark.table(s"$cat.ns.zo3")
+      .filter(col("c") <= 7 && col("d") <= 7 && col("e") <= 7)
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.size
+    withClue(s"3-dim corner planned $planned of ${mf.files.size} files: ") {
+      planned should be <= 4
+    }
+    // pruning never changes the result
+    q.count() shouldBe 512L
+    // single-dim predicates prune too (the Z property holds per dim)
+    val s2 = spark.table(s"$cat.ns.zo3").filter(col("e") === 2)
+      .queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputPartitions.size
+    s2 should be < 16
+    // arity guards: 1 and 5 columns refuse
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.zorder('ns.zo3', 'c', 4)")
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.sys.zorder('ns.zo3', 'c, d, e, k, c', 4)")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Sketch-backed ANALYZE (q415)
+  // ------------------------------------------------------------------
+
+  test("analyze_sketch: exact below k, banded estimate above k, same staleness contract as analyze_table") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.sk13")
+    // wide: 500 distinct (estimation path); narrow: 7 distinct with
+    // nulls (exact path — the sketch IS the distinct set below k=64)
+    spark.range(0, 1000)
+      .selectExpr("id % 500 AS wide",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id % 7 END AS narrow")
+      .writeTo(s"$cat.ns.sk13").create()
+    spark.sql(s"CALL $cat.sys.analyze_sketch('ns.sk13')").collect()
+      .head.getLong(2) shouldBe 1000L
+    val st = spark.table(s"$cat.ns.sk13.column_stats")
+      .select(col("col_name"), col("ndv"), col("nulls"), col("stale"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    st("narrow")._1 shouldBe 7L // below k: exact by construction
+    st("narrow")._2 shouldBe 200L // null counts stay exact
+    st("narrow")._3 shouldBe false
+    // above k: KMV(64) estimate — stderr ~1/sqrt(64)=12.5%; band at 4 sigma
+    val est = st("wide")._1
+    withClue(s"KMV estimate $est for true NDV 500: ") {
+      est should be >= 250L
+      est should be <= 750L
+    }
+    // staleness is structural: ANY later commit stales the stats
+    Seq((9999L, 1L)).toDF("wide", "narrow").writeTo(s"$cat.ns.sk13").append()
+    spark.table(s"$cat.ns.sk13.column_stats")
+      .filter(col("stale") === false).count() shouldBe 0L
+  }
+
+  // ------------------------------------------------------------------
+  // DV-aware expire_snapshots
+  // ------------------------------------------------------------------
+
+  test("expire applies a universally-agreed delete vector: manifests shrink, reads stay byte-identical") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dvx13")
+    Seq.tabulate(20)(i => (i.toLong, s"v$i")).toDF("k", "s")
+      .writeTo(s"$cat.ns.dvx13")
+      .tableProperty("write.mode", "merge-on-read").create() // v1+v2
+    spark.sql(s"DELETE FROM $cat.ns.dvx13 WHERE k % 5 = 0")  // v3: DV, no rewrite
+    Seq((100L, "x")).toDF("k", "s").writeTo(s"$cat.ns.dvx13").append() // v4
+    val p = tablePath("dvx13")
+    val before = spark.table(s"$cat.ns.dvx13").orderBy("k").collect().toSeq
+    // v3 and v4 both reference the original file with the SAME dv
+    val dvBefore = GraftSink.readManifest(p).get.files
+      .map(GraftSink.entryDeletes).map(_.length).sum
+    dvBefore should be > 0
+    // keep=2 keeps v3+v4 — every surviving reference agrees on the dv,
+    // so expire applies it physically
+    val audit = spark.sql(s"CALL $cat.sys.expire_snapshots('ns.dvx13', 2)")
+      .collect().head
+    audit.getLong(0) shouldBe 2L // v1, v2 dropped
+    // dead position lists left EVERY retained manifest (incl. the
+    // pointer copy) ...
+    GraftSink.listVersions(p).foreach { v =>
+      GraftSink.readManifest(p, Some(v)).get.files
+        .flatMap(GraftSink.entryDeletes) shouldBe empty
+    }
+    GraftSink.readManifest(p).get.files
+      .flatMap(GraftSink.entryDeletes) shouldBe empty
+    // ... and reads are byte-identical, head AND time-travel
+    spark.table(s"$cat.ns.dvx13").orderBy("k").collect().toSeq shouldBe before
+    spark.read.format("graftsink").option("path", p)
+      .option("version", "3").load().count() shouldBe 16L // 20 - 4 deleted
+    // metadata row counts adjusted with the applied dv
+    GraftSink.readManifest(p).get.files
+      .flatMap(GraftSink.entryRows).sum shouldBe 17L // 16 survivors + 1 append
+    // a file whose kept snapshots DISAGREE on the dv is left alone
+    // (coalesce(1): both DELETEs must hit the SAME file — across
+    // different files the per-file signatures agree and applying is
+    // correct, which is scenario 1)
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.dvy13")
+    Seq.tabulate(10)(i => (i.toLong, s"v$i")).toDF("k", "s").coalesce(1)
+      .writeTo(s"$cat.ns.dvy13")
+      .tableProperty("write.mode", "merge-on-read").create() // v1+v2
+    spark.sql(s"DELETE FROM $cat.ns.dvy13 WHERE k = 1") // v3: dv [1]
+    spark.sql(s"DELETE FROM $cat.ns.dvy13 WHERE k = 2") // v4: dv [1,2]
+    val py = tablePath("dvy13")
+    val beforeY = spark.table(s"$cat.ns.dvy13").orderBy("k").collect().toSeq
+    spark.sql(s"CALL $cat.sys.expire_snapshots('ns.dvy13', 2)").collect() // keeps v3+v4
+    // v3 sees dv [1], v4 sees [1,2] — signatures differ, nothing applied
+    GraftSink.readManifest(py).get.files
+      .flatMap(GraftSink.entryDeletes).length shouldBe 2
+    spark.table(s"$cat.ns.dvy13").orderBy("k").collect().toSeq shouldBe beforeY
   }
 }
