@@ -814,39 +814,52 @@ object Evaluation extends QueryPack {
       val li = Tables.lineitem(s, dir)
         .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
           expr(md5mod("concat(cast(l_orderkey as string), '|', cast(l_linenumber as string))", 3)).as("part"))
-      val coef = olsCoef(li.filter(col("part") === 0))
-      // contract FIRST: both the calibration order statistic and the
-      // test coverage only need per-(part, rounded-residual) COUNTS, so
-      // the fact never materializes — one pruned scan feeds one partial-
-      // agg shuffle of (part, r, c) triples, and the two consumers below
-      // share that exchange via ReuseExchange (the q181 recipe; replaces
-      // a fact-sized localCheckpoint that cost 1.5x the baseline row and
-      // would be an executor-storage pin of 2/3 of the fact at 100 TB)
-      val rc = li.filter(col("part") =!= 0).crossJoin(broadcast(coef))
-        .withColumn("r", round(abs(expr("y - (icept + slope * x)")), 6))
-        .groupBy(col("part"), col("r"))
-        .agg(count(lit(1)).as("c"), max(col("n_train")).as("n_train"))
-      // rc is unique per (part, r) — the calibration cell frame is a
-      // straight projection
-      val g = rc.filter(col("part") === 1)
-        .select(col("r").as("v"), col("c").as("c1"), lit(0L).as("c2"))
-      // conditional min so n_cal survives even when no value reaches k
-      // (n_cal < ⌈(n_cal+1)·0.9⌉ ⇒ the 90% conformal radius does not
-      // exist at this calibration size — q̂ and coverage are NULL, not 0)
-      val qhat = Science.cumCounts(s, g)
-        .agg(min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("v"))).as("qhat"),
-          max(col("n1")).as("n_cal"))
-      // GLOBAL aggregate (not a groupBy on the broadcast columns): the
-      // oracle's grand aggregate yields one row even when the md5
-      // split leaves the test part empty — a grouped agg would yield
-      // zero rows there and fail shape parity on degenerate inputs
-      rc.filter(col("part") === 2).crossJoin(broadcast(qhat))
-        .agg(max(col("n_train")).as("n_train"), max(col("n_cal")).as("n_cal"),
-          coalesce(sum(col("c")), lit(0L)).as("n_test"), max(col("qhat")).as("qhat_x"),
-          sum(when(col("r") <= col("qhat"), col("c")).otherwise(0L)).as("n_covered"))
-        .select(col("n_train"), col("n_cal"), col("n_test"),
+      // The OLS coefficients are ONE aggregate row — collected and
+      // inlined as LITERALS (the cumCounts counter-collect class of
+      // driver read, an aggregate result, never data): left as a
+      // broadcast subtree they are RE-COMPUTED per consumer (the eager
+      // cumCounts boundary blocks ReuseExchange) and every recompute is
+      // a full md5-hashing scan of the fact.
+      val cr = olsCoef(li.filter(col("part") === 0)).collect()(0)
+      def d(i: Int) = if (cr.isNullAt(i)) lit(null).cast("double") else lit(cr.getDouble(i))
+      val slopeL = d(1)
+      val iceptL = d(2)
+      val nTrainL = lit(cr.getLong(0))
+      // ONE contraction feeds BOTH branches: per-residual-value counts
+      // split into the two md5 parts as [[Science.cumCounts]]' two
+      // CHANNELS. The calibration order statistic reads channel 1's
+      // prefix sums; the test coverage is channel 2's prefix sum AT q̂
+      // (cum2 is nondecreasing in v, so min(cum2) over rows with
+      // cum1 ≥ k IS cum2 at q̂; q̂ itself is unchanged — a test-only
+      // value below the k-th calibration value cannot reach cum1 = k).
+      // One pruned scan, one cell-frame shuffle, no fact-sized
+      // materialization and no re-scan: a per-branch filter here would
+      // push THROUGH the aggregate into the scan, split the subtrees,
+      // defeat ReuseExchange, and hash-scan lineitem (md5 per row)
+      // once per branch — the measured 1.8x of round 12's shape.
+      val rc = li.filter(col("part") =!= 0)
+        .withColumn("r", round(abs(col("y") - (iceptL + slopeL * col("x"))), 6))
+        .groupBy(col("r"))
+        .agg(sum(when(col("part") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("part") === 2, 1L).otherwise(0L)).as("c2"))
+      val cc = Science.cumCounts(s,
+        rc.select(col("r").as("v"), col("c1"), col("c2")))
+      // conditional min so q̂ is NULL (not 0) when no value reaches k;
+      // n_cal/n_train NULL-parity with the oracle's test-partition
+      // aggregates on degenerate inputs (empty calibration → n1 = 0 →
+      // NULL; empty test part → n_train NULL, n_test 0, coverage NULL)
+      cc.agg(
+          min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("v"))).as("qhat_x"),
+          max(when(col("n1") > 0, col("n1"))).as("n_cal"),
+          max(col("n2")).as("n_test0"),
+          min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("cum2"))).as("n_covered"))
+        .select(
+          when(col("n_test0") > 0, nTrainL).as("n_train"),
+          col("n_cal"),
+          coalesce(col("n_test0"), lit(0L)).as("n_test"),
           round(col("qhat_x"), 6).as("qhat"),
-          round(expr("CASE WHEN qhat_x IS NULL THEN NULL ELSE n_covered / cast(n_test as double) END"), 6).as("coverage"),
+          round(expr("CASE WHEN qhat_x IS NULL OR n_test0 = 0 THEN NULL "
+            + "ELSE n_covered / cast(n_test0 as double) END"), 6).as("coverage"),
           round(expr("2.0d * qhat_x"), 6).as("interval_width"))
     }),
 

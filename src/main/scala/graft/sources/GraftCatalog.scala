@@ -981,13 +981,24 @@ object GraftCatalog {
         val base = GraftSink.mainHead(p).getOrElse(
           throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
         val sp = org.apache.spark.sql.SparkSession.active
-        sp.read.format("graftsink").option("path", p).load()
+        // preserve the file-skipping index across compaction: re-track
+        // every stats column the base snapshot's entries record
+        // (Iceberg compactions keep column metrics — dropping them
+        // would silently degrade pruning after every compact). The
+        // coalesced files' envelopes are wider but still exact.
+        val schema0 = StructType.fromDDL(base.ddl)
+        val statCols = base.files
+          .flatMap(l => GraftSink.entryStatsAll(l).map(_._1)).distinct
+          .filter(c => schema0.fieldNames.contains(c) &&
+            schema0(schema0.fieldIndex(c)).dataType == LongType)
+        val w = sp.read.format("graftsink").option("path", p).load()
           .coalesce(n)
           .write.format("graftsink").mode("overwrite").option("path", p)
           // same lost-update guard as zorder: the rewrite's content is
           // the base snapshot; a commit landing mid-compact refuses
           .option("expectedBaseTs", base.ts.map(_.toString).getOrElse("none"))
-          .save()
+        (if (statCols.nonEmpty) w.option("statsCols", statCols.mkString(","))
+         else w).save()
         val m = GraftSink.mainHead(p).get
         Array[Any](GraftSink.listVersions(p).last.toLong,
           base.files.size.toLong, m.files.size.toLong)

@@ -270,6 +270,33 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
       .filter(col("stale") === false).count() shouldBe 0L
   }
 
+  test("compact preserves the file-skipping stats the base snapshot recorded") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.cps13")
+    spark.sql(s"CREATE TABLE $cat.ns.cps13 (k BIGINT, v BIGINT)")
+    val p = tablePath("cps13")
+    // clustered write records per-file min/max of k
+    spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+      .write.format("graftsink").mode("append")
+      .option("path", p).option("clusterBy", "k").option("layout", "range")
+      .option("shards", "8").save()
+    GraftSink.readManifest(p).get.files
+      .flatMap(GraftSink.entryStatsAll).map(_._1).distinct shouldBe Seq("k")
+    spark.sql(s"CALL $cat.sys.compact('ns.cps13', 2)").collect()
+    val mf = GraftSink.readManifest(p).get
+    mf.files.filter(l => GraftSink.entryRows(l).exists(_ > 0)).foreach { l =>
+      withClue(s"compacted entry lost its stats: $l ") {
+        GraftSink.entryStatsAll(l).map(_._1) shouldBe Seq("k")
+      }
+    }
+    // envelopes stay exact: the recorded global min/max equal the data's
+    val exts = mf.files.flatMap(GraftSink.entryStatsAll)
+    exts.map(_._2).min shouldBe 0L
+    exts.map(_._3).max shouldBe 999L
+    spark.table(s"$cat.ns.cps13").count() shouldBe 1000L
+  }
+
   // ------------------------------------------------------------------
   // DV-aware expire_snapshots
   // ------------------------------------------------------------------
