@@ -1687,6 +1687,37 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL ANALYZE (q415's sketch, maintained incrementally):
+    // analyze the even-orderkey half, append the odd half as ONE file,
+    // re-analyze — the second pass streams ONLY the appended file
+    // (files_resketched = 1, via the scan's `files` subset option:
+    // planning-level pruning, real incremental I/O) and MERGES with the
+    // per-file sketches the first pass stored in `_colsketch`. The
+    // bottom-k merge identity makes the merged estimate BIT-IDENTICAL
+    // to a full resketch, so the oracle is the same full-table md5 +
+    // row_number replay as q415 — a wrong merge cannot hash-match.
+    "q416_analyze_incremental" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.an416")
+      val src = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderpriority"), col("o_orderkey"))
+      src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .writeTo("graft.g.an416").create()                           // v1+v2
+      s.sql("CALL graft.sys.analyze_sketch('g.an416')").collect()    // full pass
+      src.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_custkey"), col("o_orderpriority"))
+        .coalesce(1).writeTo("graft.g.an416").append()               // v3, one file
+      val audit = s.sql("CALL graft.sys.analyze_sketch('g.an416')")  // incremental
+        .select(col("analyzed_version"), col("n_cols"), col("n_rows"),
+          col("files_resketched"))
+      s.table("graft.g.an416.column_stats")
+        .select(col("col_name"), col("ndv"), col("nulls"), col("stale"))
+        .crossJoin(broadcast(audit))
+        .orderBy(col("col_name"))
+    }),
+
+    // ------------------------------------------------------------------
     // ATOMIC CTAS / RTAS (StagingTableCatalog — the all-or-nothing half
     // of the DDL surface): CTAS writes v1+v2 into a HIDDEN stage dir
     // and publishes by ONE directory rename (a failed CTAS leaves no
@@ -2079,6 +2110,31 @@ object Sources extends QueryPack {
         + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE pri IS NULL)) "
         + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(2 AS BIGINT) AS analyzed_version, "
         + "CAST(3 AS BIGINT) AS n_cols, n_rows FROM s CROSS JOIN a ORDER BY col_name"),
+    // q416: the incrementally-merged sketch must equal the full-table
+    // replay (bottom-k merge identity); create(v1+v2) + append = v3,
+    // the second analyze resketches exactly the one appended file.
+    "q416_analyze_incremental" ->
+      ("WITH base AS (SELECT o_custkey, o_orderpriority FROM orders), "
+        + "a AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base), "
+        + "ck AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd "
+        + "FROM (SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS h "
+        + "FROM base WHERE o_custkey IS NOT NULL)), "
+        + "ce AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) "
+        + "ELSE CAST(floor((63.0 * 1152921504606846976.0) / "
+        + "CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT) END AS ndv FROM ck), "
+        + "pk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS nd "
+        + "FROM (SELECT DISTINCT CAST('0x' || substr(md5(o_orderpriority), 1, 15) AS BIGINT) AS h "
+        + "FROM base WHERE o_orderpriority IS NOT NULL)), "
+        + "pe AS (SELECT CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT) "
+        + "ELSE CAST(floor((63.0 * 1152921504606846976.0) / "
+        + "CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE)) AS BIGINT) END AS ndv FROM pk), "
+        + "s AS (SELECT 'o_custkey' AS col_name, (SELECT ndv FROM ce) AS ndv, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_custkey IS NULL) AS nulls "
+        + "UNION ALL SELECT 'o_orderpriority', (SELECT ndv FROM pe), "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE o_orderpriority IS NULL)) "
+        + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(3 AS BIGINT) AS analyzed_version, "
+        + "CAST(2 AS BIGINT) AS n_cols, n_rows, CAST(1 AS BIGINT) AS files_resketched "
+        + "FROM s CROSS JOIN a ORDER BY col_name"),
     // q390: v2 = full customer rows; v3 = the RTAS rollup; 3 snapshots.
     "q390_ctas_atomic" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "

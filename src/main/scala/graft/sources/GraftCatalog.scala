@@ -1355,53 +1355,122 @@ object GraftCatalog {
         Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))
       })),
     "analyze_sketch" -> (cat => new GraftProcedure(cat, "analyze_sketch",
-      "analyze_sketch(tbl): approximate ANALYZE — per-column KMV(64) NDV estimates + exact null counts in one pass, stored for the planner",
+      "analyze_sketch(tbl): approximate INCREMENTAL ANALYZE — per-column KMV(64) NDV + exact null counts, re-sketching only new/changed files",
       Array(ProcedureParameter.in("tbl", StringType).build()),
       new StructType().add("analyzed_version", LongType).add("n_cols", LongType)
-        .add("n_rows", LongType),
+        .add("n_rows", LongType).add("files_resketched", LongType),
       (cat0, args) => {
-        // Sketch-backed ANALYZE (the Iceberg puffin-sketch economics
-        // analyze_table's doc promises at 100 TB): per-column NDV from
-        // the bottom-64 KMV of the portable md5 hash — the SAME
-        // mergeable sketch q245 oracles — so a stats refresh is one
-        // pass of cheap hashing with 512 bytes of state per column
-        // (and per-FILE sketches would merge incrementally at cluster
-        // scale; exact count(distinct) re-expands every value through
-        // an Expand ×#cols). The estimate is md5-DETERMINISTIC, so the
-        // DuckDB oracle replays it EXACTLY: <64 surviving hashes →
-        // the sketch IS the distinct set (estimate exact by
-        // construction); at 64 → floor(63·2^60 / kth_min). NULL rows
-        // hash to the Long.MaxValue sentinel — real hashes are 60-bit,
-        // so the sentinel survives only in a <64-value sketch and is
-        // dropped before sizing. Null counts stay exact. Serving,
-        // staleness, and the pruned-scan refusal ride the identical
-        // `_colstats` contract as analyze_table.
+        // Sketch-backed INCREMENTAL ANALYZE (the Iceberg puffin-sketch
+        // economics analyze_table's doc promises at 100 TB): per-column
+        // NDV from the bottom-64 KMV of the portable md5 hash — q245's
+        // mergeable sketch. Sketches are kept PER (file, column) in the
+        // `_colsketch` sidecar, keyed by the file's delete-vector
+        // signature: a re-analyze streams ONLY files that are new or
+        // whose DV changed (through the scan's `files` subset option —
+        // planning-level pruning, real incremental I/O) and MERGES with
+        // the stored sketches. The bottom-k merge identity makes this
+        // EXACT: every element of the global bottom-64 is in its own
+        // file's bottom-64, so bottom-64(union of per-file bottom-64s)
+        // equals bottom-64(all values) — the incremental estimate is
+        // bit-identical to a full resketch, and the DuckDB oracle
+        // replays it (md5 + row_number; <64 survivors → the exact
+        // distinct count, at 64 → floor(63·2^60 / kth_min)). NULL rows
+        // hash to the Long.MaxValue sentinel (real hashes are 60-bit —
+        // dropped at merge); null/row counts per file are exact and
+        // DV-aware (the subset read applies DVs like any scan).
+        // Serving, staleness, and the pruned-scan refusal ride the
+        // identical `_colstats` contract as analyze_table.
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
         val sp = org.apache.spark.sql.SparkSession.active
         import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, sum, udaf, when}
-        val kmv = udaf(graft.functions.KmvAggregator,
-          org.apache.spark.sql.Encoders.scalaLong)
-        val df = sp.read.format("graftsink").option("path", p).load()
-        val cols = df.schema.fieldNames.toSeq
+        val m = GraftSink.mainHead(p).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
+        val cols = StructType.fromDDL(m.ddl).fieldNames.toSeq
         val sentinel = Long.MaxValue
-        val aggs = cols.flatMap(c => Seq(
-          kmv(coalesce(
-            expr(s"md5_mod(cast(`$c` as string), ${sentinel}L)"),
-            lit(sentinel))).as(s"__sk_$c"),
-          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c")
-        )) :+ count(lit(1)).as("__n_rows")
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        // current file states: name -> dv signature
+        val current: Seq[(String, String)] = m.files.map(l =>
+          GraftSink.entryName(l) -> GraftSink.entryDeletes(l).mkString(","))
+        // stored sidecar: (file, dvsig) -> col -> (rows, nulls, sketch)
+        val sidecar = new HPath(p, "_colsketch")
+        val f = GraftSink.fs(p)
+        val stored: Map[(String, String), Map[String, (Long, Long, Array[Long])]] =
+          if (!f.exists(sidecar)) Map.empty
+          else {
+            val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+              f.open(sidecar), java.nio.charset.StandardCharsets.UTF_8))
+            try Iterator.continually(in.readLine()).takeWhile(_ != null)
+              .filter(_.nonEmpty).map { line =>
+                val t = line.split("\t", -1)
+                ((t(0), t(1)), t(2), (t(3).toLong, t(4).toLong,
+                  t(5).split(",").filter(_.nonEmpty).map(_.toLong)))
+              }.toSeq.groupBy(_._1)
+              .map { case (k, vs) => k -> vs.map(x => x._2 -> x._3).toMap }
+            finally in.close()
+          }
+        // a file is reusable iff its (name, dvsig) entry covers EVERY
+        // current column (schema evolution resketches the file)
+        val reusable = current.filter { case (n, sig) =>
+          stored.get((n, sig)).exists(cm => cols.forall(cm.contains))
+        }.toMap
+        val resketch = current.collect { case (n, sig) if !reusable.contains(n) => (n, sig) }
+        val fresh: Map[(String, String), Map[String, (Long, Long, Array[Long])]] =
+          if (resketch.isEmpty) Map.empty
+          else {
+            val kmv = udaf(graft.functions.KmvAggregator,
+              org.apache.spark.sql.Encoders.scalaLong)
+            val df = sp.read.format("graftsink").option("path", p)
+              .option("files", resketch.map(_._1).mkString(",")).load()
+            val aggs = cols.flatMap(c => Seq(
+              kmv(coalesce(
+                expr(s"md5_mod(cast(`$c` as string), ${sentinel}L)"),
+                lit(sentinel))).as(s"__sk_$c"),
+              coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nulls_$c")
+            )) :+ count(lit(1)).as("__n")
+            val sigOf = resketch.toMap
+            df.groupBy(col("_file").as("__f"))
+              .agg(aggs.head, aggs.tail: _*)
+              .collect().map { r =>
+                val n = r.getAs[String]("__f")
+                (n, sigOf(n)) -> cols.map { c =>
+                  c -> ((r.getAs[Long]("__n"), r.getAs[Long](s"__nulls_$c"),
+                    r.getAs[scala.collection.Seq[Long]](s"__sk_$c").toArray))
+                }.toMap
+              }.toMap
+          }
+        // a subset-planned scan returns no group for an all-deleted
+        // file — record an empty sketch so the next analyze reuses it
+        // instead of re-streaming
+        val freshAll = resketch.map { case (n, sig) =>
+          (n, sig) -> fresh.getOrElse((n, sig),
+            cols.map(c => c -> ((0L, 0L, Array.empty[Long]))).toMap)
+        }.toMap
+        val perFile: Map[(String, String), Map[String, (Long, Long, Array[Long])]] =
+          reusable.map { case (n, sig) => (n, sig) -> stored((n, sig)) } ++ freshAll
+        // merge: bottom-64 of the per-file bottom-64 union (exact), Σ
+        // nulls, Σ visible rows (any one column carries the row count)
         val stats = cols.map { c =>
-          val sk = row.getAs[scala.collection.Seq[Long]](s"__sk_$c")
-            .filter(_ != sentinel)
+          val parts = perFile.values.map(_(c)).toSeq
+          val sk = parts.flatMap(_._3).filter(_ != sentinel)
+            .distinct.sorted.take(64)
           val ndv =
             if (sk.length < 64) sk.length.toLong
             else math.floor(63.0 * 1152921504606846976.0 / sk(63).toDouble).toLong
-          (c, ndv, row.getAs[Long](s"__nulls_$c"))
+          (c, ndv, parts.map(_._2).sum)
         }
+        val nRows = perFile.values
+          .map(fm => cols.headOption.fold(0L)(c => fm(c)._1)).sum
         val v = GraftSink.listVersions(p).last
         GraftSink.writeColStats(p, v, stats)
-        Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))
+        // rewrite the sidecar for exactly the CURRENT files (entries of
+        // rewritten/expired files drop out), atomically
+        val body = perFile.toSeq.sortBy(_._1).flatMap { case ((n, sig), cm) =>
+          cols.map { c =>
+            val (rw, nl, sk) = cm(c)
+            s"$n\t$sig\t$c\t$rw\t$nl\t${sk.mkString(",")}"
+          }
+        }.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        GraftSink.atomicOverwrite(f, sidecar, body)
+        Array[Any](v.toLong, cols.length.toLong, nRows, resketch.size.toLong)
       })))
 
   /** V2 UnboundFunctions over the repo's native kernels. Each bound

@@ -1135,12 +1135,21 @@ class GraftSinkTable(path: String, declared: StructType,
         if (grouped) require(GraftSink.partitionColsOf(path).nonEmpty ||
           GraftSink.bucketSpecOf(path).isDefined,
           "graftsink: option 'grouped' requires a partitioned table")
+        // `files=a,b,c` restricts PLANNING to the named manifest entries
+        // (unknown names refuse loudly) — the incremental-maintenance
+        // read surface: a stats refresh or per-file audit reads exactly
+        // the files that changed, never the table (analyze_sketch's
+        // incremental pass)
+        val filesSubset = Option(options.get("files"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .filter(_.nonEmpty)
         new GraftSinkScanBuilder(path, schema(), version,
           // grouped scans opt out of runtime filtering: a post-planning
           // narrowing would change the reported partition-value list
           // AFTER outputPartitioning was consulted (graftseq's keyed
           // contract, ADVICE r9)
-          runtimeFiltering = !grouped, grouped = grouped)
+          runtimeFiltering = !grouped, grouped = grouped,
+          filesSubset = filesSubset)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2181,7 +2190,8 @@ class GraftSinkPartitionedStreamingWrite(path: String, schema: StructType,
 class GraftSinkScanBuilder(path: String, full: StructType,
     version: Option[Int] = None,
     runtimeFiltering: Boolean = true,
-    grouped: Boolean = false)
+    grouped: Boolean = false,
+    filesSubset: Option[Set[String]] = None)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -2290,7 +2300,7 @@ class GraftSinkScanBuilder(path: String, full: StructType,
     if (countPushed) new GraftSinkCountScan(path, version)
     else {
       val s = new GraftSinkScan(path, full, required, version, envelopes,
-        partAllowed, grouped)
+        partAllowed, grouped, filesSubset)
       s.allowRuntimeFiltering = runtimeFiltering
       s
     }
@@ -2347,7 +2357,8 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
     version: Option[Int] = None,
     envelopes: Map[String, (Long, Long)] = Map.empty,
     partAllowed: Map[String, Set[String]] = Map.empty,
-    grouped: Boolean = false)
+    grouped: Boolean = false,
+    filesSubset: Option[Set[String]] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -2436,7 +2447,20 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   /** The SURVIVING manifest lines after stats-envelope file skipping. */
   private def plannedLines: Seq[String] = {
     val m = manifest
-    m.files.filter { line =>
+    // explicit file-subset planning (option `files`): restrict to the
+    // named entries, refusing unknown names LOUDLY — a silently-ignored
+    // typo would read as "file already sketched/maintained"
+    val base = filesSubset match {
+      case Some(sub) =>
+        val names = m.files.map(GraftSink.entryName).toSet
+        val missing = sub -- names
+        require(missing.isEmpty,
+          s"graftsink: option 'files' names entries not in the snapshot: " +
+            s"${missing.toSeq.sorted.mkString(", ")}")
+        m.files.filter(l => sub(GraftSink.entryName(l)))
+      case None => m.files
+    }
+    base.filter { line =>
       // FILE SKIPPING: a file whose recorded [min, max] misses the
       // pushed envelope for that column is never planned (files with
       // no stats, or stats on other columns, always survive)

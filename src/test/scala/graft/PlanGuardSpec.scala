@@ -304,7 +304,8 @@ class PlanGuardSpec extends AnyFunSuite with Matchers with SharedSpark {
     "q407_sink_zorder",  // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
     "q409_kendall_tau",  // <= (value-decile x 24h) cells, checkpointed, both pair-join sides (q136's shape)
     "q414_zorder_kdim",  // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
-    "q415_analyze_sketch" // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q415_analyze_sketch", // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
+    "q416_analyze_incremental" // cross vs the 1-row CALL audit (LocalScan, not stats-provable)
   )
 
   test("no query plans a cartesian product, and every nested-loop join broadcasts a provably bounded frame") {

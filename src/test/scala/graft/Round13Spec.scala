@@ -297,6 +297,47 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     spark.table(s"$cat.ns.cps13").count() shouldBe 1000L
   }
 
+  test("incremental analyze: appends resketch only new files, DV changes resketch their file, merge equals full") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ia13")
+    spark.range(0, 400).selectExpr("id % 150 AS w", "id % 7 AS nr")
+      .coalesce(2).writeTo(s"$cat.ns.ia13")
+      .tableProperty("write.mode", "merge-on-read").create()
+    val a1 = spark.sql(s"CALL $cat.sys.analyze_sketch('ns.ia13')").collect().head
+    a1.getLong(2) shouldBe 400L
+    val full1 = a1.getLong(3) // every file sketched on the first pass
+    full1 should be >= 1L
+    val ndv1 = spark.table(s"$cat.ns.ia13.column_stats")
+      .filter(col("col_name") === "w").collect().head.getLong(1)
+    // append ONE file → exactly one file resketched
+    spark.range(1000, 1100).selectExpr("id AS w", "id % 7 AS nr")
+      .coalesce(1).writeTo(s"$cat.ns.ia13").append()
+    val a2 = spark.sql(s"CALL $cat.sys.analyze_sketch('ns.ia13')").collect().head
+    a2.getLong(2) shouldBe 500L
+    a2.getLong(3) shouldBe 1L
+    // the merged estimate equals a FULL resketch: force one by dropping
+    // the sidecar and re-analyzing
+    val merged = spark.table(s"$cat.ns.ia13.column_stats")
+      .filter(col("col_name") === "w").collect().head.getLong(1)
+    merged should be > ndv1
+    GraftSink.fs(tablePath("ia13")).delete(
+      new org.apache.hadoop.fs.Path(tablePath("ia13"), "_colsketch"), false)
+    val a3 = spark.sql(s"CALL $cat.sys.analyze_sketch('ns.ia13')").collect().head
+    a3.getLong(3) should be > 1L // everything resketched
+    spark.table(s"$cat.ns.ia13.column_stats")
+      .filter(col("col_name") === "w").collect().head.getLong(1) shouldBe merged
+    // a DV change (MOR delete) invalidates exactly the touched file's
+    // sketch — and null/row counts follow the VISIBLE rows
+    spark.sql(s"DELETE FROM $cat.ns.ia13 WHERE w = 1000")
+    val a4 = spark.sql(s"CALL $cat.sys.analyze_sketch('ns.ia13')").collect().head
+    a4.getLong(2) shouldBe 499L
+    a4.getLong(3) shouldBe 1L // only the DV'd file re-streamed
+    // nothing changed → zero files resketched (pure metadata pass)
+    spark.sql(s"CALL $cat.sys.analyze_sketch('ns.ia13')")
+      .collect().head.getLong(3) shouldBe 0L
+  }
+
   // ------------------------------------------------------------------
   // DV-aware expire_snapshots
   // ------------------------------------------------------------------
