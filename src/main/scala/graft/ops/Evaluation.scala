@@ -845,9 +845,11 @@ object Evaluation extends QueryPack {
       val cc = Science.cumCounts(s,
         rc.select(col("r").as("v"), col("c1"), col("c2")))
       // conditional min so q̂ is NULL (not 0) when no value reaches k;
-      // n_cal/n_train NULL-parity with the oracle's test-partition
-      // aggregates on degenerate inputs (empty calibration → n1 = 0 →
-      // NULL; empty test part → n_train NULL, n_test 0, coverage NULL)
+      // EVERY output except n_test gates on n_test0 > 0 for NULL-parity
+      // with the oracle's grand aggregate over the test partition: an
+      // empty test part zeroes that aggregate's input, so qhat/n_cal/
+      // interval_width (computable from calibration alone here) must
+      // still surface as NULL exactly like n_train and coverage do
       cc.agg(
           min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("v"))).as("qhat_x"),
           max(when(col("n1") > 0, col("n1"))).as("n_cal"),
@@ -855,12 +857,12 @@ object Evaluation extends QueryPack {
           min(when(col("cum1") >= expr("ceil((n1 + 1) * 0.9d)"), col("cum2"))).as("n_covered"))
         .select(
           when(col("n_test0") > 0, nTrainL).as("n_train"),
-          col("n_cal"),
+          when(col("n_test0") > 0, col("n_cal")).as("n_cal"),
           coalesce(col("n_test0"), lit(0L)).as("n_test"),
-          round(col("qhat_x"), 6).as("qhat"),
+          round(when(col("n_test0") > 0, col("qhat_x")), 6).as("qhat"),
           round(expr("CASE WHEN qhat_x IS NULL OR n_test0 = 0 THEN NULL "
             + "ELSE n_covered / cast(n_test0 as double) END"), 6).as("coverage"),
-          round(expr("2.0d * qhat_x"), 6).as("interval_width"))
+          round(when(col("n_test0") > 0, expr("2.0d * qhat_x")), 6).as("interval_width"))
     }),
 
     // ------------------------------------------------------------------

@@ -1718,6 +1718,100 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // PARTITION-SPEC EVOLUTION (`CALL graft.sys.set_partitioning` — the
+    // Iceberg spec-id surface): a table's partitioning is POLICY, not
+    // data, so evolving it rewrites nothing — the evolution lands as a
+    // files-unchanged versioned commit, files written under the OLD
+    // spec keep their `part:` tags, and planning prunes PER GENERATION
+    // (the prune-key set is current ∪ history columns: an old-column
+    // predicate skips old-generation files exactly while new-generation
+    // files pass through, and vice versa — a file with no tag for the
+    // pruned column always survives). Post-evolution writes route
+    // through the NEW tuple router. At 100 TB this is the difference
+    // between re-partitioning a table in O(metadata) and an O(table)
+    // rewrite nobody schedules. Mixed-generation partial overwrites and
+    // key-grouped (SPJ) scans REFUSE loudly until a rewrite retags —
+    // Round14Spec pins the commit shape, both pruning generations, and
+    // the refusal matrix; the gen-tag counts here are closed-form
+    // (clustered writes land one file per tuple), so the oracle
+    // certifies the whole history from the raw parquet.
+    "q417_spec_evolution" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.spe417")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 2 === 0)
+        .writeTo("graft.g.spe417")
+        .partitionedBy(col("c_mktsegment")).create()                 // gen 1
+      s.sql("CALL graft.sys.set_partitioning('g.spe417', 'c_nationkey')")
+        .collect()                                                   // metadata commit
+      cust.filter(col("c_custkey") % 2 === 1)
+        .writeTo("graft.g.spe417").append()                          // gen 2
+      val m = graft.sources.GraftSink
+        .mainHead(s"${Stage.dir("graft_warehouse")}/g/spe417").get
+      val tags = m.files.flatMap(graft.sources.GraftSink.entryPart).distinct
+      val gen1 = tags.count(_.startsWith("c_mktsegment="))
+      val gen2 = tags.count(_.startsWith("c_nationkey="))
+      s.table("graft.g.spe417")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          countDistinct(col("c_nationkey")).as("n_nations"))
+        .withColumn("n_gen1_tags", lit(gen1.toLong))
+        .withColumn("n_gen2_tags", lit(gen2.toLong))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ------------------------------------------------------------------
+    // PARTITION-COLUMN RENAME (the last piece of the field-id rename
+    // story): renaming the column a table is PARTITIONED BY is still
+    // metadata-only — the rename commit rekeys every manifest line's
+    // `part:`/`stats:` tags and the durable spec props in the same
+    // ALTER, reads resolve data by FIELD ID as before, and pruning
+    // follows the new name immediately; older snapshots keep the old
+    // keys, so VERSION AS OF serves the pre-rename world (old column
+    // name, old tags) verbatim. Data files: zero touched — tags are
+    // names ABOUT the file, never bytes IN it. Post-rename writes
+    // route under the renamed spec. Round11Spec/Round11cSpec pin the
+    // identity- and bucket-layout rekeys; the oracle replays both
+    // snapshots closed-form.
+    "q418_partition_rename" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.ren418")
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+      cust.writeTo("graft.g.ren418")
+        .partitionedBy(col("c_mktsegment")).create()                 // v1+v2
+      s.sql("ALTER TABLE graft.g.ren418 RENAME COLUMN c_mktsegment TO segment") // v3
+      cust.select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          col("c_mktsegment").as("segment"), col("bal"))
+        .writeTo("graft.g.ren418").append()                          // v4: new-name routing
+      val m = graft.sources.GraftSink
+        .mainHead(s"${Stage.dir("graft_warehouse")}/g/ren418").get
+      val tags = m.files.flatMap(graft.sources.GraftSink.entryPart).distinct
+      val renamed = tags.count(_.startsWith("segment="))
+      val oldName = tags.count(_.startsWith("c_mktsegment="))
+      val v2 = s.read.format("graftsink")
+        .option("path", s"${Stage.dir("graft_warehouse")}/g/ren418")
+        .option("version", "2").load()
+        .filter(col("c_mktsegment") === "BUILDING")                  // old name, old tags
+        .agg(count(lit(1)).as("n_v2_building"))
+      s.table("graft.g.ren418")
+        .filter(col("segment").isin("BUILDING", "HOUSEHOLD"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"),
+          sum(when(col("c_custkey") >= 10000000L, 1L).otherwise(0L)).as("n_post_rename"))
+        .withColumn("n_seg_tags", lit(renamed.toLong))
+        .withColumn("n_oldname_tags", lit(oldName.toLong))
+        .crossJoin(broadcast(v2))
+        .orderBy(col("segment"))
+    }),
+
+    // ------------------------------------------------------------------
     // ATOMIC CTAS / RTAS (StagingTableCatalog — the all-or-nothing half
     // of the DDL surface): CTAS writes v1+v2 into a HIDDEN stage dir
     // and publishes by ONE directory rename (a failed CTAS leaves no
@@ -2135,6 +2229,39 @@ object Sources extends QueryPack {
         + "SELECT col_name, ndv, nulls, FALSE AS stale, CAST(3 AS BIGINT) AS analyzed_version, "
         + "CAST(2 AS BIGINT) AS n_cols, n_rows, CAST(1 AS BIGINT) AS files_resketched "
         + "FROM s CROSS JOIN a ORDER BY col_name"),
+    // q417: both generations replayed from parquet; the gen-tag counts
+    // are closed-form because a clustered partitioned write lands one
+    // file per tuple (gen1 = distinct segments among even keys under
+    // the old spec, gen2 = distinct nation keys among odd keys under
+    // the new one).
+    "q417_spec_evolution" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment, c_nationkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations, "
+        + "(SELECT CAST(count(DISTINCT c_mktsegment) AS BIGINT) FROM base "
+        + "WHERE c_custkey % 2 = 0) AS n_gen1_tags, "
+        + "(SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM base "
+        + "WHERE c_custkey % 2 = 1) AS n_gen2_tags "
+        + "FROM base WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') "
+        + "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // q418: current = two copies of customer (the post-rename append
+    // shifts keys by 10M), all tags under the renamed key; the v2 pin
+    // replays the pre-rename single copy under the old name.
+    "q418_partition_rename" ->
+      ("WITH base AS (SELECT c_custkey, c_mktsegment AS segment, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer), "
+        + "allrows AS (SELECT c_custkey, segment, bal FROM base "
+        + "UNION ALL SELECT c_custkey + 10000000, segment, bal FROM base) "
+        + "SELECT segment, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "CAST(sum(CASE WHEN c_custkey >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_post_rename, "
+        + "(SELECT CAST(count(DISTINCT segment) AS BIGINT) FROM base) AS n_seg_tags, "
+        + "CAST(0 AS BIGINT) AS n_oldname_tags, "
+        + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE segment = 'BUILDING') AS n_v2_building "
+        + "FROM allrows WHERE segment IN ('BUILDING', 'HOUSEHOLD') "
+        + "GROUP BY segment ORDER BY segment"),
     // q390: v2 = full customer rows; v3 = the RTAS rollup; 3 snapshots.
     "q390_ctas_atomic" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "

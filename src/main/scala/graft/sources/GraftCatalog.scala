@@ -312,6 +312,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // drops remove — applied in one props rewrite after the manifest
     var propAdd = Map.empty[String, String]
     var propDrop = Set.empty[String]
+    // partition/bucket column renames: (from, to) pairs whose manifest
+    // tags and spec props rekey in this same metadata commit
+    var partRenames = Seq.empty[(String, String)]
     def defKey(c: String) = s"${GraftSink.DEFAULT_PROP_PREFIX}$c"
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -335,10 +338,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
       case r: TableChange.RenameColumn =>
         val from = single(r.fieldNames, "renamed")
-        require(!GraftSink.partitionColsOf(p.toString).contains(from) &&
-            !GraftSink.bucketSpecOf(p.toString).exists(_._1 == from),
-          s"graft catalog: cannot rename partition column '$from' " +
-            "(file part: segments are keyed by name)")
         require(fields.exists(_._1.name == from),
           s"graft catalog: no column '$from' to rename")
         require(!fields.exists(_._1.name == r.newName),
@@ -350,6 +349,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         GraftSink.columnDefaults(p.toString).get(from).foreach { enc =>
           propDrop += defKey(from); propAdd += defKey(r.newName) -> enc
         }
+        // PARTITION/BUCKET column rename is metadata-only too: the data
+        // files are positional (names never touch bytes), so the rename
+        // commit REKEYS the current manifest's `part:`/`stats:` segments
+        // and the durable spec props — older snapshots keep the old keys
+        // and serve the pre-rename world under time travel
+        if (GraftSink.partitionColsOf(p.toString).contains(from) ||
+            GraftSink.partitionHistoryOf(p.toString).contains(from) ||
+            GraftSink.bucketSpecOf(p.toString).exists(_._1 == from))
+          partRenames = partRenames :+ (from -> r.newName)
         needIds = true
       case d: TableChange.DeleteColumn =>
         val n = single(d.fieldNames, "dropped")
@@ -390,16 +398,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     GraftSink.checkSchema(evolved)
     // first rename/drop MIGRATES: stamp every pre-migration file's
     // positional layout so id-resolution stays exact from here on
-    val files =
+    val migrated =
       if (needIds && m.ids.isEmpty) m.files.map { line =>
         if (GraftSink.entryCols(line).isDefined) line
         else GraftSink.entry(GraftSink.entryName(line),
-          GraftSink.entryDeletes(line).toSeq, GraftSink.entryStats(line),
-          GraftSink.entryRows(line), Some(1 to before.length))
+          GraftSink.entryDeletes(line).toSeq, None,
+          GraftSink.entryRows(line), Some(1 to before.length),
+          // the rebuild must carry EVERY layout segment through — the
+          // pre-r14 shape silently dropped part: tags and all but the
+          // first stats: envelope on the first rename/drop, killing
+          // partition pruning for the table's whole prior history
+          GraftSink.entryPart(line), GraftSink.entryStatsAll(line))
       }
       else m.files
+    // partition-column rename: rekey every line's part:/stats: tags
+    val files = partRenames.foldLeft(migrated) { case (ls, (from, to)) =>
+      ls.map(GraftSink.rekeyEntry(_, from, to))
+    }
     GraftSink.writeManifest(p.toString, GraftSink.Manifest(GraftSink.cleanDdl(evolved), files,
       if (needIds) Some(fields.map(_._2)) else None))
+    // spec props rekey in the same ALTER: current spec, past
+    // generations, and the bucket spec all follow the new name
+    partRenames.foreach { case (from, to) =>
+      def rekeyList(key: String): Unit =
+        GraftSink.readProps(p.toString).get(key).foreach { raw =>
+          propAdd += key -> raw.split(",")
+            .map(c => if (c == from) to else c).mkString(",")
+        }
+      rekeyList(GraftSink.PARTITION_PROP)
+      rekeyList(GraftSink.PARTITION_HISTORY_PROP)
+      GraftSink.readProps(p.toString).get(GraftSink.BUCKETS_PROP).foreach { raw =>
+        val i = raw.lastIndexOf(':')
+        if (raw.substring(0, i) == from)
+          propAdd += GraftSink.BUCKETS_PROP -> s"$to${raw.substring(i)}"
+      }
+    }
     if (propAdd.nonEmpty || propDrop.nonEmpty) {
       val next = GraftSink.readProps(p.toString) -- propDrop ++ propAdd
       if (next.nonEmpty) GraftSink.writeProps(p.toString, next)
@@ -1061,15 +1094,26 @@ object GraftCatalog {
           }
           // executor-side per-file stream (one task per file, the
           // remove_orphans economics): read once, skip the ascending
-          // dv positions, write the clean twin
+          // dv positions, write the clean twin. The twin is STAGED at a
+          // task-attempt-unique name and renamed into the driver-chosen
+          // final name — a speculative/zombie duplicate attempt writing
+          // the shared destination directly could interleave bytes with
+          // ours; with staging, both attempts produce identical twins
+          // privately and whichever rename lands first wins (the loser
+          // drops its temp), matching the normal write path's staging
+          // discipline.
           val renames = sp.sparkContext
             .parallelize(tasks, math.min(tasks.size, 32))
             .map { case (root, n, fin, dels) =>
               val ffs = GraftSink.fs(root)
+              val attempt = Option(org.apache.spark.TaskContext.get())
+                .map(_.taskAttemptId().toString)
+                .getOrElse(java.util.UUID.randomUUID().toString.take(8))
+              val tmpName = s".$fin.attempt-$attempt.tmp"
               val in = new java.io.BufferedReader(new java.io.InputStreamReader(
                 ffs.open(new org.apache.hadoop.fs.Path(root, n)),
                 java.nio.charset.StandardCharsets.UTF_8))
-              val out = ffs.create(new org.apache.hadoop.fs.Path(root, fin), true)
+              val out = ffs.create(new org.apache.hadoop.fs.Path(root, tmpName), true)
               try {
                 var pos = 0L; var di = 0; var line = in.readLine()
                 while (line != null) {
@@ -1079,6 +1123,16 @@ object GraftCatalog {
                   pos += 1; line = in.readLine()
                 }
               } finally { in.close(); out.close() }
+              val tmpP = new org.apache.hadoop.fs.Path(root, tmpName)
+              val finP = new org.apache.hadoop.fs.Path(root, fin)
+              if (!ffs.rename(tmpP, finP)) {
+                // lost the publish race to an identical duplicate
+                // attempt: its bytes ARE ours (the transform is
+                // deterministic) — keep the winner's file, drop the temp
+                ffs.delete(tmpP, false)
+                if (!ffs.exists(finP)) throw new java.io.IOException(
+                  s"graft catalog: dvless rewrite failed to publish $fin")
+              }
               n -> fin
             }.collect().toMap
           // swap the line in every kept manifest (atomic per snapshot
@@ -1103,6 +1157,74 @@ object GraftCatalog {
         }
         Array[Any](drop.size.toLong,
           (dropFiles.size + rewritable.size).toLong, kept.size.toLong)
+      })),
+    "set_partitioning" -> (cat => new GraftProcedure(cat, "set_partitioning",
+      "set_partitioning(tbl, cols): evolve the table's IDENTITY partition spec (comma-joined columns; '' = unpartitioned) — a metadata-only versioned commit; existing files keep their old-spec tags and stay prunable per generation",
+      Array(ProcedureParameter.in("tbl", StringType).build(),
+        ProcedureParameter.in("cols", StringType).build()),
+      new StructType().add("new_version", LongType)
+        .add("old_spec", StringType).add("new_spec", StringType),
+      (cat0, args) => {
+        // PARTITION-SPEC EVOLUTION (Iceberg's spec-id model, flattened):
+        // the spec is write-routing policy + a pruning index, never row
+        // data — so evolving it rewrites NOTHING. Old files keep their
+        // `part:` tags (pruning consults current ∪ history columns, so
+        // both generations prune exactly); post-evolution writes route
+        // through the new tuple router; the evolution itself lands as a
+        // files-unchanged snapshot so the version chain records WHEN
+        // the table's layout flipped. Partial overwrites and grouped
+        // (SPJ) scans REFUSE over mixed generations until a rewrite
+        // (CALL compact) retags — both would otherwise be wrong, not
+        // slow. Incompatible transforms (bucket layouts either side)
+        // refuse loudly: bucket tags encode a hash, not a value, and
+        // silently reinterpreting them cannot be correct.
+        val p = cat0.procTablePath(args.getUTF8String(0).toString)
+        val spec = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(GraftSink.bucketSpecOf(p).isEmpty,
+          "graft catalog: set_partitioning cannot evolve a BUCKET layout " +
+            "(bucket tags are hashes; rewrite the table instead)")
+        require(!spec.exists(_.contains("(")),
+          "graft catalog: set_partitioning takes identity columns only " +
+            "(bucket/transform specs are not evolvable)")
+        require(spec.distinct.length == spec.length,
+          "graft catalog: duplicate partition column")
+        val m = GraftSink.mainHead(p).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
+        val schema = StructType.fromDDL(m.ddl)
+        spec.foreach(c => require(schema.fieldNames.contains(c),
+          s"graft catalog: unknown partition column '$c' " +
+            s"(table has ${schema.fieldNames.mkString(", ")})"))
+        val old = GraftSink.partitionColsOf(p)
+        if (spec == old)
+          Array[Any](GraftSink.versionOf(p, m)
+              .getOrElse(GraftSink.listVersions(p).last).toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(old.mkString(",")),
+            org.apache.spark.unsafe.types.UTF8String.fromString(spec.mkString(",")))
+        else {
+          // the evolution COMMIT first (files/ddl/ids unchanged — the
+          // chain records the flip and concurrent commits serialize
+          // against it), the props flip second: a racer between the
+          // two still writes valid old-spec tags, which simply join
+          // the history generation
+          val v = GraftSink.commitManifest(p, None) { () =>
+            val cur = GraftSink.mainHead(p).getOrElse(m)
+            GraftSink.Manifest(cur.ddl, cur.files, cur.ids)
+          }
+          val hist = (GraftSink.partitionHistoryOf(p) ++ old)
+            .distinct.filterNot(spec.contains)
+          val next = GraftSink.readProps(p) --
+            Seq(GraftSink.PARTITION_PROP, GraftSink.PARTITION_HISTORY_PROP) ++
+            (if (spec.isEmpty) Map.empty
+             else Map(GraftSink.PARTITION_PROP -> spec.mkString(","))) ++
+            (if (hist.isEmpty) Map.empty
+             else Map(GraftSink.PARTITION_HISTORY_PROP -> hist.mkString(",")))
+          if (next.nonEmpty) GraftSink.writeProps(p, next)
+          else GraftSink.fs(p).delete(new HPath(p, GraftSink.PROPS), false)
+          Array[Any](v.toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(old.mkString(",")),
+            org.apache.spark.unsafe.types.UTF8String.fromString(spec.mkString(",")))
+        }
       })),
     "create_tag" -> (cat => new GraftProcedure(cat, "create_tag",
       "create_tag(tbl, name, version): pin an IMMUTABLE named ref to snapshot `version`",
@@ -1341,6 +1463,12 @@ object GraftCatalog {
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
         val sp = org.apache.spark.sql.SparkSession.active
         import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, lit, sum, when}
+        // resolve the head BEFORE the scan and stamp ITS version — not
+        // listVersions.last, which a commit racing the analyze could
+        // bump to a version whose data this job never saw (stamping the
+        // pre-read head errs stale-early, never fresh-wrong)
+        val head = GraftSink.mainHead(p).getOrElse(
+          throw new IllegalArgumentException(s"graft catalog: no committed table at $p"))
         val df = sp.read.format("graftsink").option("path", p).load()
         val cols = df.schema.fieldNames.toSeq
         val aggs = cols.flatMap(c => Seq(
@@ -1350,7 +1478,8 @@ object GraftCatalog {
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val stats = cols.map(c =>
           (c, row.getAs[Long](s"__ndv_$c"), row.getAs[Long](s"__nulls_$c")))
-        val v = GraftSink.listVersions(p).last
+        val v = GraftSink.versionOf(p, head)
+          .getOrElse(GraftSink.listVersions(p).last)
         GraftSink.writeColStats(p, v, stats)
         Array[Any](v.toLong, cols.length.toLong, row.getAs[Long]("__n_rows"))
       })),
@@ -1459,7 +1588,11 @@ object GraftCatalog {
         }
         val nRows = perFile.values
           .map(fm => cols.headOption.fold(0L)(c => fm(c)._1)).sum
-        val v = GraftSink.listVersions(p).last
+        // stamp the version of the mainHead snapshot the sketches were
+        // built from — a commit (or branch slot) landing mid-analyze
+        // must not mark these stats fresh at a version never scanned
+        val v = GraftSink.versionOf(p, m)
+          .getOrElse(GraftSink.listVersions(p).last)
         GraftSink.writeColStats(p, v, stats)
         // rewrite the sidecar for exactly the CURRENT files (entries of
         // rewritten/expired files drop out), atomically

@@ -225,12 +225,60 @@ object GraftSink {
     s"$name$dv$st$rc$cl$pt"
   }
 
+  /** Rekey a manifest line's per-column metadata after a COLUMN
+    * RENAME: `part:` tuple keys (identity and `bucket(col)` forms) and
+    * `stats:` envelope names matching `from` flip to `to`; everything
+    * else — dv, rows, cols ids, segment ORDER — is byte-preserved.
+    * Metadata-only: the data file itself never changes (its values are
+    * positional), and OLD snapshots keep the old keys, so time travel
+    * serves the pre-rename world verbatim. */
+  def rekeyEntry(line: String, from: String, to: String): String = {
+    val parts = line.split("\t")
+    (parts.head +: parts.tail.map { seg =>
+      if (seg.startsWith("stats:")) {
+        val body = seg.stripPrefix("stats:")
+        val eq = body.indexOf('=')
+        if (eq > 0 && body.substring(0, eq) == from)
+          s"stats:$to${body.substring(eq)}"
+        else seg
+      } else if (seg.startsWith("part:")) {
+        val rekeyed = seg.stripPrefix("part:").split(",").map { kv =>
+          val i = kv.indexOf('=')
+          if (i < 0) kv
+          else {
+            val k = kv.substring(0, i)
+            val nk =
+              if (k == from) to
+              else if (k == bucketKey(from)) bucketKey(to)
+              else k
+            s"$nk${kv.substring(i)}"
+          }
+        }.mkString(",")
+        s"part:$rekeyed"
+      } else seg
+    }).mkString("\t")
+  }
+
   /** Durable table-property key holding the identity partition columns
     * (comma-joined, in declaration order). */
   val PARTITION_PROP = "partition.columns"
 
   def partitionColsOf(path: String): Seq[String] =
     readProps(path).get(PARTITION_PROP)
+      .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
+  /** Durable prop recording every identity column that belonged to a
+    * PAST partition generation (set_partitioning appends the outgoing
+    * spec's columns — Iceberg's spec-id lineage flattened to the one
+    * fact pruning needs). The planner's prune-key set is
+    * current ∪ history: files written under an old spec keep their
+    * `part:` tags and stay EXACTLY prunable by their own columns,
+    * while new-spec predicates simply pass them through (a file with
+    * no tag for the pruned column always survives). */
+  val PARTITION_HISTORY_PROP = "partition.columns.history"
+
+  def partitionHistoryOf(path: String): Seq[String] =
+    readProps(path).get(PARTITION_HISTORY_PROP)
       .map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   /** Durable table-property key for a BUCKET partition transform
@@ -652,12 +700,18 @@ object GraftSink {
     * committer advances the pointer to the NEWEST chain slot attributed
     * to this ref, and only when the pointer is older than that slot —
     * so a late writer either lands its own commit (the common case) or
-    * repairs the pointer forward on the racer's behalf; it can never
-    * move it back. The verify loop re-reads after writing: if a newer
-    * slot appeared mid-write, the next iteration (ours or the other
-    * writer's — both run this) fixes forward again. Planner reads were
-    * already regression-proof via [[mainHead]]'s chain reconciliation;
-    * this extends the guarantee to plain pointer readers. */
+    * repairs the pointer forward on the racer's behalf. The check-then-
+    * write is NOT a CAS: a writer that passes the age check, is
+    * overtaken by a newer pointer write, lands its stale body, and
+    * crashes before the verify re-read leaves the plain pointer
+    * regressed until the next advance (any later commit, or the other
+    * racer's own verify loop) repairs it forward — the guard SHRINKS
+    * the regression window (age check + a second re-read adjacent to
+    * the overwrite + post-write verify), it cannot eliminate it on a
+    * plain file. Planner reads don't rely on it at all: [[mainHead]]'s
+    * chain reconciliation is regression-proof regardless of the
+    * pointer body; the guard is best-effort hygiene for PLAIN pointer
+    * readers only. */
   private def advancePointer(path: String, branch: Option[String]): Unit = {
     val f = fs(path)
     val refStr = branch.fold("main")(b => s"branch.$b")
@@ -691,10 +745,24 @@ object GraftSink {
             case None => readManifest(path).flatMap(_.ts)
           }
           if (ptrTs.exists(_ >= mm.ts.getOrElse(0L))) settled = true
-          else branch match {
-            case Some(b) => writeRef(path, "branch", b, v)
-            case None =>
-              atomicOverwrite(f, new HPath(path, MANIFEST), serializeManifest(mm))
+          else {
+            // second age check ADJACENT to the write: the first read is
+            // separated from here by a full chain walk, so re-reading
+            // now shrinks the check-then-write window to the two
+            // instructions the filesystem forces on us (see docstring —
+            // a plain file offers no CAS; the loop's post-write re-read
+            // plus any later advance repairs what still slips through)
+            val ptrTs2 = branch match {
+              case Some(b) => readRef(path, "branch", b)
+                .flatMap(pv => readManifest(path, Some(pv))).flatMap(_.ts)
+              case None => readManifest(path).flatMap(_.ts)
+            }
+            if (ptrTs2.exists(_ >= mm.ts.getOrElse(0L))) settled = true
+            else branch match {
+              case Some(b) => writeRef(path, "branch", b, v)
+              case None =>
+                atomicOverwrite(f, new HPath(path, MANIFEST), serializeManifest(mm))
+            }
           }
       }
     }
@@ -712,6 +780,17 @@ object GraftSink {
     * the first attribution hit — one or two metadata reads. */
   def mainHead(path: String): Option[Manifest] =
     headOf(path, "main", readManifest(path))
+
+  /** The snapshot VERSION a resolved manifest corresponds to, matched
+    * by commit ts newest-down (ts is the identity [[refreshPointerContent]]
+    * already keys on). Derived artifacts (ANALYZE stats, sketches) must
+    * stamp THIS version — the one whose data was actually scanned —
+    * never `listVersions.last`: a commit landing between the head read
+    * and the stamp would otherwise mark the artifact fresh at a version
+    * it never saw. */
+  def versionOf(path: String, m: Manifest): Option[Int] =
+    m.ts.flatMap(t => listVersions(path).reverseIterator
+      .find(v => readManifest(path, Some(v)).flatMap(_.ts).contains(t)))
 
   def branchHead(path: String, b: String): Option[Manifest] =
     headOf(path, s"branch.$b",
@@ -1757,6 +1836,24 @@ class GraftSinkPartitionedBatchWrite(path: String, schema: StructType,
           s"graftsink: concurrent commit during a replace at $path — " +
             "the replace was computed from a stale snapshot; re-run it")
       seenBase = Some(baseTs)
+      // a PARTIAL replace (dynamic overwrite / REPLACE WHERE) matches
+      // prior files by their CURRENT-spec tuple keys: a file tagged
+      // under an OLDER partition generation (set_partitioning) can hold
+      // rows of the logically-replaced partitions yet never match —
+      // it would silently survive and duplicate the reload. Refuse
+      // until those files are rewritten into the current spec.
+      // (Untagged pre-partitioning files keep their documented
+      // always-survive semantics — they predate ANY spec.)
+      if (partial) {
+        val expected = partCols.toSet
+        val alien = prior.map(_.files).getOrElse(Nil).filter(l =>
+          GraftSink.entryPart(l).exists(b =>
+            GraftSink.partPairs(b).keySet != expected))
+        require(alien.isEmpty,
+          s"graftsink: partial overwrite at $path found ${alien.size} file(s) " +
+            "tagged under an older partition spec — rewrite them into the " +
+            "current spec (CALL compact) or use a full overwrite")
+      }
       if (!truncate) prior.foreach { m =>
         require(GraftSink.schemaCompatible(m.ddl, schema),
           s"graftsink: append schema mismatch at $path — table is '${m.ddl}', " +
@@ -2202,8 +2299,13 @@ class GraftSinkScanBuilder(path: String, full: StructType,
   private var envelopes = Map.empty[String, (Long, Long)]
   // allowed ENCODED values per partition column from pushed equality/IN
   // predicates — consulted against manifest `part:` segments (exact
-  // directory-grain pruning; conjunctive = set intersection)
-  private val partCols = GraftSink.partitionColsOf(path).toSet
+  // directory-grain pruning; conjunctive = set intersection).
+  // CURRENT spec ∪ PAST generations: after set_partitioning, files
+  // written under an old spec keep their tags, and a predicate on an
+  // old partition column still prunes them exactly (new-gen files
+  // lack the tag and pass through — pruning per generation)
+  private val partCols =
+    (GraftSink.partitionColsOf(path) ++ GraftSink.partitionHistoryOf(path)).toSet
   private val bucketSpec = GraftSink.bucketSpecOf(path)
   private var partAllowed = Map.empty[String, Set[String]]
   private var countPushed = false
@@ -2232,9 +2334,11 @@ class GraftSinkScanBuilder(path: String, full: StructType,
     * (the parquet-footer / Iceberg-manifest count shape; `rows:` is
     * recorded by every commit and DVs subtract exactly). Pushed only
     * when EVERY entry carries a row count (tables written before the
-    * segment existed fall back to scanning) and no filter narrows the
+    * segment existed fall back to scanning), no filter narrows the
     * rows — Spark only attempts aggregate pushdown when all filters
-    * were themselves pushed, and this scan pushes none. */
+    * were themselves pushed, and this scan pushes none — and the read
+    * covers the WHOLE manifest: a `files` subset scan must count only
+    * its named entries, so it falls through to the row-scan path. */
   private def canPushCount(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     agg.groupByExpressions.isEmpty &&
@@ -2242,6 +2346,7 @@ class GraftSinkScanBuilder(path: String, full: StructType,
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
       envelopes.isEmpty &&
+      filesSubset.isEmpty &&
       GraftSink.readManifest(path, version)
         .exists(m => m.files.forall(l => GraftSink.entryRows(l).isDefined))
 
@@ -2380,6 +2485,10 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   // never a correctness transfer (the join still filters rows).
   private val partitionCols = GraftSink.partitionColsOf(path)
   private val bucketSpecRt = GraftSink.bucketSpecOf(path)
+  // DPP prunes by current AND past-generation identity columns (the
+  // grouped-scan key stays CURRENT-spec-only — partitionCols above)
+  private val pruneCols =
+    (partitionCols ++ GraftSink.partitionHistoryOf(path)).distinct
   @volatile private var runtimeAllowed = Map.empty[String, Set[String]]
 
   /** Row-level operations OPT OUT (set false): the COW write replaces
@@ -2396,7 +2505,7 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (allowRuntimeFiltering)
-      (partitionCols ++ bucketSpecRt.map(_._1)).map(Expressions.column).toArray
+      (pruneCols ++ bucketSpecRt.map(_._1)).map(Expressions.column).toArray
     else Array.empty // empty ⇒ Spark never invokes filter()
 
   override def filter(
@@ -2406,7 +2515,7 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
         p.children()(0) match {
           case nr: org.apache.spark.sql.connector.expressions.NamedReference
               if nr.fieldNames().length == 1 &&
-                partitionCols.contains(nr.fieldNames()(0)) =>
+                pruneCols.contains(nr.fieldNames()(0)) =>
             val c = nr.fieldNames()(0)
             val vals = p.children().drop(1).collect {
               case l: org.apache.spark.sql.connector.expressions.Literal[_]
@@ -2605,7 +2714,11 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
           // through the identical kernel, so equal ids ⇔ equal key
           // sets and the SMJ needs no exchange.
           tagged.map { case (body, members) =>
-            val enc = GraftSink.partPairs(body)(GraftSink.bucketKey(bc))
+            val enc = GraftSink.partPairs(body).getOrElse(GraftSink.bucketKey(bc),
+              throw new IllegalStateException(
+                s"graftsink: grouped scan over a file tagged under a different " +
+                  s"partition generation ('$body' lacks ${GraftSink.bucketKey(bc)}) — " +
+                  "rewrite it into the current spec (CALL compact) first"))
             val key: Any = if (enc == "\\N") null else enc.toInt
             GraftSinkTuplePartition(members.map(_._1).toArray,
               new GenericInternalRow(Array(key))): InputPartition
@@ -2616,7 +2729,14 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
           tagged.map { case (body, members) =>
             val pairs = GraftSink.partPairs(body)
             val key = partitionCols.zip(partTypes).map { case (c, dt) =>
-              GraftSink.decodePartValue(dt, pairs(c))
+              // a file tagged under an OLDER spec has no key for the
+              // current columns — its rows cannot ride a key-grouped
+              // partition; refuse exactly like the untagged case
+              GraftSink.decodePartValue(dt, pairs.getOrElse(c,
+                throw new IllegalStateException(
+                  s"graftsink: grouped scan over a file tagged under a " +
+                    s"different partition generation ('$body' lacks '$c') — " +
+                    "rewrite it into the current spec (CALL compact) first")))
             }.toArray
             GraftSinkTuplePartition(members.map(_._1).toArray,
               new GenericInternalRow(key)): InputPartition

@@ -598,11 +598,18 @@ class Round11Spec extends AnyFunSuite with Matchers with SharedSpark {
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.ns.ptbad (k BIGINT, g STRING) PARTITIONED BY (truncate(4, g))")
     }
+    // partition-column RENAME is supported since r14 (metadata-only
+    // rekey): tags, the spec prop, and pruning follow the new name
+    spark.sql(s"ALTER TABLE $cat.ns.pt2 RENAME COLUMN bucket TO b2")
+    GraftSink.partitionColsOf(tablePath("pt2")) shouldBe Seq("b2")
+    GraftSink.readManifest(tablePath("pt2")).get.files
+      .flatMap(GraftSink.entryPart).sorted shouldBe Seq("b2=10", "b2=20")
+    spark.table(s"$cat.ns.pt2").filter(col("b2") === 10L)
+      .select(col("k")).collect().map(_.getLong(0)) shouldBe Array(3L)
+    plannedSinkFiles(spark.table(s"$cat.ns.pt2").filter(col("b2") === 10L))
+      .length shouldBe 1
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ns.pt2 RENAME COLUMN bucket TO b2")
-    }
-    intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ns.pt2 DROP COLUMN bucket")
+      spark.sql(s"ALTER TABLE $cat.ns.pt2 DROP COLUMN b2")
     }
     intercept[Exception] {
       spark.table(s"$cat.ns.pt2").write.format("graftsink")

@@ -163,8 +163,8 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
     scan.filter(Array(new Predicate("IN", Array(E.column("k"),
       E.literal(java.lang.Long.valueOf(7L))))))
     scan.runtimeFilters shouldBe Map(s"bucket(k)" -> Set(bucketOf(7L)))
-    // refusals: bucket+identity mix, clusterBy write, rename/drop of
-    // the bucket column, grouped scan on a hash layout
+    // refusals: bucket+identity mix, clusterBy write, drop of the
+    // bucket column
     intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.ns.bkbad (k BIGINT, g STRING) " +
         "PARTITIONED BY (g, bucket(4, k))")
@@ -173,8 +173,17 @@ class Round11cSpec extends AnyFunSuite with Matchers with SharedSpark {
       spark.table(s"$cat.ns.bk1").write.format("graftsink")
         .option("path", p).option("clusterBy", "k").mode("append").save()
     }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 RENAME COLUMN k TO k2") }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 DROP COLUMN k") }
+    // bucket-column RENAME is supported since r14 (metadata-only
+    // rekey): tags, the bucket prop, and pruning follow the new name
+    spark.sql(s"ALTER TABLE $cat.ns.bk1 RENAME COLUMN k TO k2")
+    GraftSink.bucketSpecOf(p) shouldBe Some(("k2", 4))
+    GraftSink.readManifest(p).get.files.flatMap(GraftSink.entryPart)
+      .foreach(_ should startWith("bucket(k2)="))
+    spark.table(s"$cat.ns.bk1").filter(col("k2") === 7L)
+      .select(col("v")).collect().map(_.getDouble(0)) shouldBe Array(7.0)
+    plannedSinkFiles(spark.table(s"$cat.ns.bk1").filter(col("k2") === 7L))
+      .length should be < all.length
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.ns.bk1 DROP COLUMN k2") }
     // grouped scans on a hash layout are SUPPORTED since round 12
     // (bucketed SPJ — Round12Spec): one partition per bucket id
     spark.read.format("graftsink").option("path", p)
