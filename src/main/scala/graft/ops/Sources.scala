@@ -1812,6 +1812,57 @@ object Sources extends QueryPack {
     }),
 
     // ------------------------------------------------------------------
+    // TWO-LEVEL MANIFEST METADATA (`write.manifest.group.size` — the
+    // Iceberg manifest-tree shape): a large snapshot's `_manifest.vN`
+    // body holds content-addressed GROUP references (each with a
+    // partition-values/stats summary) instead of the flat entry list,
+    // and PLANNING a pruned query opens only the groups whose summary
+    // can match — at millions of files the flat driver-side list is
+    // the planning bottleneck this removes; at test scale the contract
+    // is pinned exactly: 25 nation tuples → one file per tuple →
+    // ceil(25/8) = 4 chunk files, and a single-nation probe opens
+    // exactly ONE of them (measured through the planner hook, not
+    // assumed). Groups are immutable and shared across versions
+    // (content addressing), the commit protocol is untouched (the slot
+    // body still lands atomically; the pointer copies it verbatim),
+    // and every content consumer reads through transparent expansion —
+    // which is why the whole pre-existing sink inventory's goldens are
+    // unchanged. Round14Spec pins grouping, chunk sharing across
+    // appends, MOR-DV regrouping, expire/remove_orphans chunk GC, and
+    // the pruned-planning group-read counts.
+    "q419_manifest_groups" -> ((s, dir) => {
+      ensureCatalog(s)
+      s.sql("DROP TABLE IF EXISTS graft.g.mg419")
+      s.sql("CREATE TABLE graft.g.mg419 (c_custkey BIGINT, c_nationkey INT, bal DOUBLE) " +
+        "PARTITIONED BY (c_nationkey) " +
+        "TBLPROPERTIES ('write.manifest.group.size'='8')")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .writeTo("graft.g.mg419").append()
+      val p = s"${Stage.dir("graft_warehouse")}/g/mg419"
+      val raw = graft.sources.GraftSink.readManifestRaw(p, None).get
+      val nGroups = raw.files.count(graft.sources.GraftSink.isGroupLine)
+      // measured planning cost of a one-nation probe: group files OPENED
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(raw.ddl)
+      val b = new graft.sources.GraftSinkScanBuilder(p, schema)
+      b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("c_nationkey", 7)))
+      val scan = b.build().asInstanceOf[graft.sources.GraftSinkScan]
+      val before = graft.sources.GraftSink.groupReads.get()
+      val plannedFiles = scan.planInputPartitions().length
+      val groupsOpened = graft.sources.GraftSink.groupReads.get() - before
+      s.table("graft.g.mg419")
+        .filter(col("c_nationkey").isin(3, 7))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("sum_bal"))
+        .withColumn("n_groups", lit(nGroups.toLong))
+        .withColumn("groups_opened_pruned", lit(groupsOpened))
+        .withColumn("files_planned_pruned", lit(plannedFiles.toLong))
+        .orderBy(col("nation"))
+    }),
+
+    // ------------------------------------------------------------------
     // ATOMIC CTAS / RTAS (StagingTableCatalog — the all-or-nothing half
     // of the DDL surface): CTAS writes v1+v2 into a HIDDEN stage dir
     // and publishes by ONE directory rename (a failed CTAS leaves no
@@ -2262,6 +2313,21 @@ object Sources extends QueryPack {
         + "(SELECT CAST(count(*) AS BIGINT) FROM base WHERE segment = 'BUILDING') AS n_v2_building "
         + "FROM allrows WHERE segment IN ('BUILDING', 'HOUSEHOLD') "
         + "GROUP BY segment ORDER BY segment"),
+    // q419: the per-nation rollup replayed from parquet; the metadata
+    // counts are closed-form from the grouping contract — one file per
+    // nation tuple, chunks of 8 sorted by tuple (n_groups =
+    // ceil(nations/8)), and a single-value probe lives in exactly one
+    // chunk (groups_opened = 1) and plans exactly its one file.
+    "q419_manifest_groups" ->
+      ("WITH base AS (SELECT c_custkey, c_nationkey, "
+        + "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal FROM customer) "
+        + "SELECT CAST(c_nationkey AS BIGINT) AS nation, CAST(count(*) AS BIGINT) AS n, "
+        + "round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal, "
+        + "(SELECT CAST(ceil(count(DISTINCT c_nationkey) / 8.0) AS BIGINT) FROM base) AS n_groups, "
+        + "CAST(1 AS BIGINT) AS groups_opened_pruned, "
+        + "CAST(1 AS BIGINT) AS files_planned_pruned "
+        + "FROM base WHERE c_nationkey IN (3, 7) "
+        + "GROUP BY c_nationkey ORDER BY nation"),
     // q390: v2 = full customer rows; v3 = the RTAS rollup; 3 snapshots.
     "q390_ctas_atomic" ->
       ("WITH base AS (SELECT c_custkey, c_mktsegment, "

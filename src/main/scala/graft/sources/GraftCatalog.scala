@@ -1155,6 +1155,21 @@ object GraftCatalog {
           GraftSink.refreshPointerContent(p)
           renames.keys.foreach(n => f.delete(new HPath(p, n), false))
         }
+        // manifest-GROUP GC: a `_mgroup.*` chunk is live iff some
+        // surviving snapshot's RAW manifest still references it
+        // (content addressing shares chunks across versions, so
+        // per-version deletion would be wrong — liveness is the union);
+        // everything else became unreachable when its versions dropped
+        // (or when a dvless rewrite inlined its manifest) and deletes
+        val liveGroups = GraftSink.listVersions(p).flatMap(v =>
+          GraftSink.readManifestRaw(p, Some(v)).map(_.files
+            .filter(GraftSink.isGroupLine).map(GraftSink.groupLineName))
+            .getOrElse(Nil)).toSet
+        f.listStatus(new HPath(p)).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isFile && n.startsWith(GraftSink.GROUP_PREFIX) && !liveGroups(n))
+            f.delete(st.getPath, false)
+        }
         Array[Any](drop.size.toLong,
           (dropFiles.size + rewritable.size).toLong, kept.size.toLong)
       })),
@@ -1331,6 +1346,20 @@ object GraftCatalog {
           .filterNot(_.startsWith("_")) // manifests/props/refs/stats are internal
         val (kept, orphans) = names.partition(referenced)
         orphans.foreach(n => f.delete(new HPath(p, n), false))
+        // manifest-GROUP chunks are `_`-internal but GC-able: live iff
+        // some snapshot's RAW manifest references them — a commit that
+        // lost its claim race (or a dvless inline rewrite) leaves
+        // unreferenced chunks behind, age-guarded like data orphans
+        val liveGroups = GraftSink.listVersions(p).flatMap(v =>
+          GraftSink.readManifestRaw(p, Some(v)).map(_.files
+            .filter(GraftSink.isGroupLine).map(GraftSink.groupLineName))
+            .getOrElse(Nil)).toSet
+        val groupOrphans = entries.filter(e => e.isFile &&
+            e.getModificationTime < cutoff &&
+            e.getPath.getName.startsWith(GraftSink.GROUP_PREFIX) &&
+            !liveGroups(e.getPath.getName))
+          .map(_.getPath.getName)
+        groupOrphans.foreach(n => f.delete(new HPath(p, n), false))
         var staged = 0L
         def sweepTree(dir: HPath): Unit =
           if (f.exists(dir) && f.getFileStatus(dir).getModificationTime < cutoff) {

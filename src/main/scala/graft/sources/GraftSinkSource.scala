@@ -113,6 +113,17 @@ object GraftSink {
   val STAGING = "_staging"
   val PROPS = "_props"
   val COLSTATS = "_colstats"
+  /** Manifest GROUP files (the two-level metadata tree): an immutable,
+    * CONTENT-ADDRESSED chunk of manifest entry lines named
+    * `_mgroup.<md5 of body>`. A large snapshot's `_manifest.vN` body
+    * holds `group:` reference lines (each with a partition-values /
+    * stats SUMMARY) instead of the flat entry list, so PLANNING a
+    * pruned query reads only the groups whose summary can match — at
+    * millions of files the flat list is the driver bottleneck Iceberg's
+    * manifest tree exists to remove. Content addressing makes group
+    * writes idempotent and lets consecutive snapshots SHARE unchanged
+    * chunks; expire/remove_orphans GC groups no raw manifest names. */
+  val GROUP_PREFIX = "_mgroup."
 
   // --- manifest file entries -------------------------------------------
   // A manifest line is `name` plus optional tab-separated segments:
@@ -258,6 +269,119 @@ object GraftSink {
       } else seg
     }).mkString("\t")
   }
+
+  // --- two-level manifest metadata (group files) ----------------------
+
+  /** Durable `write.*` prop: group the manifest body once a snapshot's
+    * entry count reaches this size (default 512 — far above any test
+    * table, squarely below a 100 TB table's file count). */
+  val GROUP_SIZE_PROP = "write.manifest.group.size"
+
+  private def groupSize(path: String): Int =
+    readProps(path).get(GROUP_SIZE_PROP).map(_.toInt).getOrElse(512)
+
+  /** Spec/diagnostic hook: group files READ so far in this JVM (scan
+    * planning increments once per group body read — the number a
+    * pruned plan is graded on). */
+  val groupReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def isGroupLine(line: String): Boolean = line.startsWith("group:")
+
+  def groupLineName(line: String): String =
+    entryName(line).stripPrefix("group:")
+
+  /** The group line's per-column DISTINCT partition-value sets
+    * (`pvals:` segments — URL-encoding makes '|' a safe separator). A
+    * column appears ONLY if every member file carries a tag for it, so
+    * group-level pruning is exactly as conservative as the per-entry
+    * rule it summarizes (a member without the tag would survive). */
+  def groupPartVals(line: String): Map[String, Set[String]] =
+    line.split("\t").drop(1).filter(_.startsWith("pvals:")).map { s =>
+      val body = s.stripPrefix("pvals:")
+      val i = body.indexOf('=')
+      body.substring(0, i) -> body.substring(i + 1).split("\\|").toSet
+    }.toMap
+
+  private def md5hex(body: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(body)
+      .map("%02x".format(_)).mkString
+
+  /** One group's summary line: member count, total rows (when every
+    * member records one), per-column partition-value sets (≤16 distinct
+    * — beyond that the summary can't prune meaningfully), and union
+    * stats envelopes for columns EVERY member has stats on. Both
+    * summaries are strictly conservative supersets of what the member
+    * entries allow, so pruning a whole group can never drop a file the
+    * per-entry rule would keep. */
+  private def groupSummary(name: String, members: Seq[String]): String = {
+    val files = s"\tfiles:${members.size}"
+    val rs = members.map(entryRows)
+    val rows = if (rs.nonEmpty && rs.forall(_.isDefined))
+      s"\trows:${rs.map(_.get).sum}" else ""
+    val parts = members.map(l => entryPart(l).map(partPairs).getOrElse(Map.empty[String, String]))
+    val common =
+      if (parts.isEmpty) Set.empty[String]
+      else parts.map(_.keySet).reduce(_ intersect _)
+    val pv = common.toSeq.sorted.flatMap { c =>
+      val vs = parts.map(_(c)).distinct
+      if (vs.size <= 16) Some(s"\tpvals:$c=${vs.sorted.mkString("|")}") else None
+    }.mkString
+    val statss = members.map(l => entryStatsAll(l).map(t => t._1 -> ((t._2, t._3))).toMap)
+    val scommon =
+      if (statss.isEmpty) Set.empty[String]
+      else statss.map(_.keySet).reduce(_ intersect _)
+    val st = scommon.toSeq.sorted.map { c =>
+      s"\tstats:$c=${statss.map(_(c)._1).min}..${statss.map(_(c)._2).max}"
+    }.mkString
+    s"group:$name$files$rows$pv$st"
+  }
+
+  /** Group a to-be-committed manifest's entries into content-addressed
+    * chunk files when the snapshot is large enough: entries sort by
+    * (partition tuple, name) so same-partition files cluster (the
+    * partition-range grouping that makes summaries selective), chunks
+    * of `write.manifest.group.size` write as `_mgroup.<md5>` (idempotent
+    * — an unchanged chunk from the previous snapshot has the same name
+    * and is NOT rewritten), and the body keeps one summary line per
+    * group. Below the threshold the manifest stays flat — identical
+    * bytes to every pre-grouping snapshot. */
+  private def maybeGroup(path: String, f: FileSystem, m: Manifest): Manifest = {
+    val size = groupSize(path)
+    if (m.files.size < math.max(2, size) || m.files.exists(isGroupLine)) m
+    else {
+      val sorted = m.files.sortBy(l => (entryPart(l).getOrElse(""), entryName(l)))
+      val lines = sorted.grouped(size).map { chunk =>
+        val body = chunk.mkString("\n").getBytes(StandardCharsets.UTF_8)
+        val name = GROUP_PREFIX + md5hex(body)
+        val gp = new HPath(path, name)
+        if (!f.exists(gp)) atomicOverwrite(f, gp, body)
+        groupSummary(name, chunk)
+      }.toSeq
+      m.copy(files = lines)
+    }
+  }
+
+  /** Read one group file's entry lines (loud on a missing group — that
+    * means metadata corruption or an over-eager GC, never a valid
+    * state). Increments [[groupReads]]. */
+  def readGroup(path: String, name: String): Seq[String] = {
+    groupReads.incrementAndGet()
+    val f = fs(path)
+    val gp = new HPath(path, name)
+    require(f.exists(gp),
+      s"graftsink: missing manifest group $name at $path (corrupt metadata or over-eager GC)")
+    val in = new BufferedReader(new InputStreamReader(f.open(gp), StandardCharsets.UTF_8))
+    try Iterator.continually(in.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  /** Expand a raw manifest's `group:` references into their entry
+    * lines (order-preserving). Flat manifests pass through untouched. */
+  private def expandGroups(path: String, m: Manifest): Manifest =
+    if (!m.files.exists(isGroupLine)) m
+    else m.copy(files = m.files.flatMap(l =>
+      if (isGroupLine(l)) readGroup(path, groupLineName(l)) else Seq(l)))
 
   /** Durable table-property key holding the identity partition columns
     * (comma-joined, in declaration order). */
@@ -472,10 +596,19 @@ object GraftSink {
 
   def readManifest(path: String): Option[Manifest] = readManifest(path, None)
 
-  /** Read the latest manifest, or a pinned snapshot's (`_manifest.vN`).
+  /** Read the latest manifest, or a pinned snapshot's (`_manifest.vN`),
+    * with `group:` references EXPANDED into their entry lines — every
+    * CONTENT consumer (procedures, changelog, count scan, metadata
+    * tables) sees the flat entry list regardless of how the body is
+    * stored. Planning-grade consumers that want group-level pruning or
+    * byte-exact republication use [[readManifestRaw]]. */
+  def readManifest(path: String, version: Option[Int]): Option[Manifest] =
+    readManifestRaw(path, version).map(expandGroups(path, _))
+
+  /** The manifest EXACTLY as stored (group references unexpanded).
     * A pinned version that does not exist fails LOUDLY with the list of
     * available snapshots — never silently serves the latest. */
-  def readManifest(path: String, version: Option[Int]): Option[Manifest] = {
+  def readManifestRaw(path: String, version: Option[Int]): Option[Manifest] = {
     val f = fs(path)
     val mp = new HPath(path, manifestName(version))
     if (!f.exists(mp)) {
@@ -581,8 +714,15 @@ object GraftSink {
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val stamped = m.copy(ts = Some(ts),
         ref = Some(branch.fold("main")(b => s"branch.$b")))
+      // large snapshots publish through the two-level metadata tree:
+      // immutable content-addressed group files first (idempotent, so a
+      // lost race re-plans without orphan churn for unchanged chunks),
+      // then the slot body holding the summary lines — the commit
+      // protocol itself is untouched (the claim still carries the
+      // complete body atomically; the pointer still copies it verbatim)
+      val bodyM = maybeGroup(path, f, stamped)
       if (claimSlot(f, new HPath(path, manifestName(Some(next))),
-          serializeManifest(stamped))) {
+          serializeManifest(bodyM))) {
         advancePointer(path, branch)
         return next
       }
@@ -685,9 +825,9 @@ object GraftSink {
     * rewrite — without this, pointer readers would keep serving
     * manifest lines that name since-GC'd files. */
   private[sources] def refreshPointerContent(path: String): Unit =
-    for (ptr <- readManifest(path); pts <- ptr.ts) {
+    for (ptr <- readManifestRaw(path, None); pts <- ptr.ts) {
       listVersions(path).reverseIterator
-        .flatMap(v => readManifest(path, Some(v)))
+        .flatMap(v => readManifestRaw(path, Some(v)))
         .find(_.ts.contains(pts))
         .foreach(m => atomicOverwrite(fs(path), new HPath(path, MANIFEST),
           serializeManifest(m)))
@@ -721,13 +861,16 @@ object GraftSink {
       i += 1
       // newest chain slot attributed to this pointer (same walk-and-stop
       // rules as headOf: legacy unattributed snapshots end the walk —
-      // they were published pointer-first and own the pointer)
+      // they were published pointer-first and own the pointer). RAW
+      // reads throughout: the walk needs only head segments, and the
+      // republished pointer body must stay byte-identical to its slot
+      // (group references included, never expanded)
       val vs = listVersions(path)
       var j = vs.length - 1
       var newest: Option[(Int, Manifest)] = None
       var scanning = true
       while (j >= 0 && scanning) {
-        readManifest(path, Some(vs(j))) match {
+        readManifestRaw(path, Some(vs(j))) match {
           case None => scanning = false
           case Some(mm) => mm.ref match {
             case Some(r) if r == refStr => newest = Some((vs(j), mm)); scanning = false
@@ -741,8 +884,8 @@ object GraftSink {
         case Some((v, mm)) =>
           val ptrTs = branch match {
             case Some(b) => readRef(path, "branch", b)
-              .flatMap(pv => readManifest(path, Some(pv))).flatMap(_.ts)
-            case None => readManifest(path).flatMap(_.ts)
+              .flatMap(pv => readManifestRaw(path, Some(pv))).flatMap(_.ts)
+            case None => readManifestRaw(path, None).flatMap(_.ts)
           }
           if (ptrTs.exists(_ >= mm.ts.getOrElse(0L))) settled = true
           else {
@@ -754,8 +897,8 @@ object GraftSink {
             // plus any later advance repairs what still slips through)
             val ptrTs2 = branch match {
               case Some(b) => readRef(path, "branch", b)
-                .flatMap(pv => readManifest(path, Some(pv))).flatMap(_.ts)
-              case None => readManifest(path).flatMap(_.ts)
+                .flatMap(pv => readManifestRaw(path, Some(pv))).flatMap(_.ts)
+              case None => readManifestRaw(path, None).flatMap(_.ts)
             }
             if (ptrTs2.exists(_ >= mm.ts.getOrElse(0L))) settled = true
             else branch match {
@@ -779,7 +922,8 @@ object GraftSink {
     * as before. Cost: the walk reads manifests newest-down and stops at
     * the first attribution hit — one or two metadata reads. */
   def mainHead(path: String): Option[Manifest] =
-    headOf(path, "main", readManifest(path))
+    headOf(path, "main", readManifestRaw(path, None))
+      .map(expandGroups(path, _))
 
   /** The snapshot VERSION a resolved manifest corresponds to, matched
     * by commit ts newest-down (ts is the identity [[refreshPointerContent]]
@@ -790,12 +934,15 @@ object GraftSink {
     * it never saw. */
   def versionOf(path: String, m: Manifest): Option[Int] =
     m.ts.flatMap(t => listVersions(path).reverseIterator
-      .find(v => readManifest(path, Some(v)).flatMap(_.ts).contains(t)))
+      .find(v => readManifestRaw(path, Some(v)).flatMap(_.ts).contains(t)))
 
   def branchHead(path: String, b: String): Option[Manifest] =
     headOf(path, s"branch.$b",
-      readRef(path, "branch", b).flatMap(v => readManifest(path, Some(v))))
+      readRef(path, "branch", b).flatMap(v => readManifestRaw(path, Some(v))))
+      .map(expandGroups(path, _))
 
+  /** RAW throughout (the walk consults only head segments; callers
+    * expand the winner once). */
   private def headOf(path: String, refName: String,
       ptr: Option[Manifest]): Option[Manifest] = {
     val vs = listVersions(path)
@@ -803,7 +950,7 @@ object GraftSink {
     var chain: Option[Manifest] = None
     var scanning = true
     while (i >= 0 && scanning) {
-      readManifest(path, Some(vs(i))) match {
+      readManifestRaw(path, Some(vs(i))) match {
         case None => scanning = false // expired below here
         case Some(m) => m.ref match {
           case Some(r) if r == refName => chain = Some(m); scanning = false
@@ -2550,54 +2697,82 @@ class GraftSinkScan(path: String, full: StructType, required: StructType,
        else s", partprune=${partAllowed.keys.mkString(",")})")
 
   private lazy val manifest: GraftSink.Manifest =
-    GraftSink.readManifest(path, version).getOrElse(
+    GraftSink.readManifestRaw(path, version).getOrElse(
       throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
 
-  /** The SURVIVING manifest lines after stats-envelope file skipping. */
+  /** The SURVIVING manifest lines after stats-envelope file skipping
+    * and partition pruning. On a GROUPED manifest (the two-level
+    * metadata tree) pruning runs at the GROUP grain first: a group
+    * whose pvals/stats summary cannot match is never even READ —
+    * planning a pruned query on a million-file table touches only the
+    * matching groups' chunk files, the Iceberg-manifest-tree shape. */
   private def plannedLines: Seq[String] = {
     val m = manifest
-    // explicit file-subset planning (option `files`): restrict to the
-    // named entries, refusing unknown names LOUDLY — a silently-ignored
-    // typo would read as "file already sketched/maintained"
-    val base = filesSubset match {
-      case Some(sub) =>
-        val names = m.files.map(GraftSink.entryName).toSet
-        val missing = sub -- names
-        require(missing.isEmpty,
-          s"graftsink: option 'files' names entries not in the snapshot: " +
-            s"${missing.toSeq.sorted.mkString(", ")}")
-        m.files.filter(l => sub(GraftSink.entryName(l)))
-      case None => m.files
-    }
-    base.filter { line =>
-      // FILE SKIPPING: a file whose recorded [min, max] misses the
-      // pushed envelope for that column is never planned (files with
-      // no stats, or stats on other columns, always survive)
-      // EVERY recorded per-column envelope must overlap its pushed
-      // envelope — a Z-ordered file (stats on both interleaved dims)
-      // is skippable by a predicate on EITHER column
-      val statsOk = GraftSink.entryStatsAll(line).forall { case (col, lo, hi) =>
+    val allowed = (partAllowed.toSeq ++ runtimeAllowed.toSeq)
+      .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) }
+    // FILE SKIPPING: a file whose recorded [min, max] misses the
+    // pushed envelope for that column is never planned (files with
+    // no stats, or stats on other columns, always survive). EVERY
+    // recorded per-column envelope must overlap its pushed envelope —
+    // a Z-ordered file (stats on both interleaved dims) is skippable
+    // by a predicate on EITHER column.
+    def statsOk(line: String): Boolean =
+      GraftSink.entryStatsAll(line).forall { case (col, lo, hi) =>
         envelopes.get(col) match {
           case Some((elo, ehi)) => hi >= elo && lo <= ehi
           case None => true
         }
       }
-      // PARTITION PRUNING: a file whose part: tuple misses any pushed
-      // (compile-time) or runtime-received (DPP) allowed-set is never
-      // planned — exact (every row in the file shares the tuple), so
-      // this is the directory-grain prune; files without a tuple
-      // (unpartitioned history) survive
-      val allowed = (partAllowed.toSeq ++ runtimeAllowed.toSeq)
-        .groupBy(_._1).map { case (c, vs) => c -> vs.map(_._2).reduce(_ intersect _) }
-      val partOk = allowed.isEmpty || (GraftSink.entryPart(line) match {
+    // PARTITION PRUNING: a file whose part: tuple misses any pushed
+    // (compile-time) or runtime-received (DPP) allowed-set is never
+    // planned — exact (every row in the file shares the tuple), so
+    // this is the directory-grain prune; files without a tuple
+    // (unpartitioned history) survive
+    def partOk(line: String): Boolean =
+      allowed.isEmpty || (GraftSink.entryPart(line) match {
         case Some(body) =>
           val pairs = GraftSink.partPairs(body)
-          allowed.forall { case (c, set) =>
-            pairs.get(c).forall(set)
-          }
+          allowed.forall { case (c, set) => pairs.get(c).forall(set) }
         case None => true
       })
-      statsOk && partOk
+    def entryOk(line: String): Boolean = statsOk(line) && partOk(line)
+    // GROUP pruning mirrors both rules against the summary (built as a
+    // conservative superset of its members — see groupSummary): a
+    // group survives unless a pushed constraint provably excludes
+    // EVERY member.
+    def groupOk(line: String): Boolean = {
+      val sOk = statsOk(line) // stats: segments reuse the entry format
+      val pv = GraftSink.groupPartVals(line)
+      val pOk = allowed.forall { case (c, set) =>
+        pv.get(c).forall(vs => (vs intersect set).nonEmpty)
+      }
+      sOk && pOk
+    }
+    filesSubset match {
+      // explicit file-subset planning (option `files`): restrict to
+      // the named entries, refusing unknown names LOUDLY — a
+      // silently-ignored typo would read as "file already sketched/
+      // maintained". Subsets name data files, so groups fully expand.
+      case Some(sub) =>
+        val all = m.files.flatMap(l =>
+          if (GraftSink.isGroupLine(l))
+            GraftSink.readGroup(path, GraftSink.groupLineName(l))
+          else Seq(l))
+        val names = all.map(GraftSink.entryName).toSet
+        val missing = sub -- names
+        require(missing.isEmpty,
+          s"graftsink: option 'files' names entries not in the snapshot: " +
+            s"${missing.toSeq.sorted.mkString(", ")}")
+        all.filter(l => sub(GraftSink.entryName(l)) && entryOk(l))
+      case None =>
+        m.files.flatMap { l =>
+          if (GraftSink.isGroupLine(l)) {
+            if (!groupOk(l)) Nil
+            else GraftSink.readGroup(path, GraftSink.groupLineName(l))
+              .filter(entryOk)
+          } else if (entryOk(l)) Seq(l)
+          else Nil
+        }
     }
   }
 

@@ -220,4 +220,95 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     plannedSinkFiles(spark.table(s"$cat.ns.hr14")
       .filter(col("source") === "a")).length shouldBe 2 // gen-1 match + gen-2 passthrough
   }
+
+  // ------------------------------------------------------------------
+  // Two-level manifest metadata (group files)
+  // ------------------------------------------------------------------
+
+  test("grouped manifest: body holds group refs, reads expand, pruned planning opens only matching groups") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.mg14")
+    spark.sql(s"CREATE TABLE $cat.ns.mg14 (k BIGINT, g STRING) PARTITIONED BY (g) " +
+      s"TBLPROPERTIES ('write.manifest.group.size'='2')")
+    Seq.tabulate(8)(i => (i.toLong, s"p${i % 4}")).toDF("k", "g")
+      .writeTo(s"$cat.ns.mg14").append() // 4 tuples → 4 files → 2 groups
+    val p = tablePath("mg14")
+    val raw = GraftSink.readManifestRaw(p, None).get
+    raw.files.length shouldBe 2
+    raw.files.foreach(l => GraftSink.isGroupLine(l) shouldBe true)
+    raw.files.foreach(_ should include("pvals:g="))
+    // the group files exist and carry the entry lines
+    val expanded = GraftSink.readManifest(p, None).get
+    expanded.files.length shouldBe 4
+    expanded.files.foreach(l => GraftSink.isGroupLine(l) shouldBe false)
+    // content reads are unchanged
+    spark.table(s"$cat.ns.mg14").count() shouldBe 8L
+    spark.table(s"$cat.ns.mg14").filter(col("g") === "p1")
+      .select(col("k")).collect().map(_.getLong(0)).sorted shouldBe Array(1L, 5L)
+    // PRUNED planning reads ONE group file; unpruned reads both
+    import org.apache.spark.sql.sources.EqualTo
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(expanded.ddl)
+    def planGroupReads(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val b = new graft.sources.GraftSinkScanBuilder(p, schema)
+      b.pushFilters(filters)
+      val scan = b.build().asInstanceOf[graft.sources.GraftSinkScan]
+      val before = GraftSink.groupReads.get()
+      scan.planInputPartitions()
+      GraftSink.groupReads.get() - before
+    }
+    planGroupReads(Array(EqualTo("g", "p0"))) shouldBe 1L
+    planGroupReads(Array.empty) shouldBe 2L
+    // an APPEND regroups; the untouched chunk keeps its content-addressed
+    // name (shared across versions), and the chain stays readable
+    val namesBefore = raw.files.map(GraftSink.groupLineName).toSet
+    Seq((100L, "p3")).toDF("k", "g").writeTo(s"$cat.ns.mg14").append()
+    val raw2 = GraftSink.readManifestRaw(p, None).get
+    val namesAfter = raw2.files.map(GraftSink.groupLineName).toSet
+    namesAfter.intersect(namesBefore).size should be >= 1
+    spark.table(s"$cat.ns.mg14").count() shouldBe 9L
+    // time travel through a grouped snapshot still serves it exactly
+    val vPrev = GraftSink.listVersions(p).dropRight(1).last
+    spark.read.format("graftsink").option("path", p)
+      .option("version", vPrev.toString).load().count() shouldBe 8L
+  }
+
+  test("grouped manifest: MOR delete regroups with the DV; expire and remove_orphans GC only dead chunks") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.mgc14")
+    spark.sql(s"CREATE TABLE $cat.ns.mgc14 (k BIGINT, g STRING) PARTITIONED BY (g) " +
+      s"TBLPROPERTIES ('write.manifest.group.size'='2', 'write.mode'='merge-on-read')")
+    Seq.tabulate(8)(i => (i.toLong, s"p${i % 4}")).toDF("k", "g")
+      .writeTo(s"$cat.ns.mgc14").append()
+    val p = tablePath("mgc14")
+    GraftSink.readManifestRaw(p, None).get.files.count(GraftSink.isGroupLine) shouldBe 2
+    // MOR delete: the DV lands inside the regrouped chunk
+    spark.sql(s"DELETE FROM $cat.ns.mgc14 WHERE k = 1")
+    spark.table(s"$cat.ns.mgc14").count() shouldBe 7L
+    GraftSink.readManifest(p, None).get.files
+      .map(GraftSink.entryDeletes(_).length).sum shouldBe 1
+    val f = GraftSink.fs(p)
+    def groupsOnDisk: Set[String] = f.listStatus(new org.apache.hadoop.fs.Path(p))
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(_.startsWith(GraftSink.GROUP_PREFIX)).toSet
+    // overwrite → the old generations' chunks become expire-able
+    Seq((50L, "p0"), (51L, "p1"), (52L, "p2"), (53L, "p3")).toDF("k", "g")
+      .write.format("graftsink").mode("overwrite").option("path", p).save()
+    val preExpire = groupsOnDisk
+    spark.sql(s"CALL $cat.sys.expire_snapshots('ns.mgc14', 1)").collect()
+    val live = GraftSink.readManifestRaw(p, None).get.files
+      .filter(GraftSink.isGroupLine).map(GraftSink.groupLineName).toSet
+    groupsOnDisk shouldBe live
+    (preExpire -- live).size should be >= 1 // something was actually GC'd
+    spark.table(s"$cat.ns.mgc14").count() shouldBe 4L
+    // remove_orphans sweeps a planted dead chunk, keeps live ones
+    val stray = new org.apache.hadoop.fs.Path(p, s"${GraftSink.GROUP_PREFIX}deadbeef")
+    val out = f.create(stray, true)
+    out.write("ghost.tsv\n".getBytes("UTF-8")); out.close()
+    spark.sql(s"CALL $cat.sys.remove_orphans('ns.mgc14', 0)").collect()
+    f.exists(stray) shouldBe false
+    groupsOnDisk shouldBe live
+    spark.table(s"$cat.ns.mgc14").count() shouldBe 4L
+  }
 }
