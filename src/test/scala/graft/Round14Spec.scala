@@ -311,4 +311,36 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     groupsOnDisk shouldBe live
     spark.table(s"$cat.ns.mgc14").count() shouldBe 4L
   }
+
+  test("compact retags a mixed-generation table under the current spec, re-enabling SPJ and partial overwrites") {
+    import spark.implicits._
+    ensureCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS $cat.ns.ct14")
+    spark.sql(s"CREATE TABLE $cat.ns.ct14 (k BIGINT, a STRING, b STRING) " +
+      s"PARTITIONED BY (a)")
+    Seq((1L, "x", "m"), (2L, "y", "n")).toDF("k", "a", "b")
+      .writeTo(s"$cat.ns.ct14").append() // gen-1: a-tagged
+    spark.sql(s"CALL $cat.sys.set_partitioning('ns.ct14', 'b')").collect()
+    Seq((3L, "z", "m")).toDF("k", "a", "b").writeTo(s"$cat.ns.ct14").append() // gen-2
+    val p = tablePath("ct14")
+    // mixed generations: grouped scan refuses
+    intercept[Exception] {
+      spark.read.format("graftsink").option("path", p)
+        .option("grouped", "true").load().select(col("k")).collect()
+    }
+    // the rewrite verb is the documented recovery: compact reroutes
+    // every row through the CURRENT tuple router
+    spark.sql(s"CALL $cat.sys.compact('ns.ct14', 1)").collect()
+    val m = GraftSink.mainHead(p).get
+    m.files.filter(l => GraftSink.entryRows(l).exists(_ > 0))
+      .flatMap(GraftSink.entryPart).foreach(_ should startWith("b="))
+    // SPJ-grouped scan works again, partial overwrite works again
+    spark.read.format("graftsink").option("path", p)
+      .option("grouped", "true").load().select(col("k"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L, 3L)
+    Seq((9L, "q", "m")).toDF("k", "a", "b")
+      .writeTo(s"$cat.ns.ct14").overwritePartitions() // replaces b=m
+    spark.table(s"$cat.ns.ct14").orderBy(col("k"))
+      .select(col("k")).collect().map(_.getLong(0)) shouldBe Array(2L, 9L)
+  }
 }
