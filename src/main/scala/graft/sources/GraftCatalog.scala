@@ -173,7 +173,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val tMillis = timestamp / 1000L
     val versions = GraftSink.listVersions(p.toString)
     val at = versions.reverse.find { v =>
-      GraftSink.readManifest(p.toString, Some(v)).flatMap(_.ts).getOrElse(0L) <= tMillis
+      GraftSink.readManifestRaw(p.toString, Some(v)).flatMap(_.ts).getOrElse(0L) <= tMillis
     }.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: no snapshot of ${ident} committed at or before " +
         s"timestamp $tMillis ms (earliest: v${versions.headOption.getOrElse(0)})"))
@@ -181,7 +181,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   private def loadSchema(p: HPath, version: Option[Int]): StructType =
-    GraftSink.readManifest(p.toString, version)
+    GraftSink.readManifestRaw(p.toString, version) // head-only: ddl
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graft catalog: no committed snapshot at $p"))
@@ -1251,7 +1251,7 @@ object GraftCatalog {
         val p = cat0.procTablePath(args.getUTF8String(0).toString)
         val name = args.getUTF8String(1).toString
         val v = args.getInt(2)
-        GraftSink.readManifest(p, Some(v)) // loud if the snapshot is gone
+        GraftSink.readManifestRaw(p, Some(v)) // loud if the snapshot is gone
         require(GraftSink.readRef(p, "tag", name).isEmpty,
           s"graft catalog: tag '$name' already exists (tags are immutable)")
         GraftSink.writeRef(p, "tag", name, v)

@@ -90,7 +90,7 @@ class GraftSinkProvider extends TableProvider with DataSourceRegister {
     // changelog mode reads rows through the RANGE-END snapshot's schema
     // (older files pad missing columns NULL, exactly like a plain read)
     val pin = changes.fold(version) { case (_, to) => to }
-    val base = GraftSink.readManifest(path, pin)
+    val base = GraftSink.readManifestRaw(path, pin) // head-only: ddl
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path (missing ${GraftSink.MANIFEST})"))
@@ -295,6 +295,13 @@ object GraftSink {
     * column appears ONLY if every member file carries a tag for it, so
     * group-level pruning is exactly as conservative as the per-entry
     * rule it summarizes (a member without the tag would survive). */
+  /** The group's exact VISIBLE row total (Σ(rows − |dv|) over its
+    * members, recorded at chunk-write time) — absent when some member
+    * predates `rows:` segments. */
+  def groupVisibleRows(line: String): Option[Long] =
+    line.split("\t").drop(1).find(_.startsWith("vrows:"))
+      .map(_.stripPrefix("vrows:").toLong)
+
   def groupPartVals(line: String): Map[String, Set[String]] =
     line.split("\t").drop(1).filter(_.startsWith("pvals:")).map { s =>
       val body = s.stripPrefix("pvals:")
@@ -316,8 +323,13 @@ object GraftSink {
   private def groupSummary(name: String, members: Seq[String]): String = {
     val files = s"\tfiles:${members.size}"
     val rs = members.map(entryRows)
+    // vrows = Σ(rows − |dv|), exact because a chunk is immutable: any
+    // DV change regroups its manifest and recomputes the summary —
+    // what lets count(*) stay metadata-only WITHOUT opening chunks
     val rows = if (rs.nonEmpty && rs.forall(_.isDefined))
-      s"\trows:${rs.map(_.get).sum}" else ""
+      s"\trows:${rs.map(_.get).sum}\tvrows:${members.map(l =>
+        entryRows(l).get - entryDeletes(l).length).sum}"
+    else ""
     val parts = members.map(l => entryPart(l).map(partPairs).getOrElse(Map.empty[String, String]))
     val common =
       if (parts.isEmpty) Set.empty[String]
@@ -710,7 +722,7 @@ object GraftSink {
       val prev = listVersions(path).lastOption
       val m = plan()
       val next = prev.getOrElse(0) + 1
-      val prevTs = prev.flatMap(v => readManifest(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
+      val prevTs = prev.flatMap(v => readManifestRaw(path, Some(v)).flatMap(_.ts)).getOrElse(0L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val stamped = m.copy(ts = Some(ts),
         ref = Some(branch.fold("main")(b => s"branch.$b")))
@@ -1331,7 +1343,7 @@ class GraftSinkTable(path: String, declared: StructType,
   override def schema(): StructType =
     if (changes.isDefined) declared // provider-built: range-end schema + change cols
     else GraftSinkTable.withDefaultMetadata(path,
-      GraftSink.readManifest(path, version)
+      GraftSink.readManifestRaw(path, version) // head-only: ddl
         .map(m => StructType.fromDDL(m.ddl)).getOrElse(declared))
 
   /** The table's declared partitioning (durable `_props` state, set at
@@ -1441,7 +1453,7 @@ class GraftSinkRowLevelOperation(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     scanBaseTs = Some(GraftSink.mainHead(path).flatMap(_.ts))
-    val schema = GraftSink.readManifest(path)
+    val schema = GraftSink.readManifestRaw(path, None) // head-only: ddl
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path"))
@@ -2126,7 +2138,7 @@ class GraftSinkDeltaOperation(path: String,
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val schema = GraftSink.readManifest(path)
+    val schema = GraftSink.readManifestRaw(path, None) // head-only: ddl
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(throw new IllegalArgumentException(
         s"graftsink: no committed table at $path"))
@@ -2494,8 +2506,13 @@ class GraftSinkScanBuilder(path: String, full: StructType,
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
       envelopes.isEmpty &&
       filesSubset.isEmpty &&
-      GraftSink.readManifest(path, version)
-        .exists(m => m.files.forall(l => GraftSink.entryRows(l).isDefined))
+      // RAW read: on a grouped manifest the chunk summaries' vrows
+      // answer for their members, so the capability check (like the
+      // count itself) never opens a chunk file
+      GraftSink.readManifestRaw(path, version)
+        .exists(m => m.files.forall(l =>
+          if (GraftSink.isGroupLine(l)) GraftSink.groupVisibleRows(l).isDefined
+          else GraftSink.entryRows(l).isDefined))
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -2566,13 +2583,21 @@ class GraftSinkCountScan(path: String, version: Option[Int])
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def total: Long = {
-    val m = GraftSink.readManifest(path, version).getOrElse(
+    // RAW read: group summaries carry exact visible-row totals, so the
+    // count on a grouped (million-file) table reads ONE manifest list
+    // and zero chunk files
+    val m = GraftSink.readManifestRaw(path, version).getOrElse(
       throw new IllegalArgumentException(s"graftsink: no committed table at $path"))
     m.files.map { l =>
-      GraftSink.entryRows(l).getOrElse(
-        throw new IllegalStateException(
-          s"graftsink: count pushdown on an entry without rows: $l")) -
-        GraftSink.entryDeletes(l).length
+      if (GraftSink.isGroupLine(l))
+        GraftSink.groupVisibleRows(l).getOrElse(
+          throw new IllegalStateException(
+            s"graftsink: count pushdown on a group without vrows: $l"))
+      else
+        GraftSink.entryRows(l).getOrElse(
+          throw new IllegalStateException(
+            s"graftsink: count pushdown on an entry without rows: $l")) -
+          GraftSink.entryDeletes(l).length
     }.sum
   }
 
@@ -3018,7 +3043,7 @@ class GraftSinkChangelogScan(path: String, full: StructType,
   private def requiredIds: Array[Int] = {
     val data = StructType(full.fields.filterNot(f =>
       f.name == GraftSink.CHANGE_COL || f.name == GraftSink.CHANGE_VERSION_COL))
-    val tableIds = GraftSink.readManifest(path, to)
+    val tableIds = GraftSink.readManifestRaw(path, to) // head-only: ids
       .map(GraftSink.manifestIds)
       .getOrElse(1 to data.length)
     required.fieldNames.map { n =>

@@ -285,7 +285,12 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     GraftSink.readManifestRaw(p, None).get.files.count(GraftSink.isGroupLine) shouldBe 2
     // MOR delete: the DV lands inside the regrouped chunk
     spark.sql(s"DELETE FROM $cat.ns.mgc14 WHERE k = 1")
+    // count(*) stays METADATA-ONLY on the grouped manifest: the chunk
+    // summaries' vrows answer (DV already subtracted at regroup time)
+    // and not one chunk file is opened
+    val gBefore = GraftSink.groupReads.get()
     spark.table(s"$cat.ns.mgc14").count() shouldBe 7L
+    (GraftSink.groupReads.get() - gBefore) shouldBe 0L
     GraftSink.readManifest(p, None).get.files
       .map(GraftSink.entryDeletes(_).length).sum shouldBe 1
     val f = GraftSink.fs(p)
