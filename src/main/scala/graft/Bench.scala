@@ -10,6 +10,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify/Smoke/Explain
       .config("spark.ui.enabled", "false")
+      // local checkpoint dirs: nio manager (no per-file chmod fork) — see
+      // graft.streaming.NioCheckpointFileManager; non-file URIs fall back
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
+      // no-fork, no-.crc local FS (see graft.sources.FastLocalFileSystem);
+      // cluster schemes (hdfs:/s3:) are untouched
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
+      .config("spark.hadoop.io.file.buffer.size", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader initialization is

@@ -17,6 +17,15 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local checkpoint dirs: nio manager (no per-file chmod fork) — see
+      // graft.streaming.NioCheckpointFileManager; non-file URIs fall back
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
+      // no-fork, no-.crc local FS (see graft.sources.FastLocalFileSystem);
+      // cluster schemes (hdfs:/s3:) are untouched
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.FastLocalFileSystem")
+      .config("spark.hadoop.io.file.buffer.size", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

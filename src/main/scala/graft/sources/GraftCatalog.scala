@@ -601,7 +601,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!isView(p))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      fs.open(new HPath(p, ViewFile)), java.nio.charset.StandardCharsets.UTF_8))
+      GraftSink.openIn(fs, new HPath(p, ViewFile)), java.nio.charset.StandardCharsets.UTF_8))
     val lines = try Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
                 finally in.close()
     def dec(s: String): String =
@@ -1111,9 +1111,10 @@ object GraftCatalog {
                 .getOrElse(java.util.UUID.randomUUID().toString.take(8))
               val tmpName = s".$fin.attempt-$attempt.tmp"
               val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-                ffs.open(new org.apache.hadoop.fs.Path(root, n)),
+                GraftSink.openIn(ffs, new org.apache.hadoop.fs.Path(root, n)),
                 java.nio.charset.StandardCharsets.UTF_8))
-              val out = ffs.create(new org.apache.hadoop.fs.Path(root, tmpName), true)
+              val out = GraftSink.createOut(ffs,
+                new org.apache.hadoop.fs.Path(root, tmpName))
               try {
                 var pos = 0L; var di = 0; var line = in.readLine()
                 while (line != null) {
@@ -1555,7 +1556,7 @@ object GraftCatalog {
           if (!f.exists(sidecar)) Map.empty
           else {
             val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-              f.open(sidecar), java.nio.charset.StandardCharsets.UTF_8))
+              GraftSink.openIn(f, sidecar), java.nio.charset.StandardCharsets.UTF_8))
             try Iterator.continually(in.readLine()).takeWhile(_ != null)
               .filter(_.nonEmpty).map { line =>
                 val t = line.split("\t", -1)

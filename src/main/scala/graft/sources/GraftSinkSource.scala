@@ -382,7 +382,7 @@ object GraftSink {
     val gp = new HPath(path, name)
     require(f.exists(gp),
       s"graftsink: missing manifest group $name at $path (corrupt metadata or over-eager GC)")
-    val in = new BufferedReader(new InputStreamReader(f.open(gp), StandardCharsets.UTF_8))
+    val in = new BufferedReader(new InputStreamReader(openIn(f, gp), StandardCharsets.UTF_8))
     try Iterator.continually(in.readLine()).takeWhile(_ != null)
       .filter(_.nonEmpty).toVector
     finally in.close()
@@ -585,8 +585,67 @@ object GraftSink {
     }
   }
 
+  // ONE shared Hadoop Configuration for every filesystem lookup: a fresh
+  // `new Configuration()` re-parses core-default.xml from the classpath
+  // (jar inflate + XML parse, ~1-5 ms) on first property read, and fs()
+  // is called on every manifest/ref/props read and every data-file
+  // open/create — per-row-group on the read path, per-staged-file on the
+  // write path. Profiling (r14, q397 jstack: 13/30 hot executor samples
+  // in Configuration.loadResources) showed this dominating sink IO.
+  // Configuration is read-only after construction here, so sharing is
+  // thread-safe; FileSystem.get caches instances by (scheme, authority)
+  // regardless.
+  private val sharedConf = {
+    val c = new Configuration()
+    // mirror the entry mains' spark.hadoop.fs.file.impl override (see
+    // FastLocalFileSystem): the JVM-wide FileSystem cache keys on
+    // (scheme, authority, ugi) only — whichever Configuration creates
+    // the `file:` instance first wins, so both sides must agree
+    c.set("fs.file.impl", classOf[FastLocalFileSystem].getName)
+    c.setInt("io.file.buffer.size", 1 << 16)
+    c
+  }
   def fs(path: String): FileSystem =
-    new HPath(path).getFileSystem(new Configuration())
+    new HPath(path).getFileSystem(sharedConf)
+
+  /** The java.nio path of `p` when `f` is the local filesystem — the
+    * fast-IO shortcut [[openIn]]/[[createOut]] key on. */
+  private def nioPath(f: FileSystem, p: HPath): Option[java.nio.file.Path] =
+    if (f.getScheme == "file")
+      Some(java.nio.file.Paths.get(f.makeQualified(p).toUri.getPath))
+    else None
+
+  /** Open a metadata/data file for reading. On the local filesystem this
+    * bypasses ChecksumFileSystem (no .crc verification pass over the
+    * bytes) via java.nio; other schemes keep the Hadoop stream. Always
+    * buffered. */
+  def openIn(f: FileSystem, p: HPath): java.io.InputStream =
+    nioPath(f, p) match {
+      case Some(np) => new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(np), 1 << 16)
+      case None => new java.io.BufferedInputStream(f.open(p), 1 << 16)
+    }
+
+  /** Create a metadata/data file for writing (truncating any existing
+    * body). On the local filesystem this uses java.nio directly:
+    * RawLocalFileSystem's create() forks a `chmod` subprocess per file
+    * when libhadoop is absent (r14 jstack: 17/30 hot executor samples in
+    * Shell.execCommand/fork under create) and ChecksumFileSystem doubles
+    * every create with a .crc sidecar — both pure overhead for these
+    * single-writer staged files. Any stale sibling .crc from an older
+    * checksummed write is dropped so Hadoop-side readers never verify new
+    * bytes against old sums. Parent directories are created (Hadoop's
+    * create() does so implicitly; nio does not). Always buffered. */
+  def createOut(f: FileSystem, p: HPath): java.io.OutputStream =
+    nioPath(f, p) match {
+      case Some(np) =>
+        Option(np.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.deleteIfExists(
+          np.resolveSibling(s".${np.getFileName}.crc"))
+        new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(np), 1 << 16)
+      case None => f.create(p, true)
+    }
 
   /** A committed snapshot's metadata. `ids` = the stable FIELD IDS of
     * the DDL's columns, in order (absent = positional 1..n — the state
@@ -631,7 +690,7 @@ object GraftSink {
       }
       None
     } else {
-      val in = new BufferedReader(new InputStreamReader(f.open(mp), StandardCharsets.UTF_8))
+      val in = new BufferedReader(new InputStreamReader(openIn(f, mp), StandardCharsets.UTF_8))
       try {
         val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toVector
         require(lines.nonEmpty, s"graftsink: empty manifest at $mp")
@@ -995,7 +1054,7 @@ object GraftSink {
     val p = new HPath(path, refName(kind, name))
     if (!f.exists(p)) None
     else {
-      val in = new BufferedReader(new InputStreamReader(f.open(p), StandardCharsets.UTF_8))
+      val in = new BufferedReader(new InputStreamReader(openIn(f, p), StandardCharsets.UTF_8))
       try Some(in.readLine().trim.toInt) finally in.close()
     }
   }
@@ -1040,7 +1099,7 @@ object GraftSink {
     val pp = new HPath(path, PROPS)
     if (!f.exists(pp)) Map.empty
     else {
-      val in = new BufferedReader(new InputStreamReader(f.open(pp), StandardCharsets.UTF_8))
+      val in = new BufferedReader(new InputStreamReader(openIn(f, pp), StandardCharsets.UTF_8))
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.contains('=')).map { l =>
           val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
@@ -1051,7 +1110,7 @@ object GraftSink {
 
   def writeProps(path: String, props: Map[String, String]): Unit = {
     if (props.isEmpty) return
-    val out = fs(path).create(new HPath(path, PROPS), true)
+    val out = createOut(fs(path), new HPath(path, PROPS))
     try out.write(props.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -1116,7 +1175,7 @@ object GraftSink {
     * refresh; the old file is simply overwritten). */
   def writeColStats(path: String, version: Int,
       stats: Seq[(String, Long, Long)]): Unit = {
-    val out = fs(path).create(new HPath(path, COLSTATS), true)
+    val out = createOut(fs(path), new HPath(path, COLSTATS))
     try out.write((s"v:$version" +: stats.map { case (n, d, u) => s"$n\t$d\t$u" })
       .mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -1127,7 +1186,7 @@ object GraftSink {
     val pp = new HPath(path, COLSTATS)
     if (!f.exists(pp)) None
     else {
-      val in = new BufferedReader(new InputStreamReader(f.open(pp), StandardCharsets.UTF_8))
+      val in = new BufferedReader(new InputStreamReader(openIn(f, pp), StandardCharsets.UTF_8))
       try {
         val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toList
         val v = lines.head.stripPrefix("v:").trim.toInt
@@ -1853,7 +1912,7 @@ class GraftSinkWriterFactory(path: String, schema: StructType, queryId: String,
 class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
     partitionId: Int, statsIdx: Seq[(String, Int)] = Nil) extends DataWriter[InternalRow] {
 
-  private val out = GraftSink.fs(path).create(new HPath(staged), true)
+  private val out = GraftSink.createOut(GraftSink.fs(path), new HPath(staged))
   private val types = schema.fields.map(_.dataType)
   private var n = 0L
   private var skip = -1 // resolved on the first row
@@ -1920,7 +1979,9 @@ class GraftSinkRowWriter(path: String, schema: StructType, staged: String,
       })
   }
   override def abort(): Unit = {
-    out.close()
+    // close may flush buffered bytes into a failing stream — the delete
+    // below must still run so the staged file never leaks
+    try out.close() catch { case _: java.io.IOException => () }
     GraftSink.fs(path).delete(new HPath(staged), false)
   }
   override def close(): Unit = ()
@@ -3105,7 +3166,7 @@ class GraftSinkChangeReaderFactory(types: Array[DataType])
     val positionsMode = onlys.nonEmpty
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new InputStreamReader(
-        GraftSink.fs(p.file).open(new HPath(p.file)), StandardCharsets.UTF_8))
+        GraftSink.openIn(GraftSink.fs(p.file), new HPath(p.file)), StandardCharsets.UTF_8))
       private var line: String = _
       private var pos = -1L
       private var si = 0 // skip-list pointer
@@ -3234,7 +3295,7 @@ class GraftSinkReaderFactory(types: Array[DataType],
     val dels = p.deletes // ascending by construction (entry() sorts)
     new PartitionReader[InternalRow] {
       private val in = new BufferedReader(new InputStreamReader(
-        GraftSink.fs(file).open(new HPath(file)), StandardCharsets.UTF_8))
+        GraftSink.openIn(GraftSink.fs(file), new HPath(file)), StandardCharsets.UTF_8))
       private var line: String = _
       private var pos = -1L   // original file position (stable row id)
       private var di = 0      // next delete-vector pointer
