@@ -336,11 +336,19 @@ object Analysis extends QueryPack {
     // At scale every shuffle is doc- or token-keyed; the grid is
     // |vocab|×|classes| — broadcastable whenever the vocab is.
     "q170_naive_bayes" -> ((s, dir) => {
+      // repartition(doc_id) BEFORE the explode: tokenization runs at
+      // full width instead of on the docs scan's single local split,
+      // and hash(doc_id) satisfies the (doc_id, actual, tok) clustering
+      // so the tf groupBy needs NO further exchange. Checkpointed: both
+      // the class-count rollup and the scoring join consume dt, and
+      // without it the tokenize→aggregate subtree runs twice.
       val dt = Tables.documents(s, dir)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
         .select(col("doc_id"), col("lang").as("actual"),
           explode(expr("filter(split(text, ' '), x -> x <> '')")).as("tok"))
         .groupBy(col("doc_id"), col("actual"), col("tok"))
         .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val cls = Tables.documents(s, dir)
         .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
         .localCheckpoint() // consumed thrice: grid, priors, totals

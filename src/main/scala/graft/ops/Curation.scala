@@ -469,23 +469,33 @@ object Curation extends QueryPack {
           expr("size(filter(split(text, ' '), x -> x <> ''))").as("nt"))
         .localCheckpoint() // joined per threshold + the corpus total
       val corpus = nt.agg(sum(col("nt")).as("corpus_toks"))
+      // The four threshold branches are independent fixpoint runs over
+      // an already-materialized pair frame, and each CC pass is an
+      // EAGER localCheckpoint — built sequentially they serialize ~4×
+      // (log diameter) tiny driver-blocking jobs. Overlapping them from
+      // driver threads (guide §2.6: actions are only sequential because
+      // the driver calls them sequentially) back-fills the cluster and
+      // cuts the sweep to the slowest branch; each branch is
+      // deterministic, so the union is order-stable by threshold.
       val res = Seq(0.01, 0.02, 0.05, 0.1).map { t =>
-        val e = pairs.filter(col("jaccard") >= t)
-        val edges = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
-          .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
-          .localCheckpoint()
-        val labels = Text.ccMinLabels(edges) // fixpoint-certified, diameter-safe
-        val st = labels.join(nt, col("doc") === col("doc_id"))
-          .agg(count(lit(1)).as("docs_flagged"),
-            countDistinct(col("lbl")).as("n_clusters"),
-            sum(when(col("doc") =!= col("lbl"), col("nt")).otherwise(0)).as("tokens_removed"))
-        val np = e.agg(count(lit(1)).as("n_pairs"))
-        st.crossJoin(broadcast(np)).crossJoin(broadcast(corpus))
-          .selectExpr(s"cast($t as double) AS threshold", "n_pairs",
-            "docs_flagged", "n_clusters",
-            "docs_flagged - n_clusters AS docs_removable", "tokens_removed",
-            "round(cast(tokens_removed as double) / corpus_toks, 6) AS pct_corpus_tokens")
-      }
+        scala.concurrent.Future {
+          val e = pairs.filter(col("jaccard") >= t)
+          val edges = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+            .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+            .localCheckpoint()
+          val labels = Text.ccMinLabels(edges) // fixpoint-certified, diameter-safe
+          val st = labels.join(nt, col("doc") === col("doc_id"))
+            .agg(count(lit(1)).as("docs_flagged"),
+              countDistinct(col("lbl")).as("n_clusters"),
+              sum(when(col("doc") =!= col("lbl"), col("nt")).otherwise(0)).as("tokens_removed"))
+          val np = e.agg(count(lit(1)).as("n_pairs"))
+          st.crossJoin(broadcast(np)).crossJoin(broadcast(corpus))
+            .selectExpr(s"cast($t as double) AS threshold", "n_pairs",
+              "docs_flagged", "n_clusters",
+              "docs_flagged - n_clusters AS docs_removable", "tokens_removed",
+              "round(cast(tokens_removed as double) / corpus_toks, 6) AS pct_corpus_tokens")
+        }(scala.concurrent.ExecutionContext.global)
+      }.map(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
       res.reduce(_ union _).orderBy(col("threshold"))
     }),
 

@@ -33,12 +33,24 @@ import org.apache.spark.sql.functions._
   */
 object Extensions extends QueryPack {
 
-  /** doc_id → DISTINCT non-empty tokens. */
+  /** doc_id → DISTINCT non-empty tokens. Dedup is PER-DOC, so it needs
+    * no global `.distinct()` exchange: `array_distinct` on the split
+    * array computes the same set row-locally. The docs are spread by an
+    * explicit-N repartition (N = the session's shuffle-partition conf,
+    * never a constant) BEFORE the explode: the downstream
+    * groupBy(doc_id) then reuses this partitioning (zero further
+    * exchanges), and the CPU-heavy per-token work (md5 + vote sums)
+    * runs at full width. The old shape paid two exchanges (token-row
+    * distinct, then doc-keyed agg) and AQE coalesced the byte-small
+    * distinct output to ONE task, serializing the md5/vote loop
+    * (event-log profile: 2.2 s + 1.6 s single-task stages inside q236).
+    * An explicit N is load-bearing: repartition(col) without N is an
+    * AQE-coalescible shuffle origin, which would re-serialize it. */
   private def toks(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .distinct()
+      .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(filter(split(text, ' '), x -> x <> ''))")).as("tok"))
 
   /** SimHash signatures over the per-doc distinct-token sets: bit j of
     * a token's hash is bit (3 − j%4) of md5 hex digit (j div 4); the
@@ -248,16 +260,26 @@ object Extensions extends QueryPack {
     // longer docs chunk upstream).
     "q73_rolling_dedup" -> ((s, dir) => {
       org.apache.spark.sql.GraftFunctions.register(s) // idempotent; no-op under GraftExtensions
+      // Window-hash distinctness is PER-DOC, so array_distinct on the
+      // native expression's array replaces the old global `.distinct()`
+      // exchange of 1.17M (doc, wh) rows; the explicit-N repartition
+      // runs the O(len) hash loop at full width (the docs scan is one
+      // parquet split locally — the old shape hashed 1.17M windows in
+      // ONE task, 1.3 s of the key's 3.3 s). n_w (windows per doc)
+      // rides along each wh row for 4 bytes so the pair stage needs no
+      // join back to a sizes frame — the old shape joined the pair
+      // output to sizes TWICE.
       val wh = Tables.documents(s, dir)
         .filter(length(col("text")).between(64, 8192))
-        .select(col("doc_id"), explode(expr("rolling_win_hashes(text)")).as("wh"))
-        .distinct()
-        // materialized ONCE (localCheckpoint): four plan branches
-        // consume wh (sizes ×2, the df-filter, the pair join) and
-        // exchange reuse does not dedupe them across branches here —
-        // without this the scan→hash→distinct subtree runs 4×
+        .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+        .select(col("doc_id"), expr("array_distinct(rolling_win_hashes(text))").as("whs"))
+        .select(col("doc_id"), size(col("whs")).cast("long").as("n_w"),
+          explode(col("whs")).as("wh"))
+        // materialized ONCE (localCheckpoint): the df-filter and the
+        // pair join both consume wh and exchange reuse does not dedupe
+        // them across branches — without this the scan→hash subtree
+        // runs twice
         .localCheckpoint()
-      val sizes = wh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_w"))
       val keep = wh.groupBy(col("wh")).agg(count(lit(1)).as("df"))
         .filter(col("df") > 1 && col("df") <= Text.maxShingleDf)
         .select(col("wh"))
@@ -266,16 +288,16 @@ object Extensions extends QueryPack {
       // arbitrarily large), and keep arrives through a shuffle, so AQE
       // holds its exact size and up-converts to a runtime broadcast
       // join precisely when it is small enough
-      val shared = wh.join(keep, "wh")
+      wh.join(keep, "wh")
         .groupBy(col("wh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n_w")))).as("ds"))
         .select(explode(expr(
-          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
-        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"))
-      shared
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_w").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_w").as("nb")), "doc_b")
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
+            "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_w AS na, b.n_w AS nb))))")).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.na").as("na"), col("p.nb").as("nb"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"), max(col("na")).as("na"), max(col("nb")).as("nb"))
         .withColumn("containment", round(col("n_shared") / least(col("na"), col("nb")), 6))
         .select(col("doc_a"), col("doc_b"), col("n_shared"), col("na"), col("nb"), col("containment"))
         .orderBy(col("doc_a"), col("doc_b"))
@@ -435,22 +457,38 @@ object Extensions extends QueryPack {
     "q236_simhash_dedup" -> ((s, dir) => {
       val sigs = simhashSigs(s, dir, 60)
         .select(col("doc_id"), col("simhash").as("sig"))
-        .localCheckpoint() // consumed 4×: stats + bands + both verify sides
-      val cand = sigs
-        .select(col("doc_id"), explode(expr(
+        .localCheckpoint() // consumed 2×: stats + band buckets
+      // Pairs carry both signatures INLINE from the bucket expansion
+      // (struct(doc_id, sig) in the collect_list): the old shape joined
+      // the 1.15M-pair frame back to sigs TWICE to fetch sa/sb — two
+      // shuffled joins of every candidate pair, 7 s of executor time at
+      // sf0.1 — where sa/sb are functions of the pair and can ride
+      // along for 2 extra longs per row. distinct() on (doc_a, doc_b,
+      // sa, sb) equals distinct on the pair. The explicit-N round-robin
+      // repartition spreads the quadratic per-bucket pair expansion
+      // across the cluster; without it AQE coalesces the byte-small
+      // bucket rows (10k buckets) into ONE task that explodes all
+      // 1.15M pairs serially (event-log: 1.8 s single-task stage).
+      // Round-robin, not hash(bk): a bk-keyed repartition is elided as
+      // redundant against the groupBy's own hash(bk) partitioning, and
+      // round-robin is also the right load balance for expansion work
+      // whose cost is quadratic in bucket size, not uniform per key.
+      val ver = sigs
+        .select(col("doc_id"), col("sig"), explode(expr(
           "transform(sequence(0, 3), b -> (shiftright(sig, cast(15 * b as int)) & 32767) * 4 + b)"))
           .as("bk"))
         .groupBy(col("bk"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"), count(lit(1)).as("k"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"),
+          count(lit(1)).as("k"))
         .filter(col("k") > 1 && col("k") <= 1000)
+        .repartition(s.sessionState.conf.numShufflePartitions)
         .select(explode(expr(
-          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
+          "flatten(transform(ds, (a, i) -> transform(slice(ds, i + 2, size(ds)), " +
+            "b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb))))"))
           .as("p"))
-        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+          col("p.sa").as("sa"), col("p.sb").as("sb"))
         .distinct()
-      val ver = cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
         .withColumn("hamming", expr("bit_count(sa ^ sb)"))
         .localCheckpoint() // consumed twice: summary + dup-doc count
       val dupDocs = ver.filter(col("hamming") <= 3).select(col("doc_a").as("d"))

@@ -1058,13 +1058,15 @@ object Vectors extends QueryPack {
           .select(col("e.w").as("w"), col("e.va").as("va"), col("e.vb").as("vb"),
             col("e.ca").as("ca"), col("e.cb").as("cb"))
           .distinct().localCheckpoint()
+        // the accumulator only unions already-checkpointed sel frames:
+        // its lineage stays flat without an eager job of its own
         mst = mst.unionByName(sel.select(col("va"), col("vb"), col("w")))
-          .localCheckpoint()
         // merge: min-label propagation over the selected component pairs,
         // iterated to a certified fixpoint (selected edges can chain)
+        // cp is a projection+union of the checkpointed sel — rebuilding
+        // it inside each consumer job is cheaper than one more eager job
         val cp = sel.select(col("ca").as("c1"), col("cb").as("c2"))
           .unionByName(sel.select(col("cb").as("c1"), col("ca").as("c2")))
-          .localCheckpoint()
         var m = comp.select(col("c")).distinct().withColumn("l", col("c"))
           .localCheckpoint()
         var changed = 1L
