@@ -26,13 +26,18 @@ object Explain {
       .config("spark.hadoop.io.file.buffer.size", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tb = System.nanoTime()
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    val buildS = (System.nanoTime() - tb) / 1e9
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n build=$buildS%.2f s count=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated key list: one JVM, one plan dump per key, delimited
+    // so a wrapper can split the output into per-key files
+    for (k <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      println(s"==== PLAN $k ====")
+      val tb = System.nanoTime()
+      val df = SparkEntry.queries(k)(spark, sfDir)
+      val buildS = (System.nanoTime() - tb) / 1e9
+      df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[explain] $k rows=$n build=$buildS%.2f s count=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -1083,17 +1083,23 @@ object Science extends QueryPack {
     "q294_bm25_prf" -> ((s, dir) => {
       import s.implicits._
       val seeds = Seq("spark", "join", "filter")
-      val t = toks(s, dir)
-      val dl = t.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // ONE tokenize pass + one (doc, tok) contraction feeds everything:
+      // the raw token stream was previously re-split and re-exploded by
+      // FIVE consumers (dl, df, seed tf, feedback r, rescore tf). Every
+      // downstream frame is an exact algebraic derivation of (doc_id,
+      // tok, tf): dl = Σ tf per doc, df = row count per tok (rows are
+      // unique per (doc, tok)), each tf pass = a filter/join of it.
+      val tc = toks(s, dir)
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // dl + df + seed tf + r-counts + rescore tf
+      val dl = tc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         .localCheckpoint() // corpus stats + two scoring passes
       val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
-      val dfAll = t.select(col("doc_id"), col("tok")).distinct()
-        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val dfAll = tc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .localCheckpoint() // seed pass + RSJ + rescore pass
       val bm25 = "ln((n - df + 0.5) / (df + 0.5) + 1.0) * " +
         "(tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (cast(sumdl as double) / n)))"
-      val tf1 = t.filter(col("tok").isin(seeds: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val tf1 = tc.filter(col("tok").isin(seeds: _*))
       val scored1 = tf1
         .join(broadcast(dfAll.filter(col("tok").isin(seeds: _*))), "tok")
         .join(dl, "doc_id").crossJoin(broadcast(stats))
@@ -1102,8 +1108,7 @@ object Science extends QueryPack {
       val fb = scored1.orderBy(col("score_x").desc, col("doc_id")).limit(10)
         .select(col("doc_id")).localCheckpoint() // r-counts + fbn
       val fbn = fb.agg(count(lit(1)).as("rn"))
-      val r = t.join(broadcast(fb), "doc_id")
-        .select(col("doc_id"), col("tok")).distinct()
+      val r = tc.join(broadcast(fb), "doc_id")
         .groupBy(col("tok")).agg(count(lit(1)).as("r"))
       val expTerms = dfAll.join(broadcast(r), "tok")
         .crossJoin(broadcast(stats)).crossJoin(broadcast(fbn))
@@ -1117,8 +1122,7 @@ object Science extends QueryPack {
       val qterms = seeds.toDF("tok").withColumn("qw", lit(1.0))
         .unionByName(expTerms)
         .localCheckpoint() // ≤8 rows: tf join + df join both consume it
-      val tf2 = t.join(broadcast(qterms.select(col("tok"))), "tok")
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val tf2 = tc.join(broadcast(qterms.select(col("tok"))), "tok")
       val scored2 = tf2
         .join(broadcast(dfAll.join(broadcast(qterms), "tok")), "tok")
         .join(dl, "doc_id").crossJoin(broadcast(stats))

@@ -182,8 +182,18 @@ object Stats extends QueryPack {
     // 100 TB: two groupBy shuffles + two shuffle joins back to the fact.
     "q22_spearman" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir).select(col("l_quantity"), col("l_extendedprice"))
-      val rq = avgRanks(s, li, "l_quantity", "rq")
-      val rp = avgRanks(s, li, "l_extendedprice", "rp")
+      // The two rank tables are independent chains each ending in an
+      // eager driver collect of per-partition totals (avgRanks); built
+      // serially the second chain's jobs wait on the first's tail for
+      // no reason (guide §2.6: overlap independent jobs). Futures start
+      // both; the final join needs both anyway.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val rqF = Future(avgRanks(s, li, "l_quantity", "rq"))
+      val rpF = Future(avgRanks(s, li, "l_extendedprice", "rp"))
+      val rq = Await.result(rqF, Duration.Inf)
+      val rp = Await.result(rpF, Duration.Inf)
       li.join(rq, "l_quantity").join(rp, "l_extendedprice")
         .agg(c6(corr(col("rq"), col("rp"))).as("spearman_qty_price"))
     }),

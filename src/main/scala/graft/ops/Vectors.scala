@@ -1034,54 +1034,48 @@ object Vectors extends QueryPack {
       val core = nbrs.withColumn("rn", row_number().over(wv))
         .filter(col("rn") === 4).select(col("v"), col("d2").as("core4"))
       val edges = pd
-        .join(core.select(col("v").as("va"), col("core4").as("core_a")), "va")
-        .join(core.select(col("v").as("vb"), col("core4").as("core_b")), "vb")
+        .join(broadcast(core.select(col("v").as("va"), col("core4").as("core_a"))), "va")
+        .join(broadcast(core.select(col("v").as("vb"), col("core4").as("core_b"))), "vb")
         .select(col("va"), col("vb"),
           greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
-        .localCheckpoint() // joined against the evolving labels each round
-      // Borůvka rounds to a certified single component
-      var comp = probes.select(col("vec_id").as("v"), col("vec_id").as("c"))
-        .localCheckpoint()
-      var mst = edges.filter(lit(false)) // empty (va, vb, w) accumulator
-      var nComp = comp.select(col("c")).distinct().count()
-      while (nComp > 1) {
-        val lab = edges
-          .join(comp.select(col("v").as("va"), col("c").as("ca")), "va")
-          .join(comp.select(col("v").as("vb"), col("c").as("cb")), "vb")
-          .filter(col("ca") =!= col("cb"))
-        // min outgoing edge per component, total order (w, va, vb)
-        val sel = lab.select(col("ca").as("comp"), struct(col("w"), col("va"),
-            col("vb"), col("ca"), col("cb")).as("e"))
-          .unionByName(lab.select(col("cb").as("comp"), struct(col("w"), col("va"),
-            col("vb"), col("ca"), col("cb")).as("e")))
-          .groupBy(col("comp")).agg(min(col("e")).as("e"))
-          .select(col("e.w").as("w"), col("e.va").as("va"), col("e.vb").as("vb"),
-            col("e.ca").as("ca"), col("e.cb").as("cb"))
-          .distinct().localCheckpoint()
-        // the accumulator only unions already-checkpointed sel frames:
-        // its lineage stays flat without an eager job of its own
-        mst = mst.unionByName(sel.select(col("va"), col("vb"), col("w")))
-        // merge: min-label propagation over the selected component pairs,
-        // iterated to a certified fixpoint (selected edges can chain)
-        // cp is a projection+union of the checkpointed sel — rebuilding
-        // it inside each consumer job is cheaper than one more eager job
-        val cp = sel.select(col("ca").as("c1"), col("cb").as("c2"))
-          .unionByName(sel.select(col("cb").as("c1"), col("ca").as("c2")))
-        var m = comp.select(col("c")).distinct().withColumn("l", col("c"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val nxt = m
-            .join(cp.withColumnRenamed("c1", "c"), Seq("c"), "left")
-            .join(m.select(col("c").as("c2"), col("l").as("l2")), Seq("c2"), "left")
-            .groupBy(col("c")).agg(least(min(col("l")), min(col("l2"))).as("ln"))
-            .localCheckpoint()
-          changed = m.join(nxt, "c").filter(col("ln") =!= col("l")).count()
-          m = nxt.withColumnRenamed("ln", "l")
+      // Sorted-stream Kruskal on ONE reducer (q381's idiom with the cell
+      // key degenerate: the probe set IS one cell). Every edge key
+      // (w, va, vb) is distinct — (va, vb) is unique per pair — so the
+      // lexicographic-order MST is unique and Kruskal under this sort
+      // returns exactly the edge set the oracle's Prim (ORDER BY w, va,
+      // vb LIMIT 1 per step) returns; the old driver-looped Borůvka
+      // (log-diameter rounds × label-propagation fixpoints, each an
+      // eager checkpoint + count job) computed the same unique tree in
+      // ~30 serial jobs. 32 probes → ≤496 edges → O(|probes|) reducer
+      // memory, same bound as q381's per-cell contract.
+      import s.implicits._
+      val mst = edges
+        .select(col("va").cast("long").as("va"), col("vb").cast("long").as("vb"),
+          col("w"))
+        .repartition(1)
+        .sortWithinPartitions(col("w"), col("va"), col("vb"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x // path compression
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          it.foreach { case (va, vb, w) =>
+            val (ra, rb) = (find(va), find(vb))
+            if (ra != rb) { // Kruskal accept: first (lightest) crossing edge
+              parent(math.max(ra, rb)) = math.min(ra, rb)
+              out += ((va, vb, w))
+            }
+          }
+          out.iterator
         }
-        comp = comp.join(m, "c").select(col("v"), col("l").as("c")).localCheckpoint()
-        nComp = comp.select(col("c")).distinct().count()
-      }
+        .toDF("va", "vb", "w")
+        .localCheckpoint() // consumed twice: totals + top-5 readout
       val tot = mst.agg(count(lit(1)).as("n_edges"),
         round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6).as("total_w"))
       val top = mst.orderBy(col("w").desc, col("va"), col("vb")).limit(5)
@@ -1152,9 +1146,13 @@ object Vectors extends QueryPack {
         .join(broadcast(sizes.withColumnRenamed("n_vecs", "n_cell")), "cell")
         .filter(col("rn") === least(lit(4), col("n_cell") - 1))
         .select(col("v"), col("d2").as("core"))
+      // core is vector-count-sized (one row per vec), tiny next to the
+      // Σ|cell|² pair frame — broadcast both attach joins so the pair
+      // frame is never exchanged (guide §3.1; the unhinted plan SMJ'd
+      // the pair frame twice on va/vb)
       val edges = pd
-        .join(core.select(col("v").as("va"), col("core").as("core_a")), "va")
-        .join(core.select(col("v").as("vb"), col("core").as("core_b")), "vb")
+        .join(broadcast(core.select(col("v").as("va"), col("core").as("core_a"))), "va")
+        .join(broadcast(core.select(col("v").as("vb"), col("core").as("core_b"))), "vb")
         .select(col("cell"), col("va"), col("vb"),
           greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
         .localCheckpoint() // ε aggregate + the cut both consume it
@@ -1237,9 +1235,11 @@ object Vectors extends QueryPack {
         .join(broadcast(sizes), "cell")
         .filter(col("rn") === least(lit(4), col("n_cell") - 1))
         .select(col("v"), col("d2").as("core"))
+      // core is vector-count-sized — broadcast both attach joins so the
+      // Σ|cell|² pair frame is never exchanged for them (guide §3.1)
       val edges = pd
-        .join(core.select(col("v").as("va"), col("core").as("core_a")), "va")
-        .join(core.select(col("v").as("vb"), col("core").as("core_b")), "vb")
+        .join(broadcast(core.select(col("v").as("va"), col("core").as("core_a"))), "va")
+        .join(broadcast(core.select(col("v").as("vb"), col("core").as("core_b"))), "vb")
         .select(col("cell"), col("va"), col("vb"),
           greatest(col("core_a"), col("core_b"), col("d2")).as("w"))
       // ONE exchange: cells co-locate, edges arrive in (w, va, vb)
