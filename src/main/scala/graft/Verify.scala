@@ -26,6 +26,8 @@ object Verify {
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.FastLocalFileSystem")
       .config("spark.hadoop.io.file.buffer.size", "65536")
+      // codegen class cache sized to the query inventory (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

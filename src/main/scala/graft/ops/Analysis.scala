@@ -349,14 +349,17 @@ object Analysis extends QueryPack {
         .groupBy(col("doc_id"), col("actual"), col("tok"))
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint()
+      // cls/tc/vocab are NOT checkpointed: every consumer sits inside
+      // the final job's broadcast subtrees, so their exchanges are
+      // computed once there via ReuseExchange; an eager localCheckpoint
+      // per frame added three serial driver jobs for work the final job
+      // already shares (cls's re-scan is a 1-column scan of the doc
+      // table; tc/vocab rebuild from the CHECKPOINTED dt)
       val cls = Tables.documents(s, dir)
         .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_docs"))
-        .localCheckpoint() // consumed thrice: grid, priors, totals
       val tc = dt.groupBy(col("actual").as("cls"), col("tok"))
         .agg(sum(col("tf")).as("cnt"))
-        .localCheckpoint() // consumed twice: grid join + class totals
       val vocab = tc.select(col("tok")).distinct()
-        .localCheckpoint() // consumed twice: V count + grid expansion
       val vSize = vocab.agg(count(lit(1)).as("v"))
       val clsTot = tc.groupBy(col("cls")).agg(sum(col("cnt")).as("tot"))
       val grid = vocab.crossJoin(cls.select(col("cls")))

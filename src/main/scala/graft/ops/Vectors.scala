@@ -729,57 +729,80 @@ object Vectors extends QueryPack {
     // (q233's sufficient statistics). Sign-free outputs only (an
     // eigenvector's sign is arbitrary): λ₁, share, argmax-|loading|.
     "q235_pca_power" -> ((s, dir) => {
+      // Matrix-free power iteration with the DIMENSION-sized iterate on
+      // the driver (the corpus never leaves the cluster): the old shape
+      // kept the 64-cell iterate as DataFrames, costing ~3 serial jobs
+      // per iteration (varr broadcast, μᵀv broadcast, matvec+eager
+      // checkpoint) — ~14 driver round-trips for 4 corpus passes. The
+      // per-dim stats and each matvec's 64-cell contraction are BOUNDED
+      // collects (embedding dimensionality, never data size — the
+      // cumCounts/OLS-literal class), and every collected number is the
+      // output of the SAME pre-quantized decimal aggregate as before, so
+      // driver-side recombination is bit-identical: per-term
+      // decimal(28,12)/(38,16) quantization (java BigDecimal.valueOf +
+      // HALF_UP = the Cast(double→decimal) path) makes each sum exact
+      // and order-free, and the scalar double ops (/, *, −, sqrt) are
+      // the same IEEE ops Catalyst ran. 4 corpus passes = 5 jobs total.
+      import java.math.{BigDecimal => JBD, RoundingMode => RM}
+      def q12(x: Double) = JBD.valueOf(x).setScale(12, RM.HALF_UP)
       val emb = Tables.embeddings(s, dir)
-      val pd = emb
+      // per-dim stats pass (unchanged aggregate, collected: ≤64 rows)
+      val pdRows = emb
         .select(posexplode(col("embedding")).as(Seq("p", "x")))
         .select(col("p"), col("x").cast("double").as("x"))
         .groupBy(col("p"))
         .agg(count(lit(1)).as("n"),
           (sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("m"),
           expr("cast(sum(cast(x * x as decimal(38,16))) as double)").as("sxx"))
-        .localCheckpoint() // consumed per iteration (μᵀv) + trace + init
+        .collect().sortBy(_.getInt(0))
+      val dims = pdRows.map(_.getInt(0))
+      val nArr = pdRows.map(_.getLong(1))
+      val mArr = pdRows.map(_.getDouble(2))
+      val sxxArr = pdRows.map(_.getDouble(3))
+      val nVecs = nArr.max
       // tr(C) = Σ_d (E[x²] − μ²), λ terms quantized over the 64 cells
-      val tr = pd.select(col("n"), expr("sxx / n - m * m").as("lam"))
-        .agg(max(col("n")).as("n_vecs"),
-          sum(expr("cast(lam as decimal(28,12))")).cast("double").as("trace"))
-      // one matrix-free matvec: w = (1/n)·Xᵀ(X·varr) − μ·(μᵀv)
-      def matvec(v: DataFrame): DataFrame = {
-        val varr = v.agg(expr(
-          "transform(sort_array(collect_list(struct(p, v))), s -> s.v)").as("va"))
-        val muv = pd.join(v, "p")
-          .agg(expr("cast(sum(cast(m * v as decimal(28,12))) as double)").as("mv"))
-        emb.crossJoin(broadcast(varr))
-          .withColumn("d", expr(
-            "aggregate(zip_with(embedding, va, (x, vv) -> cast(x as double) * vv), " +
-              "0.0d, (a, y) -> a + y)"))
+      val trace = sxxArr.indices
+        .map(i => q12(sxxArr(i) / nArr(i) - mArr(i) * mArr(i)))
+        .foldLeft(JBD.ZERO)(_ add _).doubleValue
+      // one matrix-free matvec: w = (1/n)·Xᵀ(X·v) − μ·(μᵀv); ONE job —
+      // v rides in as a literal array, the 64-cell result collects back
+      def matvec(v: Array[Double]): Array[Double] = {
+        val mv = v.indices.map(i => q12(mArr(i) * v(i)))
+          .foldLeft(JBD.ZERO)(_ add _).doubleValue
+        val va = array(v.map(lit(_)): _*)
+        val sxd = emb
+          .withColumn("d", aggregate(
+            zip_with(col("embedding"), va, (x, vv) => x.cast("double") * vv),
+            lit(0.0), (a, y) => a + y))
           .select(col("d"), posexplode(col("embedding")).as(Seq("p", "x")))
           .groupBy(col("p"))
           .agg(count(lit(1)).as("n"),
             expr("cast(sum(cast(cast(x as double) * d as decimal(38,16))) as double)").as("sxd"))
-          .join(broadcast(pd.select(col("p"), col("m"))), "p")
-          .crossJoin(broadcast(muv))
-          .select(col("p"), expr("sxd / n - m * mv").as("w"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        dims.map { p => val (n, sd) = sxd(p); sd / n - mArr(dims.indexOf(p)) * mv }
       }
+      def norm(w: Array[Double]): Double = math.sqrt(
+        w.map(x => q12(x * x)).foldLeft(JBD.ZERO)(_ add _).doubleValue)
       // init v = all-ones: the first normalization makes it unit
-      var v = pd.select(col("p"), lit(1.0).as("v"))
+      var v = Array.fill(dims.length)(1.0)
       for (_ <- 1 to 3) {
         val w = matvec(v)
-        val nr = w.agg(
-          expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("nrm"))
-        v = w.crossJoin(broadcast(nr))
-          .select(col("p"), expr("w / nrm").as("v"))
-          .localCheckpoint()
+        val nrm = norm(w)
+        v = w.map(_ / nrm)
       }
-      // λ₁ = ‖C·v₃‖ (one further matvec on the normalized iterate)
-      val top = v.orderBy(round(abs(col("v")), 6).desc, col("p")).limit(1)
-        .select((col("p") + 1).as("top_dim"), round(abs(col("v")), 6).as("top_loading"))
-      val lamF = matvec(v)
-        .agg(expr("sqrt(cast(sum(cast(w * w as decimal(28,12))) as double))").as("lambda1"))
-      lamF.crossJoin(broadcast(tr)).crossJoin(broadcast(top))
-        .select(col("n_vecs"), round(col("lambda1"), 6).as("lambda1"),
-          round(col("trace"), 6).as("trace"),
-          round(expr("lambda1 / trace"), 6).as("explained_share"),
-          col("top_dim"), col("top_loading"))
+      // λ₁ = ‖C·v₃‖ (one further matvec on the normalized iterate);
+      // top dim under the (round(abs(v),6) desc, p) total order
+      val lambda1 = norm(matvec(v))
+      def r6(x: Double) = JBD.valueOf(x).setScale(6, RM.HALF_UP).doubleValue
+      val topI = dims.indices.minBy(i => (-r6(math.abs(v(i))), dims(i)))
+      // final readout through Spark expressions so output rounding stays
+      // Catalyst's own (same round() the old shape applied)
+      s.range(1).select(lit(nVecs).as("n_vecs"),
+        round(lit(lambda1), 6).as("lambda1"),
+        round(lit(trace), 6).as("trace"),
+        round(lit(lambda1) / lit(trace), 6).as("explained_share"),
+        lit(dims(topI) + 1).as("top_dim"),
+        round(abs(lit(v(topI))), 6).as("top_loading"))
     }),
 
     // ------------------------------------------------------------------

@@ -87,6 +87,35 @@ object Streaming extends QueryPack {
     merged.write.mode("overwrite").parquet(s"$st/v$id")
   }
 
+  /** Stage the tranche directories CONCURRENTLY (independent single-task
+    * write jobs — guide §2.6 overlap), then stamp strictly increasing
+    * modification times in tranche order. The file stream source orders
+    * arrivals by mtime and tranche order is load-bearing (watermark
+    * evolution / late-data drop), which is why the old code serialized
+    * the writes; explicit mtime stamps keep that order deterministic —
+    * strictly stronger than relying on write completion order — while
+    * letting the writes overlap.
+    */
+  private def stageTranches(in: String,
+      tranches: Seq[(String, org.apache.spark.sql.DataFrame)]): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.traverse(tranches) { case (name, df) =>
+      Future(df.coalesce(1).write.mode("overwrite").parquet(s"$in/$name"))
+    }, Duration.Inf)
+    // stamps sit 1 h in the PAST so a sentinel tranche some keys write
+    // AFTER this call is newest by wall clock without its own stamp
+    // (well under the source's 7-day maxFileAge window)
+    val base = System.currentTimeMillis() - 3600000L
+    tranches.zipWithIndex.foreach { case ((name, _), i) =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L)
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(in, name))
+      try st.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+      finally st.close()
+    }
+  }
+
   private def farSentinelUs(s: org.apache.spark.sql.SparkSession, dir: String): Long =
     graft.ops.Memo.perSession(s, s"stream_far_sentinel_us:$dir") {
       Tables.events(s, dir)
@@ -127,12 +156,10 @@ object Streaming extends QueryPack {
           col("event_type"), col("value"))
         .localCheckpoint() // shared by the 3 tranche writes
       val moved = col("ts_us") <= b1 && col("user_id") % 7 === 3
-      evs.filter(col("ts_us") <= b1 && !moved).coalesce(1)
-        .write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1)
-        .write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2 || moved).coalesce(1)
-        .write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1 && !moved),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2 || moved)))
       val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq((-1L, far, "zz_sentinel", 0.0))
@@ -189,9 +216,10 @@ object Streaming extends QueryPack {
       // tranche becomes one microbatch, deterministically
       val b1 = 1704931200000000L // 2024-01-11 UTC, µs
       val b2 = 1705795200000000L // 2024-01-21 UTC, µs
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_id", LongType)))
       val q = withStateParts(s)(s.readStream.schema(schema)
@@ -235,9 +263,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_type"), col("value"))
         .localCheckpoint() // shared by the 3 tranche writes
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       s.range(1).select(lit(-1L).as("user_id"), lit(farSentinelUs(s, dir)).as("ts_us"),
           lit("view").as("event_type"), lit(0.0).as("value"))
         .coalesce(1).write.mode("overwrite").parquet(s"$in/b3")
@@ -283,18 +312,18 @@ object Streaming extends QueryPack {
       val in = inP.toString
       val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
       val b2 = 1705795200000000L // 2024-01-21 UTC, µs
-      // staged SEQUENTIALLY: the file source orders arrivals by mtime,
-      // and tranche order b0<b1<b2 is load-bearing (out-of-order
-      // tranches would advance the watermark past still-live state).
+      // tranche order b0<b1<b2 is load-bearing; stageTranches overlaps
+      // the writes and stamps the order explicitly.
       // localCheckpoint so the 3 filter+write jobs share one events scan.
       val evs = Tables.events(s, dir)
         .select(col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
         .localCheckpoint()
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))
@@ -347,9 +376,10 @@ object Streaming extends QueryPack {
         .select(col("user_id"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_type"))
         .localCheckpoint() // shared by the 3 tranche writes
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_type", StringType)))
       val q = withStateParts(s)(s.readStream.schema(schema)
@@ -389,9 +419,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("event_id"))
       val b1 = 1704931200000000L // 2024-01-11 UTC, µs (same split as q81)
       val b2 = 1705795200000000L // 2024-01-21 UTC, µs
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_id", LongType)))
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -439,9 +470,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_type"), col("value"))
         .localCheckpoint() // shared by the 3 tranche writes
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
@@ -494,9 +526,10 @@ object Streaming extends QueryPack {
         .select(col("event_type"),
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
         .localCheckpoint() // shared by the 3 tranche writes + max scan
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq(("zz_sentinel", far, 0.0)).toDF("event_type", "ts_us", "value")
@@ -541,9 +574,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
         .localCheckpoint()
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
@@ -597,9 +631,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
         .localCheckpoint()
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val far = farSentinelUs(s, dir)
       import s.implicits._
       Seq((-1L, far, -1L, "view", 0.0), (-2L, far, -2L, "click", 0.0))
@@ -669,9 +704,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("value"))
         .localCheckpoint()
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("value", DoubleType)))
       @volatile var lastVersion = -1L
@@ -718,9 +754,10 @@ object Streaming extends QueryPack {
           expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
         .localCheckpoint()
-      evs.filter(col("ts_us") <= b1).coalesce(1).write.mode("overwrite").parquet(s"$in/b0")
-      evs.filter(col("ts_us") > b1 && col("ts_us") <= b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b1")
-      evs.filter(col("ts_us") > b2).coalesce(1).write.mode("overwrite").parquet(s"$in/b2")
+      stageTranches(in, Seq(
+        "b0" -> evs.filter(col("ts_us") <= b1),
+        "b1" -> evs.filter(col("ts_us") > b1 && col("ts_us") <= b2),
+        "b2" -> evs.filter(col("ts_us") > b2)))
       val schema = StructType(Seq(StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("event_id", LongType),
         StructField("event_type", StringType), StructField("value", DoubleType)))

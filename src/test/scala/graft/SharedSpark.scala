@@ -25,6 +25,8 @@ trait SharedSpark extends BeforeAndAfterAll { this: Suite =>
     .config("spark.hadoop.fs.file.impl",
       "graft.sources.FastLocalFileSystem")
     .config("spark.hadoop.io.file.buffer.size", "65536")
+    // codegen class cache sized to the query inventory (see Bench.scala)
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
